@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Batch equivalents of the streaming aggregations ([[graft.streaming]]
+  * runs the same logic as Structured Streaming with watermarks; these
+  * batch forms are the DuckDB-checkable contract).
+  *
+  * Window starts are emitted as formatted strings: Spark reads the
+  * nanosecond parquet timestamps truncated to µs while DuckDB keeps ns,
+  * so raw timestamps would hash-mismatch; hour/half-hour buckets agree.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type.
+    "q_events_tumbling" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("value_cents"), col("min_value"), col("max_value"))
+    }),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    "q_events_sliding" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("value_cents"))
+    }),
+
+    // Per-user lifetime stats (min/max/count are truncation-monotonic, so
+    // µs-vs-ns precision cannot flip them).
+    "q_events_user_stats" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"),
+          countDistinct(col("event_type")).as("n_types"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | MIN(value) AS min_value,
+        | MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30, event_type, value FROM events),
+        |w AS (
+        |  SELECT b30 AS wstart, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT b30 - INTERVAL 30 MINUTE, event_type, value FROM b)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_events_user_stats" ->
+      """SELECT user_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin)
+}

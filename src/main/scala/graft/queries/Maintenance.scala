@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** DuckDB-checkable analogs of the reference's own operators (SURVEY.md
+  * §2.1, deltasort O3–O9/O11). The real engine operates on files of a
+  * Delta table ([[graft.sorter]]); these queries express the identical
+  * semantics over the shared testdata so the driver can oracle-check
+  * them: a "file" is modeled as an l_suppkey group and the sort key as
+  * the (l_shipdate, l_orderkey) tuple.
+  *
+  *  - q_minmax_tuple            ≙ O3 per-file min/max sort-key tuples
+  *    (reference: crates/sorter-core/src/lib.rs:600-665)
+  *  - q_boundary_violations     ≙ O4 adjacent-file boundary check
+  *    (lib.rs:578-598: sort files by min tuple, violation when
+  *     max(file_i) > min(file_{i+1}))
+  *  - q_monotonicity_violations ≙ O5 intra-file ascending check
+  *    (lib.rs:626-660 row scan)
+  *  - q_plan_groups             ≙ O7 rewrite planner grouping, ordered
+  *    largest-first (lib.rs:251-319)
+  *  - q_partition_predicate     ≙ O11 typed partition predicates
+  *    (lib.rs:898-1064)
+  *  - q_sort_global             ≙ O8/O9 multi-column ascending sort
+  *    semantics (lib.rs:801-809), verified via rank assignment
+  */
+object Maintenance {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // O8/O9 sort semantics: lexicographic multi-column ascending order,
+    // verified by global rank on a pruned slice (the window is only ever
+    // over the filtered subset; the engine's real global sort is
+    // repartitionByRange + sortWithinPartitions, no rank materialized).
+    "q_sort_global" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-07-01"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"), col("rk"))
+    }),
+
+    // O3: per-"file" min/max sort-key tuple via struct ordering (one
+    // distributive aggregate pass — unlike the reference's full per-file
+    // collect, this reads each row once and never materializes data).
+    "q_minmax_tuple" -> ((s, dir) => {
+      val key = struct(col("l_shipdate"), col("l_orderkey"))
+      table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(min(key).as("mn"), max(key).as("mx"), count(lit(1)).as("n_rows"))
+        .select(col("l_suppkey"),
+          date_format(col("mn.l_shipdate"), "yyyy-MM-dd").as("min_shipdate"),
+          col("mn.l_orderkey").as("min_orderkey"),
+          date_format(col("mx.l_shipdate"), "yyyy-MM-dd").as("max_shipdate"),
+          col("mx.l_orderkey").as("max_orderkey"),
+          col("n_rows"))
+    }),
+
+    // O4: order "files" by min tuple, count prev.max > cur.min overlaps.
+    // The aggregate is distributed; the lag window runs over one row per
+    // file (thousands at 100 TB — trivially small).
+    "q_boundary_violations" -> ((s, dir) => {
+      val key = struct(col("l_shipdate").as("s"), col("l_orderkey").as("k"))
+      val mm = table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(min(key).as("mn"), max(key).as("mx"))
+      val w = Window.orderBy(col("mn"), col("l_suppkey"))
+      mm.withColumn("prev_mx", lag(col("mx"), 1).over(w))
+        .agg(
+          sum(when(col("prev_mx") > col("mn"), 1L).otherwise(0L)).as("boundary_violations"),
+          count(lit(1)).cast("long").as("checked_files"))
+    }),
+
+    // O5 intra-file ascending check: lag over the in-file row order.
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    // l_shipdate joins the ordering to make the lagged sequence
+    // deterministic across engines.
+    "q_monotonicity_violations" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_shipdate"))
+      table(s, dir, "lineitem")
+        .withColumn("prev_ship", lag(col("l_shipdate"), 1).over(w))
+        .agg(
+          sum(when(col("prev_ship") > col("l_shipdate"), 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).cast("long").as("rows_checked"))
+    }),
+
+    // O7: group by "partition", size estimate, largest-bytes-first order.
+    "q_plan_groups" -> ((s, dir) => {
+      val g = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice"))).as("bytes_proxy_cents"))
+      val w = Window.orderBy(col("bytes_proxy_cents").desc, col("l_returnflag"), col("l_linestatus"))
+      g.withColumn("priority", row_number().over(w).cast("long"))
+    }),
+
+    // O11: typed partition predicate (string equality, int equality,
+    // IS NOT NULL) — pushed down to the scan.
+    "q_partition_predicate" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "A" && col("l_linenumber") === 3 && col("l_tax").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_sort_global" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        | CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rk
+        |FROM lineitem
+        |WHERE l_returnflag='R' AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin,
+
+    "q_minmax_tuple" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC) AS rmin,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate DESC, l_orderkey DESC) AS rmax
+        |  FROM lineitem)
+        |SELECT l_suppkey,
+        |  MAX(CASE WHEN rmin=1 THEN strftime(l_shipdate, '%Y-%m-%d') END) AS min_shipdate,
+        |  MAX(CASE WHEN rmin=1 THEN l_orderkey END) AS min_orderkey,
+        |  MAX(CASE WHEN rmax=1 THEN strftime(l_shipdate, '%Y-%m-%d') END) AS max_shipdate,
+        |  MAX(CASE WHEN rmax=1 THEN l_orderkey END) AS max_orderkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY l_suppkey""".stripMargin,
+
+    "q_boundary_violations" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC) AS rmin,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate DESC, l_orderkey DESC) AS rmax
+        |  FROM lineitem),
+        |mm AS (
+        |  SELECT l_suppkey,
+        |    MAX(CASE WHEN rmin=1 THEN l_shipdate END) AS mns,
+        |    MAX(CASE WHEN rmin=1 THEN l_orderkey END) AS mnk,
+        |    MAX(CASE WHEN rmax=1 THEN l_shipdate END) AS mxs,
+        |    MAX(CASE WHEN rmax=1 THEN l_orderkey END) AS mxk
+        |  FROM r GROUP BY l_suppkey),
+        |o AS (
+        |  SELECT *,
+        |    lag(mxs) OVER (ORDER BY mns, mnk, l_suppkey) AS pmxs,
+        |    lag(mxk) OVER (ORDER BY mns, mnk, l_suppkey) AS pmxk
+        |  FROM mm)
+        |SELECT
+        |  -- pmxs IS NOT NULL guard: DuckDB row comparison orders NULLs last
+        |  -- (non-ternary), so (NULL,NULL) > (x,y) would count as a violation.
+        |  CAST(SUM(CASE WHEN pmxs IS NOT NULL AND (pmxs, pmxk) > (mns, mnk) THEN 1 ELSE 0 END) AS BIGINT) AS boundary_violations,
+        |  CAST(COUNT(*) AS BIGINT) AS checked_files
+        |FROM o""".stripMargin,
+
+    "q_monotonicity_violations" ->
+      """WITH x AS (
+        |  SELECT l_shipdate,
+        |    lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) AS prev_ship
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(SUM(CASE WHEN prev_ship > l_shipdate THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  CAST(COUNT(*) AS BIGINT) AS rows_checked
+        |FROM x""".stripMargin,
+
+    "q_plan_groups" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS bytes_proxy_cents
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT *,
+        |  CAST(row_number() OVER (ORDER BY bytes_proxy_cents DESC, l_returnflag, l_linestatus) AS BIGINT) AS priority
+        |FROM g""".stripMargin,
+
+    "q_partition_predicate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_returnflag='A' AND l_linenumber=3 AND l_tax IS NOT NULL""".stripMargin)
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational operator coverage (SURVEY.md §2.2 — the operators the
+  * reference delegates to DataFusion, which our engine must cover with
+  * stock Catalyst): scan, projection + filter pushdown, broadcast and
+  * shuffle joins, semi/anti joins, hash aggregation, distinct
+  * aggregation, window functions, top-k.
+  *
+  * Scale notes (100 TB): dimension tables (customer/supplier/nation/
+  * region/part) are broadcast — no shuffle of the fact table for joins;
+  * aggregations are partial (map-side combine) by construction; top-k is
+  * TakeOrderedAndProject (per-partition heap + driver merge), never a
+  * global sort.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped scan + hash aggregate; filter pushed to parquet.
+    "q_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents4"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty_cents").cast("double") / (col("count_order") * lit(100L)).cast("double"))
+    }),
+
+    // Projection + predicate pushdown to the parquet scan.
+    "q_filter_pushdown" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" && col("l_linenumber") <= 2 &&
+          col("l_shipdate") >= lit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+    }),
+
+    // Fact ⋈ broadcast(dim) + aggregate: no shuffle of the orders side
+    // before the join at any scale.
+    "q_join_broadcast" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    }),
+
+    // Star join: lineitem ⋈ supplier ⋈ nation ⋈ region, all dims broadcast.
+    "q_join_multiway" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val sup = table(s, dir, "supplier")
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(cents4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k: TakeOrderedAndProject (no global sort/shuffle of the table).
+    "q_topk_orders" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    }),
+
+    // Window functions: per-key row_number + running sum (single shuffle
+    // on the partition key).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(cents(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no orders.
+    "q_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi join (EXISTS) against a filtered build side.
+    "q_semi_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val recent = table(s, dir, "orders").where(col("o_orderdate") >= lit("1997-01-01"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Distinct aggregation (expand + two-phase agg under the hood).
+    "q_distinct_agg" -> ((s, dir) => {
+      table(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          countDistinct(col("p_type")).as("n_types"),
+          count(lit(1)).as("n_parts"),
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_cents4,
+        | CAST(COUNT(*) AS BIGINT) AS count_order,
+        | CAST(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |   / CAST(COUNT(*)*100 AS DOUBLE) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_returnflag='R' AND l_linenumber<=2
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_cents4,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT p_brand,
+        | CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+        | CAST(COUNT(*) AS BIGINT) AS n_parts,
+        | MIN(p_size) AS min_size,
+        | MAX(p_size) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin)
+}

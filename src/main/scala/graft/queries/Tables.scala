@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared loaders/helpers for the driver-checked query inventory.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares our
+  * parquet output against DuckDB running [[graft.SparkEntry.oracleSql]]):
+  *  - 2-decimal money doubles are encoded as integer cents
+  *    (`round(x*100)::long`) before summing — BIGINT sums are exact and
+  *    hash-stable across engines; raw double sums are order-dependent.
+  *  - timestamps are emitted as formatted strings (Spark µs vs DuckDB ns
+  *    precision would otherwise mismatch).
+  *  - derived integers are cast to long on both sides (DuckDB SUM/COUNT
+  *    return HUGEINT/BIGINT; Spark row_number returns int).
+  */
+object Tables {
+  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong)
+    * — convert to a microsecond timestamp with integer math (ns epoch
+    * exceeds 2^53, so double division would corrupt it). */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** 2-decimal double -> exact integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** 4-decimal product (e.g. price*(1-disc)) -> exact integer 1e-4 units. */
+  def cents4(c: Column): Column = round(c * 10000, 0).cast("long")
+}

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe: how Spark reads the testdata parquet (timestamp types,
+  * literal comparison semantics). Not part of the engine. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    li.select(min("l_shipdate"), max("l_shipdate")).show(false)
+    // string literal vs timestamp_ntz comparison
+    li.where(col("l_shipdate") <= lit("1996-01-01")).agg(count(lit(1))).show()
+    li.where(col("l_shipdate") <= lit("1996-01-01").cast("timestamp_ntz")).agg(count(lit(1))).show()
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    ev.printSchema()
+    val ev2 = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    ev2.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s")).orderBy("s").show(3, false)
+    ev2.groupBy(window(col("ts"), "1 hour")).count().orderBy("window").show(3, false)
+    spark.stop()
+  }
+}

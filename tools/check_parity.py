@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage:  python3 tools/check_parity.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL in DuckDB against the parquet tables in <sfDir>, and compares
+with the Spark result parquet at <verifyOutDir>/<name>/ — columns sorted
+by name, rows sorted by all columns, exact value equality.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = Path(out_dir, name)
+        if not spark_path.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        spark = norm(pd.read_parquet(spark_path))
+        if list(duck.columns) != list(spark.columns):
+            print(f"FAIL {name}: columns {list(spark.columns)} vs oracle {list(duck.columns)}")
+            n_fail += 1
+            continue
+        if [str(t) for t in duck.dtypes] != [str(t) for t in spark.dtypes]:
+            print(f"FAIL {name}: dtypes {list(map(str, spark.dtypes))} vs oracle {list(map(str, duck.dtypes))}")
+            n_fail += 1
+            continue
+        if len(duck) != len(spark):
+            print(f"FAIL {name}: rows {len(spark)} vs oracle {len(duck)}")
+            n_fail += 1
+            continue
+        if not duck.equals(spark):
+            neq = (duck != spark) & ~(duck.isna() & spark.isna())
+            bad_cols = [c for c in duck.columns if neq[c].any()]
+            idx = neq.any(axis=1)
+            print(f"FAIL {name}: values differ in {bad_cols}; first diffs:")
+            print("  oracle:", duck[idx].head(3).to_dict("records"))
+            print("  spark :", spark[idx].head(3).to_dict("records"))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(duck)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
