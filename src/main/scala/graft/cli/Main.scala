@@ -1,0 +1,88 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sorter.{DeltaSorter, SortConfig}
+
+/** CLI mirroring the reference's `deltasort` binary
+  * (crates/sorter-cli/src/main.rs:12-52):
+  *
+  * {{{
+  * graft.cli.Main --table URI --sort-columns a,b [--nulls first|last]
+  *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
+  *   [--validate-only] [--repartition-by-sort-key]
+  * }}}
+  *
+  * `--validate-only` prints the report and exits non-zero when
+  * violations exist (main.rs:84-86). */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case flag @ ("--dry-run" | "--validate-only" | "--repartition-by-sort-key") =>
+          m(flag.stripPrefix("--")) = "true"; i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          m(flag.stripPrefix("--")) = args(i + 1); i += 2
+        case other =>
+          sys.error(s"unexpected argument: $other")
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val table = opts.getOrElse("table", sys.error("--table is required"))
+    val sortColumns = opts.getOrElse("sort-columns", sys.error("--sort-columns is required"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val nullsFirst = opts.getOrElse("nulls", "first") match {
+      case "first" => true
+      case "last" => false
+      case other => sys.error(s"--nulls must be 'first' or 'last', got '$other'")
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("deltasorterspark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      val sorter = DeltaSorter(spark, table)
+      if (opts.contains("validate-only")) {
+        val report = sorter.validate(sortColumns, nullsFirst)
+        println(s"checked_files=${report.checkedFiles} " +
+          s"boundary_violations=${report.boundaryViolations}")
+        report.detailsSample.foreach(d => println(s"  $d"))
+        if (!report.ok) {
+          System.err.println("ordering validation FAILED")
+          sys.exit(1)
+        }
+        println("ordering validation passed")
+      } else {
+        val cfg = SortConfig(
+          sortColumns = sortColumns,
+          nullsFirst = nullsFirst,
+          targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong),
+          concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
+          dryRun = opts.contains("dry-run"),
+          repartitionBySortKey = opts.contains("repartition-by-sort-key"))
+        val summary = sorter.compact(cfg)
+        println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
+          s"files ${summary.filesIn}->${summary.filesOut} " +
+          s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
+      }
+    } finally {
+      spark.stop()
+    }
+  }
+}

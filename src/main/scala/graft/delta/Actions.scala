@@ -1,0 +1,139 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import scala.jdk.CollectionConverters._
+
+/** Delta transaction-log actions — the minimal subset the engine needs
+  * (the Delta Lake VLDB'20 paper and the open protocol spec are the
+  * source; the reference consumes the same actions through delta-rs:
+  * add/remove enumeration at crates/sorter-core/src/lib.rs:258-296,
+  * commit construction at lib.rs:862-885).
+  *
+  * JSON is emitted by hand (deterministic, no reflective mapper) and
+  * parsed with Jackson's tree model from the Spark-provided jars.
+  */
+sealed trait Action {
+  def json: String
+}
+
+object Action {
+  private[delta] def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private[delta] def jstr(s: String): String = "\"" + esc(s) + "\""
+
+  private[delta] def jmap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
+    }.mkString("{", ",", "}")
+
+  private def strMap(node: JsonNode): Map[String, String] =
+    if (node == null) Map.empty
+    else node.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+    }.toMap
+
+  /** Parse one log line (one action object) from its wrapper key. */
+  def fromJson(node: JsonNode): Option[Action] = {
+    if (node.has("add")) {
+      val a = node.get("add")
+      Some(AddFile(
+        path = a.get("path").asText(),
+        partitionValues = strMap(a.get("partitionValues")),
+        size = a.get("size").asLong(),
+        modificationTime = if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+        dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean()))
+    } else if (node.has("remove")) {
+      val r = node.get("remove")
+      Some(RemoveFile(
+        path = r.get("path").asText(),
+        deletionTimestamp = if (r.has("deletionTimestamp")) r.get("deletionTimestamp").asLong() else 0L,
+        dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(),
+        partitionValues = strMap(r.get("partitionValues")),
+        size = if (r.has("size")) r.get("size").asLong() else 0L))
+    } else if (node.has("metaData")) {
+      val m = node.get("metaData")
+      Some(Metadata(
+        id = m.get("id").asText(),
+        schemaString = m.get("schemaString").asText(),
+        partitionColumns = m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq,
+        configuration = strMap(m.get("configuration"))))
+    } else if (node.has("protocol")) {
+      val p = node.get("protocol")
+      Some(Protocol(p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+    } else if (node.has("commitInfo")) {
+      val c = node.get("commitInfo")
+      Some(CommitInfo(
+        timestamp = if (c.has("timestamp")) c.get("timestamp").asLong() else 0L,
+        operation = if (c.has("operation")) c.get("operation").asText() else "",
+        operationParameters = strMap(c.get("operationParameters"))))
+    } else None // unknown action kinds (cdc, txn, ...) are ignored on replay
+  }
+}
+
+import Action._
+
+/** A data file that is part of the table snapshot. */
+case class AddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean) extends Action {
+  def json: String =
+    s"""{"add":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
+      s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange}}"""
+}
+
+/** Tombstone for a file removed from the snapshot. */
+case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean,
+    partitionValues: Map[String, String],
+    size: Long) extends Action {
+  def json: String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$deletionTimestamp,""" +
+      s""""dataChange":$dataChange,"partitionValues":${jmap(partitionValues)},"size":$size}}"""
+}
+
+/** Table metadata: schema (Spark StructType JSON) + partitioning. */
+case class Metadata(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String] = Map.empty) extends Action {
+  def json: String =
+    s"""{"metaData":{"id":${jstr(id)},"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaString)},""" +
+      s""""partitionColumns":${partitionColumns.map(jstr).mkString("[", ",", "]")},""" +
+      s""""configuration":${jmap(configuration)},"createdTime":0}}"""
+}
+
+case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action {
+  def json: String =
+    s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion}}"""
+}
+
+/** Operation provenance recorded with each commit (the reference records
+  * Write{mode: Overwrite, predicate: replaceWhere} — lib.rs:870-874). */
+case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String]) extends Action {
+  def json: String =
+    s"""{"commitInfo":{"timestamp":$timestamp,"operation":${jstr(operation)},""" +
+      s""""operationParameters":${jmap(operationParameters)}}}"""
+}

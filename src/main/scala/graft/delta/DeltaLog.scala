@@ -1,0 +1,160 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Delta transaction log: enough protocol to read the active file
+  * set + schema of a table and to commit atomic add/remove batches.
+  *
+  * Mirrors what the reference gets from delta-rs:
+  *  - snapshot file enumeration (`get_active_add_actions_by_partitions`,
+  *    crates/sorter-core/src/lib.rs:258-296) → [[DeltaLog.snapshot]]
+  *  - snapshot schema (lib.rs:557-576) → [[Snapshot.schema]]
+  *  - atomic commit of removes+adds with an operation record
+  *    (lib.rs:862-885 CommitBuilder) → [[DeltaLog.commit]]
+  *
+  * Commits are PUT-if-absent on `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`:
+  * on `file:` we hard-link a temp file into place (atomic, fails if the
+  * version exists — same guarantee delta-rs gets from its local
+  * LogStore); on HDFS-like filesystems `rename` without overwrite gives
+  * the same. True object stores need a PUT-if-absent/CAS primitive — the
+  * reference inherits that caveat from delta-rs as well.
+  *
+  * Checkpoints: we replay JSON commits only. Our own tables never write
+  * checkpoints; at production scale a parquet checkpoint every N commits
+  * would bound replay cost (the log here is a handful of versions).
+  */
+final class DeltaLog(val tableUri: String, hadoopConf: Configuration) {
+  private val tablePath = new Path(tableUri)
+  private val fs: FileSystem = tablePath.getFileSystem(hadoopConf)
+  private val logPath = new Path(tablePath, "_delta_log")
+  private val mapper = new ObjectMapper()
+
+  def tableRoot: Path = fs.makeQualified(tablePath)
+
+  private def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
+
+  /** Existing commit versions, ascending. */
+  private def listVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Seq.empty
+    fs.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  def tableExists: Boolean = listVersions().nonEmpty
+
+  def latestVersion(): Long = listVersions().lastOption.getOrElse(-1L)
+
+  /** Optimistic-concurrency commit: try at latest+1, on conflict refresh
+    * and retry. The reference's per-partition rewrites commit
+    * concurrently through delta-rs' equivalent retry (lib.rs:862-885 via
+    * CommitBuilder); our rewrites touch disjoint files per partition, so
+    * a blind retry preserves correctness. */
+  def commitLatest(actions: Seq[Action], maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (true) {
+      try return commit(latestVersion() + 1, actions)
+      catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Replay the log into the current snapshot. */
+  def snapshot(): Snapshot = {
+    val versions = listVersions()
+    require(versions.nonEmpty, s"not a Delta table (no _delta_log commits): $tableUri")
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    var metadata: Option[Metadata] = None
+    var protocol: Option[Protocol] = None
+    versions.foreach { v =>
+      val in = fs.open(versionFile(v))
+      val content = try {
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      } finally in.close()
+      content.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+        Action.fromJson(mapper.readTree(line)).foreach {
+          case a: AddFile => adds(a.path) = a
+          case r: RemoveFile => adds.remove(r.path)
+          case m: Metadata => metadata = Some(m)
+          case p: Protocol => protocol = Some(p)
+          case _: CommitInfo => ()
+        }
+      }
+    }
+    val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
+    Snapshot(
+      version = versions.last,
+      metadata = meta,
+      schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
+      files = adds.values.toSeq)
+  }
+
+  /** Atomically write `actions` as version `expectedVersion`.
+    * Throws [[VersionConflictException]] if that version already exists
+    * (another writer won the race) — callers refresh and retry. */
+  def commit(expectedVersion: Long, actions: Seq[Action]): Long = {
+    fs.mkdirs(logPath)
+    val target = versionFile(expectedVersion)
+    val content = actions.map(_.json).mkString("", "\n", "\n")
+    val tmp = new Path(logPath, s".tmp-${UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try {
+      val published =
+        if ("file" == target.toUri.getScheme || fs.getScheme == "file") {
+          // hard-link = atomic create-if-absent on POSIX
+          val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+          val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
+          try { java.nio.file.Files.createLink(dst, src); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          // HDFS rename contract: fails (false) when the destination exists
+          fs.rename(tmp, target)
+        }
+      if (!published) throw new VersionConflictException(tableUri, expectedVersion)
+      expectedVersion
+    } finally {
+      fs.delete(tmp, false)
+    }
+  }
+
+  /** Version-0 commit for a fresh table. */
+  def create(schema: StructType, partitionColumns: Seq[String], adds: Seq[AddFile],
+      operation: String = "CREATE TABLE"): Long = {
+    require(!tableExists, s"table already exists: $tableUri")
+    val meta = Metadata(UUID.randomUUID().toString, schema.json, partitionColumns)
+    commit(0L, Seq(Protocol(), meta) ++ adds :+
+      CommitInfo(System.currentTimeMillis(), operation, Map("partitionBy" -> partitionColumns.mkString(","))))
+  }
+}
+
+final class VersionConflictException(tableUri: String, version: Long)
+  extends RuntimeException(s"commit conflict: version $version of $tableUri already exists")
+
+/** Materialized view of the log at a version. */
+case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files: Seq[AddFile]) {
+  /** Data-file schema = table schema minus partition columns (partition
+    * values live in paths/partitionValues, not in the parquet files). */
+  def dataSchema: StructType =
+    StructType(schema.filterNot(f => metadata.partitionColumns.contains(f.name)))
+}
+
+object DeltaLog {
+  def forTable(spark: SparkSession, tableUri: String): DeltaLog =
+    new DeltaLog(tableUri, spark.sessionState.newHadoopConf())
+}

@@ -1,0 +1,124 @@
+package graft.delta
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** DataFrame-level read/write on top of [[DeltaLog]].
+  *
+  * Data files are produced by a normal Spark parquet write into a
+  * staging directory, then renamed into the table (rename is a metadata
+  * operation on a real filesystem; thousands of files are fine). Staged
+  * part numbers are preserved in the final names so that lexicographic
+  * file order equals Spark's output-partition order — after a global
+  * range sort this makes listing order equal key order, which is the
+  * reference's "read back without sorting" contract (README.md:129-130).
+  */
+object DeltaTable {
+
+  val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Read the active snapshot as a DataFrame (partition columns
+    * reconstructed from hive-style paths and cast to the table schema). */
+  def read(spark: SparkSession, tableUri: String): DataFrame = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    readFiles(spark, log, snap, snap.files)
+  }
+
+  /** Read a specific file subset of a snapshot (exact-parity analog of
+    * the reference registering one partition's files, lib.rs:792-800 —
+    * file-list selection from the log, not path filtering). */
+  def readFiles(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val paths = files.map(f => new Path(log.tableRoot, f.path).toString)
+    val partCols = snap.metadata.partitionColumns
+    val df =
+      if (partCols.isEmpty) spark.read.schema(snap.dataSchema).parquet(paths: _*)
+      else spark.read.option("basePath", log.tableRoot.toString).parquet(paths: _*)
+    // normalize to the declared schema: order + partition-column types
+    df.select(snap.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** Write `df`'s rows as new data files (staging + rename), returning
+    * AddFile actions with paths relative to the table root. Does NOT
+    * commit. `dataChange=false` marks rewrites of existing rows
+    * (lib.rs:818-828) so downstream incremental readers skip them. */
+  def stageWrite(spark: SparkSession, log: DeltaLog, df: DataFrame,
+      partitionColumns: Seq[String], maxRecordsPerFile: Option[Long],
+      dataChange: Boolean): Seq[AddFile] = {
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(log.tableRoot, s"_staging-${UUID.randomUUID()}")
+    try {
+      var w = df.write.mode("overwrite")
+      maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+      if (partitionColumns.nonEmpty) w = w.partitionBy(partitionColumns: _*)
+      w.parquet(staging.toString)
+
+      val staged = mutable.ArrayBuffer.empty[(String, Path, Long)] // (relDir, file, size)
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+          val rel = staging.toUri.relativize(st.getPath.getParent.toUri).getPath.stripSuffix("/")
+          staged += ((rel, st.getPath, st.getLen))
+        }
+      }
+      val commitId = UUID.randomUUID().toString
+      val now = System.currentTimeMillis()
+      // staged part numbers are zero-padded -> lexicographic sort = output
+      // partition order; re-number sequentially under a fresh commit id
+      staged.sortInPlaceBy { case (rel, p, _) => (rel, p.getName) }
+      staged.toSeq.zipWithIndex.map { case ((rel, src, size), i) =>
+        val fileName = f"part-$i%05d-$commitId.parquet"
+        val relPath = if (rel.isEmpty) fileName else s"$rel/$fileName"
+        val dst = new Path(log.tableRoot, relPath)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst)) sys.error(s"failed to publish $src -> $dst")
+        AddFile(relPath, parsePartitionValues(rel), size, now, dataChange)
+      }
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+
+  /** `a=1/b=true` -> Map(a->1, b->true); hive null dir -> null value. */
+  def parsePartitionValues(relDir: String): Map[String, String] =
+    if (relDir == null || relDir.isEmpty) Map.empty
+    else relDir.split('/').filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      val dec = URLDecoder.decode(v, StandardCharsets.UTF_8)
+      k -> (if (dec == HiveNullPartition) null else dec)
+    }.toMap
+
+  /** Create a new Delta table at `tableUri` from a DataFrame. */
+  def create(spark: SparkSession, df: DataFrame, tableUri: String,
+      partitionColumns: Seq[String] = Nil): DeltaLog = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    require(!log.tableExists, s"table already exists: $tableUri")
+    val adds = stageWrite(spark, log, df, partitionColumns,
+      maxRecordsPerFile = None, dataChange = true)
+    log.create(df.schema, partitionColumns, adds)
+    log
+  }
+
+  /** Append rows to an existing table (used by tests/fixtures to build
+    * many-small-files layouts). */
+  def append(spark: SparkSession, tableUri: String, df: DataFrame): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
+      maxRecordsPerFile = None, dataChange = true)
+    log.commit(snap.version + 1, adds :+
+      CommitInfo(System.currentTimeMillis(), "WRITE", Map("mode" -> "Append")))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sorter
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.DeltaLog
+
+/** Public engine API + orchestrator (reference O10,
+  * crates/sorter-core/src/lib.rs:166-248; Python/CLI surface
+  * python/pysrc/deltasort/__init__.py:8-41, crates/sorter-cli).
+  *
+  * {{{
+  * val sorter = DeltaSorter(spark, "/data/events")
+  * val report = sorter.validate(Seq("objectId", "dateTime"))
+  * sorter.compact(SortConfig(Seq("objectId", "dateTime")))
+  * }}}
+  */
+class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
+  private val deltaLog = DeltaLog.forTable(spark, tableUri)
+
+  /** O5: validate global ordering over all active files
+    * (lib.rs:484-524). */
+  def validate(sortColumns: Seq[String], nullsFirst: Boolean = true): ValidationReport = {
+    val snap = deltaLog.snapshot()
+    Validator.report(spark, deltaLog, snap, snap.files, sortColumns, nullsFirst)
+  }
+
+  /** O6: ordering check restricted to one partition (lib.rs:526-555).
+    * Files are selected by their log-recorded partition values, not by
+    * URI substring as upstream (lib.rs:535-537 — fragile); unlike the
+    * upstream quirk that hardcodes nulls-first in this path's boundary
+    * check (lib.rs:553), `nullsFirst` is honored consistently. */
+  def partitionIsSorted(partition: Seq[(String, String)], sortColumns: Seq[String],
+      nullsFirst: Boolean = true): Boolean = {
+    val snap = deltaLog.snapshot()
+    val target = partition.toMap
+    val files = snap.files.filter(f => target.forall { case (k, v) =>
+      f.partitionValues.get(k).contains(v)
+    })
+    Try(Validator.report(spark, deltaLog, snap, files, sortColumns, nullsFirst)) match {
+      case Success(r) => r.ok
+      case Failure(_) => false // conservative: validation error => rewrite (lib.rs:306-310)
+    }
+  }
+
+  /** O7: plan which partitions need a rewrite (lib.rs:251-319). */
+  def plan(cfg: SortConfig): RewritePlan = {
+    val snap = deltaLog.snapshot()
+    Planner.plan(spark, deltaLog, snap, cfg)
+  }
+
+  /** O10: mode dispatch + bounded-concurrency execution
+    * (lib.rs:166-248). Strict mode rewrites the whole table (O9); the
+    * default plans (O7) then rewrites failing partitions (O8), largest
+    * first, `cfg.concurrency` in flight; per-partition failures are
+    * logged and the first one is rethrown after the batch
+    * (lib.rs:216-233). Dry-run only plans, tolerating planning failures
+    * except missing sort columns (lib.rs:174-200). */
+  def compact(cfg: SortConfig): RunSummary = {
+    val t0 = System.nanoTime()
+
+    if (cfg.repartitionBySortKey) {
+      if (cfg.dryRun) {
+        logInfo(s"dry-run: would fully sort $tableUri by ${cfg.sortColumns.mkString(",")}")
+        return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+      }
+      val m = Rewriter.fullSortedOverwrite(spark, deltaLog, deltaLog.snapshot(), cfg)
+      return summarize(Seq(m), t0)
+    }
+
+    val thePlan: RewritePlan =
+      try plan(cfg)
+      catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.startsWith("missing sort columns") => throw e
+        case e: Exception if cfg.dryRun =>
+          logWarning(s"dry-run: planning failed, tolerated: ${e.getMessage}")
+          return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+      }
+
+    if (cfg.dryRun) {
+      logInfo(s"dry-run: ${thePlan.groups.size} partition(s) would be rewritten: " +
+        thePlan.groups.map(g => s"${g.key} (${g.estimatedBytes}B)").mkString(", "))
+      return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+    }
+    if (thePlan.groups.isEmpty) {
+      logInfo("nothing to do: all partitions already ordered")
+      return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+    }
+
+    val snap = deltaLog.snapshot()
+    val pool = Executors.newFixedThreadPool(math.max(1, cfg.concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = thePlan.groups.map { g =>
+        Future(Try {
+          val m = Rewriter.rewritePartition(spark, deltaLog, snap, g, cfg)
+          logInfo(s"rewrote ${m.partition}: files ${m.filesIn}->${m.filesOut}, " +
+            s"bytes ${m.bytesIn}->${m.bytesOut}, ${m.durationMs}ms")
+          m
+        })
+      }
+      val results = futures.map(f => Await.result(f, Duration.Inf))
+      val failures = results.collect { case Failure(e) => e }
+      failures.foreach(e => logError(s"partition rewrite failed: ${e.getMessage}"))
+      failures.headOption.foreach(throw _) // first error after the batch (lib.rs:226-233)
+      summarize(results.collect { case Success(m) => m }, t0)
+    } finally {
+      pool.shutdown()
+    }
+  }
+
+  private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+  private def summarize(metrics: Seq[PartitionMetrics], t0: Long): RunSummary = {
+    val s = RunSummary(
+      partitionsRewritten = metrics.size,
+      filesIn = metrics.map(_.filesIn).sum,
+      filesOut = metrics.map(_.filesOut).sum,
+      bytesIn = metrics.map(_.bytesIn).sum,
+      bytesOut = metrics.map(_.bytesOut).sum,
+      durationMs = elapsedMs(t0),
+      perPartition = metrics)
+    logInfo(s"run summary: ${s.partitionsRewritten} partitions, " +
+      s"files ${s.filesIn}->${s.filesOut}, bytes ${s.bytesIn}->${s.bytesOut}, ${s.durationMs}ms")
+    s
+  }
+}
+
+object DeltaSorter {
+  def apply(spark: SparkSession, tableUri: String): DeltaSorter =
+    new DeltaSorter(spark, tableUri)
+}

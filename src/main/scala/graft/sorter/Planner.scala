@@ -1,0 +1,58 @@
+package graft.sorter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.{AddFile, DeltaLog, Snapshot}
+
+/** Rewrite planner (reference O7, crates/sorter-core/src/lib.rs:251-319):
+  * group active files by partition, drop partitions that already satisfy
+  * the ordering, schedule largest-bytes-first.
+  *
+  * Efficiency note vs the reference: upstream re-validates each
+  * partition with per-file full reads inside the planning loop
+  * (lib.rs:300→526→600). Here sortedness of EVERY partition comes from
+  * one shared [[Validator.fileStats]] scan of the whole table, then a
+  * driver-side group-by over the per-file summaries — same decisions,
+  * one pass, fully distributed. */
+object Planner {
+
+  def plan(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      cfg: SortConfig): RewritePlan = {
+    Validator.validateSortColumns(snap.schema, cfg.sortColumns)
+
+    // deterministic grouping (BTreeMap upstream, lib.rs:259); tuple order
+    // follows the table's declared partition columns
+    def partitionSeq(f: AddFile): Seq[(String, String)] =
+      snap.metadata.partitionColumns.flatMap(c =>
+        f.partitionValues.get(c).map(c -> _))
+
+    val stats = Validator.fileStats(spark, log, snap, snap.files,
+      cfg.sortColumns, cfg.nullsFirst)
+    val statsByPath: Map[String, FileStats] =
+      stats.map(s => s.path -> s).toMap
+    def absPath(f: AddFile): String = new Path(log.tableRoot, f.path).toString
+
+    val groups = snap.files
+      .groupBy(partitionSeq)
+      .toSeq
+      .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .map { case (part, files) =>
+        RewriteGroup(
+          partition = if (part.isEmpty) None else Some(part),
+          files = files,
+          estimatedBytes = files.map(_.size).sum)
+      }
+      .filterNot { g =>
+        // drop partitions that already pass (lib.rs:298-311); a file with
+        // no stats (empty file) contributes nothing to ordering
+        val fs = g.files.flatMap(f => statsByPath.get(absPath(f)))
+        val sortedWithin = fs.forall(_.sortedWithin)
+        val (cross, _) = Validator.boundaryViolations(fs, cfg.nullsFirst)
+        sortedWithin && cross == 0
+      }
+      .sortBy(-_.estimatedBytes) // largest first (lib.rs:313)
+
+    RewritePlan(log.tableUri, groups)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sorter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Typed partition predicates (reference O11,
+  * crates/sorter-core/src/lib.rs:898-1064): rebuild `k = <typed lit>`
+  * conjunctions from the string-serialized partition values.
+  *
+  * Typing rules (lib.rs:924-983): integral and floating types render as
+  * unquoted numeric literals, booleans as TRUE/FALSE, decimals unquoted,
+  * everything else as a single-quoted string with `'` doubled
+  * (lib.rs:906,948). The serialized value "null" (case-insensitive) or a
+  * JSON null means IS NULL (lib.rs:932-935). An empty partition list is
+  * literal TRUE (lib.rs:1058-1063).
+  *
+  * The SQL form is what gets recorded as the commit's `replaceWhere`;
+  * the [[Column]] form is what actually filters DataFrames. */
+object Predicates {
+
+  private def fieldType(schema: StructType, name: String): DataType =
+    schema.find(_.name == name).map(_.dataType).getOrElse(StringType)
+
+  private def isNullValue(v: String): Boolean =
+    v == null || v.equalsIgnoreCase("null")
+
+  def sqlLiteral(dt: DataType, v: String): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => v
+    case FloatType | DoubleType => v
+    case BooleanType => if (v.equalsIgnoreCase("true")) "TRUE" else "FALSE"
+    case _: DecimalType => v
+    // dates/timestamps/strings/unknown: quoted + escaped (the reference
+    // quotes unknown types too, asserted by its unit test lib.rs:1098-1104)
+    case _ => "'" + v.replace("'", "''") + "'"
+  }
+
+  /** SQL text form — recorded as `replaceWhere` in commitInfo. */
+  def sql(partition: Seq[(String, String)], schema: StructType): String =
+    if (partition.isEmpty) "TRUE"
+    else partition.map { case (k, v) =>
+      if (isNullValue(v)) s"$k IS NULL"
+      else s"$k = ${sqlLiteral(fieldType(schema, k), v)}"
+    }.mkString(" AND ")
+
+  /** Column form — used to filter DataFrames / prune partitions. */
+  def column(partition: Seq[(String, String)], schema: StructType): Column =
+    if (partition.isEmpty) lit(true)
+    else partition.map { case (k, v) =>
+      if (isNullValue(v)) col(k).isNull
+      else col(k) === lit(v).cast(fieldType(schema, k))
+    }.reduce(_ && _)
+}

@@ -1,0 +1,102 @@
+package graft.sorter
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.delta._
+
+/** Partition rewrite + full-table sorted overwrite (reference O8/O9,
+  * crates/sorter-core/src/lib.rs:778-896 and lib.rs:427-481).
+  *
+  * The reference streams a single-process DataFusion sort into a
+  * size-rolling writer. The Spark-native equivalent is a distributed
+  * range sort: `repartitionByRange(sortCols)` samples range boundaries
+  * (one shuffle), `sortWithinPartitions` sorts each range with Tungsten's
+  * spillable sorter, and the committed file names preserve the range
+  * order — globally ordered, non-overlapping files at any scale. The
+  * file-size target stays advisory exactly like upstream (README.md:77):
+  * we derive rows-per-file from the group's bytes/row and also size the
+  * range partition count to ~target bytes each. */
+object Rewriter {
+
+  def sortExprs(cfg: SortConfig): Seq[Column] =
+    cfg.sortColumns.map(c =>
+      if (cfg.nullsFirst) col(c).asc_nulls_first else col(c).asc_nulls_last)
+
+  /** Globally sort `df`, range-partitioned to roughly the file-size
+    * target when one is set. */
+  private def sorted(df: DataFrame, cfg: SortConfig, totalBytes: Long,
+      totalRows: Long): (DataFrame, Option[Long]) =
+    cfg.targetFileSizeBytes match {
+      case Some(target) if totalRows > 0 && totalBytes > 0 =>
+        val avgRowBytes = math.max(1L, totalBytes / math.max(1L, totalRows))
+        val maxRecords = math.max(1L, target / avgRowBytes)
+        val nRanges = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+        (df.repartitionByRange(nRanges, sortExprs(cfg): _*)
+          .sortWithinPartitions(sortExprs(cfg): _*), Some(maxRecords))
+      case _ =>
+        (df.sort(sortExprs(cfg): _*), None)
+    }
+
+  /** O8: transactional rewrite of one partition (lib.rs:778-896).
+    * Read exactly the group's files from the log, sort, stage new files,
+    * commit removes+adds atomically with the typed replaceWhere
+    * predicate recorded; new adds are dataChange=false (lib.rs:818-828,
+    * 870-874). */
+  def rewritePartition(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      group: RewriteGroup, cfg: SortConfig): PartitionMetrics = {
+    val t0 = System.nanoTime()
+    val df = DeltaTable.readFiles(spark, log, snap, group.files)
+    // parquet count() is metadata-only — cheap row estimate for sizing
+    val rows = if (cfg.targetFileSizeBytes.isDefined) df.count() else 0L
+    val (sortedDf, maxRecords) = sorted(df, cfg, group.estimatedBytes, rows)
+
+    val adds = DeltaTable.stageWrite(spark, log, sortedDf,
+      snap.metadata.partitionColumns, maxRecords, dataChange = false)
+    val now = System.currentTimeMillis()
+    val removes = group.files.map(f =>
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+    val predicate = Predicates.sql(group.partition.getOrElse(Nil), snap.schema)
+    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "WRITE",
+      Map("mode" -> "Overwrite", "predicate" -> predicate,
+        "sortColumns" -> cfg.sortColumns.mkString(","))))
+
+    PartitionMetrics(
+      partition = group.key,
+      filesIn = group.files.size,
+      filesOut = adds.size,
+      bytesIn = group.files.map(_.size).sum,
+      bytesOut = adds.map(_.size).sum,
+      durationMs = (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** O9: strict mode — sort the ENTIRE table by key and atomically
+    * replace it in one commit (lib.rs:427-481). */
+  def fullSortedOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      cfg: SortConfig): PartitionMetrics = {
+    val t0 = System.nanoTime()
+    Validator.validateSortColumns(snap.schema, cfg.sortColumns)
+    val df = DeltaTable.readFiles(spark, log, snap, snap.files)
+    val bytesIn = snap.files.map(_.size).sum
+    val rows = if (cfg.targetFileSizeBytes.isDefined) df.count() else 0L
+    val (sortedDf, maxRecords) = sorted(df, cfg, bytesIn, rows)
+
+    val adds = DeltaTable.stageWrite(spark, log, sortedDf,
+      snap.metadata.partitionColumns, maxRecords, dataChange = true)
+    val now = System.currentTimeMillis()
+    val removes = snap.files.map(f =>
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "WRITE",
+      Map("mode" -> "Overwrite",
+        "sortColumns" -> cfg.sortColumns.mkString(","),
+        "strict" -> "true")))
+
+    PartitionMetrics(
+      partition = "__full_table__",
+      filesIn = snap.files.size,
+      filesOut = adds.size,
+      bytesIn = bytesIn,
+      bytesOut = adds.map(_.size).sum,
+      durationMs = (System.nanoTime() - t0) / 1000000L)
+  }
+}

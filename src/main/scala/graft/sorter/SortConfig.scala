@@ -1,0 +1,63 @@
+package graft.sorter
+
+import graft.delta.AddFile
+
+/** Run configuration — identical surface and defaults to the reference's
+  * SortConfig (crates/sorter-core/src/lib.rs:102-125; CLI flags
+  * crates/sorter-cli/src/main.rs:12-52): ascending-only sort, nulls
+  * first by default, rewrite concurrency 8, advisory file-size target.
+  * `predicate` is reserved-but-unused upstream (lib.rs:97,106) and
+  * deliberately not carried over. */
+case class SortConfig(
+    sortColumns: Seq[String],
+    nullsFirst: Boolean = true,
+    targetFileSizeBytes: Option[Long] = None,
+    concurrency: Int = 8,
+    dryRun: Boolean = false,
+    repartitionBySortKey: Boolean = false)
+
+/** Validator output (lib.rs:144-149). `checkedFiles` counts only
+  * non-empty files (lib.rs:506, 613-614); intra-file violations fold
+  * into `boundaryViolations` (lib.rs:502-509); `detailsSample` caps at
+  * 20 messages (lib.rs:511-518). */
+case class ValidationReport(
+    checkedFiles: Long,
+    boundaryViolations: Long,
+    detailsSample: Seq[String]) {
+  def ok: Boolean = boundaryViolations == 0
+}
+
+/** One partition's rewrite work unit (lib.rs:128-141; the reference's
+  * `estimated_rows` is never populated — dropped). */
+case class RewriteGroup(
+    partition: Option[Seq[(String, String)]],
+    files: Seq[AddFile],
+    estimatedBytes: Long) {
+  /** Serialized key: `k=v/k=v`, `__nopart__` when unpartitioned
+    * (lib.rs:273-281). */
+  def key: String =
+    partition.filter(_.nonEmpty)
+      .map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .getOrElse("__nopart__")
+}
+
+case class RewritePlan(tableUri: String, groups: Seq[RewriteGroup])
+
+/** Per-partition rewrite observability (lib.rs:152-160). */
+case class PartitionMetrics(
+    partition: String,
+    filesIn: Long,
+    filesOut: Long,
+    bytesIn: Long,
+    bytesOut: Long,
+    durationMs: Long)
+
+/** Whole-run totals (logged by the reference at lib.rs:226-243). */
+case class RunSummary(
+    partitionsRewritten: Long,
+    filesIn: Long,
+    filesOut: Long,
+    bytesIn: Long,
+    bytesOut: Long,
+    durationMs: Long,
+    perPartition: Seq[PartitionMetrics])

@@ -1,0 +1,69 @@
+package graft.sorter
+
+/** Lexicographic multi-column tuple ordering with configurable NULL
+  * placement — the reference's SortVal comparison semantics
+  * (crates/sorter-core/src/lib.rs:20-91):
+  *  - leading-to-trailing, first non-equal column decides; equal
+  *    prefixes fall back to length (lib.rs:84-90)
+  *  - NULL vs NULL is equal; NULL vs non-NULL ordered by `nullsFirst`
+  *    (lib.rs:40-54)
+  *  - floats: the reference uses IEEE total_cmp (lib.rs:57); we use
+  *    Java/Spark semantics (all NaN equal, NaN greater than all) — the
+  *    two agree on every non-NaN value (SURVEY.md §1.5)
+  *  - timestamps: compared on the time line (the reference compares raw
+  *    ticks unit-blind, lib.rs:58 — identical ordering for the uniform
+  *    unit per column that a fixed schema guarantees)
+  *  - unlike the reference's Debug-string fallback for
+  *    Date/Decimal/Binary keys (lib.rs:774), those compare natively here
+  *
+  * Values are the Spark external row representations (Row.get results).
+  */
+final class TupleOrdering(nullsFirst: Boolean) extends Ordering[Seq[Any]] with Serializable {
+
+  override def compare(a: Seq[Any], b: Seq[Any]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = compareVal(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  private def isIntegral(x: Any): Boolean = x match {
+    case _: Byte | _: Short | _: Int | _: Long => true
+    case _ => false
+  }
+
+  def compareVal(x: Any, y: Any): Int = (x, y) match {
+    case (null, null) => 0
+    case (null, _) => if (nullsFirst) -1 else 1
+    case (_, null) => if (nullsFirst) 1 else -1
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case (a: Float, b: Float) => java.lang.Float.compare(a, b)
+    case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b)
+    case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+    case (a: java.time.Instant, b: java.time.Instant) => a.compareTo(b)
+    case (a: java.time.LocalDateTime, b: java.time.LocalDateTime) => a.compareTo(b)
+    case (a: java.sql.Date, b: java.sql.Date) => a.compareTo(b)
+    case (a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b)
+    case (a: Array[Byte], b: Array[Byte]) =>
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    // stable-but-arbitrary fallback; a fixed, validated schema never
+    // reaches it (the reference's equivalent is lib.rs:61-72)
+    case (a, b) => a.toString.compareTo(b.toString)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.DeltaTable
+
+/** Fixture generator: build a Delta table from a parquet file (SURVEY.md
+  * §7.3 step 1). Usage:
+  *   MakeDeltaTable <srcParquet> <destTableUri> [numFiles] [partitionCols]
+  */
+object MakeDeltaTable {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val numFiles = if (args.length > 2) args(2).toInt else 8
+    val partCols = if (args.length > 3) args(3).split(',').toSeq else Nil
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(src).repartition(numFiles)
+    DeltaTable.create(spark, df, dest, partCols)
+    println(s"created delta table $dest from $src (${df.count()} rows, $numFiles files)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mini Delta log unit tests: snapshot replay, atomic versioning,
+  * conflict detection, action JSON round-trip. */
+class DeltaLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("create + snapshot reconstructs schema and files") {
+    val dir = TestSpark.tmpDir("log-create")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    DeltaTable.create(spark, df.repartition(2), dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 0)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(snap.files.size == 2)
+    assert(snap.files.forall(_.size > 0))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
+  test("remove actions drop files from the snapshot") {
+    val dir = TestSpark.tmpDir("log-remove")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val snap0 = log.snapshot()
+    val victim = snap0.files.head
+    log.commit(1, Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    val snap1 = log.snapshot()
+    assert(snap1.version == 1)
+    assert(snap1.files.size == 2)
+    assert(!snap1.files.exists(_.path == victim.path))
+  }
+
+  test("committing an existing version raises a conflict") {
+    val dir = TestSpark.tmpDir("log-conflict")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    intercept[VersionConflictException] {
+      log.commit(0, Seq(CommitInfo(0L, "WRITE", Map.empty)))
+    }
+    // commitLatest retries past the conflict
+    val v = log.commitLatest(Seq(CommitInfo(0L, "WRITE", Map.empty)))
+    assert(v == 1)
+  }
+
+  test("action JSON round-trips through the parser") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)
+    assert(Action.fromJson(mapper.readTree(add.json)).contains(add))
+    val rm = RemoveFile("f.parquet", 9L, dataChange = true, Map("a" -> "x'y\"z"), 7L)
+    assert(Action.fromJson(mapper.readTree(rm.json)).contains(rm))
+    val meta = Metadata("id1", """{"type":"struct","fields":[]}""", Seq("a", "b"))
+    assert(Action.fromJson(mapper.readTree(meta.json)).contains(meta))
+    val proto = Protocol(1, 2)
+    assert(Action.fromJson(mapper.readTree(proto.json)).contains(proto))
+  }
+}

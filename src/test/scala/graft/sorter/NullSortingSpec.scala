@@ -1,0 +1,47 @@
+package graft.sorter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** NULL ordering round-trip (reference
+  * python/tests/test_null_sorting.py:8-32): compact+validate with
+  * nulls=first then nulls=last on data with NULLs in both key columns. */
+class NullSortingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(dir: String): Unit = {
+    val df = Seq[(Option[String], Option[Long], Int)](
+      (Some("B"), None, 1),
+      (None, Some(5L), 2),
+      (Some("A"), Some(3L), 3),
+      (None, None, 4),
+      (Some("A"), None, 5))
+      .toDF("k1", "k2", "v")
+    DeltaTable.create(spark, df.repartition(3), dir)
+  }
+
+  test("nulls first: compact then validate passes") {
+    val dir = TestSpark.tmpDir("nullsfirst")
+    fixture(dir)
+    val sorter = DeltaSorter(spark, dir)
+    sorter.compact(SortConfig(Seq("k1", "k2"), nullsFirst = true))
+    val r = sorter.validate(Seq("k1", "k2"), nullsFirst = true)
+    assert(r.ok, r.toString)
+    // nulls-first order must NOT validate as nulls-last (data has NULLs
+    // in a leading position)
+    val r2 = sorter.validate(Seq("k1", "k2"), nullsFirst = false)
+    assert(!r2.ok, "nulls-first layout should violate nulls-last validation")
+  }
+
+  test("nulls last: compact then validate passes") {
+    val dir = TestSpark.tmpDir("nullslast")
+    fixture(dir)
+    val sorter = DeltaSorter(spark, dir)
+    sorter.compact(SortConfig(Seq("k1", "k2"), nullsFirst = false))
+    val r = sorter.validate(Seq("k1", "k2"), nullsFirst = false)
+    assert(r.ok, r.toString)
+  }
+}

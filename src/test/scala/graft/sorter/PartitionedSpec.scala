@@ -1,0 +1,62 @@
+package graft.sorter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** Typed partition predicates end-to-end (reference
+  * python/tests/test_predicate_typing.py:8-29): a table partitioned by
+  * int + bool columns compacts successfully (proving unquoted
+  * numeric/bool replaceWhere) and ordering by a non-partition column
+  * validates afterwards. */
+class PartitionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("int+bool partitions: plan prunes sorted, compact rewrites, replaceWhere typed") {
+    val dir = TestSpark.tmpDir("partitioned")
+    val df = Seq(
+      (1, true, "z", 30L), (1, true, "a", 10L),   // unsorted partition
+      (1, false, "a", 1L), (1, false, "b", 2L),   // sorted partition
+      (2, true, "m", 5L), (2, true, "c", 6L))     // unsorted partition
+      .toDF("p_int", "p_bool", "k", "n")
+    DeltaTable.create(spark, df.repartition(1), dir, Seq("p_int", "p_bool"))
+
+    val sorter = DeltaSorter(spark, dir)
+    val plan = sorter.plan(SortConfig(Seq("k")))
+    val keys = plan.groups.map(_.key).toSet
+    assert(keys == Set("p_int=1/p_bool=true", "p_int=2/p_bool=true"),
+      s"sorted partition must be pruned; got $keys")
+
+    val summary = sorter.compact(SortConfig(Seq("k")))
+    assert(summary.partitionsRewritten == 2)
+
+    assert(sorter.validate(Seq("p_int", "p_bool", "k")).ok ||
+      sorter.partitionIsSorted(Seq("p_int" -> "1", "p_bool" -> "true"), Seq("k")))
+
+    // every partition individually ordered by k
+    for ((i, b) <- Seq(("1", "true"), ("1", "false"), ("2", "true")))
+      assert(sorter.partitionIsSorted(Seq("p_int" -> i, "p_bool" -> b), Seq("k")),
+        s"partition p_int=$i/p_bool=$b not sorted")
+
+    // typed replaceWhere recorded in the commit log (unquoted int/bool)
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    val commits = java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).sorted
+      .map(p => new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    assert(commits.exists(_.contains("p_int = 1 AND p_bool = TRUE")),
+      "expected typed replaceWhere in commitInfo")
+
+    // partition values round-trip through the log
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.forall(_.partitionValues.keySet == Set("p_int", "p_bool")))
+
+    // table contents unchanged (just reordered)
+    val got = DeltaTable.read(spark, dir).orderBy("p_int", "p_bool", "k")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, false, "a", 1L), (1, false, "b", 2L),
+      (1, true, "a", 10L), (1, true, "z", 30L),
+      (2, true, "c", 6L), (2, true, "m", 5L)).sorted)
+  }
+}

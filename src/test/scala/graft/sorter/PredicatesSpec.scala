@@ -1,0 +1,38 @@
+package graft.sorter
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's predicate-typing unit tests
+  * (crates/sorter-core/src/lib.rs:1072-1104). */
+class PredicatesSpec extends AnyFunSuite {
+  private val schema = StructType(Seq(
+    StructField("i", IntegerType),
+    StructField("l", LongType),
+    StructField("b", BooleanType),
+    StructField("d", DecimalType(10, 2)),
+    StructField("s", StringType),
+    StructField("f", DoubleType)))
+
+  test("numbers, strings, null type correctly (lib.rs:1072-1096)") {
+    assert(Predicates.sql(Seq("i" -> "42"), schema) == "i = 42")
+    assert(Predicates.sql(Seq("l" -> "-7"), schema) == "l = -7")
+    assert(Predicates.sql(Seq("b" -> "true"), schema) == "b = TRUE")
+    assert(Predicates.sql(Seq("b" -> "false"), schema) == "b = FALSE")
+    assert(Predicates.sql(Seq("d" -> "12.50"), schema) == "d = 12.50")
+    assert(Predicates.sql(Seq("f" -> "1.5"), schema) == "f = 1.5")
+    assert(Predicates.sql(Seq("s" -> "x'y"), schema) == "s = 'x''y'")
+    assert(Predicates.sql(Seq("s" -> "null"), schema) == "s IS NULL")
+    assert(Predicates.sql(Seq("s" -> "NULL"), schema) == "s IS NULL")
+    assert(Predicates.sql(Seq("i" -> null), schema) == "i IS NULL")
+    assert(Predicates.sql(Nil, schema) == "TRUE")
+    assert(Predicates.sql(Seq("i" -> "1", "s" -> "a"), schema) == "i = 1 AND s = 'a'")
+  }
+
+  test("unknown/unlisted types quote as strings (lib.rs:1098-1104)") {
+    val sch = StructType(Seq(StructField("t", TimestampType)))
+    assert(Predicates.sql(Seq("t" -> "2021-01-01 00:00:00"), sch) == "t = '2021-01-01 00:00:00'")
+    // column absent from schema also falls back to quoted string
+    assert(Predicates.sql(Seq("zz" -> "v"), schema) == "zz = 'v'")
+  }
+}

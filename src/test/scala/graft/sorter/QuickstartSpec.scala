@@ -1,0 +1,89 @@
+package graft.sorter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** The reference's end-to-end acceptance slice (SURVEY.md §7.4):
+  * examples/python/quickstart.py:33-53 +
+  * python/tests/test_validate_and_compact.py:8-50 — a 4-row unsorted
+  * 2-file table must fail validation, compact into sorted order, read
+  * back exactly sorted, then pass validation. */
+class QuickstartSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  /** Rows concatenated in lexicographic file order (the "read back
+    * without sorting at query time" contract, README.md:129-130). */
+  def rowsInFileOrder(tableUri: String): Seq[Row] = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    snap.files.sortBy(_.path).flatMap { f =>
+      spark.read.schema(snap.dataSchema)
+        .parquet(new Path(log.tableRoot, f.path).toString)
+        .collect().toSeq
+    }
+  }
+
+  test("quickstart: validate fails -> compact -> exact order -> validate passes") {
+    val dir = TestSpark.tmpDir("quickstart")
+
+    // two unsorted files, as in the reference fixture
+    val f1 = Seq(("B", ts("2021-02-02"), 2.0), ("A", ts("2021-03-01"), 3.0))
+      .toDF("objectId", "dateTime", "value")
+    val f2 = Seq(("A", ts("2021-02-01"), 1.0), ("B", ts("2021-01-01"), 0.0))
+      .toDF("objectId", "dateTime", "value")
+    DeltaTable.create(spark, f1.coalesce(1), dir)
+    DeltaTable.append(spark, dir, f2.coalesce(1))
+
+    val sorter = DeltaSorter(spark, dir)
+    val before = sorter.validate(Seq("objectId", "dateTime"))
+    assert(!before.ok, s"expected violations, got $before")
+    assert(before.checkedFiles == 2)
+    assert(before.detailsSample.nonEmpty)
+
+    val summary = sorter.compact(SortConfig(Seq("objectId", "dateTime")))
+    assert(summary.partitionsRewritten == 1)
+    assert(summary.filesIn == 2)
+
+    // exact post-compaction order (test_validate_and_compact.py:34-43)
+    val got = rowsInFileOrder(dir).map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)))
+    assert(got == Seq(("A", "2021-02-01"), ("A", "2021-03-01"),
+      ("B", "2021-01-01"), ("B", "2021-02-02")))
+
+    val after = sorter.validate(Seq("objectId", "dateTime"))
+    assert(after.ok, s"expected clean validation, got $after")
+  }
+
+  test("validate of missing sort column lists valid fields (lib.rs:566-574)") {
+    val dir = TestSpark.tmpDir("badcol")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaSorter(spark, dir).validate(Seq("nope"))
+    }
+    assert(e.getMessage.contains("missing sort columns: nope"))
+    assert(e.getMessage.contains("k, v"))
+  }
+
+  test("dry-run on nonexistent table is tolerated (smoke.rs:1-13)") {
+    val sorter = DeltaSorter(spark, TestSpark.tmpDir("ghost") + "/nope")
+    val s = sorter.compact(SortConfig(Seq("a"), dryRun = true))
+    assert(s.partitionsRewritten == 0)
+  }
+
+  test("already-sorted table: compact is a no-op") {
+    val dir = TestSpark.tmpDir("noop")
+    val df = Seq(("A", 1L), ("B", 2L)).toDF("k", "n")
+    DeltaTable.create(spark, df.coalesce(1), dir)
+    val sorter = DeltaSorter(spark, dir)
+    val v0 = DeltaLog.forTable(spark, dir).latestVersion()
+    val s = sorter.compact(SortConfig(Seq("k", "n")))
+    assert(s.partitionsRewritten == 0)
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v0, "no commit expected")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sorter
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** Strict mode (reference O9, lib.rs:427-481): whole-table sorted
+  * overwrite in one atomic commit; files' lexicographic order equals
+  * key order (range-partitioned global sort). */
+class StrictModeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("full sorted overwrite: one commit, global order, file order = key order") {
+    val dir = TestSpark.tmpDir("strict")
+    val rows = new scala.util.Random(7).shuffle((1L to 2000L).toList)
+    DeltaTable.create(spark, rows.toDF("v").repartition(5), dir)
+
+    val sorter = DeltaSorter(spark, dir)
+    assert(!sorter.validate(Seq("v")).ok)
+    val vBefore = DeltaLog.forTable(spark, dir).latestVersion()
+
+    val summary = sorter.compact(SortConfig(Seq("v"),
+      repartitionBySortKey = true, targetFileSizeBytes = Some(4 * 1024)))
+    assert(summary.partitionsRewritten == 1)
+    assert(summary.filesOut > 1, "expected multiple output files from size target")
+
+    // exactly one commit for the whole overwrite
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == vBefore + 1)
+
+    assert(sorter.validate(Seq("v")).ok)
+
+    // reading files in name order yields the fully sorted sequence
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    val inFileOrder = snap.files.sortBy(_.path).flatMap { f =>
+      spark.read.schema(snap.dataSchema)
+        .parquet(new Path(log.tableRoot, f.path).toString)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(inFileOrder == (1L to 2000L), "file listing order must equal key order")
+  }
+
+  test("strict dry-run does nothing") {
+    val dir = TestSpark.tmpDir("strictdry")
+    DeltaTable.create(spark, Seq(2L, 1L).toDF("v"), dir)
+    val v0 = DeltaLog.forTable(spark, dir).latestVersion()
+    DeltaSorter(spark, dir).compact(SortConfig(Seq("v"),
+      repartitionBySortKey = true, dryRun = true))
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sorter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sort-tuple comparison semantics (reference lib.rs:20-91). */
+class TupleOrderingSpec extends AnyFunSuite {
+  private val first = new TupleOrdering(nullsFirst = true)
+  private val last = new TupleOrdering(nullsFirst = false)
+
+  test("lexicographic: first non-equal column decides") {
+    assert(first.compare(Seq("a", 2L), Seq("a", 3L)) < 0)
+    assert(first.compare(Seq("b", 0L), Seq("a", 99L)) > 0)
+    assert(first.compare(Seq("a", 2L), Seq("a", 2L)) == 0)
+  }
+
+  test("equal prefix falls back to length (lib.rs:84-90)") {
+    assert(first.compare(Seq("a"), Seq("a", 1L)) < 0)
+  }
+
+  test("null placement (lib.rs:40-54)") {
+    assert(first.compare(Seq(null), Seq("x")) < 0)
+    assert(last.compare(Seq(null), Seq("x")) > 0)
+    assert(first.compare(Seq(null), Seq(null)) == 0)
+    assert(last.compare(Seq(null), Seq(null)) == 0)
+  }
+
+  test("numeric widening int/long") {
+    assert(first.compare(Seq(1), Seq(2L)) < 0)
+    assert(first.compare(Seq(10L), Seq(9)) > 0)
+  }
+
+  test("floats: non-NaN agrees with IEEE; NaN greatest (Spark semantics)") {
+    assert(first.compare(Seq(-1.5), Seq(1.5)) < 0)
+    assert(first.compare(Seq(Double.NaN), Seq(Double.PositiveInfinity)) > 0)
+  }
+
+  test("timestamps and dates compare on the time line") {
+    val t1 = java.time.LocalDateTime.parse("2021-01-01T00:00:00")
+    val t2 = java.time.LocalDateTime.parse("2021-02-01T00:00:00")
+    assert(first.compare(Seq(t1), Seq(t2)) < 0)
+    val d1 = java.time.LocalDate.parse("2021-01-01")
+    val d2 = java.time.LocalDate.parse("2021-01-02")
+    assert(first.compare(Seq(d1), Seq(d2)) < 0)
+  }
+
+  test("decimal and binary compare natively (better than reference's Other fallback)") {
+    assert(first.compare(Seq(new java.math.BigDecimal("1.10")), Seq(new java.math.BigDecimal("1.2"))) < 0)
+    assert(first.compare(Seq(Array[Byte](1, 2)), Seq(Array[Byte](1, 3))) < 0)
+    assert(first.compare(Seq(Array[Byte](-1)), Seq(Array[Byte](1))) > 0) // unsigned bytes
+  }
+}
