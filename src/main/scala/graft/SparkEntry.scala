@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, Maintenance, Relational}
+import graft.queries.{Dedup, Events, Maintenance, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Maintenance.queries ++ Events.queries
+    Relational.queries ++ Maintenance.queries ++ Events.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Maintenance.oracle ++ Events.oracle
+    Relational.oracle ++ Maintenance.oracle ++ Events.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Multimodal.oracle
 }

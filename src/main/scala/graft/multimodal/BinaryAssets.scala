@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing: payloads are opaque
+  * `binary` columns travelling next to typed metadata, decoded /
+  * feature-extracted in distributed batches.
+  *
+  * The real decode step needs native media libraries that are not in this
+  * environment, so [[decodeStub]] is a clearly-marked deterministic fake;
+  * everything around it — schema, batch shape, partition sizing, typed
+  * Dataset plumbing — is real and tested ([[graft.MultimodalSpec]]).
+  *
+  * Scale notes (100 TB of media): payloads dominate row size, so
+  * `spark.sql.files.maxPartitionBytes` (not row count) governs task
+  * sizing; the decode is a per-partition map with zero shuffle; metadata
+  * projections (`select` without `payload`) never read payload bytes
+  * thanks to parquet column pruning — keep payloads in their own column,
+  * never inside a struct with hot metadata.
+  */
+object BinaryAssets {
+
+  /** One media asset: payload + typed metadata. */
+  case class Asset(asset_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decoded features; `width`/`height`/`n_frames` are fake-decoded. */
+  case class AssetFeatures(
+      asset_id: Long,
+      modality: String,
+      n_bytes: Long,
+      checksum: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Build an asset table from the `documents` fixture: the text bytes
+    * stand in for an opaque media payload (UTF-8 → binary). */
+  def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        col("text").cast("binary").as("payload"))
+      .as[Asset]
+  }
+
+  /** STUB — stands in for the native image/audio decode. Deterministic
+    * fake: dimensions derived from payload length so tests are stable.
+    * A real deployment swaps only this function (same batch shape). */
+  def decodeStub(a: Asset): (Int, Int, Int) = {
+    val n = a.payload.length
+    val width = 1 + n % 640
+    val height = 1 + (n / 640) % 480
+    val frames = a.modality match {
+      case "video" => 1 + n % 32
+      case "audio" => 1 + n % 1024 // "samples/1k" stand-in
+      case _       => 1
+    }
+    (width, height, frames)
+  }
+
+  /** The decode/feature-extract stage: per-partition batch map (the Scala
+    * analog of a `mapInPandas` batch UDF — one iterator per task, so a
+    * real decoder could amortize codec/library init across its batch). */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-task init of the (stubbed) codec would go here
+      it.map { a =>
+        val (w, h, f) = decodeStub(a)
+        AssetFeatures(
+          a.asset_id, a.modality, a.payload.length.toLong,
+          md5Hex(a.payload), w, h, f)
+      }
+    }
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+}

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextFeatures._
+
+/** Deduplication operators over `documents` / `embeddings` — the dedup
+  * stages of a large-scale training-data pipeline: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash signatures, n-gram Jaccard via an
+  * inverted shingle index, and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash aggregate on `md5(text)` — a single
+  *    shuffle of (hash, doc_id), never of the document bodies;
+  *  - MinHash/LSH: signatures are per-row maps (no shuffle); candidate
+  *    generation shuffles only (band, sig, doc_id) tuples — the classic
+  *    band-bucket join whose output is ~#near-dup pairs, not O(n²);
+  *  - n-gram Jaccard uses the inverted-index join (explode distinct
+  *    shingles, self-join per shingle, count per pair) — equivalent to
+  *    the textbook "candidate pairs share ≥1 shingle" pruning; a
+  *    cross-join never appears at any scale;
+  *  - embedding near-dup at scale goes through the same LSH bucketing as
+  *    [[Similarity]] `q_ann_lsh`; the brute-force form here is the
+  *    correctness oracle (O(n²) only over one partition-local broadcast
+  *    at test SF; flagged in-code where the ANN path takes over);
+  *  - skew: band buckets are md5-uniform, so the band join is naturally
+  *    balanced; AQE skew-join handles pathological repeated documents.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash signature length and LSH banding (4 bands × 2 rows):
+    * P(candidate | J) = 1 - (1 - J²)⁴ ≈ 0.998 at J = 0.9. */
+  val K = 8
+  val Bands = 4
+  val RowsPerBand = 2
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: group by content hash, keep the smallest doc_id.
+    "q_dedup_exact" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    }),
+
+    // MinHash + LSH banding: docs sharing any band bucket are candidate
+    // pairs; candidates are then verified with exact shingle Jaccard and
+    // reported with the similarity in basis points.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      // Signature table is built ONCE (cached: the md5 minhash pass is
+      // the expensive map) and the band join moves only (band, sig,
+      // doc_id) — never the shingle arrays. Shingle sets are re-joined
+      // afterwards for just the candidate pairs (≪ n²; ~800 at sf0.1).
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("sh"))
+        .withColumn("mh", minhashes(col("sh"), K))
+        .cache()
+      val sigs = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          md5(concat_ws("|",
+            element_at(col("mh"), b * RowsPerBand + 1),
+            element_at(col("mh"), b * RowsPerBand + 2))))).as(Seq("band", "sig")))
+      val cands = sigs.as("x").join(sigs.as("y"), Seq("band", "sig"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      cands
+        .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .select(col("d1"), col("d2"),
+          bp(size(array_intersect(col("sh1"), col("sh2"))).cast("long"),
+            size(array_union(col("sh1"), col("sh2"))).cast("long")).as("jaccard_bp"))
+    }),
+
+    // SimHash: 32-bit signature — per bit, majority vote of the shingle
+    // hashes' bits (+1/-1), strictly-positive sum sets the bit. Hamming
+    // proximity on the signature approximates Jaccard; bucketing by
+    // signature bytes gives the scale-out candidate generation.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(array_distinct(shingles(tokens(col("text")))),
+            sh => md5Bits32(sh)).as("hs"))
+      // Bit b of h extracted as floor(h / 2^b) % 2: h < 2^32, so the
+      // double division by a power of two is exact (no shiftright with a
+      // non-literal bit count in the functions API).
+      docs.select(col("doc_id"),
+        aggregate(
+          sequence(lit(0), lit(31)),
+          lit(0L),
+          (acc, b) => {
+            val p2 = pow(lit(2.0), b.cast("double"))
+            val votes = aggregate(col("hs"), lit(0L), (v, h) =>
+              v + when(pmod(floor(h.cast("double") / p2).cast("long"), lit(2L)) === 1, lit(1L))
+                .otherwise(lit(-1L)))
+            acc + when(votes > 0, p2.cast("long")).otherwise(lit(0L))
+          }).as("simhash"))
+    }),
+
+    // N-gram Jaccard near-dup: inverted shingle index → pairs sharing
+    // shingles → exact Jaccard ≥ 0.5 (the corpus plants 25 pairs ≥ 0.8).
+    "q_dedup_jaccard" -> ((s, dir) => {
+      // Shingling is the expensive narrow map (interpreted HOFs build
+      // ~300 strings/doc) — cache it so the self-join's two sides and
+      // the aggregate don't recompute it.
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long"))
+        .cache()
+      val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      // The exploded index is |docs|×|shingles/doc| rows — never a
+      // broadcast candidate (Catalyst misestimates post-Generate size);
+      // shuffle-hash on the shingle key is the scale-correct join.
+      val common = inv.as("x").hint("shuffle_hash")
+        .join(inv.as("y").hint("shuffle_hash"), Seq("shingle"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .select(col("d1"), col("d2"),
+          bp(col("n_common"), col("n1") + col("n2") - col("n_common")).as("jaccard_bp"))
+        .where(col("jaccard_bp") >= 5000)
+    }),
+
+    // Embedding-cosine near-dup: exact integer-quantized cosine over all
+    // pairs ≥ 0.4 (corpus max is ~0.51; real dups would sit ≥ 0.95).
+    // Brute force IS the oracle form; at 100 TB candidates come from
+    // q_ann_lsh-style hyperplane buckets instead of the full self-join.
+    //
+    // The O(n²) hot loop is the one deliberate mapPartitions in the
+    // query inventory: a Catalyst zip_with/aggregate dot product is
+    // interpreted per pair (~10× slower); here the build side is a
+    // broadcast of primitive long arrays and the probe side streams
+    // distributed. All arithmetic is exact BIGINT + one IEEE double
+    // div/sqrt — identical to the declarative form and to DuckDB.
+    "q_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("v"))
+        .withColumn("n2", qnorm2(col("v")))
+        .as[(Long, Array[Long], Long)]
+      // Build side: all quantized vectors, id-sorted. At this corpus
+      // size (n·dim·8B ≈ 2.5 MB at sf0.1) a plain broadcast; beyond
+      // broadcastable n, q_ann_lsh bucketing replaces the n² loop.
+      val build = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+      vecs.mapPartitions { it =>
+        val all = build.value
+        val ids = all.map(_._1)
+        it.flatMap { case (id, v, n2) =>
+          // pairs (a < b): probe row pairs with all build ids > its own
+          var lo = java.util.Arrays.binarySearch(ids, id) + 1
+          if (lo <= 0) lo = -lo
+          Iterator.range(lo, all.length).flatMap { j =>
+            val (bid, bv, bn2) = all(j)
+            var dot = 0L
+            var i = 0
+            while (i < v.length) { dot += v(i) * bv(i); i += 1 }
+            if (dot > 0 && dot * dot * 10000L > 1600L * n2 * bn2)
+              Some((id, bid, dot.toDouble / math.sqrt((n2 * bn2).toDouble)))
+            else None
+          }
+        }
+      }.toDF("v1", "v2", "cos_sim")
+    }))
+
+  /** Shared oracle CTE: distinct 3-gram shingle sets per document. */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) >= 3
+      |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |             for i in generate_series(1, len(tk)-2)]
+      |       ELSE [] END) AS sh
+      | FROM t)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash_lsh" -> (shingleCte +
+      """,
+        |m AS (SELECT doc_id, sh,
+        |  [list_min([md5(k || ':' || x) for x in sh]) for k in generate_series(0, 7)] AS mh
+        | FROM s),
+        |bands AS (SELECT doc_id, sh, b AS band,
+        |  md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS sig
+        | FROM m, LATERAL generate_series(0, 3) g(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    x.sh AS sh1, y.sh AS sh2
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT d1, d2,
+        |  CAST(10000*len(list_intersect(sh1, sh2))
+        |       // len(list_distinct(sh1 || sh2)) AS BIGINT) AS jaccard_bp
+        |FROM cand""".stripMargin),
+
+    "q_dedup_simhash" -> (shingleCte +
+      """,
+        |h AS (SELECT doc_id,
+        |  list_transform(sh, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+        | FROM s)
+        |SELECT doc_id,
+        | CAST(list_sum([CASE WHEN
+        |     list_sum([CASE WHEN (v >> b) % 2 = 1 THEN 1 ELSE -1 END for v in hs]) > 0
+        |   THEN 1::BIGINT << b ELSE 0 END
+        |   for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+        |FROM h""".stripMargin),
+
+    "q_dedup_jaccard" -> (shingleCte +
+      """,
+        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
+        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
+        |common AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM inv x JOIN inv y ON x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2,
+        |  CAST(10000*n_common // (n1 + n2 - n_common) AS BIGINT) AS jaccard_bp
+        |FROM common
+        |WHERE 10000*n_common // (n1 + n2 - n_common) >= 5000""".stripMargin),
+
+    "q_dedup_embedding" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS BIGINT) AS dot,
+        |  a.n2 AS na, b.n2 AS nb
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT v1, v2, CAST(dot AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS cos_sim
+        |FROM p
+        |WHERE dot > 0 AND dot*dot*10000 > 1600*na*nb""".stripMargin)
+}

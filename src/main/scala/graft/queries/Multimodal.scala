@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.BinaryAssets
+
+/** Oracle-checked surface of the multimodal pipeline
+  * ([[graft.multimodal.BinaryAssets]]): binary payload + metadata →
+  * per-asset features. The decode stub is deterministic (dimensions from
+  * payload length, checksum = md5), so DuckDB can replay it exactly:
+  * the payload is the UTF-8 text, hence `octet_length(text)` /
+  * `md5(text)` reproduce `payload.length` / `md5(payload)`.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_features" -> ((s, dir) => {
+      BinaryAssets.extractFeatures(BinaryAssets.assetsFromDocuments(s, dir))
+        .toDF()
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          col("checksum"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        | FROM documents)
+        |SELECT asset_id, modality, n_bytes, checksum,
+        |  CAST(1 + n_bytes % 640 AS BIGINT) AS width,
+        |  CAST(1 + (n_bytes // 640) % 480 AS BIGINT) AS height,
+        |  CAST(CASE WHEN modality = 'video' THEN 1 + n_bytes % 32
+        |            WHEN modality = 'audio' THEN 1 + n_bytes % 1024
+        |            ELSE 1 END AS BIGINT) AS n_frames
+        |FROM a""".stripMargin)
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextFeatures._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *  - `q_knn_cosine` — brute-force exact cosine top-k: the correctness
+  *    baseline. The query set is tiny and broadcast; the corpus side
+  *    streams through the scan once (no shuffle of the corpus), then a
+  *    per-query top-k window over #queries × k candidate rows.
+  *  - `q_ann_lsh` — random-hyperplane LSH: vectors are bucketed by the
+  *    sign pattern of `P` deterministic hyperplanes (md5-derived ±1
+  *    component weights — no RNG, identical across engines); search
+  *    reranks exact cosine *within the query's bucket only*. At 100 TB
+  *    the bucket join replaces the O(n·q) scan: corpus bucketing is a
+  *    narrow map, the join key is the bucket id, and per-bucket
+  *    candidate lists shrink by ~2^P.
+  *
+  * All arithmetic uses the integer quantization from [[TextFeatures]]
+  * (exact BIGINT dot/norms; cosine is the one double, derived
+  * bit-identically in Spark and DuckDB).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Queries = vec_id < NQueries; top NTop neighbors each. */
+  val NQueries = 10
+  val NTop = 5
+  /** Hyperplane count → 2^P buckets. */
+  val P = 4
+  /** Embedding dimensionality of the corpus. */
+  val Dim = 64
+
+  /** JVM evaluation of the hyperplane-weight formula (must match the
+    * SQL in [[oracle]]): +1 iff the first hex digit of md5("p:<p>:<i>")
+    * is even. */
+  def planeWeight(p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p:$p:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_cosine" -> ((s, dir) => {
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("v"))
+        .withColumn("n2", qnorm2(col("v")))
+      val q = vecs.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val scored = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineFromInts(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= NTop)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("v"))
+        .withColumn("n2", qnorm2(col("v")))
+      // Hyperplane p component i ∈ {+1,-1} from the parity of the first
+      // hex digit of md5("p:<p>:<i>") — deterministic and data-independent,
+      // so the weight matrix is evaluated ONCE on the driver and embedded
+      // as a literal (the oracle derives the identical values in SQL).
+      // bucket = Σ_p [ Σ_i w_{p,i}·v_i > 0 ] · 2^p.
+      val bucket = (0 until P).map { p =>
+        val w = typedLit((1 to Dim).map(i => planeWeight(p, i)))
+        when(qdot(w, col("v")) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = vecs.withColumn("bucket", bucket)
+      val q = bucketed.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("bucket"))
+      val scored = bucketed.join(broadcast(q), Seq("bucket"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+          cosineFromInts(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= NTop)
+        .select(col("q_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("rank"))
+    }))
+
+  private val quantCte =
+    """WITH qz AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |vecs AS (SELECT vec_id, v,
+      |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM qz)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_knn_cosine" -> (quantCte +
+      """,
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vecs WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, vecs.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(list_zip(qv, v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qn2*n2 AS DOUBLE)) AS cos_sim
+        | FROM vecs, q WHERE vecs.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin),
+
+    "q_ann_lsh" -> (quantCte +
+      """,
+        |planes AS (SELECT p, i,
+        |  CASE WHEN substr(md5('p:' || p || ':' || i), 1, 1)
+        |         IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+        | FROM generate_series(0, 3) gp(p), generate_series(1, 64) gi(i)),
+        |proj AS (SELECT vec_id, p, SUM(w * v[i]) AS s
+        | FROM vecs, planes GROUP BY vec_id, p),
+        |bkt AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+        | FROM proj GROUP BY vec_id),
+        |bv AS (SELECT vecs.vec_id, v, n2, bucket FROM vecs JOIN bkt USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket FROM bv WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, bv.vec_id AS neighbor_id, bv.bucket,
+        |  CAST(list_sum(list_transform(list_zip(qv, v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qn2*n2 AS DOUBLE)) AS cos_sim
+        | FROM bv JOIN q ON bv.bucket = q.bucket AND bv.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, neighbor_id, bucket, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin))
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextFeatures._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting stages of a
+  * large-scale training-data pipeline.
+  *
+  * Scale notes (100 TB): every query here is a narrow per-row map (stock
+  * higher-order functions, whole-stage codegen, zero shuffle) — it
+  * pipelines directly over the parquet scan at any scale. Only the
+  * optional final aggregate (none here) would shuffle.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-language keyword lists for the n-gram/stopword language-ID
+    * heuristic. The synthetic corpus shares one vocabulary across
+    * languages, so the *prediction quality* is meaningless — the operator
+    * contract (deterministic scoring + argmax with alphabetical
+    * tie-break) is what the oracle checks. Lists are disjoint. */
+  val langKeywords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "key", "join", "scan"),
+    "en" -> Seq("the", "a", "order", "line"),
+    "es" -> Seq("fast", "spark", "customer", "part"),
+    "fr" -> Seq("batch", "data", "window", "column"),
+    "zh" -> Seq("stream", "row", "query", "big"))
+
+  private def hits(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isInCollection(words))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + quality scoring: token/char counts, average token
+    // length, stopword and short-token ratios in integer basis points.
+    "q_text_stats" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "to", "in")
+      table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          aggregate(transform(col("tk"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_token_chars"),
+          hits(col("tk"), stop).as("stop_hits"),
+          size(filter(col("tk"), t => length(t) <= 2)).cast("long").as("short_hits"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_token_chars"),
+          (col("n_token_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_token_len"),
+          bp(col("stop_hits"), col("n_tokens")).as("stop_ratio_bp"),
+          bp(col("short_hits"), col("n_tokens")).as("short_ratio_bp"),
+          bp(col("n_distinct"), col("n_tokens")).as("ttr_bp"))
+    }),
+
+    // Language-ID heuristic: per-language keyword hit counts, argmax with
+    // alphabetical tie-break.
+    "q_text_langid" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      val scored = langKeywords.foldLeft(base) { case (df, (code, words)) =>
+        df.withColumn(s"s_$code", hits(col("tk"), words))
+      }
+      val scores = langKeywords.map { case (code, _) => col(s"s_$code") }
+      val mx = greatest(scores: _*)
+      val predicted = langKeywords.foldLeft(lit(null).cast("string")) {
+        case (acc, (code, _)) => when(acc.isNotNull, acc)
+          .otherwise(when(col(s"s_$code") === mx, lit(code)))
+      }
+      scored.select(
+        (Seq(col("doc_id"), col("lang"), predicted.as("predicted")) ++
+          langKeywords.map { case (code, _) => col(s"s_$code") }): _*)
+    }),
+
+    // Document fingerprinting: full-text content hash + min-shingle-hash
+    // (the k=1 MinHash — a locality-sensitive rolling fingerprint).
+    "q_text_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          array_min(transform(shingles(col("tk")), sh => md5(sh))).as("min_shingle_md5"),
+          md5Bits32(col("text")).as("fp32"))
+    }))
+
+  private val langSelect = langKeywords.map { case (code, words) =>
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    s" CAST(len(list_filter(tk, t -> t IN ($inList))) AS BIGINT) AS s_$code"
+  }.mkString(",\n|")
+
+  private val langCase = {
+    val mx = langKeywords.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+    langKeywords.map { case (c, _) => s"WHEN s_$c = $mx THEN '$c'" }
+      .mkString("CASE ", " ", " END")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS n_token_chars,
+        |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in'))) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS short_hits
+        | FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, n_token_chars,
+        |  CAST(n_token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  CAST(10000*stop_hits // n_tokens AS BIGINT) AS stop_ratio_bp,
+        |  CAST(10000*short_hits // n_tokens AS BIGINT) AS short_ratio_bp,
+        |  CAST(10000*n_distinct // n_tokens AS BIGINT) AS ttr_bp
+        |FROM c""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |$langSelect
+         | FROM t)
+         |SELECT doc_id, lang, $langCase AS predicted,
+         | s_de, s_en, s_es, s_fr, s_zh
+         |FROM s""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk)-2)]
+        |       ELSE [] END AS sh
+        | FROM t)
+        |SELECT doc_id, md5(text) AS content_md5,
+        |  list_min(list_transform(sh, x -> md5(x))) AS min_shingle_md5,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS fp32
+        |FROM s""".stripMargin)
+}

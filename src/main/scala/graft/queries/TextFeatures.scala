@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/embedding feature expressions for the training-data
+  * pipeline operators ([[TextAnalysis]], [[Dedup]], [[Similarity]]).
+  *
+  * Cross-engine determinism rules (results are hash-compared against
+  * DuckDB running the same logic):
+  *  - the only hash function used anywhere is `md5` over UTF-8 strings —
+  *    identical hex output in Spark and DuckDB; "numeric" hashes are the
+  *    first 8 hex digits parsed as a long (fits in 32 bits, no sign
+  *    issues);
+  *  - float embeddings are quantized to integer milli-units
+  *    (`round(x*1000)::long`) before any arithmetic, so dot products and
+  *    squared norms are exact BIGINTs; cosine similarity is then computed
+  *    as `dot / sqrt(na*nb)` from those exact integers — both engines
+  *    perform the identical IEEE-754 double ops, so even the doubles are
+  *    bit-identical;
+  *  - ratios are integer basis points (`10000*x div y`), never float
+  *    division.
+  *
+  * All expressions are stock Catalyst higher-order functions (`transform`,
+  * `aggregate`, `zip_with`, `filter`) — codegen-friendly, no UDFs, no
+  * shuffle implied by the feature computation itself.
+  */
+object TextFeatures {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 3-gram word shingles; empty array when fewer than 3 tokens. */
+  def shingles(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(0), size(tk) - 3), i =>
+        concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** K independent MinHash values over a shingle set: for each seed k,
+    * `min(md5(k || ':' || shingle))` — the lexicographic min of md5 hex
+    * strings is a valid exchangeable hash family and is engine-agnostic.
+    */
+  def minhashes(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(sh, s => md5(concat(seed.cast("string"), lit(":"), s)))))
+
+  /** First 8 hex digits of md5 as an unsigned 32-bit value in a long. */
+  def md5Bits32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Quantize a float-array embedding to exact integer milli-units. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def qnorm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine similarity from exact integer dot/norms — bit-identical
+    * doubles across engines (int inputs < 2^53, single IEEE div/sqrt). */
+  def cosineFromInts(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  /** Integer basis points: 10000*num div den (both ≥ 0). The quotient is
+    * computed as `(x - x%d)/d`: the dividend is then an exact multiple of
+    * `d`, so the IEEE double division is exact — matches DuckDB's `//`. */
+  def bp(num: Column, den: Column): Column = intDiv(lit(10000L) * num, den)
+
+  /** Exact integer division for non-negative longs (see [[bp]]). */
+  def intDiv(x: Column, d: Column): Column =
+    when(d > 0, ((x - pmod(x, d)) / d).cast("long")).otherwise(lit(0L))
+}

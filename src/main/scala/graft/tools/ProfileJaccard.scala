@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+import graft.queries.TextFeatures._
+
+/** Dev-only: stage-by-stage timing of the jaccard dedup pipeline. */
+object ProfileJaccard {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    time("shingle-compute")(docs.agg(sum("n_sh")).head)
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    time("explode")(inv.count())
+    val joined = inv.as("x").hint("shuffle_hash")
+      .join(inv.as("y").hint("shuffle_hash"), Seq("shingle"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+    time("join-count")(joined.count())
+    val common = joined
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("n_common"))
+    time("group-pairs")(common.count())
+    val fin = common.select(col("d1"), col("d2"),
+      bp(col("n_common"), col("n1") + col("n2") - col("n_common")).as("jaccard_bp"))
+      .where(col("jaccard_bp") >= 5000)
+    time("final")(fin.count())
+    time("final-again")(fin.count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.multimodal.BinaryAssets
+
+/** Specs for the training-data pipeline operators (dedup, similarity,
+  * text analysis, multimodal) on the sf0.001 fixtures. The DuckDB oracle
+  * (tools/check_parity.py) is the cross-engine gate; these tests pin the
+  * *semantics* — invariants that must hold regardless of data.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_dedup_jaccard finds the planted near-dup pairs, all ≥ threshold") {
+    val rows = Dedup.queries("q_dedup_jaccard")(spark, dir).collect()
+    assert(rows.nonEmpty, "corpus plants near-dup pairs")
+    assert(rows.forall(r => r.getAs[Long]("jaccard_bp") >= 5000 &&
+      r.getAs[Long]("jaccard_bp") <= 10000))
+    assert(rows.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
+  }
+
+  test("minhash LSH candidates cover every high-jaccard pair (recall at J≥0.8)") {
+    val trueDups = Dedup.queries("q_dedup_jaccard")(spark, dir).collect()
+      .filter(_.getAs[Long]("jaccard_bp") >= 8000)
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val lsh = Dedup.queries("q_dedup_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(trueDups.nonEmpty)
+    // 4 bands × 2 rows: P(miss | J=0.8) = (1-0.64)^4 ≈ 1.7% per pair —
+    // the fixed corpus is checked exactly, not probabilistically.
+    val missed = trueDups -- lsh
+    assert(missed.isEmpty, s"LSH missed planted dups: $missed")
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to row count") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val agg = Dedup.queries("q_dedup_exact")(spark, dir)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(agg === total)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val sim = Dedup.queries("q_dedup_simhash")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val dupPair = Dedup.queries("q_dedup_jaccard")(spark, dir).collect()
+      .maxBy(_.getAs[Long]("jaccard_bp"))
+    val (d1, d2) = (dupPair.getAs[Long]("d1"), dupPair.getAs[Long]("d2"))
+    val hamming = java.lang.Long.bitCount(sim(d1) ^ sim(d2))
+    assert(hamming <= 8, s"hamming($d1,$d2)=$hamming for jaccard_bp=${dupPair.getAs[Long]("jaccard_bp")}")
+    assert(sim.values.forall(s => s >= 0 && s < (1L << 32)))
+  }
+
+  test("knn: ranks are 1..k per query, cosine non-increasing, |cos| ≤ 1") {
+    val rows = Similarity.queries("q_knn_cosine")(spark, dir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(rows.size === Similarity.NQueries)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1 to sorted.length).map(_.toLong))
+      val cs = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+    }
+  }
+
+  test("ann cosines agree exactly with brute-force for the same pair") {
+    val exact = Similarity.queries("q_knn_cosine")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val ann = Similarity.queries("q_ann_lsh")(spark, dir).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c => assert(c === r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("text stats: ratios in basis points, counts consistent") {
+    val rows = TextAnalysis.queries("q_text_stats")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      Seq("stop_ratio_bp", "short_ratio_bp", "ttr_bp").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 0 && v <= 10000, s"$c=$v")
+      }
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+
+  test("langid: prediction is one of the scored languages, max-score wins") {
+    val codes = TextAnalysis.langKeywords.map(_._1).toSet
+    val rows = TextAnalysis.queries("q_text_langid")(spark, dir).collect()
+    rows.foreach { r =>
+      val pred = r.getAs[String]("predicted")
+      assert(codes.contains(pred))
+      val scores = TextAnalysis.langKeywords.map { case (c, _) => c -> r.getAs[Long](s"s_$c") }
+      assert(scores.toMap.apply(pred) === scores.map(_._2).max)
+    }
+  }
+
+  test("fingerprint: md5 matches JVM digest; min-shingle is a valid md5") {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").head
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val row = TextAnalysis.queries("q_text_fingerprint")(spark, dir)
+      .where(col("doc_id") === doc.getAs[Long]("doc_id")).head
+    assert(row.getAs[String]("content_md5") === expected)
+    assert(row.getAs[String]("min_shingle_md5").matches("[0-9a-f]{32}"))
+  }
+
+  test("multimodal: payload survives the binary round-trip; stub features deterministic") {
+    val assets = BinaryAssets.assetsFromDocuments(spark, dir)
+    val feats = BinaryAssets.extractFeatures(assets).collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(feats.length === texts.size)
+    feats.foreach { f =>
+      val text = texts(f.asset_id)
+      assert(f.n_bytes === text.getBytes("UTF-8").length.toLong)
+      assert(f.width >= 1 && f.width <= 640 && f.height >= 1 && f.height <= 480)
+      assert(Set("image", "audio", "video").contains(f.modality))
+    }
+    // modality partitioning from asset_id is stable
+    assert(feats.filter(_.asset_id % 3 == 0).forall(_.modality == "image"))
+  }
+}
