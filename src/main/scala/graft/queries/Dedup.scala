@@ -79,25 +79,41 @@ object Dedup {
     // hashes' bits (+1/-1), strictly-positive sum sets the bit. Hamming
     // proximity on the signature approximates Jaccard; bucketing by
     // signature bytes gives the scale-out candidate generation.
+    //
+    // Computed in a typed mapPartitions: the declarative form is a
+    // 32-bit × n-shingle nested aggregate, interpreted per step (~100s
+    // at sf0.1 vs ~1s here). Hash semantics are identical to the oracle:
+    // first 8 hex digits of md5(shingle) as an unsigned 32-bit value.
     "q_dedup_simhash" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"),
-          transform(array_distinct(shingles(tokens(col("text")))),
-            sh => md5Bits32(sh)).as("hs"))
-      // Bit b of h extracted as floor(h / 2^b) % 2: h < 2^32, so the
-      // double division by a power of two is exact (no shiftright with a
-      // non-literal bit count in the functions API).
-      docs.select(col("doc_id"),
-        aggregate(
-          sequence(lit(0), lit(31)),
-          lit(0L),
-          (acc, b) => {
-            val p2 = pow(lit(2.0), b.cast("double"))
-            val votes = aggregate(col("hs"), lit(0L), (v, h) =>
-              v + when(pmod(floor(h.cast("double") / p2).cast("long"), lit(2L)) === 1, lit(1L))
-                .otherwise(lit(-1L)))
-            acc + when(votes > 0, p2.cast("long")).otherwise(lit(0L))
-          }).as("simhash"))
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (docId, text) =>
+            val tk = text.split(" ")
+            val sh = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + 2 < tk.length) { sh += s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"; i += 1 }
+            val votes = new Array[Long](32)
+            sh.foreach { g =>
+              md.reset()
+              val d = md.digest(g.getBytes("UTF-8"))
+              // first 8 hex digits == first 4 bytes, big-endian
+              val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              var b = 0
+              while (b < 32) {
+                votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L); b += 1
+              }
+            }
+            var sig = 0L
+            var b = 0
+            while (b < 32) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+            (docId, sig)
+          }
+        }.toDF("doc_id", "simhash")
     }),
 
     // N-gram Jaccard near-dup: inverted shingle index → pairs sharing

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` shape (`ts, user_id,
+  * event_type, value`) — the streaming side of [[graft.queries.Events]]
+  * (whose batch forms are the DuckDB-checked contract; Structured
+  * Streaming runs the *same* logical plan incrementally).
+  *
+  * Scale notes: watermarked tumbling/sliding aggregation shuffles on
+  * (window, event_type) exactly like the batch plan and keeps only
+  * in-watermark state; sessionization keeps one small state record per
+  * active user key, dropped on event-time timeout — state size is
+  * O(active users), not O(events).
+  */
+object EventStreams {
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      value_sum: Double)
+
+  case class SessionState(startMs: Long, lastMs: Long, nEv: Long, vSum: Double)
+
+  /** Session gap: events from one user further apart than this start a
+    * new session (and event-time timeout flushes the open session). */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Tumbling 1-hour counts per event type — identical logic to the
+    * batch `q_events_tumbling`; on a streaming input the 1-hour
+    * watermark bounds state and lets windows finalize (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("value_sum"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"), col("min_value"), col("max_value"))
+
+  /** Sliding 1-hour/30-minute counts — streaming form of
+    * `q_events_sliding`. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Batch sessionization: one `flatMapGroups` pass per user, split on
+    * the gap — emits every session including the final open one. The
+    * per-user event list is sorted in-task; at 100 TB the shuffle is on
+    * user_id and per-group size is one user's history (salt/re-window if
+    * a single user exceeds task memory). */
+  def sessionizeBatch(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_type))
+      val out = Vector.newBuilder[Session]
+      var open: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.lastMs <= SessionGapMs =>
+            open = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.nEv + 1, s.vSum + e.value))
+          case Some(s) =>
+            out += toSession(userId, s)
+            open = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            open = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      open.foreach(s => out += toSession(userId, s))
+      out.result().iterator
+    }
+  }
+
+  /** Event-time sessionization with a 30-minute inactivity gap, via
+    * `flatMapGroupsWithState` keyed by user (streaming input). Closed
+    * sessions emit as soon as a same-user event exceeds the gap; idle
+    * open sessions emit when the watermark passes `last + gap`
+    * (event-time timeout). Batch inputs should use [[sessionizeBatch]] —
+    * a batch pass has no timeout sweep, so open sessions would be lost.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(toSession(userId, s))
+          } else {
+            // In-batch events are not order-guaranteed: sort this
+            // micro-batch's slice (bounded by trigger size, not table
+            // size) before folding into the running session.
+            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_type))
+            var open = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= SessionGapMs =>
+                  open = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.nEv + 1, s.vSum + e.value))
+                case Some(s) =>
+                  closed += toSession(userId, s)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // timeout must sit at/after the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.lastMs + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEv, s.vSum)
+
+  /** File-source form: tail a directory of event parquet files as a
+    * stream (schema must be supplied — streaming sources don't infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.Tables
+import EventStreams._
+
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("streaming tumbling counts equal the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(ts(5), 1L, "click", 1.0), Event(ts(20), 1L, "click", 2.0),
+      Event(ts(61), 2L, "view", 3.0), Event(ts(75), 1L, "click", 4.0),
+      // watermark driver: 1h wm must pass the end of the windows above
+      Event(ts(300), 9L, "late-driver", 0.0))
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    // watermark advances at end-of-batch; the follow-up batch finalizes
+    // (append-emits) the earlier windows
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(Event(ts(600), 9L, "late-driver", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .where(col("event_type").isin("click", "view"))
+      .select("window_start", "event_type", "n", "value_sum")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = tumblingCounts(events.toDF())
+      .where(col("event_type").isin("click", "view"))
+      .select("window_start", "event_type", "n", "value_sum")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionization: gap closes sessions; timeout flushes idle ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two events 10' apart (one session), then 3h later another
+    // event — exceeds the 30' gap, so session 1 closes on arrival.
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // times sit well above epoch 0 = the initial watermark (a row AT the
+    // watermark is dropped as late)
+    mem.addData(Event(ts(100), 1L, "a", 1.0), Event(ts(110), 1L, "a", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(ts(280), 1L, "a", 4.0))
+    q.processAllAvailable()
+    // another user far in the future pushes the watermark past
+    // 180' + gap → user 1's open session times out; timeouts fire on the
+    // batch AFTER the watermark advances, so nudge once more.
+    mem.addData(Event(ts(10000), 2L, "z", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(ts(10001), 2L, "z", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_out").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(sessions.length === 2)
+    assert(sessions(0).session_start === ts(100))
+    assert(sessions(0).session_end === ts(110))
+    assert(sessions(0).n_events === 2L)
+    assert(sessions(0).value_sum === 3.0)
+    assert(sessions(1).session_start === ts(280))
+    assert(sessions(1).n_events === 1L)
+  }
+
+  test("batch sessionization on the events fixture: sessions partition each user's events") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.table(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sessions = sessionizeBatch(events).collect()
+    val nEvents = events.count()
+    assert(sessions.map(_.n_events).sum === nEvents)
+    // sessions of one user don't overlap and respect the gap
+    sessions.groupBy(_.user_id).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.session_start.getTime)
+      sorted.foreach(s => assert(s.session_start.getTime <= s.session_end.getTime))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.session_start.getTime - a.session_end.getTime > SessionGapMs)
+        case _ =>
+      }
+    }
+  }
+
+  test("file-source stream over events parquet produces the batch tumbling result") {
+    val dir = "/root/testdata/sf0.001"
+    // the fixture stores ns timestamps as long; stage a µs copy
+    val staged = graft.TestSpark.tmpDir("stream-events")
+    Tables.table(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(staged)
+    val q = tumblingCounts(readEventStream(spark, staged))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("file_stream_out").count()
+    val batch = tumblingCounts(
+      Tables.table(spark, dir, "events").select("ts", "user_id", "event_type", "value")).count()
+    assert(streamed === batch && batch > 0)
+  }
+}
