@@ -8,8 +8,9 @@ import TextFeatures._
 
 /** Deduplication operators over `documents` / `embeddings` — the dedup
   * stages of a large-scale training-data pipeline: exact (hash-groupBy),
-  * MinHash+LSH banding, SimHash signatures, n-gram Jaccard via an
-  * inverted shingle index, and embedding-cosine near-dup.
+  * MinHash+LSH banding, SimHash signatures, n-gram Jaccard via a
+  * df-capped inverted shingle index, and LSH-bucketed embedding-cosine
+  * near-dup.
   *
   * Scale notes (100 TB):
   *  - exact dedup is one hash aggregate on `md5(text)` — a single
@@ -17,14 +18,18 @@ import TextFeatures._
   *  - MinHash/LSH: signatures are per-row maps (no shuffle); candidate
   *    generation shuffles only (band, sig, doc_id) tuples — the classic
   *    band-bucket join whose output is ~#near-dup pairs, not O(n²);
-  *  - n-gram Jaccard uses the inverted-index join (explode distinct
-  *    shingles, self-join per shingle, count per pair) — equivalent to
-  *    the textbook "candidate pairs share ≥1 shingle" pruning; a
-  *    cross-join never appears at any scale;
-  *  - embedding near-dup at scale goes through the same LSH bucketing as
-  *    [[Similarity]] `q_ann_lsh`; the brute-force form here is the
-  *    correctness oracle (O(n²) only over one partition-local broadcast
-  *    at test SF; flagged in-code where the ANN path takes over);
+  *  - n-gram Jaccard prunes the inverted index to shingles with
+  *    document frequency in [2, DfCap] before the per-shingle self-join:
+  *    a df-1 shingle generates no pair and a df-k shingle generates
+  *    O(k²) pair rows, so the cap bounds the join blowup that boilerplate
+  *    shingles would otherwise cause (standard near-dup practice; the
+  *    oracle applies the identical cap);
+  *  - embedding near-dup goes through random-hyperplane LSH banding
+  *    (EBands independent bands of EPlanes md5-derived hyperplanes):
+  *    bucketing is a narrow map, candidates come from the per-band
+  *    bucket join, and only candidate pairs are exactly reranked — the
+  *    brute-force O(n²) form survives only as the test oracle
+  *    ([[embeddingBruteForce]], compared in PipelineOpsSpec);
   *  - skew: band buckets are md5-uniform, so the band join is naturally
   *    balanced; AQE skew-join handles pathological repeated documents.
   */
@@ -36,6 +41,138 @@ object Dedup {
   val K = 8
   val Bands = 4
   val RowsPerBand = 2
+
+  /** Jaccard inverted-index document-frequency cap: shingles appearing
+    * in more than this many documents are dropped from candidate
+    * generation (df-1 shingles too — they cannot produce a pair). */
+  val DfCap = 50
+
+  /** Embedding LSH structure: EBands independent bands, each the sign
+    * pattern of EPlanes hyperplanes (plane id = band*EPlanes + j).
+    * 2^EPlanes buckets per band: more planes → geometrically smaller
+    * buckets (the per-band candidate join is Σ_bucket k², so bucket
+    * size, not corpus size, bounds the blowup); more bands → recall.
+    * At cos 0.95 (real near-dups): p_plane = 1 - θ/π ≈ 0.90, a band of
+    * 8 collides with p ≈ 0.43, and 8 bands give ≈ 0.99 recall. */
+  val EBands = 8
+  val EPlanes = 8
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val c = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      c(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      c(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(c)
+  }
+
+  /** Unsigned bytewise less-than — equivalent to comparing the lowercase
+    * hex encodings lexicographically (both md5 digests are 16 bytes). */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Distinct 3-gram shingles in first-occurrence order — byte-for-byte
+    * the semantics of `array_distinct(shingles(tokens(text)))`
+    * ([[TextFeatures.shingles]]), but built in plain JVM code: the
+    * interpreted higher-order functions rebuild ~300 strings per document
+    * per step and dominated the round-1 bench (same fix as
+    * `q_dedup_simhash`, commit 425603b). */
+  private def distinctShingles(text: String): scala.collection.Seq[String] = {
+    val tk = text.split(" ")
+    val sh = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i + 2 < tk.length) { sh += s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"; i += 1 }
+    sh.toSeq
+  }
+
+  /** (doc_id, sh, n_sh): one narrow typed pass computing the shingle
+    * sets and their sizes. */
+  private def shingleDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = distinctShingles(text)
+        (id, sh, sh.size.toLong)
+      })
+      .toDF("doc_id", "sh", "n_sh")
+  }
+
+  /** (doc_id, sh, mh): shingles plus the K MinHash values. For seed k,
+    * mh(k) = min over shingles of md5("k:" + shingle) as lowercase hex —
+    * identical to the declarative [[TextFeatures.minhashes]] and to the
+    * oracle's `list_min([md5(k || ':' || x) for x in sh])`; the min is
+    * taken on raw digest bytes ([[unsignedLess]] == hex-lexicographic)
+    * and only the K winners are hex-encoded. Empty shingle sets yield
+    * null values, as `array_min` of an empty array does. */
+  private def minhashDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val prefixes = Array.tabulate(K)(k => s"$k:".getBytes("UTF-8"))
+        it.map { case (id, text) =>
+          val sh = distinctShingles(text)
+          val mins = new Array[Array[Byte]](K)
+          sh.foreach { g =>
+            val gb = g.getBytes("UTF-8")
+            var k = 0
+            while (k < K) {
+              md.reset()
+              md.update(prefixes(k))
+              md.update(gb)
+              val d = md.digest()
+              if (mins(k) == null || unsignedLess(d, mins(k))) mins(k) = d
+              k += 1
+            }
+          }
+          (id, sh, mins.toSeq.map(m => if (m == null) null else hex(m)))
+        }
+      }.toDF("doc_id", "sh", "mh")
+  }
+
+  /** Test-only oracle: exact all-pairs embedding cosine via a driver
+    * collect + broadcast. Deliberately NOT in [[queries]] — the corpus
+    * collect dies past broadcastable n; the wired scale path is
+    * `q_dedup_embedding_lsh`. PipelineOpsSpec checks the LSH candidates
+    * against this exhaustive form. */
+  private[graft] def embeddingBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = table(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", qnorm2(col("v")))
+      .as[(Long, Array[Long], Long)]
+    val build = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    vecs.mapPartitions { it =>
+      val all = build.value
+      val ids = all.map(_._1)
+      it.flatMap { case (id, v, n2) =>
+        var lo = java.util.Arrays.binarySearch(ids, id) + 1
+        if (lo <= 0) lo = -lo
+        Iterator.range(lo, all.length).flatMap { j =>
+          val (bid, bv, bn2) = all(j)
+          var dot = 0L
+          var i = 0
+          while (i < v.length) { dot += v(i) * bv(i); i += 1 }
+          if (dot > 0 && dot * dot * 10000L > 1600L * n2 * bn2)
+            Some((id, bid, dot.toDouble / math.sqrt((n2 * bn2).toDouble)))
+          else None
+        }
+      }
+    }.toDF("v1", "v2", "cos_sim")
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content hash, keep the smallest doc_id.
@@ -53,11 +190,7 @@ object Dedup {
       // the expensive map) and the band join moves only (band, sig,
       // doc_id) — never the shingle arrays. Shingle sets are re-joined
       // afterwards for just the candidate pairs (≪ n²; ~800 at sf0.1).
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")))).as("sh"))
-        .withColumn("mh", minhashes(col("sh"), K))
-        .cache()
+      val docs = minhashDocs(s, dir).cache()
       val sigs = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           md5(concat_ws("|",
@@ -92,10 +225,7 @@ object Dedup {
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           it.map { case (docId, text) =>
-            val tk = text.split(" ")
-            val sh = new scala.collection.mutable.LinkedHashSet[String]
-            var i = 0
-            while (i + 2 < tk.length) { sh += s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"; i += 1 }
+            val sh = distinctShingles(text)
             val votes = new Array[Long](32)
             sh.foreach { g =>
               md.reset()
@@ -116,23 +246,29 @@ object Dedup {
         }.toDF("doc_id", "simhash")
     }),
 
-    // N-gram Jaccard near-dup: inverted shingle index → pairs sharing
-    // shingles → exact Jaccard ≥ 0.5 (the corpus plants 25 pairs ≥ 0.8).
+    // N-gram Jaccard near-dup via the inverted shingle index, pruned to
+    // 2 ≤ df ≤ DfCap before the per-shingle self-join: a df-k shingle
+    // contributes O(k²) pair rows, so the cap bounds the join blowup
+    // that boilerplate shingles cause at scale (round-1's worst query at
+    // 28% of the bench), while df-1 shingles cannot produce a pair at
+    // all. n_common is then one aggregate over the pair rows — EXACT for
+    // every pair whose common shingles all sit under the cap (a common
+    // shingle has df ≥ 2 by construction), and the denominators use the
+    // full set sizes; the oracle applies the identical cap. The corpus
+    // plants 25 pairs ≥ 0.8, all sharing rare shingles.
     "q_dedup_jaccard" -> ((s, dir) => {
-      // Shingling is the expensive narrow map (interpreted HOFs build
-      // ~300 strings/doc) — cache it so the self-join's two sides and
-      // the aggregate don't recompute it.
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")))).as("sh"))
-        .withColumn("n_sh", size(col("sh")).cast("long"))
-        .cache()
+      val docs = shingleDocs(s, dir).cache()
       val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      val keep = inv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= DfCap)
+        .select(col("shingle"))
       // The exploded index is |docs|×|shingles/doc| rows — never a
       // broadcast candidate (Catalyst misestimates post-Generate size);
       // shuffle-hash on the shingle key is the scale-correct join.
-      val common = inv.as("x").hint("shuffle_hash")
-        .join(inv.as("y").hint("shuffle_hash"), Seq("shingle"))
+      val ci = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+      val common = ci.as("x").hint("shuffle_hash")
+        .join(ci.as("y").hint("shuffle_hash"), Seq("shingle"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
@@ -144,45 +280,65 @@ object Dedup {
         .where(col("jaccard_bp") >= 5000)
     }),
 
-    // Embedding-cosine near-dup: exact integer-quantized cosine over all
-    // pairs ≥ 0.4 (corpus max is ~0.51; real dups would sit ≥ 0.95).
-    // Brute force IS the oracle form; at 100 TB candidates come from
-    // q_ann_lsh-style hyperplane buckets instead of the full self-join.
-    //
-    // The O(n²) hot loop is the one deliberate mapPartitions in the
-    // query inventory: a Catalyst zip_with/aggregate dot product is
-    // interpreted per pair (~10× slower); here the build side is a
-    // broadcast of primitive long arrays and the probe side streams
-    // distributed. All arithmetic is exact BIGINT + one IEEE double
-    // div/sqrt — identical to the declarative form and to DuckDB.
-    "q_dedup_embedding" -> ((s, dir) => {
+    // Embedding-cosine near-dup, LSH-bucketed (the 100 TB shape):
+    // EBands independent hyperplane bands bucket each vector; candidates
+    // are pairs sharing any band bucket; exact integer rerank keeps
+    // cos ≥ 0.4 (corpus max is ~0.51; real dups would sit ≥ 0.95 where
+    // recall ≈ 0.99 — see [[EBands]]). The hyperplane weights are
+    // md5-derived ±1 per component (Similarity.planeWeight — no RNG,
+    // derived identically in the oracle SQL); projections and the
+    // candidate rerank are typed narrow maps (the interpreted HOF dot
+    // product allocates per element and was 4.8 s at sf0.1), while
+    // candidate generation and the pair joins stay declarative — the
+    // shuffles move only (band, bucket, vec_id) and candidate ids.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
       import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
         .as[(Long, Array[Long], Long)]
-      // Build side: all quantized vectors, id-sorted. At this corpus
-      // size (n·dim·8B ≈ 2.5 MB at sf0.1) a plain broadcast; beyond
-      // broadcastable n, q_ann_lsh bucketing replaces the n² loop.
-      val build = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-      vecs.mapPartitions { it =>
-        val all = build.value
-        val ids = all.map(_._1)
-        it.flatMap { case (id, v, n2) =>
-          // pairs (a < b): probe row pairs with all build ids > its own
-          var lo = java.util.Arrays.binarySearch(ids, id) + 1
-          if (lo <= 0) lo = -lo
-          Iterator.range(lo, all.length).flatMap { j =>
-            val (bid, bv, bn2) = all(j)
-            var dot = 0L
-            var i = 0
-            while (i < v.length) { dot += v(i) * bv(i); i += 1 }
-            if (dot > 0 && dot * dot * 10000L > 1600L * n2 * bn2)
-              Some((id, bid, dot.toDouble / math.sqrt((n2 * bn2).toDouble)))
-            else None
+        .cache()
+      // Weight matrix: data-independent, evaluated once on the driver.
+      val weights: Array[Array[Long]] = Array.tabulate(EBands * EPlanes)(p =>
+        Array.tabulate(Similarity.Dim)(i => Similarity.planeWeight(p, i + 1)))
+      val bands = vecs.mapPartitions { it =>
+        it.flatMap { case (id, v, _) =>
+          (0 until EBands).iterator.map { b =>
+            var bucket = 0L
+            var j = 0
+            while (j < EPlanes) {
+              val w = weights(b * EPlanes + j)
+              var dot = 0L
+              var i = 0
+              while (i < v.length) { dot += w(i) * v(i); i += 1 }
+              if (dot > 0) bucket |= 1L << j
+              j += 1
+            }
+            (id, b.toLong, bucket)
           }
         }
-      }.toDF("v1", "v2", "cos_sim")
+      }.toDF("vec_id", "band", "bucket")
+      val cands = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+        .where(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      val vdf = vecs.toDF("vec_id", "v", "n2")
+      cands
+        .join(vdf.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
+        .join(vdf.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), "v2")
+        .select(col("v1"), col("v2"), col("va"), col("na"), col("vb"), col("nb"))
+        .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
+        .mapPartitions(_.flatMap { case (v1, v2, va, na, vb, nb) =>
+          var dot = 0L
+          var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          // exact BIGINT test dot² · 10⁴ > 0.4² · 10⁴ · na · nb, then one
+          // IEEE double div/sqrt — identical to the oracle's arithmetic
+          if (dot > 0 && dot * dot * 10000L > 1600L * na * nb)
+            Some((v1, v2, dot.toDouble / math.sqrt((na * nb).toDouble)))
+          else None
+        })
+        .toDF("v1", "v2", "cos_sim")
     }))
 
   /** Shared oracle CTE: distinct 3-gram shingle sets per document. */
@@ -234,10 +390,14 @@ object Dedup {
       """,
         |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
         |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
+        |keep AS (SELECT shingle FROM inv GROUP BY shingle
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+        |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
+        |  FROM inv JOIN keep USING (shingle)),
         |common AS (
         |  SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2,
         |    CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM inv x JOIN inv y ON x.shingle = y.shingle
+        |  FROM ci x JOIN ci y ON x.shingle = y.shingle
         |  WHERE x.doc_id < y.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT d1, d2,
@@ -245,17 +405,29 @@ object Dedup {
         |FROM common
         |WHERE 10000*n_common // (n1 + n2 - n_common) >= 5000""".stripMargin),
 
-    "q_dedup_embedding" ->
-      """WITH q AS (SELECT vec_id,
+    "q_dedup_embedding_lsh" ->
+      """WITH qz AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         | FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q),
-        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |vecs AS (SELECT vec_id, v,
+        |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM qz),
+        |planes AS (SELECT p, i,
+        |  CASE WHEN substr(md5('p:' || p || ':' || i), 1, 1)
+        |         IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+        | FROM generate_series(0, 63) gp(p), generate_series(1, 64) gi(i)),
+        |proj AS (SELECT vec_id, p, SUM(w * v[i]) AS s
+        | FROM vecs, planes GROUP BY vec_id, p),
+        |bkt AS (SELECT vec_id, p // 8 AS band,
+        |  CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << (p % 8) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM proj GROUP BY vec_id, p // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+        |  FROM bkt x JOIN bkt y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.vec_id < y.vec_id),
+        |p2 AS (SELECT v1, v2,
         |  CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS BIGINT) AS dot,
         |  a.n2 AS na, b.n2 AS nb
-        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        | FROM cand JOIN vecs a ON a.vec_id = v1 JOIN vecs b ON b.vec_id = v2)
         |SELECT v1, v2, CAST(dot AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS cos_sim
-        |FROM p
+        |FROM p2
         |WHERE dot > 0 AND dot*dot*10000 > 1600*na*nb""".stripMargin)
 }

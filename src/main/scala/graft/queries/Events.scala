@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -41,6 +42,34 @@ object Events {
           col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // 30-minute-gap sessionization, fully declarative so DuckDB can
+    // replay it: per-user lag → gap flag → running sum = session ordinal
+    // → one aggregate per (user, session). Cross-engine-checks the
+    // flatMapGroups path (EventStreams.sessionizeBatch — EventStreamsSpec
+    // asserts both produce identical sessions). Every window is
+    // partitioned by user_id: the unit of work is one user's history at
+    // any scale. Gap arithmetic is integer microseconds on both engines
+    // (Spark's parquet read truncates ns → µs; the oracle truncates the
+    // same way before comparing).
+    "q_sessions" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"))
+      val flagged = table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("session_id", sum(col("new_sess")).over(wOrd))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+    }),
+
     // Per-user lifetime stats (min/max/count are truncation-monotonic, so
     // µs-vs-ns precision cannot flip them).
     "q_events_user_stats" -> ((s, dir) => {
@@ -75,6 +104,24 @@ object Events {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+        |f AS (SELECT *,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_type) AS prev_us FROM e),
+        |g AS (SELECT *,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM f),
+        |h AS (SELECT *,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_type) AS session_id
+        | FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(make_timestamp(MAX(us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM h GROUP BY user_id, session_id""".stripMargin,
 
     "q_events_user_stats" ->
       """SELECT user_id,

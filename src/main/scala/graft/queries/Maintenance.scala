@@ -30,17 +30,44 @@ import Tables._
 object Maintenance {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Distributed global rank — the classic two-phase scheme: range-
+    * partition on the sort key (the engine's own shuffle shape,
+    * Rewriter.scala), `row_number` each range in parallel, then add
+    * per-range prefix offsets. The only driver-side data is one
+    * (partition, count) row per range — metadata-scale (bounded by the
+    * partition count, not the data) — so no single-partition WindowExec
+    * exists in the plan at any SF. RangePartitioner orders ranges by
+    * partition id, making global rank = prefix offset + local rank. */
+  private def globalRank(s: SparkSession, df: DataFrame, sortKeys: Seq[org.apache.spark.sql.Column],
+      rankCol: String): DataFrame = {
+    import s.implicits._
+    val nRanges = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nRanges, sortKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
+    val local = ranged
+      .withColumn("__lrk", row_number().over(wLocal).cast("long"))
+      .cache()
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }
+    val offDf = s.createDataset(offsets.toSeq).toDF("__pid", "__off")
+    local.join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__off")
+  }
+
   val queries: Map[String, Q] = Map(
     // O8/O9 sort semantics: lexicographic multi-column ascending order,
-    // verified by global rank on a pruned slice (the window is only ever
-    // over the filtered subset; the engine's real global sort is
-    // repartitionByRange + sortWithinPartitions, no rank materialized).
+    // verified by a distributed global rank (see [[globalRank]]).
     "q_sort_global" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      table(s, dir, "lineitem")
+      val filtered = table(s, dir, "lineitem")
         .where(col("l_returnflag") === "R" &&
           col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-07-01"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      globalRank(s, filtered,
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), "rk")
         .select(col("l_orderkey"), col("l_linenumber"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"), col("rk"))
     }),
@@ -62,17 +89,41 @@ object Maintenance {
     }),
 
     // O4: order "files" by min tuple, count prev.max > cur.min overlaps.
-    // The aggregate is distributed; the lag window runs over one row per
-    // file (thousands at 100 TB — trivially small).
+    // Distributed: the per-file aggregate range-partitions on the order
+    // key, the lag runs within each range in parallel, and only the
+    // RANGE-EDGE rows (first min / last max per range — 2 rows per
+    // partition, metadata-scale) come to the driver to check the
+    // boundaries between ranges. No single-partition window at any SF.
     "q_boundary_violations" -> ((s, dir) => {
       val key = struct(col("l_shipdate").as("s"), col("l_orderkey").as("k"))
+      val ord = struct(col("mn"), col("l_suppkey"))
       val mm = table(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(min(key).as("mn"), max(key).as("mx"))
-      val w = Window.orderBy(col("mn"), col("l_suppkey"))
-      mm.withColumn("prev_mx", lag(col("mx"), 1).over(w))
+        .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("mn"), col("l_suppkey"))
+        .withColumn("pid", spark_partition_id())
+        .cache()
+      val wLocal = Window.partitionBy(col("pid")).orderBy(col("mn"), col("l_suppkey"))
+      // Cross-range boundary pairs: last max of range i vs first min of
+      // range i+1, in range (= pid) order.
+      val edges = mm.groupBy(col("pid"))
+        .agg(min_by(col("mn"), ord).as("first_mn"), max_by(col("mx"), ord).as("last_mx"))
+        .collect()
+        .sortBy(_.getInt(0))
+      val crossViolations = edges.sliding(2).count {
+        case Array(prev, cur) =>
+          val pmx = prev.getStruct(2); val cmn = cur.getStruct(1)
+          // the shipdate surfaces as Timestamp or LocalDateTime depending
+          // on the parquet writer's isAdjustedToUTC — both are Comparable
+          val c = pmx.get(0).asInstanceOf[Comparable[Any]].compareTo(cmn.get(0))
+          c > 0 || (c == 0 && pmx.getLong(1) > cmn.getLong(1))
+        case _ => false
+      }.toLong
+      mm.withColumn("prev_mx", lag(col("mx"), 1).over(wLocal))
         .agg(
-          sum(when(col("prev_mx") > col("mn"), 1L).otherwise(0L)).as("boundary_violations"),
+          (sum(when(col("prev_mx") > col("mn"), 1L).otherwise(0L)) + lit(crossViolations))
+            .as("boundary_violations"),
           count(lit(1)).cast("long").as("checked_files"))
     }),
 
@@ -89,14 +140,18 @@ object Maintenance {
           count(lit(1)).cast("long").as("rows_checked"))
     }),
 
-    // O7: group by "partition", size estimate, largest-bytes-first order.
+    // O7: group by "partition", size estimate, largest-bytes-first order
+    // — the priority rank is a distributed [[globalRank]], not a
+    // single-partition window (one row per partition group, but group
+    // cardinality is unbounded in principle).
     "q_plan_groups" -> ((s, dir) => {
       val g = table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(cents(col("l_extendedprice"))).as("bytes_proxy_cents"))
-      val w = Window.orderBy(col("bytes_proxy_cents").desc, col("l_returnflag"), col("l_linestatus"))
-      g.withColumn("priority", row_number().over(w).cast("long"))
+      globalRank(s, g,
+        Seq(col("bytes_proxy_cents").desc, col("l_returnflag"), col("l_linestatus")),
+        "priority")
     }),
 
     // O11: typed partition predicate (string equality, int equality,
