@@ -10,14 +10,17 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * {{{
   * graft.cli.Main --table URI --sort-columns a,b [--nulls first|last]
   *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
-  *   [--validate-only] [--repartition-by-sort-key]
+  *   [--validate-only] [--repartition-by-sort-key] [--log-level LEVEL]
   * }}}
   *
   * `--validate-only` prints the report and exits non-zero when
-  * violations exist (main.rs:84-86). */
+  * violations exist (main.rs:84-86); `--log-level` sets the Spark log
+  * level (main.rs:46-48's env_logger filter). */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
+
+  private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -30,11 +33,18 @@ object Main {
           sys.error(s"unexpected argument: $other")
       }
     }
+    m.get("log-level").foreach { l =>
+      if (!LogLevels.contains(l.toUpperCase))
+        sys.error(s"--log-level must be one of ${LogLevels.toSeq.sorted.mkString("|").toLowerCase}, got '$l'")
+    }
     m.toMap
   }
 
-  def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
+  /** Core dispatch, returning the process exit code: 0 on success, 1 on
+    * a `--validate-only` run that finds violations (the reference's
+    * contract, main.rs:84-86). Split from [[main]] so ArgsSpec can pin
+    * the exit path without forking a JVM. */
+  private[cli] def run(spark: SparkSession, opts: Map[String, String]): Int = {
     val table = opts.getOrElse("table", sys.error("--table is required"))
     val sortColumns = opts.getOrElse("sort-columns", sys.error("--sort-columns is required"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -43,7 +53,36 @@ object Main {
       case "last" => false
       case other => sys.error(s"--nulls must be 'first' or 'last', got '$other'")
     }
+    val sorter = DeltaSorter(spark, table)
+    if (opts.contains("validate-only")) {
+      val report = sorter.validate(sortColumns, nullsFirst)
+      println(s"checked_files=${report.checkedFiles} " +
+        s"boundary_violations=${report.boundaryViolations}")
+      report.detailsSample.foreach(d => println(s"  $d"))
+      if (!report.ok) {
+        System.err.println("ordering validation FAILED")
+        return 1
+      }
+      println("ordering validation passed")
+      0
+    } else {
+      val cfg = SortConfig(
+        sortColumns = sortColumns,
+        nullsFirst = nullsFirst,
+        targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong),
+        concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
+        dryRun = opts.contains("dry-run"),
+        repartitionBySortKey = opts.contains("repartition-by-sort-key"))
+      val summary = sorter.compact(cfg)
+      println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
+        s"files ${summary.filesIn}->${summary.filesOut} " +
+        s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
+      0
+    }
+  }
 
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("deltasorterspark")
@@ -54,35 +93,11 @@ object Main {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(opts.getOrElse("log-level", "warn").toUpperCase)
 
-    try {
-      val sorter = DeltaSorter(spark, table)
-      if (opts.contains("validate-only")) {
-        val report = sorter.validate(sortColumns, nullsFirst)
-        println(s"checked_files=${report.checkedFiles} " +
-          s"boundary_violations=${report.boundaryViolations}")
-        report.detailsSample.foreach(d => println(s"  $d"))
-        if (!report.ok) {
-          System.err.println("ordering validation FAILED")
-          sys.exit(1)
-        }
-        println("ordering validation passed")
-      } else {
-        val cfg = SortConfig(
-          sortColumns = sortColumns,
-          nullsFirst = nullsFirst,
-          targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong),
-          concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
-          dryRun = opts.contains("dry-run"),
-          repartitionBySortKey = opts.contains("repartition-by-sort-key"))
-        val summary = sorter.compact(cfg)
-        println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
-          s"files ${summary.filesIn}->${summary.filesOut} " +
-          s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
-      }
-    } finally {
-      spark.stop()
-    }
+    val code =
+      try run(spark, opts)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -1,0 +1,154 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Delta checkpoint support (the open protocol's `_last_checkpoint` +
+  * parquet checkpoint files), which the reference gets for free from
+  * delta-rs (`open_table`, crates/sorter-core/src/lib.rs:252;
+  * Cargo.toml:15):
+  *
+  *  - READ: `_last_checkpoint` names the checkpoint version (and part
+  *    count for multi-part checkpoints); replay loads the checkpoint
+  *    parquet rows as the base state and then applies only the JSON
+  *    commits AFTER it — a checkpointed table whose early JSON commits
+  *    were vacuumed away still snapshots correctly, and replay cost is
+  *    O(commits since checkpoint), not O(all commits).
+  *  - WRITE: one parquet file per checkpoint with the protocol's
+  *    top-level action columns (`protocol`, `metaData`, `add`), written
+  *    via a normal Spark dataset write and renamed into place, then the
+  *    `_last_checkpoint` pointer (last-writer-wins, per the spec).
+  *    Remove tombstones are not carried (they exist for VACUUM grace
+  *    windows; our VACUUM-less engine replays adds only).
+  *
+  * The reader is deliberately defensive about schema: real-world
+  * checkpoints carry extra columns (`txn`, `stats`, `tags`,
+  * `partitionValues_parsed`, …) and may omit optional ones — unknown
+  * fields are ignored, missing optional fields get protocol defaults.
+  */
+object Checkpoints {
+
+  /** Parsed `_last_checkpoint` pointer. */
+  case class LastCheckpoint(version: Long, size: Long, parts: Option[Int])
+
+  private def lastCheckpointPath(logPath: Path) = new Path(logPath, "_last_checkpoint")
+
+  /** Read the `_last_checkpoint` pointer, if any. */
+  def lastCheckpoint(fs: FileSystem, logPath: Path, mapper: ObjectMapper): Option[LastCheckpoint] = {
+    val p = lastCheckpointPath(logPath)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val content = try {
+      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    } finally in.close()
+    val node = mapper.readTree(content)
+    Some(LastCheckpoint(
+      version = node.get("version").asLong(),
+      size = if (node.has("size")) node.get("size").asLong() else -1L,
+      parts = if (node.has("parts")) Some(node.get("parts").asInt()) else None))
+  }
+
+  /** Checkpoint file paths for a pointer: single-part
+    * `NNNNNNNNNNNNNNNNNNNN.checkpoint.parquet` or the protocol's
+    * multi-part `NNNN.checkpoint.MMMMMMMMMM.PPPPPPPPPP.parquet`. */
+  def paths(logPath: Path, cp: LastCheckpoint): Seq[Path] = cp.parts match {
+    case None =>
+      Seq(new Path(logPath, f"${cp.version}%020d.checkpoint.parquet"))
+    case Some(n) =>
+      (1 to n).map(i => new Path(logPath, f"${cp.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+  }
+
+  /** Load checkpoint rows into actions (schema-defensive, see above). */
+  def readActions(spark: SparkSession, files: Seq[Path]): Seq[Action] = {
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    val top = df.schema.fieldNames.toSet
+
+    def opt[T](r: Row, name: String): Option[T] = {
+      val sch = r.schema
+      if (sch != null && sch.fieldNames.contains(name) && !r.isNullAt(sch.fieldIndex(name)))
+        Some(r.getAs[T](name))
+      else None
+    }
+    def strMap(r: Row, name: String): Map[String, String] =
+      opt[scala.collection.Map[String, String]](r, name).map(_.toMap).getOrElse(Map.empty)
+
+    df.collect().toSeq.flatMap { row =>
+      def struct(name: String): Option[Row] =
+        if (top.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+          Some(row.getAs[Row](name))
+        else None
+      (struct("add").map { a =>
+        AddFile(
+          path = a.getAs[String]("path"),
+          partitionValues = strMap(a, "partitionValues"),
+          size = opt[Long](a, "size").getOrElse(0L),
+          modificationTime = opt[Long](a, "modificationTime").getOrElse(0L),
+          dataChange = opt[Boolean](a, "dataChange").getOrElse(true)): Action
+      }).orElse(struct("remove").map { r =>
+        RemoveFile(
+          path = r.getAs[String]("path"),
+          deletionTimestamp = opt[Long](r, "deletionTimestamp").getOrElse(0L),
+          dataChange = opt[Boolean](r, "dataChange").getOrElse(true),
+          partitionValues = strMap(r, "partitionValues"),
+          size = opt[Long](r, "size").getOrElse(0L)): Action
+      }).orElse(struct("metaData").map { m =>
+        Metadata(
+          id = opt[String](m, "id").getOrElse(""),
+          schemaString = m.getAs[String]("schemaString"),
+          partitionColumns =
+            opt[scala.collection.Seq[String]](m, "partitionColumns").map(_.toSeq).getOrElse(Nil),
+          configuration = strMap(m, "configuration")): Action
+      }).orElse(struct("protocol").map { p =>
+        Protocol(
+          opt[Int](p, "minReaderVersion").getOrElse(1),
+          opt[Int](p, "minWriterVersion").getOrElse(2)): Action
+      })
+    }
+  }
+
+  /** Checkpoint row shapes (the protocol's top-level action columns). */
+  private case class CpFormat(provider: String, options: Map[String, String])
+  private case class CpMeta(id: String, format: CpFormat, schemaString: String,
+      partitionColumns: Seq[String], configuration: Map[String, String], createdTime: Long)
+  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, dataChange: Boolean)
+  private case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+      add: Option[CpAdd])
+
+  /** Write a single-part checkpoint of `snap` and repoint
+    * `_last_checkpoint`. The parquet write is a normal Spark job (one
+    * output partition — checkpoint rows are file metadata, bounded by
+    * file count, and the protocol supports multi-part if that ever
+    * needed sharding). */
+  def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot): Unit = {
+    import spark.implicits._
+    val meta = snap.metadata
+    val rows =
+      CpRow(Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion)), None, None) +:
+      CpRow(None, Some(CpMeta(meta.id, CpFormat("parquet", Map.empty), meta.schemaString,
+        meta.partitionColumns, meta.configuration, 0L)), None) +:
+      snap.files.map(a =>
+        CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
+          dataChange = false))))
+    val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")
+    try {
+      spark.createDataset(rows).repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .getOrElse(sys.error(s"checkpoint write produced no parquet part in $tmp"))
+      val target = new Path(logPath, f"${snap.version}%020d.checkpoint.parquet")
+      fs.delete(target, false) // same-version rewrite: identical content, last wins
+      if (!fs.rename(part, target)) sys.error(s"failed to publish checkpoint $target")
+    } finally {
+      fs.delete(tmp, true)
+    }
+    val pointer = s"""{"version":${snap.version},"size":${rows.size}}"""
+    val out = fs.create(lastCheckpointPath(logPath), true)
+    try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

@@ -20,29 +20,37 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - snapshot schema (lib.rs:557-576) → [[Snapshot.schema]]
   *  - atomic commit of removes+adds with an operation record
   *    (lib.rs:862-885 CommitBuilder) → [[DeltaLog.commit]]
+  *  - checkpoint replay + writing (delta-rs `open_table`, lib.rs:252) →
+  *    [[Checkpoints]]: snapshots start from the `_last_checkpoint`
+  *    parquet state and replay only newer JSON commits, and every
+  *    [[checkpointInterval]]-th commit writes a new checkpoint, so log
+  *    replay stays O(recent commits) and vacuumed early JSON is fine.
   *
-  * Commits are PUT-if-absent on `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`:
-  * on `file:` we hard-link a temp file into place (atomic, fails if the
-  * version exists — same guarantee delta-rs gets from its local
-  * LogStore); on HDFS-like filesystems `rename` without overwrite gives
-  * the same. True object stores need a PUT-if-absent/CAS primitive — the
-  * reference inherits that caveat from delta-rs as well.
-  *
-  * Checkpoints: we replay JSON commits only. Our own tables never write
-  * checkpoints; at production scale a parquet checkpoint every N commits
-  * would bound replay cost (the log here is a handful of versions).
+  * Commits are PUT-if-absent on `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`
+  * through the [[LogStore]] seam (hard-link on `file:`, no-overwrite
+  * rename on HDFS; object stores plug in a conditional-PUT impl — see
+  * the LogStore doc for the exact contract).
   */
-final class DeltaLog(val tableUri: String, hadoopConf: Configuration) {
+final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
+    sparkOpt: Option[SparkSession]) {
+
+  def this(tableUri: String, hadoopConf: Configuration) = this(tableUri, hadoopConf, None)
+
   private val tablePath = new Path(tableUri)
   private val fs: FileSystem = tablePath.getFileSystem(hadoopConf)
   private val logPath = new Path(tablePath, "_delta_log")
   private val mapper = new ObjectMapper()
+  private val store: LogStore = LogStore.forFileSystem(fs)
+
+  /** Write a checkpoint after every this-many commits (0 disables).
+    * Delta's reference writers default to 10. */
+  var checkpointInterval: Int = 10
 
   def tableRoot: Path = fs.makeQualified(tablePath)
 
   private def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
 
-  /** Existing commit versions, ascending. */
+  /** Existing JSON commit versions, ascending. */
   private def listVersions(): Seq[Long] = {
     if (!fs.exists(logPath)) return Seq.empty
     fs.listStatus(logPath).toSeq
@@ -52,9 +60,16 @@ final class DeltaLog(val tableUri: String, hadoopConf: Configuration) {
       .sorted
   }
 
-  def tableExists: Boolean = listVersions().nonEmpty
+  private def lastCheckpoint(): Option[Checkpoints.LastCheckpoint] =
+    Checkpoints.lastCheckpoint(fs, logPath, mapper)
 
-  def latestVersion(): Long = listVersions().lastOption.getOrElse(-1L)
+  def tableExists: Boolean = listVersions().nonEmpty || lastCheckpoint().nonEmpty
+
+  /** Latest committed version — JSON commits or, when early JSON has
+    * been cleaned up past a checkpoint, the checkpoint version. */
+  def latestVersion(): Long =
+    math.max(listVersions().lastOption.getOrElse(-1L),
+      lastCheckpoint().map(_.version).getOrElse(-1L))
 
   /** Optimistic-concurrency commit: try at latest+1, on conflict refresh
     * and retry. The reference's per-partition rewrites commit
@@ -74,34 +89,47 @@ final class DeltaLog(val tableUri: String, hadoopConf: Configuration) {
     -1L // unreachable
   }
 
-  /** Replay the log into the current snapshot. */
+  /** Replay the log into the current snapshot: checkpoint state first
+    * (if any), then the JSON commits after it. */
   def snapshot(): Snapshot = {
-    val versions = listVersions()
-    require(versions.nonEmpty, s"not a Delta table (no _delta_log commits): $tableUri")
+    val cp = lastCheckpoint()
+    val cpVersion = cp.map(_.version).getOrElse(-1L)
+    val versions = listVersions().filter(_ > cpVersion)
+    require(cp.nonEmpty || versions.nonEmpty,
+      s"not a Delta table (no _delta_log commits): $tableUri")
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     var metadata: Option[Metadata] = None
     var protocol: Option[Protocol] = None
+
+    def apply(action: Action): Unit = action match {
+      case a: AddFile => adds(a.path) = a
+      case r: RemoveFile => adds.remove(r.path)
+      case m: Metadata => metadata = Some(m)
+      case p: Protocol => protocol = Some(p)
+      case _: CommitInfo => ()
+    }
+
+    cp.foreach { c =>
+      val s = sparkOpt.getOrElse(sys.error(
+        s"reading the checkpointed table $tableUri requires DeltaLog.forTable(spark, uri)"))
+      Checkpoints.readActions(s, Checkpoints.paths(logPath, c)).foreach(apply)
+    }
     versions.foreach { v =>
       val in = fs.open(versionFile(v))
       val content = try {
         new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
       } finally in.close()
       content.split('\n').filter(_.trim.nonEmpty).foreach { line =>
-        Action.fromJson(mapper.readTree(line)).foreach {
-          case a: AddFile => adds(a.path) = a
-          case r: RemoveFile => adds.remove(r.path)
-          case m: Metadata => metadata = Some(m)
-          case p: Protocol => protocol = Some(p)
-          case _: CommitInfo => ()
-        }
+        Action.fromJson(mapper.readTree(line)).foreach(apply)
       }
     }
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
     Snapshot(
-      version = versions.last,
+      version = math.max(cpVersion, versions.lastOption.getOrElse(-1L)),
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
-      files = adds.values.toSeq)
+      files = adds.values.toSeq,
+      protocol = protocol.getOrElse(Protocol()))
   }
 
   /** Atomically write `actions` as version `expectedVersion`.
@@ -115,22 +143,36 @@ final class DeltaLog(val tableUri: String, hadoopConf: Configuration) {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     try {
-      val published =
-        if ("file" == target.toUri.getScheme || fs.getScheme == "file") {
-          // hard-link = atomic create-if-absent on POSIX
-          val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
-          val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
-          try { java.nio.file.Files.createLink(dst, src); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else {
-          // HDFS rename contract: fails (false) when the destination exists
-          fs.rename(tmp, target)
-        }
-      if (!published) throw new VersionConflictException(tableUri, expectedVersion)
-      expectedVersion
+      if (!store.putIfAbsent(tmp, target))
+        throw new VersionConflictException(tableUri, expectedVersion)
     } finally {
       fs.delete(tmp, false)
     }
+    maybeCheckpoint(expectedVersion)
+    expectedVersion
+  }
+
+  /** Auto-checkpoint policy: every [[checkpointInterval]] commits, when
+    * a SparkSession is attached. Failure to checkpoint never fails the
+    * commit — the JSON log remains the source of truth. */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (sparkOpt.nonEmpty && checkpointInterval > 0 &&
+        version > 0 && version % checkpointInterval == 0) {
+      try checkpoint()
+      catch {
+        case e: Exception =>
+          System.err.println(s"[delta] checkpoint at $version failed (commit is safe): $e")
+      }
+    }
+
+  /** Write a checkpoint of the current snapshot and repoint
+    * `_last_checkpoint`. */
+  def checkpoint(): Long = {
+    val s = sparkOpt.getOrElse(sys.error(
+      s"writing a checkpoint for $tableUri requires DeltaLog.forTable(spark, uri)"))
+    val snap = snapshot()
+    Checkpoints.write(s, fs, logPath, snap)
+    snap.version
   }
 
   /** Version-0 commit for a fresh table. */
@@ -147,7 +189,8 @@ final class VersionConflictException(tableUri: String, version: Long)
   extends RuntimeException(s"commit conflict: version $version of $tableUri already exists")
 
 /** Materialized view of the log at a version. */
-case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files: Seq[AddFile]) {
+case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files: Seq[AddFile],
+    protocol: Protocol = Protocol()) {
   /** Data-file schema = table schema minus partition columns (partition
     * values live in paths/partitionValues, not in the parquet files). */
   def dataSchema: StructType =
@@ -156,5 +199,5 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
 
 object DeltaLog {
   def forTable(spark: SparkSession, tableUri: String): DeltaLog =
-    new DeltaLog(tableUri, spark.sessionState.newHadoopConf())
+    new DeltaLog(tableUri, spark.sessionState.newHadoopConf(), Some(spark))
 }

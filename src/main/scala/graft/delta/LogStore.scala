@@ -1,0 +1,53 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The atomic PUT-if-absent primitive that makes a Delta commit a
+  * transaction: publish `tmp` as `target` iff `target` does not exist,
+  * returning false (never overwriting) when another writer won the race.
+  *
+  * The reference inherits this seam from delta-rs' LogStore; ours keeps
+  * the same contract so an object-store backend is a plug-in, not a
+  * rewrite:
+  *  - `file:` — POSIX hard-link, atomic create-if-absent
+  *    ([[LogStore.FileLogStore]]);
+  *  - HDFS-like — `rename` without overwrite, which the HDFS contract
+  *    defines as failing when the destination exists
+  *    ([[LogStore.RenameLogStore]]);
+  *  - object stores (s3/az/gs) — implement with the store's conditional
+  *    PUT (`If-None-Match: *` on S3/GCS, `If-None-Match` + lease on
+  *    Azure), or a coordination table (DynamoDB) where the store lacks
+  *    one. Plain rename on an object store is copy+delete and NOT
+  *    atomic — [[LogStore.forFileSystem]] deliberately has no default
+  *    for those schemes.
+  */
+trait LogStore {
+  /** Atomically publish `tmp` at `target`; false iff `target` exists. */
+  def putIfAbsent(tmp: Path, target: Path): Boolean
+}
+
+object LogStore {
+
+  /** POSIX hard-link: `link(2)` fails with EEXIST if the target exists,
+    * and the temp file's contents become visible atomically. */
+  final class FileLogStore(fs: FileSystem) extends LogStore {
+    def putIfAbsent(tmp: Path, target: Path): Boolean = {
+      val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+      val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
+      try { java.nio.file.Files.createLink(dst, src); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** HDFS rename contract: returns false when the destination exists. */
+  final class RenameLogStore(fs: FileSystem) extends LogStore {
+    def putIfAbsent(tmp: Path, target: Path): Boolean = fs.rename(tmp, target)
+  }
+
+  /** Pick the implementation for a filesystem. Object-store schemes get
+    * the rename store too (correct on stores with atomic no-overwrite
+    * rename, e.g. HDFS-compatible layers); a true s3/az/gs deployment
+    * must supply a conditional-PUT implementation — see the trait doc. */
+  def forFileSystem(fs: FileSystem): LogStore =
+    if (fs.getScheme == "file") new FileLogStore(fs) else new RenameLogStore(fs)
+}

@@ -1,5 +1,8 @@
 package graft.sorter
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -22,6 +25,22 @@ object Rewriter {
   def sortExprs(cfg: SortConfig): Seq[Column] =
     cfg.sortColumns.map(c =>
       if (cfg.nullsFirst) col(c).asc_nulls_first else col(c).asc_nulls_last)
+
+  /** Exact row count for a file group from the parquet FOOTERS — a
+    * ~KB metadata read per file, no data scan (a `df.count()` here would
+    * read every page: with `spark.sql.parquet.aggregatePushdown` off —
+    * the default — count() is NOT metadata-only, so size-targeted
+    * rewrites were reading their partition twice). Driver-side
+    * sequential IO over the group's files is fine: rewrite groups are
+    * bounded by the planner's group size, not table size. */
+  private def footerRows(spark: SparkSession, log: DeltaLog, files: Seq[AddFile]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(log.tableRoot, f.path), conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 
   /** Globally sort `df`, range-partitioned to roughly the file-size
     * target when one is set. */
@@ -47,8 +66,7 @@ object Rewriter {
       group: RewriteGroup, cfg: SortConfig): PartitionMetrics = {
     val t0 = System.nanoTime()
     val df = DeltaTable.readFiles(spark, log, snap, group.files)
-    // parquet count() is metadata-only — cheap row estimate for sizing
-    val rows = if (cfg.targetFileSizeBytes.isDefined) df.count() else 0L
+    val rows = if (cfg.targetFileSizeBytes.isDefined) footerRows(spark, log, group.files) else 0L
     val (sortedDf, maxRecords) = sorted(df, cfg, group.estimatedBytes, rows)
 
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,
@@ -78,7 +96,7 @@ object Rewriter {
     Validator.validateSortColumns(snap.schema, cfg.sortColumns)
     val df = DeltaTable.readFiles(spark, log, snap, snap.files)
     val bytesIn = snap.files.map(_.size).sum
-    val rows = if (cfg.targetFileSizeBytes.isDefined) df.count() else 0L
+    val rows = if (cfg.targetFileSizeBytes.isDefined) footerRows(spark, log, snap.files) else 0L
     val (sortedDf, maxRecords) = sorted(df, cfg, bytesIn, rows)
 
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,

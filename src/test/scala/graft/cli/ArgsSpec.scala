@@ -1,0 +1,49 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** CLI contract tests: argument parsing (incl. `--log-level`,
+  * main.rs:46-48) and the validate-only exit code (main.rs:84-86 — a
+  * table failing validation must exit non-zero). */
+class ArgsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseArgs handles value flags, boolean flags, and log levels") {
+    val opts = Main.parseArgs(Array(
+      "--table", "/t", "--sort-columns", "a,b", "--dry-run",
+      "--validate-only", "--log-level", "debug", "--concurrency", "4"))
+    assert(opts("table") == "/t")
+    assert(opts("sort-columns") == "a,b")
+    assert(opts("dry-run") == "true")
+    assert(opts("validate-only") == "true")
+    assert(opts("log-level") == "debug")
+    assert(opts("concurrency") == "4")
+  }
+
+  test("parseArgs rejects unknown log levels and stray arguments") {
+    intercept[RuntimeException] {
+      Main.parseArgs(Array("--log-level", "loud"))
+    }
+    intercept[RuntimeException] {
+      Main.parseArgs(Array("stray"))
+    }
+  }
+
+  test("validate-only exits 1 on overlapping files, 0 on a sorted table") {
+    val bad = TestSpark.tmpDir("cli-validate-bad")
+    DeltaTable.create(spark, Seq(1, 5).toDF("v").coalesce(1), bad)
+    DeltaTable.append(spark, bad, Seq(3, 7).toDF("v").coalesce(1))
+    assert(Main.run(spark, Map(
+      "table" -> bad, "sort-columns" -> "v", "validate-only" -> "true")) == 1)
+
+    val good = TestSpark.tmpDir("cli-validate-good")
+    DeltaTable.create(spark, Seq(1, 2).toDF("v").coalesce(1), good)
+    DeltaTable.append(spark, good, Seq(3, 4).toDF("v").coalesce(1))
+    assert(Main.run(spark, Map(
+      "table" -> good, "sort-columns" -> "v", "validate-only" -> "true")) == 0)
+  }
+}

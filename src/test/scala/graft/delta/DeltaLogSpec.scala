@@ -49,6 +49,82 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(v == 1)
   }
 
+  test("checkpoint replay survives deleted pre-checkpoint JSON commits") {
+    val dir = TestSpark.tmpDir("log-checkpoint")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    DeltaTable.append(spark, dir, Seq((2, "b")).toDF("k", "v"))
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.checkpoint() == 2)
+
+    // one post-checkpoint commit, then vacuum away all pre-checkpoint JSON
+    DeltaTable.append(spark, dir, Seq((4, "d")).toDF("k", "v"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter { f =>
+      f.getName.endsWith(".json") && f.getName.stripSuffix(".json").forall(_.isDigit) &&
+        f.getName.stripSuffix(".json").toLong <= 2
+    }.foreach(f => assert(f.delete()))
+
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 3)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(snap.files.size == 4)
+    assert(DeltaTable.read(spark, dir).select("k").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+
+    // commits continue past the checkpoint (latestVersion sees it)
+    val log2 = DeltaLog.forTable(spark, dir)
+    assert(log2.latestVersion() == 3)
+    DeltaTable.append(spark, dir, Seq((5, "e")).toDF("k", "v"))
+    assert(DeltaTable.read(spark, dir).count() == 5)
+  }
+
+  test("auto-checkpoint fires every checkpointInterval commits") {
+    val dir = TestSpark.tmpDir("log-autocp")
+    DeltaTable.create(spark, Seq(0).toDF("v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpointInterval = 2
+    log.commitLatest(Seq(CommitInfo(0L, "WRITE", Map.empty))) // v1
+    log.commitLatest(Seq(CommitInfo(0L, "WRITE", Map.empty))) // v2 -> checkpoint
+    val cpFile = new java.io.File(dir, "_delta_log/00000000000000000002.checkpoint.parquet")
+    assert(cpFile.isFile)
+    val lc = new java.io.File(dir, "_delta_log/_last_checkpoint")
+    assert(lc.isFile)
+    assert(DeltaLog.forTable(spark, dir).snapshot().version == 2)
+  }
+
+  test("multi-part checkpoints are read back") {
+    val dir = TestSpark.tmpDir("log-multicp")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(2), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpoint()
+    // split the single-part checkpoint into the protocol's 2-part layout
+    val logDir = new java.io.File(dir, "_delta_log")
+    val single = new java.io.File(logDir, "00000000000000000000.checkpoint.parquet")
+    val rows = spark.read.parquet(single.toString).collect()
+    val sch = spark.read.parquet(single.toString).schema
+    val half = (rows.length + 1) / 2
+    Seq(rows.take(half) -> 1, rows.drop(half) -> 2).foreach { case (part, i) =>
+      val tmp = TestSpark.tmpDir(s"cp-part-$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq), sch)
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(logDir,
+        f"${0L}%020d.checkpoint.$i%010d.${2}%010d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+    }
+    assert(single.delete())
+    // drop Hadoop's CRC sidecars: this test rewrites files with raw NIO
+    Seq("._last_checkpoint.crc", ".00000000000000000000.checkpoint.parquet.crc")
+      .foreach(n => new java.io.File(logDir, n).delete())
+    java.nio.file.Files.writeString(new java.io.File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":0,"size":${rows.length},"parts":2}""")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 0)
+    assert(snap.files.size == 2)
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
   test("action JSON round-trips through the parser") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)

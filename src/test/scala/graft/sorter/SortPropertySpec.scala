@@ -62,6 +62,23 @@ class SortPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random timestamp lists round-trip") {
+    // the reference's own acknowledged TODO (python/tests/test_sorting.py:20
+    // excludes datetimes); we cover µs-precision timestamps across epochs,
+    // including pre-1970 negatives and identical-second ties
+    implicit val ord: Ordering[java.sql.Timestamp] =
+      Ordering.by((t: java.sql.Timestamp) => (t.getTime, t.getNanos))
+    for (_ <- 1 to 5) {
+      val vs = Seq.fill(rnd.nextInt(30) + 2) {
+        val ms = rnd.between(-5L * 365 * 24 * 3600 * 1000, 50L * 365 * 24 * 3600 * 1000)
+        val t = new java.sql.Timestamp(ms)
+        t.setNanos(rnd.nextInt(1000000) * 1000) // µs precision
+        t
+      }
+      roundTrip[java.sql.Timestamp]("ts", vs, s => s.toDF("v"), _.getTimestamp(0))
+    }
+  }
+
   test("sorted single-file input validates clean") {
     val dir = TestSpark.tmpDir("prop-sorted")
     DeltaTable.create(spark, Seq(1L, 2L, 3L, 7L, 9L).toDF("v").coalesce(1), dir)
