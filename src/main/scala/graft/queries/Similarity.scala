@@ -47,16 +47,36 @@ object Similarity {
     if (((d(0) >> 4) & 1) == 0) 1L else -1L
   }
 
+  /** JVM dot product of a quantized pair — exact long arithmetic,
+    * identical to the declarative [[TextFeatures.qdot]] (which is an
+    * interpreted higher-order function: correct but ~10× slower in the
+    * scoring hot loop; these queries score every candidate pair). */
+  private def dotLong(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0L
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    dot
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_cosine" -> ((s, dir) => {
+      import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
       val q = vecs.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      // query side broadcast (bounded by NQueries); the corpus streams
+      // through the scan once; scoring is a typed narrow map
       val scored = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosineFromInts(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos_sim"))
+          col("qv"), col("v"), col("qn2"), col("n2"))
+        .as[(Long, Long, Array[Long], Array[Long], Long, Long)]
+        .mapPartitions(_.map { case (qId, nId, qv, v, qn2, n2) =>
+          val dot = dotLong(qv, v)
+          // one IEEE div/sqrt from exact BIGINTs — bit-identical to the oracle
+          (qId, nId, dot.toDouble / math.sqrt((qn2 * n2).toDouble))
+        }).toDF("q_id", "neighbor_id", "cos_sim")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -64,26 +84,38 @@ object Similarity {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
+        .as[(Long, Array[Long], Long)]
       // Hyperplane p component i ∈ {+1,-1} from the parity of the first
       // hex digit of md5("p:<p>:<i>") — deterministic and data-independent,
-      // so the weight matrix is evaluated ONCE on the driver and embedded
-      // as a literal (the oracle derives the identical values in SQL).
-      // bucket = Σ_p [ Σ_i w_{p,i}·v_i > 0 ] · 2^p.
-      val bucket = (0 until P).map { p =>
-        val w = typedLit((1 to Dim).map(i => planeWeight(p, i)))
-        when(qdot(w, col("v")) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val bucketed = vecs.withColumn("bucket", bucket)
+      // so the weight matrix is evaluated ONCE on the driver (the oracle
+      // derives the identical values in SQL).
+      // bucket = Σ_p [ Σ_i w_{p,i}·v_i > 0 ] · 2^p, as a typed narrow map.
+      val weights = Array.tabulate(P)(p => Array.tabulate(Dim)(i => planeWeight(p, i + 1)))
+      val bucketed = vecs.mapPartitions(_.map { case (id, v, n2) =>
+        var b = 0L
+        var p = 0
+        while (p < P) {
+          if (dotLong(weights(p), v) > 0) b |= 1L << p
+          p += 1
+        }
+        (id, v, n2, b)
+      }).toDF("vec_id", "v", "n2", "bucket")
       val q = bucketed.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("bucket"))
       val scored = bucketed.join(broadcast(q), Seq("bucket"))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-          cosineFromInts(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos_sim"))
+          col("qv"), col("v"), col("qn2"), col("n2"))
+        .as[(Long, Long, Long, Array[Long], Array[Long], Long, Long)]
+        .mapPartitions(_.map { case (qId, nId, bucket, qv, v, qn2, n2) =>
+          val dot = dotLong(qv, v)
+          (qId, nId, bucket, dot.toDouble / math.sqrt((qn2 * n2).toDouble))
+        }).toDF("q_id", "neighbor_id", "bucket", "cos_sim")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Temporal join operators over `events` — the two classic time-series
+  * shapes a training-data/event pipeline needs that plain equi-joins
+  * can't express, each built Spark-first:
+  *
+  *  - AS-OF join (`q_asof_join`): for every click, the most recent view
+  *    of the same user at-or-before it. Implemented with the
+  *    union-and-carry-forward scheme: tag both sides, union, and take
+  *    `last(..., ignoreNulls)` over a per-user ROWS window — ONE shuffle
+  *    on user_id, no range scan, no point lookups; per-user history is
+  *    the unit of work at any scale (the same shape the sessionization
+  *    uses). DuckDB replays it with a native ASOF LEFT JOIN.
+  *  - bounded RANGE join (`q_range_join`): views within 1 hour before
+  *    each click. Implemented as the canonical bucketed range join: both
+  *    sides key on `us div B` (B = the range width), the probe side
+  *    explodes to the two buckets that can contain matches, and the
+  *    exact `BETWEEN` runs as a residual filter after the equi-join —
+  *    a shuffle join on (user, bucket), never an O(n²) theta join.
+  *
+  * All time arithmetic is integer microseconds on both engines (Spark's
+  * parquet read truncates ns → µs; the oracles truncate identically).
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Range-join window: 1 hour, in µs (also the bucket width). */
+  val RangeUs: Long = 60L * 60 * 1000000
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("us"), cents(col("value")).as("click_cents"))
+      // dedupe the reference side per (user, us): ties at identical
+      // microseconds would make "the most recent" ambiguous across engines
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(cents(col("value"))).as("view_cents"))
+      val probe = clicks.select(col("user_id"), col("us"), lit(1).as("pr"),
+        col("click_cents"),
+        lit(null).cast("long").as("v_us"), lit(null).cast("long").as("v_cents"))
+      val ref = views.select(col("user_id"), col("us"), lit(0).as("pr"),
+        lit(null).cast("long").as("click_cents"),
+        col("us").as("v_us"), col("view_cents").as("v_cents"))
+      // pr orders a view BEFORE a click at the same microsecond, so
+      // "at-or-before" matches the oracle's v.us <= c.us
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("pr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probe.unionByName(ref)
+        .withColumn("m_us", last(col("v_us"), ignoreNulls = true).over(w))
+        .withColumn("m_cents", last(col("v_cents"), ignoreNulls = true).over(w))
+        .where(col("pr") === 1)
+        .select(col("user_id"), col("us").as("click_us"), col("click_cents"),
+          col("m_us").as("view_us"), col("m_cents").as("view_cents"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"), cents(col("value")).as("v_cents"))
+        .withColumn("bucket", expr(s"v_us div $RangeUs"))
+      // a [c_us - B, c_us] range spans at most two B-wide buckets
+      val probes = clicks.withColumn("bucket",
+        explode(array(expr(s"c_us div $RangeUs"), expr(s"c_us div $RangeUs - 1"))))
+      probes.join(views, Seq("user_id", "bucket"))
+        .where(col("v_us") >= col("c_us") - RangeUs && col("v_us") <= col("c_us"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(count(lit(1)).as("n_views"), sum(col("v_cents")).as("view_cents"))
+        .select(col("user_id"), col("c_us").as("click_us"), col("n_views"), col("view_cents"))
+    }))
+
+  private val usCte =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" -> (usCte +
+      """,
+        |c AS (SELECT user_id, us, CAST(round(value*100) AS BIGINT) AS click_cents
+        |  FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, us, MAX(CAST(round(value*100) AS BIGINT)) AS view_cents
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT c.user_id, c.us AS click_us, c.click_cents,
+        |  v.us AS view_us, v.view_cents
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.us <= c.us""".stripMargin),
+
+    "q_range_join" -> (usCte +
+      """,
+        |c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, us AS v_us, CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM e WHERE event_type = 'view')
+        |SELECT c.user_id, c.c_us AS click_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_views,
+        |  CAST(SUM(v_cents) AS BIGINT) AS view_cents
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.v_us >= c.c_us - 3600000000 AND v.v_us <= c.c_us
+        |GROUP BY c.user_id, c.c_us""".stripMargin))
+}

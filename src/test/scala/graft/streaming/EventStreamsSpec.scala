@@ -102,6 +102,29 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sessions (declarative, oracle-checked) equals sessionizeBatch (flatMapGroups)") {
+    val dir = "/root/testdata/sf0.001"
+    // the two implementations are independent: a lag/cumsum window plan
+    // (DuckDB-replayable) vs typed per-user fold state — cross-checking
+    // them pins the sessionization semantics from two directions
+    // value_sum is a double accumulation (order-dependent) — compare the
+    // session identity columns (user, start, end, event count) exactly
+    val fromQuery = graft.queries.Events.queries("q_sessions")(spark, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val fromFold = sessionizeBatch(
+      Tables.table(spark, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event])
+      .collect()
+      .map(s => (s.user_id, fmt.format(s.session_start), fmt.format(s.session_end), s.n_events))
+      .toSet
+    assert(fromQuery === fromFold)
+    assert(fromQuery.nonEmpty)
+  }
+
   test("file-source stream over events parquet produces the batch tumbling result") {
     val dir = "/root/testdata/sf0.001"
     // the fixture stores ns timestamps as long; stage a µs copy
