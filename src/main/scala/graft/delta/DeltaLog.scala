@@ -93,10 +93,51 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * (if any), then the JSON commits after it. */
   def snapshot(): Snapshot = {
     val cp = lastCheckpoint()
-    val cpVersion = cp.map(_.version).getOrElse(-1L)
-    val versions = listVersions().filter(_ > cpVersion)
+    val versions = listVersions().filter(_ > cp.map(_.version).getOrElse(-1L))
     require(cp.nonEmpty || versions.nonEmpty,
       s"not a Delta table (no _delta_log commits): $tableUri")
+    replay(cp, versions)
+  }
+
+  /** Time travel: the snapshot as of `version`. Replays from the newest
+    * complete on-disk checkpoint ≤ `version` (delta-rs `load_version`
+    * equivalent); errors with the missing-commit list when the needed
+    * JSON has been cleaned up past every usable checkpoint. */
+  def snapshotAt(version: Long): Snapshot = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    val cp = listCheckpointVersions().filter(_.version <= version)
+      .sortBy(_.version).lastOption
+    val start = cp.map(_.version).getOrElse(-1L)
+    val versions = listVersions().filter(v => v > start && v <= version)
+    val expected = ((start + 1) to version).toSeq
+    require(versions == expected,
+      s"cannot reconstruct version $version of $tableUri: missing JSON commits " +
+        (expected.toSet -- versions.toSet).toSeq.sorted.mkString(","))
+    replay(cp, versions)
+  }
+
+  /** Complete checkpoints on disk (single-part, or multi-part with every
+    * part present), ascending by version. */
+  private def listCheckpointVersions(): Seq[Checkpoints.LastCheckpoint] = {
+    if (!fs.exists(logPath)) return Seq.empty
+    val names = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+    val single = names.collect {
+      case n if n.matches("""\d{20}\.checkpoint\.parquet""") =>
+        Checkpoints.LastCheckpoint(n.take(20).toLong, -1L, None)
+    }
+    val multi = names.collect {
+      case n if n.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""") =>
+        val seg = n.split('.')
+        (n.take(20).toLong, seg(2).toInt, seg(3).toInt)
+    }
+    val multiComplete = multi.groupBy(t => (t._1, t._3)).collect {
+      case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
+        Checkpoints.LastCheckpoint(v, -1L, Some(n))
+    }.toSeq
+    (single ++ multiComplete).sortBy(_.version)
+  }
+
+  private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long]): Snapshot = {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     var metadata: Option[Metadata] = None
     var protocol: Option[Protocol] = None
@@ -125,11 +166,41 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
     Snapshot(
-      version = math.max(cpVersion, versions.lastOption.getOrElse(-1L)),
+      version = math.max(cp.map(_.version).getOrElse(-1L), versions.lastOption.getOrElse(-1L)),
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = adds.values.toSeq,
       protocol = protocol.getOrElse(Protocol()))
+  }
+
+  /** Delete data files that are no longer referenced by the CURRENT
+    * snapshot and whose modification time is older than `retentionMs`
+    * (delta-rs vacuum equivalent). The retention window protects readers
+    * of recent historical snapshots and concurrently staged writes —
+    * after a vacuum, [[snapshotAt]] versions whose files were dropped
+    * can no longer be materialized (their metadata still replays).
+    * Returns the table-relative paths deleted. */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val snap = snapshot()
+    val root = tableRoot
+    val active = snap.files.map(f => fs.makeQualified(new Path(root, f.path)).toUri).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val deleted = mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = root.toUri.relativize(fs.makeQualified(p).toUri).getPath
+      val topSeg = rel.split('/').head
+      if (st.isFile && rel.endsWith(".parquet") &&
+          !rel.startsWith("_delta_log/") && !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
+          !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
+          !active.contains(fs.makeQualified(p).toUri) &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(p, false)) deleted += rel
+      }
+    }
+    deleted.toSeq
   }
 
   /** Atomically write `actions` as version `expectedVersion`.

@@ -48,6 +48,13 @@ object DeltaTable {
     df.select(snap.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** Time travel: read the table as of a historical `version`. */
+  def readAt(spark: SparkSession, tableUri: String, version: Long): DataFrame = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshotAt(version)
+    readFiles(spark, log, snap, snap.files)
+  }
+
   /** Write `df`'s rows as new data files (staging + rename), returning
     * AddFile actions with paths relative to the table root. Does NOT
     * commit. `dataChange=false` marks rewrites of existing rows

@@ -125,6 +125,43 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() == 2)
   }
 
+  test("time travel reads historical versions; checkpoint bounds how far back") {
+    val dir = TestSpark.tmpDir("log-timetravel")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir)       // v0
+    DeltaTable.append(spark, dir, Seq(2).toDF("v"))       // v1
+    DeltaTable.append(spark, dir, Seq(3).toDF("v"))       // v2
+    (0 to 2).foreach { v =>
+      assert(DeltaTable.readAt(spark, dir, v).count() == v + 1)
+    }
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.checkpoint() == 2)
+    // vacuumed early JSON: versions before the checkpoint become
+    // unreachable with a clear error; the checkpoint version still works
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter(_.getName.matches("""\d{20}\.json"""))
+      .foreach(f => assert(f.delete()))
+    assert(DeltaLog.forTable(spark, dir).snapshotAt(2).files.size == 3)
+    val err = intercept[IllegalArgumentException] {
+      DeltaLog.forTable(spark, dir).snapshotAt(1)
+    }
+    assert(err.getMessage.contains("missing JSON commits"))
+  }
+
+  test("vacuum deletes unreferenced data files only") {
+    val dir = TestSpark.tmpDir("log-vacuum")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val victim = log.snapshot().files.head
+    log.commitLatest(Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    val deleted = log.vacuum(retentionMs = 0L)
+    assert(deleted == Seq(victim.path))
+    assert(!new java.io.File(dir, victim.path).exists())
+    assert(DeltaTable.read(spark, dir).count() == 2)
+    assert(log.vacuum(retentionMs = 0L).isEmpty)
+  }
+
   test("action JSON round-trips through the parser") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)
