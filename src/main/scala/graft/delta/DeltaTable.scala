@@ -119,10 +119,18 @@ object DeltaTable {
   }
 
   /** Append rows to an existing table (used by tests/fixtures to build
-    * many-small-files layouts). */
+    * many-small-files layouts). The incoming schema must match the
+    * table schema by (name, type) — same invariant delta-rs enforces on
+    * write; a silent mismatch would poison every later read. */
   def append(spark: SparkSession, tableUri: String, df: DataFrame): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
+    val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(want == got,
+      s"append schema mismatch for $tableUri: table has " +
+        s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
+        s"${got.toSeq.sortBy(_._1).mkString(", ")}")
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
     log.commit(snap.version + 1, adds :+

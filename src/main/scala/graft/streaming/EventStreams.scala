@@ -141,6 +141,17 @@ object EventStreams {
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEv, s.vSum)
 
+  /** Streaming exact dedup: drop rows whose `event_id` was already seen
+    * within the watermark horizon — the streaming side of
+    * `q_dedup_exact`. `dropDuplicatesWithinWatermark` keeps one state
+    * entry per key and expires it when the watermark passes, so state is
+    * O(events per horizon), never O(all history) — the only way exact
+    * streaming dedup is viable on an unbounded stream. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source form: tail a directory of event parquet files as a
     * stream (schema must be supplied — streaming sources don't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

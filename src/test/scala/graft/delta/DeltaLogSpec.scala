@@ -147,6 +147,17 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("missing JSON commits"))
   }
 
+  test("append rejects a mismatched schema") {
+    val dir = TestSpark.tmpDir("log-schema")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.append(spark, dir, Seq((2, 3)).toDF("k", "v")) // v: int, not string
+    }
+    assert(err.getMessage.contains("append schema mismatch"))
+    DeltaTable.append(spark, dir, Seq((2, "b")).toDF("k", "v"))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
   test("vacuum deletes unreferenced data files only") {
     val dir = TestSpark.tmpDir("log-vacuum")
     DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), dir)

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape invariants for the query inventory — the properties that
+  * keep the plans scale-safe at 100 TB, pinned so a refactor can't
+  * silently regress them:
+  *
+  *  - filters and projections reach the parquet scan (PushedFilters +
+  *    pruned ReadSchema);
+  *  - dimension joins stay broadcast (no fact-side shuffle);
+  *  - top-k compiles to TakeOrderedAndProject (per-partition heap),
+  *    never a global sort;
+  *  - NO query anywhere in the inventory contains an unpartitioned
+  *    window (single-partition WindowExec — the round-1 verdict's
+  *    scale-killer finding).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter_pushdown pushes predicates and prunes columns at the scan") {
+    val plan = formatted("q_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    // only the 4 referenced columns are read — a 2-column projection
+    // reading all 11 lineitem columns would be wrong
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    assert(formatted("q_join_broadcast").contains("BroadcastHashJoin"))
+    val multi = formatted("q_join_multiway")
+    assert(multi.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 1)
+    assert(!multi.contains("SortMergeJoin"), multi)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(formatted("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("no query in the inventory has an unpartitioned window") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val windows = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow => w
+      }
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name contains a window with no partitionBy — single-partition at scale")
+      }
+    }
+  }
+}

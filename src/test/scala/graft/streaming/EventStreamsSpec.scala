@@ -125,6 +125,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(fromQuery.nonEmpty)
   }
 
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = dedupStream(mem.toDF().toDF("ts", "event_id", "payload"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData((ts(100), 1L, "a"), (ts(101), 1L, "a-dup"), (ts(102), 2L, "b"))
+    q.processAllAvailable()
+    // same id again in a later batch, still inside the watermark horizon
+    mem.addData((ts(103), 1L, "a-dup-2"), (ts(104), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("file-source stream over events parquet produces the batch tumbling result") {
     val dir = "/root/testdata/sf0.001"
     // the fixture stores ns timestamps as long; stage a µs copy
