@@ -76,6 +76,25 @@ object TextAnalysis {
           langKeywords.map { case (code, _) => col(s"s_$code") }): _*)
     }),
 
+    // BPE-ish subword token counting: greedy regex over letter runs /
+    // digit runs / single other-symbol — the pre-tokenization shape of a
+    // byte-pair tokenizer (without learned merges). The character
+    // classes are ASCII-explicit so Java regex (Spark) and RE2 (DuckDB)
+    // agree byte-for-byte; still a narrow map, zero shuffle.
+    "q_token_bpeish" -> ((s, dir) => {
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+      table(s, dir, "documents")
+        .select(col("doc_id"), regexp_extract_all(col("text"), lit(pat), lit(0)).as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("n_subtokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct_subtokens"),
+          size(filter(col("tk"), t => t.rlike("^[a-zA-Z]+$"))).cast("long").as("n_alpha"),
+          size(filter(col("tk"), t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"),
+          aggregate(transform(col("tk"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_subtoken_chars"))
+    }),
+
     // Document fingerprinting: full-text content hash + min-shingle-hash
     // (the k=1 MinHash — a locality-sensitive rolling fingerprint).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -124,6 +143,18 @@ object TextAnalysis {
          |SELECT doc_id, lang, $langCase AS predicted,
          | s_de, s_en, s_es, s_fr, s_zh
          |FROM s""".stripMargin,
+
+    "q_token_bpeish" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS tk
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(tk) AS BIGINT) AS n_subtokens,
+        | CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_subtokens,
+        | CAST(len(list_filter(tk, t -> regexp_matches(t, '^[a-zA-Z]+$'))) AS BIGINT) AS n_alpha,
+        | CAST(len(list_filter(tk, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_digit,
+        | COALESCE(CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT), 0) AS n_subtoken_chars
+        |FROM t""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),

@@ -49,6 +49,22 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(v == 1)
   }
 
+  test("concurrent commitLatest serializes through conflict retry") {
+    val dir = TestSpark.tmpDir("log-concurrent")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val versions = Await.result(
+      Future.sequence((1 to 8).map(i => Future {
+        log.commitLatest(Seq(CommitInfo(0L, "WRITE", Map("writer" -> i.toString))))
+      })), 60.seconds)
+    // every writer lands a distinct consecutive version, none lost
+    assert(versions.sorted == (1L to 8L))
+    assert(log.latestVersion() == 8L)
+  }
+
   test("checkpoint replay survives deleted pre-checkpoint JSON commits") {
     val dir = TestSpark.tmpDir("log-checkpoint")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
