@@ -32,6 +32,10 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           name -> Left(e.toString)
+      } finally {
+        // queries cache intermediates internally; drop them so one
+        // query's cache can't evict or skew the next query's timing
+        spark.catalog.clearCache()
       }
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
