@@ -79,6 +79,51 @@ object BinaryAssets {
     }
   }
 
+  /** One sampled frame (payload extraction stubbed as a digest). */
+  case class FrameSample(asset_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Aspect-preserving thumbnail dimensions. */
+  case class Thumb(asset_id: Long, src_w: Int, src_h: Int, thumb_w: Int, thumb_h: Int)
+
+  /** Frame sampling: every `stride`-th frame of each video asset (frame
+    * count from the stub decode). The per-frame pixel grab is the native
+    * codec step, stubbed as a deterministic digest of (payload, frame
+    * index); a real decoder replaces only the digest — the flatMap
+    * shape (one task per payload batch, rows fan out per frame, zero
+    * shuffle) and the output schema stay. */
+  def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").flatMap { a =>
+      val (_, _, nFrames) = decodeStub(a)
+      (0 until nFrames by stride).map { i =>
+        FrameSample(a.asset_id, i.toLong,
+          md5Hex(a.payload ++ s":$i".getBytes("UTF-8")))
+      }
+    }
+  }
+
+  /** Fit (w, h) into maxW×maxH preserving aspect ratio — exact integer
+    * arithmetic (floor, min 1px), never upscaling. The pixel resample
+    * itself is the native-codec step and is not stubbed here because
+    * nothing downstream consumes fake pixels. */
+  def thumbnailDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH <= h.toLong * maxW)
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+    else
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+
+  /** Resize stage for image assets: stub decode for source dimensions,
+    * exact thumbnail-fit arithmetic — a narrow map. */
+  def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Thumb] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "image").map { a =>
+      val (w, h, _) = decodeStub(a)
+      val (tw, th) = thumbnailDims(w, h, maxW, maxH)
+      Thumb(a.asset_id, w, h, tw, th)
+    }
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString

@@ -23,6 +23,14 @@ object Multimodal {
           col("checksum"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    // Frame sampling (every 8th frame of each video): row fan-out per
+    // frame with the per-frame grab stubbed as md5(payload || ':' || i),
+    // which DuckDB reproduces as md5(text || ':' || i).
+    "q_multimodal_frames" -> ((s, dir) => {
+      BinaryAssets.sampleFrames(BinaryAssets.assetsFromDocuments(s, dir), stride = 8)
+        .toDF()
     }))
 
   val oracle: Map[String, String] = Map(
@@ -39,5 +47,16 @@ object Multimodal {
         |  CAST(CASE WHEN modality = 'video' THEN 1 + n_bytes % 32
         |            WHEN modality = 'audio' THEN 1 + n_bytes % 1024
         |            ELSE 1 END AS BIGINT) AS n_frames
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS asset_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT asset_id, text, 1 + n_bytes % 32 AS n_frames FROM v)
+        |SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(text || ':' || i) AS frame_md5
+        |FROM (SELECT asset_id, text,
+        |        unnest([x for x in generate_series(0, n_frames - 1) if x % 8 = 0]) AS i
+        |      FROM f) u""".stripMargin)
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *    division.
   *
   * All expressions are stock Catalyst higher-order functions (`transform`,
-  * `aggregate`, `zip_with`, `filter`) — codegen-friendly, no UDFs, no
-  * shuffle implied by the feature computation itself.
+  * `aggregate`, `zip_with`, `filter`) — no UDFs, no shuffle implied by the
+  * feature computation itself. NOTE: HOFs are interpreted per element, so
+  * the per-row hot loops in [[Dedup]]/[[Similarity]] run typed
+  * `mapPartitions` instead; [[minhashes]], [[qdot]] and [[cosineFromInts]]
+  * stay here as the declarative reference forms those typed passes must
+  * (and, per the oracle hash checks, do) match exactly.
   */
 object TextFeatures {
 

@@ -128,4 +128,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     // modality partitioning from asset_id is stable
     assert(feats.filter(_.asset_id % 3 == 0).forall(_.modality == "image"))
   }
+
+  test("multimodal resize: aspect preserved, bounded, never upscaled") {
+    import BinaryAssets.thumbnailDims
+    assert(thumbnailDims(100, 50, 640, 480) === ((100, 50))) // fits: untouched
+    assert(thumbnailDims(1280, 960, 640, 480) === ((640, 480)))
+    assert(thumbnailDims(2000, 500, 640, 480) === ((640, 160)))
+    assert(thumbnailDims(500, 2000, 640, 480) === ((120, 480)))
+    assert(thumbnailDims(10000, 1, 64, 64) === ((64, 1)))
+    assert(thumbnailDims(1, 10000, 64, 64) === ((1, 64)))
+    val thumbs = BinaryAssets.resize(
+      BinaryAssets.assetsFromDocuments(spark, dir), 64, 64).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { t =>
+      assert(t.thumb_w <= 64 && t.thumb_h <= 64 && t.thumb_w >= 1 && t.thumb_h >= 1)
+      assert(t.thumb_w <= t.src_w && t.thumb_h <= t.src_h)
+    }
+  }
+
+  test("multimodal frame sampling: stride-8 indices, digest per frame") {
+    val frames = BinaryAssets.sampleFrames(
+      BinaryAssets.assetsFromDocuments(spark, dir), stride = 8).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 8 == 0))
+    assert(frames.forall(_.frame_md5.matches("[0-9a-f]{32}")))
+    // video n_frames ≤ 32 → at most ceil(32/8) = 4 samples per asset
+    frames.groupBy(_.asset_id).values.foreach(fs => assert(fs.length <= 4))
+  }
 }
