@@ -143,6 +143,58 @@ object Dedup {
       }.toDF("doc_id", "sh", "mh")
   }
 
+  /** Driver union-find is used for pair sets up to this many edges
+    * (~16 MB of longs at the cap — trivially driver-sized). */
+  val ClusterEdgeCap = 1000000L
+
+  /** Single-pass union-find with path compression; returns
+    * (doc_id, cluster_id = min doc_id of its component), sorted. */
+  private[graft] def unionFind(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    docs.map(d => (d, find(d))).sortBy(_._1).toSeq
+  }
+
+  /** Distributed min-label propagation over an edge DataFrame (d1, d2):
+    * each round joins labels along (bidirected) edges and takes the min,
+    * to fixpoint with a driver convergence check (one count per round).
+    * Rounds = component diameter; for adversarially deep graphs the
+    * alternating small-star/large-star scheme (Kiveris et al.) drops
+    * this to O(log n) with the same per-round shape. */
+  private[graft] def labelPropagation(edges: DataFrame): DataFrame = {
+    val bi = edges.union(edges.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = bi.select(col("src").as("d")).distinct()
+      .withColumn("label", col("d")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = bi.join(labels, bi("src") === labels("d"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = labels.join(prop, labels("d") === prop("dst"), "left")
+        .select(col("d"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "d")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels.select(col("d").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Test-only oracle: exact all-pairs embedding cosine via a driver
     * collect + broadcast. Deliberately NOT in [[queries]] — the corpus
     * collect dies past broadcastable n; the wired scale path is
@@ -280,6 +332,28 @@ object Dedup {
         .where(col("jaccard_bp") >= 5000)
     }),
 
+    // Near-dup CLUSTERS: connected components over the Jaccard pair
+    // graph — the stage that turns pairwise matches into an actionable
+    // keep/drop list (cluster id = smallest doc_id in the component).
+    // The pair set is the OUTPUT of dedup, bounded by the duplicate
+    // count (not the corpus), so up to [[ClusterEdgeCap]] edges a
+    // single-pass driver union-find is the right plan; past the cap,
+    // [[labelPropagation]] runs the same computation as iterated
+    // distributed joins. Both converge to the identical unique fixpoint
+    // (min doc_id per component — PipelineOpsSpec pins their agreement),
+    // which is also what the oracle's recursive CTE computes.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val edges = queries("q_dedup_jaccard")(s, dir)
+        .select(col("d1"), col("d2")).cache()
+      if (edges.count() <= ClusterEdgeCap) {
+        val pairs = edges.as[(Long, Long)].collect()
+        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+      } else {
+        labelPropagation(edges)
+      }
+    }),
+
     // Embedding-cosine near-dup, LSH-bucketed (the 100 TB shape):
     // EBands independent hyperplane bands bucket each vector; candidates
     // are pairs sharing any band bucket; exact integer rerank keeps
@@ -351,6 +425,27 @@ object Dedup {
       |       ELSE [] END) AS sh
       | FROM t)""".stripMargin
 
+  /** Jaccard near-dup SQL, shared by the q_dedup_jaccard oracle and the
+    * q_dedup_clusters oracle (which consumes its pairs as edges). */
+  private val jaccardSql = shingleCte +
+    """,
+      |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
+      |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
+      |keep AS (SELECT shingle FROM inv GROUP BY shingle
+      |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+      |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
+      |  FROM inv JOIN keep USING (shingle)),
+      |common AS (
+      |  SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM ci x JOIN ci y ON x.shingle = y.shingle
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT d1, d2,
+      |  CAST(10000*n_common // (n1 + n2 - n_common) AS BIGINT) AS jaccard_bp
+      |FROM common
+      |WHERE 10000*n_common // (n1 + n2 - n_common) >= 5000""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
@@ -386,24 +481,28 @@ object Dedup {
         |   for b in generate_series(0, 31)]) AS BIGINT) AS simhash
         |FROM h""".stripMargin),
 
-    "q_dedup_jaccard" -> (shingleCte +
-      """,
-        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
-        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
-        |keep AS (SELECT shingle FROM inv GROUP BY shingle
-        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
-        |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
-        |  FROM inv JOIN keep USING (shingle)),
-        |common AS (
-        |  SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS n1, y.n_sh AS n2,
-        |    CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM ci x JOIN ci y ON x.shingle = y.shingle
-        |  WHERE x.doc_id < y.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT d1, d2,
-        |  CAST(10000*n_common // (n1 + n2 - n_common) AS BIGINT) AS jaccard_bp
-        |FROM common
-        |WHERE 10000*n_common // (n1 + n2 - n_common) >= 5000""".stripMargin),
+    "q_dedup_jaccard" -> jaccardSql,
+
+    // Recursive min-label propagation: the component minimum m is smaller
+    // than every other vertex id in its component, so (m → every reachable
+    // d) survives the `label < dst` pruning and MIN(label) per vertex is
+    // exactly the component id — the same unique fixpoint the Spark
+    // iteration converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE edges AS (SELECT d1, d2 FROM (
+         |$jaccardSql
+         |) jac),
+         |bi AS (SELECT d1 AS src, d2 AS dst FROM edges
+         |       UNION ALL SELECT d2, d1 FROM edges),
+         |cc AS (
+         |  SELECT src AS d, src AS label FROM bi
+         |  UNION
+         |  SELECT bi.dst AS d, cc.label
+         |  FROM cc JOIN bi ON cc.d = bi.src
+         |  WHERE cc.label < bi.dst
+         |)
+         |SELECT d AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+         |FROM cc GROUP BY d""".stripMargin,
 
     "q_dedup_embedding_lsh" ->
       """WITH qz AS (SELECT vec_id,

@@ -36,6 +36,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed planted dups: $missed")
   }
 
+  test("cluster assignment: union-find and distributed label propagation agree") {
+    import spark.implicits._
+    val edges = Dedup.queries("q_dedup_jaccard")(spark, dir)
+      .select(col("d1"), col("d2")).cache()
+    val fromUf = Dedup.unionFind(edges.as[(Long, Long)].collect()).toSet
+    val fromLp = Dedup.labelPropagation(edges)
+      .as[(Long, Long)].collect().toSet
+    assert(fromUf === fromLp)
+    assert(fromUf.nonEmpty)
+    // cluster ids are component minima: every cluster_id is a member doc
+    val byCluster = fromUf.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to row count") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val agg = Dedup.queries("q_dedup_exact")(spark, dir)
