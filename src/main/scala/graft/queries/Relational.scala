@@ -118,6 +118,41 @@ object Relational {
           count(lit(1)).as("n_parts"),
           min(col("p_size")).as("min_size"),
           max(col("p_size")).as("max_size"))
+    }),
+
+    // ROLLUP: hierarchical subtotals (flag, status) → (flag) → () in one
+    // pass — Catalyst expands grouping sets map-side, still a single
+    // shuffle; gid disambiguates subtotal rows from genuine NULL groups.
+    "q_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
+    // CUBE: all 2^k grouping-set combinations.
+    "q_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("price_cents"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
+    // Set operations: (customers ordering in 1997) ∩ (1998) \ (BUILDING
+    // segment) — INTERSECT/EXCEPT are distinct-bag joins under the hood.
+    "q_set_ops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      def buyers(year: Int) =
+        o.where(col("o_orderdate") >= lit(s"$year-01-01") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01"))
+          .select(col("o_custkey")).distinct()
+      val building = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      buyers(1997).intersect(buyers(1998)).except(building)
+        .select(col("o_custkey").as("custkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +219,32 @@ object Relational {
         | CAST(COUNT(*) AS BIGINT) AS n_parts,
         | MIN(p_size) AS min_size,
         | MAX(p_size) AS max_size
-        |FROM part GROUP BY p_brand""".stripMargin)
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |     AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) t""".stripMargin)
 }
