@@ -70,6 +70,21 @@ object Events {
           sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // JSON scalar functions: extract props.k (the payload is a JSON
+    // object per event) and aggregate per event type — `get_json_object`
+    // is a codegen'd scalar, the aggregate is the only shuffle.
+    "q_json_props" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
     // Per-user lifetime stats (min/max/count are truncation-monotonic, so
     // µs-vs-ns precision cannot flip them).
     "q_events_user_stats" -> ((s, dir) => {
@@ -122,6 +137,15 @@ object Events {
         | CAST(COUNT(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM h GROUP BY user_id, session_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        | CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_events_user_stats" ->
       """SELECT user_id,
