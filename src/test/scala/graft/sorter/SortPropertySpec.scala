@@ -79,6 +79,25 @@ class SortPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random two-column (string, timestamp) keys round-trip") {
+    // multi-column lexicographic order is the engine's core contract;
+    // duplicate first-column values force the tie-break onto the second
+    for (_ <- 1 to 5) {
+      val dir = TestSpark.tmpDir("prop-multi")
+      val vs = Seq.fill(rnd.nextInt(30) + 2)(
+        (s"k${rnd.nextInt(4)}", new java.sql.Timestamp(rnd.between(0L, 4102444800000L))))
+      DeltaTable.create(spark, vs.toDF("a", "b").repartition(3), dir)
+      val sorter = DeltaSorter(spark, dir)
+      sorter.compact(SortConfig(Seq("a", "b")))
+      assert(sorter.validate(Seq("a", "b")).ok)
+      val got = DeltaTable.read(spark, dir).sort("a", "b").collect().toSeq
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+      implicit val ord: Ordering[(String, java.sql.Timestamp)] =
+        Ordering.by { case (a, b) => (a, b.getTime) }
+      assert(got == vs.sorted, "compacted values != lexicographically sorted input")
+    }
+  }
+
   test("sorted single-file input validates clean") {
     val dir = TestSpark.tmpDir("prop-sorted")
     DeltaTable.create(spark, Seq(1L, 2L, 3L, 7L, 9L).toDF("v").coalesce(1), dir)
