@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `qdot_long(a, b)` — exact integer dot product of two `array<bigint>`
+  * columns, as a NATIVE Catalyst expression with code generation.
+  *
+  * This is the codegen'd form of [[graft.queries.TextFeatures.qdot]]
+  * (the `aggregate(zip_with(...))` higher-order function): the HOF is
+  * interpreted per element and allocates a zipped row per pair, while
+  * this compiles to a tight primitive loop inside whole-stage codegen —
+  * the preferred extension order for a hot scalar (native Expression >
+  * Scala UDF; a UDF would box every array element and break codegen).
+  *
+  * Used by the similarity-search queries ([[graft.queries.Similarity]])
+  * for cosine scoring on quantized embeddings. Arithmetic is exact
+  * BIGINT, identical to the HOF form and the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(a, b), z -> z[1]*z[2]))`.
+  */
+case class QDotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "qdot_long requires two array<bigint> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "qdot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $x.getLong($i) * $y.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  private val qdotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qdot_long"),
+    new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "qdot_long takes exactly 2 arguments")
+      QDotLong(children.head, children(1))
+    })
+
+  /** Register the function library on an existing session (idempotent —
+    * re-registration overwrites with an identical builder). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      qdotDescription._1, qdotDescription._2, qdotDescription._3)
+
+  private[functions] def description = qdotDescription
+}
+
+/** Session-extension entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `qdot_long` available in every new session (the injection path a
+  * deployment uses; in-process callers may use [[GraftFunctions.register]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.description)
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,36 +47,28 @@ object Similarity {
     if (((d(0) >> 4) & 1) == 0) 1L else -1L
   }
 
-  /** JVM dot product of a quantized pair — exact long arithmetic,
-    * identical to the declarative [[TextFeatures.qdot]] (which is an
-    * interpreted higher-order function: correct but ~10× slower in the
-    * scoring hot loop; these queries score every candidate pair). */
-  private def dotLong(a: Array[Long], b: Array[Long]): Long = {
-    var dot = 0L
-    var i = 0
-    while (i < a.length) { dot += a(i) * b(i); i += 1 }
-    dot
+  /** Codegen'd exact dot product ([[graft.functions.QDotLong]]) — the
+    * scoring hot loop stays fully declarative AND compiles into
+    * whole-stage codegen (the HOF form is interpreted; a typed map would
+    * break the codegen stage with an encode/decode boundary). */
+  private def qdotNative(s: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("qdot_long", a, b)
   }
 
   val queries: Map[String, Q] = Map(
     "q_knn_cosine" -> ((s, dir) => {
-      import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
       val q = vecs.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       // query side broadcast (bounded by NQueries); the corpus streams
-      // through the scan once; scoring is a typed narrow map
+      // through the scan once
       val scored = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          col("qv"), col("v"), col("qn2"), col("n2"))
-        .as[(Long, Long, Array[Long], Array[Long], Long, Long)]
-        .mapPartitions(_.map { case (qId, nId, qv, v, qn2, n2) =>
-          val dot = dotLong(qv, v)
-          // one IEEE div/sqrt from exact BIGINTs — bit-identical to the oracle
-          (qId, nId, dot.toDouble / math.sqrt((qn2 * n2).toDouble))
-        }).toDF("q_id", "neighbor_id", "cos_sim")
+          cosineFromInts(qdotNative(s, col("qv"), col("v")),
+            col("qn2"), col("n2")).as("cos_sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -84,38 +76,27 @@ object Similarity {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
-        .as[(Long, Array[Long], Long)]
       // Hyperplane p component i ∈ {+1,-1} from the parity of the first
       // hex digit of md5("p:<p>:<i>") — deterministic and data-independent,
-      // so the weight matrix is evaluated ONCE on the driver (the oracle
-      // derives the identical values in SQL).
-      // bucket = Σ_p [ Σ_i w_{p,i}·v_i > 0 ] · 2^p, as a typed narrow map.
-      val weights = Array.tabulate(P)(p => Array.tabulate(Dim)(i => planeWeight(p, i + 1)))
-      val bucketed = vecs.mapPartitions(_.map { case (id, v, n2) =>
-        var b = 0L
-        var p = 0
-        while (p < P) {
-          if (dotLong(weights(p), v) > 0) b |= 1L << p
-          p += 1
-        }
-        (id, v, n2, b)
-      }).toDF("vec_id", "v", "n2", "bucket")
+      // so the weight matrix is evaluated ONCE on the driver and embedded
+      // as literals (the oracle derives the identical values in SQL).
+      // bucket = Σ_p [ Σ_i w_{p,i}·v_i > 0 ] · 2^p.
+      val bucket = (0 until P).map { p =>
+        val w = typedLit((1 to Dim).map(i => planeWeight(p, i)))
+        when(qdotNative(s, w, col("v")) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = vecs.withColumn("bucket", bucket)
       val q = bucketed.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("bucket"))
       val scored = bucketed.join(broadcast(q), Seq("bucket"))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-          col("qv"), col("v"), col("qn2"), col("n2"))
-        .as[(Long, Long, Long, Array[Long], Array[Long], Long, Long)]
-        .mapPartitions(_.map { case (qId, nId, bucket, qv, v, qn2, n2) =>
-          val dot = dotLong(qv, v)
-          (qId, nId, bucket, dot.toDouble / math.sqrt((qn2 * n2).toDouble))
-        }).toDF("q_id", "neighbor_id", "bucket", "cos_sim")
+          cosineFromInts(qdotNative(s, col("qv"), col("v")),
+            col("qn2"), col("n2")).as("cos_sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("long"))

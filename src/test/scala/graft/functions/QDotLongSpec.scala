@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.TextFeatures
+
+/** Native-expression contract: `qdot_long` must agree exactly with the
+  * interpreted HOF form ([[TextFeatures.qdot]]) it replaces, handle
+  * nulls, work from SQL, and live inside whole-stage codegen. */
+class QDotLongSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
+  import spark.implicits._
+
+  test("SQL evaluation: exact integer dot product") {
+    assert(spark.sql("SELECT qdot_long(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .head().getLong(0) === 32L)
+    assert(spark.sql("SELECT qdot_long(array(-2L, 7L), array(3L, -1L)) AS d")
+      .head().getLong(0) === -13L)
+  }
+
+  test("agrees with the interpreted HOF form on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextInt(2001).toLong - 1000),
+      Array.fill(64)(rnd.nextInt(2001).toLong - 1000)))
+    val df = rows.toDF("a", "b")
+      .select(
+        call_function("qdot_long", col("a"), col("b")).as("native"),
+        TextFeatures.qdot(col("a"), col("b")).as("hof"))
+    assert(df.where(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("null inputs yield null") {
+    val row = spark.sql("SELECT qdot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d").head()
+    assert(row.isNullAt(0))
+  }
+
+  test("runs inside whole-stage codegen (no fallback in the plan)") {
+    // a range source keeps the project stage live (a local Seq would be
+    // constant-folded into a LocalTableScan before execution)
+    val df = spark.range(100).select(col("id"),
+      call_function("qdot_long",
+        array(col("id"), col("id") * 2), array(lit(3L), lit(4L))).as("d"))
+    // the `*(N)` prefix marks operators inside a WholeStageCodegen stage;
+    // a codegen fallback would print a bare `Project`
+    val plan = df.queryExecution.executedPlan.toString
+    val projectLine = plan.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(projectLine.trim.startsWith("*("), plan)
+    assert(df.where(col("d") =!= col("id") * 11).isEmpty) // 3id + 8id
+  }
+}
