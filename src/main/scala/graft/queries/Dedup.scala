@@ -360,59 +360,43 @@ object Dedup {
     // cos ≥ 0.4 (corpus max is ~0.51; real dups would sit ≥ 0.95 where
     // recall ≈ 0.99 — see [[EBands]]). The hyperplane weights are
     // md5-derived ±1 per component (Similarity.planeWeight — no RNG,
-    // derived identically in the oracle SQL); projections and the
-    // candidate rerank are typed narrow maps (the interpreted HOF dot
-    // product allocates per element and was 4.8 s at sf0.1), while
-    // candidate generation and the pair joins stay declarative — the
-    // shuffles move only (band, bucket, vec_id) and candidate ids.
+    // derived identically in the oracle SQL) embedded as plan literals;
+    // projections and the candidate rerank use the codegen'd `qdot_long`
+    // expression ([[graft.functions.QDotLong]] — the interpreted HOF dot
+    // was 4.8 s at sf0.1), so the whole query is one declarative plan
+    // whose shuffles move only (band, bucket, vec_id) and candidate ids.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
-        .as[(Long, Array[Long], Long)]
         .cache()
-      // Weight matrix: data-independent, evaluated once on the driver.
-      val weights: Array[Array[Long]] = Array.tabulate(EBands * EPlanes)(p =>
-        Array.tabulate(Similarity.Dim)(i => Similarity.planeWeight(p, i + 1)))
-      val bands = vecs.mapPartitions { it =>
-        it.flatMap { case (id, v, _) =>
-          (0 until EBands).iterator.map { b =>
-            var bucket = 0L
-            var j = 0
-            while (j < EPlanes) {
-              val w = weights(b * EPlanes + j)
-              var dot = 0L
-              var i = 0
-              while (i < v.length) { dot += w(i) * v(i); i += 1 }
-              if (dot > 0) bucket |= 1L << j
-              j += 1
-            }
-            (id, b.toLong, bucket)
-          }
-        }
-      }.toDF("vec_id", "band", "bucket")
+      val bandCols = (0 until EBands).map { b =>
+        val bucket = (0 until EPlanes).map { j =>
+          val w = typedLit((1 to Similarity.Dim).map(i =>
+            Similarity.planeWeight(b * EPlanes + j, i)))
+          when(call_function("qdot_long", w, col("v")) > 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(b).cast("long").as("band"), bucket.as("bucket"))
+      }
+      val bands = vecs
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cands = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
         .where(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
         .distinct()
-      val vdf = vecs.toDF("vec_id", "v", "n2")
       cands
-        .join(vdf.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
-        .join(vdf.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), "v2")
-        .select(col("v1"), col("v2"), col("va"), col("na"), col("vb"), col("nb"))
-        .as[(Long, Long, Array[Long], Long, Array[Long], Long)]
-        .mapPartitions(_.flatMap { case (v1, v2, va, na, vb, nb) =>
-          var dot = 0L
-          var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-          // exact BIGINT test dot² · 10⁴ > 0.4² · 10⁴ · na · nb, then one
-          // IEEE double div/sqrt — identical to the oracle's arithmetic
-          if (dot > 0 && dot * dot * 10000L > 1600L * na * nb)
-            Some((v1, v2, dot.toDouble / math.sqrt((na * nb).toDouble)))
-          else None
-        })
-        .toDF("v1", "v2", "cos_sim")
+        .join(vecs.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
+        .join(vecs.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), "v2")
+        .withColumn("dot", call_function("qdot_long", col("va"), col("vb")))
+        // exact BIGINT test dot² · 10⁴ > 0.4² · 10⁴ · na · nb, then one
+        // IEEE double div/sqrt — identical to the oracle's arithmetic
+        .where(col("dot") > 0 &&
+          col("dot") * col("dot") * lit(10000L) > lit(1600L) * col("na") * col("nb"))
+        .select(col("v1"), col("v2"),
+          cosineFromInts(col("dot"), col("na"), col("nb")).as("cos_sim"))
     }))
 
   /** Shared oracle CTE: distinct 3-gram shingle sets per document. */
