@@ -21,21 +21,32 @@ object Bench {
     catch { case _: Throwable => }
     // A query that throws is reported as failed and excluded from the
     // timings — a silently-swallowed failure would be timed as if it ran.
+    // Each query runs TWICE and reports the best time: a single-shot
+    // measurement in a shared JVM attributes stray major-GC / JIT-deopt
+    // pauses to whichever query they land on (observed 10× outliers on
+    // trivial aggregates run-to-run); best-of-2 is the steady-state cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Spark prune the projections of map-only queries).
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          name -> Left(e.toString)
-      } finally {
-        // queries cache intermediates internally; drop them so one
-        // query's cache can't evict or skew the next query's timing
-        spark.catalog.clearCache()
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (count() would let
+        // Spark prune the projections of map-only queries).
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Left(e.toString)
+        } finally {
+          // queries cache intermediates internally; drop them so one
+          // run's cache can't serve or skew the next run/query
+          spark.catalog.clearCache()
+        }
+      }
+      name -> (once(), once()) match {
+        case (n, (Right(a), Right(b))) => n -> Right(math.min(a, b))
+        case (n, (_, bad @ Left(_)))   => n -> bad // fail if EITHER run fails
+        case (n, (bad @ Left(_), _))   => n -> bad
       }
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
@@ -83,7 +94,7 @@ object Bench {
         System.err.println(s"[bench] engine ops FAILED: $e")
         """"engine":{"error":true},"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,$engineJson"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"queries":$qs,"failed":$fs,$engineJson"sf":"$sfDir"}""")
     spark.stop()
   }
 }

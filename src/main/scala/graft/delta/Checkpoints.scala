@@ -37,20 +37,28 @@ object Checkpoints {
 
   private def lastCheckpointPath(logPath: Path) = new Path(logPath, "_last_checkpoint")
 
-  /** Read the `_last_checkpoint` pointer, if any. */
-  def lastCheckpoint(fs: FileSystem, logPath: Path, mapper: ObjectMapper): Option[LastCheckpoint] = {
-    val p = lastCheckpointPath(logPath)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val content = try {
-      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-    } finally in.close()
-    val node = mapper.readTree(content)
-    Some(LastCheckpoint(
-      version = node.get("version").asLong(),
-      size = if (node.has("size")) node.get("size").asLong() else -1L,
-      parts = if (node.has("parts")) Some(node.get("parts").asInt()) else None))
-  }
+  /** Read the `_last_checkpoint` pointer, if any. The pointer is
+    * ADVISORY (as in Delta's reference readers): an empty, truncated, or
+    * unparseable pointer — e.g. a reader racing a writer, or a crash
+    * mid-write — yields `None` and callers fall back to log listing /
+    * on-disk checkpoint discovery rather than failing every read. */
+  def lastCheckpoint(fs: FileSystem, logPath: Path, mapper: ObjectMapper): Option[LastCheckpoint] =
+    try {
+      val p = lastCheckpointPath(logPath)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val content = try {
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+      } finally in.close()
+      val node = mapper.readTree(content)
+      if (node == null || !node.hasNonNull("version")) None
+      else Some(LastCheckpoint(
+        version = node.get("version").asLong(),
+        size = if (node.has("size")) node.get("size").asLong() else -1L,
+        parts = if (node.has("parts")) Some(node.get("parts").asInt()) else None))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Checkpoint file paths for a pointer: single-part
     * `NNNNNNNNNNNNNNNNNNNN.checkpoint.parquet` or the protocol's
@@ -147,8 +155,20 @@ object Checkpoints {
     } finally {
       fs.delete(tmp, true)
     }
+    // Publish the pointer via temp-file + rename so no reader ever sees
+    // a truncated/empty `_last_checkpoint` (fs.create(overwrite) would
+    // truncate in place). Rename is last-writer-wins, per the spec; on
+    // stores without atomic rename the advisory-read fallback above
+    // still keeps readers correct.
     val pointer = s"""{"version":${snap.version},"size":${rows.size}}"""
-    val out = fs.create(lastCheckpointPath(logPath), true)
+    val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
+    val out = fs.create(ptrTmp, false)
     try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val ptr = lastCheckpointPath(logPath)
+    fs.delete(ptr, false)
+    if (!fs.rename(ptrTmp, ptr)) {
+      fs.delete(ptrTmp, false)
+      sys.error(s"failed to publish checkpoint pointer $ptr")
+    }
   }
 }

@@ -63,13 +63,17 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   private def lastCheckpoint(): Option[Checkpoints.LastCheckpoint] =
     Checkpoints.lastCheckpoint(fs, logPath, mapper)
 
-  def tableExists: Boolean = listVersions().nonEmpty || lastCheckpoint().nonEmpty
+  def tableExists: Boolean =
+    listVersions().nonEmpty || listCheckpointVersions().nonEmpty
 
   /** Latest committed version — JSON commits or, when early JSON has
-    * been cleaned up past a checkpoint, the checkpoint version. */
+    * been cleaned up past a checkpoint, the checkpoint version. Scans
+    * on-disk checkpoints (not just the advisory pointer) so a lost
+    * `_last_checkpoint` cannot roll version numbering backwards. */
   def latestVersion(): Long =
-    math.max(listVersions().lastOption.getOrElse(-1L),
-      lastCheckpoint().map(_.version).getOrElse(-1L))
+    (listVersions().lastOption.getOrElse(-1L) +:
+      lastCheckpoint().map(_.version).getOrElse(-1L) +:
+      listCheckpointVersions().map(_.version)).max
 
   /** Optimistic-concurrency commit: try at latest+1, on conflict refresh
     * and retry. The reference's per-partition rewrites commit
@@ -90,10 +94,21 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   }
 
   /** Replay the log into the current snapshot: checkpoint state first
-    * (if any), then the JSON commits after it. */
+    * (if any), then the JSON commits after it.
+    *
+    * The `_last_checkpoint` pointer is advisory: when it is absent or
+    * unreadable (deleted, corrupt, mid-write) but the JSON log no longer
+    * reaches version 0 — early commits vacuumed past a checkpoint — the
+    * newest complete on-disk checkpoint (via [[listCheckpointVersions]])
+    * is used instead, so a lost pointer never makes a recoverable table
+    * unreadable. */
   def snapshot(): Snapshot = {
-    val cp = lastCheckpoint()
-    val versions = listVersions().filter(_ > cp.map(_.version).getOrElse(-1L))
+    val json = listVersions()
+    val cp = lastCheckpoint().orElse {
+      if (json.headOption.contains(0L)) None // full JSON replay suffices
+      else listCheckpointVersions().lastOption
+    }
+    val versions = json.filter(_ > cp.map(_.version).getOrElse(-1L))
     require(cp.nonEmpty || versions.nonEmpty,
       s"not a Delta table (no _delta_log commits): $tableUri")
     replay(cp, versions)

@@ -37,13 +37,32 @@ case class QDotLong(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = LongType
   override def prettyName: String = "qdot_long"
 
+  private def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  /** Null if either input is null OR (matching the HOF form, where a
+    * null element nulls the zipped product and then the whole aggregate
+    * sum) if any paired element is null. */
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
+  private def checkElementNulls: Boolean =
+    elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = checkElementNulls
     var dot = 0L
     var i = 0
-    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     dot
   }
 
@@ -51,10 +70,17 @@ case class QDotLong(left: Expression, right: Expression) extends BinaryExpressio
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // ev.isNull is only a real (assignable) variable when `nullable`;
+      // checkElementNulls implies nullable, so the guarded assignment is
+      // safe, and when elements are provably non-null no check is emitted.
+      val nullGuard = if (checkElementNulls)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  ${ev.value} += $x.getLong($i) * $y.getLong($i);
          |}
        """.stripMargin

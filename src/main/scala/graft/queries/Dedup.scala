@@ -188,10 +188,14 @@ object Dedup {
         .cache()
       converged = next.join(labels.withColumnRenamed("label", "old"), "d")
         .where(col("label") =!= col("old")).isEmpty
+      // The convergence check above materialized `next`; drop the
+      // superseded round's cache so storage stays O(1) rounds, not O(50).
+      labels.unpersist(false)
       labels = next
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    bi.unpersist(false) // labels (materialized) no longer needs the edge cache
     labels.select(col("d").as("doc_id"), col("label").as("cluster_id"))
   }
 

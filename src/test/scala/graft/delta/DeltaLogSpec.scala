@@ -94,6 +94,40 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() == 5)
   }
 
+  test("corrupt or deleted _last_checkpoint pointer falls back gracefully") {
+    val dir = TestSpark.tmpDir("log-badptr")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    DeltaTable.append(spark, dir, Seq((2, "b")).toDF("k", "v"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.checkpoint() == 1)
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v")) // v2
+    // vacuum away pre-checkpoint JSON so full JSON replay is impossible
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter { f =>
+      f.getName.matches("""\d{20}\.json""") && f.getName.stripSuffix(".json").toLong <= 1
+    }.foreach(f => assert(f.delete()))
+    val ptr = new java.io.File(logDir, "_last_checkpoint")
+    new java.io.File(logDir, "._last_checkpoint.crc").delete() // raw-NIO rewrite below
+
+    // (a) truncated pointer (crash mid-write / racing reader): advisory —
+    // snapshot recovers via the newest complete on-disk checkpoint
+    java.nio.file.Files.writeString(ptr.toPath, "")
+    assert(DeltaLog.forTable(spark, dir).snapshot().version == 2)
+    // (b) garbage pointer
+    java.nio.file.Files.writeString(ptr.toPath, """{"ver""")
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.size == 3)
+    // (c) deleted pointer
+    assert(ptr.delete())
+    val log2 = DeltaLog.forTable(spark, dir)
+    assert(log2.tableExists)
+    assert(log2.latestVersion() == 2)
+    assert(log2.snapshot().version == 2)
+    assert(DeltaTable.read(spark, dir).count() == 3)
+    // and commits keep numbering forward from the recovered version
+    DeltaTable.append(spark, dir, Seq((4, "d")).toDF("k", "v"))
+    assert(DeltaLog.forTable(spark, dir).snapshot().version == 3)
+  }
+
   test("auto-checkpoint fires every checkpointInterval commits") {
     val dir = TestSpark.tmpDir("log-autocp")
     DeltaTable.create(spark, Seq(0).toDF("v"), dir)

@@ -37,6 +37,32 @@ class QDotLongSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("null ELEMENTS propagate null, matching the HOF form") {
+    // HOF: zip_with multiply nulls the pair, aggregate sum nulls the total
+    val df = spark.sql(
+      """SELECT qdot_long(a, b) AS native,
+        |       aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS hof
+        |FROM VALUES
+        |  (array(1L, NULL, 3L), array(4L, 5L, 6L)),
+        |  (array(1L, 2L),       array(NULL, 5L)),
+        |  (array(1L, 2L),       array(3L, 4L))  AS t(a, b)""".stripMargin)
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 2)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    // interpreted path agrees (eval outside codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val at = ArrayType(LongType, containsNull = true)
+    val lit1 = Literal.create(ArrayData.toArrayData(Array[Any](1L, null, 3L)), at)
+    val lit2 = Literal.create(ArrayData.toArrayData(Array[Any](4L, 5L, 6L)), at)
+    assert(QDotLong(lit1, lit2).eval() == null)
+    assert(QDotLong(lit2, lit2).eval() == 16L + 25L + 36L)
+  }
+
   test("runs inside whole-stage codegen (no fallback in the plan)") {
     // a range source keeps the project stage live (a local Seq would be
     // constant-folded into a LocalTableScan before execution)
