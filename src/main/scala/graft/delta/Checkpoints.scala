@@ -118,14 +118,19 @@ object Checkpoints {
     }
   }
 
-  /** Checkpoint row shapes (the protocol's top-level action columns). */
-  private case class CpFormat(provider: String, options: Map[String, String])
-  private case class CpMeta(id: String, format: CpFormat, schemaString: String,
+  /** Checkpoint row shapes (the protocol's top-level action columns).
+    * `private[delta]`, not `private`: object-private compiles to private
+    * BYTECODE, which Janino-generated encoder code cannot touch — every
+    * checkpoint write then silently falls back to interpreted encoders
+    * (observed as a swallowed CompileException per write). Package-private
+    * is public in bytecode, keeping the write inside codegen. */
+  private[delta] case class CpFormat(provider: String, options: Map[String, String])
+  private[delta] case class CpMeta(id: String, format: CpFormat, schemaString: String,
       partitionColumns: Seq[String], configuration: Map[String, String], createdTime: Long)
-  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
-  private case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
+  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean)
-  private case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
+  private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
       add: Option[CpAdd])
 
   /** Write a single-part checkpoint of `snap` and repoint

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextFeatures.{intDiv, md5Bits32}
+
+/** Wider analytics coverage: pivot/unpivot reshaping, per-group top-k,
+  * exact quantiles, manual correlation, regex extraction, deterministic
+  * hash sampling, fixed-width histograms, and corpus n-gram frequency —
+  * the reporting/profiling layer a training-data pipeline runs next to
+  * the dedup/similarity operators.
+  *
+  * Scale notes (100 TB):
+  *  - pivot compiles to ONE conditional hash aggregate (single shuffle on
+  *    the group key) because the pivot values are enumerated explicitly —
+  *    never let Spark run the extra distinct-values job;
+  *  - per-group top-k is a window over a key-partitioned shuffle (never a
+  *    global sort); the rank predicate prunes to k·groups rows;
+  *  - exact percentile aggregates a per-group value→count map, bounded by
+  *    DISTINCT values per group (l_quantity has ≤ 50) — for genuinely
+  *    high-cardinality measures switch to approx_percentile (t-digest,
+  *    fixed-size sketch); the query shape is identical;
+  *  - correlation is computed from six exact BIGINT power sums (one
+  *    map-side-combined aggregate, one shuffle) and ONE final double
+  *    expression — the same single-pass shape `corr()` uses, but
+  *    hash-stable across engines (see [[Tables]] parity rules);
+  *  - hash sampling is a narrow filter on md5 bits — deterministic,
+  *    reproducible, uniformly distributed, no shuffle, and the predicate
+  *    prunes before any downstream aggregation;
+  *  - the histogram buckets with integer division into fixed-width bins —
+  *    a narrow map + one aggregate; no global min/max pre-pass;
+  *  - n-gram document frequency reuses the typed shingle pass from
+  *    [[Dedup]] (the MinHash hot-loop recipe) and one count aggregate;
+  *    top-k is TakeOrderedAndProject, never a global sort.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Histogram bin width: 50,000.00 in cents. */
+  val HistWidthCents = 5000000L
+  /** Top-k sizes. */
+  val TopKPerGroup = 3
+  val TopNgrams = 20
+
+  val queries: Map[String, Q] = Map(
+    // PIVOT: order revenue by priority, statuses F/O/P as columns.
+    // Values are enumerated, so this is one conditional aggregate.
+    "q_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(cents(col("o_totalprice"))))
+        .select(col("o_orderpriority"),
+          col("F").as("rev_f_cents"), col("O").as("rev_o_cents"),
+          col("P").as("rev_p_cents"))
+    }),
+
+    // UNPIVOT (melt): per-brand part metrics to long form.
+    "q_unpivot" -> ((s, dir) => {
+      table(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(min(col("p_size")).cast("long").as("min_size"),
+          max(col("p_size")).cast("long").as("max_size"),
+          count(lit(1)).as("n_parts"))
+        .unpivot(Array(col("p_brand")),
+          Array(col("min_size"), col("max_size"), col("n_parts")),
+          "metric", "value")
+    }),
+
+    // Top-k PER GROUP: 3 largest orders per priority (key-partitioned
+    // window; contrast with q_topk_orders' global TakeOrdered).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"),
+          row_number().over(w).cast("long").as("rnk"))
+        .where(col("rnk") <= TopKPerGroup)
+    }),
+
+    // EXACT quantiles: quartiles of l_quantity per return flag. The
+    // interpolation position p·(n−1) has fraction ∈ {0,.25,.5,.75} and
+    // the values are integers, so 4·quantile is an exact integer in
+    // double — hash-identical across engines after round().
+    "q_quartiles" -> ((s, dir) => {
+      def qx4(p: Double) =
+        round(percentile(col("l_quantity"), lit(p)) * 4, 0).cast("long")
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_quantity")), 0).cast("long").as("min_qty"),
+          qx4(0.25).as("q1_x4"), qx4(0.5).as("median_x4"), qx4(0.75).as("q3_x4"),
+          round(max(col("l_quantity")), 0).cast("long").as("max_qty"))
+    }),
+
+    // Pearson correlation of quantity vs discount per return flag, from
+    // exact integer power sums; the only double op is the final
+    // expression (identical IEEE evaluation in DuckDB).
+    "q_corr_manual" -> ((s, dir) => {
+      val x = round(col("l_quantity"), 0).cast("long")
+      val y = round(col("l_discount") * 10000, 0).cast("long") // basis points
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sxy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qty_disc"))
+    }),
+
+    // Regex extraction: numeric priority class from 'N-NAME' strings.
+    "q_regex_extract" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1)
+          .cast("long").as("priority_num"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    }),
+
+    // Deterministic 10% hash sample: md5-bit bucket of the key — the
+    // reproducible sampling a pipeline uses for eval splits (narrow
+    // filter; never rand(), which is neither stable nor repartition-safe).
+    "q_sample_hash" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .where(pmod(md5Bits32(col("o_orderkey").cast("string")), lit(10L)) === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    }),
+
+    // Fixed-width histogram of order value (50k-wide bins, integer
+    // division — no min/max pre-pass, single aggregate).
+    "q_histogram" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(intDiv(cents(col("o_totalprice")), lit(HistWidthCents)).as("bin"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("total_cents")).as("min_cents"),
+          max(col("total_cents")).as("max_cents"))
+    }),
+
+    // Corpus n-gram profile: the TopNgrams most document-frequent
+    // 3-gram shingles (typed shingle pass + count + TakeOrdered).
+    "q_ngram_topk" -> ((s, dir) => {
+      Dedup.shingleDocs(s, dir) // (doc_id, sh: array of DISTINCT shingles)
+        .select(explode(col("sh")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("sh").asc)
+        .limit(TopNgrams)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS rev_f_cents,
+        | CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS rev_o_cents,
+        | CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS rev_p_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (SELECT p_brand,
+        |  CAST(MIN(p_size) AS BIGINT) AS min_size,
+        |  CAST(MAX(p_size) AS BIGINT) AS max_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts
+        | FROM part GROUP BY p_brand)
+        |SELECT p_brand, 'min_size' AS metric, min_size AS value FROM a
+        |UNION ALL SELECT p_brand, 'max_size', max_size FROM a
+        |UNION ALL SELECT p_brand, 'n_parts', n_parts FROM a""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, total_cents, rnk FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rnk
+        | FROM orders) t WHERE rnk <= 3""".stripMargin,
+
+    "q_quartiles" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(round(MIN(l_quantity)) AS BIGINT) AS min_qty,
+        | CAST(round(quantile_cont(l_quantity, 0.25)*4) AS BIGINT) AS q1_x4,
+        | CAST(round(quantile_cont(l_quantity, 0.5)*4) AS BIGINT) AS median_x4,
+        | CAST(round(quantile_cont(l_quantity, 0.75)*4) AS BIGINT) AS q3_x4,
+        | CAST(round(MAX(l_quantity)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_corr_manual" ->
+      """WITH v AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity) AS BIGINT) AS x,
+        |  CAST(round(l_discount*10000) AS BIGINT) AS y
+        | FROM lineitem),
+        |a AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy
+        | FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sxy,
+        | CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |   AS corr_qty_disc
+        |FROM a""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS BIGINT) AS priority_num,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderpriority,
+        | CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS total_cents FROM orders)
+        |SELECT total_cents // 5000000 AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | MIN(total_cents) AS min_cents,
+        | MAX(total_cents) AS max_cents
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk)-2)]
+        |       ELSE [] END AS sh
+        | FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM s)
+        |SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM e GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin)
+}

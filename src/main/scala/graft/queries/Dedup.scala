@@ -98,7 +98,7 @@ object Dedup {
 
   /** (doc_id, sh, n_sh): one narrow typed pass computing the shingle
     * sets and their sizes. */
-  private def shingleDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]

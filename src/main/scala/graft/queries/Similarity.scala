@@ -10,7 +10,8 @@ import TextFeatures._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Two paths:
+  * Three paths — exact baseline plus BOTH standard ANN scale shapes
+  * (random-projection LSH and inverted-file coarse quantization):
   *  - `q_knn_cosine` — brute-force exact cosine top-k: the correctness
   *    baseline. The query set is tiny and broadcast; the corpus side
   *    streams through the scan once (no shuffle of the corpus), then a
@@ -37,6 +38,9 @@ object Similarity {
   val P = 4
   /** Embedding dimensionality of the corpus. */
   val Dim = 64
+  /** IVF coarse-quantizer size (inverted lists) and probe width. */
+  val IvfK = 16
+  val IvfProbe = 4
 
   /** JVM evaluation of the hyperplane-weight formula (must match the
     * SQL in [[oracle]]): +1 iff the first hex digit of md5("p:<p>:<i>")
@@ -102,6 +106,57 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= NTop)
         .select(col("q_id"), col("neighbor_id"), col("bucket"), col("cos_sim"), col("rank"))
+    }),
+
+    // IVF (inverted-file) ANN: every corpus vector is assigned to its
+    // nearest of IvfK coarse centroids (its "inverted list"); a query
+    // probes its IvfProbe nearest lists and exactly reranks only those
+    // candidates. Complements q_ann_lsh: IVF partitions by data geometry
+    // (denser regions → finer effective cells), LSH by random projections.
+    //
+    // 100 TB shape: the codebook is metadata (IvfK rows — here chosen
+    // deterministically as the vectors with the smallest md5(vec_id), a
+    // stand-in for a k-means training job's output; the collect is
+    // bounded by the constant IvfK, never by corpus size). Assignment is
+    // then a pure NARROW map — IvfK codegen'd qdot_long scores per row,
+    // argmax via one array_max — so bucketing shuffles nothing; the only
+    // shuffle is the candidate join on list_id, whose size is governed by
+    // nprobe/K of the corpus. That is exactly how FAISS-style IVF shards.
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("v"))
+        .withColumn("n2", qnorm2(col("v")))
+      val cents: Array[(Long, Seq[Long], Long)] = vecs
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(IvfK)
+        .select(col("vec_id"), col("v"), col("n2"))
+        .as[(Long, Seq[Long], Long)].collect()
+      // per-centroid cosine, unrolled to IvfK codegen'd columns; ncid =
+      // -centroid_id so lexicographic struct max = (best cos, LOWEST cid)
+      val scoreStructs = cents.map { case (cid, cv, cn2) =>
+        struct(
+          cosineFromInts(qdotNative(s, typedLit(cv), col("v")),
+            lit(cn2), col("n2")).as("c"),
+          lit(-cid).as("ncid"))
+      }
+      val scoresArr = array(scoreStructs.toIndexedSeq: _*)
+      val assigned = vecs
+        .withColumn("list_id", -array_max(scoresArr).getField("ncid"))
+      val probes = assigned.where(col("vec_id") < NQueries)
+        .withColumn("probe", explode(slice(sort_array(scoresArr, asc = false), 1, IvfProbe)))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+          (-col("probe").getField("ncid")).as("list_id"))
+      val scored = assigned.join(broadcast(probes), Seq("list_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("list_id"),
+          cosineFromInts(qdotNative(s, col("qv"), col("v")),
+            col("qn2"), col("n2")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= NTop)
+        .select(col("q_id"), col("neighbor_id"), col("list_id"), col("cos_sim"), col("rank"))
     }))
 
   private val quantCte =
@@ -144,5 +199,30 @@ object Similarity {
         |r AS (SELECT *, CAST(row_number() OVER
         |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
         | FROM scored)
-        |SELECT q_id, neighbor_id, bucket, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin))
+        |SELECT q_id, neighbor_id, bucket, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin),
+
+    "q_ann_ivf" -> (quantCte +
+      """,
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |asg AS (SELECT vecs.vec_id, v, n2, cid,
+        |  CAST(list_sum(list_transform(list_zip(cv, v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(cn2*n2 AS DOUBLE)) AS c
+        | FROM vecs CROSS JOIN cents),
+        |ranked AS (SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn FROM asg),
+        |lists AS (SELECT vec_id, v, n2, cid AS list_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS list_id FROM ranked
+        |           WHERE vec_id < 10 AND rn <= 4),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vecs WHERE vec_id < 10),
+        |scored AS (SELECT p.q_id, l.vec_id AS neighbor_id, l.list_id,
+        |  CAST(list_sum(list_transform(list_zip(qv, v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qn2*n2 AS DOUBLE)) AS cos_sim
+        | FROM probes p JOIN lists l ON l.list_id = p.list_id
+        | JOIN q ON q.q_id = p.q_id
+        | WHERE l.vec_id <> p.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, neighbor_id, list_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin))
 }

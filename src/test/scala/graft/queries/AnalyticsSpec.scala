@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic invariants for the analytics/reshaping operators and the IVF
+  * ANN path (the DuckDB oracle is the cross-engine value gate; these pin
+  * the data-independent properties). */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_pivot cells sum back to the per-priority totals") {
+    val pivoted = Analytics.queries("q_pivot")(spark, dir)
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        (col("rev_f_cents") + col("rev_o_cents") + col("rev_p_cents")).as("total"))
+    val direct = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(Tables.cents(col("o_totalprice"))).as("expected"))
+    val joined = pivoted.join(direct, "o_orderpriority")
+    assert(joined.where(col("total") =!= col("expected")).isEmpty)
+    assert(joined.count() == 5)
+  }
+
+  test("q_unpivot emits 3 metric rows per brand and round-trips the wide form") {
+    val long = Analytics.queries("q_unpivot")(spark, dir)
+    val perBrand = long.groupBy("p_brand").count().collect()
+    assert(perBrand.nonEmpty && perBrand.forall(_.getLong(1) == 3))
+    val metrics = long.select("metric").distinct().collect().map(_.getString(0)).toSet
+    assert(metrics == Set("min_size", "max_size", "n_parts"))
+    // pivot the long form back: must equal the original wide aggregate
+    val back = long.groupBy("p_brand").pivot("metric",
+      Seq("min_size", "max_size", "n_parts")).agg(first(col("value")))
+    val wide = Tables.table(spark, dir, "part").groupBy(col("p_brand"))
+      .agg(min(col("p_size")).cast("long").as("min_size"),
+        max(col("p_size")).cast("long").as("max_size"),
+        count(lit(1)).as("n_parts"))
+    assert(back.except(wide).isEmpty && wide.except(back).isEmpty)
+  }
+
+  test("q_topk_per_group keeps at most k rows per group, ranked and ordered") {
+    val rows = Analytics.queries("q_topk_per_group")(spark, dir).collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byGroup.size == 5)
+    byGroup.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.length <= Analytics.TopKPerGroup)
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length))
+      // ranks follow the value ordering
+      val vals = sorted.map(_.getAs[Long]("total_cents")).toSeq
+      assert(vals == vals.sorted.reverse)
+    }
+  }
+
+  test("q_quartiles are monotone and inside [min, max]") {
+    Analytics.queries("q_quartiles")(spark, dir).collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_qty") * 4, r.getAs[Long]("max_qty") * 4)
+      val qs = Seq(lo, r.getAs[Long]("q1_x4"), r.getAs[Long]("median_x4"),
+        r.getAs[Long]("q3_x4"), hi)
+      assert(qs == qs.sorted, s"non-monotone quartiles: $r")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("q_corr_manual matches Spark's built-in corr to 1e-9") {
+    val manual = Analytics.queries("q_corr_manual")(spark, dir)
+      .select(col("l_returnflag"), col("corr_qty_disc"))
+    val builtin = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(round(col("l_quantity"), 0),
+        round(col("l_discount") * 10000, 0)).as("expected"))
+    manual.join(builtin, "l_returnflag").collect().foreach { r =>
+      val (a, b) = (r.getAs[Double]("corr_qty_disc"), r.getAs[Double]("expected"))
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+      assert(a >= -1.0 && a <= 1.0)
+    }
+  }
+
+  test("q_sample_hash keeps ~10% of orders, deterministically") {
+    val total = Tables.table(spark, dir, "orders").count()
+    val sampled = Analytics.queries("q_sample_hash")(spark, dir)
+      .agg(sum("n_sampled")).head.getLong(0)
+    assert(sampled > total / 20 && sampled < total / 5,
+      s"$sampled of $total outside (5%, 20%)")
+    val again = Analytics.queries("q_sample_hash")(spark, dir)
+      .agg(sum("n_sampled")).head.getLong(0)
+    assert(again == sampled)
+  }
+
+  test("q_histogram partitions all orders into consistent bins") {
+    val rows = Analytics.queries("q_histogram")(spark, dir).collect()
+    val total = Tables.table(spark, dir, "orders").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val (lo, hi) = (bin * Analytics.HistWidthCents, (bin + 1) * Analytics.HistWidthCents)
+      assert(r.getAs[Long]("min_cents") >= lo && r.getAs[Long]("max_cents") < hi, r)
+    }
+  }
+
+  test("q_ngram_topk returns the k most document-frequent shingles") {
+    val rows = Analytics.queries("q_ngram_topk")(spark, dir).collect()
+    assert(rows.length == Analytics.TopNgrams)
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs == dfs.sorted.reverse)
+    assert(dfs.last >= 1)
+  }
+
+  test("q_ann_ivf: exact rerank within probed lists, decent recall vs exact KNN") {
+    val ivf = Similarity.queries("q_ann_ivf")(spark, dir).collect()
+    val knn = Similarity.queries("q_knn_cosine")(spark, dir).collect()
+    // structure: ≤ NTop per query, ranks contiguous from 1
+    ivf.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val ranks = g.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length) && ranks.length <= Similarity.NTop)
+    }
+    // any (q, neighbor) IVF shares with exact KNN must carry the exact score
+    val exact = knn.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("cos_sim")).toMap
+    val shared = ivf.flatMap { r =>
+      exact.get((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+        .map(e => (r.getAs[Double]("cos_sim"), e))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (a, e) => assert(a == e, s"rerank score $a != exact $e") }
+    // recall@5: nprobe=4 of 16 lists must recover a solid share of the
+    // true top-5 (fixed corpus — checked exactly, not probabilistically)
+    val knnSet = knn.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfSet = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (knnSet & ivfSet).size.toDouble / knnSet.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+  }
+}
