@@ -7,8 +7,8 @@ import java.util.UUID
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
 
 /** DataFrame-level read/write on top of [[DeltaLog]].
   *
@@ -135,5 +135,103 @@ object DeltaTable {
       maxRecordsPerFile = None, dataChange = true)
     log.commit(snap.version + 1, adds :+
       CommitInfo(System.currentTimeMillis(), "WRITE", Map("mode" -> "Append")))
+  }
+
+  /** Result of a [[upsert]]/[[delete]]: how many files were rewritten
+    * and added (untouched files never move). */
+  case class DmlStats(filesRemoved: Int, filesAdded: Int)
+
+  /** MERGE by key (upsert): table rows whose `keyCols` tuple appears in
+    * `updates` are replaced by the update row; update rows with no match
+    * are appended. Equivalent to delta-spark's
+    * `MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`.
+    *
+    * File-level pruning keeps this scale-safe: only data files that
+    * actually CONTAIN a matching key are rewritten —
+    *  1. touched-file discovery scans just the key columns plus
+    *     `input_file_name()` and semi-joins the (broadcast) distinct
+    *     update keys: the shuffle-free probe reads no payload columns;
+    *  2. the touched files alone are re-read (file-list selection, like
+    *     every rewrite here), matching keys anti-joined out, updates
+    *     unioned in, and the result staged as new files;
+    *  3. everything else is untouched — the commit is
+    *     removes(touched) + adds, so a 100 TB table with a 1 GB CDC
+    *     batch rewrites only the files the batch hits.
+    * The touched-file collect is bounded by the ACTIVE FILE COUNT
+    * (metadata scale), never by row count.
+    */
+  def upsert(spark: SparkSession, tableUri: String, updates: DataFrame,
+      keyCols: Seq[String]): DmlStats = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val got = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(want == got,
+      s"upsert schema mismatch for $tableUri: table has " +
+        s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
+        s"${got.toSeq.sortBy(_._1).mkString(", ")}")
+    keyCols.foreach(k => require(want.contains(k), s"key column $k not in table schema"))
+
+    if (updates.isEmpty) return DmlStats(0, 0)
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // multiple update rows for one key would make the merge ambiguous
+    // (delta-spark raises the same error)
+    require(keys.count() == updates.count(),
+      s"upsert updates contain duplicate keys on (${keyCols.mkString(", ")})")
+
+    val touched = touchedFiles(spark, log, snap,
+      _.join(broadcast(keys), keyCols, "left_semi"))
+    val survivors = readFiles(spark, log, snap, touched)
+      .join(broadcast(keys), keyCols, "left_anti")
+    commitRewrite(spark, log, snap, touched,
+      survivors.unionByName(updates), "MERGE",
+      Map("matchedFiles" -> touched.size.toString))
+  }
+
+  /** DELETE rows matching `predicate` (rows where the predicate is NULL
+    * are kept, per SQL DELETE semantics). Same file-level pruning as
+    * [[upsert]]: only files containing at least one matching row are
+    * rewritten; the discovery scan reads only the predicate's columns. */
+  def delete(spark: SparkSession, tableUri: String, predicate: Column): DmlStats = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val touched = touchedFiles(spark, log, snap, _.where(predicate))
+    if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
+    val survivors = readFiles(spark, log, snap, touched)
+      .where(not(coalesce(predicate, lit(false))))
+    commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty)
+  }
+
+  /** Active files containing at least one row selected by `hit`
+    * (compared by URI path — `input_file_name` and `makeQualified`
+    * differ in slash count for the same file). */
+  private def touchedFiles(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      hit: DataFrame => DataFrame): Seq[AddFile] = {
+    if (snap.files.isEmpty) return Nil
+    val withFile = readFiles(spark, log, snap, snap.files)
+      .withColumn("_graft_file", input_file_name())
+    val touchedPaths = hit(withFile)
+      .select(col("_graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val byAbs = snap.files
+      .map(f => new Path(log.tableRoot, f.path).toUri.getPath -> f)
+    byAbs.collect { case (abs, f) if touchedPaths.contains(abs) => f }
+  }
+
+  /** Stage `newData` as replacement files for `touched` and commit
+    * removes + adds (no-op commit avoided when nothing was touched and
+    * nothing new is written). */
+  private def commitRewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      touched: Seq[AddFile], newData: DataFrame, operation: String,
+      params: Map[String, String]): DmlStats = {
+    val adds = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
+      maxRecordsPerFile = None, dataChange = true)
+    if (touched.isEmpty && adds.isEmpty) return DmlStats(0, 0)
+    val now = System.currentTimeMillis()
+    val removes = touched.map(f =>
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+    log.commitLatest(removes ++ adds :+ CommitInfo(now, operation, params))
+    DmlStats(removes.size, adds.size)
   }
 }

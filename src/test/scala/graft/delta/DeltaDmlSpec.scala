@@ -1,0 +1,108 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MERGE (upsert-by-key) and DELETE: value semantics, file-level rewrite
+  * pruning (untouched files must not move), partitioned tables, no-op
+  * short-circuits, and the duplicate-key guard. */
+class DeltaDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def activePaths(dir: String): Set[String] =
+    DeltaLog.forTable(spark, dir).snapshot().files.map(_.path).toSet
+
+  test("upsert replaces matched keys, appends new keys, rewrites only touched files") {
+    val dir = TestSpark.tmpDir("dml-upsert")
+    // 3 files: keys 1-2, 3-4, 5-6
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    DeltaTable.append(spark, dir, Seq((5, "e"), (6, "f")).toDF("k", "v").coalesce(1))
+    val before = activePaths(dir)
+    assert(before.size == 3)
+
+    // touch keys 3 (update) and 9 (insert): only the 3-4 file may move
+    val stats = DeltaTable.upsert(spark, dir,
+      Seq((3, "C!"), (9, "i")).toDF("k", "v"), Seq("k"))
+    assert(stats.filesRemoved == 1)
+
+    val after = activePaths(dir)
+    assert((before -- after).size == 1, "exactly one pre-existing file rewritten")
+    val rows = DeltaTable.read(spark, dir).as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "a"), (2, "b"), (3, "C!"), (4, "d"),
+      (5, "e"), (6, "f"), (9, "i")))
+  }
+
+  test("upsert with only-new keys is a pure append (zero files rewritten)") {
+    val dir = TestSpark.tmpDir("dml-upsert-insert")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val before = activePaths(dir)
+    val stats = DeltaTable.upsert(spark, dir, Seq((2, "b")).toDF("k", "v"), Seq("k"))
+    assert(stats.filesRemoved == 0 && stats.filesAdded >= 1)
+    assert(before.subsetOf(activePaths(dir)))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
+  test("upsert rejects duplicate update keys; empty updates are a no-op") {
+    val dir = TestSpark.tmpDir("dml-upsert-dup")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.upsert(spark, dir, Seq((2, "x"), (2, "y")).toDF("k", "v"), Seq("k"))
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+    val v = DeltaLog.forTable(spark, dir).latestVersion()
+    assert(DeltaTable.upsert(spark, dir,
+      Seq.empty[(Int, String)].toDF("k", "v"), Seq("k")) == DeltaTable.DmlStats(0, 0))
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v, "no-op must not commit")
+  }
+
+  test("upsert on a partitioned table keeps partition values intact") {
+    val dir = TestSpark.tmpDir("dml-upsert-part")
+    DeltaTable.create(spark,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "p", "x"),
+      dir, partitionColumns = Seq("p"))
+    DeltaTable.upsert(spark, dir,
+      Seq((2, "p1", 99), (7, "p3", 70)).toDF("k", "p", "x"), Seq("k"))
+    val rows = DeltaTable.read(spark, dir).as[(Int, String, Int)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "p1", 10), (2, "p1", 99), (3, "p2", 30), (7, "p3", 70)))
+    // p2's file was never touched
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.exists(f => f.partitionValues.get("p").contains("p2")))
+  }
+
+  test("delete removes matching rows and rewrites only files containing them") {
+    val dir = TestSpark.tmpDir("dml-delete")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    DeltaTable.append(spark, dir, Seq((3, "c"), (4, "d")).toDF("k", "v"))
+    val before = activePaths(dir)
+    val stats = DeltaTable.delete(spark, dir, col("k") === 3)
+    assert(stats.filesRemoved == 1)
+    assert((before -- activePaths(dir)).size == 1)
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "b"), (4, "d")))
+    // no match -> no commit
+    val v = DeltaLog.forTable(spark, dir).latestVersion()
+    assert(DeltaTable.delete(spark, dir, col("k") === 999) == DeltaTable.DmlStats(0, 0))
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v)
+  }
+
+  test("delete keeps rows where the predicate is NULL (SQL semantics)") {
+    val dir = TestSpark.tmpDir("dml-delete-null")
+    DeltaTable.create(spark,
+      Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("k", "v"), dir)
+    DeltaTable.delete(spark, dir, col("v") === "a")
+    val kept = DeltaTable.read(spark, dir).select("k").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(2, 3), "NULL-predicate row must survive")
+  }
+
+  test("upsert survives time travel: pre-merge version still readable") {
+    val dir = TestSpark.tmpDir("dml-timetravel")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
+    DeltaTable.upsert(spark, dir, Seq((1, "A!")).toDF("k", "v"), Seq("k")) // v1
+    assert(DeltaTable.readAt(spark, dir, 0).where(col("v") === "a").count() == 1)
+    assert(DeltaTable.read(spark, dir).where(col("v") === "A!").count() == 1)
+  }
+}
