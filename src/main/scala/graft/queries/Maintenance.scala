@@ -161,6 +161,19 @@ object Maintenance {
         .where(col("l_returnflag") === "A" && col("l_linenumber") === 3 && col("l_tax").isNotNull)
         .agg(count(lit(1)).as("n"),
           sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
+    // Morton z-value of (l_orderkey, l_partkey) — the clustering key
+    // behind the engine's OPTIMIZE ZORDER ([[graft.sorter.ZOrder]]),
+    // cross-checked bit-for-bit against DuckDB. Cells are taken mod 2^8
+    // here (exact on both engines) instead of min/max-scaled, isolating
+    // the interleave itself.
+    "q_zorder_key" -> ((s, dir) => {
+      val x = pmod(col("l_orderkey"), lit(256L))
+      val y = pmod(col("l_partkey"), lit(256L))
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          graft.sorter.ZOrder.interleave(Seq(x, y), 8).as("zval"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -234,5 +247,16 @@ object Maintenance {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem
-        |WHERE l_returnflag='A' AND l_linenumber=3 AND l_tax IS NOT NULL""".stripMargin)
+        |WHERE l_returnflag='A' AND l_linenumber=3 AND l_tax IS NOT NULL""".stripMargin,
+
+    // generated 16-term interleave — bit i of x lands at 2i, of y at 2i+1
+    "q_zorder_key" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber, l_partkey,
+         | CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         |FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  l_orderkey % 256 AS x, l_partkey % 256 AS y FROM lineitem) t""".stripMargin
+    })
 }

@@ -116,6 +116,19 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     }
   }
 
+  /** OPTIMIZE ZORDER analog: rewrite the whole table clustered by the
+    * Morton interleave of `zorderColumns` ([[ZOrder]]) so range queries
+    * on ANY of the columns prune files, not just the leading sort key.
+    * `bits` defaults to the widest interleave that fits a long. */
+  def zorderCompact(zorderColumns: Seq[String], bits: Int = 0,
+      targetFileSizeBytes: Option[Long] = None): RunSummary = {
+    val t0 = System.nanoTime()
+    val b = if (bits > 0) bits else ZOrder.maxBits(zorderColumns.size)
+    val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, deltaLog.snapshot(),
+      zorderColumns, b, targetFileSizeBytes)
+    summarize(Seq(m), t0)
+  }
+
   private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
 
   private def summarize(metrics: Seq[PartitionMetrics], t0: Long): RunSummary = {

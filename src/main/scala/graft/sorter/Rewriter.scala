@@ -117,4 +117,39 @@ object Rewriter {
       bytesOut = adds.map(_.size).sum,
       durationMs = (System.nanoTime() - t0) / 1000000L)
   }
+
+  /** OPTIMIZE ZORDER analog: atomically replace the table with files
+    * clustered by the interleaved-bit z-value of `zCols`
+    * ([[ZOrder.zValue]]). Same commit/range-sort machinery as strict
+    * mode ([[fullSortedOverwrite]]) with the z-value as the (dropped
+    * before write) sort key: non-overlapping z-ranges per file, so file
+    * min/max stats prune range predicates on EVERY z column. */
+  def fullZOrderOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      zCols: Seq[String], bits: Int,
+      targetFileSizeBytes: Option[Long]): PartitionMetrics = {
+    val t0 = System.nanoTime()
+    Validator.validateSortColumns(snap.schema, zCols)
+    val df = DeltaTable.readFiles(spark, log, snap, snap.files)
+    val bytesIn = snap.files.map(_.size).sum
+    val rows = if (targetFileSizeBytes.isDefined) footerRows(spark, log, snap.files) else 0L
+    val zcfg = SortConfig(Seq("_graft_z"), targetFileSizeBytes = targetFileSizeBytes)
+    val withZ = df.withColumn("_graft_z", ZOrder.zValue(df, zCols, bits))
+    val (sortedDf, maxRecords) = sorted(withZ, zcfg, bytesIn, rows)
+    // the projection drops the helper key but never reorders rows
+    val adds = DeltaTable.stageWrite(spark, log, sortedDf.drop("_graft_z"),
+      snap.metadata.partitionColumns, maxRecords, dataChange = false)
+    val now = System.currentTimeMillis()
+    val removes = snap.files.map(f =>
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
+      Map("zorderColumns" -> zCols.mkString(","), "bits" -> bits.toString)))
+
+    PartitionMetrics(
+      partition = "__full_table__",
+      filesIn = snap.files.size,
+      filesOut = adds.size,
+      bytesIn = bytesIn,
+      bytesOut = adds.map(_.size).sum,
+      durationMs = (System.nanoTime() - t0) / 1000000L)
+  }
 }

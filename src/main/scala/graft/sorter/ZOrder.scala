@@ -1,0 +1,82 @@
+package graft.sorter
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+
+/** Z-order (Morton-code) multi-dimensional clustering — the natural
+  * extension of the reference's single-key sorter (OPTIMIZE ZORDER BY in
+  * Delta terms): interleaving the bits of k sort dimensions gives ONE
+  * sort key whose ordering preserves locality in every dimension, so
+  * per-file min/max stats prune range queries on ANY z-column, not just
+  * the leading one.
+  *
+  * All pieces are declarative integer expressions (unrolled shifts and
+  * masks — whole-stage codegen, no UDF, no HOF):
+  *  - [[interleave]] is the pure bit-interleave of pre-bounded cells;
+  *  - [[zValue]] normalizes each dimension into [0, 2^bits) by linear
+  *    min/max scaling (one tiny driver-collected aggregate — k min/max
+  *    pairs, metadata scale) and interleaves.
+  *
+  * 100 TB notes: the scaling aggregate is a single cheap pass (or free
+  * when column stats exist); the z-sort itself reuses the engine's
+  * range-partitioned sort (`repartitionByRange` on the z-value), so no
+  * single node ever sees more than one range. Linear scaling is
+  * skew-sensitive (a heavy hitter compresses the rest of the axis);
+  * for skewed dimensions substitute rank-based cells — the interleave
+  * and rewrite machinery are unchanged.
+  */
+object ZOrder {
+
+  /** Max bits per dimension such that k dims fit a signed long. */
+  def maxBits(nDims: Int): Int = math.min(16, 62 / math.max(1, nDims))
+
+  /** Interleaved-bit Morton code of `cells`, each already in
+    * [0, 2^bits): bit i of cell j lands at position i·k + j. Disjoint
+    * positions, so OR-reduce == sum. */
+  def interleave(cells: Seq[Column], bits: Int): Column = {
+    require(cells.nonEmpty, "interleave needs at least one cell")
+    require(bits * cells.size <= 62, s"$bits bits x ${cells.size} dims overflows a long")
+    (0 until bits).flatMap { i =>
+      cells.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * cells.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Scale `c` (numeric/date/timestamp; nulls -> cell 0) into
+    * [0, 2^bits) by linear min/max scaling against driver-literal
+    * bounds. */
+  private def cell(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val n = (1L << bits) - 1
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    coalesce(
+      least(lit(n), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) * lit((n + 1).toDouble / span)).cast("long"))),
+      lit(0L))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  /** Z-value column for `df`'s `cols`: one min/max aggregate over the
+    * k dimensions (driver literals — bounded by k, not by rows), then a
+    * narrow codegen'd map. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    cols.foreach { name =>
+      val f = df.schema(name)
+      require(f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == DateType || f.dataType == TimestampType,
+        s"z-order column $name has unsupported type ${f.dataType.catalogString} " +
+          "(numeric, date, or timestamp required; use a rank/hash cell for strings)")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(asDouble(col(c))).as(s"lo_$c"), max(asDouble(col(c))).as(s"hi_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      cell(col(c), lo, hi, bits)
+    }
+    interleave(cells, bits)
+  }
+}

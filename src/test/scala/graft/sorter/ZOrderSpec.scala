@@ -1,0 +1,103 @@
+package graft.sorter
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** Z-order clustering: the Morton interleave itself (vs a JVM reference
+  * implementation) and the property that justifies it — after
+  * zorderCompact, per-file min/max stats prune range queries on EVERY
+  * z dimension, not just the leading sort key. */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("interleave matches the reference Morton code on the full 8-bit grid") {
+    val pairs = for (x <- 0L until 256L by 17; y <- 0L until 256L by 13) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.interleave(Seq(col("x"), col("y")), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == mortonRef(x, y, 8), s"($x,$y)") }
+    // bijectivity on a small exhaustive grid
+    val all = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 5).as("z"))
+      .as[Long].collect()
+    assert(all.distinct.length == 32 * 32)
+    assert(all.min == 0L && all.max == 32 * 32 - 1)
+  }
+
+  test("zorderCompact clusters both dimensions; linear sort only the first") {
+    // 64x64 uniform grid, shuffled into 16 unclustered files
+    val dir = TestSpark.tmpDir("zorder")
+    val grid = spark.range(64 * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+      .orderBy(md5(col("id").cast("string"))) // shuffle rows
+      .repartition(16)
+    DeltaTable.create(spark, grid, dir)
+
+    def fileSpans(dim: String): Seq[(Long, Long)] = {
+      val log = DeltaLog.forTable(spark, dir)
+      val snap = log.snapshot()
+      DeltaTable.readFiles(spark, log, snap, snap.files)
+        .groupBy(input_file_name())
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+        .select(col("lo"), col("hi")).as[(Long, Long)].collect().toSeq
+    }
+    def avgSpan(dim: String): Double = {
+      val s = fileSpans(dim)
+      s.map { case (lo, hi) => (hi - lo).toDouble }.sum / s.size
+    }
+
+    // unclustered: every file spans ~the whole range in both dims
+    assert(avgSpan("x") > 55 && avgSpan("y") > 55)
+
+    val summary = DeltaSorter(spark, dir).zorderCompact(Seq("x", "y"),
+      targetFileSizeBytes = Some(4096))
+    assert(summary.filesOut > 4, s"want multiple output files, got ${summary.filesOut}")
+
+    // clustered: BOTH dimensions localized (z-order quad blocks)
+    val (sx, sy) = (avgSpan("x"), avgSpan("y"))
+    assert(sx < 40 && sy < 40, s"x-span $sx, y-span $sy after zorder")
+    // rows survived intact
+    assert(DeltaTable.read(spark, dir).count() == 64 * 64)
+    assert(DeltaTable.read(spark, dir).agg(sum("payload")).head.getLong(0) ==
+      (64L * 64 - 1) * (64L * 64) / 2)
+
+    // contrast: a plain linear sort by x localizes x but NOT y
+    val dir2 = TestSpark.tmpDir("zorder-linear")
+    DeltaTable.create(spark, grid, dir2)
+    DeltaSorter(spark, dir2).compact(SortConfig(Seq("x"),
+      repartitionBySortKey = true, targetFileSizeBytes = Some(4096)))
+    val log2 = DeltaLog.forTable(spark, dir2)
+    val snap2 = log2.snapshot()
+    val ySpans = DeltaTable.readFiles(spark, log2, snap2, snap2.files)
+      .groupBy(input_file_name())
+      .agg(min(col("y")).as("lo"), max(col("y")).as("hi"))
+      .select(col("lo"), col("hi")).as[(Long, Long)].collect()
+    val linearYSpan = ySpans.map { case (lo, hi) => (hi - lo).toDouble }.sum / ySpans.length
+    assert(linearYSpan > 55, s"linear sort should NOT localize y (got $linearYSpan)")
+    assert(sy < linearYSpan / 2, "z-order beats linear sort on the second dimension")
+  }
+
+  test("zorderCompact rejects unsupported column types with a clear error") {
+    val dir = TestSpark.tmpDir("zorder-badtype")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    val err = intercept[IllegalArgumentException] {
+      DeltaSorter(spark, dir).zorderCompact(Seq("k", "s"))
+    }
+    assert(err.getMessage.contains("unsupported type"))
+  }
+}
