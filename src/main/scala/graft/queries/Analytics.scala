@@ -44,6 +44,10 @@ object Analytics {
   /** Top-k sizes. */
   val TopKPerGroup = 3
   val TopNgrams = 20
+  /** Salt fan-out for the skewed distinct aggregation. */
+  val Salts = 16L
+  /** Linear-counting bucket count (m). */
+  val LinearCountBuckets = 4096L
 
   val queries: Map[String, Q] = Map(
     // PIVOT: order revenue by priority, statuses F/O/P as columns.
@@ -147,6 +151,41 @@ object Analytics {
           max(col("total_cents")).as("max_cents"))
     }),
 
+    // Salted distinct-count: the skew-mitigation pattern for DISTINCT
+    // aggregation under heavy group keys. The salt is derived from the
+    // DISTINCT column (md5 % Salts), so each l_partkey lands in exactly
+    // one (group, salt) cell and the per-salt distinct counts SUM to the
+    // true distinct count — phase 1 spreads one hot group over Salts
+    // reducers, phase 2 merges Salts tiny rows per group. The oracle is
+    // the plain COUNT(DISTINCT): equality IS the correctness statement.
+    "q_skew_salted_distinct" -> ((s, dir) => {
+      val salt = pmod(md5Bits32(col("l_partkey").cast("string")), lit(Salts))
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), salt.as("salt"))
+        .agg(countDistinct(col("l_partkey")).as("d"), count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("d")).as("n_distinct_parts"), sum(col("c")).as("n_rows"))
+    }),
+
+    // Linear-counting sketch: a deterministic approximate-distinct that
+    // both engines can replay exactly (md5 bucket occupancy + one final
+    // double expression), standing in for HLL where sketches across
+    // engines can't hash-match. Fixed m buckets per group: memory is
+    // O(m), one shuffle of (group, bucket) pairs.
+    "q_approx_distinct" -> ((s, dir) => {
+      val m = LinearCountBuckets
+      val bucket = pmod(md5Bits32(col("l_partkey").cast("string")), lit(m))
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(bucket).as("occupied"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .withColumn("est_distinct",
+          when(col("occupied") >= m, lit(-1L)) // saturated: estimate undefined
+            .otherwise(round(lit(m.toDouble) *
+              log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")), 0)
+              .cast("long")))
+    }),
+
     // Corpus n-gram profile: the TopNgrams most document-frequent
     // 3-gram shingles (typed shingle pass + count + TakeOrdered).
     "q_ngram_topk" -> ((s, dir) => {
@@ -232,6 +271,26 @@ object Analytics {
         | MIN(total_cents) AS min_cents,
         | MAX(total_cents) AS max_cents
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_skew_salted_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_approx_distinct" ->
+      """WITH b AS (SELECT l_returnflag, l_partkey,
+        |  CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bucket
+        | FROM lineitem),
+        |a AS (SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+        | FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, occupied, n_exact,
+        | CASE WHEN occupied >= 4096 THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(round(4096.0 * ln(4096.0 / CAST(4096 - occupied AS DOUBLE))) AS BIGINT)
+        | END AS est_distinct
+        |FROM a""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -109,6 +109,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(dfs.last >= 1)
   }
 
+  test("q_skew_salted_distinct equals the unsalted distinct count") {
+    val salted = Analytics.queries("q_skew_salted_distinct")(spark, dir)
+    val plain = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("expected_d"),
+        count(lit(1)).as("expected_n"))
+    val joined = salted.join(plain, "l_returnflag")
+    assert(joined.where(col("n_distinct_parts") =!= col("expected_d") ||
+      col("n_rows") =!= col("expected_n")).isEmpty)
+    assert(joined.count() == 3)
+  }
+
+  test("q_approx_distinct estimate lands within 15% of exact (unsaturated)") {
+    Analytics.queries("q_approx_distinct")(spark, dir).collect().foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_distinct"), r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("occupied") <= exact)
+      assert(est >= 0, "sf0.001 load factor must not saturate 4096 buckets")
+      assert(math.abs(est - exact).toDouble / exact < 0.15, s"est $est vs exact $exact")
+    }
+  }
+
   test("q_ann_ivf: exact rerank within probed lists, decent recall vs exact KNN") {
     val ivf = Similarity.queries("q_ann_ivf")(spark, dir).collect()
     val knn = Similarity.queries("q_knn_cosine")(spark, dir).collect()

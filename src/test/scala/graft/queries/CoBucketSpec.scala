@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Co-located (bucketed) joins — the zero-shuffle join layout for a
+  * repeatedly-joined fact/dim pair at 100 TB: both sides pre-hashed into
+  * the same bucket count on the join key at WRITE time, so the join
+  * needs no exchange at READ time on any cluster size. This is the
+  * "pre-partition instead of re-shuffling every query" answer the
+  * engine's design rules promise; the spec pins that the plan really is
+  * exchange-free (a config/refactor regression would silently bring the
+  * shuffle back). */
+class CoBucketSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("join of co-bucketed tables plans without any shuffle exchange") {
+    val n = 10000
+    spark.sql("DROP TABLE IF EXISTS cb_orders")
+    spark.sql("DROP TABLE IF EXISTS cb_lines")
+    spark.range(n).select(col("id").as("k"), (col("id") % 7).as("pri"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("cb_orders")
+    spark.range(3 * n).select((col("id") % n).as("k"), col("id").as("line"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("cb_lines")
+
+    val joined = spark.table("cb_orders").join(spark.table("cb_lines"), "k")
+      .groupBy("pri").agg(count(lit(1)).as("cnt"))
+    // disable broadcast so the test exercises the bucketed path, not BHJ
+    val rows = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // AdaptiveSparkPlanExec has no children, so unwrap it before collect
+      val exec = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+      // the JOIN itself is exchange-free; the only allowed shuffle is the
+      // 3-row groupBy(pri) ABOVE the join
+      assert(shuffles.size <= 1, exec.toString)
+      val joinSubtree = exec.collectFirst {
+        case j if j.nodeName.contains("SortMergeJoin") => j
+      }.getOrElse(fail(s"no SortMergeJoin in:\n$exec"))
+      assert(joinSubtree.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"bucketed join must not shuffle either side:\n$joinSubtree")
+      joined.collect()
+    }
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 3L * n)
+    spark.sql("DROP TABLE IF EXISTS cb_orders")
+    spark.sql("DROP TABLE IF EXISTS cb_lines")
+  }
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
