@@ -11,11 +11,14 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * graft.cli.Main --table URI --sort-columns a,b [--nulls first|last]
   *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
   *   [--validate-only] [--repartition-by-sort-key] [--log-level LEVEL]
+  *   [--zorder] [--zorder-bits N]
   * }}}
   *
   * `--validate-only` prints the report and exits non-zero when
   * violations exist (main.rs:84-86); `--log-level` sets the Spark log
-  * level (main.rs:46-48's env_logger filter). */
+  * level (main.rs:46-48's env_logger filter); `--zorder` rewrites the
+  * table clustered by the Morton interleave of `--sort-columns`
+  * (OPTIMIZE ZORDER — beyond the reference's surface). */
 object Main {
 
   private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
@@ -25,7 +28,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--dry-run" | "--validate-only" | "--repartition-by-sort-key") =>
+        case flag @ ("--dry-run" | "--validate-only" | "--repartition-by-sort-key" | "--zorder") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -64,6 +67,13 @@ object Main {
         return 1
       }
       println("ordering validation passed")
+      0
+    } else if (opts.contains("zorder")) {
+      val summary = sorter.zorderCompact(sortColumns,
+        bits = opts.get("zorder-bits").map(_.toInt).getOrElse(0),
+        targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong))
+      println(s"zorder complete: files ${summary.filesIn}->${summary.filesOut} " +
+        s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
       0
     } else {
       val cfg = SortConfig(

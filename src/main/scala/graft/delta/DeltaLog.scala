@@ -152,6 +152,21 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     (single ++ multiComplete).sortBy(_.version)
   }
 
+  /** The actions of one committed JSON version. Errors if that commit's
+    * JSON has been cleaned up (a checkpoint summarizes state, not the
+    * per-commit deltas needed here). */
+  def actionsAt(version: Long): Seq[Action] = {
+    val f = versionFile(version)
+    require(fs.exists(f),
+      s"commit JSON for version $version of $tableUri is gone (vacuumed past a checkpoint?)")
+    val in = fs.open(f)
+    val content = try {
+      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    } finally in.close()
+    content.split('\n').filter(_.trim.nonEmpty).toSeq
+      .flatMap(line => Action.fromJson(mapper.readTree(line)))
+  }
+
   private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long]): Snapshot = {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     var metadata: Option[Metadata] = None
@@ -170,15 +185,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"reading the checkpointed table $tableUri requires DeltaLog.forTable(spark, uri)"))
       Checkpoints.readActions(s, Checkpoints.paths(logPath, c)).foreach(apply)
     }
-    versions.foreach { v =>
-      val in = fs.open(versionFile(v))
-      val content = try {
-        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
-      } finally in.close()
-      content.split('\n').filter(_.trim.nonEmpty).foreach { line =>
-        Action.fromJson(mapper.readTree(line)).foreach(apply)
-      }
-    }
+    versions.foreach(v => actionsAt(v).foreach(apply))
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
     Snapshot(
       version = math.max(cp.map(_.version).getOrElse(-1L), versions.lastOption.getOrElse(-1L)),

@@ -141,6 +141,37 @@ object DeltaTable {
     * and added (untouched files never move). */
   case class DmlStats(filesRemoved: Int, filesAdded: Int)
 
+  /** Incremental change feed: the rows INSERTED in versions
+    * `(fromVersion, toVersion]`, tagged with `_commit_version` — i.e.
+    * the files committed with `dataChange = true`. This is the payoff
+    * of the engine's dataChange discipline: compaction / sorted
+    * overwrite / z-order rewrites commit with `dataChange = false`
+    * (they move rows, not change them) and are INVISIBLE here, so an
+    * incremental consumer never reprocesses a maintenance rewrite.
+    *
+    * Insert-feed semantics: appends and the new files of MERGE/DELETE
+    * rewrites appear; removed rows are not replayed (full CDF delete
+    * rows would need row-level tracking). Requires the per-commit JSON
+    * for the range — checkpoints summarize state and cannot provide
+    * per-commit deltas. */
+  def changesBetween(spark: SparkSession, tableUri: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshotAt(toVersion)
+    val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val adds = log.actionsAt(v).collect { case a: AddFile if a.dataChange => a }
+      if (adds.isEmpty) None
+      else Some(readFiles(spark, log, snap, adds)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+    }
+    batches.reduceOption(_.unionByName(_)).getOrElse {
+      readFiles(spark, log, snap, Nil)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(0L))
+    }
+  }
+
   /** MERGE by key (upsert): table rows whose `keyCols` tuple appears in
     * `updates` are replaced by the update row; update rows with no match
     * are appended. Equivalent to delta-spark's

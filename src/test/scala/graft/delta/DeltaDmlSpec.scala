@@ -98,6 +98,30 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2, 3), "NULL-predicate row must survive")
   }
 
+  test("changesBetween feeds inserts only, skipping dataChange=false rewrites") {
+    val dir = TestSpark.tmpDir("dml-cdf")
+    // descending key order -> the compact below has real work to do
+    DeltaTable.create(spark,
+      Seq((2L, 20L), (1L, 10L)).toDF("k", "v").coalesce(1), dir)        // v0
+    DeltaTable.append(spark, dir, Seq((3L, 30L)).toDF("k", "v"))        // v1
+    // maintenance rewrite: moves every row, changes none (dataChange=false;
+    // the partition-compact path, like OPTIMIZE — strict overwrite is a
+    // WRITE-mode op and deliberately stays dataChange=true)
+    graft.sorter.DeltaSorter(spark, dir).compact(
+      graft.sorter.SortConfig(Seq("k")))                                // v2
+    DeltaTable.append(spark, dir, Seq((4L, 40L)).toDF("k", "v"))        // v3
+
+    val feed = DeltaTable.changesBetween(spark, dir, 0, 3)
+      .select("k", "_commit_version").as[(Long, Long)].collect().sorted
+    assert(feed.toSeq == Seq((3L, 1L), (4L, 3L)),
+      "only appended rows appear; the v2 compaction re-emits nothing")
+    // a window holding only the maintenance rewrite is empty
+    assert(DeltaTable.changesBetween(spark, dir, 1, 2).isEmpty)
+    // the empty feed still carries the table schema + version column
+    assert(DeltaTable.changesBetween(spark, dir, 1, 2).columns.toSeq ==
+      Seq("k", "v", "_commit_version"))
+  }
+
   test("upsert survives time travel: pre-merge version still readable") {
     val dir = TestSpark.tmpDir("dml-timetravel")
     DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
