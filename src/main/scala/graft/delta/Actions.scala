@@ -73,13 +73,19 @@ object Action {
     } else if (node.has("protocol")) {
       val p = node.get("protocol")
       Some(Protocol(p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+    } else if (node.has("txn")) {
+      val t = node.get("txn")
+      Some(SetTransaction(
+        appId = t.get("appId").asText(),
+        version = t.get("version").asLong(),
+        lastUpdated = if (t.has("lastUpdated")) t.get("lastUpdated").asLong() else 0L))
     } else if (node.has("commitInfo")) {
       val c = node.get("commitInfo")
       Some(CommitInfo(
         timestamp = if (c.has("timestamp")) c.get("timestamp").asLong() else 0L,
         operation = if (c.has("operation")) c.get("operation").asText() else "",
         operationParameters = strMap(c.get("operationParameters"))))
-    } else None // unknown action kinds (cdc, txn, ...) are ignored on replay
+    } else None // unknown action kinds (cdc, domainMetadata, ...) are ignored on replay
   }
 }
 
@@ -125,6 +131,15 @@ case class Metadata(
 case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action {
   def json: String =
     s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion}}"""
+}
+
+/** Application transaction watermark (the protocol's `txn` action):
+  * writers record (appId, version) with a commit and skip any batch
+  * whose version they have already recorded — the exactly-once
+  * idempotence primitive for streaming sinks and retried jobs. */
+case class SetTransaction(appId: String, version: Long, lastUpdated: Long) extends Action {
+  def json: String =
+    s"""{"txn":{"appId":${jstr(appId)},"version":$version,"lastUpdated":$lastUpdated}}"""
 }
 
 /** Operation provenance recorded with each commit (the reference records

@@ -114,6 +114,11 @@ object Checkpoints {
         Protocol(
           opt[Int](p, "minReaderVersion").getOrElse(1),
           opt[Int](p, "minWriterVersion").getOrElse(2)): Action
+      }).orElse(struct("txn").map { t =>
+        SetTransaction(
+          appId = t.getAs[String]("appId"),
+          version = opt[Long](t, "version").getOrElse(0L),
+          lastUpdated = opt[Long](t, "lastUpdated").getOrElse(0L)): Action
       })
     }
   }
@@ -130,8 +135,9 @@ object Checkpoints {
   private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean)
+  private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
-      add: Option[CpAdd])
+      add: Option[CpAdd], txn: Option[CpTxn])
 
   /** Write a single-part checkpoint of `snap` and repoint
     * `_last_checkpoint`. The parquet write is a normal Spark job (one
@@ -142,12 +148,16 @@ object Checkpoints {
     import spark.implicits._
     val meta = snap.metadata
     val rows =
-      CpRow(Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion)), None, None) +:
+      CpRow(Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion)),
+        None, None, None) +:
       CpRow(None, Some(CpMeta(meta.id, CpFormat("parquet", Map.empty), meta.schemaString,
-        meta.partitionColumns, meta.configuration, 0L)), None) +:
+        meta.partitionColumns, meta.configuration, 0L)), None, None) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        CpRow(None, None, None, Some(CpTxn(app, v, 0L)))
+      } ++
       snap.files.map(a =>
         CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
-          dataChange = false))))
+          dataChange = false)), None)))
     val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")
     try {
       spark.createDataset(rows).repartition(1).write.mode("overwrite").parquet(tmp.toString)

@@ -169,6 +169,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 
   private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long]): Snapshot = {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = mutable.Map.empty[String, Long]
     var metadata: Option[Metadata] = None
     var protocol: Option[Protocol] = None
 
@@ -177,6 +178,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case r: RemoveFile => adds.remove(r.path)
       case m: Metadata => metadata = Some(m)
       case p: Protocol => protocol = Some(p)
+      case t: SetTransaction =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
       case _: CommitInfo => ()
     }
 
@@ -192,7 +195,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = adds.values.toSeq,
-      protocol = protocol.getOrElse(Protocol()))
+      protocol = protocol.getOrElse(Protocol()),
+      txns = txns.toMap)
   }
 
   /** Delete data files that are no longer referenced by the CURRENT
@@ -281,9 +285,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 final class VersionConflictException(tableUri: String, version: Long)
   extends RuntimeException(s"commit conflict: version $version of $tableUri already exists")
 
-/** Materialized view of the log at a version. */
+/** Materialized view of the log at a version. `txns` is the latest
+  * recorded [[SetTransaction]] version per appId (the exactly-once
+  * watermark for idempotent writers). */
 case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files: Seq[AddFile],
-    protocol: Protocol = Protocol()) {
+    protocol: Protocol = Protocol(), txns: Map[String, Long] = Map.empty) {
   /** Data-file schema = table schema minus partition columns (partition
     * values live in paths/partitionValues, not in the parquet files). */
   def dataSchema: StructType =

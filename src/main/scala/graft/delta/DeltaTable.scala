@@ -41,9 +41,12 @@ object DeltaTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val paths = files.map(f => new Path(log.tableRoot, f.path).toString)
     val partCols = snap.metadata.partitionColumns
+    // the explicit snapshot schema (not inference) makes columns added
+    // by schema evolution read as NULL from pre-evolution files
     val df =
       if (partCols.isEmpty) spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      else spark.read.option("basePath", log.tableRoot.toString).parquet(paths: _*)
+      else spark.read.schema(snap.schema)
+        .option("basePath", log.tableRoot.toString).parquet(paths: _*)
     // normalize to the declared schema: order + partition-column types
     df.select(snap.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
@@ -121,20 +124,81 @@ object DeltaTable {
   /** Append rows to an existing table (used by tests/fixtures to build
     * many-small-files layouts). The incoming schema must match the
     * table schema by (name, type) — same invariant delta-rs enforces on
-    * write; a silent mismatch would poison every later read. */
-  def append(spark: SparkSession, tableUri: String, df: DataFrame): Unit = {
+    * write; a silent mismatch would poison every later read.
+    *
+    * With `mergeSchema = true`, columns present in `df` but not in the
+    * table are ADDED to the table schema (schema evolution): the commit
+    * carries an updated `metaData` action, and pre-evolution files read
+    * the new columns as NULL (the reader always applies the snapshot
+    * schema, never per-file inference). Existing columns must still
+    * match by type; dropping or retyping columns is not evolution. */
+  def append(spark: SparkSession, tableUri: String, df: DataFrame,
+      mergeSchema: Boolean = false): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
     val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    require(want == got,
+    val newCols = df.schema.fields.filter(f => !want.contains(f.name))
+    val mismatch = snap.schema.fields.filter(f => got.get(f.name).exists(_ != f.dataType)).toSeq ++
+      (if (mergeSchema) Seq.empty else newCols.toSeq) ++
+      snap.schema.fields.filter(f => !got.contains(f.name)).toSeq
+    require(mismatch.isEmpty,
       s"append schema mismatch for $tableUri: table has " +
         s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
-        s"${got.toSeq.sortBy(_._1).mkString(", ")}")
+        s"${got.toSeq.sortBy(_._1).mkString(", ")}" +
+        (if (!mergeSchema && newCols.nonEmpty) " (pass mergeSchema=true to add columns)" else ""))
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
-    log.commit(snap.version + 1, adds :+
-      CommitInfo(System.currentTimeMillis(), "WRITE", Map("mode" -> "Append")))
+    val evolution =
+      if (newCols.isEmpty) Nil
+      else {
+        val merged = org.apache.spark.sql.types.StructType(
+          snap.schema.fields.toSeq ++ newCols.map(_.copy(nullable = true)))
+        Seq(snap.metadata.copy(schemaString = merged.json))
+      }
+    log.commit(snap.version + 1, evolution ++ adds :+
+      CommitInfo(System.currentTimeMillis(), "WRITE",
+        Map("mode" -> "Append") ++
+          (if (evolution.nonEmpty)
+            Map("newColumns" -> newCols.map(_.name).mkString(",")) else Map.empty)))
+  }
+
+  /** Idempotent append — the exactly-once primitive for streaming sinks
+    * and retried batch jobs (the protocol's `txn` action): the commit
+    * carries a [[SetTransaction]] watermark, and a batch whose
+    * (appId, txnVersion) the table has already recorded is skipped
+    * without staging anything. Returns true iff this call committed.
+    *
+    * The conflict loop re-checks the watermark after every lost race,
+    * so two writers replaying the same batch commit it exactly once
+    * (the loser deletes its staged files). Use from
+    * `writeStream.foreachBatch((batch, id) => appendIfNew(..., id))`. */
+  def appendIfNew(spark: SparkSession, tableUri: String, df: DataFrame,
+      appId: String, txnVersion: Long): Boolean = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    var snap = log.snapshot()
+    if (snap.txns.get(appId).exists(_ >= txnVersion)) return false
+    val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
+      maxRecordsPerFile = None, dataChange = true)
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    while (true) {
+      try {
+        log.commit(snap.version + 1, adds ++ Seq(
+          SetTransaction(appId, txnVersion, System.currentTimeMillis()),
+          CommitInfo(System.currentTimeMillis(), "STREAMING UPDATE",
+            Map("appId" -> appId, "epochId" -> txnVersion.toString))))
+        return true
+      } catch {
+        case _: VersionConflictException =>
+          snap = log.snapshot()
+          if (snap.txns.get(appId).exists(_ >= txnVersion)) {
+            // a racing writer landed this very batch: ours must not double in
+            adds.foreach(a => fs.delete(new Path(log.tableRoot, a.path), false))
+            return false
+          }
+      }
+    }
+    false // unreachable
   }
 
   /** Result of a [[upsert]]/[[delete]]: how many files were rewritten

@@ -1,0 +1,107 @@
+package graft.delta
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Schema evolution (mergeSchema appends) and the exactly-once write
+  * primitive (`txn` watermarks + appendIfNew), including a real
+  * Structured Streaming foreachBatch sink into the Delta table. */
+class DeltaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("mergeSchema append adds a column; old files read it as NULL") {
+    val dir = TestSpark.tmpDir("evo-add")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    // without the flag the new column is rejected
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.append(spark, dir, Seq((2L, "b", 99L)).toDF("k", "v", "score"))
+    }
+    assert(err.getMessage.contains("mergeSchema"))
+
+    DeltaTable.append(spark, dir,
+      Seq((2L, "b", 99L)).toDF("k", "v", "score"), mergeSchema = true)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(snap.schema("score").nullable)
+    val rows = DeltaTable.read(spark, dir)
+      .select("k", "score").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(99L))),
+      "pre-evolution file must surface NULL for the added column")
+    // post-evolution appends must carry the full (evolved) schema
+    DeltaTable.append(spark, dir, Seq((3L, "c", 7L)).toDF("k", "v", "score"))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+  }
+
+  test("mergeSchema still rejects a retyped existing column") {
+    val dir = TestSpark.tmpDir("evo-retype")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      DeltaTable.append(spark, dir, Seq((2L, 5L)).toDF("k", "v"), mergeSchema = true)
+    }
+  }
+
+  test("appendIfNew commits a batch exactly once across retries") {
+    val dir = TestSpark.tmpDir("txn-once")
+    DeltaTable.create(spark, Seq((0L, "seed")).toDF("k", "v"), dir)
+    assert(DeltaTable.appendIfNew(spark, dir, Seq((1L, "b0")).toDF("k", "v"), "app", 0L))
+    // replay of the same epoch: skipped, nothing staged
+    assert(!DeltaTable.appendIfNew(spark, dir, Seq((1L, "b0")).toDF("k", "v"), "app", 0L))
+    // an older epoch arriving late is also skipped
+    assert(!DeltaTable.appendIfNew(spark, dir, Seq((9L, "x")).toDF("k", "v"), "app", -1L))
+    // the next epoch commits; an unrelated app has its own watermark
+    assert(DeltaTable.appendIfNew(spark, dir, Seq((2L, "b1")).toDF("k", "v"), "app", 1L))
+    assert(DeltaTable.appendIfNew(spark, dir, Seq((3L, "o0")).toDF("k", "v"), "other", 0L))
+    assert(DeltaTable.read(spark, dir).count() == 4)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.txns == Map("app" -> 1L, "other" -> 0L))
+  }
+
+  test("txn watermarks survive a checkpoint with vacuumed JSON") {
+    val dir = TestSpark.tmpDir("txn-cp")
+    DeltaTable.create(spark, Seq((0L, "seed")).toDF("k", "v"), dir)
+    DeltaTable.appendIfNew(spark, dir, Seq((1L, "a")).toDF("k", "v"), "app", 7L)
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpoint()
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter(_.getName.matches("""\d{20}\.json"""))
+      .foreach(f => assert(f.delete()))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.txns == Map("app" -> 7L),
+      "checkpoint must carry txn watermarks, or a replayed batch doubles in")
+    assert(!DeltaTable.appendIfNew(spark, dir, Seq((1L, "a")).toDF("k", "v"), "app", 7L))
+  }
+
+  test("foreachBatch streaming sink lands every micro-batch exactly once") {
+    val dir = TestSpark.tmpDir("txn-stream")
+    val ckpt = TestSpark.tmpDir("txn-stream-ckpt")
+    DeltaTable.create(spark, Seq((-1L, -1L)).toDF("k", "x"), dir)
+    val mem = MemoryStream[Long]
+    def startQuery() = mem.toDS()
+      .select(col("value").as("k"), (col("value") * 10).as("x"))
+      .writeStream
+      .option("checkpointLocation", ckpt) // epoch ids continue across restarts
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        DeltaTable.appendIfNew(spark, dir, batch, "stream-app", id)
+        // a sink retry of the same epoch must be a no-op
+        DeltaTable.appendIfNew(spark, dir, batch, "stream-app", id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(1L, 2L, 3L)
+    val q = startQuery()
+    q.awaitTermination(60000)
+    mem.addData(4L, 5L)
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+    val got = DeltaTable.read(spark, dir).where(col("k") >= 0)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      "each element exactly once despite the in-batch retry")
+  }
+}
