@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+/** dev-only probe: shuffle counts per query */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q_zorder_key", "q_pivot", "q_ann_ivf", "q_sample_hash", "q_histogram", "q_skew_salted_distinct")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val exec = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val n = exec.collect { case e: ShuffleExchangeLike => e }.size
+      println(s"PROBE $q shuffles=$n")
+    }
+    spark.stop()
+  }
+}

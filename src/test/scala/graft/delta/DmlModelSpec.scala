@@ -1,0 +1,89 @@
+package graft.delta
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Model-based DML property test: a seeded random sequence of
+  * upsert / delete / compact / checkpoint / vacuum operations is applied
+  * both to the Delta table and to an in-memory `Map[Long, Long]` model.
+  * After every operation the table must equal the model, and at the end
+  * every committed version must time-travel back to the model snapshot
+  * recorded when that version was committed — i.e. the log is a correct
+  * linear history no matter how the operations interleave with
+  * maintenance (dataChange=false rewrites), checkpoints, and vacuum.
+  *
+  * This is the multi-operation complement to DeltaDmlSpec's single-op
+  * value tests (the reference's property tests cover only sorting —
+  * python/tests/test_sorting.py:15 — so this exceeds upstream coverage).
+  */
+class DmlModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Keys = 20L // small keyspace → frequent key collisions
+
+  private def tableState(dir: String): Map[Long, Long] =
+    DeltaTable.read(spark, dir).as[(Long, Long)].collect().toMap
+
+  test("random op sequences keep table == model at every version") {
+    val rnd = new Random(1234)
+    val dir = TestSpark.tmpDir("dml-model")
+    val model = mutable.Map[Long, Long]()
+
+    // v0: seed table
+    val seed = Seq.tabulate(6)(i => (i.toLong, rnd.nextLong() & 0xffffL))
+    seed.foreach { case (k, v) => model(k) = v }
+    DeltaTable.create(spark, seed.toDF("k", "v").repartition(2), dir)
+    val log = DeltaLog.forTable(spark, dir)
+
+    // committed version -> expected table contents at that version
+    val history = mutable.Map[Long, Map[Long, Long]](0L -> model.toMap)
+
+    for (step <- 1 to 24) {
+      val before = log.latestVersion()
+      rnd.nextInt(6) match {
+        case 0 | 1 => // upsert a random batch (mix of updates + inserts)
+          val batch = Seq.fill(rnd.nextInt(5) + 1)(
+            (rnd.nextLong().abs % Keys, rnd.nextLong() & 0xffffL))
+            .distinctBy(_._1)
+          DeltaTable.upsert(spark, dir, batch.toDF("k", "v"), Seq("k"))
+          batch.foreach { case (k, v) => model(k) = v }
+        case 2 => // delete a random key range
+          val lo = rnd.nextLong().abs % Keys
+          val hi = lo + rnd.nextInt(4)
+          DeltaTable.delete(spark, dir, col("k").between(lo, hi))
+          model.filterInPlace((k, _) => k < lo || k > hi)
+        case 3 => // maintenance compact: moves rows, changes none
+          graft.sorter.DeltaSorter(spark, dir)
+            .compact(graft.sorter.SortConfig(Seq("k")))
+        case 4 => // manual checkpoint: replay must survive it
+          log.checkpoint()
+        case 5 => // vacuum with zero retention: only dead files go
+          log.vacuum(retentionMs = 0L)
+      }
+      assert(tableState(dir) == model.toMap, s"state diverged at step $step")
+      val after = log.latestVersion()
+      if (after != before) history(after) = model.toMap
+      assert(after >= before, "version must never move backwards")
+    }
+
+    // every committed version time-travels to its recorded model state —
+    // except versions whose data files a later vacuum deleted; those must
+    // still replay the log (metadata) even if the scan would fail, so we
+    // only check versions whose files all still exist
+    val fs = new java.io.File(dir)
+    def allFilesPresent(v: Long): Boolean =
+      log.snapshotAt(v).files.forall(a => new java.io.File(fs, a.path).exists())
+    val checked = history.keys.toSeq.sorted.filter(allFilesPresent)
+    assert(checked.nonEmpty)
+    checked.foreach { v =>
+      val got = DeltaTable.readAt(spark, dir, v).as[(Long, Long)].collect().toMap
+      assert(got == history(v), s"time travel to v$v diverged")
+    }
+  }
+}

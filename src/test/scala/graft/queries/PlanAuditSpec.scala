@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
@@ -47,6 +49,39 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(formatted("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  /** Number of shuffle exchanges in the (pre-execution) physical plan —
+    * the scale currency: each one is a full repartition of its input at
+    * 100 TB. Pinned per query so a refactor can't silently add one.
+    */
+  private def shuffles(name: String): Int = {
+    val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    exec.collect { case e: ShuffleExchangeLike => e }.size
+  }
+
+  test("shuffle budget holds for the round-3 analytics queries") {
+    // narrow map over the scan — interleave is pure per-row bit math
+    assert(shuffles("q_zorder_key") == 0)
+    // deterministic md5 sampling is a narrow filter; only the groupBy shuffles
+    assert(shuffles("q_sample_hash") == 1)
+    // fixed-width binning needs no min/max pre-pass: one aggregate
+    assert(shuffles("q_histogram") == 1)
+    // enumerated pivot values: no distinct-values job, just agg (+ pivot agg)
+    assert(shuffles("q_pivot") <= 2)
+    // IVF: centroid assignment is narrow (broadcast centroids); one
+    // shuffle for the per-query top-k
+    assert(shuffles("q_ann_ivf") <= 1)
+    // two-phase salted distinct: salt agg + merge agg + final exchange —
+    // 3 by design, the price of spreading one hot key over 16 reducers
+    assert(shuffles("q_skew_salted_distinct") == 3)
+  }
+
+  test("corpus n-gram top-k is a TakeOrdered, not a global sort") {
+    assert(formatted("q_ngram_topk").contains("TakeOrderedAndProject"))
   }
 
   test("no query in the inventory has an unpartitioned window") {
