@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Dedup, Events, Maintenance, Multimodal, Relational, Similarity, Temporal, TextAnalysis}
+import graft.queries.{Analytics, Dedup, Events, Maintenance, Multimodal, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Maintenance.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Temporal.queries ++ Analytics.queries
+      Multimodal.queries ++ Temporal.queries ++ Analytics.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Maintenance.oracle ++ Events.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Temporal.oracle ++ Analytics.oracle
+      Multimodal.oracle ++ Temporal.oracle ++ Analytics.oracle ++
+      Pipeline.oracle
 }

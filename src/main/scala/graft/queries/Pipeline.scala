@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextFeatures._
+
+/** Composite training-data-pipeline operators over `documents` — the
+  * decision stages that sit downstream of [[TextAnalysis]] (per-doc
+  * stats) and [[Dedup]] (pair/cluster discovery): rule-based quality
+  * filtering, intra-document repetition scoring, train/eval n-gram
+  * contamination checks, post-dedup corpus retention, and stratified
+  * mixture sampling.
+  *
+  * Scale notes (100 TB):
+  *  - the quality filter and repetition scorer are narrow per-row maps
+  *    (zero shuffle; repetition uses the typed-mapPartitions recipe that
+  *    replaced the interpreted HOF hot loops in round 1);
+  *  - contamination reuses the df-capped inverted shingle index of
+  *    [[Dedup]]: the eval×train join moves only (shingle, doc_id) rows
+  *    for shingles under the df cap, so boilerplate n-grams cannot blow
+  *    up the candidate space — same bound as the Jaccard join;
+  *  - retention joins the (tiny, dup-bounded) cluster assignment back to
+  *    the corpus as a broadcast and aggregates in one pass — the corpus
+  *    is never shuffled;
+  *  - stratified sampling is a deterministic md5 filter (reproducible
+  *    across runs/partitionings, unlike rand()) followed by one
+  *    aggregate.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Contamination: minimum common distinct 3-gram shingles between an
+    * eval doc and a train doc to flag the pair. */
+  val ContamMinCommon = 5L
+  /** Per-language sampling rates in basis points (default applies to
+    * languages not listed). */
+  val SampleRatesBp: Seq[(String, Long)] =
+    Seq("en" -> 5000L, "de" -> 2500L, "es" -> 2000L, "fr" -> 1500L)
+  val DefaultRateBp = 1000L
+
+  private def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+
+  val queries: Map[String, Q] = Map(
+    // Rule-based quality filter (Gopher-style): length bounds, mean token
+    // length, stopword presence, short-token ratio, type-token ratio.
+    // All-integer arithmetic so both engines agree bit-for-bit; each rule
+    // surfaces as its own 0/1 column so downstream can audit WHICH rule
+    // dropped a document.
+    "q_quality_filter" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "to", "in")
+      val tk = tokens(col("text"))
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tk).cast("long").as("n_tokens"),
+          size(array_distinct(tk)).cast("long").as("n_distinct"),
+          aggregate(transform(tk, t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_token_chars"),
+          size(filter(tk, t => t.isInCollection(stop))).cast("long").as("stop_hits"),
+          size(filter(tk, t => length(t) <= 2)).cast("long").as("short_hits"))
+      base.select(col("doc_id"), col("lang"), col("n_tokens"),
+        flag(col("n_tokens").between(10L, 100000L)).as("keep_len"),
+        flag(col("n_token_chars") * 2 >= col("n_tokens") * 5 &&
+          col("n_token_chars") <= col("n_tokens") * 12).as("keep_avg"),
+        flag(col("stop_hits") >= 2).as("keep_stop"),
+        flag(col("short_hits") * 10000 <= col("n_tokens") * 3000).as("keep_short"),
+        flag(col("n_distinct") * 10000 >= col("n_tokens") * 1500).as("keep_ttr"))
+        .withColumn("keep",
+          col("keep_len") * col("keep_avg") * col("keep_stop") *
+            col("keep_short") * col("keep_ttr"))
+    }),
+
+    // Intra-document repetition (the Gopher "repetitive content" family):
+    // duplicate-2-gram fraction and most-frequent-2-gram share, in basis
+    // points. One typed pass per row; no shuffle anywhere.
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tk = text.split(" ")
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i + 1 < tk.length) {
+            counts.updateWith(s"${tk(i)} ${tk(i + 1)}") {
+              c => Some(c.getOrElse(0L) + 1L)
+            }
+            i += 1
+          }
+          val n2g = math.max(tk.length - 1, 0).toLong
+          val top = if (counts.isEmpty) 0L else counts.valuesIterator.max
+          (id, n2g, counts.size.toLong, top)
+        })
+        .toDF("doc_id", "n_2grams", "n_distinct_2grams", "top_count")
+        .where(col("n_2grams") >= 1)
+        .select(col("doc_id"), col("n_2grams"), col("n_distinct_2grams"),
+          bp(col("n_2grams") - col("n_distinct_2grams"), col("n_2grams")).as("rep_bp"),
+          bp(col("top_count"), col("n_2grams")).as("top_share_bp"))
+    }),
+
+    // Train/eval contamination (the n-gram decontamination check run
+    // before any benchmark eval): eval set = doc_id % 10 == 0; a pair is
+    // flagged when it shares ≥ ContamMinCommon distinct 3-gram shingles.
+    // Candidates come from the df-capped inverted index — identical
+    // blowup bound to q_dedup_jaccard, and the same shuffle-hash joins
+    // (the exploded index is never a broadcast candidate).
+    "q_contamination" -> ((s, dir) => {
+      val docs = Dedup.shingleDocs(s, dir)
+      val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      val keep = inv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= Dedup.DfCap)
+        .select(col("shingle"))
+      val ci = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+      val eval_ = ci.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("shingle"), col("doc_id").as("eval_id"), col("n_sh").as("n_eval"))
+      val train = ci.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("shingle"), col("doc_id").as("train_id"))
+      eval_.hint("shuffle_hash").join(train.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("eval_id"), col("train_id"), col("n_eval"))
+        .agg(count(lit(1)).as("n_common"))
+        .where(col("n_common") >= ContamMinCommon)
+        .select(col("eval_id"), col("train_id"), col("n_common"),
+          bp(col("n_common"), col("n_eval")).as("overlap_bp"))
+    }),
+
+    // Post-dedup retention: drop every near-dup cluster member except the
+    // canonical (minimum) doc_id, then report the per-language corpus
+    // that survives. The cluster table is bounded by the duplicate count
+    // (47 rows at sf0.01), so it broadcasts; the corpus itself is
+    // aggregated in a single pass and never shuffled by the join.
+    "q_dedup_retained" -> ((s, dir) => {
+      val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
+      table(s, dir, "documents")
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .withColumn("dropped",
+          flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
+        .groupBy(col("lang"))
+        .agg(sum(lit(1L) - col("dropped")).as("n_docs"),
+          sum((lit(1L) - col("dropped")) * col("n_chars")).as("n_chars"),
+          sum(col("dropped")).as("n_dropped"))
+    }),
+
+    // Stratified mixture sampling: per-language deterministic md5 rates
+    // (the "data mixing" step that reweights sources for training). The
+    // keep decision depends only on (doc_id) bits, so resampling after a
+    // repartition or a rerun selects the same documents.
+    "q_sample_stratified" -> ((s, dir) => {
+      val rate = SampleRatesBp.foldLeft(lit(DefaultRateBp)) {
+        case (acc, (code, bps)) => when(col("lang") === code, lit(bps)).otherwise(acc)
+      }
+      val picked = pmod(md5Bits32(concat(lit("smp:"), col("doc_id").cast("string"))),
+        lit(10000L)) < rate
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(flag(picked)).as("n_sampled"),
+          sum(flag(picked) * col("n_chars")).as("n_chars_sampled"))
+    }))
+
+  private val rateCase = SampleRatesBp
+    .map { case (c, r) => s"WHEN lang = '$c' THEN $r" }
+    .mkString("CASE ", " ", s" ELSE $DefaultRateBp END")
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS n_token_chars,
+        |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in'))) AS BIGINT) AS stop_hits,
+        |  CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS short_hits
+        | FROM t),
+        |f AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS keep_len,
+        |  CAST(CASE WHEN n_token_chars*2 >= n_tokens*5 AND n_token_chars <= n_tokens*12
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep_avg,
+        |  CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep_stop,
+        |  CAST(CASE WHEN short_hits*10000 <= n_tokens*3000 THEN 1 ELSE 0 END AS BIGINT) AS keep_short,
+        |  CAST(CASE WHEN n_distinct*10000 >= n_tokens*1500 THEN 1 ELSE 0 END AS BIGINT) AS keep_ttr
+        | FROM c)
+        |SELECT *, keep_len*keep_avg*keep_stop*keep_short*keep_ttr AS keep FROM f""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g2 AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 2
+        |       THEN [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)]
+        |       ELSE [] END AS grams
+        | FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS g FROM g2),
+        |c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+        |  CAST(MAX(c) AS BIGINT) AS top_count
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_2grams, n_distinct_2grams,
+        |  CAST(10000*(n_2grams - n_distinct_2grams) // n_2grams AS BIGINT) AS rep_bp,
+        |  CAST(10000*top_count // n_2grams AS BIGINT) AS top_share_bp
+        |FROM a WHERE n_2grams >= 1""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(tk) >= 3
+        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk)-2)]
+        |       ELSE [] END) AS sh
+        | FROM t),
+        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
+        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
+        |keep AS (SELECT shingle FROM inv GROUP BY shingle
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+        |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
+        |  FROM inv JOIN keep USING (shingle)),
+        |ev AS (SELECT shingle, doc_id AS eval_id, n_sh AS n_eval FROM ci
+        |  WHERE doc_id % 10 = 0),
+        |tr AS (SELECT shingle, doc_id AS train_id FROM ci WHERE doc_id % 10 <> 0),
+        |p AS (SELECT eval_id, train_id, n_eval, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2, 3)
+        |SELECT eval_id, train_id, n_common,
+        |  CAST(10000*n_common // n_eval AS BIGINT) AS overlap_bp
+        |FROM p WHERE n_common >= 5""".stripMargin,
+
+    "q_dedup_retained" ->
+      s"""SELECT d.lang,
+         | CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+         |      THEN 0 ELSE d.n_chars END) AS BIGINT) AS n_chars,
+         | CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN (
+         |${Dedup.oracle("q_dedup_clusters")}
+         |) c ON d.doc_id = c.doc_id
+         |GROUP BY d.lang""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""WITH r AS (SELECT lang, n_chars,
+         |  CASE WHEN CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |            AS BIGINT) % 10000 < ($rateCase) THEN 1 ELSE 0 END AS picked
+         | FROM documents)
+         |SELECT lang,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(picked) AS BIGINT) AS n_sampled,
+         | CAST(SUM(picked * n_chars) AS BIGINT) AS n_chars_sampled
+         |FROM r GROUP BY lang""".stripMargin)
+}
