@@ -298,6 +298,43 @@ object DeltaTable {
     commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty)
   }
 
+  /** RESTORE: roll the table back to historical `version` as a NEW
+    * commit (history is preserved — a second restore can undo the
+    * first). The commit removes active files absent from the target
+    * snapshot and re-adds target files no longer active; file contents
+    * never move, so restore is a metadata-only operation at any scale.
+    * Fails up front if vacuum has deleted any file the target needs. */
+  def restore(spark: SparkSession, tableUri: String, version: Long): DmlStats = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val cur = log.snapshot()
+    val tgt = log.snapshotAt(version)
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val toRemove = cur.files.filterNot(f => tgtPaths.contains(f.path))
+    val toAdd = tgt.files.filterNot(f => curPaths.contains(f.path))
+
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = toAdd.filterNot(f => fs.exists(new Path(log.tableRoot, f.path)))
+    require(missing.isEmpty,
+      s"cannot restore to version $version: ${missing.size} data file(s) no longer " +
+        s"exist (vacuumed?), e.g. ${missing.headOption.map(_.path).getOrElse("")}")
+
+    val sameMeta = cur.metadata.schemaString == tgt.metadata.schemaString &&
+      cur.metadata.partitionColumns == tgt.metadata.partitionColumns
+    if (toRemove.isEmpty && toAdd.isEmpty && sameMeta) return DmlStats(0, 0)
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[Action]
+    // schema rollback rides along (e.g. undoing a mergeSchema append)
+    if (!sameMeta) actions += tgt.metadata
+    actions ++= toRemove.map(f =>
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+    actions ++= toAdd.map(f => f.copy(modificationTime = now, dataChange = true))
+    actions += CommitInfo(now, "RESTORE", Map("version" -> version.toString))
+    log.commitLatest(actions.result())
+    DmlStats(toRemove.size, toAdd.size)
+  }
+
   /** Active files containing at least one row selected by `hit`
     * (compared by URI path — `input_file_name` and `makeQualified`
     * differ in slash count for the same file). */

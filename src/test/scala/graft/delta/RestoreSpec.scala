@@ -1,0 +1,61 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** RESTORE: rollback-to-version as a new commit — value semantics,
+  * history preservation (restore of a restore), schema rollback after a
+  * mergeSchema append, no-op short-circuit, and the vacuumed-file guard. */
+class RestoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("restore rolls data back and preserves history") {
+    val dir = TestSpark.tmpDir("restore-basic")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
+    DeltaTable.upsert(spark, dir, Seq((1, "A!"), (3, "c")).toDF("k", "v"), Seq("k")) // v1
+    DeltaTable.delete(spark, dir, col("k") === 2)                          // v2
+
+    val stats = DeltaTable.restore(spark, dir, 0)                          // v3
+    assert(stats.filesAdded >= 1)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.latestVersion() == 3, "restore is a commit, not a log rewrite")
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // the rolled-back state is still time-travelable
+    assert(DeltaTable.readAt(spark, dir, 2).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "A!"), (3, "c")))
+    // restore of the restore returns to v2's state
+    DeltaTable.restore(spark, dir, 2)                                      // v4
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "A!"), (3, "c")))
+  }
+
+  test("restore undoes schema evolution") {
+    val dir = TestSpark.tmpDir("restore-schema")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)            // v0
+    DeltaTable.append(spark, dir,
+      Seq((2, "b", 9L)).toDF("k", "v", "extra"), mergeSchema = true)       // v1
+    assert(DeltaTable.read(spark, dir).columns.toSeq == Seq("k", "v", "extra"))
+    DeltaTable.restore(spark, dir, 0)                                      // v2
+    assert(DeltaTable.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(DeltaTable.read(spark, dir).count() == 1)
+  }
+
+  test("restore to the current state is a no-op; vacuumed target fails") {
+    val dir = TestSpark.tmpDir("restore-guard")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)            // v0
+    val log = DeltaLog.forTable(spark, dir)
+    assert(DeltaTable.restore(spark, dir, 0) == DeltaTable.DmlStats(0, 0))
+    assert(log.latestVersion() == 0, "no-op restore must not commit")
+
+    DeltaTable.upsert(spark, dir, Seq((1, "A!")).toDF("k", "v"), Seq("k")) // v1
+    log.vacuum(retentionMs = 0L) // v0's file is now gone
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.restore(spark, dir, 0)
+    }
+    assert(err.getMessage.contains("vacuumed"))
+  }
+}
