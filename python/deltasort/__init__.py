@@ -1,0 +1,97 @@
+"""Python binding for the Spark-native delta sorter.
+
+Equivalent surface to the reference binding
+(python/pysrc/deltasort/__init__.py:8-41): ``SortOptimizer(table_uri)``
+with ``compact(...)`` and ``validate(...)`` (which raises on ordering
+violations). Implemented as a pure-Python wrapper over the JVM facade
+``graft.api.JSortOptimizer`` through PySpark's py4j gateway — no native
+module, no extra dependencies; the engine jar/classes just need to be on
+the Spark driver classpath.
+
+Usage::
+
+    from pyspark.sql import SparkSession
+    from deltasort import SortOptimizer
+
+    spark = (SparkSession.builder
+             .config("spark.driver.extraClassPath", "<engine classes/jar>")
+             .getOrCreate())
+    opt = SortOptimizer("/path/to/table", spark=spark)
+    opt.compact(["k"])
+    opt.validate(["k"])   # raises RuntimeError on violations
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+
+class SortOptimizer:
+    def __init__(self, table_uri: str, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "no active SparkSession; pass spark= explicitly"
+                )
+        self.table_uri = table_uri
+        self._spark = spark
+        self._j = spark._jvm.graft.api.JSortOptimizer(
+            spark._jsparkSession, table_uri
+        )
+
+    def _jlist(self, items: list[str]):
+        lst = self._spark._jvm.java.util.ArrayList()
+        for x in items:
+            lst.add(x)
+        return lst
+
+    def compact(
+        self,
+        sort_columns: list[str],
+        target_file_size_bytes: Optional[int] = None,
+        predicate: Optional[str] = None,
+        concurrency: int = 8,
+        dry_run: bool = False,
+        repartition_by_sort_key: bool = False,
+        nulls: str = "first",
+    ) -> dict:
+        """Sort-compact the table; returns the run summary dict.
+
+        ``predicate`` is accepted for signature parity but ignored, as in
+        the reference (reserved-but-unused upstream, lib.rs:97,106).
+        """
+        if nulls not in ("first", "last"):
+            raise ValueError("nulls must be 'first' or 'last'")
+        tfs = None
+        if target_file_size_bytes is not None:
+            tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
+        out = self._j.compact(
+            self._jlist(list(sort_columns)),
+            tfs,
+            int(concurrency),
+            bool(dry_run),
+            bool(repartition_by_sort_key),
+            nulls,
+        )
+        return json.loads(out)
+
+    def validate(self, sort_columns: list[str], nulls: str = "first") -> dict:
+        """Run ordering validation; raises RuntimeError on violations."""
+        if nulls not in ("first", "last"):
+            raise ValueError("nulls must be 'first' or 'last'")
+        rep = json.loads(self._j.validate(self._jlist(list(sort_columns)), nulls))
+        if rep.get("boundary_violations", 0) > 0:
+            raise RuntimeError(
+                f"Ordering violations: {rep['boundary_violations']} "
+                f"(sample: {rep.get('details_sample')})"
+            )
+        return rep
+
+    def zorder(self, zorder_columns: list[str], bits: int = 0) -> dict:
+        """Engine extension: OPTIMIZE ZORDER over the given columns."""
+        return json.loads(
+            self._j.zorderCompact(self._jlist(list(zorder_columns)), int(bits))
+        )

@@ -1,0 +1,69 @@
+"""End-to-end smoke test for the Python binding.
+
+Run with the engine classes on the driver classpath:
+
+    PYTHONPATH=python python3 python/tests/smoke.py
+
+Creates an unsorted two-file table with plain PySpark writes through the
+JVM DeltaTable API, then drives validate -> compact -> validate through
+``deltasort.SortOptimizer`` exactly as a reference-binding user would.
+"""
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("deltasort-python-smoke")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dir_ = tempfile.mkdtemp(prefix="pysmoke")
+
+    # unsorted two-file table via the JVM API
+    jvm = spark._jvm
+    df1 = spark.createDataFrame([(5, "e"), (1, "a")], ["k", "v"]).coalesce(1)
+    df2 = spark.createDataFrame([(4, "d"), (2, "b")], ["k", "v"]).coalesce(1)
+    no_parts = jvm.PythonUtils.toSeq([])
+    jvm.graft.delta.DeltaTable.create(spark._jsparkSession, df1._jdf, dir_, no_parts)
+    jvm.graft.delta.DeltaTable.append(spark._jsparkSession, dir_, df2._jdf, False)
+
+    opt = SortOptimizer(dir_, spark=spark)
+
+    try:
+        opt.validate(["k"])
+        print("FAIL: validate should have raised on the unsorted table")
+        return 1
+    except RuntimeError as e:
+        assert "Ordering violations" in str(e), e
+
+    summary = opt.compact(["k"])
+    assert summary["files_in"] >= 2, summary
+    rep = opt.validate(["k"])  # must not raise now
+    assert rep["boundary_violations"] == 0, rep
+
+    # dry run must not commit
+    v_before = jvm.graft.delta.DeltaLog.forTable(spark._jsparkSession, dir_).latestVersion()
+    opt.compact(["k"], dry_run=True, target_file_size_bytes=1 << 20, nulls="last")
+    v_after = jvm.graft.delta.DeltaLog.forTable(spark._jsparkSession, dir_).latestVersion()
+    assert v_before == v_after, (v_before, v_after)
+
+    got = jvm.graft.delta.DeltaTable.read(spark._jsparkSession, dir_)
+    n = got.count()
+    assert n == 4, n
+
+    print("PYTHON BINDING SMOKE OK")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

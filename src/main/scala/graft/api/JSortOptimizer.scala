@@ -1,0 +1,60 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sorter.{DeltaSorter, SortConfig}
+
+/** Java-friendly facade backing the Python binding (`python/deltasort`,
+  * the Spark-native equivalent of the reference's `SortOptimizer` —
+  * python/pysrc/deltasort/__init__.py:8-41). Signatures use only plain
+  * Java types and results come back as JSON strings, so py4j (PySpark's
+  * built-in gateway) can drive it with zero extra dependencies on either
+  * side. The reference binding releases the GIL around the native call
+  * (python/src/lib.rs:52); here the heavy work runs in Spark executors,
+  * so the calling Python thread only ever blocks on the driver RPC —
+  * the same non-blocking property by construction.
+  */
+class JSortOptimizer(spark: SparkSession, tableUri: String) {
+  private val sorter = DeltaSorter(spark, tableUri)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def js(v: Any): String = mapper.writeValueAsString(v)
+
+  /** Validate ordering; returns the report as JSON
+    * `{"checked_files":N,"boundary_violations":N,"details_sample":[...]}`. */
+  def validate(sortColumns: java.util.List[String], nulls: String): String = {
+    val rep = sorter.validate(sortColumns.asScala.toSeq, nullsFirst = nulls != "last")
+    s"""{"checked_files":${rep.checkedFiles},""" +
+      s""""boundary_violations":${rep.boundaryViolations},""" +
+      s""""details_sample":[${rep.detailsSample.map(js).mkString(",")}]}"""
+  }
+
+  /** Compact with the reference's option surface; returns the run
+    * summary as JSON. `targetFileSizeBytes` may be null (advisory off). */
+  def compact(sortColumns: java.util.List[String],
+      targetFileSizeBytes: java.lang.Long, concurrency: Int, dryRun: Boolean,
+      repartitionBySortKey: Boolean, nulls: String): String = {
+    val summary = sorter.compact(SortConfig(
+      sortColumns = sortColumns.asScala.toSeq,
+      nullsFirst = nulls != "last",
+      targetFileSizeBytes = Option(targetFileSizeBytes).map(_.longValue()),
+      concurrency = concurrency,
+      dryRun = dryRun,
+      repartitionBySortKey = repartitionBySortKey))
+    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
+      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
+      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
+      s""""duration_ms":${summary.durationMs}}"""
+  }
+
+  /** Engine extension beyond the reference binding: OPTIMIZE ZORDER. */
+  def zorderCompact(zorderColumns: java.util.List[String], bits: Int): String = {
+    val summary = sorter.zorderCompact(zorderColumns.asScala.toSeq, bits)
+    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
+      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
+      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
+      s""""duration_ms":${summary.durationMs}}"""
+  }
+}
