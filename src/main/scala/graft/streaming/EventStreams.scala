@@ -152,6 +152,28 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the streaming form of
+    * `q_range_join`'s click-attribution: each click joins the same
+    * user's views from the preceding hour. Both sides carry watermarks
+    * and the join condition bounds `view_ts` relative to `click_ts` in
+    * BOTH directions, so Spark can expire view state once the click
+    * watermark passes `view_ts + 1h` and click state once views can no
+    * longer match — state is O(one hour of events), not O(stream).
+    * Inner join: emitted as soon as both sides arrive (append mode). */
+  def attributeClicks(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("view_value"))
+  }
+
   /** File-source form: tail a directory of event parquet files as a
     * stream (schema must be supplied — streaming sources don't infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -141,6 +141,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches the batch join and drops out-of-range pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(ts(100), 1L, "view", 10.0),  // in range of the 130' click
+      Event(ts(130), 1L, "click", 0.0),
+      Event(ts(131), 1L, "view", 11.0),  // AFTER the click: must not join
+      Event(ts(100), 2L, "view", 20.0),  // other user: must not join
+      Event(ts(400), 3L, "view", 30.0),  // > 1h before the 500' click: out of range
+      Event(ts(500), 3L, "click", 0.0),
+      Event(ts(460), 3L, "view", 31.0))  // in range
+    val q = attributeClicks(mem.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // advance watermarks so in-flight pairs finalize
+    mem.addData(Event(ts(2000), 9L, "wm-driver", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attrib_out")
+      .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+    val batch = attributeClicks(events.toDF())
+      .as[(Long, Timestamp, Timestamp, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed == Set(
+      (1L, ts(100), ts(130), 10.0),
+      (3L, ts(460), ts(500), 31.0)))
+  }
+
   test("file-source stream over events parquet produces the batch tumbling result") {
     val dir = "/root/testdata/sf0.001"
     // the fixture stores ns timestamps as long; stage a µs copy
