@@ -140,6 +140,46 @@ object Relational {
           grouping_id().as("gid"))
     }),
 
+    // Explicit GROUPING SETS (asymmetric — neither rollup nor cube):
+    // per-returnflag, per-linestatus, and the grand total in ONE
+    // aggregate pass (Spark expands sets with a single Expand node, so
+    // the input is scanned once regardless of set count).
+    "q_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
+    // Window-function suite: ranking with ties (rank/dense_rank/
+    // percent_rank/cume_dist over a coarse value bucket), distribution
+    // (ntile), and navigation (lag/lead/first_value/nth_value) — one
+    // shuffle on the partition key, every function evaluated in the same
+    // per-partition sort. Ordering is made deterministic: tie functions
+    // order by the bucket alone (tie semantics are the point), while
+    // navigation uses the unique (bucket, o_orderkey) order.
+    "q_window_suite" -> ((s, dir) => {
+      val bucket = TextFeatures.intDiv(cents(col("o_totalprice")), lit(1000000L))
+      val wTie = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+      val wUniq = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("bucket"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), bucket.as("bucket"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("bucket"),
+          rank().over(wTie).cast("long").as("rnk"),
+          dense_rank().over(wTie).cast("long").as("drnk"),
+          percent_rank().over(wTie).as("pct_rank"),
+          cume_dist().over(wTie).as("cume"),
+          ntile(4).over(wUniq).cast("long").as("quartile"),
+          lag(col("bucket"), 1).over(wUniq).as("prev_bucket"),
+          lead(col("bucket"), 1).over(wUniq).as("next_bucket"),
+          first(col("bucket")).over(wUniq).as("first_bucket"),
+          nth_value(col("bucket"), 3).over(wUniq).as("nth3_bucket"))
+    }),
+
     // Set operations: (customers ordering in 1997) ∩ (1998) \ (BUILDING
     // segment) — INTERSECT/EXCEPT are distinct-bag joins under the hood.
     "q_set_ops" -> ((s, dir) => {
@@ -234,6 +274,32 @@ object Relational {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_window_suite" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) // 1000000 AS bucket
+        | FROM orders)
+        |SELECT o_orderpriority, o_orderkey, bucket,
+        | CAST(rank() OVER tie AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER tie AS BIGINT) AS drnk,
+        | percent_rank() OVER tie AS pct_rank,
+        | cume_dist() OVER tie AS cume,
+        | CAST(ntile(4) OVER uniq AS BIGINT) AS quartile,
+        | lag(bucket, 1) OVER uniq AS prev_bucket,
+        | lead(bucket, 1) OVER uniq AS next_bucket,
+        | first_value(bucket) OVER uniq AS first_bucket,
+        | nth_value(bucket, 3) OVER uniq AS nth3_bucket
+        |FROM b
+        |WINDOW tie AS (PARTITION BY o_orderpriority ORDER BY bucket),
+        |  uniq AS (PARTITION BY o_orderpriority ORDER BY bucket, o_orderkey)""".stripMargin,
 
     "q_set_ops" ->
       """SELECT custkey FROM (
