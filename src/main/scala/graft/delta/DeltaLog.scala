@@ -152,6 +152,37 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     (single ++ multiComplete).sortBy(_.version)
   }
 
+  /** Conflict-checked optimistic commit for DML (upsert/delete/restore):
+    * like [[commitLatest]], but before every attempt it scans the
+    * commits that landed after `readVersion` (the snapshot the rewrite
+    * was planned against) for a RemoveFile of any file THIS commit also
+    * removes. Such a file was concurrently rewritten or deleted — a
+    * blind retry would re-remove it and re-add our stale rewrite of it,
+    * silently resurrecting rows (the lost-update anomaly Delta's
+    * ConcurrentDeleteReadException exists to prevent). The caller must
+    * re-plan from a fresh snapshot. Commits that touch only OTHER files
+    * (disjoint DML, appends, other partitions) retry fine. */
+  def commitDml(readVersion: Long, actions: Seq[Action], maxAttempts: Int = 50): Long = {
+    val myRemoves = actions.collect { case r: RemoveFile => r.path }.toSet
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion()
+      val clashing = ((readVersion + 1) to latest).iterator
+        .flatMap(actionsAt)
+        .collect { case r: RemoveFile if myRemoves.contains(r.path) => r.path }
+        .toSeq.distinct
+      if (clashing.nonEmpty)
+        throw new ConcurrentDeleteException(tableUri, clashing)
+      try return commit(latest + 1, actions)
+      catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** The actions of one committed JSON version. Errors if that commit's
     * JSON has been cleaned up (a checkpoint summarizes state, not the
     * per-commit deltas needed here). */
@@ -284,6 +315,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 
 final class VersionConflictException(tableUri: String, version: Long)
   extends RuntimeException(s"commit conflict: version $version of $tableUri already exists")
+
+/** A file this DML rewrite removes was already removed by a concurrent
+  * commit (Delta's ConcurrentDeleteReadException analog) — the rewrite
+  * was planned against a stale snapshot and must be re-planned. */
+final class ConcurrentDeleteException(tableUri: String, paths: Seq[String])
+  extends RuntimeException(
+    s"concurrent delete conflict on $tableUri: file(s) removed by another commit: " +
+      paths.take(5).mkString(", ") + (if (paths.size > 5) ", ..." else ""))
 
 /** Materialized view of the log at a version. `txns` is the latest
   * recorded [[SetTransaction]] version per appId (the exactly-once

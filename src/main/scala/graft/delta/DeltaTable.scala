@@ -331,7 +331,7 @@ object DeltaTable {
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
     actions ++= toAdd.map(f => f.copy(modificationTime = now, dataChange = true))
     actions += CommitInfo(now, "RESTORE", Map("version" -> version.toString))
-    log.commitLatest(actions.result())
+    log.commitDml(cur.version, actions.result())
     DmlStats(toRemove.size, toAdd.size)
   }
 
@@ -363,7 +363,7 @@ object DeltaTable {
     val now = System.currentTimeMillis()
     val removes = touched.map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
-    log.commitLatest(removes ++ adds :+ CommitInfo(now, operation, params))
+    log.commitDml(snap.version, removes ++ adds :+ CommitInfo(now, operation, params))
     DmlStats(removes.size, adds.size)
   }
 }

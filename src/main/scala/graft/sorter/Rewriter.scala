@@ -75,7 +75,7 @@ object Rewriter {
     val removes = group.files.map(f =>
       RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
     val predicate = Predicates.sql(group.partition.getOrElse(Nil), snap.schema)
-    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "WRITE",
+    log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "WRITE",
       Map("mode" -> "Overwrite", "predicate" -> predicate,
         "sortColumns" -> cfg.sortColumns.mkString(","))))
 
@@ -104,7 +104,7 @@ object Rewriter {
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
-    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "WRITE",
+    log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "WRITE",
       Map("mode" -> "Overwrite",
         "sortColumns" -> cfg.sortColumns.mkString(","),
         "strict" -> "true")))
@@ -141,7 +141,7 @@ object Rewriter {
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
       RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
-    log.commitLatest((removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
+    log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
       Map("zorderColumns" -> zCols.mkString(","), "bits" -> bits.toString)))
 
     PartitionMetrics(

@@ -1,0 +1,57 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** DML conflict detection: a rewrite planned against a stale snapshot
+  * must NOT blind-retry when the files it removes were concurrently
+  * removed (lost-update anomaly — Delta's ConcurrentDeleteRead rule);
+  * disjoint rewrites from the same snapshot must still retry through. */
+class ConcurrentDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkTable(prefix: String): (String, DeltaLog) = {
+    val dir = TestSpark.tmpDir(prefix)
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    (dir, DeltaLog.forTable(spark, dir))
+  }
+
+  test("re-removing a concurrently removed file is rejected, disjoint removes retry") {
+    val (_, log) = mkTable("dml-conflict")
+    val snap = log.snapshot()
+    val Seq(f1, f2) = snap.files.toSeq
+    def removeOf(f: AddFile) =
+      RemoveFile(f.path, 1L, dataChange = true, f.partitionValues, f.size)
+
+    // writer A rewrites f1 from snapshot v1
+    log.commitDml(snap.version, Seq(removeOf(f1),
+      CommitInfo(1L, "DELETE", Map.empty)))
+
+    // writer B, still planned against v1, also rewrites f1 -> conflict
+    val err = intercept[ConcurrentDeleteException] {
+      log.commitDml(snap.version, Seq(removeOf(f1),
+        CommitInfo(2L, "DELETE", Map.empty)))
+    }
+    assert(err.getMessage.contains(f1.path))
+
+    // writer C, planned against v1 but touching only f2 -> retries through
+    log.commitDml(snap.version, Seq(removeOf(f2),
+      CommitInfo(3L, "DELETE", Map.empty)))
+    assert(log.snapshot().files.isEmpty)
+  }
+
+  test("two upserts hitting the same file: second call replans on the new snapshot") {
+    // the public API always replans from the latest snapshot, so
+    // back-to-back upserts of the same key never see the conflict path —
+    // both land, last writer wins, and the conflict check stays inert
+    val (dir, log) = mkTable("dml-replan")
+    DeltaTable.upsert(spark, dir, Seq((1, "A!")).toDF("k", "v"), Seq("k"))
+    DeltaTable.upsert(spark, dir, Seq((1, "A2")).toDF("k", "v"), Seq("k"))
+    val rows = DeltaTable.read(spark, dir).as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "A2"), (2, "b"), (3, "c"), (4, "d")))
+    assert(log.latestVersion() == 3)
+  }
+}
