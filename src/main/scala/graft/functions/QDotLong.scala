@@ -100,13 +100,25 @@ object GraftFunctions {
       QDotLong(children.head, children(1))
     })
 
+  private val bitmapDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bitmap_distinct"),
+    new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bitmap_distinct takes (key, max_key)")
+      BitmapDistinct(children.head, children(1))
+    })
+
   /** Register the function library on an existing session (idempotent —
     * re-registration overwrites with an identical builder). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       qdotDescription._1, qdotDescription._2, qdotDescription._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      bitmapDescription._1, bitmapDescription._2, bitmapDescription._3)
+  }
 
   private[functions] def description = qdotDescription
+  private[functions] def bitmapDesc = bitmapDescription
 }
 
 /** Session-extension entry point:
@@ -114,6 +126,8 @@ object GraftFunctions {
   * `qdot_long` available in every new session (the injection path a
   * deployment uses; in-process callers may use [[GraftFunctions.register]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
+    ext.injectFunction(GraftFunctions.bitmapDesc)
+  }
 }

@@ -186,6 +186,21 @@ object Analytics {
               .cast("long")))
     }),
 
+    // Native bitmap-exact distinct: the custom TypedImperativeAggregate
+    // ([[graft.functions.BitmapDistinct]]) — per-group state is a fixed
+    // maxKey/8-byte bitmap independent of row count, map-side combine
+    // sets bits locally and merge is a bitwise OR, so the shuffle moves
+    // one bitmap per (group × mapper), never the keys. The oracle is
+    // plain COUNT(DISTINCT): equality IS the correctness statement.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(1L << 21))
+          .as("n_distinct_parts"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Corpus n-gram profile: the TopNgrams most document-frequent
     // 3-gram shingles (typed shingle pass + count + TakeOrdered).
     "q_ngram_topk" -> ((s, dir) => {
@@ -291,6 +306,12 @@ object Analytics {
         |   ELSE CAST(round(4096.0 * ln(4096.0 / CAST(4096 - occupied AS DOUBLE))) AS BIGINT)
         | END AS est_distinct
         |FROM a""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

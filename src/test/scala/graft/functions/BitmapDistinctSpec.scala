@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Native typed-aggregate contract: `bitmap_distinct` must equal
+  * COUNT(DISTINCT) under multi-partition partial aggregation (the
+  * serialize → shuffle → merge path), ignore nulls, work from SQL, and
+  * reject out-of-range keys loudly. */
+class BitmapDistinctSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
+  import spark.implicits._
+
+  test("equals COUNT(DISTINCT) across partitions; partial merge works") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(5000)((rnd.nextInt(3), rnd.nextInt(997).toLong))
+    val df = rows.toDF("g", "k").repartition(8) // force the merge path
+    val got = df.groupBy(col("g"))
+      .agg(call_function("bitmap_distinct", col("k"), lit(1024L)).as("bd"),
+        countDistinct(col("k")).as("cd"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), r))
+  }
+
+  test("nulls are ignored; SQL form works") {
+    val df = Seq(Some(1L), None, Some(1L), Some(5L)).toDF("k")
+    df.createOrReplaceTempView("bd_in")
+    assert(spark.sql("SELECT bitmap_distinct(k, 64) FROM bd_in").head().getLong(0) == 2L)
+  }
+
+  test("out-of-range key fails loudly") {
+    val err = intercept[Exception] {
+      Seq(99L).toDF("k")
+        .agg(call_function("bitmap_distinct", col("k"), lit(10L))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
