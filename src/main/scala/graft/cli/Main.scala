@@ -18,7 +18,12 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * violations exist (main.rs:84-86); `--log-level` sets the Spark log
   * level (main.rs:46-48's env_logger filter); `--zorder` rewrites the
   * table clustered by the Morton interleave of `--sort-columns`
-  * (OPTIMIZE ZORDER — beyond the reference's surface). */
+  * (OPTIMIZE ZORDER — beyond the reference's surface).
+  *
+  * Maintenance modes beyond the reference (sort columns not required):
+  * `--restore VERSION` rolls the table back as a new commit;
+  * `--vacuum RETENTION_MS` deletes unreferenced data files older than
+  * the retention window. */
 object Main {
 
   private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
@@ -49,6 +54,19 @@ object Main {
     * the exit path without forking a JVM. */
   private[cli] def run(spark: SparkSession, opts: Map[String, String]): Int = {
     val table = opts.getOrElse("table", sys.error("--table is required"))
+    if (opts.contains("restore")) {
+      val v = opts("restore").toLong
+      val stats = graft.delta.DeltaTable.restore(spark, table, v)
+      println(s"restore to version $v complete: files " +
+        s"-${stats.filesRemoved}/+${stats.filesAdded}")
+      return 0
+    }
+    if (opts.contains("vacuum")) {
+      val deleted = graft.delta.DeltaLog.forTable(spark, table)
+        .vacuum(retentionMs = opts("vacuum").toLong)
+      println(s"vacuum complete: ${deleted.size} file(s) deleted")
+      return 0
+    }
     val sortColumns = opts.getOrElse("sort-columns", sys.error("--sort-columns is required"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val nullsFirst = opts.getOrElse("nulls", "first") match {

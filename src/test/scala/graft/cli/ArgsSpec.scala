@@ -33,6 +33,18 @@ class ArgsSpec extends AnyFunSuite {
     }
   }
 
+  test("--restore and --vacuum dispatch without sort columns") {
+    val dir = TestSpark.tmpDir("cli-restore")
+    DeltaTable.create(spark, Seq(1, 2).toDF("v").coalesce(1), dir)      // v0
+    DeltaTable.append(spark, dir, Seq(3).toDF("v").coalesce(1))         // v1
+    assert(Main.run(spark, Map("table" -> dir, "restore" -> "0")) == 0) // v2
+    assert(DeltaTable.read(spark, dir).count() == 2)
+    assert(Main.run(spark, Map("table" -> dir, "vacuum" -> "0")) == 0)
+    // v1's file was unreferenced after the restore and is now gone
+    val err = intercept[Exception] { DeltaTable.readAt(spark, dir, 1).count() }
+    assert(err != null)
+  }
+
   test("validate-only exits 1 on overlapping files, 0 on a sorted table") {
     val bad = TestSpark.tmpDir("cli-validate-bad")
     DeltaTable.create(spark, Seq(1, 5).toDF("v").coalesce(1), bad)
