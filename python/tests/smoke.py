@@ -56,6 +56,14 @@ def main() -> int:
     v_after = jvm.graft.delta.DeltaLog.forTable(spark._jsparkSession, dir_).latestVersion()
     assert v_before == v_after, (v_before, v_after)
 
+    # per-column direction flows through the same strings
+    try:
+        opt.validate(["k:desc"])
+        print("FAIL: ascending table must not validate descending")
+        return 1
+    except RuntimeError:
+        pass
+
     got = jvm.graft.delta.DeltaTable.read(spark._jsparkSession, dir_)
     n = got.count()
     assert n == 4, n

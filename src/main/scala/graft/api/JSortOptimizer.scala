@@ -25,7 +25,8 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   /** Validate ordering; returns the report as JSON
     * `{"checked_files":N,"boundary_violations":N,"details_sample":[...]}`. */
   def validate(sortColumns: java.util.List[String], nulls: String): String = {
-    val rep = sorter.validate(sortColumns.asScala.toSeq, nullsFirst = nulls != "last")
+    val (cols, desc) = SortConfig.parseColumns(sortColumns.asScala.toSeq)
+    val rep = sorter.validate(cols, nullsFirst = nulls != "last", descColumns = desc)
     s"""{"checked_files":${rep.checkedFiles},""" +
       s""""boundary_violations":${rep.boundaryViolations},""" +
       s""""details_sample":[${rep.detailsSample.map(js).mkString(",")}]}"""
@@ -36,8 +37,10 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def compact(sortColumns: java.util.List[String],
       targetFileSizeBytes: java.lang.Long, concurrency: Int, dryRun: Boolean,
       repartitionBySortKey: Boolean, nulls: String): String = {
+    val (cols, desc) = SortConfig.parseColumns(sortColumns.asScala.toSeq)
     val summary = sorter.compact(SortConfig(
-      sortColumns = sortColumns.asScala.toSeq,
+      sortColumns = cols,
+      descColumns = desc,
       nullsFirst = nulls != "last",
       targetFileSizeBytes = Option(targetFileSizeBytes).map(_.longValue()),
       concurrency = concurrency,

@@ -67,8 +67,9 @@ object Main {
       println(s"vacuum complete: ${deleted.size} file(s) deleted")
       return 0
     }
-    val sortColumns = opts.getOrElse("sort-columns", sys.error("--sort-columns is required"))
-      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val (sortColumns, descColumns) = SortConfig.parseColumns(
+      opts.getOrElse("sort-columns", sys.error("--sort-columns is required"))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val nullsFirst = opts.getOrElse("nulls", "first") match {
       case "first" => true
       case "last" => false
@@ -76,7 +77,7 @@ object Main {
     }
     val sorter = DeltaSorter(spark, table)
     if (opts.contains("validate-only")) {
-      val report = sorter.validate(sortColumns, nullsFirst)
+      val report = sorter.validate(sortColumns, nullsFirst, descColumns)
       println(s"checked_files=${report.checkedFiles} " +
         s"boundary_violations=${report.boundaryViolations}")
       report.detailsSample.foreach(d => println(s"  $d"))
@@ -100,7 +101,8 @@ object Main {
         targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong),
         concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
         dryRun = opts.contains("dry-run"),
-        repartitionBySortKey = opts.contains("repartition-by-sort-key"))
+        repartitionBySortKey = opts.contains("repartition-by-sort-key"),
+        descColumns = descColumns)
       val summary = sorter.compact(cfg)
       println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
         s"files ${summary.filesIn}->${summary.filesOut} " +

@@ -26,9 +26,10 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
 
   /** O5: validate global ordering over all active files
     * (lib.rs:484-524). */
-  def validate(sortColumns: Seq[String], nullsFirst: Boolean = true): ValidationReport = {
+  def validate(sortColumns: Seq[String], nullsFirst: Boolean = true,
+      descColumns: Set[String] = Set.empty): ValidationReport = {
     val snap = deltaLog.snapshot()
-    Validator.report(spark, deltaLog, snap, snap.files, sortColumns, nullsFirst)
+    Validator.report(spark, deltaLog, snap, snap.files, sortColumns, nullsFirst, descColumns)
   }
 
   /** O6: ordering check restricted to one partition (lib.rs:526-555).

@@ -28,7 +28,7 @@ object Planner {
         f.partitionValues.get(c).map(c -> _))
 
     val stats = Validator.fileStats(spark, log, snap, snap.files,
-      cfg.sortColumns, cfg.nullsFirst)
+      cfg.sortColumns, cfg.nullsFirst, cfg.descColumns)
     val statsByPath: Map[String, FileStats] =
       stats.map(s => s.path -> s).toMap
     def absPath(f: AddFile): String = new Path(log.tableRoot, f.path).toString
@@ -48,7 +48,7 @@ object Planner {
         // no stats (empty file) contributes nothing to ordering
         val fs = g.files.flatMap(f => statsByPath.get(absPath(f)))
         val sortedWithin = fs.forall(_.sortedWithin)
-        val (cross, _) = Validator.boundaryViolations(fs, cfg.nullsFirst)
+        val (cross, _) = Validator.boundaryViolations(fs, cfg.nullsFirst, cfg.descFlags)
         sortedWithin && cross == 0
       }
       .sortBy(-_.estimatedBytes) // largest first (lib.rs:313)

@@ -23,8 +23,14 @@ import graft.delta._
 object Rewriter {
 
   def sortExprs(cfg: SortConfig): Seq[Column] =
-    cfg.sortColumns.map(c =>
-      if (cfg.nullsFirst) col(c).asc_nulls_first else col(c).asc_nulls_last)
+    cfg.sortColumns.map { c =>
+      (cfg.descColumns.contains(c), cfg.nullsFirst) match {
+        case (false, true)  => col(c).asc_nulls_first
+        case (false, false) => col(c).asc_nulls_last
+        case (true, true)   => col(c).desc_nulls_first
+        case (true, false)  => col(c).desc_nulls_last
+      }
+    }
 
   /** Exact row count for a file group from the parquet FOOTERS — a
     * ~KB metadata read per file, no data scan (a `df.count()` here would

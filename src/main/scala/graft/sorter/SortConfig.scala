@@ -14,7 +14,29 @@ case class SortConfig(
     targetFileSizeBytes: Option[Long] = None,
     concurrency: Int = 8,
     dryRun: Boolean = false,
-    repartitionBySortKey: Boolean = false)
+    repartitionBySortKey: Boolean = false,
+    descColumns: Set[String] = Set.empty) {
+  /** Per-sort-column descending flags, aligned with `sortColumns`. */
+  def descFlags: Seq[Boolean] = sortColumns.map(descColumns.contains)
+}
+
+object SortConfig {
+  /** Parse `name[:asc|:desc]` column specs (the CLI / Python surface for
+    * per-column direction — the reference lists direction as future work,
+    * README.md:183; we implement it). Returns (names, descending set). */
+  def parseColumns(raw: Seq[String]): (Seq[String], Set[String]) = {
+    val parsed = raw.map { spec =>
+      spec.split(':') match {
+        case Array(name) => (name, false)
+        case Array(name, "asc") => (name, false)
+        case Array(name, "desc") => (name, true)
+        case _ => throw new IllegalArgumentException(
+          s"bad sort column spec '$spec' (want name[:asc|:desc])")
+      }
+    }
+    (parsed.map(_._1), parsed.collect { case (n, true) => n }.toSet)
+  }
+}
 
 /** Validator output (lib.rs:144-149). `checkedFiles` counts only
   * non-empty files (lib.rs:506, 613-614); intra-file violations fold

@@ -18,13 +18,21 @@ package graft.sorter
   *
   * Values are the Spark external row representations (Row.get results).
   */
-final class TupleOrdering(nullsFirst: Boolean) extends Ordering[Seq[Any]] with Serializable {
+final class TupleOrdering(nullsFirst: Boolean, desc: Seq[Boolean] = Nil)
+  extends Ordering[Seq[Any]] with Serializable {
+
+  private val descArr: Array[Boolean] = desc.toArray
 
   override def compare(a: Seq[Any], b: Seq[Any]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      val c = compareVal(a(i), b(i))
+      val c0 = compareVal(a(i), b(i))
+      // desc negates the VALUE order only; NULL placement stays where
+      // `nullsFirst` puts it (Spark's desc_nulls_first semantics)
+      val c =
+        if (i < descArr.length && descArr(i) && a(i) != null && b(i) != null) -c0
+        else c0
       if (c != 0) return c
       i += 1
     }

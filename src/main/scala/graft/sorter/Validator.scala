@@ -47,10 +47,11 @@ object Validator {
 
   /** Compute per-file stats for `files` in one scan. */
   def fileStats(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      files: Seq[AddFile], sortColumns: Seq[String], nullsFirst: Boolean): Seq[FileStats] = {
+      files: Seq[AddFile], sortColumns: Seq[String], nullsFirst: Boolean,
+      descColumns: Set[String] = Set.empty): Seq[FileStats] = {
     validateSortColumns(snap.schema, sortColumns)
     if (files.isEmpty) return Seq.empty
-    val ord = new TupleOrdering(nullsFirst)
+    val ord = new TupleOrdering(nullsFirst, sortColumns.map(descColumns.contains))
     val df = DeltaTable.readFiles(spark, log, snap, files)
     val width = sortColumns.length
     val keyed = df.select(
@@ -101,8 +102,9 @@ object Validator {
   /** Cross-file boundary check (O4, lib.rs:578-598): order files by min
     * tuple; violation when max(file_i) > min(file_{i+1}). Returns
     * (count, detail messages). Driver-side over per-file summaries. */
-  def boundaryViolations(stats: Seq[FileStats], nullsFirst: Boolean): (Long, Seq[String]) = {
-    val ord = new TupleOrdering(nullsFirst)
+  def boundaryViolations(stats: Seq[FileStats], nullsFirst: Boolean,
+      descFlags: Seq[Boolean] = Nil): (Long, Seq[String]) = {
+    val ord = new TupleOrdering(nullsFirst, descFlags)
     val byMin = stats.sortBy(_.minKey)(ord)
     val details = mutable.ArrayBuffer.empty[String]
     var n = 0L
@@ -121,10 +123,12 @@ object Validator {
     * violations count one per file and fold into the total
     * (lib.rs:502-509); the details sample caps at 20 (lib.rs:511-518). */
   def report(spark: SparkSession, log: DeltaLog, snap: Snapshot, files: Seq[AddFile],
-      sortColumns: Seq[String], nullsFirst: Boolean): ValidationReport = {
-    val stats = fileStats(spark, log, snap, files, sortColumns, nullsFirst)
+      sortColumns: Seq[String], nullsFirst: Boolean,
+      descColumns: Set[String] = Set.empty): ValidationReport = {
+    val stats = fileStats(spark, log, snap, files, sortColumns, nullsFirst, descColumns)
     val unsortedFiles = stats.filterNot(_.sortedWithin)
-    val (crossCount, crossDetails) = boundaryViolations(stats, nullsFirst)
+    val (crossCount, crossDetails) =
+      boundaryViolations(stats, nullsFirst, sortColumns.map(descColumns.contains))
     val details =
       unsortedFiles.map(s => s"file not internally sorted: ${s.path}") ++ crossDetails
     ValidationReport(

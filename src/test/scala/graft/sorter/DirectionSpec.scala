@@ -1,0 +1,60 @@
+package graft.sorter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** Per-column sort direction — the reference's acknowledged future work
+  * (README.md:183), implemented here: `name:desc` specs parse, the
+  * validator accepts a descending layout it would reject ascending, the
+  * rewriter materializes descending order (NULL placement still owned by
+  * `nulls first|last`), and mixed-direction keys round-trip. */
+class DirectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseColumns handles asc/desc suffixes and rejects junk") {
+    assert(SortConfig.parseColumns(Seq("a", "b:desc", "c:asc")) ==
+      (Seq("a", "b", "c"), Set("b")))
+    intercept[IllegalArgumentException] {
+      SortConfig.parseColumns(Seq("a:sideways"))
+    }
+  }
+
+  test("validator honors direction: desc layout passes desc, fails asc") {
+    val dir = TestSpark.tmpDir("dir-validate")
+    DeltaTable.create(spark, Seq(9L, 7L).toDF("v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(5L, 3L).toDF("v").coalesce(1))
+    val sorter = DeltaSorter(spark, dir)
+    assert(!sorter.validate(Seq("v")).ok, "descending layout must fail asc validation")
+    assert(sorter.validate(Seq("v"), descColumns = Set("v")).ok)
+  }
+
+  test("compact with desc materializes descending order, nulls still first") {
+    val dir = TestSpark.tmpDir("dir-compact")
+    val values = Seq(Some(5L), None, Some(42L), Some(1L), Some(17L), None)
+    DeltaTable.create(spark, values.toDF("v").repartition(3), dir)
+    val sorter = DeltaSorter(spark, dir)
+    sorter.compact(SortConfig(Seq("v"), descColumns = Set("v")))
+    assert(sorter.validate(Seq("v"), descColumns = Set("v")).ok)
+    val got = DeltaTable.read(spark, dir).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, None, Some(42L), Some(17L), Some(5L), Some(1L)),
+      s"expected nulls-first descending, got $got")
+  }
+
+  test("mixed direction (a asc, b desc) round-trips and validates") {
+    val dir = TestSpark.tmpDir("dir-mixed")
+    val rows = for (a <- Seq(2L, 1L); b <- Seq(10L, 30L, 20L)) yield (a, b)
+    DeltaTable.create(spark, rows.toDF("a", "b").repartition(3), dir)
+    val sorter = DeltaSorter(spark, dir)
+    sorter.compact(SortConfig(Seq("a", "b"), descColumns = Set("b"),
+      repartitionBySortKey = true))
+    assert(sorter.validate(Seq("a", "b"), descColumns = Set("b")).ok)
+    assert(!sorter.validate(Seq("a", "b")).ok,
+      "desc-b layout must fail all-asc validation")
+    val got = DeltaTable.read(spark, dir).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 30L), (1L, 20L), (1L, 10L), (2L, 30L), (2L, 20L), (2L, 10L)))
+  }
+}
