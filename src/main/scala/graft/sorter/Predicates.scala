@@ -30,8 +30,13 @@ object Predicates {
     case FloatType | DoubleType => v
     case BooleanType => if (v.equalsIgnoreCase("true")) "TRUE" else "FALSE"
     case _: DecimalType => v
-    // dates/timestamps/strings/unknown: quoted + escaped (the reference
-    // quotes unknown types too, asserted by its unit test lib.rs:1098-1104)
+    // typed temporal literals — the literal forms the reference
+    // acknowledges as missing (README.md:183); Hive serializes partition
+    // dates/timestamps in exactly the ANSI literal body format
+    case DateType => s"DATE '${v.replace("'", "''")}'"
+    case TimestampType | TimestampNTZType => s"TIMESTAMP '${v.replace("'", "''")}'"
+    // strings/unknown: quoted + escaped (the reference quotes unknown
+    // types too, asserted by its unit test lib.rs:1098-1104)
     case _ => "'" + v.replace("'", "''") + "'"
   }
 

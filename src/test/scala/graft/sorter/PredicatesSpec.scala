@@ -29,10 +29,17 @@ class PredicatesSpec extends AnyFunSuite {
     assert(Predicates.sql(Seq("i" -> "1", "s" -> "a"), schema) == "i = 1 AND s = 'a'")
   }
 
+  test("temporal types render ANSI typed literals (beyond the reference, README.md:183)") {
+    val sch = StructType(Seq(
+      StructField("t", TimestampType), StructField("dt", DateType)))
+    assert(Predicates.sql(Seq("t" -> "2021-01-01 00:00:00"), sch) ==
+      "t = TIMESTAMP '2021-01-01 00:00:00'")
+    assert(Predicates.sql(Seq("dt" -> "2021-06-30"), sch) == "dt = DATE '2021-06-30'")
+    assert(Predicates.sql(Seq("dt" -> "null"), sch) == "dt IS NULL")
+  }
+
   test("unknown/unlisted types quote as strings (lib.rs:1098-1104)") {
-    val sch = StructType(Seq(StructField("t", TimestampType)))
-    assert(Predicates.sql(Seq("t" -> "2021-01-01 00:00:00"), sch) == "t = '2021-01-01 00:00:00'")
-    // column absent from schema also falls back to quoted string
+    // column absent from schema falls back to quoted string
     assert(Predicates.sql(Seq("zz" -> "v"), schema) == "zz = 'v'")
   }
 }
