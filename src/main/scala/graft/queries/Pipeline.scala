@@ -42,6 +42,40 @@ object Pipeline {
 
   private def flag(c: Column): Column = when(c, 1L).otherwise(0L)
 
+  /** Adds the per-rule 0/1 quality columns + the combined `keep` to a
+    * frame with `doc_id, lang, text, ...` — one narrow pass, shared by
+    * the standalone filter query and the funnel. */
+  private def withQualityFlags(df: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "in")
+    val tk = tokens(col("text"))
+    df.withColumn("n_tokens", size(tk).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(tk)).cast("long"))
+      .withColumn("n_token_chars",
+        aggregate(transform(tk, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("stop_hits",
+        size(filter(tk, t => t.isInCollection(stop))).cast("long"))
+      .withColumn("short_hits", size(filter(tk, t => length(t) <= 2)).cast("long"))
+      .withColumn("keep_len", flag(col("n_tokens").between(10L, 100000L)))
+      .withColumn("keep_avg", flag(col("n_token_chars") * 2 >= col("n_tokens") * 5 &&
+        col("n_token_chars") <= col("n_tokens") * 12))
+      .withColumn("keep_stop", flag(col("stop_hits") >= 2))
+      .withColumn("keep_short", flag(col("short_hits") * 10000 <= col("n_tokens") * 3000))
+      .withColumn("keep_ttr", flag(col("n_distinct") * 10000 >= col("n_tokens") * 1500))
+      .withColumn("keep",
+        col("keep_len") * col("keep_avg") * col("keep_stop") *
+          col("keep_short") * col("keep_ttr"))
+  }
+
+  /** Deterministic per-language md5 pick — shared by the sampling query
+    * and the funnel. */
+  private def pickedCol: Column = {
+    val rate = SampleRatesBp.foldLeft(lit(DefaultRateBp)) {
+      case (acc, (code, bps)) => when(col("lang") === code, lit(bps)).otherwise(acc)
+    }
+    pmod(md5Bits32(concat(lit("smp:"), col("doc_id").cast("string"))),
+      lit(10000L)) < rate
+  }
+
   val queries: Map[String, Q] = Map(
     // Rule-based quality filter (Gopher-style): length bounds, mean token
     // length, stopword presence, short-token ratio, type-token ratio.
@@ -49,26 +83,40 @@ object Pipeline {
     // surfaces as its own 0/1 column so downstream can audit WHICH rule
     // dropped a document.
     "q_quality_filter" -> ((s, dir) => {
-      val stop = Seq("the", "a", "of", "to", "in")
-      val tk = tokens(col("text"))
-      val base = table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(tk).cast("long").as("n_tokens"),
-          size(array_distinct(tk)).cast("long").as("n_distinct"),
-          aggregate(transform(tk, t => length(t).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_token_chars"),
-          size(filter(tk, t => t.isInCollection(stop))).cast("long").as("stop_hits"),
-          size(filter(tk, t => length(t) <= 2)).cast("long").as("short_hits"))
-      base.select(col("doc_id"), col("lang"), col("n_tokens"),
-        flag(col("n_tokens").between(10L, 100000L)).as("keep_len"),
-        flag(col("n_token_chars") * 2 >= col("n_tokens") * 5 &&
-          col("n_token_chars") <= col("n_tokens") * 12).as("keep_avg"),
-        flag(col("stop_hits") >= 2).as("keep_stop"),
-        flag(col("short_hits") * 10000 <= col("n_tokens") * 3000).as("keep_short"),
-        flag(col("n_distinct") * 10000 >= col("n_tokens") * 1500).as("keep_ttr"))
-        .withColumn("keep",
-          col("keep_len") * col("keep_avg") * col("keep_stop") *
-            col("keep_short") * col("keep_ttr"))
+      withQualityFlags(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("keep_len"), col("keep_avg"), col("keep_stop"),
+          col("keep_short"), col("keep_ttr"), col("keep"))
+    }),
+
+    // The END-TO-END preprocessing funnel in one plan: quality filter →
+    // near-dup retention (canonical doc per cluster) → decontamination
+    // (drop train docs overlapping the eval split) → stratified
+    // sampling, reported as per-language survivor counts at each stage.
+    // Shape: ONE narrow pass over the corpus computes the quality flags;
+    // the cluster and contaminated-id tables are dedup OUTPUT (tiny,
+    // duplicate-bounded) and broadcast; one aggregate ends it. The
+    // corpus is never shuffled.
+    "q_pipeline_funnel" -> ((s, dir) => {
+      val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
+      val contam = queries("q_contamination")(s, dir)
+        .select(col("train_id").as("doc_id")).distinct()
+      withQualityFlags(table(s, dir, "documents"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .join(broadcast(contam.withColumn("contaminated", lit(1L))), Seq("doc_id"), "left")
+        .withColumn("dup_dropped",
+          flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
+        .withColumn("s1", col("keep"))
+        .withColumn("s2", col("s1") * (lit(1L) - col("dup_dropped")))
+        .withColumn("s3", col("s2") * when(col("contaminated").isNull, 1L).otherwise(0L))
+        .withColumn("s4", col("s3") * flag(pickedCol))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("s1")).as("n_quality"),
+          sum(col("s2")).as("n_dedup"),
+          sum(col("s3")).as("n_decontam"),
+          sum(col("s4")).as("n_final"),
+          sum(col("s4") * col("n_chars")).as("chars_final"))
     }),
 
     // Intra-document repetition (the Gopher "repetitive content" family):
@@ -147,41 +195,88 @@ object Pipeline {
     // keep decision depends only on (doc_id) bits, so resampling after a
     // repartition or a rerun selects the same documents.
     "q_sample_stratified" -> ((s, dir) => {
-      val rate = SampleRatesBp.foldLeft(lit(DefaultRateBp)) {
-        case (acc, (code, bps)) => when(col("lang") === code, lit(bps)).otherwise(acc)
-      }
-      val picked = pmod(md5Bits32(concat(lit("smp:"), col("doc_id").cast("string"))),
-        lit(10000L)) < rate
       table(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(flag(picked)).as("n_sampled"),
-          sum(flag(picked) * col("n_chars")).as("n_chars_sampled"))
+          sum(flag(pickedCol)).as("n_sampled"),
+          sum(flag(pickedCol) * col("n_chars")).as("n_chars_sampled"))
     }))
 
   private val rateCase = SampleRatesBp
     .map { case (c, r) => s"WHEN lang = '$c' THEN $r" }
     .mkString("CASE ", " ", s" ELSE $DefaultRateBp END")
 
+  /** Shared quality-filter SQL (also embedded in the funnel oracle). */
+  private val qualitySql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      |  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS n_token_chars,
+      |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in'))) AS BIGINT) AS stop_hits,
+      |  CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS short_hits
+      | FROM t),
+      |f AS (SELECT doc_id, lang, n_tokens,
+      |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS keep_len,
+      |  CAST(CASE WHEN n_token_chars*2 >= n_tokens*5 AND n_token_chars <= n_tokens*12
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep_avg,
+      |  CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep_stop,
+      |  CAST(CASE WHEN short_hits*10000 <= n_tokens*3000 THEN 1 ELSE 0 END AS BIGINT) AS keep_short,
+      |  CAST(CASE WHEN n_distinct*10000 >= n_tokens*1500 THEN 1 ELSE 0 END AS BIGINT) AS keep_ttr
+      | FROM c)
+      |SELECT *, keep_len*keep_avg*keep_stop*keep_short*keep_ttr AS keep FROM f""".stripMargin
+
+  /** Shared contamination SQL (also embedded in the funnel oracle). */
+  private val contamSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) >= 3
+      |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |             for i in generate_series(1, len(tk)-2)]
+      |       ELSE [] END) AS sh
+      | FROM t),
+      |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
+      |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
+      |keep AS (SELECT shingle FROM inv GROUP BY shingle
+      |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+      |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
+      |  FROM inv JOIN keep USING (shingle)),
+      |ev AS (SELECT shingle, doc_id AS eval_id, n_sh AS n_eval FROM ci
+      |  WHERE doc_id % 10 = 0),
+      |tr AS (SELECT shingle, doc_id AS train_id FROM ci WHERE doc_id % 10 <> 0),
+      |p AS (SELECT eval_id, train_id, n_eval, CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2, 3)
+      |SELECT eval_id, train_id, n_common,
+      |  CAST(10000*n_common // n_eval AS BIGINT) AS overlap_bp
+      |FROM p WHERE n_common >= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_quality_filter" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
-        |c AS (SELECT doc_id, lang,
-        |  CAST(len(tk) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
-        |  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS n_token_chars,
-        |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in'))) AS BIGINT) AS stop_hits,
-        |  CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS short_hits
-        | FROM t),
-        |f AS (SELECT doc_id, lang, n_tokens,
-        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS keep_len,
-        |  CAST(CASE WHEN n_token_chars*2 >= n_tokens*5 AND n_token_chars <= n_tokens*12
-        |       THEN 1 ELSE 0 END AS BIGINT) AS keep_avg,
-        |  CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep_stop,
-        |  CAST(CASE WHEN short_hits*10000 <= n_tokens*3000 THEN 1 ELSE 0 END AS BIGINT) AS keep_short,
-        |  CAST(CASE WHEN n_distinct*10000 >= n_tokens*1500 THEN 1 ELSE 0 END AS BIGINT) AS keep_ttr
-        | FROM c)
-        |SELECT *, keep_len*keep_avg*keep_stop*keep_short*keep_ttr AS keep FROM f""".stripMargin,
+    "q_quality_filter" -> qualitySql,
+
+    "q_pipeline_funnel" ->
+      s"""SELECT lang,
+         | CAST(COUNT(*) AS BIGINT) AS n_total,
+         | CAST(SUM(s1) AS BIGINT) AS n_quality,
+         | CAST(SUM(s1*not_dup) AS BIGINT) AS n_dedup,
+         | CAST(SUM(s1*not_dup*not_contam) AS BIGINT) AS n_decontam,
+         | CAST(SUM(s1*not_dup*not_contam*picked) AS BIGINT) AS n_final,
+         | CAST(SUM(s1*not_dup*not_contam*picked*n_chars) AS BIGINT) AS chars_final
+         |FROM (
+         | SELECT d.lang, d.n_chars, q.keep AS s1,
+         |  CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+         |       THEN 0 ELSE 1 END AS not_dup,
+         |  CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END AS not_contam,
+         |  CASE WHEN CAST(concat('0x', substr(md5('smp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |            AS BIGINT) % 10000 < ($rateCase) THEN 1 ELSE 0 END AS picked
+         | FROM documents d
+         | JOIN (SELECT doc_id, keep FROM ($qualitySql) q0) q ON d.doc_id = q.doc_id
+         | LEFT JOIN (
+         |${Dedup.oracle("q_dedup_clusters")}
+         | ) c ON d.doc_id = c.doc_id
+         | LEFT JOIN (SELECT DISTINCT train_id AS doc_id FROM ($contamSql) t0
+         | ) x ON d.doc_id = x.doc_id
+         |) flags
+         |GROUP BY lang""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -202,28 +297,7 @@ object Pipeline {
         |  CAST(10000*top_count // n_2grams AS BIGINT) AS top_share_bp
         |FROM a WHERE n_2grams >= 1""".stripMargin,
 
-    "q_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(tk) >= 3
-        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |             for i in generate_series(1, len(tk)-2)]
-        |       ELSE [] END) AS sh
-        | FROM t),
-        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM s),
-        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM n),
-        |keep AS (SELECT shingle FROM inv GROUP BY shingle
-        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
-        |ci AS (SELECT inv.doc_id, inv.n_sh, inv.shingle
-        |  FROM inv JOIN keep USING (shingle)),
-        |ev AS (SELECT shingle, doc_id AS eval_id, n_sh AS n_eval FROM ci
-        |  WHERE doc_id % 10 = 0),
-        |tr AS (SELECT shingle, doc_id AS train_id FROM ci WHERE doc_id % 10 <> 0),
-        |p AS (SELECT eval_id, train_id, n_eval, CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2, 3)
-        |SELECT eval_id, train_id, n_common,
-        |  CAST(10000*n_common // n_eval AS BIGINT) AS overlap_bp
-        |FROM p WHERE n_common >= 5""".stripMargin,
+    "q_contamination" -> contamSql,
 
     "q_dedup_retained" ->
       s"""SELECT d.lang,
