@@ -12,9 +12,13 @@ import graft.queries.{Analytics, Dedup, Events, Maintenance, Multimodal, Pipelin
   * rows-only check.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end preprocessing funnel exercises the engine's
+    * widest slice in one plan: narrow quality scoring, near-dup
+    * clustering, contamination joins, deterministic sampling, and the
+    * final aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q_join_multiway")(spark, "/root/testdata/sf0.001")
+    Pipeline.queries("q_pipeline_funnel")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -221,6 +221,15 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     versions.foreach(v => actionsAt(v).foreach(apply))
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
+    // Protocol gate (the Delta contract delta-rs enforces for the
+    // reference): a table written with reader features beyond ours
+    // (deletion vectors, column mapping = minReaderVersion 3) must fail
+    // loudly instead of returning silently wrong rows.
+    protocol.filter(_.minReaderVersion > DeltaLog.SupportedReaderVersion).foreach { p =>
+      throw new IllegalStateException(
+        s"cannot read $tableUri: requires Delta reader version ${p.minReaderVersion}, " +
+          s"this engine supports <= ${DeltaLog.SupportedReaderVersion}")
+    }
     Snapshot(
       version = math.max(cp.map(_.version).getOrElse(-1L), versions.lastOption.getOrElse(-1L)),
       metadata = meta,
@@ -336,6 +345,12 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
 }
 
 object DeltaLog {
+  /** Highest Delta reader protocol version this engine implements
+    * (1 = plain add/remove tables; 2 adds writer-side constraints we
+    * don't need to understand to READ; 3 = deletion vectors / column
+    * mapping, which change row visibility and are rejected). */
+  val SupportedReaderVersion = 2
+
   def forTable(spark: SparkSession, tableUri: String): DeltaLog =
     new DeltaLog(tableUri, spark.sessionState.newHadoopConf(), Some(spark))
 }

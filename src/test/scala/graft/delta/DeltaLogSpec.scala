@@ -223,6 +223,19 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(log.vacuum(retentionMs = 0L).isEmpty)
   }
 
+  test("a table requiring a newer reader protocol is rejected, not misread") {
+    val dir = graft.TestSpark.tmpDir("protocol-gate")
+    import spark.implicits._
+    DeltaTable.create(spark, Seq(1, 2).toDF("v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    // a future writer upgrades the table to reader version 3 (e.g.
+    // deletion vectors): our snapshot must fail loudly from then on
+    log.commitLatest(Seq(Protocol(minReaderVersion = 3, minWriterVersion = 7),
+      CommitInfo(1L, "UPGRADE", Map.empty)))
+    val err = intercept[IllegalStateException] { log.snapshot() }
+    assert(err.getMessage.contains("reader version 3"))
+  }
+
   test("action JSON round-trips through the parser") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)
