@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Cross-query consistency: the funnel's per-stage counts must agree
+  * with the standalone component queries it composes — the funnel is a
+  * single-plan fusion, not a separate implementation allowed to drift. */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel stages are monotone and reconcile with the component queries") {
+    val funnel = graft.SparkEntry.queries("q_pipeline_funnel")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(funnel.nonEmpty)
+    funnel.values.foreach { case (lang, total, q, d, c, f, chars) =>
+      assert(total >= q && q >= d && d >= c && c >= f,
+        s"$lang stages must be monotone: $total >= $q >= $d >= $c >= $f")
+      assert(f > 0 || chars == 0)
+    }
+
+    // n_total: raw per-language counts
+    val totals = Tables.table(spark, dir, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(funnel.view.mapValues(_._2).toMap == totals)
+
+    // n_quality: the standalone filter's per-language keep sums
+    val quality = graft.SparkEntry.queries("q_quality_filter")(spark, dir)
+      .groupBy("lang").agg(sum("keep")).as[(String, Long)].collect().toMap
+    assert(funnel.view.mapValues(_._3).toMap == quality)
+
+    // n_dedup: quality AND not dropped by the standalone cluster query
+    val dropped = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val dedup = graft.SparkEntry.queries("q_quality_filter")(spark, dir)
+      .where(col("keep") === 1)
+      .select("lang", "doc_id")
+      .as[(String, Long)].collect()
+      .filterNot { case (_, id) => dropped.contains(id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(funnel.view.mapValues(_._4).toMap == dedup)
+  }
+}
