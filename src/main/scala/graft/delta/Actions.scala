@@ -63,6 +63,12 @@ object Action {
         dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(),
         partitionValues = strMap(r.get("partitionValues")),
         size = if (r.has("size")) r.get("size").asLong() else 0L))
+    } else if (node.has("cdc")) {
+      val c = node.get("cdc")
+      Some(AddCDCFile(
+        path = c.get("path").asText(),
+        partitionValues = strMap(c.get("partitionValues")),
+        size = if (c.has("size")) c.get("size").asLong() else 0L))
     } else if (node.has("metaData")) {
       val m = node.get("metaData")
       Some(Metadata(
@@ -101,6 +107,19 @@ case class AddFile(
   def json: String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
       s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange}}"""
+}
+
+/** Change-data file (Delta CDF's `cdc` action): the row-level changes of
+  * one DML commit, stored under `_change_data/` with a `_change_type`
+  * column. NEVER part of the snapshot — readers of the table ignore it;
+  * only the change feed reads it. */
+case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long) extends Action {
+  def json: String =
+    s"""{"cdc":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
+      s""""size":$size,"dataChange":false}}"""
 }
 
 /** Tombstone for a file removed from the snapshot. */

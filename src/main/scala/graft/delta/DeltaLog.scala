@@ -211,6 +211,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case p: Protocol => protocol = Some(p)
       case t: SetTransaction =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case _: AddCDCFile => () // change feed only — never snapshot state
       case _: CommitInfo => ()
     }
 

@@ -220,19 +220,32 @@ object DeltaTable {
     * per-commit deltas. */
   def changesBetween(spark: SparkSession, tableUri: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshotAt(toVersion)
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val adds = log.actionsAt(v).collect { case a: AddFile if a.dataChange => a }
-      if (adds.isEmpty) None
-      else Some(readFiles(spark, log, snap, adds)
-        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v)))
+      val actions = log.actionsAt(v)
+      val cdcs = actions.collect { case c: AddCDCFile => c }
+      if (cdcs.nonEmpty) {
+        // DML commit with row-level capture: the cdc files already carry
+        // _change_type (insert / update_postimage / delete) and exactly
+        // the changed rows — never rewritten survivors
+        val paths = cdcs.map(c => new Path(log.tableRoot, c.path).toString)
+        Some(spark.read.parquet(paths: _*).withColumn("_commit_version", lit(v)))
+      } else {
+        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        if (adds.isEmpty) None
+        else Some(readFiles(spark, log, snap, adds)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      }
     }
-    batches.reduceOption(_.unionByName(_)).getOrElse {
+    batches.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       readFiles(spark, log, snap, Nil)
-        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(0L))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
     }
   }
 
@@ -279,9 +292,20 @@ object DeltaTable {
       _.join(broadcast(keys), keyCols, "left_semi"))
     val survivors = readFiles(spark, log, snap, touched)
       .join(broadcast(keys), keyCols, "left_anti")
+    // row-level change capture: keys that hit an existing row are
+    // update_postimage, the rest are inserts. `matchedKeys` is bounded
+    // by the update batch (small side), so both joins broadcast.
+    val matchedKeys = readFiles(spark, log, snap, touched)
+      .select(keyCols.map(col): _*)
+      .join(broadcast(keys), keyCols, "left_semi").distinct()
+    val changes = updates.join(broadcast(matchedKeys), keyCols, "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+      .unionByName(updates.join(broadcast(matchedKeys), keyCols, "left_anti")
+        .withColumn("_change_type", lit("insert")))
     commitRewrite(spark, log, snap, touched,
       survivors.unionByName(updates), "MERGE",
-      Map("matchedFiles" -> touched.size.toString))
+      Map("matchedFiles" -> touched.size.toString),
+      cdc = stageCdc(spark, log, changes))
   }
 
   /** DELETE rows matching `predicate` (rows where the predicate is NULL
@@ -295,7 +319,11 @@ object DeltaTable {
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val survivors = readFiles(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
-    commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty)
+    val changes = readFiles(spark, log, snap, touched)
+      .where(coalesce(predicate, lit(false)))
+      .withColumn("_change_type", lit("delete"))
+    commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty,
+      cdc = stageCdc(spark, log, changes))
   }
 
   /** RESTORE: roll the table back to historical `version` as a NEW
@@ -351,19 +379,43 @@ object DeltaTable {
     byAbs.collect { case (abs, f) if touchedPaths.contains(abs) => f }
   }
 
+  /** Write the per-commit change rows (table columns + `_change_type`)
+    * under `_change_data/` and return the cdc actions. The directory is
+    * unique per call, so files only become visible through the commit;
+    * vacuum never touches `_`-prefixed top-level dirs. */
+  private def stageCdc(spark: SparkSession, log: DeltaLog,
+      changes: DataFrame): Seq[AddCDCFile] = {
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(log.tableRoot, s"_change_data/${UUID.randomUUID()}")
+    changes.write.mode("overwrite").parquet(dir.toString)
+    val out = mutable.ArrayBuffer.empty[AddCDCFile]
+    val it = fs.listFiles(dir, false)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        out += AddCDCFile(
+          log.tableRoot.toUri.relativize(st.getPath.toUri).getPath,
+          Map.empty, st.getLen)
+    }
+    out.toSeq
+  }
+
   /** Stage `newData` as replacement files for `touched` and commit
-    * removes + adds (no-op commit avoided when nothing was touched and
-    * nothing new is written). */
+    * removes + adds (+ cdc row-level change files when the caller
+    * captured them); no-op commit avoided when nothing was touched and
+    * nothing new is written. */
   private def commitRewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       touched: Seq[AddFile], newData: DataFrame, operation: String,
-      params: Map[String, String]): DmlStats = {
+      params: Map[String, String], cdc: Seq[AddCDCFile] = Nil): DmlStats = {
     val adds = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
     if (touched.isEmpty && adds.isEmpty) return DmlStats(0, 0)
     val now = System.currentTimeMillis()
     val removes = touched.map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
-    log.commitDml(snap.version, removes ++ adds :+ CommitInfo(now, operation, params))
+    log.commitDml(snap.version,
+      removes ++ adds ++ cdc :+ CommitInfo(now, operation, params))
     DmlStats(removes.size, adds.size)
   }
 }

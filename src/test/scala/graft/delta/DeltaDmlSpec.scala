@@ -117,9 +117,31 @@ class DeltaDmlSpec extends AnyFunSuite {
       "only appended rows appear; the v2 compaction re-emits nothing")
     // a window holding only the maintenance rewrite is empty
     assert(DeltaTable.changesBetween(spark, dir, 1, 2).isEmpty)
-    // the empty feed still carries the table schema + version column
+    // the empty feed still carries the table schema + change/version columns
     assert(DeltaTable.changesBetween(spark, dir, 1, 2).columns.toSeq ==
-      Seq("k", "v", "_commit_version"))
+      Seq("k", "v", "_change_type", "_commit_version"))
+  }
+
+  test("change feed captures row-level DML: no survivor re-emission") {
+    val dir = TestSpark.tmpDir("dml-cdf-rows")
+    DeltaTable.create(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), dir) // v0
+    // v1: update k=1, insert k=9 — k=2,3 are rewritten survivors and
+    // must NOT appear in the feed
+    DeltaTable.upsert(spark, dir, Seq((1L, "A!"), (9L, "i")).toDF("k", "v"), Seq("k"))
+    // v2: delete k=2
+    DeltaTable.delete(spark, dir, col("k") === 2L)
+
+    val feed = DeltaTable.changesBetween(spark, dir, 0, 2)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._4, r._1))
+    assert(feed.toSeq == Seq(
+      (1L, "A!", "update_postimage", 1L),
+      (9L, "i", "insert", 1L),
+      (2L, "b", "delete", 2L)))
+    // table state is consistent with replaying the feed
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A!"), (3L, "c"), (9L, "i")))
   }
 
   test("upsert survives time travel: pre-merge version still readable") {
