@@ -78,6 +78,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-phase salted distinct: salt agg + merge agg + final exchange —
     // 3 by design, the price of spreading one hot key over 16 reducers
     assert(shuffles("q_skew_salted_distinct") == 3)
+    // per-doc repetition scoring is one typed pass — nothing to shuffle
+    assert(shuffles("q_repetition") == 0)
+    // quality filter: narrow flags, zero shuffle
+    assert(shuffles("q_quality_filter") == 0)
+    // bitmap distinct: one two-phase aggregate (partial OR-merge map-side)
+    assert(shuffles("q_bitmap_distinct") == 1)
   }
 
   test("corpus n-gram top-k is a TakeOrdered, not a global sort") {
