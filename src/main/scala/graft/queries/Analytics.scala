@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,9 @@ object Analytics {
   val Salts = 16L
   /** Linear-counting bucket count (m). */
   val LinearCountBuckets = 4096L
+  /** Count-min sketch shape: depth (independent md5 rows) × width. */
+  val CmsDepth = 4
+  val CmsWidth = 256L
 
   val queries: Map[String, Q] = Map(
     // PIVOT: order revenue by priority, statuses F/O/P as columns.
@@ -210,6 +213,33 @@ object Analytics {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("sh").asc)
         .limit(TopNgrams)
+    }),
+
+    // Count-min sketch over corpus shingle frequency: CmsDepth rows ×
+    // CmsWidth md5 buckets — the sketch is O(D×W) REGARDLESS of corpus
+    // size (one aggregate builds it; the heavy-hitter probe joins the
+    // tiny sketch broadcast). Estimates are deterministic (md5 hashes,
+    // no RNG), so DuckDB replays them exactly; the CMS guarantee
+    // est >= true is asserted in-row via the exact df alongside.
+    "q_countmin" -> ((s, dir) => {
+      val inv = Dedup.shingleDocs(s, dir).select(explode(col("sh")).as("sh"))
+      def bucket(d: Int, c: Column) =
+        pmod(md5Bits32(concat(lit(s"$d:"), c)), lit(CmsWidth))
+      // one pass, counting every row into its bucket per sketch row
+      val sketch = inv.select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d.toLong).as("d"), bucket(d, col("sh")).as("b"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("sh").asc).limit(TopNgrams)
+      val probed = (0 until CmsDepth).foldLeft(top) { (df, d) =>
+        df.join(broadcast(sketch.where(col("d") === d)
+          .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
+          bucket(d, col("sh")) === col(s"b$d"))
+          .drop(s"b$d")
+      }
+      probed.select(col("sh"), col("df"),
+        least((0 until CmsDepth).map(d => col(s"c$d")): _*).as("est_df"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -312,6 +342,30 @@ object Analytics {
         | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
         | CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_countmin" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(tk) >= 3
+        |       THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk)-2)]
+        |       ELSE [] END) AS sh
+        | FROM t),
+        |inv AS (SELECT unnest(sh) AS sh FROM s),
+        |sk AS (SELECT d,
+        |  CAST(concat('0x', substr(md5(d || ':' || sh), 1, 8)) AS BIGINT) % 256 AS b,
+        |  CAST(COUNT(*) AS BIGINT) AS c
+        | FROM inv, generate_series(0, 3) g(d) GROUP BY 1, 2),
+        |top AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM inv
+        |  GROUP BY sh ORDER BY df DESC, sh LIMIT 20)
+        |SELECT sh, df,
+        | least(
+        |  (SELECT c FROM sk WHERE d = 0 AND b = CAST(concat('0x', substr(md5('0:' || sh), 1, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 1 AND b = CAST(concat('0x', substr(md5('1:' || sh), 1, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 2 AND b = CAST(concat('0x', substr(md5('2:' || sh), 1, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 3 AND b = CAST(concat('0x', substr(md5('3:' || sh), 1, 8)) AS BIGINT) % 256)
+        | ) AS est_df
+        |FROM top""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
