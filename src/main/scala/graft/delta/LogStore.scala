@@ -1,29 +1,51 @@
 package graft.delta
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.concurrent.TrieMap
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The atomic PUT-if-absent primitive that makes a Delta commit a
   * transaction: publish `tmp` as `target` iff `target` does not exist,
   * returning false (never overwriting) when another writer won the race.
   *
-  * The reference inherits this seam from delta-rs' LogStore; ours keeps
-  * the same contract so an object-store backend is a plug-in, not a
-  * rewrite:
+  * The reference inherits this seam from delta-rs' LogStore (its
+  * object-store backends are compiled in via
+  * crates/sorter-core/Cargo.toml:15 features `["s3","azure","gcs"]`, and
+  * the CLI documents `s3://` tables as the day-one surface,
+  * crates/sorter-cli/src/main.rs:13); ours keeps the same contract so an
+  * object-store backend is a plug-in, not a rewrite:
   *  - `file:` — POSIX hard-link, atomic create-if-absent
   *    ([[LogStore.FileLogStore]]);
   *  - HDFS-like — `rename` without overwrite, which the HDFS contract
   *    defines as failing when the destination exists
   *    ([[LogStore.RenameLogStore]]);
-  *  - object stores (s3/az/gs) — implement with the store's conditional
-  *    PUT (`If-None-Match: *` on S3/GCS, `If-None-Match` + lease on
-  *    Azure), or a coordination table (DynamoDB) where the store lacks
-  *    one. Plain rename on an object store is copy+delete and NOT
-  *    atomic — [[LogStore.forFileSystem]] deliberately has no default
-  *    for those schemes.
+  *  - object stores (s3/az/gs) — the store's conditional PUT
+  *    (`If-None-Match: *` on S3 and GCS XML APIs, `If-None-Match: *` on
+  *    Azure Blob) via [[LogStore.ConditionalPutLogStore]] over an
+  *    [[ObjectStoreClient]]. Plain rename on an object store is
+  *    copy+delete and NOT atomic, so [[LogStore.forFileSystem]] REFUSES
+  *    object-store schemes with no registered conditional-PUT client
+  *    instead of silently handing them the rename store.
   */
 trait LogStore {
   /** Atomically publish `tmp` at `target`; false iff `target` exists. */
   def putIfAbsent(tmp: Path, target: Path): Boolean
+}
+
+/** The one object-store verb an atomic Delta commit needs: an
+  * unconditional-failure conditional upload (HTTP `PUT` with
+  * `If-None-Match: *`). Implementations MUST be atomic server-side:
+  * under N concurrent calls for one key, exactly one returns true and
+  * the stored bytes are that winner's. */
+trait ObjectStoreClient {
+  /** Upload `data` at `key` iff no object exists there.
+    * @return true = created; false = an object already exists
+    *         (HTTP 412 Precondition Failed). */
+  def putIfNoneMatch(key: String, data: Array[Byte]): Boolean
 }
 
 object LogStore {
@@ -44,10 +66,109 @@ object LogStore {
     def putIfAbsent(tmp: Path, target: Path): Boolean = fs.rename(tmp, target)
   }
 
-  /** Pick the implementation for a filesystem. Object-store schemes get
-    * the rename store too (correct on stores with atomic no-overwrite
-    * rename, e.g. HDFS-compatible layers); a true s3/az/gs deployment
-    * must supply a conditional-PUT implementation — see the trait doc. */
-  def forFileSystem(fs: FileSystem): LogStore =
-    if (fs.getScheme == "file") new FileLogStore(fs) else new RenameLogStore(fs)
+  /** Object-store commits: read the staged temp file and publish it with
+    * one conditional PUT. The key is the target URI's path with the
+    * leading `/` stripped (the S3/GCS object-key convention: bucket in
+    * the authority, key = path). Atomicity lives entirely in the
+    * client's `If-None-Match: *` — no list-then-write window. */
+  final class ConditionalPutLogStore(fs: FileSystem, client: ObjectStoreClient)
+      extends LogStore {
+    def putIfAbsent(tmp: Path, target: Path): Boolean = {
+      val in = fs.open(tmp)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      client.putIfNoneMatch(keyOf(fs.makeQualified(target).toUri), bytes)
+    }
+    private[delta] def keyOf(uri: URI): String = uri.getPath.stripPrefix("/")
+  }
+
+  /** S3-REST-shaped [[ObjectStoreClient]] over the JDK HTTP client: the
+    * exact wire form of S3's 2024 conditional-write support and of the
+    * GCS XML API (`PUT /bucket/key` + `If-None-Match: *` → 200 created,
+    * 412 exists). No SDK dependency — endpoint + bucket are explicit, so
+    * it also drives MinIO/localstack-style S3-compatible stores and the
+    * in-test fake in LogStoreContractSpec.
+    *
+    * 409 (S3 `ConditionalRequestConflict`: another conditional write on
+    * the same key is mid-flight) is retried with backoff; if the key
+    * exists once the dust settles, that's a lost race → false. */
+  final class S3HttpStyleClient(endpoint: URI, bucket: String,
+      http: HttpClient = HttpClient.newHttpClient(), maxAttempts: Int = 5)
+      extends ObjectStoreClient {
+
+    private def url(key: String): URI =
+      endpoint.resolve(s"/$bucket/$key")
+
+    def putIfNoneMatch(key: String, data: Array[Byte]): Boolean = {
+      var attempt = 0
+      while (true) {
+        val req = HttpRequest.newBuilder(url(key))
+          .header("If-None-Match", "*")
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(data))
+          .build()
+        val rsp = http.send(req, HttpResponse.BodyHandlers.discarding())
+        rsp.statusCode() match {
+          case ok if ok / 100 == 2 => return true
+          case 412 => return false
+          case 409 => // concurrent conditional write in flight
+            attempt += 1
+            if (exists(key)) return false
+            if (attempt >= maxAttempts)
+              throw new java.io.IOException(
+                s"conditional PUT of $bucket/$key still conflicted after $maxAttempts attempts")
+            Thread.sleep(25L << math.min(attempt, 5))
+          case other =>
+            throw new java.io.IOException(
+              s"conditional PUT of $bucket/$key failed: HTTP $other")
+        }
+      }
+      false // unreachable
+    }
+
+    private def exists(key: String): Boolean = {
+      val req = HttpRequest.newBuilder(url(key))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+      http.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() / 100 == 2
+    }
+  }
+
+  /** URI schemes that resolve to eventually-consistent object stores,
+    * where rename is copy+delete and must never back a commit. */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n",            // S3 + Hadoop connectors
+    "gs", "gcs",                   // GCS
+    "abfs", "abfss", "wasb", "wasbs", "az", // Azure
+    "oss", "cos", "obs")           // Alibaba/Tencent/Huawei connectors
+
+  private val factories = TrieMap.empty[String, FileSystem => LogStore]
+
+  /** Register a commit backend for a URI scheme (e.g. `"s3a"` → a
+    * [[ConditionalPutLogStore]] over a configured client). Registered
+    * factories take precedence over the built-in routing below. */
+  def register(scheme: String, factory: FileSystem => LogStore): Unit =
+    factories.put(scheme.toLowerCase, factory)
+
+  private[delta] def unregister(scheme: String): Unit =
+    factories.remove(scheme.toLowerCase)
+
+  /** Pick the commit backend for a filesystem:
+    * registered factory > hard-link (`file:`) > REFUSE object-store
+    * schemes (rename there is not atomic — a silent-unsafe commit path
+    * is worse than a loud unsupported one) > HDFS-style rename. */
+  def forFileSystem(fs: FileSystem): LogStore = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("file")
+    factories.get(scheme) match {
+      case Some(f) => f(fs)
+      case None if scheme == "file" => new FileLogStore(fs)
+      case None if ObjectStoreSchemes(scheme) =>
+        throw new IllegalArgumentException(
+          s"no atomic commit backend registered for '$scheme://' — rename on an " +
+            "object store is copy+delete, not atomic. Register a conditional-PUT " +
+            "LogStore for this scheme first, e.g.\n" +
+            "  LogStore.register(\"" + scheme + "\", fs => new LogStore.ConditionalPutLogStore(\n" +
+            "    fs, new LogStore.S3HttpStyleClient(endpoint, bucket)))")
+      case None => new RenameLogStore(fs)
+    }
+  }
 }

@@ -1,0 +1,182 @@
+package graft.delta
+
+import java.net.{InetSocketAddress, URI}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors, TimeUnit}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Contract tests for the object-store commit path:
+  *
+  *  - an in-JVM fake S3 (`com.sun.net.httpserver`) that stores objects
+  *    atomically, honors `If-None-Match: *` (→ 412 on conflict), and —
+  *    like a real object store — lets an UNconditional PUT silently
+  *    overwrite (the race a rename-based commit cannot win);
+  *  - [[LogStore.S3HttpStyleClient]] + [[LogStore.ConditionalPutLogStore]]
+  *    driven by genuinely concurrent committers: exactly one wins, and
+  *    the surviving bytes are the winner's;
+  *  - [[LogStore.forFileSystem]] scheme routing: fail-fast for
+  *    object-store schemes until a backend is registered.
+  *
+  * The reference gets this surface from delta-rs' object-store features
+  * (crates/sorter-core/Cargo.toml:15 `["s3","azure","gcs"]`;
+  * crates/sorter-cli/src/main.rs:13 documents `s3://` table URIs).
+  */
+class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // ---- fake S3 ----------------------------------------------------------
+
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  private val inject409 = new AtomicInteger(0) // consume-one-409 fault injector
+  private var server: HttpServer = _
+  private var endpoint: URI = _
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.createContext("/", (x: HttpExchange) => handle(x))
+    server.start()
+    endpoint = URI.create(s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def handle(x: HttpExchange): Unit = {
+    val key = x.getRequestURI.getPath.stripPrefix("/")
+    try x.getRequestMethod match {
+      case "PUT" =>
+        val body = x.getRequestBody.readAllBytes()
+        if (inject409.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          x.sendResponseHeaders(409, -1)
+        } else if (x.getRequestHeaders.getFirst("If-None-Match") == "*") {
+          // the store-side atomic create-if-absent S3/GCS expose
+          if (objects.putIfAbsent(key, body) == null) x.sendResponseHeaders(200, -1)
+          else x.sendResponseHeaders(412, -1)
+        } else {
+          objects.put(key, body) // unconditional PUT: last writer wins
+          x.sendResponseHeaders(200, -1)
+        }
+      case "HEAD" =>
+        x.sendResponseHeaders(if (objects.containsKey(key)) 200 else 404, -1)
+      case "GET" =>
+        objects.get(key) match {
+          case null => x.sendResponseHeaders(404, -1)
+          case b => x.sendResponseHeaders(200, b.length); x.getResponseBody.write(b)
+        }
+      case _ => x.sendResponseHeaders(405, -1)
+    } finally x.close()
+  }
+
+  private def client(bucket: String) = new LogStore.S3HttpStyleClient(endpoint, bucket)
+
+  // ---- client contract --------------------------------------------------
+
+  test("conditional PUT: N concurrent committers, exactly one winner, bytes are the winner's") {
+    val c = client("race")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          start.await()
+          if (c.putIfNoneMatch("_delta_log/00000000000000000007.json",
+              s"writer-$i".getBytes(StandardCharsets.UTF_8))) Some(i) else None
+        }
+      })
+    }
+    start.countDown()
+    val winners = wins.flatMap(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    val stored = new String(objects.get("race/_delta_log/00000000000000000007.json"),
+      StandardCharsets.UTF_8)
+    assert(stored == s"writer-${winners.head}")
+  }
+
+  test("negative control: UNconditional PUT overwrites — the race rename-on-object-store loses") {
+    val url = endpoint.resolve("/race/plain-put")
+    val http = java.net.http.HttpClient.newHttpClient()
+    def put(s: String) = http.send(
+      java.net.http.HttpRequest.newBuilder(url)
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(s)).build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+    assert(put("first") == 200)
+    assert(put("second") == 200) // silently clobbers — why forFileSystem refuses these schemes
+    assert(new String(objects.get("race/plain-put"), StandardCharsets.UTF_8) == "second")
+  }
+
+  test("409 ConditionalRequestConflict is retried, then wins when the key stays absent") {
+    inject409.set(2)
+    assert(client("retry").putIfNoneMatch("k1", "v".getBytes))
+    assert(new String(objects.get("retry/k1")) == "v")
+  }
+
+  test("409 then key exists → lost race → false") {
+    objects.put("retry/k2", "other".getBytes)
+    inject409.set(1)
+    assert(!client("retry").putIfNoneMatch("k2", "v".getBytes))
+    assert(new String(objects.get("retry/k2")) == "other")
+  }
+
+  // ---- ConditionalPutLogStore over a staged temp file -------------------
+
+  test("ConditionalPutLogStore publishes staged tmp bytes; second publish of same target is refused") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new Configuration()).getRawFileSystem
+    val dir = TestSpark.tmpDir("cpls")
+    def stage(name: String, s: String): Path = {
+      val p = new Path(dir, name)
+      val out = fs.create(p, false)
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      p
+    }
+    val store = new LogStore.ConditionalPutLogStore(fs, client("tbl"))
+    val target = new Path(dir, "_delta_log/00000000000000000001.json")
+    assert(store.putIfAbsent(stage("t1", "commit-A"), target))
+    assert(!store.putIfAbsent(stage("t2", "commit-B"), target))
+    val key = store.keyOf(fs.makeQualified(target).toUri)
+    assert(new String(objects.get(s"tbl/$key"), StandardCharsets.UTF_8) == "commit-A")
+  }
+
+  // ---- scheme routing ---------------------------------------------------
+
+  private def fakeFs(schemeName: String) = {
+    val fs = new RawLocalFileSystem() { override def getScheme: String = schemeName }
+    fs.setConf(new Configuration())
+    fs
+  }
+
+  test("forFileSystem fails fast for object-store schemes with no registered backend") {
+    for (scheme <- Seq("s3", "s3a", "gs", "abfss", "wasb")) {
+      val e = intercept[IllegalArgumentException](LogStore.forFileSystem(fakeFs(scheme)))
+      assert(e.getMessage.contains("not atomic"), scheme)
+      assert(e.getMessage.contains(scheme))
+    }
+  }
+
+  test("forFileSystem routes file → hard-link, hdfs-like → rename") {
+    assert(LogStore.forFileSystem(fakeFs("file")).isInstanceOf[LogStore.FileLogStore])
+    assert(LogStore.forFileSystem(fakeFs("hdfs")).isInstanceOf[LogStore.RenameLogStore])
+  }
+
+  test("register() unlocks an object-store scheme; unregister restores fail-fast") {
+    val made = new AtomicInteger(0)
+    LogStore.register("s3a", fs => {
+      made.incrementAndGet()
+      new LogStore.ConditionalPutLogStore(fs, client("via-registry"))
+    })
+    try {
+      val store = LogStore.forFileSystem(fakeFs("s3a"))
+      assert(store.isInstanceOf[LogStore.ConditionalPutLogStore])
+      assert(made.get == 1)
+    } finally LogStore.unregister("s3a")
+    intercept[IllegalArgumentException](LogStore.forFileSystem(fakeFs("s3a")))
+  }
+}
