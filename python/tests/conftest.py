@@ -1,0 +1,66 @@
+"""Shared fixtures for the binding's pytest suites.
+
+Mirrors the reference's conftest (python/tests/conftest.py:1-21:
+make `deltasort` importable, hand out fresh table paths) plus what the
+reference gets from the `deltalake` package: since that package does not
+exist in this environment, tables are written through our own JVM
+`graft.delta.DeltaTable` API over one session-scoped SparkSession.
+"""
+import sys
+from pathlib import Path
+
+import pytest
+
+_PROJECT_ROOT = Path(__file__).resolve().parents[2]
+_PKG_DIR = _PROJECT_ROOT / "python"
+if str(_PKG_DIR) not in sys.path:
+    sys.path.insert(0, str(_PKG_DIR))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[2]")
+        .appName("deltasort-pytests")
+        .config(
+            "spark.driver.extraClassPath",
+            str(_PROJECT_ROOT / "target" / "scala-2.13" / "classes"),
+        )
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_table(tmp_path: Path) -> str:
+    return str(tmp_path / "table")
+
+
+def write_table(spark, table_uri, rows, schema, partition_by=()):
+    """Create a Delta table at `table_uri` from local rows (one data file
+    per partition), replacing what the reference does with
+    ``deltalake.write_deltalake(..., mode="overwrite")``."""
+    df = spark.createDataFrame(rows, schema=schema).coalesce(1)
+    jvm = spark._jvm
+    jvm.graft.delta.DeltaTable.create(
+        spark._jsparkSession,
+        df._jdf,
+        table_uri,
+        jvm.PythonUtils.toSeq(list(partition_by)),
+    )
+
+
+def read_pandas(spark, table_uri):
+    """Read the table back through the engine (replaces
+    ``deltalake.DeltaTable(uri).to_pandas()``)."""
+    jdf = spark._jvm.graft.delta.DeltaTable.read(spark._jsparkSession, table_uri)
+    from pyspark.sql import DataFrame
+
+    return DataFrame(jdf, spark).toPandas()

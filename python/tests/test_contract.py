@@ -1,0 +1,59 @@
+"""Binding-contract pins (beyond the reference's four suites): the exact
+error surface the reference wrapper promises —
+RuntimeError-on-violations and argument validation
+(python/pysrc/deltasort/__init__.py:33-41), and ``predicate`` being
+accepted-but-ignored (reserved-unused upstream, lib.rs:97,106)."""
+import pytest
+
+from deltasort import SortOptimizer
+from conftest import read_pandas, write_table
+
+_SCHEMA = "k long, v string"
+_ROWS = [(5, "e"), (1, "a"), (4, "d"), (2, "b")]
+
+
+def _opt(spark, tmp_table):
+    write_table(spark, tmp_table, _ROWS, _SCHEMA)
+    return SortOptimizer(tmp_table, spark=spark)
+
+
+def test_validate_raises_runtime_error_with_sample(spark, tmp_table):
+    opt = _opt(spark, tmp_table)
+    with pytest.raises(RuntimeError) as e:
+        opt.validate(["k"])
+    assert "Ordering violations" in str(e.value)
+    assert "sample" in str(e.value)
+
+
+def test_nulls_argument_is_validated(spark, tmp_table):
+    opt = _opt(spark, tmp_table)
+    with pytest.raises(ValueError):
+        opt.validate(["k"], nulls="sideways")
+    with pytest.raises(ValueError):
+        opt.compact(["k"], nulls="sideways")
+
+
+def test_predicate_is_accepted_but_ignored(spark, tmp_table):
+    opt = _opt(spark, tmp_table)
+    summary = opt.compact(["k"], predicate="k > 3")
+    # ignored → the whole table was compacted, not just k > 3
+    assert summary["files_in"] >= 1
+    assert list(read_pandas(spark, tmp_table)["k"]) == [1, 2, 4, 5]
+    opt.validate(["k"])
+
+
+def test_missing_sort_column_is_a_loud_error(spark, tmp_table):
+    opt = _opt(spark, tmp_table)
+    with pytest.raises(Exception) as e:
+        opt.validate(["nope"])
+    assert "missing sort columns" in str(e.value)
+    assert "valid fields" in str(e.value)
+
+
+def test_dry_run_commits_nothing(spark, tmp_table):
+    opt = _opt(spark, tmp_table)
+    jvm = spark._jvm
+    log = jvm.graft.delta.DeltaLog.forTable(spark._jsparkSession, tmp_table)
+    before = log.latestVersion()
+    opt.compact(["k"], dry_run=True)
+    assert log.latestVersion() == before

@@ -1,0 +1,37 @@
+"""Null-ordering round trip, ported from the reference's
+python/tests/test_null_sorting.py:8-32."""
+from deltasort import SortOptimizer
+from conftest import write_table
+
+_SCHEMA = "objectId string, dateTime string, value long"
+_ROWS = [
+    ("A", "2021-02-01", 1),
+    (None, "2021-01-01", 2),
+    ("B", None, 3),
+    (None, "2021-03-01", 4),
+    ("A", None, 5),
+]
+
+
+def test_null_sorting_first_vs_last(spark, tmp_table: str):
+    write_table(spark, tmp_table, _ROWS, _SCHEMA)
+
+    opt = SortOptimizer(tmp_table, spark=spark)
+    # Compact with NULLS FIRST
+    opt.compact(["objectId", "dateTime"], nulls="first")
+    # Validate with NULLS FIRST should pass
+    opt.validate(["objectId", "dateTime"], nulls="first")
+
+    # Now compact with NULLS LAST and validate
+    opt.compact(["objectId", "dateTime"], nulls="last")
+    opt.validate(["objectId", "dateTime"], nulls="last")
+
+    # Validate with NULLS FIRST is not guaranteed to fail for all
+    # datasets — but for THIS one it must (nulls sit at the back):
+    # stronger than upstream's comment-only note (test_null_sorting.py:32).
+    try:
+        opt.validate(["objectId", "dateTime"], nulls="first")
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("nulls-last layout validated as nulls-first")

@@ -1,0 +1,25 @@
+"""Typed partition handling, ported from the reference's
+python/tests/test_predicate_typing.py:8-29: a table partitioned by both
+a numeric and a boolean column compacts per-partition (typed
+replaceWhere) and validates on a non-partition column."""
+from deltasort import SortOptimizer
+from conftest import write_table
+
+_SCHEMA = "id long, flag boolean, ts string, val long"
+_ROWS = [
+    (1, True, "2021-01-01", 10),
+    (1, False, "2021-01-02", 20),
+    (2, True, "2021-01-01", 30),
+    (2, False, "2021-01-02", 40),
+]
+
+
+def test_compact_partitioned_numeric_bool(spark, tmp_table: str):
+    write_table(spark, tmp_table, _ROWS, _SCHEMA, partition_by=["id", "flag"])
+    # Run compaction; success indicates typed replaceWhere worked for
+    # numeric/bool partitions
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.compact(["id", "ts"], concurrency=2)
+    # Validate ordering by a non-partition column (partition columns may
+    # not be materialized in data files)
+    opt.validate(["ts"])

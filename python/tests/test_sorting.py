@@ -1,0 +1,91 @@
+"""Hypothesis property round-trips, ported from the reference's
+python/tests/test_sorting.py:15-63: for a single-column single-file
+table, validation succeeds iff the values are already sorted, compact
+orders the data exactly as Python's ``sorted(values)``, and validation
+always succeeds afterwards.
+
+Beyond upstream: timestamps are covered too (upstream left them as a
+TODO at test_sorting.py:20).
+"""
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from deltasort import SortOptimizer
+from conftest import read_pandas, write_table
+
+INTS = st.integers(min_value=-10, max_value=10)
+BOOLS = st.booleans()
+# Omit nans and infs, as upstream does (test_sorting.py:18).
+SIMPLE_FLOATS = st.floats(allow_nan=False, allow_infinity=False)
+STRINGS = st.text()
+# Exceeds upstream's "TODO TIMESTAMPS" (test_sorting.py:20). Microsecond
+# resolution = Spark TimestampType's resolution.
+TIMESTAMPS = st.datetimes(
+    min_value=datetime(2000, 1, 1), max_value=datetime(2035, 1, 1)
+)
+
+_SPARK_TYPE = {
+    "ints": "long",
+    "bools": "boolean",
+    "floats": "double",
+    "strings": "string",
+    "timestamps": "timestamp",
+}
+
+
+@pytest.mark.parametrize(
+    "type_name,values_strategy",
+    [
+        ("ints", INTS),
+        ("bools", BOOLS),
+        ("floats", SIMPLE_FLOATS),
+        ("strings", STRINGS),
+        ("timestamps", TIMESTAMPS),
+    ],
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_single_column_single_file(
+    spark,
+    tmp_path_factory: pytest.TempPathFactory,
+    type_name: str,
+    values_strategy: st.SearchStrategy,
+    data: st.SearchStrategy,
+) -> None:
+    tmp_table = str(tmp_path_factory.mktemp("table"))
+
+    values = data.draw(st.lists(values_strategy, min_size=1, max_size=5))
+    sorted_values = sorted(values)
+    orig_is_sorted = values == sorted_values
+
+    write_table(
+        spark,
+        tmp_table,
+        [(v,) for v in values],
+        schema=f"values {_SPARK_TYPE[type_name]}",
+    )
+
+    # Validation should only succeed if original values are sorted:
+    opt = SortOptimizer(tmp_table, spark=spark)
+    if orig_is_sorted:
+        opt.validate(["values"])
+    else:
+        with pytest.raises(RuntimeError):
+            opt.validate(["values"])
+
+    opt.compact(["values"])
+
+    # The data should be in the correct order:
+    got = list(read_pandas(spark, tmp_table)["values"])
+    if type_name == "timestamps":
+        got = [v.to_pydatetime() for v in got]
+    assert got == sorted_values, (got, sorted_values)
+
+    # And validation should now always succeed:
+    opt.validate(["values"])

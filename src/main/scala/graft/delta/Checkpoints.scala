@@ -139,12 +139,20 @@ object Checkpoints {
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
       add: Option[CpAdd], txn: Option[CpTxn])
 
-  /** Write a single-part checkpoint of `snap` and repoint
-    * `_last_checkpoint`. The parquet write is a normal Spark job (one
-    * output partition — checkpoint rows are file metadata, bounded by
-    * file count, and the protocol supports multi-part if that ever
-    * needed sharding). */
-  def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot): Unit = {
+  /** Write a checkpoint of `snap` and repoint `_last_checkpoint`.
+    *
+    * Single-part (one parquet file) while the action count stays at or
+    * under `maxActionsPerPart`; beyond that it shards into the
+    * protocol's multi-part form
+    * (`NNNN.checkpoint.PPPPPPPPPP.MMMMMMMMMM.parquet`, pointer carries
+    * `parts`) written as ONE distributed job with one task per part —
+    * at 100 TB a snapshot holds millions of AddFiles and a single
+    * checkpoint file/task is both a write bottleneck and a reader
+    * hotspot, whereas parts load in parallel. Part membership is
+    * round-robin: checkpoint replay is order-insensitive (adds only, no
+    * tombstones), so any row→part assignment is valid per the spec. */
+  def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot,
+      maxActionsPerPart: Int = 1000000): Unit = {
     import spark.implicits._
     val meta = snap.metadata
     val rows =
@@ -158,15 +166,32 @@ object Checkpoints {
       snap.files.map(a =>
         CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
           dataChange = false)), None)))
+    val wantedParts = math.max(1,
+      math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
     val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")
+    var writtenParts = 1
     try {
-      spark.createDataset(rows).repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-        .getOrElse(sys.error(s"checkpoint write produced no parquet part in $tmp"))
-      val target = new Path(logPath, f"${snap.version}%020d.checkpoint.parquet")
-      fs.delete(target, false) // same-version rewrite: identical content, last wins
-      if (!fs.rename(part, target)) sys.error(s"failed to publish checkpoint $target")
+      spark.createDataset(rows).repartition(wantedParts)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // Empty shuffle partitions may emit no file — number whatever
+      // materialized (sorted for determinism) and record THAT count.
+      val partFiles = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .sortBy(_.getName)
+      require(partFiles.nonEmpty, s"checkpoint write produced no parquet part in $tmp")
+      if (wantedParts == 1) {
+        val target = new Path(logPath, f"${snap.version}%020d.checkpoint.parquet")
+        fs.delete(target, false) // same-version rewrite: identical content, last wins
+        if (!fs.rename(partFiles.head, target)) sys.error(s"failed to publish checkpoint $target")
+      } else {
+        writtenParts = partFiles.length
+        partFiles.zipWithIndex.foreach { case (part, i) =>
+          val target = new Path(logPath,
+            f"${snap.version}%020d.checkpoint.${i + 1}%010d.$writtenParts%010d.parquet")
+          fs.delete(target, false)
+          if (!fs.rename(part, target)) sys.error(s"failed to publish checkpoint part $target")
+        }
+      }
     } finally {
       fs.delete(tmp, true)
     }
@@ -175,7 +200,9 @@ object Checkpoints {
     // truncate in place). Rename is last-writer-wins, per the spec; on
     // stores without atomic rename the advisory-read fallback above
     // still keeps readers correct.
-    val pointer = s"""{"version":${snap.version},"size":${rows.size}}"""
+    val pointer =
+      if (wantedParts == 1) s"""{"version":${snap.version},"size":${rows.size}}"""
+      else s"""{"version":${snap.version},"size":${rows.size},"parts":$writtenParts}"""
     val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
     val out = fs.create(ptrTmp, false)
     try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -46,6 +46,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * Delta's reference writers default to 10. */
   var checkpointInterval: Int = 10
 
+  /** Shard checkpoints into the protocol's multi-part form when the
+    * snapshot holds more actions than this (one distributed write task
+    * per part; readers load parts in parallel). */
+  var checkpointPartSize: Int = 1000000
+
   def tableRoot: Path = fs.makeQualified(tablePath)
 
   private def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
@@ -309,7 +314,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val s = sparkOpt.getOrElse(sys.error(
       s"writing a checkpoint for $tableUri requires DeltaLog.forTable(spark, uri)"))
     val snap = snapshot()
-    Checkpoints.write(s, fs, logPath, snap)
+    Checkpoints.write(s, fs, logPath, snap, checkpointPartSize)
     snap.version
   }
 

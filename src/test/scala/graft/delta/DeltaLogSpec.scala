@@ -94,6 +94,41 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).count() == 5)
   }
 
+  test("multi-part checkpoint write round-trips (replay with pre-checkpoint JSON deleted)") {
+    val dir = TestSpark.tmpDir("log-multipart")
+    DeltaTable.create(spark, (1 to 12).map(i => (i, s"v$i")).toDF("k", "v").repartition(6), dir)
+    DeltaTable.append(spark, dir, Seq((13, "m")).toDF("k", "v"))
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpointPartSize = 4 // 7 adds + protocol + metaData = 9 rows -> 3 parts
+    assert(log.checkpoint() == 1)
+
+    val logDir = new java.io.File(dir, "_delta_log")
+    val partNames = logDir.listFiles().map(_.getName)
+      .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")).sorted.toSeq
+    assert(partNames.size == 3, partNames)
+    assert(partNames.forall(_.startsWith(f"${1L}%020d.checkpoint.")))
+    assert(partNames.forall(_.endsWith(f".${3}%010d.parquet")))
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(logDir, "_last_checkpoint").toPath))
+    assert(ptr.contains(""""parts":3"""), ptr)
+
+    // replay must work from the parts alone: delete every pre-checkpoint JSON
+    DeltaTable.append(spark, dir, Seq((14, "n")).toDF("k", "v")) // v2
+    logDir.listFiles().filter { f =>
+      f.getName.matches("""\d{20}\.json""") && f.getName.stripSuffix(".json").toLong <= 1
+    }.foreach(f => assert(f.delete()))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 2)
+    assert(snap.files.size == 8)
+    assert(DeltaTable.read(spark, dir).select("k").as[Int].collect().sorted.toSeq ==
+      (1 to 14).toSeq)
+
+    // ...and from on-disk part discovery alone when the pointer is gone too
+    assert(new java.io.File(logDir, "_last_checkpoint").delete())
+    val snap2 = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap2.version == 2 && snap2.files.size == 8)
+  }
+
   test("corrupt or deleted _last_checkpoint pointer falls back gracefully") {
     val dir = TestSpark.tmpDir("log-badptr")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
