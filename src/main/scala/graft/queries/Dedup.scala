@@ -166,37 +166,86 @@ object Dedup {
     docs.map(d => (d, find(d))).sortBy(_._1).toSeq
   }
 
-  /** Distributed min-label propagation over an edge DataFrame (d1, d2):
-    * each round joins labels along (bidirected) edges and takes the min,
-    * to fixpoint with a driver convergence check (one count per round).
-    * Rounds = component diameter; for adversarially deep graphs the
-    * alternating small-star/large-star scheme (Kiveris et al.) drops
-    * this to O(log n) with the same per-round shape. */
+  /** Bidirected adjacency view of an undirected edge list. */
+  private def bidir(e: DataFrame): DataFrame =
+    e.toDF("u", "v").union(e.toDF("v", "u").select(col("u"), col("v")))
+
+  /** Per-node star minimum m(u) = min(Γ(u) ∪ {u}) — one hash agg. */
+  private def starMins(adj: DataFrame): DataFrame =
+    adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("su"), least(col("mn"), col("u")).as("m"))
+
+  /** Large-star: every strictly-larger neighbor of u connects to m(u).
+    * Strictly shrinks edge "height" while preserving connectivity
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14, Algorithm 2 — public paper, no code reused). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val adj = bidir(e)
+    adj.join(starMins(adj), adj("u") === col("su"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Small-star: every smaller-or-equal neighbor of u — and u itself —
+    * connects to m(u) (ibid., Algorithm 3). Alternating with
+    * [[largeStar]] contracts any component onto its minimum node in
+    * O(log n) rounds regardless of diameter. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val adj = bidir(e)
+    val withM = adj.join(starMins(adj), adj("u") === col("su"))
+    withM.where(col("v") < col("u")).select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Distributed connected components over an edge DataFrame (d1, d2) by
+    * alternating small-star/large-star contraction (Kiveris et al.):
+    * converges in O(log n) rounds on ANY graph shape — a depth-10⁶ path
+    * component takes ~20 rounds, where plain min-label propagation needs
+    * diameter rounds (and formerly `require`-failed past 50). Each round
+    * is two hash aggs + two joins over a shrinking edge set; the driver
+    * sees only the two set-difference convergence probes per round.
+    * Returns (doc_id, cluster_id = min doc_id of the component), the
+    * same fixpoint as [[unionFind]] (PipelineOpsSpec pins agreement). */
   private[graft] def labelPropagation(edges: DataFrame): DataFrame = {
-    val bi = edges.union(edges.select(col("d2"), col("d1")))
-      .toDF("src", "dst").cache()
-    var labels = bi.select(col("src").as("d")).distinct()
-      .withColumn("label", col("d")).cache()
+    val input = edges.toDF("d1", "d2")
+    // Canonical (larger, smaller) with self-loops dropped — both star
+    // ops preserve this orientation, so set-compare is well-defined.
+    // Each round ends in an EAGER localCheckpoint, not cache(): the star
+    // ops reference their input several times, so without truncation the
+    // logical plan grows ~8× per round and Catalyst itself OOMs around
+    // round 9. The checkpoint materializes the round (executor
+    // memory/disk), hands the next round a flat plan, and superseded
+    // rounds' blocks are reclaimed by the ContextCleaner as their frames
+    // go out of scope — at most O(log n) small, shrinking edge sets.
+    // The initial checkpoint also decouples this function from `edges`:
+    // after the (eager) first materialization the caller may unpersist
+    // its input — everything below, node list included, derives from
+    // `canon`.
+    val canon = input
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .distinct().localCheckpoint(true)
+    var cur = canon.where(col("u") =!= col("v"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
-      val prop = bi.join(labels, bi("src") === labels("d"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      val next = labels.join(prop, labels("d") === prop("dst"), "left")
-        .select(col("d"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "d")
-        .where(col("label") =!= col("old")).isEmpty
-      // The convergence check above materialized `next`; drop the
-      // superseded round's cache so storage stays O(1) rounds, not O(50).
-      labels.unpersist(false)
-      labels = next
+    // 64 rounds covers components of ~2^64 nodes at the paper's O(log n)
+    // bound — unreachable in practice; the require is an invariant check,
+    // not a data-size limit.
+    while (!converged && rounds < 64) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
       rounds += 1
     }
-    require(converged, s"label propagation did not converge in $rounds rounds")
-    bi.unpersist(false) // labels (materialized) no longer needs the edge cache
-    labels.select(col("d").as("doc_id"), col("label").as("cluster_id"))
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // Fixpoint = stars rooted at component minima: every non-root node
+    // appears exactly once as (node, root). Roots (and any input node
+    // whose only edge was a self-loop) label themselves.
+    val nodes = bidir(canon).select(col("u").as("doc_id")).distinct()
+    nodes.join(cur.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   /** Test-only oracle: exact all-pairs embedding cosine via a driver
@@ -350,12 +399,18 @@ object Dedup {
       import s.implicits._
       val edges = queries("q_dedup_jaccard")(s, dir)
         .select(col("d1"), col("d2")).cache()
-      if (edges.count() <= ClusterEdgeCap) {
-        val pairs = edges.as[(Long, Long)].collect()
-        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
-      } else {
-        labelPropagation(edges)
-      }
+      // Both branches fully consume `edges` before returning (collect /
+      // eager checkpoint inside labelPropagation), so the cache is
+      // released here rather than leaking past the query.
+      val out =
+        if (edges.count() <= ClusterEdgeCap) {
+          val pairs = edges.as[(Long, Long)].collect()
+          s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+        } else {
+          labelPropagation(edges)
+        }
+      edges.unpersist(false)
+      out
     }),
 
     // Embedding-cosine near-dup, LSH-bucketed (the 100 TB shape):

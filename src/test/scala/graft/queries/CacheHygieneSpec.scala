@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Storage hygiene for the query library: after a caching query is
+  * materialized and its frames dropped, the `clearCache()` drain that
+  * Verify/Bench run between queries (Verify.scala:26, Bench.scala:43)
+  * plus the ContextCleaner must return executor storage to its prior
+  * state — caches are scoped to a query run, not the session. */
+class CacheHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("caching queries leave no retained RDDs after the per-query drain") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+
+    // the queries that cache (minhash/jaccard/clusters/embedding) and the
+    // mid-query-cache maintenance pair (globalRank, boundary check)
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_clusters",
+        "q_dedup_embedding_lsh", "q_sort_global", "q_boundary_violations")) {
+      assert(SparkEntry.queries(q)(spark, dir).count() >= 0, q)
+      spark.catalog.clearCache() // the drain Verify/Bench run per query
+    }
+
+    // localCheckpoint blocks (labelPropagation rounds) are reclaimed by
+    // the ContextCleaner once their frames are unreachable — poll past GC
+    var leaked = sc.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis() + 30000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+      leaked = sc.getPersistentRDDs.keySet -- before
+    }
+    assert(leaked.isEmpty, s"retained RDD ids after drain: $leaked")
+  }
+}

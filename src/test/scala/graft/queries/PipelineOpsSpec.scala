@@ -52,6 +52,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("star contraction handles a path component deeper than any fixed round cap") {
+    import spark.implicits._
+    // depth-300 path 0-1-2-...-300: plain min-propagation needs 300
+    // rounds (the old loop require-failed at 50); small-star/large-star
+    // contracts it in O(log n)
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val edges = path.toDF("d1", "d2")
+    val got = Dedup.labelPropagation(edges).as[(Long, Long)].collect().toSet
+    assert(got == (0L to 300L).map(d => (d, 0L)).toSet)
+  }
+
+  test("star contraction agrees with union-find on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120 * trial
+      val edges = Array.fill(n) {
+        val a = rnd.nextInt(80).toLong + 1000 * trial
+        val b = rnd.nextInt(80).toLong + 1000 * trial
+        (a, b)
+      }.filter(p => p._1 != p._2)
+      val fromUf = Dedup.unionFind(edges).toSet
+      val fromLp = Dedup.labelPropagation(edges.toSeq.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toSet
+      assert(fromUf == fromLp, s"trial $trial")
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to row count") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val agg = Dedup.queries("q_dedup_exact")(spark, dir)
