@@ -1,0 +1,86 @@
+"""
+Quickstart: compact with global sort from Python.
+
+The Spark-native equivalent of the reference's
+examples/python/quickstart.py:33-53 — same steps, but the table is
+created through this engine's own JVM DeltaTable API instead of the
+`deltalake` package (not required here).
+
+Requirements:
+- pyspark (pip install pyspark)
+- build the engine first: sbt compile
+
+Run (from the repo root):
+  PYTHONPATH=python python3 examples/python/quickstart.py /tmp/delta_table
+"""
+import shutil
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def make_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-quickstart")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main(table_uri: str) -> None:
+    if Path(table_uri).exists():
+        shutil.rmtree(table_uri)  # overwrite for a clean run
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Create an unsorted table
+    df = spark.createDataFrame(
+        [
+            ("B", "2021-02-02", 4),
+            ("A", "2021-02-01", 1),
+            ("B", "2021-01-01", 2),
+            ("A", "2021-03-01", 3),
+        ],
+        "objectId string, dateTime string, value long",
+    ).coalesce(1)
+    jvm = spark._jvm
+    jvm.graft.delta.DeltaTable.create(
+        spark._jsparkSession, df._jdf, table_uri, jvm.PythonUtils.toSeq([])
+    )
+
+    # Validate before compaction — raises RuntimeError on violations
+    opt = SortOptimizer(table_uri, spark=spark)
+    try:
+        opt.validate(["objectId", "dateTime"])
+        print("Initial ordering already valid.")
+    except RuntimeError as e:
+        print(f"Initial validation failed (expected for demo): {e}")
+
+    # Compact + global sort
+    summary = opt.compact(["objectId", "dateTime"], concurrency=4)
+    print(f"Compacted: {summary}")
+
+    # Validate after compaction — should pass
+    opt.validate(["objectId", "dateTime"])
+    print("Ordering validated successfully after compaction.")
+
+    # Show rows
+    jdf = jvm.graft.delta.DeltaTable.read(spark._jsparkSession, table_uri)
+    from pyspark.sql import DataFrame
+
+    print(DataFrame(jdf, spark).toPandas())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print("Usage: PYTHONPATH=python python3 examples/python/quickstart.py /path/to/table")
+        sys.exit(2)
+    main(sys.argv[1])

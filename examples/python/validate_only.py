@@ -1,0 +1,36 @@
+"""
+Validate-only example (reference: examples/python/validate_only.py).
+
+Run (from the repo root, against an existing table):
+  PYTHONPATH=python python3 examples/python/validate_only.py /tmp/delta_table objectId,dateTime
+"""
+import sys
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main(table_uri: str, cols: str) -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-validate-only")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cols_list = [c.strip() for c in cols.split(",") if c.strip()]
+    SortOptimizer(table_uri, spark=spark).validate(cols_list)
+    print("Ordering validated successfully.")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(
+            "Usage: PYTHONPATH=python python3 "
+            "examples/python/validate_only.py /path/to/table col1,col2"
+        )
+        sys.exit(2)
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,61 @@
+"""
+Z-order example — an engine EXTENSION beyond the reference binding:
+OPTIMIZE ZORDER over two columns, so multi-dimensional range queries
+prune files on either dimension.
+
+Run (from the repo root):
+  PYTHONPATH=python python3 examples/python/zorder.py /tmp/delta_zorder_table
+"""
+import shutil
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main(table_uri: str) -> None:
+    if Path(table_uri).exists():
+        shutil.rmtree(table_uri)
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-zorder")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # A 32x32 grid written in row-major order: terrible locality for
+    # queries that filter on y.
+    df = (
+        spark.range(32 * 32)
+        .selectExpr("id % 32 as x", "id div 32 as y", "id as payload")
+        .coalesce(4)
+    )
+    jvm = spark._jvm
+    jvm.graft.delta.DeltaTable.create(
+        spark._jsparkSession, df._jdf, table_uri, jvm.PythonUtils.toSeq([])
+    )
+
+    opt = SortOptimizer(table_uri, spark=spark)
+    summary = opt.zorder(["x", "y"])
+    print(f"Z-ordered: {summary}")
+
+    jdf = jvm.graft.delta.DeltaTable.read(spark._jsparkSession, table_uri)
+    from pyspark.sql import DataFrame
+
+    out = DataFrame(jdf, spark)
+    n = out.where("x < 8 and y < 8").count()
+    print(f"x<8 AND y<8 -> {n} rows (files now cluster both dimensions)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print("Usage: PYTHONPATH=python python3 examples/python/zorder.py /path/to/table")
+        sys.exit(2)
+    main(sys.argv[1])

@@ -1,0 +1,70 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.DeltaTable
+import graft.sorter.{DeltaSorter, SortConfig}
+
+/** Scala quickstart — the `sbt runMain` twin of
+  * examples/python/quickstart.py (reference acceptance doc:
+  * examples/python/quickstart.py:33-53): create an unsorted table,
+  * watch validation fail, compact with a global sort, validate again,
+  * print the rows.
+  *
+  * Run (from the repo root):
+  * {{{
+  *   sbt "runMain graft.examples.Quickstart /tmp/delta_table_scala"
+  * }}}
+  */
+object Quickstart {
+  def main(args: Array[String]): Unit = {
+    val tableUri = args.headOption.getOrElse {
+      System.err.println("Usage: sbt \"runMain graft.examples.Quickstart /path/to/table\"")
+      sys.exit(2)
+    }
+    val dir = new java.io.File(tableUri)
+    if (dir.exists()) { // overwrite for a clean run
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("deltasort-quickstart")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Create an unsorted table
+    val df = Seq(
+      ("B", "2021-02-02", 4L),
+      ("A", "2021-02-01", 1L),
+      ("B", "2021-01-01", 2L),
+      ("A", "2021-03-01", 3L)
+    ).toDF("objectId", "dateTime", "value").coalesce(1)
+    DeltaTable.create(spark, df, tableUri)
+
+    val sorter = DeltaSorter(spark, tableUri)
+    val cols = Seq("objectId", "dateTime")
+
+    // Validate before compaction
+    val before = sorter.validate(cols)
+    println(s"Before: ${before.boundaryViolations} ordering violation(s) " +
+      s"across ${before.checkedFiles} file(s)")
+
+    // Compact + global sort
+    val summary = sorter.compact(SortConfig(cols, concurrency = 4))
+    println(s"Compacted ${summary.filesIn} file(s) into ${summary.filesOut} " +
+      s"in ${summary.durationMs} ms")
+
+    // Validate after compaction — should pass
+    val after = sorter.validate(cols)
+    require(after.ok, s"expected clean validation, got $after")
+    println("Ordering validated successfully after compaction.")
+
+    DeltaTable.read(spark, tableUri).orderBy("objectId", "dateTime").show()
+    spark.stop()
+  }
+}
