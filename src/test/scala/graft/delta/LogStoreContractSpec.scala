@@ -29,6 +29,14 @@ import graft.TestSpark
   * (crates/sorter-core/Cargo.toml:15 `["s3","azure","gcs"]`;
   * crates/sorter-cli/src/main.rs:13 documents `s3://` table URIs).
   */
+/** A local filesystem exposed under the scheme `fake:` — stands in for an
+  * object-store Hadoop connector so scheme routing can be tested without
+  * one. Top-level class: Hadoop instantiates it reflectively. */
+class FakeSchemeFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "fake"
+  override def getUri: java.net.URI = java.net.URI.create("fake:///")
+}
+
 class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- fake S3 ----------------------------------------------------------
@@ -164,6 +172,51 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("forFileSystem routes file → hard-link, hdfs-like → rename") {
     assert(LogStore.forFileSystem(fakeFs("file")).isInstanceOf[LogStore.FileLogStore])
     assert(LogStore.forFileSystem(fakeFs("hdfs")).isInstanceOf[LogStore.RenameLogStore])
+  }
+
+  // ---- end-to-end: DeltaLog commits through a registered backend --------
+
+  test("DeltaLog routes commits through a registered conditional-PUT backend end-to-end") {
+    // An object-store-semantics fake with read-your-writes: conditional
+    // PUT arbitrates through an atomic key map, then materializes the
+    // winner's bytes at the real target so DeltaLog's list/read paths see
+    // them. The scheme FS below hands any path to the local filesystem.
+    val keys = new ConcurrentHashMap[String, Boolean]()
+    val puts = new AtomicInteger(0)
+    LogStore.register("fake", fs => new LogStore.ConditionalPutLogStore(fs,
+      (key: String, data: Array[Byte]) => {
+        puts.incrementAndGet()
+        if (keys.putIfAbsent(key, true) != null) false
+        else {
+          val p = java.nio.file.Paths.get("/" + key)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, data)
+          true
+        }
+      }))
+    val conf = new Configuration()
+    conf.set("fs.fake.impl", classOf[FakeSchemeFileSystem].getName)
+    try {
+      val dir = TestSpark.tmpDir("e2e-cps")
+      val log = new DeltaLog(s"fake:$dir/table", conf)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+      log.create(schema, Nil, Seq(AddFile("part-0.parquet", Map.empty, 10L, 0L, dataChange = true)))
+      // concurrent appends: the conditional PUT serializes them
+      val pool = Executors.newFixedThreadPool(4)
+      val fs2 = (0 until 4).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = log.commitLatest(
+            Seq(AddFile(s"part-${i + 1}.parquet", Map.empty, 10L, 0L, dataChange = true)))
+        })
+      }
+      fs2.foreach(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(log.latestVersion() == 4) // 0 create + 4 appends, linear history
+      val snap = log.snapshot()
+      assert(snap.files.map(_.path).sorted == (0 to 4).map(i => s"part-$i.parquet"))
+      assert(puts.get >= 5, "commits did not flow through the conditional-PUT client")
+    } finally LogStore.unregister("fake")
   }
 
   test("register() unlocks an object-store scheme; unregister restores fail-fast") {
