@@ -54,7 +54,9 @@ object Action {
         partitionValues = strMap(a.get("partitionValues")),
         size = a.get("size").asLong(),
         modificationTime = if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
-        dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean()))
+        dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(),
+        stats = if (a.hasNonNull("stats") && a.get("stats").asText().nonEmpty)
+          Some(a.get("stats").asText()) else None))
     } else if (node.has("remove")) {
       val r = node.get("remove")
       Some(RemoveFile(
@@ -97,16 +99,23 @@ object Action {
 
 import Action._
 
-/** A data file that is part of the table snapshot. */
+/** A data file that is part of the table snapshot. `stats` is the
+  * protocol's per-file statistics JSON
+  * (`{"numRecords":N,"minValues":{..},"maxValues":{..},"nullCount":{..}}`,
+  * written by delta-rs for the reference's tables too) — the input to
+  * log-only data skipping ([[DataSkipping]]): min/max are BOUNDS, not
+  * necessarily attained values, per the spec. */
 case class AddFile(
     path: String,
     partitionValues: Map[String, String],
     size: Long,
     modificationTime: Long,
-    dataChange: Boolean) extends Action {
+    dataChange: Boolean,
+    stats: Option[String] = None) extends Action {
   def json: String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
-      s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange}}"""
+      s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange""" +
+      stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
 }
 
 /** Change-data file (Delta CDF's `cdc` action): the row-level changes of

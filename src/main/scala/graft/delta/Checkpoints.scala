@@ -95,7 +95,8 @@ object Checkpoints {
           partitionValues = strMap(a, "partitionValues"),
           size = opt[Long](a, "size").getOrElse(0L),
           modificationTime = opt[Long](a, "modificationTime").getOrElse(0L),
-          dataChange = opt[Boolean](a, "dataChange").getOrElse(true)): Action
+          dataChange = opt[Boolean](a, "dataChange").getOrElse(true),
+          stats = opt[String](a, "stats").filter(_.nonEmpty)): Action
       }).orElse(struct("remove").map { r =>
         RemoveFile(
           path = r.getAs[String]("path"),
@@ -134,7 +135,7 @@ object Checkpoints {
       partitionColumns: Seq[String], configuration: Map[String, String], createdTime: Long)
   private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, dataChange: Boolean)
+      modificationTime: Long, dataChange: Boolean, stats: Option[String])
   private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
       add: Option[CpAdd], txn: Option[CpTxn])
@@ -165,7 +166,7 @@ object Checkpoints {
       } ++
       snap.files.map(a =>
         CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
-          dataChange = false)), None)))
+          dataChange = false, stats = a.stats)), None)))
     val wantedParts = math.max(1,
       math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
     val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")

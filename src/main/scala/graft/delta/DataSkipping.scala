@@ -1,0 +1,291 @@
+package graft.delta
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file statistics + log-only file skipping — the feature that makes
+  * the sorter pay off at 100 TB: a sort-compacted (or z-ordered) table
+  * has disjoint per-file sort-key ranges, so a range predicate selects
+  * its files from the LOG (thousands of stats rows on the driver) and
+  * the scan never touches the rest of the table. delta-rs writes the
+  * same `stats` JSON for the reference's tables
+  * (the protocol's per-file statistics; Delta Lake VLDB'20 §4.3
+  * "data skipping"), so tables written by this engine stay
+  * stats-compatible with Delta readers.
+  *
+  * Stats COLLECTION reads only parquet FOOTERS of just-written files
+  * (the writer already computed the column min/max — no data re-scan);
+  * stats min/max are treated as BOUNDS (parquet truncates long binary
+  * stats by widening, so bounds stay valid).
+  *
+  * Skipping is deliberately conservative: only top-level columns, only
+  * `=`, `<`, `<=`, `>`, `>=`, `IS [NOT] NULL` conjuncts, only types with
+  * order-preserving stats encodings. Anything else keeps the file —
+  * pruning is an optimization, never a correctness gate, and
+  * [[DeltaTable.readWhere]] re-applies the FULL predicate after the
+  * pruned scan. */
+object DataSkipping {
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(ZoneOffset.UTC)
+
+  // ---- stats collection (parquet footers of freshly staged files) -----
+
+  /** Build the protocol's stats JSON for one parquet file from its
+    * footer. Nested columns are skipped (top-level leaf paths only). */
+  def statsFromFooter(conf: Configuration, file: Path): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      var numRecords = 0L
+      val mins = collection.mutable.LinkedHashMap.empty[String, String]
+      val maxs = collection.mutable.LinkedHashMap.empty[String, String]
+      val nulls = collection.mutable.LinkedHashMap.empty[String, Long]
+      val statsValid = collection.mutable.LinkedHashMap.empty[String, Boolean]
+      for (block <- footer.getBlocks.asScala) {
+        numRecords += block.getRowCount
+        for (col <- block.getColumns.asScala if col.getPath.size == 1) {
+          val name = col.getPath.toDotString
+          val st = col.getStatistics
+          val prim = schema.getType(Seq(name): _*).asPrimitiveType()
+          if (st == null || st.isEmpty) {
+            statsValid(name) = false // chunk without stats -> no claim
+          } else {
+            statsValid(name) = statsValid.getOrElse(name, true)
+            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            if (st.hasNonNullValue) {
+              (jsonValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
+                  st.genericGetMin.asInstanceOf[AnyRef]),
+                jsonValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
+                  st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(mn), Some(mx)) =>
+                  mins(name) = mins.get(name).map(cur => jsonMin(cur, mn)).getOrElse(mn)
+                  maxs(name) = maxs.get(name).map(cur => jsonMax(cur, mx)).getOrElse(mx)
+                case _ => statsValid(name) = false // unsupported type
+              }
+            }
+          }
+        }
+      }
+      val ok = statsValid.filter(_._2).keySet
+      val minJson = ok.toSeq.filter(mins.contains).map(k => s"${q(k)}:${mins(k)}").mkString(",")
+      val maxJson = ok.toSeq.filter(maxs.contains).map(k => s"${q(k)}:${maxs(k)}").mkString(",")
+      val nullJson = ok.toSeq.filter(nulls.contains).map(k => s"${q(k)}:${nulls(k)}").mkString(",")
+      s"""{"numRecords":$numRecords,"minValues":{$minJson},""" +
+        s""""maxValues":{$maxJson},"nullCount":{$nullJson}}"""
+    } finally reader.close()
+  }
+
+  private def q(s: String): String = Action.jstr(s)
+
+  /** One stats value as a JSON scalar in an order-preserving encoding:
+    * numbers as numbers, booleans as booleans, strings as strings,
+    * DATE as `yyyy-MM-dd`, TIMESTAMP(micros/millis, UTC-adjusted or not)
+    * as fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS` — lexicographic order
+    * equals temporal order. Unsupported physical/logical types → None. */
+  private def jsonValue(prim: PrimitiveTypeName, logical: LogicalTypeAnnotation,
+      v: AnyRef): Option[String] = (prim, logical) match {
+    case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+      Some(q(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString))
+    case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
+      val micros = ts.getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Number].longValue() * 1000L
+        case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Number].longValue()
+        case _ => return None // NANOS: engine reads them as raw longs
+      }
+      Some(q(TsFmt.format(Instant.EPOCH.plusNanos(0).plusSeconds(micros / 1000000L)
+        .plusNanos((micros % 1000000L) * 1000L))))
+    case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, _) =>
+      Some(v.asInstanceOf[Number].longValue().toString)
+    case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case (PrimitiveTypeName.BOOLEAN, _) => Some(v.toString)
+    case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
+      Some(q(v.asInstanceOf[Binary].toStringUsingUTF8))
+    case _ => None
+  }
+
+  private def jsonMin(a: String, b: String): String = if (jsonLt(b, a)) b else a
+  private def jsonMax(a: String, b: String): String = if (jsonLt(a, b)) b else a
+  private def jsonLt(a: String, b: String): Boolean =
+    if (a.startsWith("\"")) a < b
+    else BigDecimal(a) < BigDecimal(b)
+
+  // ---- skipping -------------------------------------------------------
+
+  /** Parsed view of one file's stats. */
+  private final case class FileStatsView(numRecords: Option[Long],
+      min: Map[String, String], max: Map[String, String], nullCount: Map[String, Long])
+
+  private def parseStats(mapper: ObjectMapper, stats: String): Option[FileStatsView] =
+    try {
+      val node = mapper.readTree(stats)
+      def strs(field: String): Map[String, String] =
+        Option(node.get(field)).map(_.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)
+        }.toMap).getOrElse(Map.empty)
+      Some(FileStatsView(
+        numRecords = Option(node.get("numRecords")).map(_.asLong()),
+        min = strs("minValues"),
+        max = strs("maxValues"),
+        nullCount = Option(node.get("nullCount")).map(_.properties().asScala.map { e =>
+          e.getKey -> e.getValue.asLong()
+        }.toMap).getOrElse(Map.empty)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A literal rendered into the same order-preserving domain the stats
+    * use: Left(string domain) or Right(numeric domain). */
+  private def literalKey(lit: Literal): Option[Either[String, BigDecimal]] = lit.dataType match {
+    case _ if lit.value == null => None
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(Right(BigDecimal(lit.value.asInstanceOf[Number].longValue())))
+    case FloatType | DoubleType =>
+      val d = lit.value.asInstanceOf[Number].doubleValue()
+      if (d.isNaN) None else Some(Right(BigDecimal(d)))
+    case _: DecimalType => Some(Right(lit.value.asInstanceOf[Decimal].toBigDecimal))
+    case StringType => Some(Left(lit.value.asInstanceOf[UTF8String].toString))
+    case DateType =>
+      Some(Left(LocalDate.ofEpochDay(lit.value.asInstanceOf[Number].longValue()).toString))
+    case TimestampType | TimestampNTZType =>
+      val micros = lit.value.asInstanceOf[Number].longValue()
+      Some(Left(TsFmt.format(Instant.EPOCH.plusSeconds(micros / 1000000L)
+        .plusNanos((micros % 1000000L) * 1000L))))
+    case BooleanType => Some(Left(lit.value.toString)) // "false" < "true"
+    case _ => None
+  }
+
+  private def statsKey(raw: String, isString: Boolean): Either[String, BigDecimal] =
+    if (isString) Left(raw) else Right(BigDecimal(raw))
+
+  private def cmp(a: Either[String, BigDecimal], b: Either[String, BigDecimal]): Option[Int] =
+    (a, b) match {
+      case (Left(x), Left(y)) => Some(x.compareTo(y))
+      case (Right(x), Right(y)) => Some(x.compare(y))
+      case _ => None // mixed domains: make no claim
+    }
+
+  /** Conjuncts of an expression tree (AND split; anything else is one
+    * conjunct). */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute if u.nameParts.size == 1 => Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** Can `file` possibly contain a row satisfying `conjunct`? False only
+    * when the stats PROVE it cannot. */
+  private def mayMatch(conjunct: Expression, view: FileStatsView,
+      partitionValues: Map[String, String], schema: StructType): Boolean = {
+
+    // per-column interval: partition value (point) beats stats range
+    def interval(name: String): (Option[Either[String, BigDecimal]], Option[Either[String, BigDecimal]], Option[Long]) = {
+      val isString = schema.find(_.name == name).map(_.dataType).exists {
+        case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+      if (partitionValues.contains(name)) {
+        Option(partitionValues(name)) match {
+          case None => (None, None, view.numRecords) // null partition: all rows null
+          case Some(v) =>
+            val k = Some(statsKey(v, isString))
+            (k, k, Some(0L))
+        }
+      } else {
+        (view.min.get(name).map(statsKey(_, isString)),
+          view.max.get(name).map(statsKey(_, isString)),
+          view.nullCount.get(name))
+      }
+    }
+
+    def allNull(name: String): Boolean = {
+      val (_, _, nc) = interval(name)
+      (nc, view.numRecords) match {
+        case (Some(n), Some(total)) => n == total && total > 0
+        case _ => false
+      }
+    }
+
+    def bound(name: String, lit: Literal)(
+        decide: (Option[Int], Option[Int]) => Boolean): Boolean = {
+      if (allNull(name)) return false // no non-null value can match =,<,>
+      val (mn, mx, _) = interval(name)
+      literalKey(lit) match {
+        case None => true
+        case Some(v) =>
+          val cMin = mn.flatMap(m => cmp(v, m)) // sign of (lit - min)
+          val cMax = mx.flatMap(m => cmp(v, m)) // sign of (lit - max)
+          decide(cMin, cMax)
+      }
+    }
+
+    conjunct match {
+      case EqualTo(a, l: Literal) if attrName(a).isDefined =>
+        bound(attrName(a).get, l) { (cMin, cMax) =>
+          !cMin.exists(_ < 0) && !cMax.exists(_ > 0) // min <= lit <= max
+        }
+      case EqualTo(l: Literal, a) if attrName(a).isDefined =>
+        mayMatch(EqualTo(a, l), view, partitionValues, schema)
+      case LessThan(a, l: Literal) if attrName(a).isDefined => // a < lit
+        bound(attrName(a).get, l)((cMin, _) => !cMin.exists(_ <= 0)) // lit > min
+      case LessThanOrEqual(a, l: Literal) if attrName(a).isDefined => // a <= lit
+        bound(attrName(a).get, l)((cMin, _) => !cMin.exists(_ < 0)) // lit >= min
+      case GreaterThan(a, l: Literal) if attrName(a).isDefined => // a > lit
+        bound(attrName(a).get, l)((_, cMax) => !cMax.exists(_ >= 0)) // lit < max
+      case GreaterThanOrEqual(a, l: Literal) if attrName(a).isDefined => // a >= lit
+        bound(attrName(a).get, l)((_, cMax) => !cMax.exists(_ > 0)) // lit <= max
+      case LessThan(l: Literal, a) if attrName(a).isDefined =>
+        mayMatch(GreaterThan(a, l), view, partitionValues, schema)
+      case LessThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+        mayMatch(GreaterThanOrEqual(a, l), view, partitionValues, schema)
+      case GreaterThan(l: Literal, a) if attrName(a).isDefined =>
+        mayMatch(LessThan(a, l), view, partitionValues, schema)
+      case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+        mayMatch(LessThanOrEqual(a, l), view, partitionValues, schema)
+      case IsNull(a) if attrName(a).isDefined =>
+        val name = attrName(a).get
+        if (partitionValues.contains(name)) partitionValues(name) == null
+        else interval(name)._3.forall(_ > 0) // unknown nullCount -> keep
+      case IsNotNull(a) if attrName(a).isDefined =>
+        !allNull(attrName(a).get)
+      case _ => true // unsupported shape: make no claim
+    }
+  }
+
+  /** Prune `files` to those that may satisfy `predicate` (an unresolved
+    * or resolved Catalyst boolean expression). Files without parseable
+    * stats are always kept. Driver-side over the snapshot's stats rows —
+    * metadata-scale, no data IO. */
+  def prune(files: Seq[AddFile], schema: StructType, predicate: Expression): Seq[AddFile] = {
+    val mapper = new ObjectMapper()
+    val cs = conjuncts(predicate)
+    val empty = FileStatsView(None, Map.empty, Map.empty, Map.empty)
+    files.filter { f =>
+      // no parseable stats -> empty view: only partition values can prune
+      val view = f.stats.flatMap(parseStats(mapper, _)).getOrElse(empty)
+      cs.forall(c => mayMatch(c, view, f.partitionValues, schema))
+    }
+  }
+}

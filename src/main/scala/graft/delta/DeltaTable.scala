@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import scala.collection.mutable
+import scala.collection.parallel.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -51,6 +52,21 @@ object DeltaTable {
     df.select(snap.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** Read with log-only data skipping: prune the snapshot's file list
+    * against per-file stats + partition values BEFORE the scan (see
+    * [[DataSkipping]]), then apply the full predicate normally — on a
+    * sort-compacted or z-ordered table a selective range predicate
+    * reads a handful of files instead of the table. Always
+    * row-equivalent to `read(...).where(predicate)`: pruning only drops
+    * files the stats PROVE cannot match. */
+  def readWhere(spark: SparkSession, tableUri: String, predicate: String): DataFrame = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val kept = DataSkipping.prune(snap.files, snap.schema, parsed)
+    readFiles(spark, log, snap, kept).where(org.apache.spark.sql.functions.expr(predicate))
+  }
+
   /** Time travel: read the table as of a historical `version`. */
   def readAt(spark: SparkSession, tableUri: String, version: Long): DataFrame = {
     val log = DeltaLog.forTable(spark, tableUri)
@@ -88,13 +104,28 @@ object DeltaTable {
       // staged part numbers are zero-padded -> lexicographic sort = output
       // partition order; re-number sequentially under a fresh commit id
       staged.sortInPlaceBy { case (rel, p, _) => (rel, p.getName) }
-      staged.toSeq.zipWithIndex.map { case ((rel, src, size), i) =>
+      val placed = staged.toSeq.zipWithIndex.map { case ((rel, src, size), i) =>
         val fileName = f"part-$i%05d-$commitId.parquet"
         val relPath = if (rel.isEmpty) fileName else s"$rel/$fileName"
         val dst = new Path(log.tableRoot, relPath)
         fs.mkdirs(dst.getParent)
         if (!fs.rename(src, dst)) sys.error(s"failed to publish $src -> $dst")
-        AddFile(relPath, parsePartitionValues(rel), size, now, dataChange)
+        (rel, relPath, dst, size)
+      }
+      // Per-file stats (numRecords/min/max/nullCount) from the parquet
+      // FOOTERS the write just produced — no data re-scan, ~1 KB range
+      // read per file, parallelized driver-side. Failure to collect
+      // stats never fails the write (stats are an optimization input).
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sessionState.newHadoopConf())
+      val statsByPath: Map[String, String] = placed.par
+        .flatMap { case (_, relPath, dst, _) =>
+          try Some(relPath -> DataSkipping.statsFromFooter(conf, dst))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.seq.toMap
+      placed.map { case (rel, relPath, _, size) =>
+        AddFile(relPath, parsePartitionValues(rel), size, now, dataChange,
+          stats = statsByPath.get(relPath))
       }
     } finally {
       fs.delete(staging, true)

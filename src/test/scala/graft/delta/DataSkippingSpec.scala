@@ -1,0 +1,149 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Per-file stats + log-only data skipping: stats JSON written on every
+  * AddFile (footer-derived), carried through checkpoints, and used by
+  * [[DeltaTable.readWhere]] to prune the file list before the scan.
+  * Pruning must NEVER change results — every case cross-checks against
+  * the unpruned read. */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def prunedCount(uri: String, predicate: String): Int = {
+    val log = DeltaLog.forTable(spark, uri)
+    val snap = log.snapshot()
+    DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression(predicate)).size
+  }
+
+  private def assertSameRows(uri: String, predicate: String): Unit = {
+    val viaSkip = DeltaTable.readWhere(spark, uri, predicate)
+      .collect().map(_.toString).sorted.toSeq
+    val full = DeltaTable.read(spark, uri)
+      .where(org.apache.spark.sql.functions.expr(predicate))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSkip == full, predicate)
+  }
+
+  private def sortedTable(): String = {
+    val dir = TestSpark.tmpDir("skip-sorted")
+    // 8 files with disjoint k ranges: k in [i*100, i*100+99] per file
+    val df = spark.range(800).select(
+      $"id".as("k"),
+      ($"id" % 7).as("m"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"),
+        org.apache.spark.sql.functions.format_string("%04d", $"id")).as("s"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    DeltaTable.create(spark, df, dir)
+    dir
+  }
+
+  test("stageWrite attaches footer-derived stats to every AddFile") {
+    val dir = sortedTable()
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.size == 8)
+    assert(snap.files.forall(_.stats.nonEmpty))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = snap.files.map(f => mapper.readTree(f.stats.get))
+    assert(nodes.map(_.get("numRecords").asLong()).sum == 800L)
+    // per-file k intervals are disjoint and tight
+    val ranges = nodes.map(n => (n.get("minValues").get("k").asLong(),
+      n.get("maxValues").get("k").asLong())).sorted
+    assert(ranges.map { case (a, b) => b - a + 1 }.sum == 800L)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ => ()
+    }
+    assert(nodes.forall(_.get("nullCount").get("k").asLong() == 0L))
+    // string stats present too
+    assert(nodes.forall(_.get("minValues").has("s")))
+  }
+
+  test("range predicates prune to the covering files; results match unpruned read") {
+    val dir = sortedTable()
+    assert(prunedCount(dir, "k = 250") == 1)
+    assert(prunedCount(dir, "k >= 700") == 1)
+    assert(prunedCount(dir, "k < 100") == 1)
+    // range-partitioner boundaries are sample-based, so compute the
+    // expected covering-file count from the actual stats intervals
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val expected = DeltaLog.forTable(spark, dir).snapshot().files.count { f =>
+      val n = mapper.readTree(f.stats.get)
+      n.get("maxValues").get("k").asLong() >= 150 && n.get("minValues").get("k").asLong() < 450
+    }
+    assert(prunedCount(dir, "k >= 150 and k < 450") == expected)
+    assert(prunedCount(dir, "250 <= k") == 6) // literal-first form
+    assert(prunedCount(dir, "k = -5") == 0)
+    assert(prunedCount(dir, "k = 5000") == 0)
+    // string column bounds prune as well
+    assert(prunedCount(dir, "s = 's0250'") == 1)
+    for (p <- Seq("k = 250", "k >= 700", "k >= 150 and k < 450", "s = 's0250'",
+        "k = 5000", "m = 3")) assertSameRows(dir, p)
+  }
+
+  test("unsupported shapes and unknown columns keep all files") {
+    val dir = sortedTable()
+    assert(prunedCount(dir, "k = 250 or k = 750") == 8) // OR: no claim
+    assert(prunedCount(dir, "m % 2 = 0") == 8)          // computed LHS
+    assert(prunedCount(dir, "k + 0 = 250") == 8)
+    assertSameRows(dir, "k = 250 or k = 750")
+  }
+
+  test("null-aware pruning: IS NULL / IS NOT NULL / all-null files") {
+    val dir = TestSpark.tmpDir("skip-nulls")
+    val withNulls = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null)).toDF("k", "v")
+    val allNull = Seq[(java.lang.Long, String)]((3L, null), (4L, null)).toDF("k", "v")
+    DeltaTable.create(spark, withNulls.coalesce(1), dir)
+    DeltaTable.append(spark, dir, allNull.coalesce(1))
+    assert(prunedCount(dir, "v is null") == 2)
+    assert(prunedCount(dir, "v is not null") == 1) // all-null file dropped
+    assert(prunedCount(dir, "v = 'a'") == 1)       // all-null file can't match =
+    for (p <- Seq("v is null", "v is not null", "v = 'a'")) assertSameRows(dir, p)
+  }
+
+  test("partition values prune like point stats") {
+    val dir = TestSpark.tmpDir("skip-part")
+    val df = spark.range(100).select(($"id" % 4).as("p"), $"id".as("k"))
+    DeltaTable.create(spark, df.repartition(4), dir, partitionColumns = Seq("p"))
+    val files = DeltaLog.forTable(spark, dir).snapshot().files.size
+    assert(prunedCount(dir, "p = 2") < files)
+    assert(prunedCount(dir, "p = 2 and k > 1000") == 0) // stats + partition combine
+    assertSameRows(dir, "p = 2")
+    assertSameRows(dir, "p >= 2 and k < 50")
+  }
+
+  test("stats survive a (multi-part) checkpoint round-trip") {
+    val dir = sortedTable()
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpointPartSize = 4
+    log.checkpoint()
+    // delete the JSON commit so replay must come from the checkpoint
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter(_.getName.matches("""\d{20}\.json"""))
+      .foreach(f => assert(f.delete()))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.size == 8 && snap.files.forall(_.stats.nonEmpty))
+    assert(prunedCount(dir, "k = 250") == 1)
+  }
+
+  test("timestamps and dates prune with order-preserving encodings") {
+    val dir = TestSpark.tmpDir("skip-ts")
+    val df = spark.range(100).select(
+      org.apache.spark.sql.functions.expr(
+        "timestamp'2021-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)").as("ts"),
+      org.apache.spark.sql.functions.expr(
+        "date'2021-01-01' + cast(id as int)").as("d"),
+      $"id".as("k"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    DeltaTable.create(spark, df, dir)
+    assert(prunedCount(dir, "ts >= timestamp'2021-01-04 20:00:00'") < 4)
+    assert(prunedCount(dir, "d = date'2021-02-15'") == 1)
+    assertSameRows(dir, "ts >= timestamp'2021-01-04 20:00:00'")
+    assertSameRows(dir, "d = date'2021-02-15'")
+  }
+}
