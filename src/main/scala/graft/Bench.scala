@@ -93,10 +93,28 @@ object Bench {
       val (sum0, tCompact) = timed(sorter.compact(cfg))
       val (v2, tV2) = timed(sorter.validate(cols))
       val (_, tStrict) = timed(sorter.compact(cfg.copy(repartitionBySortKey = true)))
+      // Data skipping on the now-sorted table: a selective shipdate range
+      // via readWhere (log-prunes files from stats) vs the same predicate
+      // over a full read — the payoff sort maintenance buys at scale.
+      val pred = "l_shipdate >= timestamp'1995-01-01 00:00:00' and " +
+        "l_shipdate < timestamp'1995-02-01 00:00:00'"
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val (_, tSkip) = timed(noop(graft.delta.DeltaTable.readWhere(spark, tableDir, pred)))
+      val (_, tFull) = timed(noop(graft.delta.DeltaTable.read(spark, tableDir)
+        .where(org.apache.spark.sql.functions.expr(pred))))
+      val prunedFiles = {
+        val log = graft.delta.DeltaLog.forTable(spark, tableDir)
+        val snap = log.snapshot()
+        graft.delta.DataSkipping.prune(snap.files, snap.schema,
+          spark.sessionState.sqlParser.parseExpression(pred)).size
+      }
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tableDir), true)
       s""""engine":{"table_build":$tBuild,"validate_unsorted":$tV1,"plan":$tPlan,""" +
         s""""compact":$tCompact,"validate_sorted":$tV2,"strict_overwrite":$tStrict,""" +
+        s""""skip_read":$tSkip,"full_read":$tFull,"skip_files_read":$prunedFiles,""" +
         s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
         s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" +
         s""""violations_before":${v1.boundaryViolations},"ok_after":${v2.ok}},"""

@@ -175,6 +175,29 @@ object DataSkipping {
   private def statsKey(raw: String, isString: Boolean): Either[String, BigDecimal] =
     if (isString) Left(raw) else Right(BigDecimal(raw))
 
+  private def stringDomain(schema: StructType, name: String): Boolean =
+    schema.find(_.name == name).map(_.dataType).exists {
+      case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+
+  /** Planner support ([[graft.sorter.Planner]] stats fast path): one
+    * column's stats interval in the skipping key domain, plus its null
+    * count when recorded. None unless the stats cover the column. */
+  private[graft] def columnInterval(mapper: ObjectMapper, statsJson: String,
+      name: String, schema: StructType)
+      : Option[(Either[String, BigDecimal], Either[String, BigDecimal], Option[Long])] =
+    parseStats(mapper, statsJson).flatMap { v =>
+      val isString = stringDomain(schema, name)
+      try for { mn <- v.min.get(name); mx <- v.max.get(name) }
+        yield (statsKey(mn, isString), statsKey(mx, isString), v.nullCount.get(name))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Compare two interval keys; None when domains differ. */
+  private[graft] def keyCompare(a: Either[String, BigDecimal],
+      b: Either[String, BigDecimal]): Option[Int] = cmp(a, b)
+
   private def cmp(a: Either[String, BigDecimal], b: Either[String, BigDecimal]): Option[Int] =
     (a, b) match {
       case (Left(x), Left(y)) => Some(x.compareTo(y))

@@ -27,13 +27,7 @@ object Planner {
       snap.metadata.partitionColumns.flatMap(c =>
         f.partitionValues.get(c).map(c -> _))
 
-    val stats = Validator.fileStats(spark, log, snap, snap.files,
-      cfg.sortColumns, cfg.nullsFirst, cfg.descColumns)
-    val statsByPath: Map[String, FileStats] =
-      stats.map(s => s.path -> s).toMap
-    def absPath(f: AddFile): String = new Path(log.tableRoot, f.path).toString
-
-    val groups = snap.files
+    val allGroups = snap.files
       .groupBy(partitionSeq)
       .toSeq
       .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString("/"))
@@ -43,6 +37,28 @@ object Planner {
           files = files,
           estimatedBytes = files.map(_.size).sum)
       }
+
+    // Stats fast path: a partition whose files' LEADING-sort-column
+    // intervals (from the log's per-file stats) strictly overlap is
+    // PROVABLY unsorted — a strict first-component inversion is a tuple
+    // inversion, the same comparison the validator would make — so it
+    // joins the plan without being scanned. Only the remaining
+    // candidates pay the distributed stats scan; at scale, where most
+    // partitions of a to-be-compacted table are unsorted, planning cost
+    // shrinks to the partitions that might already pass. Conservative
+    // everywhere: missing/unsupported stats, desc leading column, or
+    // nulls in the leading column fall through to the scan; loose
+    // (widened) stats bounds can only cause a scan-free inclusion of a
+    // partition the validator would flag anyway.
+    val (proven, candidates) = allGroups.partition(statsProvenUnsorted(snap, cfg))
+
+    val stats = Validator.fileStats(spark, log, snap, candidates.flatMap(_.files),
+      cfg.sortColumns, cfg.nullsFirst, cfg.descColumns)
+    val statsByPath: Map[String, FileStats] =
+      stats.map(s => s.path -> s).toMap
+    def absPath(f: AddFile): String = new Path(log.tableRoot, f.path).toString
+
+    val groups = (proven ++ candidates
       .filterNot { g =>
         // drop partitions that already pass (lib.rs:298-311); a file with
         // no stats (empty file) contributes nothing to ordering
@@ -50,9 +66,34 @@ object Planner {
         val sortedWithin = fs.forall(_.sortedWithin)
         val (cross, _) = Validator.boundaryViolations(fs, cfg.nullsFirst, cfg.descFlags)
         sortedWithin && cross == 0
-      }
+      })
       .sortBy(-_.estimatedBytes) // largest first (lib.rs:313)
 
     RewritePlan(log.tableUri, groups)
+  }
+
+  /** True when the log's per-file stats PROVE `g` is not sorted: files'
+    * leading-sort-column intervals strictly overlap (a strict
+    * first-component inversion is a tuple inversion). Conservative:
+    * missing/unsupported stats, a desc leading column, nulls in the
+    * leading column, or tie-only overlap return false (→ scan). */
+  private[graft] def statsProvenUnsorted(snap: Snapshot, cfg: SortConfig)(
+      g: RewriteGroup): Boolean = {
+    val lead = cfg.sortColumns.head
+    if (cfg.descColumns.contains(lead)) return false
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ivs = g.files.filter(_.size > 0).map(f => f.stats.flatMap(
+      graft.delta.DataSkipping.columnInterval(mapper, _, lead, snap.schema)))
+    ivs.size > 1 && ivs.forall(_.isDefined) && {
+      val list = ivs.flatten
+      list.forall(_._3.contains(0L)) &&
+        list.sortWith((a, b) =>
+          graft.delta.DataSkipping.keyCompare(a._1, b._1).exists(_ < 0))
+          .sliding(2).exists {
+            case Seq(a, b) =>
+              graft.delta.DataSkipping.keyCompare(a._2, b._1).exists(_ > 0)
+            case _ => false
+          }
+    }
   }
 }

@@ -41,10 +41,18 @@ object Rewriter {
     * bounded by the planner's group size, not table size. */
   private def footerRows(spark: SparkSession, log: DeltaLog, files: Seq[AddFile]): Long = {
     val conf = spark.sessionState.newHadoopConf()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     files.map { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(log.tableRoot, f.path), conf))
-      try reader.getRecordCount finally reader.close()
+      // log-carried stats first (tables written by this engine or
+      // delta-rs carry numRecords) — the footer read is the fallback
+      f.stats.flatMap { s =>
+        try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(log.tableRoot, f.path), conf))
+        try reader.getRecordCount finally reader.close()
+      }
     }.sum
   }
 

@@ -131,6 +131,33 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(prunedCount(dir, "k = 250") == 1)
   }
 
+  test("planner stats fast path: overlap proves unsorted, ties and missing stats fall to scan") {
+    import graft.sorter.{Planner, SortConfig}
+    val dir = TestSpark.tmpDir("skip-planner")
+    // two files with strictly overlapping k ranges -> provably unsorted
+    DeltaTable.create(spark, Seq(1L, 100L).toDF("k").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(50L, 200L).toDF("k").coalesce(1))
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    val group = graft.sorter.RewriteGroup(None, snap.files, snap.files.map(_.size).sum)
+    assert(Planner.statsProvenUnsorted(snap, SortConfig(Seq("k")))(group))
+    // desc leading column: no claim
+    assert(!Planner.statsProvenUnsorted(snap,
+      SortConfig(Seq("k"), descColumns = Set("k")))(group))
+    // stats stripped: no claim
+    val bare = group.copy(files = group.files.map(_.copy(stats = None)))
+    assert(!Planner.statsProvenUnsorted(snap, SortConfig(Seq("k")))(bare))
+    // touching-at-a-point intervals (tie): no claim
+    val dir2 = TestSpark.tmpDir("skip-planner2")
+    DeltaTable.create(spark, Seq(1L, 50L).toDF("k").coalesce(1), dir2)
+    DeltaTable.append(spark, dir2, Seq(50L, 200L).toDF("k").coalesce(1))
+    val snap2 = DeltaLog.forTable(spark, dir2).snapshot()
+    val group2 = graft.sorter.RewriteGroup(None, snap2.files, 1L)
+    assert(!Planner.statsProvenUnsorted(snap2, SortConfig(Seq("k")))(group2))
+    // and the plan itself still includes exactly the unsorted table
+    assert(graft.sorter.DeltaSorter(spark, dir).plan(SortConfig(Seq("k"))).groups.size == 1)
+  }
+
   test("timestamps and dates prune with order-preserving encodings") {
     val dir = TestSpark.tmpDir("skip-ts")
     val df = spark.range(100).select(
