@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -95,6 +96,36 @@ object TextAnalysis {
             lit(0L), (a, x) => a + x).as("n_subtoken_chars"))
     }),
 
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // extractor a training-data pipeline runs for topic tagging and
+    // near-boilerplate detection. The score is INTEGER basis points,
+    // score_bp = (10000 · tf · N) div (len · df) — a monotone transform
+    // of tf·(N/df)/len with no float log, so Spark and DuckDB agree
+    // bit-for-bit. Every aggregate shuffles a bounded key space (doc_id,
+    // term); N joins in as a one-row broadcast, and the per-doc top-3 is
+    // a PARTITIONED window — no global sort, no driver data.
+    "q_tfidf" -> ((s, dir) => {
+      val tk = table(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      val docFreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      val nDocs = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(docFreq, "tk")
+        .join(docLen, "doc_id")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_bp",
+          expr("(10000 * tf * n_docs) div (len * df)"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_bp").desc, col("tk").asc)
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("tk"), col("tf"), col("df"), col("score_bp"), col("rnk"))
+    }),
+
     // Document fingerprinting: full-text content hash + min-shingle-hash
     // (the k=1 MinHash — a locality-sensitive rolling fingerprint).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -155,6 +186,21 @@ object TextAnalysis {
         | CAST(len(list_filter(tk, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_digit,
         | COALESCE(CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT), 0) AS n_subtoken_chars
         |FROM t""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS tk FROM t),
+        |tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM e GROUP BY doc_id, tk),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+        |df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tk, tf.tf, df.df,
+        |  CAST((10000 * tf.tf * n.n_docs) // (dl.len * df.df) AS BIGINT) AS score_bp
+        | FROM tf JOIN df USING (tk) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n)
+        |SELECT doc_id, tk, tf, df, score_bp, CAST(rnk AS BIGINT) AS rnk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score_bp DESC, tk) AS rnk FROM sc) z
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
