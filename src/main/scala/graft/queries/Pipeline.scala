@@ -89,6 +89,36 @@ object Pipeline {
           col("keep_short"), col("keep_ttr"), col("keep"))
     }),
 
+    // Per-SOURCE mixture report — the composition audit a pipeline runs
+    // before choosing sampling weights: how much each source contributes
+    // (docs, tokens, share in basis points), how language-diverse it is,
+    // and how internally duplicated (docs whose exact content hash
+    // repeats ANYWHERE in the corpus). One narrow pass computes hashes
+    // and token counts; the duplicate check joins the (tiny) repeated-
+    // hash list; aggregates shuffle only (source) / (h) keys.
+    "q_source_mix" -> ((s, dir) => {
+      import graft.queries.TextFeatures.tokens
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("h"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val dupHashes = docs.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select(col("h"))
+      val nTotal = table(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
+      docs
+        .join(broadcast(dupHashes.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_dup_docs"),
+          expr("(10000 * n_docs) div n_corpus").as("share_bp"))
+    }),
+
     // The END-TO-END preprocessing funnel in one plan: quality filter →
     // near-dup retention (canonical doc per cluster) → decontamination
     // (drop train docs overlapping the eval split) → stratified
@@ -252,6 +282,21 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_quality_filter" -> qualitySql,
+
+    "q_source_mix" ->
+      """WITH d AS (SELECT doc_id, source, lang, md5(text) AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |dup AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) > 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+        |SELECT source,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST((10000 * COUNT(*)) // ANY_VALUE(n.n_corpus) AS BIGINT) AS share_bp
+        |FROM d LEFT JOIN dup ON d.h = dup.h CROSS JOIN n
+        |GROUP BY source""".stripMargin,
 
     "q_pipeline_funnel" ->
       s"""SELECT lang,

@@ -79,6 +79,37 @@ object Similarity {
         .where(col("rank") <= NTop)
     }),
 
+    // kNN CLASSIFICATION: majority vote of the NTop exact-cosine
+    // neighbors' labels — the labeled-similarity workload (quality
+    // classifiers, topic taggers) that sits one step past q_knn_cosine.
+    // Same scale shape: broadcast query side, ONE corpus pass, per-query
+    // top-k, then a per-query vote count; ties broken by smallest label.
+    "q_knn_classify" -> ((s, dir) => {
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("v"))
+        .withColumn("n2", qnorm2(col("v")))
+      val q = vecs.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("n2").as("qn2"))
+      val scored = vecs.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("true_label"), col("label"),
+          col("vec_id").as("neighbor_id"),
+          cosineFromInts(qdotNative(s, col("qv"), col("v")),
+            col("qn2"), col("n2")).as("cos_sim"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val votes = scored.withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= NTop)
+        .groupBy(col("q_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val wVote = Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("r", row_number().over(wVote)).where(col("r") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("label").as("predicted_label"), col("votes"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
@@ -178,6 +209,28 @@ object Similarity {
         |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
         | FROM scored)
         |SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin),
+
+    "q_knn_classify" -> (quantCte.replace(
+      "vecs AS (SELECT vec_id, v,",
+      "vecs AS (SELECT vec_id, CAST(label AS BIGINT) AS label, v,")
+      .replace("FROM qz)", "FROM qz JOIN embeddings USING (vec_id))") +
+      """,
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, n2 AS qn2
+        |  FROM vecs WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, q.true_label, vecs.label, vecs.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(list_zip(qv, v), z -> z[1]*z[2])) AS DOUBLE)
+        |    / sqrt(CAST(qn2*n2 AS DOUBLE)) AS cos_sim
+        | FROM vecs, q WHERE vecs.vec_id <> q.q_id),
+        |topk AS (SELECT * FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored) r WHERE rank <= 5),
+        |votes AS (SELECT q_id, true_label, label,
+        |   CAST(COUNT(*) AS BIGINT) AS votes
+        | FROM topk GROUP BY q_id, true_label, label)
+        |SELECT q_id, true_label, label AS predicted_label, votes FROM (
+        | SELECT *, row_number() OVER
+        |   (PARTITION BY q_id ORDER BY votes DESC, label) AS r FROM votes) z
+        |WHERE r = 1""".stripMargin),
 
     "q_ann_lsh" -> (quantCte +
       """,
