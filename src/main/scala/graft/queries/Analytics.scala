@@ -222,7 +222,11 @@ object Analytics {
     // no RNG), so DuckDB replays them exactly; the CMS guarantee
     // est >= true is asserted in-row via the exact df alongside.
     "q_countmin" -> ((s, dir) => {
-      val inv = Dedup.shingleDocs(s, dir).select(explode(col("sh")).as("sh"))
+      // the md5 shingle pass is the expensive map and feeds BOTH the
+      // sketch build and the exact-df probe side — cache it ONCE at
+      // per-doc (pre-explode) scale; released by the per-query drain
+      val docs = Dedup.shingleDocs(s, dir).cache()
+      val inv = docs.select(explode(col("sh")).as("sh"))
       def bucket(d: Int, c: Column) =
         pmod(md5Bits32(concat(lit(s"$d:"), c)), lit(CmsWidth))
       // one pass, counting every row into its bucket per sketch row

@@ -87,6 +87,22 @@ object Events {
 
     // Per-user lifetime stats (min/max/count are truncation-monotonic, so
     // µs-vs-ns precision cannot flip them).
+    // Trailing 1-hour RANGE-frame window per user: the moving-average /
+    // rate-limiter shape of time-series feature engineering. The frame
+    // is VALUE-based (rangeBetween over integer event-time µs), not
+    // row-based — ties and gaps are handled by time distance, so the
+    // result is deterministic under any row order. Partitioned by
+    // user_id: no single-partition WindowExec at any scale.
+    "q_events_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L) // 1h in µs, trailing inclusive
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("cents"))
+        .withColumn("w_cnt", count(lit(1)).over(w))
+        .withColumn("w_sum_cents", sum(col("cents")).over(w))
+    }),
+
     "q_events_user_stats" -> ((s, dir) => {
       table(s, dir, "events")
         .groupBy(col("user_id"))
@@ -99,6 +115,16 @@ object Events {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_events_moving_window" ->
+      """SELECT event_id, user_id, us, cents,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
+        | CAST(SUM(cents) OVER w AS BIGINT) AS w_sum_cents
+        |FROM (SELECT event_id, user_id,
+        |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type,
