@@ -112,6 +112,12 @@ object DataSkipping {
       }
       Some(q(TsFmt.format(Instant.EPOCH.plusNanos(0).plusSeconds(micros / 1000000L)
         .plusNanos((micros % 1000000L) * 1000L))))
+    case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+        dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+      // parquet stores decimals UNSCALED — rescale or the stats value is
+      // 100× off the literal the predicate compares against
+      Some(BigDecimal(BigInt(v.asInstanceOf[Number].longValue()), dec.getScale)
+        .bigDecimal.toPlainString)
     case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, _) =>
       Some(v.asInstanceOf[Number].longValue().toString)
     case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
@@ -225,16 +231,34 @@ object DataSkipping {
 
     // per-column interval: partition value (point) beats stats range
     def interval(name: String): (Option[Either[String, BigDecimal]], Option[Either[String, BigDecimal]], Option[Long]) = {
-      val isString = schema.find(_.name == name).map(_.dataType).exists {
+      val dt = schema.find(_.name == name).map(_.dataType)
+      val isString = dt.exists {
         case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
+      }
+      // timestamp partition values serialize WITHOUT the fixed-width
+      // fraction this module's key encoding uses — normalize or a point
+      // compare against a literal key is lexicographically off
+      def normalize(v: String): Option[String] = dt match {
+        case Some(TimestampType | TimestampNTZType) =>
+          val Ts = """^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d{1,9}))?$""".r
+          v match {
+            case Ts(d, t, f) =>
+              Some(s"$d $t." + Option(f).getOrElse("").padTo(6, '0').take(6))
+            case _ => None // unknown serialization: make no claim
+          }
+        case _ => Some(v)
       }
       if (partitionValues.contains(name)) {
         Option(partitionValues(name)) match {
           case None => (None, None, view.numRecords) // null partition: all rows null
           case Some(v) =>
-            val k = Some(statsKey(v, isString))
-            (k, k, Some(0L))
+            normalize(v) match {
+              case Some(n) =>
+                val k = Some(statsKey(n, isString))
+                (k, k, Some(0L))
+              case None => (None, None, None)
+            }
         }
       } else {
         (view.min.get(name).map(statsKey(_, isString)),

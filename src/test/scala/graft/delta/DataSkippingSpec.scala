@@ -131,6 +131,36 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(prunedCount(dir, "k = 250") == 1)
   }
 
+  test("timestamp partition values normalize to the fixed-width key encoding") {
+    val dir = TestSpark.tmpDir("skip-tspart")
+    val df = spark.range(40).selectExpr(
+      "timestamp'2021-06-01 00:00:00' + make_interval(0,0,0,cast(id % 4 as int),0,0,0) as day",
+      "id as k")
+    DeltaTable.create(spark, df.repartition(4), dir, partitionColumns = Seq("day"))
+    val total = DeltaLog.forTable(spark, dir).snapshot().files.size
+    assert(prunedCount(dir, "day = timestamp'2021-06-02 00:00:00'") < total)
+    assert(prunedCount(dir, "day >= timestamp'2021-06-03 00:00:00'") < total)
+    assertSameRows(dir, "day = timestamp'2021-06-02 00:00:00'")
+    assertSameRows(dir, "day >= timestamp'2021-06-03 00:00:00'")
+  }
+
+  test("decimal stats are rescaled from parquet's unscaled encoding") {
+    val dir = TestSpark.tmpDir("skip-dec")
+    val df = spark.range(100)
+      .selectExpr("id as k", "cast(id as decimal(9,2)) / 4 as price") // 0.00 .. 24.75
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    DeltaTable.create(spark, df, dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val maxes = snap.files.map(f =>
+      BigDecimal(mapper.readTree(f.stats.get).get("maxValues").get("price").asText()))
+    assert(maxes.max == BigDecimal("24.75"), maxes) // scaled, not 2475
+    assert(prunedCount(dir, "price > 20.0") < 4)
+    assert(prunedCount(dir, "price > 24.75") == 0)
+    assertSameRows(dir, "price > 20.0")
+    assertSameRows(dir, "price <= 0.25")
+  }
+
   test("planner stats fast path: overlap proves unsorted, ties and missing stats fall to scan") {
     import graft.sorter.{Planner, SortConfig}
     val dir = TestSpark.tmpDir("skip-planner")
