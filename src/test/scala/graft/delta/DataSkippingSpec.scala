@@ -188,6 +188,36 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(graft.sorter.DeltaSorter(spark, dir).plan(SortConfig(Seq("k"))).groups.size == 1)
   }
 
+  test("property: pruning never changes results across randomized predicates") {
+    // one table, many random predicates: ints (with negatives), strings,
+    // nullable column, several files with overlapping and disjoint ranges
+    val dir = TestSpark.tmpDir("skip-prop")
+    val rnd = new scala.util.Random(7)
+    def batch(lo: Int, hi: Int) = {
+      val rows = (1 to 40).map { _ =>
+        val k = lo + rnd.nextInt(hi - lo)
+        (k.toLong, s"s${k + 1000}", if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(8)}")
+      }
+      rows.toDF("k", "s", "v").coalesce(1)
+    }
+    DeltaTable.create(spark, batch(-50, 20), dir)
+    for ((lo, hi) <- Seq((0, 60), (55, 90), (-10, 100), (200, 260)))
+      DeltaTable.append(spark, dir, batch(lo, hi))
+
+    val ops = Seq("=", "<", "<=", ">", ">=")
+    val preds = (1 to 30).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => s"k ${ops(rnd.nextInt(ops.size))} ${rnd.nextInt(320) - 60}"
+        case 1 => s"s ${ops(rnd.nextInt(ops.size))} 's${rnd.nextInt(320) + 940}'"
+        case 2 => s"v = 'v${rnd.nextInt(10)}'" + (if (rnd.nextBoolean()) " and k > 0" else "")
+        case _ =>
+          val a = rnd.nextInt(320) - 60
+          s"k >= $a and k < ${a + 1 + rnd.nextInt(80)}"
+      }
+    } ++ Seq("v is null", "v is not null", "v is null and k < 10")
+    preds.foreach(assertSameRows(dir, _))
+  }
+
   test("timestamps and dates prune with order-preserving encodings") {
     val dir = TestSpark.tmpDir("skip-ts")
     val df = spark.range(100).select(
