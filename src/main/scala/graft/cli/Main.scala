@@ -10,7 +10,8 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * {{{
   * graft.cli.Main --table URI --sort-columns a,b [--nulls first|last]
   *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
-  *   [--validate-only] [--repartition-by-sort-key] [--log-level LEVEL]
+  *   [--validate-only] [--validate-quick] [--repartition-by-sort-key]
+  *   [--log-level LEVEL]
   *   [--zorder] [--zorder-bits N]
   * }}}
   *
@@ -33,7 +34,8 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--dry-run" | "--validate-only" | "--repartition-by-sort-key" | "--zorder") =>
+        case flag @ ("--dry-run" | "--validate-only" | "--validate-quick" |
+            "--repartition-by-sort-key" | "--zorder") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -76,7 +78,19 @@ object Main {
       case other => sys.error(s"--nulls must be 'first' or 'last', got '$other'")
     }
     val sorter = DeltaSorter(spark, table)
-    if (opts.contains("validate-only")) {
+    if (opts.contains("validate-quick")) {
+      // zero-IO stats audit: proven violations only; clean != sorted
+      val report = sorter.validateQuick(sortColumns, descColumns)
+      println(s"checked_files=${report.checkedFiles} " +
+        s"proven_violations=${report.boundaryViolations}")
+      report.detailsSample.foreach(d => println(s"  $d"))
+      if (!report.ok) {
+        System.err.println("stats audit FAILED (violations are proven; run --validate-only for the full scan)")
+        return 1
+      }
+      println("stats audit clean (necessary, not sufficient — full order needs --validate-only)")
+      0
+    } else if (opts.contains("validate-only")) {
       val report = sorter.validate(sortColumns, nullsFirst, descColumns)
       println(s"checked_files=${report.checkedFiles} " +
         s"boundary_violations=${report.boundaryViolations}")

@@ -32,6 +32,47 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     Validator.report(spark, deltaLog, snap, snap.files, sortColumns, nullsFirst, descColumns)
   }
 
+  /** Zero-IO pre-flight audit from the log's per-file stats: the
+    * cross-file half of [[validate]] evaluated over leading-sort-column
+    * stats intervals — milliseconds at any table size, no data read.
+    * A reported violation is PROVEN (a strict leading-component
+    * inversion is a tuple inversion); a clean result is necessary but
+    * not sufficient for full order (intra-file order and exact tuple
+    * boundaries still need the scanning validator), so
+    * `checkedFiles < files` or 0 violations here means "worth the full
+    * validate", not "sorted". Files without usable stats are counted in
+    * `detailsSample` and make no claim. */
+  def validateQuick(sortColumns: Seq[String],
+      descColumns: Set[String] = Set.empty): ValidationReport = {
+    val snap = deltaLog.snapshot()
+    Validator.validateSortColumns(snap.schema, sortColumns)
+    val lead = sortColumns.head
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ivs = snap.files.filter(_.size > 0).map(f => f -> f.stats.flatMap(
+      graft.delta.DataSkipping.columnInterval(mapper, _, lead, snap.schema)))
+    val missing = ivs.count(_._2.isEmpty).toLong
+    val usable = ivs.collect {
+      case (f, Some((mn, mx, nc))) if nc.contains(0L) => (f, mn, mx)
+    }
+    var violations = 0L
+    val details = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!descColumns.contains(lead) && usable.size > 1) {
+      usable.sortWith((a, b) =>
+        graft.delta.DataSkipping.keyCompare(a._2, b._2).exists(_ < 0))
+        .sliding(2).foreach {
+          case Seq(a, b)
+              if graft.delta.DataSkipping.keyCompare(a._3, b._2).exists(_ > 0) =>
+            violations += 1
+            if (details.size < 20)
+              details += s"stats boundary violation: max(${a._1.path}) > min(${b._1.path}) on '$lead'"
+          case _ => ()
+        }
+    }
+    if (missing > 0 && details.size < 20)
+      details += s"$missing file(s) without usable '$lead' stats (no claim made)"
+    ValidationReport(usable.size.toLong, violations, details.toSeq)
+  }
+
   /** O6: ordering check restricted to one partition (lib.rs:526-555).
     * Files are selected by their log-recorded partition values, not by
     * URI substring as upstream (lib.rs:535-537 — fragile); unlike the

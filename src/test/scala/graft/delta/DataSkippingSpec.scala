@@ -188,6 +188,32 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(graft.sorter.DeltaSorter(spark, dir).plan(SortConfig(Seq("k"))).groups.size == 1)
   }
 
+  test("validateQuick: zero-IO audit agrees with the scanning validator's verdict") {
+    import graft.sorter.{DeltaSorter, SortConfig}
+    // overlapping-range files -> proven violation, no data read
+    val dir = TestSpark.tmpDir("skip-vq")
+    DeltaTable.create(spark, Seq(1L, 100L).toDF("k").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(50L, 200L).toDF("k").coalesce(1))
+    val sorter = DeltaSorter(spark, dir)
+    val quick = sorter.validateQuick(Seq("k"))
+    assert(quick.boundaryViolations == 1 && quick.checkedFiles == 2)
+    assert(!sorter.validate(Seq("k")).ok) // full validator agrees
+    // after sort-compaction both go clean
+    sorter.compact(SortConfig(Seq("k"), repartitionBySortKey = true))
+    val after = DeltaSorter(spark, dir).validateQuick(Seq("k"))
+    assert(after.ok, after)
+    // stats-less files make no claim and are called out
+    val dir2 = TestSpark.tmpDir("skip-vq2")
+    DeltaTable.create(spark, Seq(1L, 100L).toDF("k").coalesce(1), dir2)
+    val log2 = DeltaLog.forTable(spark, dir2)
+    val snap2 = log2.snapshot()
+    log2.commitLatest(snap2.files.map(f => RemoveFile(f.path, 0L, dataChange = false,
+      f.partitionValues, f.size)) ++ snap2.files.map(_.copy(stats = None)))
+    val bare = DeltaSorter(spark, dir2).validateQuick(Seq("k"))
+    assert(bare.checkedFiles == 0 && bare.ok)
+    assert(bare.detailsSample.exists(_.contains("without usable")))
+  }
+
   test("property: pruning never changes results across randomized predicates") {
     // one table, many random predicates: ints (with negatives), strings,
     // nullable column, several files with overlapping and disjoint ranges
