@@ -24,7 +24,9 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * Maintenance modes beyond the reference (sort columns not required):
   * `--restore VERSION` rolls the table back as a new commit;
   * `--vacuum RETENTION_MS` deletes unreferenced data files older than
-  * the retention window. */
+  * the retention window; `--bin-pack` coalesces small files per
+  * partition to `--target-file-size-bytes` without imposing an order
+  * (OPTIMIZE analog). */
 object Main {
 
   private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
@@ -35,7 +37,7 @@ object Main {
     while (i < args.length) {
       args(i) match {
         case flag @ ("--dry-run" | "--validate-only" | "--validate-quick" |
-            "--repartition-by-sort-key" | "--zorder") =>
+            "--repartition-by-sort-key" | "--zorder" | "--bin-pack") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -67,6 +69,15 @@ object Main {
       val deleted = graft.delta.DeltaLog.forTable(spark, table)
         .vacuum(retentionMs = opts("vacuum").toLong)
       println(s"vacuum complete: ${deleted.size} file(s) deleted")
+      return 0
+    }
+    if (opts.contains("bin-pack")) { // order-free: no sort columns needed
+      val summary = DeltaSorter(spark, table).binPack(
+        targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong)
+          .getOrElse(128L * 1024 * 1024),
+        concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8))
+      println(s"bin-pack complete: ${summary.partitionsRewritten} partition(s), " +
+        s"files ${summary.filesIn}->${summary.filesOut} in ${summary.durationMs}ms")
       return 0
     }
     val (sortColumns, descColumns) = SortConfig.parseColumns(

@@ -158,6 +158,55 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     }
   }
 
+  /** OPTIMIZE (bin-packing) analog — engine extension: per partition,
+    * coalesce files SMALLER than `targetFileSizeBytes` into ~target-
+    * sized ones, leaving order unspecified and large files untouched.
+    * The small-file problem this fixes is the one every streaming/
+    * micro-batch ingestion creates; run it when order doesn't matter
+    * and [[compact]] when it does. Same bounded-concurrency, first-
+    * error-after-batch orchestration as [[compact]]. */
+  def binPack(targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      concurrency: Int = 8): RunSummary = {
+    val t0 = System.nanoTime()
+    val snap = deltaLog.snapshot()
+    val groups = snap.files
+      .filter(f => f.size > 0 && f.size < targetFileSizeBytes)
+      .groupBy(_.partitionValues).values.toSeq
+      .filter(_.size > 1) // one small file per partition: nothing to pack
+      .map { files =>
+        val part = snap.metadata.partitionColumns
+          .flatMap(c => files.head.partitionValues.get(c).map(c -> _))
+        RewriteGroup(
+          partition = if (part.isEmpty) None else Some(part),
+          files = files,
+          estimatedBytes = files.map(_.size).sum)
+      }
+      .sortBy(-_.estimatedBytes)
+    if (groups.isEmpty) {
+      logInfo("nothing to do: no partition has more than one small file")
+      return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+    }
+    val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = groups.map { g =>
+        Future(Try {
+          val m = Rewriter.binPackPartition(spark, deltaLog, snap, g, targetFileSizeBytes)
+          logInfo(s"bin-packed ${m.partition}: files ${m.filesIn}->${m.filesOut}, " +
+            s"bytes ${m.bytesIn}->${m.bytesOut}, ${m.durationMs}ms")
+          m
+        })
+      }
+      val results = futures.map(f => Await.result(f, Duration.Inf))
+      val failures = results.collect { case Failure(e) => e }
+      failures.foreach(e => logError(s"bin-pack failed: ${e.getMessage}"))
+      failures.headOption.foreach(throw _)
+      summarize(results.collect { case Success(m) => m }, t0)
+    } finally {
+      pool.shutdown()
+    }
+  }
+
   /** OPTIMIZE ZORDER analog: rewrite the whole table clustered by the
     * Morton interleave of `zorderColumns` ([[ZOrder]]) so range queries
     * on ANY of the columns prune files, not just the leading sort key.

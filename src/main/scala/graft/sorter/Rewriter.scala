@@ -102,6 +102,39 @@ object Rewriter {
       durationMs = (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** OPTIMIZE (bin-packing) analog — engine extension past the
+    * reference: coalesce one partition's SMALL files into ~target-sized
+    * ones WITHOUT imposing an order. `coalesce` is a narrow dependency
+    * (no shuffle — files concatenate in place), the commit shape is the
+    * same transactional removes+adds with `dataChange=false`, and
+    * untouched large files never move. */
+  def binPackPartition(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      group: RewriteGroup, targetBytes: Long): PartitionMetrics = {
+    val t0 = System.nanoTime()
+    val df = DeltaTable.readFiles(spark, log, snap, group.files)
+    val bytes = group.estimatedBytes
+    val rows = footerRows(spark, log, group.files)
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val avgRowBytes = math.max(1L, bytes / math.max(1L, rows))
+    val maxRecords = math.max(1L, targetBytes / avgRowBytes)
+    val adds = DeltaTable.stageWrite(spark, log, df.coalesce(nOut),
+      snap.metadata.partitionColumns, Some(maxRecords), dataChange = false)
+    val now = System.currentTimeMillis()
+    val removes = group.files.map(f =>
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+    val predicate = Predicates.sql(group.partition.getOrElse(Nil), snap.schema)
+    log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
+      Map("binPack" -> "true", "predicate" -> predicate,
+        "targetFileSizeBytes" -> targetBytes.toString)))
+    PartitionMetrics(
+      partition = group.key,
+      filesIn = group.files.size,
+      filesOut = adds.size,
+      bytesIn = bytes,
+      bytesOut = adds.map(_.size).sum,
+      durationMs = (System.nanoTime() - t0) / 1000000L)
+  }
+
   /** O9: strict mode — sort the ENTIRE table by key and atomically
     * replace it in one commit (lib.rs:427-481). */
   def fullSortedOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,

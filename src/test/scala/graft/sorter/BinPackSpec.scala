@@ -1,0 +1,57 @@
+package graft.sorter
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** OPTIMIZE bin-packing: small files coalesce per partition, large files
+  * and row content never move, commits are transactional and invisible
+  * to incremental readers (dataChange=false). */
+class BinPackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("small files pack to ~target; files at or above target never move") {
+    val dir = TestSpark.tmpDir("binpack")
+    DeltaTable.create(spark, (1 to 500).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), dir)
+    for (i <- 0 until 4)
+      DeltaTable.append(spark, dir, Seq((1000 + i, "s")).toDF("k", "v").coalesce(1))
+    val log = DeltaLog.forTable(spark, dir)
+    val before = log.snapshot()
+    assert(before.files.size == 5)
+    val big = before.files.maxBy(_.size)
+
+    val summary = DeltaSorter(spark, dir).binPack(targetFileSizeBytes = big.size)
+    assert(summary.filesIn == 4 && summary.filesOut == 1, summary)
+
+    val after = DeltaLog.forTable(spark, dir).snapshot()
+    assert(after.files.size == 2)
+    assert(after.files.map(_.path).contains(big.path)) // untouched
+    assert(DeltaTable.read(spark, dir).count() == 504)
+    // maintenance rewrite: adds carry dataChange=false
+    val actions = log.actionsAt(after.version)
+    assert(actions.collect { case a: graft.delta.AddFile => a.dataChange }.forall(_ == false))
+    // stats are attached to the packed file too — skipping keeps working
+    assert(after.files.forall(_.stats.nonEmpty))
+  }
+
+  test("partitioned tables pack per partition, preserving partition values") {
+    val dir = TestSpark.tmpDir("binpack-part")
+    val mk = (p: String, k: Int) => Seq((p, k)).toDF("p", "k").coalesce(1)
+    DeltaTable.create(spark, mk("a", 1), dir, partitionColumns = Seq("p"))
+    for ((p, k) <- Seq(("a", 2), ("a", 3), ("b", 4), ("b", 5)))
+      DeltaTable.append(spark, dir, mk(p, k))
+    val summary = DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
+    assert(summary.partitionsRewritten == 2, summary)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.size == 2)
+    assert(snap.files.map(_.partitionValues("p")).sorted == Seq("a", "b"))
+    assert(DeltaTable.read(spark, dir).where(col("p") === "a").count() == 3)
+    assert(DeltaTable.read(spark, dir).count() == 5)
+    // idempotent: a second pass finds nothing to do
+    val again = DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
+    assert(again.partitionsRewritten == 0)
+  }
+}
