@@ -95,3 +95,26 @@ class SortOptimizer:
         return json.loads(
             self._j.zorderCompact(self._jlist(list(zorder_columns)), int(bits))
         )
+
+    def bin_pack(
+        self, target_file_size_bytes: Optional[int] = None, concurrency: int = 8
+    ) -> dict:
+        """Engine extension: OPTIMIZE bin-packing — coalesce small files
+        per partition to ~target size without imposing an order."""
+        tfs = None
+        if target_file_size_bytes is not None:
+            tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
+        return json.loads(self._j.binPack(tfs, int(concurrency)))
+
+    def validate_quick(self, sort_columns: list[str]) -> dict:
+        """Engine extension: zero-IO stats audit from the Delta log.
+        Raises RuntimeError on PROVEN ordering violations; a clean result
+        is necessary but not sufficient for full order (run validate()
+        for the scanning check)."""
+        rep = json.loads(self._j.validateQuick(self._jlist(list(sort_columns))))
+        if rep.get("proven_violations", 0) > 0:
+            raise RuntimeError(
+                f"Proven ordering violations: {rep['proven_violations']} "
+                f"(sample: {rep.get('details_sample')})"
+            )
+        return rep

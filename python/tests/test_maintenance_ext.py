@@ -1,0 +1,34 @@
+"""Engine-extension maintenance surface of the binding: bin_pack and
+validate_quick (beyond the reference's SortOptimizer)."""
+import pytest
+
+from deltasort import SortOptimizer
+from conftest import read_pandas, write_table
+
+_SCHEMA = "k long, v string"
+
+
+def test_bin_pack_coalesces_small_files(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (5, "e")], _SCHEMA)
+    jvm = spark._jvm
+    for i in range(3):
+        df = spark.createDataFrame([(10 + i, "x")], _SCHEMA).coalesce(1)
+        jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    summary = opt.bin_pack(target_file_size_bytes=1 << 20)
+    assert summary["files_in"] == 4 and summary["files_out"] == 1, summary
+    assert len(read_pandas(spark, tmp_table)) == 5
+
+
+def test_validate_quick_proves_violations_and_clears_after_compact(spark, tmp_table):
+    write_table(spark, tmp_table, [(5, "e"), (1, "a")], _SCHEMA)
+    jvm = spark._jvm
+    df = spark.createDataFrame([(3, "c")], _SCHEMA).coalesce(1)
+    jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    # overlapping file ranges on k -> proven violation, zero data read
+    with pytest.raises(RuntimeError, match="Proven ordering violations"):
+        opt.validate_quick(["k"])
+    opt.compact(["k"], repartition_by_sort_key=True)
+    rep = opt.validate_quick(["k"])
+    assert rep["proven_violations"] == 0

@@ -52,6 +52,28 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       s""""duration_ms":${summary.durationMs}}"""
   }
 
+  /** Engine extension: OPTIMIZE bin-packing (order-free small-file
+    * coalesce). `targetFileSizeBytes` may be null (128 MiB default). */
+  def binPack(targetFileSizeBytes: java.lang.Long, concurrency: Int): String = {
+    val summary = sorter.binPack(
+      Option(targetFileSizeBytes).map(_.longValue()).getOrElse(128L * 1024 * 1024),
+      concurrency)
+    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
+      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
+      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
+      s""""duration_ms":${summary.durationMs}}"""
+  }
+
+  /** Engine extension: zero-IO stats audit (proven violations only —
+    * a clean result is necessary, not sufficient, for full order). */
+  def validateQuick(sortColumns: java.util.List[String]): String = {
+    val (cols, desc) = SortConfig.parseColumns(sortColumns.asScala.toSeq)
+    val rep = sorter.validateQuick(cols, desc)
+    s"""{"checked_files":${rep.checkedFiles},""" +
+      s""""proven_violations":${rep.boundaryViolations},""" +
+      s""""details_sample":[${rep.detailsSample.map(js).mkString(",")}]}"""
+  }
+
   /** Engine extension beyond the reference binding: OPTIMIZE ZORDER. */
   def zorderCompact(zorderColumns: java.util.List[String], bits: Int): String = {
     val summary = sorter.zorderCompact(zorderColumns.asScala.toSeq, bits)

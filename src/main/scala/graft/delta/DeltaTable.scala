@@ -114,8 +114,11 @@ object DeltaTable {
       }
       // Per-file stats (numRecords/min/max/nullCount) from the parquet
       // FOOTERS the write just produced — no data re-scan, ~1 KB range
-      // read per file, parallelized driver-side. Failure to collect
-      // stats never fails the write (stats are an optimization input).
+      // read per file, parallelized driver-side (fine into the
+      // thousands-of-files-per-commit range; past that the stats belong
+      // in the write tasks via a custom commit protocol — same JSON,
+      // different collection point). Failure to collect stats never
+      // fails the write (stats are an optimization input).
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sessionState.newHadoopConf())
       val statsByPath: Map[String, String] = placed.par

@@ -87,8 +87,11 @@ object LogStore {
     * exact wire form of S3's 2024 conditional-write support and of the
     * GCS XML API (`PUT /bucket/key` + `If-None-Match: *` → 200 created,
     * 412 exists). No SDK dependency — endpoint + bucket are explicit, so
-    * it also drives MinIO/localstack-style S3-compatible stores and the
-    * in-test fake in LogStoreContractSpec.
+    * it drives MinIO/localstack-style S3-compatible stores and the
+    * in-test fake in LogStoreContractSpec. Deliberately UNsigned: real
+    * AWS S3 additionally needs SigV4 request signing, which belongs in a
+    * signing [[ObjectStoreClient]] (or an SDK-backed one) plugged into
+    * the same seam — the commit protocol above it is identical.
     *
     * 409 (S3 `ConditionalRequestConflict`: another conditional write on
     * the same key is mid-flight) is retried with backoff; if the key
