@@ -46,7 +46,7 @@ class DmlModelSpec extends AnyFunSuite {
 
     for (step <- 1 to 24) {
       val before = log.latestVersion()
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // upsert a random batch (mix of updates + inserts)
           val batch = Seq.fill(rnd.nextInt(5) + 1)(
             (rnd.nextLong().abs % Keys, rnd.nextLong() & 0xffffL))
@@ -65,8 +65,15 @@ class DmlModelSpec extends AnyFunSuite {
           log.checkpoint()
         case 5 => // vacuum with zero retention: only dead files go
           log.vacuum(retentionMs = 0L)
+        case 6 => // maintenance bin-pack: moves rows, changes none
+          graft.sorter.DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
       }
       assert(tableState(dir) == model.toMap, s"state diverged at step $step")
+      // stats-pruned reads agree with the model under every interleaving
+      val probe = rnd.nextLong().abs % Keys
+      val pruned = DeltaTable.readWhere(spark, dir, s"k = $probe")
+        .as[(Long, Long)].collect().toMap
+      assert(pruned == model.filter(_._1 == probe).toMap, s"readWhere diverged at step $step")
       val after = log.latestVersion()
       if (after != before) history(after) = model.toMap
       assert(after >= before, "version must never move backwards")
