@@ -1,0 +1,78 @@
+package graft.queries
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.multimodal.BinaryAssets
+import graft.multimodal.BinaryAssets.Asset
+
+/** REAL image decode through the distributed batch stage: PNGs and
+  * JPEGs generated in-test (JDK ImageIO both ways — no fixtures, no
+  * native libs), pushed through `extractImageFeatures` as a partitioned
+  * Dataset, with exact dimension and luminance assertions. */
+class ImageDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = encode(w, h, rgb, "png")
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = encode(w, h, rgb, "jpg")
+
+  private def encode(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out))
+    out.toByteArray
+  }
+
+  private def luma(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  test("PNG payloads decode to exact dimensions and luminance, distributed") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, 64, 48, 0xff0000), (2L, 33, 77, 0x00ff00),
+      (3L, 128, 1, 0x0000ff), (4L, 7, 7, 0x808080))
+    val assets = cases.map { case (id, w, h, c) => Asset(id, "image", png(w, h, c)) }
+      .toDS().repartition(3)
+    val got = BinaryAssets.extractImageFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(got.size == cases.size)
+    cases.foreach { case (id, w, h, c) =>
+      val f = got(id)
+      assert(f.width == w && f.height == h, s"asset $id dims")
+      assert(f.mean_luma == luma(c), s"asset $id luma")
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("JPEG decodes too (lossy: luminance within tolerance); junk payloads drop out") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(10L, "image", jpeg(40, 30, 0x406080)),
+      Asset(11L, "image", "not an image at all".getBytes("UTF-8")),
+      Asset(12L, "image", Array[Byte]())).toDS().repartition(2)
+    val got = BinaryAssets.extractImageFeatures(assets).collect()
+    assert(got.map(_.asset_id).toSeq == Seq(10L)) // undecodables dropped
+    val f = got.head
+    assert(f.width == 40 && f.height == 30)
+    assert(math.abs(f.mean_luma - luma(0x406080)) <= 3, f.mean_luma)
+  }
+
+  test("decodeImage is None for non-images, Some for every ImageIO format") {
+    assert(BinaryAssets.decodeImage("plain text".getBytes).isEmpty)
+    for (fmt <- Seq("png", "jpg", "bmp", "gif")) {
+      val bytes = encode(16, 8, 0xffffff, fmt)
+      val d = BinaryAssets.decodeImage(bytes)
+      assert(d.nonEmpty, fmt)
+      assert(d.get._1 == 16 && d.get._2 == 8, fmt)
+    }
+  }
+}
