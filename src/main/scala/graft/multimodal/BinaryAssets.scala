@@ -183,6 +183,30 @@ object BinaryAssets {
     }
   }
 
+  /** REAL aspect-fit image resize (JDK Graphics2D, bilinear) producing a
+    * PNG thumbnail payload — the production form of [[resize]]'s
+    * dimension math, usable wherever the payload actually decodes.
+    * Never upscales. None when the payload is not a decodable image. */
+  def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) None
+    else {
+      val (tw, th) = thumbnailDims(src.getWidth, src.getHeight, maxW, maxH)
+      val dst = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, tw, th, null)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      Some(out.toByteArray)
+    }
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString

@@ -66,6 +66,18 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(math.abs(f.mean_luma - luma(0x406080)) <= 3, f.mean_luma)
   }
 
+  test("real resize: aspect preserved, bounded, never upscaled, round-trips through decode") {
+    val big = png(200, 100, 0x336699)
+    val thumb = BinaryAssets.resizeImage(big, 64, 64).get
+    val Some((tw, th, l)) = BinaryAssets.decodeImage(thumb)
+    assert(tw == 64 && th == 32) // 200x100 fit into 64x64 keeps 2:1
+    assert(math.abs(l - luma(0x336699)) <= 2, l) // solid color survives bilinear
+    val small = png(10, 10, 0xffffff)
+    val same = BinaryAssets.resizeImage(small, 64, 64).get
+    assert(BinaryAssets.decodeImage(same).get._1 == 10) // never upscales
+    assert(BinaryAssets.resizeImage("junk".getBytes, 64, 64).isEmpty)
+  }
+
   test("decodeImage is None for non-images, Some for every ImageIO format") {
     assert(BinaryAssets.decodeImage("plain text".getBytes).isEmpty)
     for (fmt <- Seq("png", "jpg", "bmp", "gif")) {
