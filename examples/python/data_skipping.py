@@ -1,0 +1,73 @@
+"""
+Data skipping: sort-compact a table, then watch a range query read only
+its covering files — selected from the log's per-file stats, before any
+data IO.
+
+Run (from the repo root):
+  PYTHONPATH=python python3 examples/python/data_skipping.py /tmp/delta_skip_table
+"""
+import shutil
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main(table_uri: str) -> None:
+    if Path(table_uri).exists():
+        shutil.rmtree(table_uri)
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-data-skipping")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 8 files, unsorted on k
+    df = spark.range(8000).selectExpr("id as k", "id % 97 as payload").repartition(8)
+    jvm = spark._jvm
+    jvm.graft.delta.DeltaTable.create(
+        spark._jsparkSession, df._jdf, table_uri, jvm.PythonUtils.toSeq([])
+    )
+
+    opt = SortOptimizer(table_uri, spark=spark)
+    # zero-IO audit: stats prove the layout unsorted, no data read
+    try:
+        opt.validate_quick(["k"])
+    except RuntimeError as e:
+        print(f"stats audit (no data read): {e}")
+
+    # sort-compact -> disjoint per-file k ranges (small target so the
+    # demo table still rolls into several files)
+    opt.compact(["k"], repartition_by_sort_key=True, target_file_size_bytes=16 * 1024)
+    opt.validate_quick(["k"])
+    print("stats audit clean after sort-compaction")
+
+    # a selective range now reads ~1 of 8 files, chosen from the log
+    log = jvm.graft.delta.DeltaLog.forTable(spark._jsparkSession, table_uri)
+    snap = log.snapshot()
+    total = snap.files().size()
+    pred = "k >= 2000 and k < 2500"
+    kept = jvm.graft.delta.DataSkipping.prune(
+        snap.files(), snap.schema(),
+        spark._jsparkSession.sessionState().sqlParser().parseExpression(pred),
+    ).size()
+    jdf = jvm.graft.delta.DeltaTable.readWhere(spark._jsparkSession, table_uri, pred)
+    from pyspark.sql import DataFrame
+
+    n = DataFrame(jdf, spark).count()
+    print(f"predicate '{pred}': {kept} of {total} files read, {n} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print("Usage: PYTHONPATH=python python3 examples/python/data_skipping.py /path/to/table")
+        sys.exit(2)
+    main(sys.argv[1])

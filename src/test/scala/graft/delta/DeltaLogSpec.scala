@@ -271,6 +271,22 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("reader version 3"))
   }
 
+  test("parser tolerates foreign fields and unknown action kinds") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // real-world add entries carry fields we don't model — ignored, not fatal
+    val add = Action.fromJson(mapper.readTree(
+      """{"add":{"path":"p.parquet","partitionValues":{},"size":10,
+        |"modificationTime":5,"dataChange":true,
+        |"stats":"{\"numRecords\":2}","tags":{"x":"y"},
+        |"deletionVector":{"storageType":"u"},"baseRowId":7}}""".stripMargin))
+    assert(add.contains(AddFile("p.parquet", Map.empty, 10L, 5L,
+      dataChange = true, stats = Some("""{"numRecords":2}"""))))
+    // unknown top-level action kinds replay as no-ops
+    assert(Action.fromJson(mapper.readTree(
+      """{"domainMetadata":{"domain":"d","configuration":"{}"}}""")).isEmpty)
+    assert(Action.fromJson(mapper.readTree("""{"somethingNew":{}}""")).isEmpty)
+  }
+
   test("action JSON round-trips through the parser") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)
