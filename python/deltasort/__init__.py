@@ -108,9 +108,11 @@ class SortOptimizer:
 
     def validate_quick(self, sort_columns: list[str]) -> dict:
         """Engine extension: zero-IO stats audit from the Delta log.
-        Raises RuntimeError on PROVEN ordering violations; a clean result
-        is necessary but not sufficient for full order (run validate()
-        for the scanning check)."""
+        Raises RuntimeError on ordering violations proven under exact
+        stats bounds (writers that truncate long string stats can yield
+        false positives -- confirm with validate()); a clean result is
+        necessary but not sufficient for full order (run validate() for
+        the scanning check)."""
         rep = json.loads(self._j.validateQuick(self._jlist(list(sort_columns))))
         if rep.get("proven_violations", 0) > 0:
             raise RuntimeError(

@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS) — only readable as long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs timestamps explicitly: INT96 output would leave shipdate
+      // without usable stats and quietly zero out the skip_read metric
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

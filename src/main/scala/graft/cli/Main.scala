@@ -96,7 +96,7 @@ object Main {
         s"proven_violations=${report.boundaryViolations}")
       report.detailsSample.foreach(d => println(s"  $d"))
       if (!report.ok) {
-        System.err.println("stats audit FAILED (violations are proven; run --validate-only for the full scan)")
+        System.err.println("stats audit FAILED (proven under exact stats bounds; confirm with --validate-only)")
         return 1
       }
       println("stats audit clean (necessary, not sufficient — full order needs --validate-only)")

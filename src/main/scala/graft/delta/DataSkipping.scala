@@ -55,8 +55,10 @@ object DataSkipping {
       val footer = reader.getFooter
       val schema = footer.getFileMetaData.getSchema
       var numRecords = 0L
-      val mins = collection.mutable.LinkedHashMap.empty[String, String]
-      val maxs = collection.mutable.LinkedHashMap.empty[String, String]
+      // raw key-domain values (NOT JSON-escaped — row-group merging must
+      // compare actual values; rendering happens once at the end)
+      val mins = collection.mutable.LinkedHashMap.empty[String, Either[String, BigDecimal]]
+      val maxs = collection.mutable.LinkedHashMap.empty[String, Either[String, BigDecimal]]
       val nulls = collection.mutable.LinkedHashMap.empty[String, Long]
       val statsValid = collection.mutable.LinkedHashMap.empty[String, Boolean]
       for (block <- footer.getBlocks.asScala) {
@@ -71,13 +73,15 @@ object DataSkipping {
             statsValid(name) = statsValid.getOrElse(name, true)
             nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
             if (st.hasNonNullValue) {
-              (jsonValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
+              (rawValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
                   st.genericGetMin.asInstanceOf[AnyRef]),
-                jsonValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
+                rawValue(prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation,
                   st.genericGetMax.asInstanceOf[AnyRef])) match {
                 case (Some(mn), Some(mx)) =>
-                  mins(name) = mins.get(name).map(cur => jsonMin(cur, mn)).getOrElse(mn)
-                  maxs(name) = maxs.get(name).map(cur => jsonMax(cur, mx)).getOrElse(mx)
+                  mins(name) = mins.get(name)
+                    .map(cur => if (cmp(mn, cur).exists(_ < 0)) mn else cur).getOrElse(mn)
+                  maxs(name) = maxs.get(name)
+                    .map(cur => if (cmp(mx, cur).exists(_ > 0)) mx else cur).getOrElse(mx)
                 case _ => statsValid(name) = false // unsupported type
               }
             }
@@ -85,8 +89,12 @@ object DataSkipping {
         }
       }
       val ok = statsValid.filter(_._2).keySet
-      val minJson = ok.toSeq.filter(mins.contains).map(k => s"${q(k)}:${mins(k)}").mkString(",")
-      val maxJson = ok.toSeq.filter(maxs.contains).map(k => s"${q(k)}:${maxs(k)}").mkString(",")
+      def render(v: Either[String, BigDecimal]): String = v match {
+        case Left(s) => q(s)
+        case Right(n) => n.bigDecimal.toPlainString
+      }
+      val minJson = ok.toSeq.filter(mins.contains).map(k => s"${q(k)}:${render(mins(k))}").mkString(",")
+      val maxJson = ok.toSeq.filter(maxs.contains).map(k => s"${q(k)}:${render(maxs(k))}").mkString(",")
       val nullJson = ok.toSeq.filter(nulls.contains).map(k => s"${q(k)}:${nulls(k)}").mkString(",")
       s"""{"numRecords":$numRecords,"minValues":{$minJson},""" +
         s""""maxValues":{$maxJson},"nullCount":{$nullJson}}"""
@@ -95,45 +103,39 @@ object DataSkipping {
 
   private def q(s: String): String = Action.jstr(s)
 
-  /** One stats value as a JSON scalar in an order-preserving encoding:
-    * numbers as numbers, booleans as booleans, strings as strings,
-    * DATE as `yyyy-MM-dd`, TIMESTAMP(micros/millis, UTC-adjusted or not)
-    * as fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS` — lexicographic order
-    * equals temporal order. Unsupported physical/logical types → None. */
-  private def jsonValue(prim: PrimitiveTypeName, logical: LogicalTypeAnnotation,
-      v: AnyRef): Option[String] = (prim, logical) match {
+  /** One stats value in the skipping key domain: Right(number) for
+    * numeric types (decimals RESCALED from parquet's unscaled ints), or
+    * Left(order-preserving string) — strings as-is, booleans as
+    * "false"/"true", DATE as `yyyy-MM-dd`, TIMESTAMP(micros/millis) as
+    * fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS` (lexicographic order =
+    * temporal order). Unsupported physical/logical types → None. */
+  private def rawValue(prim: PrimitiveTypeName, logical: LogicalTypeAnnotation,
+      v: AnyRef): Option[Either[String, BigDecimal]] = (prim, logical) match {
     case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
-      Some(q(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString))
+      Some(Left(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString))
     case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
       val micros = ts.getUnit match {
         case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Number].longValue() * 1000L
         case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Number].longValue()
         case _ => return None // NANOS: engine reads them as raw longs
       }
-      Some(q(TsFmt.format(Instant.EPOCH.plusNanos(0).plusSeconds(micros / 1000000L)
+      Some(Left(TsFmt.format(Instant.EPOCH.plusSeconds(micros / 1000000L)
         .plusNanos((micros % 1000000L) * 1000L))))
     case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
         dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
       // parquet stores decimals UNSCALED — rescale or the stats value is
       // 100× off the literal the predicate compares against
-      Some(BigDecimal(BigInt(v.asInstanceOf[Number].longValue()), dec.getScale)
-        .bigDecimal.toPlainString)
+      Some(Right(BigDecimal(BigInt(v.asInstanceOf[Number].longValue()), dec.getScale)))
     case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, _) =>
-      Some(v.asInstanceOf[Number].longValue().toString)
+      Some(Right(BigDecimal(v.asInstanceOf[Number].longValue())))
     case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
       val d = v.asInstanceOf[Number].doubleValue()
-      if (d.isNaN || d.isInfinite) None else Some(d.toString)
-    case (PrimitiveTypeName.BOOLEAN, _) => Some(v.toString)
+      if (d.isNaN || d.isInfinite) None else Some(Right(BigDecimal(d)))
+    case (PrimitiveTypeName.BOOLEAN, _) => Some(Left(v.toString))
     case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
-      Some(q(v.asInstanceOf[Binary].toStringUsingUTF8))
+      Some(Left(v.asInstanceOf[Binary].toStringUsingUTF8))
     case _ => None
   }
-
-  private def jsonMin(a: String, b: String): String = if (jsonLt(b, a)) b else a
-  private def jsonMax(a: String, b: String): String = if (jsonLt(a, b)) b else a
-  private def jsonLt(a: String, b: String): Boolean =
-    if (a.startsWith("\"")) a < b
-    else BigDecimal(a) < BigDecimal(b)
 
   // ---- skipping -------------------------------------------------------
 
@@ -206,10 +208,28 @@ object DataSkipping {
 
   private def cmp(a: Either[String, BigDecimal], b: Either[String, BigDecimal]): Option[Int] =
     (a, b) match {
-      case (Left(x), Left(y)) => Some(x.compareTo(y))
+      case (Left(x), Left(y)) => Some(codePointCompare(x, y))
       case (Right(x), Right(y)) => Some(x.compare(y))
       case _ => None // mixed domains: make no claim
     }
+
+  /** Code-point order == UTF-8 byte order — what parquet's unsigned-byte
+    * string stats and Spark's UTF8String comparisons use. Java's
+    * String.compareTo compares UTF-16 code UNITS, which ranks
+    * supplementary characters (surrogate pairs) BELOW [U+E000, U+FFFF]
+    * and would mis-prune files containing them. */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   /** Conjuncts of an expression tree (AND split; anything else is one
     * conjunct). */

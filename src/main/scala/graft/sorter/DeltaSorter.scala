@@ -35,10 +35,13 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   /** Zero-IO pre-flight audit from the log's per-file stats: the
     * cross-file half of [[validate]] evaluated over leading-sort-column
     * stats intervals — milliseconds at any table size, no data read.
-    * A reported violation is PROVEN (a strict leading-component
-    * inversion is a tuple inversion); a clean result is necessary but
-    * not sufficient for full order (intra-file order and exact tuple
-    * boundaries still need the scanning validator), so
+    * A reported violation is proven UNDER EXACT STATS BOUNDS (a strict
+    * leading-component inversion is a tuple inversion); writers that
+    * truncate/widen long binary stats (delta-rs does for long strings)
+    * can make a sorted table report a spurious overlap — confirm with
+    * the scanning [[validate]] before acting. A clean result is
+    * necessary but not sufficient for full order (intra-file order and
+    * exact tuple boundaries still need the scanning validator), so
     * `checkedFiles < files` or 0 violations here means "worth the full
     * validate", not "sorted". Files without usable stats are counted in
     * `detailsSample` and make no claim. */

@@ -188,6 +188,60 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(graft.sorter.DeltaSorter(spark, dir).plan(SortConfig(Seq("k"))).groups.size == 1)
   }
 
+  test("supplementary characters: code-point ordering prevents wrong pruning") {
+    val dir = TestSpark.tmpDir("skip-emoji")
+    // one file holding both a private-use BMP char (U+E000, UTF-16 above
+    // surrogates) and an emoji (U+1F600, UTF-16 surrogate pair): UTF-16
+    // code-unit comparison would place the emoji BELOW the file's min
+    // and prune the file that contains it
+    DeltaTable.create(spark,
+      Seq("marker", "😀", "plain").toDF("s").coalesce(1), dir)
+    assert(prunedCount(dir, "s = '😀'") == 1)
+    assertSameRows(dir, "s = '😀'")
+    assertSameRows(dir, "s > ''")
+  }
+
+  test("multi-row-group stats merge uses value order, not JSON-escaped order") {
+    val dir = TestSpark.tmpDir("skip-rg")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 32 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    try {
+      // '"' (0x22) sorts below '-' (0x2d): the true string min lives in
+      // the escaped-awkward half; booleans exercise the non-textual
+      // merge path (previously a NumberFormatException that silently
+      // dropped the whole file's stats)
+      val df = spark.range(20000).selectExpr(
+        "id as k",
+        """concat(case when id % 2 = 0 then 'a"' else 'a-' end,
+          | lpad(cast(id as string), 8, '0')) as s""".stripMargin,
+        "id % 2 = 0 as b").coalesce(1)
+      DeltaTable.create(spark, df, dir)
+      val snap = DeltaLog.forTable(spark, dir).snapshot()
+      val f = snap.files.head
+      // the file must actually have several row groups for this test to bite
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir, f.path), hc))
+      val nBlocks = try reader.getFooter.getBlocks.size finally reader.close()
+      assert(nBlocks > 1, s"expected multiple row groups, got $nBlocks")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(f.stats.get)
+      assert(node.get("numRecords").asLong() == 20000L)
+      assert(node.get("minValues").get("s").asText() == "a\"00000000")
+      assert(node.get("maxValues").get("s").asText() == "a-00019999")
+      assert(node.get("minValues").get("b").asBoolean() == false)
+      assert(node.get("maxValues").get("b").asBoolean() == true)
+      assertSameRows(dir, """s = 'a"00000002'""")
+      assertSameRows(dir, "b = true and k < 10")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("validateQuick: zero-IO audit agrees with the scanning validator's verdict") {
     import graft.sorter.{DeltaSorter, SortConfig}
     // overlapping-range files -> proven violation, no data read
