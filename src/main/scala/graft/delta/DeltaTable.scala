@@ -9,7 +9,7 @@ import scala.collection.parallel.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not, when}
 
 /** DataFrame-level read/write on top of [[DeltaLog]].
   *
@@ -357,6 +357,48 @@ object DeltaTable {
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
     commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty,
+      cdc = stageCdc(spark, log, changes))
+  }
+
+  /** UPDATE rows matching `predicate`: each assignment's expression is
+    * evaluated against the PRE-image row (standard SQL UPDATE — one
+    * projection, so `SET a = b, b = a` swaps) and cast to the column's
+    * declared type; rows where the predicate is NULL are kept unchanged,
+    * mirroring [[delete]]'s three-valued-logic handling.
+    *
+    * Same file-level pruning as [[upsert]]/[[delete]]: the discovery
+    * scan reads only the predicate's columns, only files containing at
+    * least one matching row are rewritten, and the commit is
+    * removes(touched) + adds — a selective UPDATE on a 100 TB table
+    * rewrites only the files it hits. Row-level change capture emits
+    * update_preimage + update_postimage pairs (the CDF convention), so
+    * [[changesBetween]] exposes both sides of every update. */
+  def update(spark: SparkSession, tableUri: String, predicate: Column,
+      assignments: Map[String, Column]): DmlStats = {
+    require(assignments.nonEmpty, "update requires at least one SET assignment")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val fields = snap.schema.fields
+    assignments.keys.foreach(k => require(fields.exists(_.name == k),
+      s"SET column $k not in table schema (${fields.map(_.name).mkString(", ")})"))
+
+    val touched = touchedFiles(spark, log, snap, _.where(predicate))
+    if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
+    val hit = coalesce(predicate, lit(false))
+    def applied(df: DataFrame, onlyMatches: Boolean) = df.select(fields.toSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) =>
+          val v = e.cast(f.dataType)
+          (if (onlyMatches) v else when(hit, v).otherwise(col(f.name))).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val base = readFiles(spark, log, snap, touched)
+    val changes = base.where(hit).withColumn("_change_type", lit("update_preimage"))
+      .unionByName(applied(base.where(hit), onlyMatches = true)
+        .withColumn("_change_type", lit("update_postimage")))
+    commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
+      "UPDATE", Map("matchedFiles" -> touched.size.toString),
       cdc = stageCdc(spark, log, changes))
   }
 

@@ -45,6 +45,12 @@ object Maintenance {
     val ranged = df.repartitionByRange(nRanges, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
+    // cache(), deliberately not localCheckpoint: the count collect below
+    // materializes it, the final join reuses it, and the per-query
+    // `catalog.clearCache()` drain (Verify/Bench run it; CacheHygieneSpec
+    // pins it) releases it deterministically — checkpoint RDDs by
+    // contrast sit outside the cache manager and are never GC-reclaimed
+    // (persistentRdds holds them strongly until an explicit unpersist).
     val local = ranged
       .withColumn("__lrk", row_number().over(wLocal).cast("long"))
       .cache()
@@ -103,6 +109,8 @@ object Maintenance {
         .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
           col("mn"), col("l_suppkey"))
         .withColumn("pid", spark_partition_id())
+        // cache() scoped to the query by the clearCache() drain — see
+        // the [[globalRank]] comment for why not localCheckpoint.
         .cache()
       val wLocal = Window.partitionBy(col("pid")).orderBy(col("mn"), col("l_suppkey"))
       // Cross-range boundary pairs: last max of range i vs first min of

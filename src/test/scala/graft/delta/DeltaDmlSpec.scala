@@ -144,6 +144,70 @@ class DeltaDmlSpec extends AnyFunSuite {
       Seq((1L, "A!"), (3L, "c"), (9L, "i")))
   }
 
+  test("update applies SET to matching rows only, rewrites only touched files") {
+    val dir = TestSpark.tmpDir("dml-update")
+    DeltaTable.create(spark, Seq((1, 10), (2, 20)).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((3, 30), (4, 40)).toDF("k", "v").coalesce(1))
+    val before = activePaths(dir)
+    val stats = DeltaTable.update(spark, dir, col("k") === 3,
+      Map("v" -> (col("v") + 5)))
+    assert(stats.filesRemoved == 1, "only the file containing k=3 is rewritten")
+    assert((before -- activePaths(dir)).size == 1)
+    assert(DeltaTable.read(spark, dir).as[(Int, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1, 10), (2, 20), (3, 35), (4, 40)))
+    // no match -> no commit; NULL predicate rows are kept unchanged
+    val v = DeltaLog.forTable(spark, dir).latestVersion()
+    assert(DeltaTable.update(spark, dir, col("k") === 999,
+      Map("v" -> lit(0))) == DeltaTable.DmlStats(0, 0))
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v)
+  }
+
+  test("update assignments see the pre-image row (SET a=b, b=a swaps) and cast") {
+    val dir = TestSpark.tmpDir("dml-update-swap")
+    DeltaTable.create(spark, Seq((1, 10L, 20L)).toDF("k", "a", "b"), dir)
+    DeltaTable.update(spark, dir, col("k") === 1,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(DeltaTable.read(spark, dir).as[(Int, Long, Long)].collect().toSeq ==
+      Seq((1, 20L, 10L)), "both RHS must read the pre-image")
+    // an int literal is cast to the column's declared LONG type
+    DeltaTable.update(spark, dir, col("k") === 1, Map("a" -> lit(7)))
+    assert(DeltaTable.read(spark, dir).select("a").as[Long].head() == 7L)
+    // unknown SET column fails up front
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, dir, col("k") === 1, Map("nope" -> lit(1)))
+    }
+    assert(err.getMessage.contains("not in table schema"))
+  }
+
+  test("update keeps NULL-predicate rows and emits pre+post change images") {
+    val dir = TestSpark.tmpDir("dml-update-cdc")
+    DeltaTable.create(spark,
+      Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("k", "v"), dir) // v0
+    DeltaTable.update(spark, dir, col("v") === "a", Map("v" -> lit("A!"))) // v1
+    // k=2 (NULL predicate) and k=3 survive untouched
+    assert(DeltaTable.read(spark, dir).select("k", "v").as[(Int, Option[String])]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1, Some("A!")), (2, None), (3, Some("c"))))
+    val feed = DeltaTable.changesBetween(spark, dir, 0, 1)
+      .select("k", "v", "_change_type").as[(Int, String, String)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(feed.toSeq == Seq((1, "A!", "update_postimage"), (1, "a", "update_preimage")),
+      "survivors are not re-emitted; the update carries both images")
+  }
+
+  test("update on a partitioned table leaves untouched partitions in place") {
+    val dir = TestSpark.tmpDir("dml-update-part")
+    DeltaTable.create(spark,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "p", "x"),
+      dir, partitionColumns = Seq("p"))
+    DeltaTable.update(spark, dir, col("k") === 2, Map("x" -> lit(99)))
+    assert(DeltaTable.read(spark, dir).as[(Int, String, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "p1", 10), (2, "p1", 99), (3, "p2", 30)))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.exists(f => f.partitionValues.get("p").contains("p2")),
+      "p2's file is never rewritten")
+  }
+
   test("upsert survives time travel: pre-merge version still readable") {
     val dir = TestSpark.tmpDir("dml-timetravel")
     DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
