@@ -126,6 +126,33 @@ object TextAnalysis {
         .select(col("doc_id"), col("tk"), col("tf"), col("df"), col("score_bp"), col("rnk"))
     }),
 
+    // PII scrub: regex detection + masking of emails and phone numbers —
+    // the redaction stage every training-data pipeline runs before
+    // tokenization. The synthetic corpus contains no natural PII (zero
+    // digits in documents.text), so the record under scrub is BUILT
+    // deterministically from customer columns with identical string ops
+    // on both engines; the operator itself (two codegen'd regexp passes +
+    // match counting, narrow map, zero shuffle) is exactly the 100 TB
+    // shape. Patterns stay inside the RE2-compatible subset (character
+    // classes + counted repeats) so Java regex and DuckDB agree.
+    "q_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+"
+      val phoneRe = "555-[0-9]{4}"
+      val rec = concat_ws(" ", col("c_name"), lit("contact"),
+        concat(lower(col("c_name")), lit("@example.com")),
+        lit("phone"),
+        concat(lit("555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")),
+        col("c_mktsegment"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), rec.as("rec"))
+        .select(
+          col("c_custkey"),
+          regexp_count(col("rec"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("rec"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(col("rec"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("scrubbed"))
+    }),
+
     // Document fingerprinting: full-text content hash + min-shingle-hash
     // (the k=1 MinHash — a locality-sensitive rolling fingerprint).
     "q_text_fingerprint" -> ((s, dir) => {
@@ -201,6 +228,18 @@ object TextAnalysis {
         | SELECT *, row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score_bp DESC, tk) AS rnk FROM sc) z
         |WHERE rnk <= 3""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH t AS (SELECT c_custkey,
+        |  c_name || ' contact ' || lower(c_name) || '@example.com phone 555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ' || c_mktsegment AS rec
+        | FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(rec, '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(rec, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(rec, '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM t""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
