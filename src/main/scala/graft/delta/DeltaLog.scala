@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the LogStore doc for the exact contract).
   */
 final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
-    sparkOpt: Option[SparkSession]) {
+    private val sparkOpt: Option[SparkSession]) {
 
   def this(tableUri: String, hadoopConf: Configuration) = this(tableUri, hadoopConf, None)
 
@@ -109,14 +109,34 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * unreadable. */
   def snapshot(): Snapshot = {
     val json = listVersions()
-    val cp = lastCheckpoint().orElse {
-      if (json.headOption.contains(0L)) None // full JSON replay suffices
-      else listCheckpointVersions().lastOption
+    val latestJson = json.lastOption.getOrElse(-1L)
+    cachedSnapshot match {
+      // Cache hit: one directory listing confirms nothing new landed.
+      case Some(s) if latestJson == s.version => s
+      // Incremental: replay ONLY the commits after the cached version on
+      // top of the cached state — at a 100 TB table's log depth this is
+      // the difference between O(new commits) and O(whole history +
+      // checkpoint) per operation. Contiguity is checked so a log
+      // cleaned up in an unexpected shape falls back to full replay.
+      case Some(s) if latestJson > s.version &&
+          json.filter(_ > s.version) == ((s.version + 1) to latestJson) =>
+        val snap = replay(None, (s.version + 1) to latestJson, seed = Some(s))
+        cachedSnapshot = Some(snap)
+        snap
+      // Cold, or the log went BACKWARDS (dir deleted and re-created —
+      // the cached state describes a table that no longer exists).
+      case _ =>
+        val cp = lastCheckpoint().orElse {
+          if (json.headOption.contains(0L)) None // full JSON replay suffices
+          else listCheckpointVersions().lastOption
+        }
+        val versions = json.filter(_ > cp.map(_.version).getOrElse(-1L))
+        require(cp.nonEmpty || versions.nonEmpty,
+          s"not a Delta table (no _delta_log commits): $tableUri")
+        val snap = replay(cp, versions)
+        cachedSnapshot = Some(snap)
+        snap
     }
-    val versions = json.filter(_ > cp.map(_.version).getOrElse(-1L))
-    require(cp.nonEmpty || versions.nonEmpty,
-      s"not a Delta table (no _delta_log commits): $tableUri")
-    replay(cp, versions)
   }
 
   /** Time travel: the snapshot as of `version`. Replays from the newest
@@ -203,11 +223,24 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       .flatMap(line => Action.fromJson(mapper.readTree(line)))
   }
 
-  private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long]): Snapshot = {
+  /** Last materialized [[snapshot]] of THIS instance; consulted (and
+    * verified against a fresh listing) before any replay. Benign under
+    * races: a concurrent refresh at worst replays twice. */
+  @volatile private var cachedSnapshot: Option[Snapshot] = None
+
+  /** Replay `versions` over either a checkpoint (`cp`), a previously
+    * materialized snapshot (`seed` — the incremental path; mutually
+    * exclusive with `cp`), or nothing. */
+  private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long],
+      seed: Option[Snapshot] = None): Snapshot = {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     val txns = mutable.Map.empty[String, Long]
-    var metadata: Option[Metadata] = None
-    var protocol: Option[Protocol] = None
+    var metadata: Option[Metadata] = seed.map(_.metadata)
+    var protocol: Option[Protocol] = seed.map(_.protocol)
+    seed.foreach { s =>
+      s.files.foreach(f => adds(f.path) = f)
+      txns ++= s.txns
+    }
 
     def apply(action: Action): Unit = action match {
       case a: AddFile => adds(a.path) = a
@@ -236,8 +269,9 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"cannot read $tableUri: requires Delta reader version ${p.minReaderVersion}, " +
           s"this engine supports <= ${DeltaLog.SupportedReaderVersion}")
     }
+    val base = seed.map(_.version).orElse(cp.map(_.version)).getOrElse(-1L)
     Snapshot(
-      version = math.max(cp.map(_.version).getOrElse(-1L), versions.lastOption.getOrElse(-1L)),
+      version = math.max(base, versions.lastOption.getOrElse(-1L)),
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = adds.values.toSeq,
@@ -357,6 +391,27 @@ object DeltaLog {
     * mapping, which change row visibility and are rejected). */
   val SupportedReaderVersion = 2
 
-  def forTable(spark: SparkSession, tableUri: String): DeltaLog =
-    new DeltaLog(tableUri, spark.sessionState.newHadoopConf(), Some(spark))
+  /** Memoized [[DeltaLog]] instances per table path (access-order LRU,
+    * bounded). Reusing the instance is what makes the incremental
+    * snapshot cache effective ACROSS operations — read, validate, plan,
+    * compact on one table replay the log once, then pay only a listing
+    * plus the new commits each. A stale instance for a deleted-and-
+    * recreated path is safe: `snapshot()` re-lists every call and falls
+    * back to full replay when the log went backwards. */
+  private val instances = new java.util.LinkedHashMap[String, DeltaLog](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, DeltaLog]): Boolean =
+      size > 64
+  }
+
+  def forTable(spark: SparkSession, tableUri: String): DeltaLog = {
+    val key = new Path(tableUri).toUri.toString
+    instances.synchronized {
+      var log = instances.get(key)
+      if (log == null || !log.sparkOpt.contains(spark)) {
+        log = new DeltaLog(tableUri, spark.sessionState.newHadoopConf(), Some(spark))
+        instances.put(key, log)
+      }
+      log
+    }
+  }
 }

@@ -65,6 +65,73 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(log.latestVersion() == 8L)
   }
 
+  test("snapshot cache: fast path, incremental replay of foreign commits") {
+    val dir = TestSpark.tmpDir("log-snapcache")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(2), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val s0 = log.snapshot()
+    // unchanged log → the SAME materialized snapshot object (no replay)
+    assert(log.snapshot() eq s0)
+
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v")) // v1
+    val s1 = log.snapshot()
+    assert(s1.version == 1 && s1.files.size == 3)
+
+    // a commit from a SEPARATE writer instance (not the memoized one):
+    // the cached instance must pick it up incrementally
+    val other = new DeltaLog(dir, spark.sessionState.newHadoopConf())
+    val victim = s1.files.head
+    other.commit(2, Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    val s2 = log.snapshot()
+    assert(s2.version == 2 && !s2.files.exists(_.path == victim.path))
+    // incremental result == a cold full replay
+    val cold = other.snapshot()
+    assert(s2.version == cold.version)
+    assert(s2.files.map(f => f.path -> f.size).toMap ==
+      cold.files.map(f => f.path -> f.size).toMap)
+    assert(s2.metadata.schemaString == cold.metadata.schemaString)
+  }
+
+  test("forTable memoizes the instance per table path") {
+    val dir = TestSpark.tmpDir("log-memo")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir)
+    assert(DeltaLog.forTable(spark, dir) eq DeltaLog.forTable(spark, dir))
+    val dir2 = TestSpark.tmpDir("log-memo2")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir2)
+    assert(!(DeltaLog.forTable(spark, dir) eq DeltaLog.forTable(spark, dir2)))
+  }
+
+  test("a table recreated at the same path is not served from the stale cache") {
+    val dir = TestSpark.tmpDir("log-recreate")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)      // v0
+    DeltaTable.append(spark, dir, Seq((2, "b")).toDF("k", "v"))      // v1
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v"))      // v2
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().version == 2) // cache now holds v2
+    // wipe and recreate a DIFFERENT table at the same path — the log
+    // "went backwards", which must force a full replay, never stale data
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    DeltaTable.create(spark, Seq((9L, 9L)).toDF("x", "y"), dir)
+    val snap = log.snapshot()
+    assert(snap.version == 0)
+    assert(snap.schema.fieldNames.toSeq == Seq("x", "y"))
+  }
+
+  test("incremental replay still enforces the reader protocol gate") {
+    val dir = TestSpark.tmpDir("log-snapcache-proto")
+    DeltaTable.create(spark, Seq(1).toDF("v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().version == 0) // warm the cache
+    new DeltaLog(dir, spark.sessionState.newHadoopConf()).commit(1, Seq(
+      Protocol(minReaderVersion = 3, minWriterVersion = 7),
+      CommitInfo(0L, "UPGRADE", Map.empty)))
+    val err = intercept[IllegalStateException](log.snapshot())
+    assert(err.getMessage.contains("reader version 3"))
+  }
+
   test("checkpoint replay survives deleted pre-checkpoint JSON commits") {
     val dir = TestSpark.tmpDir("log-checkpoint")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
