@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * feature-extracted in distributed batches.
   *
   * Image decode is REAL — [[decodeImage]] uses the JDK's built-in
-  * ImageIO (PNG/JPEG/BMP/GIF, headless, no native libraries). Audio and
-  * video codecs have no JVM implementation in this environment, so
-  * [[decodeStub]] stands in for those as a clearly-marked deterministic
-  * fake; everything around both — schema, batch shape, partition sizing,
-  * typed Dataset plumbing — is identical and tested
-  * ([[graft.MultimodalSpec]]).
+  * ImageIO (PNG/JPEG/BMP/GIF, headless, no native libraries) — and so is
+  * PCM audio decode: [[decodeAudio]] uses the JDK's javax.sound.sampled
+  * (WAV/AIFF/AU). Compressed-audio and video codecs have no JVM
+  * implementation in this environment, so [[decodeStub]] stands in for
+  * those as a clearly-marked deterministic fake; everything around both —
+  * schema, batch shape, partition sizing, typed Dataset plumbing — is
+  * identical and tested ([[graft.MultimodalSpec]]).
   *
   * Scale notes (100 TB of media): payloads dominate row size, so
   * `spark.sql.files.maxPartitionBytes` (not row count) governs task
@@ -105,11 +106,83 @@ object BinaryAssets {
     }
   }
 
-  /** STUB — stands in for codecs with no JVM implementation (audio,
-    * video). Images decode for REAL via [[decodeImage]]; this
-    * deterministic fake (dimensions derived from payload length) keeps
-    * the remaining modalities' plumbing testable and oracle-replayable.
-    * A real deployment swaps only this function (same batch shape). */
+  /** Decoded audio features from a REAL decode ([[decodeAudio]]). */
+  case class AudioFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Int)
+
+  /** REAL audio decode via the JDK's built-in javax.sound.sampled
+    * (WAV/AIFF/AU PCM — zero native or external dependencies). Returns
+    * None when the payload is not a decodable audio stream. RMS
+    * amplitude (0..32767) is computed over at most the first 65536
+    * samples of 16-bit signed PCM so the feature cost is O(1) per asset
+    * regardless of clip length; other sample widths report rms = 0. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case scala.util.control.NonFatal(_) => null
+      }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val rms =
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) 0
+        else {
+          val maxSamples = 65536
+          val buf = new Array[Byte](math.min(maxSamples * 2L,
+            math.max(0L, frames) * fmt.getFrameSize).toInt max 2)
+          var read = 0
+          var eof = false
+          while (read < buf.length && !eof) {
+            val n = in.read(buf, read, buf.length - read)
+            if (n < 0) eof = true else read += n
+          }
+          var sumSq = 0.0
+          var i = 0
+          val le = !fmt.isBigEndian
+          while (i + 1 < read) {
+            val s =
+              if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              else ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+            sumSq += s.toDouble * s.toDouble
+            i += 2
+          }
+          if (i == 0) 0 else math.sqrt(sumSq / (i / 2)).toInt
+        }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, rms))
+    } finally in.close()
+  }
+
+  /** Real decode stage for audio payloads — same per-partition batch
+    * shape as [[extractImageFeatures]]; undecodable payloads dropped. */
+  def extractAudioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        decodeAudio(a.payload).map { case (rate, ch, frames, rms) =>
+          AudioFeatures(a.asset_id, a.payload.length.toLong, rate, ch, frames,
+            if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L, rms)
+        }
+      }
+    }
+  }
+
+  /** STUB — stands in for codecs with no JVM implementation (compressed
+    * audio and all video). Images decode for REAL via [[decodeImage]],
+    * PCM audio via [[decodeAudio]]; this deterministic fake (dimensions
+    * derived from payload length) keeps the remaining modalities'
+    * plumbing testable and oracle-replayable. A real deployment swaps
+    * only this function (same batch shape). */
   def decodeStub(a: Asset): (Int, Int, Int) = {
     val n = a.payload.length
     val width = 1 + n % 640
