@@ -106,6 +106,22 @@ class SortOptimizer:
             tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
         return json.loads(self._j.binPack(tfs, int(concurrency)))
 
+    def delete_where(self, predicate: str) -> dict:
+        """Engine extension: DELETE rows matching a Spark-SQL predicate.
+        Only data files containing at least one matching row are
+        rewritten. Returns {'files_removed': N, 'files_added': N}."""
+        return json.loads(self._j.deleteWhere(predicate))
+
+    def update_where(self, predicate: str, assignments: dict[str, str]) -> dict:
+        """Engine extension: UPDATE ... SET col = expr WHERE predicate.
+        ``assignments`` maps column name -> Spark-SQL expression string,
+        evaluated against the pre-image row (so swaps work). Returns
+        {'files_removed': N, 'files_added': N}."""
+        jmap = self._spark._jvm.java.util.HashMap()
+        for k, v in assignments.items():
+            jmap.put(k, v)
+        return json.loads(self._j.updateWhere(predicate, jmap))
+
     def validate_quick(self, sort_columns: list[str]) -> dict:
         """Engine extension: zero-IO stats audit from the Delta log.
         Raises RuntimeError on ordering violations proven under exact

@@ -32,3 +32,24 @@ def test_validate_quick_proves_violations_and_clears_after_compact(spark, tmp_ta
     opt.compact(["k"], repartition_by_sort_key=True)
     rep = opt.validate_quick(["k"])
     assert rep["proven_violations"] == 0
+
+
+def test_delete_where_and_update_where(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b"), (3, "c")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+
+    st = opt.update_where("k = 2", {"v": "concat(v, '!')"})
+    assert st["files_removed"] >= 1 and st["files_added"] >= 1, st
+    rows = {
+        (r.k, r.v) for r in read_pandas(spark, tmp_table).itertuples(index=False)
+    }
+    assert rows == {(1, "a"), (2, "b!"), (3, "c")}
+
+    st = opt.delete_where("k >= 3")
+    rows = {
+        (r.k, r.v) for r in read_pandas(spark, tmp_table).itertuples(index=False)
+    }
+    assert rows == {(1, "a"), (2, "b!")}
+
+    # no-match predicates are a no-op commit-wise
+    assert opt.delete_where("k = 999") == {"files_removed": 0, "files_added": 0}

@@ -82,4 +82,23 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
       s""""duration_ms":${summary.durationMs}}"""
   }
+
+  private def dmlJson(st: graft.delta.DeltaTable.DmlStats): String =
+    s"""{"files_removed":${st.filesRemoved},"files_added":${st.filesAdded}}"""
+
+  /** Engine extension: DELETE rows matching a Spark-SQL predicate. */
+  def deleteWhere(predicate: String): String =
+    dmlJson(graft.delta.DeltaTable.delete(spark, tableUri,
+      org.apache.spark.sql.functions.expr(predicate)))
+
+  /** Engine extension: UPDATE ... SET col = expr WHERE predicate —
+    * predicate and assignment values are Spark-SQL expression strings,
+    * evaluated against the pre-image row. */
+  def updateWhere(predicate: String,
+      assignments: java.util.Map[String, String]): String =
+    dmlJson(graft.delta.DeltaTable.update(spark, tableUri,
+      org.apache.spark.sql.functions.expr(predicate),
+      assignments.asScala.toMap.map { case (k, v) =>
+        k -> org.apache.spark.sql.functions.expr(v)
+      }))
 }

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Model-based DML property test: a seeded random sequence of
-  * upsert / delete / compact / checkpoint / vacuum operations is applied
+  * upsert / update / delete / compact / checkpoint / vacuum operations is applied
   * both to the Delta table and to an in-memory `Map[Long, Long]` model.
   * After every operation the table must equal the model, and at the end
   * every committed version must time-travel back to the model snapshot
@@ -46,7 +46,7 @@ class DmlModelSpec extends AnyFunSuite {
 
     for (step <- 1 to 24) {
       val before = log.latestVersion()
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // upsert a random batch (mix of updates + inserts)
           val batch = Seq.fill(rnd.nextInt(5) + 1)(
             (rnd.nextLong().abs % Keys, rnd.nextLong() & 0xffffL))
@@ -67,6 +67,13 @@ class DmlModelSpec extends AnyFunSuite {
           log.vacuum(retentionMs = 0L)
         case 6 => // maintenance bin-pack: moves rows, changes none
           graft.sorter.DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
+        case 7 => // update a random key range with a pre-image expression
+          val lo = rnd.nextLong().abs % Keys
+          val hi = lo + rnd.nextInt(4)
+          val delta = rnd.nextInt(1000).toLong
+          DeltaTable.update(spark, dir, col("k").between(lo, hi),
+            Map("v" -> (col("v") + delta)))
+          model.mapValuesInPlace((k, v) => if (k >= lo && k <= hi) v + delta else v)
       }
       assert(tableState(dir) == model.toMap, s"state diverged at step $step")
       // stats-pruned reads agree with the model under every interleaving
