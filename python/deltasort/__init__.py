@@ -122,6 +122,16 @@ class SortOptimizer:
             jmap.put(k, v)
         return json.loads(self._j.updateWhere(predicate, jmap))
 
+    def add_constraint(self, name: str, check_expr: str) -> None:
+        """Engine extension: register a CHECK constraint (Spark-SQL
+        boolean expression; NULL passes). Verifies existing rows first;
+        every future data-adding commit enforces it."""
+        self._j.addConstraint(name, check_expr)
+
+    def drop_constraint(self, name: str) -> None:
+        """Engine extension: drop a CHECK constraint by name."""
+        self._j.dropConstraint(name)
+
     def validate_quick(self, sort_columns: list[str]) -> dict:
         """Engine extension: zero-IO stats audit from the Delta log.
         Raises RuntimeError on ordering violations proven under exact

@@ -53,3 +53,22 @@ def test_delete_where_and_update_where(spark, tmp_table):
 
     # no-match predicates are a no-op commit-wise
     assert opt.delete_where("k = 999") == {"files_removed": 0, "files_added": 0}
+
+
+def test_check_constraints_gate_writes(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.add_constraint("k_small", "k < 100")
+    # py4j surfaces the JVM ConstraintViolationException message verbatim
+    with pytest.raises(Exception, match="CHECK constraint k_small"):
+        jvm = spark._jvm
+        df = spark.createDataFrame([(500, "z")], _SCHEMA).coalesce(1)
+        jvm.graft.delta.DeltaTable.append(
+            spark._jsparkSession, tmp_table, df._jdf, False
+        )
+    assert len(read_pandas(spark, tmp_table)) == 2
+    opt.drop_constraint("k_small")
+    jvm = spark._jvm
+    df = spark.createDataFrame([(500, "z")], _SCHEMA).coalesce(1)
+    jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
+    assert len(read_pandas(spark, tmp_table)) == 3

@@ -101,4 +101,13 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       assignments.asScala.toMap.map { case (k, v) =>
         k -> org.apache.spark.sql.functions.expr(v)
       }))
+
+  /** Engine extension: register a CHECK constraint (verifies existing
+    * rows first; enforced by every future data-adding commit). */
+  def addConstraint(name: String, checkExpr: String): Unit =
+    graft.delta.DeltaTable.addConstraint(spark, tableUri, name, checkExpr)
+
+  /** Engine extension: drop a CHECK constraint. */
+  def dropConstraint(name: String): Unit =
+    graft.delta.DeltaTable.dropConstraint(spark, tableUri, name)
 }

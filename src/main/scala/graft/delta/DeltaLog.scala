@@ -365,6 +365,15 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 final class VersionConflictException(tableUri: String, version: Long)
   extends RuntimeException(s"commit conflict: version $version of $tableUri already exists")
 
+/** A batch (or, for addConstraint, the existing table) contains rows
+  * whose CHECK-constraint expression evaluates to FALSE. Raised before
+  * anything is committed, so a rejected write never changes table
+  * state (staged-but-uncommitted files are unreachable by readers). */
+final class ConstraintViolationException(tableUri: String, name: String,
+    checkExpr: String, violations: Long)
+  extends RuntimeException(
+    s"CHECK constraint $name ($checkExpr) violated by $violations row(s) on $tableUri")
+
 /** A file this DML rewrite removes was already removed by a concurrent
   * commit (Delta's ConcurrentDeleteReadException analog) — the rewrite
   * was planned against a stale snapshot and must be re-planned. */

@@ -9,7 +9,7 @@ import scala.collection.parallel.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, not, sum, when}
 
 /** DataFrame-level read/write on top of [[DeltaLog]].
   *
@@ -181,6 +181,7 @@ object DeltaTable {
         s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
         s"${got.toSeq.sortBy(_._1).mkString(", ")}" +
         (if (!mergeSchema && newCols.nonEmpty) " (pass mergeSchema=true to add columns)" else ""))
+    checkConstraints(log, snap, df)
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
     val evolution =
@@ -212,6 +213,7 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     var snap = log.snapshot()
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return false
+    checkConstraints(log, snap, df)
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
@@ -360,6 +362,69 @@ object DeltaTable {
       cdc = stageCdc(spark, log, changes))
   }
 
+  /** Prefix under which CHECK constraints live in
+    * [[Metadata.configuration]] — the Delta invariants convention
+    * (`delta.constraints.<name>` → SQL expression). */
+  val ConstraintPrefix = "delta.constraints."
+
+  /** Register a CHECK constraint: every row of every future data-adding
+    * commit must satisfy `checkExpr` (a Spark-SQL boolean expression;
+    * NULL passes, as in SQL CHECK). Existing rows are verified first —
+    * one scan — so a registered constraint is an actual table invariant,
+    * not a from-now-on promise. Committed as a metadata update, so it
+    * replays through checkpoints and survives restarts. */
+  def addConstraint(spark: SparkSession, tableUri: String, name: String,
+      checkExpr: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val key = ConstraintPrefix + name
+    require(!snap.metadata.configuration.contains(key),
+      s"constraint $name already exists on $tableUri")
+    val bad = read(spark, tableUri)
+      .where(coalesce(expr(checkExpr), lit(true)) === lit(false)).count()
+    if (bad > 0) throw new ConstraintViolationException(tableUri, name, checkExpr, bad)
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(configuration =
+        snap.metadata.configuration + (key -> checkExpr)),
+      CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT", Map("name" -> name))))
+  }
+
+  /** Drop a CHECK constraint (no-op error if absent). */
+  def dropConstraint(spark: SparkSession, tableUri: String, name: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val key = ConstraintPrefix + name
+    require(snap.metadata.configuration.contains(key),
+      s"no constraint named $name on $tableUri")
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(configuration = snap.metadata.configuration - key),
+      CommitInfo(System.currentTimeMillis(), "DROP CONSTRAINT", Map("name" -> name))))
+  }
+
+  /** Enforce the snapshot's CHECK constraints over a batch about to be
+    * written: ONE aggregate pass over the batch evaluates every
+    * constraint's violation count (a row violates when its expression
+    * IS FALSE — NULL passes, per SQL CHECK). Called by the data-adding
+    * writers (append, DML rewrites) before staging; maintenance
+    * rewrites (dataChange=false) move existing rows and skip it. */
+  private def checkConstraints(log: DeltaLog, snap: Snapshot, df: DataFrame): Unit = {
+    val cs = snap.metadata.configuration.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }.toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new ConstraintViolationException(log.tableUri, n, e, row.getLong(i))
+    }
+  }
+
   /** UPDATE rows matching `predicate`: each assignment's expression is
     * evaluated against the PRE-image row (standard SQL UPDATE — one
     * projection, so `SET a = b, b = a` swaps) and cast to the column's
@@ -484,6 +549,7 @@ object DeltaTable {
   private def commitRewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       touched: Seq[AddFile], newData: DataFrame, operation: String,
       params: Map[String, String], cdc: Seq[AddCDCFile] = Nil): DmlStats = {
+    checkConstraints(log, snap, newData)
     val adds = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
     if (touched.isEmpty && adds.isEmpty) return DmlStats(0, 0)

@@ -1,0 +1,93 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CHECK constraints (Delta invariants, `delta.constraints.<name>` in
+  * Metadata.configuration): registration verifies existing rows, every
+  * data-adding path enforces them batch-wide before committing, NULL
+  * passes (SQL CHECK three-valued logic), and the constraint replays
+  * through checkpoints. */
+class ConstraintsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("append/upsert/update enforce a registered constraint; delete cannot violate") {
+    val dir = TestSpark.tmpDir("constraints")
+    DeltaTable.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir)
+    DeltaTable.addConstraint(spark, dir, "v_positive", "v > 0")
+
+    // violating append rejected atomically: no new version, no rows
+    val v0 = DeltaLog.forTable(spark, dir).latestVersion()
+    val err = intercept[ConstraintViolationException] {
+      DeltaTable.append(spark, dir, Seq((3L, -5L)).toDF("k", "v"))
+    }
+    assert(err.getMessage.contains("v_positive") && err.getMessage.contains("1 row"))
+    assert(DeltaLog.forTable(spark, dir).latestVersion() == v0)
+    assert(DeltaTable.read(spark, dir).count() == 2)
+
+    // clean append passes
+    DeltaTable.append(spark, dir, Seq((3L, 30L)).toDF("k", "v"))
+    // upsert carrying one bad row is rejected whole
+    intercept[ConstraintViolationException] {
+      DeltaTable.upsert(spark, dir, Seq((3L, -1L), (4L, 40L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(DeltaTable.read(spark, dir).where(col("v") < 0).count() == 0)
+    // update driving a row out of bounds is rejected; in-bounds passes
+    intercept[ConstraintViolationException] {
+      DeltaTable.update(spark, dir, col("k") === 1L, Map("v" -> lit(-9L)))
+    }
+    DeltaTable.update(spark, dir, col("k") === 1L, Map("v" -> lit(11L)))
+    // delete only removes rows — never violates
+    DeltaTable.delete(spark, dir, col("k") === 2L)
+    assert(DeltaTable.read(spark, dir).as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 11L), (3L, 30L)))
+  }
+
+  test("addConstraint scans existing rows; NULL passes; drop re-opens the gate") {
+    val dir = TestSpark.tmpDir("constraints-add")
+    DeltaTable.create(spark,
+      Seq((1L, Some(5L)), (2L, None)).toDF("k", "v"), dir)
+    // NULL v passes SQL CHECK, so this registers despite row 2
+    DeltaTable.addConstraint(spark, dir, "v_max", "v < 100")
+    // a violating table refuses the constraint outright
+    intercept[ConstraintViolationException] {
+      DeltaTable.addConstraint(spark, dir, "v_min", "v > 10")
+    }
+    // NULL in a new batch also passes
+    DeltaTable.append(spark, dir, Seq((3L, Option.empty[Long])).toDF("k", "v"))
+    intercept[ConstraintViolationException] {
+      DeltaTable.append(spark, dir, Seq((4L, Some(100L))).toDF("k", "v"))
+    }
+    DeltaTable.dropConstraint(spark, dir, "v_max")
+    DeltaTable.append(spark, dir, Seq((4L, Some(100L))).toDF("k", "v"))
+    assert(DeltaTable.read(spark, dir).count() == 4)
+    // duplicate add and unknown drop fail loudly
+    intercept[IllegalArgumentException](DeltaTable.dropConstraint(spark, dir, "nope"))
+  }
+
+  test("constraints replay through a checkpoint and bound idempotent appends") {
+    val dir = TestSpark.tmpDir("constraints-ckpt")
+    DeltaTable.create(spark, Seq((1L, 1L)).toDF("k", "v"), dir)
+    DeltaTable.addConstraint(spark, dir, "k_pos", "k > 0")
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpoint()
+    // force a fresh replay THROUGH the checkpoint (snapshotAt never uses
+    // the cache) with the pre-checkpoint JSON gone — the constraint must
+    // come back from the checkpointed Metadata
+    val v = log.latestVersion()
+    val fs = new java.io.File(dir, "_delta_log")
+    (0L until v).foreach { i =>
+      new java.io.File(fs, f"$i%020d.json").delete()
+    }
+    assert(log.snapshotAt(v).metadata.configuration
+      .get(DeltaTable.ConstraintPrefix + "k_pos").contains("k > 0"))
+    // the exactly-once append path enforces it too
+    intercept[ConstraintViolationException] {
+      DeltaTable.appendIfNew(spark, dir, Seq((-1L, 9L)).toDF("k", "v"), "app", 1L)
+    }
+    assert(DeltaTable.appendIfNew(spark, dir, Seq((2L, 9L)).toDF("k", "v"), "app", 1L))
+  }
+}
