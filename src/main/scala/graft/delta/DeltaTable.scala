@@ -285,6 +285,39 @@ object DeltaTable {
     }
   }
 
+  /** Consumer-group incremental read over the change feed: everything
+    * committed after `appId`'s last [[ackChanges]] watermark, plus the
+    * snapshot version to ack once processed. First poll (no watermark)
+    * returns the whole feed from version 0. Returns an EMPTY frame —
+    * correct schema, no rows — when only maintenance rewrites landed,
+    * so a poll loop never reprocesses a compaction.
+    *
+    * Exactly-once consumption is by composition: process the batch into
+    * a sink idempotently keyed on the returned version (e.g.
+    * [[appendIfNew]] with `txnVersion = polled version`), then
+    * [[ackChanges]]. A crash between the two replays the batch and the
+    * idempotent sink drops the duplicate — the Kafka-consumer-group
+    * shape, with offsets durable in the table log itself. */
+  def pollChanges(spark: SparkSession, tableUri: String,
+      appId: String): (DataFrame, Long) = {
+    val snap = DeltaLog.forTable(spark, tableUri).snapshot()
+    val from = snap.txns.getOrElse(appId, -1L)
+    (changesBetween(spark, tableUri, from, snap.version), snap.version)
+  }
+
+  /** Record `appId`'s change-feed watermark at `version` (the value
+    * [[pollChanges]] returned). Use appIds disjoint from any
+    * [[appendIfNew]] writer appIds — both live in the same protocol
+    * `txn` namespace. */
+  def ackChanges(spark: SparkSession, tableUri: String, appId: String,
+      version: Long): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val now = System.currentTimeMillis()
+    log.commitLatest(Seq(
+      SetTransaction(appId, version, now),
+      CommitInfo(now, "ACK FEED", Map("appId" -> appId, "version" -> version.toString))))
+  }
+
   /** MERGE by key (upsert): table rows whose `keyCols` tuple appears in
     * `updates` are replaced by the update row; update rows with no match
     * are appended. Equivalent to delta-spark's
