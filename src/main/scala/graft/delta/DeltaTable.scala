@@ -384,14 +384,16 @@ object DeltaTable {
   def delete(spark: SparkSession, tableUri: String, predicate: Column): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
-    val touched = touchedFiles(spark, log, snap, _.where(predicate))
+    val candidates = candidateFiles(spark, snap, predicate)
+    val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val survivors = readFiles(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
     val changes = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
-    commitRewrite(spark, log, snap, touched, survivors, "DELETE", Map.empty,
+    commitRewrite(spark, log, snap, touched, survivors, "DELETE",
+      Map("candidateFiles" -> candidates.size.toString),
       cdc = stageCdc(spark, log, changes))
   }
 
@@ -480,7 +482,8 @@ object DeltaTable {
     assignments.keys.foreach(k => require(fields.exists(_.name == k),
       s"SET column $k not in table schema (${fields.map(_.name).mkString(", ")})"))
 
-    val touched = touchedFiles(spark, log, snap, _.where(predicate))
+    val candidates = candidateFiles(spark, snap, predicate)
+    val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val hit = coalesce(predicate, lit(false))
     def applied(df: DataFrame, onlyMatches: Boolean) = df.select(fields.toSeq.map { f =>
@@ -496,7 +499,8 @@ object DeltaTable {
       .unionByName(applied(base.where(hit), onlyMatches = true)
         .withColumn("_change_type", lit("update_postimage")))
     commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
-      "UPDATE", Map("matchedFiles" -> touched.size.toString),
+      "UPDATE", Map("matchedFiles" -> touched.size.toString,
+        "candidateFiles" -> candidates.size.toString),
       cdc = stageCdc(spark, log, changes))
   }
 
@@ -537,13 +541,51 @@ object DeltaTable {
     DmlStats(toRemove.size, toAdd.size)
   }
 
-  /** Active files containing at least one row selected by `hit`
-    * (compared by URI path — `input_file_name` and `makeQualified`
-    * differ in slash count for the same file). */
+  /** The predicate Column as a resolved Catalyst expression against the
+    * table schema (analyzed over an empty frame — no data touched), for
+    * stats pruning. None when analysis fails (unresolvable predicates
+    * surface their real error later, on the actual scan). */
+  private def predicateExpr(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+        .where(predicate).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            // fold casts the analyzer wrapped around literals (e.g.
+            // cast(350 as bigint)) so the pruner's attr-vs-Literal
+            // patterns see plain typed literals; the OPTIMIZED plan
+            // can't be used — it eliminates filters over the empty frame
+            f.condition.transformUp {
+              case e if e.foldable && !e.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions.Literal] =>
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(e.eval(null), e.dataType)
+            }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Candidate files for a predicate DML: the active set stats-pruned by
+    * the predicate (conservative — a file is dropped only when its
+    * per-file stats PROVE no row can match, so discovery never misses a
+    * touched file). On a sort-compacted or z-ordered 100 TB table this
+    * is what keeps a selective UPDATE/DELETE from scanning every file
+    * just to find the few it rewrites. */
+  private def candidateFiles(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Seq[AddFile] =
+    predicateExpr(spark, snap, predicate) match {
+      case Some(cond) => DataSkipping.prune(snap.files, snap.schema, cond)
+      case None => snap.files
+    }
+
+  /** Active files (within `candidates`) containing at least one row
+    * selected by `hit` (compared by URI path — `input_file_name` and
+    * `makeQualified` differ in slash count for the same file). */
   private def touchedFiles(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      hit: DataFrame => DataFrame): Seq[AddFile] = {
-    if (snap.files.isEmpty) return Nil
-    val withFile = readFiles(spark, log, snap, snap.files)
+      hit: DataFrame => DataFrame,
+      candidates: Seq[AddFile] = Seq.empty): Seq[AddFile] = {
+    val cand = if (candidates.isEmpty) snap.files else candidates
+    if (cand.isEmpty) return Nil
+    val withFile = readFiles(spark, log, snap, cand)
       .withColumn("_graft_file", input_file_name())
     val touchedPaths = hit(withFile)
       .select(col("_graft_file")).distinct()

@@ -208,6 +208,37 @@ class DeltaDmlSpec extends AnyFunSuite {
       "p2's file is never rewritten")
   }
 
+  test("predicate DML discovery is stats-pruned on a sorted table") {
+    val dir = TestSpark.tmpDir("dml-pruned")
+    // 4 files with disjoint k ranges (sorted write -> tight min/max stats)
+    DeltaTable.create(spark,
+      spark.range(0, 400).selectExpr("id as k", "id * 2 as v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().files.size == 4)
+
+    // delete hits one range: discovery must consider ~1 candidate file,
+    // not all 4 (recorded in the commit for observability)
+    DeltaTable.delete(spark, dir, col("k").between(350, 360))
+    val delInfo = log.actionsAt(log.latestVersion())
+      .collectFirst { case c: CommitInfo => c }.get
+    assert(delInfo.operation == "DELETE")
+    val delCand = delInfo.operationParameters("candidateFiles").toInt
+    assert(delCand < 4, s"expected pruned discovery, got $delCand candidates")
+    assert(DeltaTable.read(spark, dir).count() == 389)
+
+    // update likewise; values still correct
+    DeltaTable.update(spark, dir, col("k") === 7L, Map("v" -> lit(777L)))
+    val updInfo = log.actionsAt(log.latestVersion())
+      .collectFirst { case c: CommitInfo => c }.get
+    assert(updInfo.operationParameters("candidateFiles").toInt < 4)
+    assert(DeltaTable.read(spark, dir).where(col("k") === 7L)
+      .select("v").as[Long].head() == 777L)
+    // a predicate stats can't bound still works (full candidate set)
+    DeltaTable.delete(spark, dir, col("v") % 100 === 98L)
+    assert(DeltaTable.read(spark, dir).where(col("v") % 100 === 98L).count() == 0)
+  }
+
   test("upsert survives time travel: pre-merge version still readable") {
     val dir = TestSpark.tmpDir("dml-timetravel")
     DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
