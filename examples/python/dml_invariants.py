@@ -1,0 +1,82 @@
+"""
+Row-level DML + table invariants: UPDATE/DELETE with stats-pruned
+file discovery, a CHECK constraint gating bad batches, and the
+change-feed consumer loop (poll -> process -> ack, exactly-once).
+
+Run (from the repo root):
+  PYTHONPATH=python python3 examples/python/dml_invariants.py /tmp/delta_dml_table
+"""
+import shutil
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main(table_uri: str) -> None:
+    if Path(table_uri).exists():
+        shutil.rmtree(table_uri)
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-dml")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    jvm = spark._jvm
+    df = spark.range(1000).selectExpr("id as k", "id % 100 as score")
+    jvm.graft.delta.DeltaTable.create(
+        spark._jsparkSession, df._jdf, table_uri, jvm.PythonUtils.toSeq([])
+    )
+    opt = SortOptimizer(table_uri, spark=spark)
+
+    # an invariant: registration scans existing rows, then every future
+    # data-adding commit enforces it before anything lands
+    opt.add_constraint("score_bounds", "score >= 0 and score < 100")
+    try:
+        bad = spark.createDataFrame([(9999, 500)], "k long, score long").coalesce(1)
+        jvm.graft.delta.DeltaTable.append(
+            spark._jsparkSession, table_uri, bad._jdf, False
+        )
+        raise AssertionError("constraint should have rejected the batch")
+    except Exception as e:  # ConstraintViolationException via py4j
+        print(f"rejected bad batch: {str(e).splitlines()[0][:90]}")
+
+    # sort-compact so file stats are tight, then predicate DML discovers
+    # against the few covering files instead of scanning the table
+    opt.compact(["k"], repartition_by_sort_key=True)
+    print("update:", opt.update_where("k between 100 and 110", {"score": "score + 1"}))
+    print("delete:", opt.delete_where("k >= 900"))
+
+    remaining = jvm.graft.delta.DeltaTable.read(spark._jsparkSession, table_uri).count()
+    print(f"rows remaining: {remaining}")
+    assert remaining == 900
+
+    # consumer-group change feed: everything since the last ack, with
+    # maintenance rewrites invisible; offsets live in the table log
+    polled = jvm.graft.delta.DeltaTable.pollChanges(
+        spark._jsparkSession, table_uri, "example-consumer"
+    )
+    batch_count = polled._1().count()
+    version = polled._2()
+    jvm.graft.delta.DeltaTable.ackChanges(
+        spark._jsparkSession, table_uri, "example-consumer", version
+    )
+    print(f"change feed: {batch_count} change rows up to v{version}, acked")
+    empty_after_ack = jvm.graft.delta.DeltaTable.pollChanges(
+        spark._jsparkSession, table_uri, "example-consumer"
+    )._1().count()
+    assert empty_after_ack == 0
+    print("second poll is empty — consumer is caught up")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/delta_dml_table")

@@ -129,12 +129,18 @@ object Bench {
         graft.delta.DataSkipping.prune(snap.files, snap.schema,
           spark.sessionState.sqlParser.parseExpression(pred)).size
       }
+      // Selective predicate DELETE on the sorted table: discovery is
+      // stats-pruned to the files covering the range, only those are
+      // rewritten — the DML cost a maintenance-sorted table buys.
+      val (delStats, tDelete) = timed(graft.delta.DeltaTable.delete(
+        spark, tableDir, org.apache.spark.sql.functions.expr(pred)))
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tableDir), true)
       def render(fmt: Double => String, withBytes: Boolean) =
         s""""engine":{"table_build":${fmt(tBuild)},"validate_unsorted":${fmt(tV1)},"plan":${fmt(tPlan)},""" +
           s""""compact":${fmt(tCompact)},"validate_sorted":${fmt(tV2)},"strict_overwrite":${fmt(tStrict)},""" +
           s""""skip_read":${fmt(tSkip)},"full_read":${fmt(tFull)},"skip_files_read":$prunedFiles,""" +
+          s""""delete_selective":${fmt(tDelete)},"delete_files_rewritten":${delStats.filesRemoved},""" +
           s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
           (if (withBytes) s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" else "") +
           s""""violations_before":${v1.boundaryViolations},"ok_after":${v2.ok}},"""
