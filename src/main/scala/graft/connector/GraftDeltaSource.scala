@@ -1,0 +1,207 @@
+package graft.connector
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graft.GraftShims
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.{AddFile, DeltaLog, DeltaTable, RemoveFile}
+
+/** A Structured Streaming position in a graft-Delta table's log.
+  *
+  * `(version, index, isInitial)` means: every log version before
+  * `version` is fully consumed, and within `version`'s file list the
+  * files up to and including `index` are consumed (`index = -1` =
+  * positioned at the start of the list). `isInitial = true` while the
+  * stream is still emitting the table's starting snapshot (whose file
+  * list is the snapshot at `version`, path-sorted); after it, versions
+  * are consumed incrementally (the `dataChange` AddFiles of each
+  * commit, in commit order). Both lists are reconstructed
+  * deterministically from the log, which is what makes a checkpointed
+  * offset replayable after a restart.
+  */
+final case class GraftDeltaOffset(version: Long, index: Long, isInitial: Boolean)
+    extends Offset {
+  override def json: String =
+    s"""{"version":$version,"index":$index,"isInitial":$isInitial}"""
+  /** Total order along the stream (initial mode precedes incremental). */
+  def rank: (Long, Int, Long) = (version, if (isInitial) 0 else 1, index)
+}
+
+object GraftDeltaOffset {
+  import Ordering.Implicits._
+  def convert(o: Offset): GraftDeltaOffset = o match {
+    case g: GraftDeltaOffset => g
+    case other => fromJson(other.json) // SerializedOffset from the checkpoint log
+  }
+  def fromJson(s: String): GraftDeltaOffset = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    GraftDeltaOffset(n.get("version").asLong(), n.get("index").asLong(),
+      n.get("isInitial").asBoolean())
+  }
+  def max(a: GraftDeltaOffset, b: GraftDeltaOffset): GraftDeltaOffset =
+    if (a.rank < b.rank) b else a
+}
+
+/** Streaming source over a graft-Delta table: emit the current snapshot
+  * once, then tail the transaction log version by version, emitting each
+  * commit's new (`dataChange = true`) files exactly once. Maintenance
+  * rewrites — compaction, sort, z-order, all `dataChange = false` — are
+  * invisible to the stream, which is the property that lets OPTIMIZE run
+  * underneath live consumers (same contract as `changesBetween`,
+  * reference lib.rs:818-828).
+  *
+  * Options:
+  *  - `startingVersion N` — skip the snapshot; consume commits from
+  *    version N (the change-feed entry point).
+  *  - `maxFilesPerTrigger N` — admission cap per micro-batch; a capped
+  *    batch ends mid-version and the offset's `index` carries the
+  *    split point.
+  *  - `ignoreDeletes` / `ignoreChanges` — like delta-spark: a commit
+  *    that removes data fails the stream (it cannot be represented as
+  *    an append) unless deletes (delete-only commits) or changes
+  *    (rewriting upserts; their new files are re-emitted) are
+  *    explicitly waved through.
+  *
+  * Scale: per trigger this does one log listing plus JSON reads of the
+  * new versions — no data IO until the batch actually executes, and the
+  * batch reads exactly the new files. State here is one offset; the
+  * heavy lifting (schema normalization, partition reconstruction) is
+  * the same [[DeltaTable.readFiles]] path batch reads use.
+  */
+final class GraftDeltaSource(spark: SparkSession, tableUri: String,
+    options: Map[String, String]) extends Source {
+
+  private val log = DeltaLog.forTable(spark, tableUri)
+  private val schemaSnap = log.snapshot()
+
+  private val maxFiles: Long =
+    options.get("maxfilespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
+  private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
+  private val ignoreDeletes =
+    ignoreChanges || options.get("ignoredeletes").exists(_.toBoolean)
+  private val startingVersion = options.get("startingversion").map(_.toLong)
+
+  /** Furthest position handed out (getOffset) or replayed (getBatch). */
+  private var cursor: Option[GraftDeltaOffset] = None
+
+  /** Memoized per-(version, mode) file lists — getOffset and getBatch
+    * both walk them; entries are small (one commit's adds) except the
+    * single initial-snapshot list. */
+  private val listCache =
+    new java.util.LinkedHashMap[(Long, Boolean), Seq[AddFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Boolean), Seq[AddFile]]): Boolean = size > 64
+    }
+
+  override def schema: StructType = schemaSnap.schema
+
+  private def fileList(version: Long, isInitial: Boolean): Seq[AddFile] = {
+    val key = (version, isInitial)
+    val cached = listCache.synchronized(listCache.get(key))
+    if (cached != null) return cached
+    val computed =
+      if (isInitial) log.snapshotAt(version).files.sortBy(_.path)
+      else {
+        val actions = log.actionsAt(version)
+        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+        if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graftdelta stream on $tableUri: version $version rewrites existing rows " +
+              "(UPDATE/MERGE); set ignoreChanges=true to re-emit the rewritten files")
+        if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"graftdelta stream on $tableUri: version $version deletes rows; " +
+              "set ignoreDeletes=true to skip delete-only commits")
+        adds
+      }
+    listCache.synchronized(listCache.put(key, computed))
+    computed
+  }
+
+  /** Where a brand-new stream starts (nothing consumed yet). */
+  private def startPosition(): GraftDeltaOffset = startingVersion match {
+    case Some(sv) => GraftDeltaOffset(sv, -1, isInitial = false)
+    case None => GraftDeltaOffset(log.snapshot().version, -1, isInitial = true)
+  }
+
+  /** Walk the log from `start` (exclusive) through at most `maxVersion`,
+    * collecting up to `cap` files, stopping exactly at `stop` when given.
+    * Returns the files and the position reached. */
+  private def filesAfter(start: GraftDeltaOffset, maxVersion: Long, cap: Long,
+      stop: Option[GraftDeltaOffset]): (Seq[AddFile], GraftDeltaOffset) = {
+    val out = mutable.ArrayBuffer.empty[AddFile]
+    var v = start.version
+    var initial = start.isInitial
+    var idx = start.index
+    var end = start
+    var done = false
+    while (!done && v <= maxVersion) {
+      val list = fileList(v, initial)
+      val stopHere = stop.exists(s => s.version == v && s.isInitial == initial)
+      val hi: Long = if (stopHere) stop.get.index else list.size - 1L
+      while (idx < hi && out.size < cap) {
+        idx += 1
+        out += list(idx.toInt)
+      }
+      end = GraftDeltaOffset(v, idx, initial)
+      if (stopHere) done = true
+      else if (idx < list.size - 1L) done = true // cap hit mid-version
+      else if (v == maxVersion) done = true
+      else { v += 1; initial = false; idx = -1L }
+    }
+    (out.toSeq, end)
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    val start = cursor.getOrElse(startPosition())
+    // batch 0 of snapshot mode is the only batch replayed with
+    // start=None whose start the offset itself must encode — keep it
+    // inside the initial version so `end.isInitial` pins the replay
+    val maxV =
+      if (cursor.isEmpty && startingVersion.isEmpty) start.version
+      else log.latestVersion()
+    val (_, end) = filesAfter(start, maxV, maxFiles, stop = None)
+    cursor = Some(end)
+    Some(end)
+  }
+
+  /** The exact files of the batch (start, end] — `start = None` is the
+    * restart-replay of batch 0, whose start position is reconstructed
+    * from the end offset's mode (deterministic, so a checkpointed batch
+    * replays identically). */
+  private[graft] def filesForBatch(startOpt: Option[GraftDeltaOffset],
+      end: GraftDeltaOffset): Seq[AddFile] = {
+    val start = startOpt.getOrElse {
+      if (end.isInitial) GraftDeltaOffset(end.version, -1, isInitial = true)
+      else startingVersion.map(sv => GraftDeltaOffset(sv, -1, isInitial = false))
+        .getOrElse(sys.error(
+          s"graftdelta stream on $tableUri: cannot reconstruct the first batch " +
+            s"for offset ${end.json} (no startingVersion and not initial-snapshot mode)"))
+    }
+    // a replayed batch pins the cursor: after a restart, the next
+    // getOffset continues from the checkpointed position, not from a
+    // fresh initial snapshot
+    synchronized {
+      cursor = Some(cursor.fold(end)(GraftDeltaOffset.max(_, end)))
+    }
+    filesAfter(start, end.version, Long.MaxValue, Some(end))._1
+  }
+
+  override def getBatch(startOpt: Option[Offset], endO: Offset): DataFrame = {
+    val end = GraftDeltaOffset.convert(endO)
+    val files = filesForBatch(startOpt.map(GraftDeltaOffset.convert), end)
+    val df = DeltaTable.readFiles(spark, log, schemaSnap, files)
+    GraftShims.internalCreateDataFrame(spark, df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = () // the log retains history
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftDeltaSource[$tableUri]"
+}

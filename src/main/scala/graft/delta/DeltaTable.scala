@@ -7,6 +7,7 @@ import java.util.UUID
 import scala.collection.mutable
 import scala.collection.parallel.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, not, sum, when}
@@ -444,7 +445,7 @@ object DeltaTable {
     * IS FALSE — NULL passes, per SQL CHECK). Called by the data-adding
     * writers (append, DML rewrites) before staging; maintenance
     * rewrites (dataChange=false) move existing rows and skip it. */
-  private def checkConstraints(log: DeltaLog, snap: Snapshot, df: DataFrame): Unit = {
+  private[graft] def checkConstraints(log: DeltaLog, snap: Snapshot, df: DataFrame): Unit = {
     val cs = snap.metadata.configuration.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
@@ -545,7 +546,7 @@ object DeltaTable {
     * table schema (analyzed over an empty frame — no data touched), for
     * stats pruning. None when analysis fails (unresolvable predicates
     * surface their real error later, on the actual scan). */
-  private def predicateExpr(spark: SparkSession, snap: Snapshot,
+  private[graft] def predicateExpr(spark: SparkSession, snap: Snapshot,
       predicate: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     try {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
@@ -625,8 +626,19 @@ object DeltaTable {
       touched: Seq[AddFile], newData: DataFrame, operation: String,
       params: Map[String, String], cdc: Seq[AddCDCFile] = Nil): DmlStats = {
     checkConstraints(log, snap, newData)
-    val adds = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
+    val staged = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
+    // never commit a zero-row file: a whole-file DELETE must be a
+    // remove-only commit (downstream incremental readers distinguish
+    // delete-only commits from rewrites by exactly this)
+    val (emptyAdds, adds) = staged.partition(_.stats.exists { s =>
+      try new ObjectMapper().readTree(s).path("numRecords").asLong(-1L) == 0L
+      catch { case scala.util.control.NonFatal(_) => false }
+    })
+    if (emptyAdds.nonEmpty) {
+      val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      emptyAdds.foreach(a => fs.delete(new Path(log.tableRoot, a.path), false))
+    }
     if (touched.isEmpty && adds.isEmpty) return DmlStats(0, 0)
     val now = System.currentTimeMillis()
     val removes = touched.map(f =>

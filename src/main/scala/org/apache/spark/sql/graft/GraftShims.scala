@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` door the v1 source/sink contract forces open:
+  * a DataFrame built from InternalRows with the `isStreaming` bit set
+  * (`Source.getBatch` results are asserted to be streaming frames by
+  * MicroBatchExecution). Same access pattern delta-spark uses for its
+  * own DSv1 source — there is no public equivalent.
+  */
+object GraftShims {
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType, isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
+}

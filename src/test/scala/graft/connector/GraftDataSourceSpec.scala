@@ -1,0 +1,135 @@
+package graft.connector
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** Batch half of the `graftdelta` format: `spark.read.format(...)` is
+  * row-identical to the library read path, pushed filters prune the
+  * FILE LIST from log stats before any scan is planned, writes commit
+  * atomically through the log, and `versionAsOf` time-travels. */
+class GraftDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 8 files with disjoint k ranges (k in [i*100, i*100+99] per file). */
+  private def sortedTable(): String = {
+    val dir = TestSpark.tmpDir("gds-sorted")
+    val df = spark.range(800).select(
+      $"id".as("k"),
+      ($"id" % 7).as("m"),
+      org.apache.spark.sql.functions.format_string("s%04d", $"id").as("s"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    DeltaTable.create(spark, df, dir)
+    dir
+  }
+
+  test("format read is row-identical to DeltaTable.read") {
+    val dir = sortedTable()
+    val viaFormat = spark.read.format("graftdelta").load(dir)
+      .collect().map(_.toString).sorted.toSeq
+    val viaLib = DeltaTable.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaFormat == viaLib)
+    assert(viaFormat.size == 800)
+  }
+
+  test("pushed range filter prunes the file list from log stats") {
+    val dir = sortedTable()
+    GraftDeltaRelation.lastScan = None
+    val rows = spark.read.format("graftdelta").load(dir)
+      .where($"k" >= 250 && $"k" <= 349).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (250L to 349L))
+    val (total, kept) = GraftDeltaRelation.lastScan.get
+    assert(total == 8)
+    assert(kept == 2, s"expected 2 covering files, scanned $kept") // [200,299],[300,399]
+  }
+
+  test("filters land in the scan node and results stay correct") {
+    val dir = sortedTable()
+    val df = spark.read.format("graftdelta").load(dir).where($"k" === 77)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: RowDataSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected a RowDataSourceScanExec in the plan")
+    assert(scan.get.handledFilters.nonEmpty, "pushed filters should be handled")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((77L, "s0077")))
+  }
+
+  test("column pruning: projecting one column and count(*) both work") {
+    val dir = sortedTable()
+    val df = spark.read.format("graftdelta").load(dir)
+    assert(df.select("s").where($"s" === "s0042").as[String].collect().toSeq ==
+      Seq("s0042"))
+    assert(df.count() == 800)
+  }
+
+  test("partition-column filter prunes partitions via the log") {
+    val dir = TestSpark.tmpDir("gds-part")
+    val df = spark.range(300).select(($"id" % 3).cast("int").as("p"), $"id".as("v"))
+    DeltaTable.create(spark, df, dir, partitionColumns = Seq("p"))
+    GraftDeltaRelation.lastScan = None
+    val rows = spark.read.format("graftdelta").load(dir).where($"p" === 1)
+    assert(rows.count() == 100)
+    val (total, kept) = GraftDeltaRelation.lastScan.get
+    assert(kept < total, s"partition filter should prune files ($kept/$total)")
+  }
+
+  test("versionAsOf time-travels") {
+    val dir = TestSpark.tmpDir("gds-tt")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    DeltaTable.append(spark, dir, Seq(3L, 4L).toDF("v"))
+    val v0 = spark.read.format("graftdelta").option("versionAsOf", "0").load(dir)
+    assert(v0.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.format("graftdelta").load(dir).count() == 4)
+  }
+
+  test("write: create, append, overwrite, errorIfExists, ignore") {
+    val dir = TestSpark.tmpDir("gds-write")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graftdelta").save(dir)
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graftdelta").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graftdelta").load(dir).count() == 3)
+
+    intercept[RuntimeException] {
+      Seq((9L, "x")).toDF("k", "s").write.format("graftdelta").save(dir)
+    }
+    Seq((9L, "x")).toDF("k", "s")
+      .write.format("graftdelta").mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graftdelta").load(dir).count() == 3)
+
+    Seq((7L, "z")).toDF("k", "s")
+      .write.format("graftdelta").mode(SaveMode.Overwrite).save(dir)
+    val after = spark.read.format("graftdelta").load(dir)
+    assert(after.as[(Long, String)].collect().toSeq == Seq((7L, "z")))
+    // overwrite is ONE atomic commit (removes + adds together):
+    // create=0, append=1, overwrite=2; failed/ignored writes commit nothing
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().version == 2L)
+  }
+
+  test("write with partitionBy option creates a partitioned table") {
+    val dir = TestSpark.tmpDir("gds-wpart")
+    spark.range(100).select(($"id" % 4).cast("int").as("p"), $"id".as("v"))
+      .write.format("graftdelta").option("partitionBy", "p").save(dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.metadata.partitionColumns == Seq("p"))
+    assert(snap.files.forall(_.partitionValues.contains("p")))
+    assert(spark.read.format("graftdelta").load(dir).where($"p" === 2).count() == 25)
+  }
+
+  test("SQL surface: CREATE TABLE ... USING graftdelta reads the table") {
+    val dir = sortedTable()
+    spark.sql(s"CREATE TABLE graft_sql_t USING graftdelta OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM graft_sql_t WHERE k < 100")
+        .as[Long].head()
+      assert(n == 100)
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+}

@@ -1,0 +1,218 @@
+package graft.connector
+
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+import graft.sorter.DeltaSorter
+
+/** Streaming halves of the `graftdelta` format: the source tails the
+  * transaction log exactly once (snapshot, then per-commit increments;
+  * checkpoint-replayable offsets; maintenance rewrites invisible), the
+  * sink commits each epoch idempotently through the `txn` watermark. */
+class GraftStreamingSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def freshName(): String = { n += 1; s"graft_stream_out_$n" }
+
+  test("initial snapshot then appended commits, each exactly once") {
+    val dir = TestSpark.tmpDir("gss-basic")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-basic-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
+      DeltaTable.append(spark, dir, Seq(4L, 5L).toDF("v"))
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint neither loses nor duplicates rows") {
+    val dir = TestSpark.tmpDir("gss-restart")
+    val dst = TestSpark.tmpDir("gss-restart-dst")
+    val ck = TestSpark.tmpDir("gss-restart-ck")
+    DeltaTable.create(spark, Seq(1L, 2L, 3L).toDF("v"), dir)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftdelta").load(dir)
+        .writeStream.format("graftdelta")
+        .option("checkpointLocation", ck).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(DeltaTable.read(spark, dst).count() == 3)
+    DeltaTable.append(spark, dir, Seq(4L).toDF("v"))
+    DeltaTable.append(spark, dir, Seq(5L, 6L).toDF("v"))
+    run() // restarted query: only versions past the checkpoint arrive
+    run() // no-op restart: nothing re-emitted
+    assert(DeltaTable.read(spark, dst).as[Long].collect().sorted.toSeq ==
+      (1L to 6L))
+  }
+
+  test("offset replay is deterministic across source restarts (mid-initial)") {
+    val dir = TestSpark.tmpDir("gss-replay")
+    val df = spark.range(40).select($"id".as("v"))
+      .repartitionByRange(4, $"v").sortWithinPartitions($"v")
+    DeltaTable.create(spark, df, dir)
+    DeltaTable.append(spark, dir, Seq(100L, 101L).toDF("v"))
+
+    def newSource() = new GraftDeltaSource(spark, dir,
+      Map("maxfilespertrigger" -> "1"))
+
+    def rows(files: Seq[graft.delta.AddFile]): Long = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      files.map(f => mapper.readTree(f.stats.get).get("numRecords").asLong()).sum
+    }
+
+    // batch 0 on a fresh source: capped mid-initial
+    val a = newSource()
+    val end1 = GraftDeltaOffset.convert(a.getOffset.get)
+    assert(end1.isInitial && end1.index == 0)
+    val batch0 = a.filesForBatch(None, end1)
+    assert(batch0.size == 1)
+
+    // a RESTARTED source (fresh instance) must replay batch 0 identically
+    // from (None, end1], then continue from end1 without loss or overlap
+    val b = newSource()
+    assert(b.filesForBatch(None, end1) == batch0)
+    var prev = end1
+    var total = rows(batch0)
+    var iter = 0
+    while (iter < 10) {
+      val next = GraftDeltaOffset.convert(b.getOffset.get)
+      if (next == prev) iter = 10
+      else {
+        val files = b.filesForBatch(Some(prev), next)
+        assert(files.size <= 1, "maxFilesPerTrigger=1 must cap every batch")
+        total += rows(files)
+        prev = next
+        iter += 1
+      }
+    }
+    assert(total == 42, s"expected all 42 rows exactly once, got $total")
+  }
+
+  test("maxFilesPerTrigger splits the initial snapshot into micro-batches") {
+    val dir = TestSpark.tmpDir("gss-rate")
+    val df = spark.range(40).select($"id".as("v"))
+      .repartitionByRange(4, $"v").sortWithinPartitions($"v")
+    DeltaTable.create(spark, df, dir)
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-rate-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq == (0L until 40L))
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4,
+        s"expected 4 one-file batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
+  test("startingVersion skips the snapshot and tails from a version") {
+    val dir = TestSpark.tmpDir("gss-startv")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir) // version 0
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // version 1
+    DeltaTable.append(spark, dir, Seq(4L).toDF("v")) // version 2
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-startv-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    } finally q.stop()
+  }
+
+  test("maintenance rewrites (dataChange=false) are invisible to the stream") {
+    val dir = TestSpark.tmpDir("gss-maint")
+    val df = spark.range(20).select($"id".as("v"))
+      .repartition(4) // several small files to compact
+    DeltaTable.create(spark, df, dir)
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-maint-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 20)
+      DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20) // dataChange=false
+      DeltaTable.append(spark, dir, Seq(99L).toDF("v"))
+      q.processAllAvailable()
+      // compaction re-emitted nothing; only the append arrived
+      assert(spark.table(name).as[Long].collect().sorted.toSeq ==
+        ((0L until 20L) :+ 99L))
+    } finally q.stop()
+  }
+
+  test("delete-only commit fails the stream unless ignoreDeletes") {
+    val dir = TestSpark.tmpDir("gss-del")
+    // two files with disjoint ranges so `v <= 2` deletes file 1 WHOLE —
+    // a delete-only commit (removes, no adds), not a rewrite
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+      .repartitionByRange(2, $"v").sortWithinPartitions($"v")
+    DeltaTable.create(spark, df, dir)
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-del-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("v") <= 2L)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("ignoreDeletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+    } finally q.stop()
+
+    // with ignoreDeletes, the same history streams through (delete-only
+    // commits are skipped; appends after them still arrive)
+    DeltaTable.append(spark, dir, Seq(7L).toDF("v"))
+    val name2 = freshName()
+    val q2 = spark.readStream.format("graftdelta")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-del-ck2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      // the fresh stream's initial snapshot is taken AFTER the delete
+      assert(spark.table(name2).as[Long].collect().sorted.toSeq ==
+        Seq(3L, 4L, 7L))
+    } finally q2.stop()
+  }
+
+  test("graftdelta sink: table-to-table streaming pipeline, exactly once") {
+    val src = TestSpark.tmpDir("gss-pipe-src")
+    val dst = TestSpark.tmpDir("gss-pipe-dst")
+    val ck = TestSpark.tmpDir("gss-pipe-ck")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftdelta").load(src)
+        .withColumn("v2", $"v" * 10)
+        .writeStream.format("graftdelta")
+        .option("checkpointLocation", ck).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    DeltaTable.append(spark, src, Seq(3L).toDF("v"))
+    run() // restart: replays nothing, picks up only version 1
+    val out = DeltaTable.read(spark, dst).as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+}
