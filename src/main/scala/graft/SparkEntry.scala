@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Dedup, Events, Maintenance, Multimodal, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
+import graft.queries.{Analytics, Connector, Dedup, Events, Maintenance, Multimodal, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ Maintenance.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Temporal.queries ++ Analytics.queries ++
-      Pipeline.queries
+      Pipeline.queries ++ Connector.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracle ++ Maintenance.oracle ++ Events.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Temporal.oracle ++ Analytics.oracle ++
-      Pipeline.oracle
+      Pipeline.oracle ++ Connector.oracleSql
 }

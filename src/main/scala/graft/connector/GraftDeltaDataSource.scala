@@ -35,8 +35,10 @@ import graft.delta.{AddFile, CommitInfo, DataSkipping, DeltaLog, DeltaTable, Rem
   *    positions, checkpoint-replayable).
   *
   * Options: `versionAsOf` (batch time travel), `startingVersion` /
-  * `maxFilesPerTrigger` / `ignoreDeletes` / `ignoreChanges` (stream
-  * source), `partitionBy` / `mergeSchema` / `txnAppId` (writers).
+  * `maxFilesPerTrigger` / `ignoreDeletes` / `ignoreChanges` /
+  * `readChangeFeed` (stream source — change-feed mode emits the
+  * row-level CDF columns `_change_type` / `_commit_version` instead of
+  * plain appends), `partitionBy` / `mergeSchema` / `txnAppId` (writers).
   */
 final class GraftDeltaDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
@@ -102,8 +104,9 @@ final class GraftDeltaDataSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val opts = lower(parameters)
-    (shortName(),
-      DeltaLog.forTable(sqlContext.sparkSession, path(opts)).snapshot().schema)
+    val table = DeltaLog.forTable(sqlContext.sparkSession, path(opts)).snapshot().schema
+    (shortName(), GraftDeltaSource.streamSchema(table,
+      opts.get("readchangefeed").exists(_.toBoolean)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -83,6 +83,7 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   private val ignoreDeletes =
     ignoreChanges || options.get("ignoredeletes").exists(_.toBoolean)
   private val startingVersion = options.get("startingversion").map(_.toLong)
+  private val readChangeFeed = options.get("readchangefeed").exists(_.toBoolean)
 
   /** Furthest position handed out (getOffset) or replayed (getBatch). */
   private var cursor: Option[GraftDeltaOffset] = None
@@ -96,7 +97,8 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
           e: java.util.Map.Entry[(Long, Boolean), Seq[AddFile]]): Boolean = size > 64
     }
 
-  override def schema: StructType = schemaSnap.schema
+  override def schema: StructType =
+    GraftDeltaSource.streamSchema(schemaSnap.schema, readChangeFeed)
 
   private def fileList(version: Long, isInitial: Boolean): Seq[AddFile] = {
     val key = (version, isInitial)
@@ -156,7 +158,25 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     (out.toSeq, end)
   }
 
+  /** CDF mode's start sentinel: version `startingVersion - 1` fully
+    * consumed (default: the whole feed from version 0). */
+  private def cdfStart: GraftDeltaOffset =
+    GraftDeltaOffset(startingVersion.getOrElse(0L) - 1, 0, isInitial = false)
+
   override def getOffset: Option[Offset] = synchronized {
+    if (readChangeFeed) {
+      // change-feed granularity is the COMMIT: one offset unit per log
+      // version (row-level changes of one version are indivisible);
+      // maxFilesPerTrigger caps versions per micro-batch here
+      val start = cursor.getOrElse(cdfStart)
+      val latest = log.latestVersion()
+      val endV =
+        if (maxFiles == Long.MaxValue) latest
+        else math.min(latest, start.version + maxFiles)
+      val end = GraftDeltaOffset(math.max(endV, start.version), 0, isInitial = false)
+      cursor = Some(end)
+      return Some(end)
+    }
     val start = cursor.getOrElse(startPosition())
     // batch 0 of snapshot mode is the only batch replayed with
     // start=None whose start the offset itself must encode — keep it
@@ -193,8 +213,24 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 
   override def getBatch(startOpt: Option[Offset], endO: Offset): DataFrame = {
     val end = GraftDeltaOffset.convert(endO)
-    val files = filesForBatch(startOpt.map(GraftDeltaOffset.convert), end)
-    val df = DeltaTable.readFiles(spark, log, schemaSnap, files)
+    val df =
+      if (readChangeFeed) {
+        val from = startOpt.map(GraftDeltaOffset.convert(_).version)
+          .getOrElse(cdfStart.version)
+        synchronized { cursor = Some(cursor.fold(end)(GraftDeltaOffset.max(_, end))) }
+        val out = schema
+        val raw =
+          if (end.version <= from)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+          else DeltaTable.changesBetween(spark, tableUri, from, end.version)
+        // normalize column order + types to the declared stream schema
+        raw.select(out.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else {
+        val files = filesForBatch(startOpt.map(GraftDeltaOffset.convert), end)
+        DeltaTable.readFiles(spark, log, schemaSnap, files)
+      }
     GraftShims.internalCreateDataFrame(spark, df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
@@ -204,4 +240,16 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftDeltaSource[$tableUri]"
+}
+
+object GraftDeltaSource {
+  /** The stream's output schema: the table schema, plus CDF's
+    * `_change_type` / `_commit_version` columns in change-feed mode. */
+  private[graft] def streamSchema(table: StructType, changeFeed: Boolean): StructType =
+    if (!changeFeed) table
+    else StructType(table.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta.DeltaTable
+import Tables._
+
+/** Driver-checked queries that go through the `graftdelta` Spark data
+  * source ([[graft.connector.GraftDeltaDataSource]]) instead of raw
+  * parquet — the oracle still runs on the raw parquet, so a green row
+  * proves the whole connector stack (log replay → stats pruning →
+  * pushed filters → scan) returns exactly the table.
+  *
+  * The Delta table under test is a range-sorted copy of `lineitem`
+  * built once per JVM per scale factor (memoized): sorted layout gives
+  * the pushed `l_orderkey` range a real file-pruning opportunity, the
+  * same shape `readWhere` is benched on (BenchDetails `skip_read`).
+  */
+object Connector {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A graft-Delta copy of lineitem, range-sorted by l_orderkey into 16
+    * files; built on first use, reused across runs of one JVM. */
+  private def lineitemDelta(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      val uri = java.nio.file.Files.createTempDirectory("graft-conn-lineitem").toString
+      val df = table(s, dir, "lineitem")
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+      DeltaTable.create(s, df, uri)
+      uri
+    })
+
+  val queries: Map[String, Q] = Map(
+    // selective range + aggregate THROUGH the data source API: Catalyst
+    // pushes the l_orderkey range into the relation, which file-prunes
+    // from log stats (2 of 16 files at any SF — the range is narrow),
+    // then the parquet scan applies the residual row filter
+    "q_scan_delta_pushdown" -> ((s, dir) => {
+      val uri = lineitemDelta(s, dir)
+      s.read.format("graftdelta").load(uri)
+        .where(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          count(lit(1)).as("cnt"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_delta_pushdown" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+        |GROUP BY 1""".stripMargin
+  )
+}

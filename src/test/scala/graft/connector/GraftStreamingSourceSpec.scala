@@ -197,6 +197,59 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed streams row-level CDF across appends, update, delete") {
+    val dir = TestSpark.tmpDir("gss-cdf")
+    // v0: create {1,2}; v1: append {3}; v2: update v=3 -> 30; v3: delete v=1
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
+    DeltaTable.update(spark, dir, $"v" === 3L, Map("v" -> ($"v" * 10)))
+    DeltaTable.delete(spark, dir, $"v" === 1L)
+
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-cdf-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select($"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(rows == Seq(
+        (1L, "delete", 3L),
+        (1L, "insert", 0L),
+        (2L, "insert", 0L),
+        (3L, "insert", 1L),
+        (3L, "update_preimage", 2L),
+        (30L, "update_postimage", 2L)))
+      // live tail: another DML arrives as its own change set
+      DeltaTable.delete(spark, dir, $"v" === 2L)
+      q.processAllAvailable()
+      assert(spark.table(name).where($"_commit_version" === 4L)
+        .select($"v", $"_change_type").as[(Long, String)].collect().toSeq ==
+        Seq((2L, "delete")))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed with startingVersion skips earlier commits") {
+    val dir = TestSpark.tmpDir("gss-cdf-sv")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // v2
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta")
+      .option("readChangeFeed", "true").option("startingVersion", "2").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-cdf-sv-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).select($"v", $"_commit_version")
+        .as[(Long, Long)].collect().toSeq == Seq((3L, 2L)))
+    } finally q.stop()
+  }
+
   test("graftdelta sink: table-to-table streaming pipeline, exactly once") {
     val src = TestSpark.tmpDir("gss-pipe-src")
     val dst = TestSpark.tmpDir("gss-pipe-dst")
