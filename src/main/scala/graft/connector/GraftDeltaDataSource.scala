@@ -60,33 +60,60 @@ final class GraftDeltaDataSource extends RelationProvider
       opts.get("versionasof").map(_.toLong))
   }
 
+  private def columnsOption(opts: Map[String, String], key: String): Seq[String] =
+    opts.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** Batch writer: `df.write.format("graftdelta").mode(...).save(path)`.
     * Append/Overwrite commit atomically through the log (Overwrite =
     * remove-all + add-all in ONE commit, so readers see either table).
     * `partitionBy` arrives as an option (comma-separated) because the
-    * v1 seam does not forward `DataFrameWriter.partitionBy`. */
+    * v1 seam does not forward `DataFrameWriter.partitionBy`.
+    *
+    * Layout options — the write-side half of log-stats data skipping:
+    *  - `sortBy a,b` range-partitions + sorts the batch on (a, b), so
+    *    per-file min/max intervals on the sort key are disjoint and a
+    *    later range read prunes to its covering files;
+    *  - `zorderBy x,y` clusters on the Morton interleave of the
+    *    dimensions ([[graft.sorter.ZOrder]]), giving every dimension a
+    *    pruning-friendly per-file interval. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val opts = lower(parameters)
     val tableUri = path(opts)
     val spark = sqlContext.sparkSession
-    val partitionBy = opts.get("partitionby").toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val partitionBy = columnsOption(opts, "partitionby")
+    val sortBy = columnsOption(opts, "sortby")
+    val zorderBy = columnsOption(opts, "zorderby")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "graftdelta: sortBy and zorderBy are mutually exclusive")
+    val nRanges = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val clustered =
+      if (sortBy.nonEmpty)
+        data.repartitionByRange(nRanges, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else if (zorderBy.nonEmpty) {
+        val z = graft.sorter.ZOrder.zValue(data, zorderBy,
+          graft.sorter.ZOrder.maxBits(zorderBy.size))
+        data.withColumn("__graft_z", z)
+          .repartitionByRange(nRanges, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+      } else data
     val log = DeltaLog.forTable(spark, tableUri)
     if (!log.tableExists) {
-      DeltaTable.create(spark, data, tableUri, partitionBy)
+      DeltaTable.create(spark, clustered, tableUri, partitionBy)
     } else mode match {
       case SaveMode.ErrorIfExists =>
         sys.error(s"graftdelta: table already exists: $tableUri")
       case SaveMode.Ignore => ()
       case SaveMode.Append =>
-        DeltaTable.append(spark, tableUri, data,
+        DeltaTable.append(spark, tableUri, clustered,
           mergeSchema = opts.get("mergeschema").exists(_.toBoolean))
       case SaveMode.Overwrite =>
         val snap = log.snapshot()
-        DeltaTable.checkConstraints(log, snap, data)
+        DeltaTable.checkConstraints(log, snap, clustered)
         val parts = if (partitionBy.nonEmpty) partitionBy else snap.metadata.partitionColumns
-        val adds = DeltaTable.stageWrite(spark, log, data, parts,
+        val adds = DeltaTable.stageWrite(spark, log, clustered, parts,
           maxRecordsPerFile = None, dataChange = true)
         val now = System.currentTimeMillis()
         val removes = snap.files.map(f =>

@@ -71,6 +71,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   def tableExists: Boolean =
     listVersions().nonEmpty || listCheckpointVersions().nonEmpty
 
+  /** Versions whose per-commit JSON is still on disk (ascending) — the
+    * range [[actionsAt]] can serve; early versions may be cleaned up
+    * past a checkpoint. */
+  def availableVersions(): Seq[Long] = listVersions()
+
   /** Latest committed version — JSON commits or, when early JSON has
     * been cleaned up past a checkpoint, the checkpoint version. Scans
     * on-disk checkpoints (not just the advisory pointer) so a lost

@@ -242,6 +242,21 @@ object DeltaTable {
     * and added (untouched files never move). */
   case class DmlStats(filesRemoved: Int, filesAdded: Int)
 
+  /** DESCRIBE HISTORY analog: one row per commit whose JSON is still on
+    * disk, newest first — (version, timestamp, operation,
+    * operationParameters). Driver-side work is bounded by the commit
+    * count (metadata scale), never by table size; vacuumed-away early
+    * commits simply don't appear. */
+  def history(spark: SparkSession, tableUri: String): DataFrame = {
+    import spark.implicits._
+    val log = DeltaLog.forTable(spark, tableUri)
+    log.availableVersions().sorted(Ordering[Long].reverse).flatMap { v =>
+      log.actionsAt(v).collectFirst {
+        case c: CommitInfo => (v, c.timestamp, c.operation, c.operationParameters)
+      }.orElse(Some((v, 0L, "", Map.empty[String, String])))
+    }.toDF("version", "timestamp", "operation", "operationParameters")
+  }
+
   /** Incremental change feed: the rows INSERTED in versions
     * `(fromVersion, toVersion]`, tagged with `_commit_version` — i.e.
     * the files committed with `dataChange = true`. This is the payoff

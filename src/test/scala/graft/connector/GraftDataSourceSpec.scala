@@ -123,6 +123,46 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(dir).where($"p" === 2).count() == 25)
   }
 
+  test("sortBy write option produces a layout that prunes on read") {
+    val dir = TestSpark.tmpDir("gds-sortby")
+    spark.range(800).select($"id".as("k"), ($"id" % 7).as("m"))
+      .repartition(8) // scrambled input
+      .write.format("graftdelta").option("sortBy", "k").save(dir)
+    GraftDeltaRelation.lastScan = None
+    val n = spark.read.format("graftdelta").load(dir)
+      .where($"k" >= 100 && $"k" < 150).count()
+    assert(n == 50)
+    val (total, kept) = GraftDeltaRelation.lastScan.get
+    assert(kept < total, s"sorted write should let the range prune ($kept/$total)")
+  }
+
+  test("zorderBy write option prunes on BOTH dimensions") {
+    val dir = TestSpark.tmpDir("gds-zorder")
+    val df = spark.range(4096).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    df.repartition(8)
+      .write.format("graftdelta").option("zorderBy", "x,y").save(dir)
+    def prunedFor(filter: org.apache.spark.sql.Column): (Int, Int) = {
+      GraftDeltaRelation.lastScan = None
+      spark.read.format("graftdelta").load(dir).where(filter).count()
+      GraftDeltaRelation.lastScan.get
+    }
+    val (tx, kx) = prunedFor($"x" >= 0 && $"x" < 8)
+    val (ty, ky) = prunedFor($"y" >= 0 && $"y" < 8)
+    assert(kx < tx, s"z-order should prune on x ($kx/$tx)")
+    assert(ky < ty, s"z-order should prune on y ($ky/$ty)")
+  }
+
+  test("history lists commits newest-first with operations") {
+    val dir = TestSpark.tmpDir("gds-history")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v"))
+    DeltaTable.delete(spark, dir, $"v" === 1L)
+    val h = DeltaTable.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h == Seq((2L, "DELETE"), (1L, "WRITE"), (0L, "CREATE TABLE")))
+  }
+
   test("SQL surface: CREATE TABLE ... USING graftdelta reads the table") {
     val dir = sortedTable()
     spark.sql(s"CREATE TABLE graft_sql_t USING graftdelta OPTIONS (path '$dir')")
