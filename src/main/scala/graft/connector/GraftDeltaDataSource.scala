@@ -56,8 +56,13 @@ final class GraftDeltaDataSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val opts = lower(parameters)
-    new GraftDeltaRelation(sqlContext.sparkSession, path(opts),
-      opts.get("versionasof").map(_.toLong))
+    if (opts.get("readchangefeed").exists(_.toBoolean))
+      new GraftDeltaChangeRelation(sqlContext.sparkSession, path(opts),
+        opts.get("startingversion").map(_.toLong).getOrElse(0L),
+        opts.get("endingversion").map(_.toLong))
+    else
+      new GraftDeltaRelation(sqlContext.sparkSession, path(opts),
+        opts.get("versionasof").map(_.toLong))
   }
 
   private def columnsOption(opts: Map[String, String], key: String): Seq[String] =
@@ -194,6 +199,35 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     translated.foreach(c => df = df.where(c))
     val projected = df.select(requiredColumns.toSeq.map(col): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+/** Batch change-feed read:
+  * `spark.read.format("graftdelta").option("readChangeFeed", true)
+  * .option("startingVersion", m).option("endingVersion", n)` — the
+  * row-level changes of commits (m, n] via [[DeltaTable.changesBetween]]
+  * (same contract as the streaming CDF mode: DML emits
+  * insert / update_preimage / update_postimage / delete rows,
+  * maintenance rewrites emit nothing). `startingVersion` is INCLUSIVE
+  * (version m's changes appear), matching delta-spark. */
+final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
+    startingVersion: Long, endingVersion: Option[Long])
+    extends BaseRelation with TableScan {
+
+  private val log = DeltaLog.forTable(spark, tableUri)
+  private val endVersion = endingVersion.getOrElse(log.snapshot().version)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = GraftDeltaSource.streamSchema(
+    log.snapshot().schema, changeFeed = true)
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val raw = DeltaTable.changesBetween(spark, tableUri,
+      startingVersion - 1, endVersion)
+    val normalized = raw.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    normalized.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

@@ -153,6 +153,26 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(ky < ty, s"z-order should prune on y ($ky/$ty)")
   }
 
+  test("batch readChangeFeed returns the CDF rows of a version range") {
+    val dir = TestSpark.tmpDir("gds-cdf")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // v1
+    DeltaTable.delete(spark, dir, $"v" === 3L) // v2 (rewrite of v1's file)
+    val all = spark.read.format("graftdelta")
+      .option("readChangeFeed", "true").load(dir)
+      .select($"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(all == Seq(
+      (1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "delete", 2L), (3L, "insert", 1L)))
+    // startingVersion is inclusive, endingVersion caps the range
+    val v1only = spark.read.format("graftdelta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(dir)
+      .select($"v", $"_change_type").as[(Long, String)].collect().toSeq
+    assert(v1only == Seq((3L, "insert")))
+  }
+
   test("history lists commits newest-first with operations") {
     val dir = TestSpark.tmpDir("gds-history")
     DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
