@@ -118,8 +118,18 @@ object Dedup {
     * null values, as `array_min` of an empty array does. */
   private def minhashDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    minhashPass(table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
+  /** The MinHash map itself over any (doc_id, text) dataset — shared by
+    * the oracle-checked query above and the incremental ingestion
+    * pipeline ([[graft.pipeline.IncrementalDedup]]), so both dedup with
+    * the identical signature scheme. */
+  private[graft] def minhashPass(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val prefixes = Array.tabulate(K)(k => s"$k:".getBytes("UTF-8"))

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** Online fuzzy dedup against a persistent signature index: batches
+  * dedup against the accepted corpus AND within themselves, survivors'
+  * signatures extend the index, and every step replays exactly once. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** ~40 'words' with a controllable tail — >3 shared trigram shingles
+    * between same-family docs, none across families. */
+  private def doc(family: String, variant: String = ""): String =
+    (1 to 40).map(i => s"$family$i").mkString(" ") + variant
+
+  test("batch 2 dedups against batch 1 through the index") {
+    val corpus = TestSpark.tmpDir("incd-corpus")
+    val index = TestSpark.tmpDir("incd-index")
+    val b1 = Seq(
+      (1L, doc("alpha")),
+      (2L, doc("beta"))).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.ingest(spark, corpus, index, b1, "t1", 0L)
+    assert(s1 == IncrementalDedup.IngestStats(2, 0, 0, 2))
+
+    val b2 = Seq(
+      (3L, doc("alpha", " extra")), // near-dup of doc 1 -> dropped
+      (4L, doc("gamma"))).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.ingest(spark, corpus, index, b2, "t1", 1L)
+    assert(s2 == IncrementalDedup.IngestStats(2, 1, 0, 1))
+
+    assert(DeltaTable.read(spark, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("within-batch near-dups keep the min doc_id transitively") {
+    val corpus = TestSpark.tmpDir("incd2-corpus")
+    val index = TestSpark.tmpDir("incd2-index")
+    val b = Seq(
+      (10L, doc("delta")),
+      (11L, doc("delta", " x")), // near-dup of 10
+      (12L, doc("delta", " y")), // near-dup of 10/11
+      (13L, doc("epsilon"))).toDF("doc_id", "text")
+    val s = IncrementalDedup.ingest(spark, corpus, index, b, "t2", 0L)
+    assert(s.accepted == 2 && s.dupWithinBatch == 2 && s.dupOfCorpus == 0)
+    assert(DeltaTable.read(spark, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(10L, 13L))
+  }
+
+  test("replaying a batch id is a no-op (exactly once)") {
+    val corpus = TestSpark.tmpDir("incd3-corpus")
+    val index = TestSpark.tmpDir("incd3-index")
+    val b = Seq((1L, doc("zeta"))).toDF("doc_id", "text")
+    IncrementalDedup.ingest(spark, corpus, index, b, "t3", 0L)
+    // crash-replay of the SAME batch id: corpus txn watermark skips the
+    // append even though the batch's own signatures now mark it dup
+    IncrementalDedup.ingest(spark, corpus, index, b, "t3", 0L)
+    assert(DeltaTable.read(spark, corpus).count() == 1)
+    assert(DeltaTable.read(spark, index).count() == graft.queries.Dedup.Bands.toLong)
+  }
+
+  test("streaming wiring: staged commits flow through exactly once") {
+    val staging = TestSpark.tmpDir("incd4-staging")
+    val corpus = TestSpark.tmpDir("incd4-corpus")
+    val index = TestSpark.tmpDir("incd4-index")
+    val ck = TestSpark.tmpDir("incd4-ck")
+    DeltaTable.create(spark,
+      Seq((1L, doc("eta")), (2L, doc("theta"))).toDF("doc_id", "text"), staging)
+
+    val q1 = IncrementalDedup.start(spark, staging, corpus, index, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(DeltaTable.read(spark, corpus).count() == 2)
+
+    // second wave: one near-dup of an accepted doc, one novel
+    DeltaTable.append(spark, staging,
+      Seq((3L, doc("eta", " v2")), (4L, doc("iota"))).toDF("doc_id", "text"))
+    val q2 = IncrementalDedup.start(spark, staging, corpus, index, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaTable.read(spark, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+}
