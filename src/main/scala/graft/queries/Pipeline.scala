@@ -230,6 +230,29 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(flag(pickedCol)).as("n_sampled"),
           sum(flag(pickedCol) * col("n_chars")).as("n_chars_sampled"))
+    }),
+
+    // Sequence packing — the "concatenate in order, cut every C tokens"
+    // prep step that turns documents into fixed-length training
+    // sequences: a doc's bin is where its first token lands
+    // (floor(start_offset / C)). Packing runs per (lang, shard) with
+    // shard = doc_id % 8: boundaries within a stream are arbitrary, so
+    // sharding the cumulative sum is what keeps the ordered window
+    // PARALLEL at corpus scale (per-lang-only packing would funnel a
+    // dominant language through one task); 8 is stand-in for "several
+    // per core" in production. One shuffle (the window), one aggregate.
+    "q_seq_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     }))
 
   private val rateCase = SampleRatesBp
@@ -282,6 +305,19 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_quality_filter" -> qualitySql,
+
+    "q_seq_pack" ->
+      """WITH d AS (SELECT lang, doc_id % 8 AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT lang, shard, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM d)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     "q_source_mix" ->
       """WITH d AS (SELECT doc_id, source, lang, md5(text) AS h,
