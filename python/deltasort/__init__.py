@@ -146,3 +146,33 @@ class SortOptimizer:
                 f"(sample: {rep.get('details_sample')})"
             )
         return rep
+
+    # -- DataFrame surface -------------------------------------------------
+
+    def _wrap(self, jdf):
+        from pyspark.sql import DataFrame
+
+        return DataFrame(jdf, self._spark)
+
+    def read(self):
+        """The table's active snapshot as a pyspark DataFrame (the plan
+        stays in the JVM; nothing is collected)."""
+        return self._wrap(self._j.readDf())
+
+    def read_version(self, version: int):
+        """Time travel: the snapshot as of ``version``."""
+        return self._wrap(self._j.readVersionDf(int(version)))
+
+    def history(self):
+        """DESCRIBE HISTORY analog: one row per commit, newest first
+        (version, timestamp, operation, operationParameters)."""
+        return self._wrap(self._j.historyDf())
+
+    def changes_between(self, from_version: int, to_version: int):
+        """Row-level change feed of (from_version, to_version]: table
+        columns plus _change_type / _commit_version."""
+        return self._wrap(self._j.changesDf(int(from_version), int(to_version)))
+
+    def latest_version(self) -> int:
+        """Latest committed table version."""
+        return int(self._j.latestVersion())

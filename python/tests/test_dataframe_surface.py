@@ -1,0 +1,51 @@
+"""DataFrame-returning binding surface: read / time travel / history /
+change feed come back as real pyspark DataFrames (plans stay in the JVM,
+nothing is collected crossing py4j)."""
+from conftest import write_table
+
+from deltasort import SortOptimizer
+
+
+def _make(spark, tmp_table):
+    write_table(
+        spark,
+        tmp_table,
+        [(1, "a"), (2, "b")],
+        "k LONG, s STRING",
+    )
+    return SortOptimizer(tmp_table, spark=spark)
+
+
+def test_read_and_latest_version(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    assert sorted(r.k for r in opt.read().collect()) == [1, 2]
+    assert opt.latest_version() == 0
+
+
+def test_time_travel_after_delete(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    opt.delete_where("k = 1")
+    assert sorted(r.k for r in opt.read().collect()) == [2]
+    assert sorted(r.k for r in opt.read_version(0).collect()) == [1, 2]
+
+
+def test_history_newest_first(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    opt.delete_where("k = 1")
+    hist = opt.history().collect()
+    assert [r.version for r in hist] == [1, 0]
+    assert hist[0].operation == "DELETE"
+    assert hist[1].operation == "CREATE TABLE"
+
+
+def test_changes_between_row_level(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    opt.update_where("k = 2", {"s": "'B'"})
+    rows = sorted(
+        (r.k, r.s, r._change_type, r._commit_version)
+        for r in opt.changes_between(0, opt.latest_version()).collect()
+    )
+    assert rows == [
+        (2, "B", "update_postimage", 1),
+        (2, "b", "update_preimage", 1),
+    ]

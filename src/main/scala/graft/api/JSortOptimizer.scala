@@ -110,4 +110,30 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   /** Engine extension: drop a CHECK constraint. */
   def dropConstraint(name: String): Unit =
     graft.delta.DeltaTable.dropConstraint(spark, tableUri, name)
+
+  // ---- DataFrame-returning surface: py4j hands these JVM frames to
+  // pyspark, which wraps them as first-class Python DataFrames (the
+  // binding's read()/history()/changes_between()) — no serialization,
+  // the plan stays in the JVM.
+
+  /** The active snapshot as a DataFrame. */
+  def readDf(): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.read(spark, tableUri)
+
+  /** Snapshot as of `version` (time travel). */
+  def readVersionDf(version: Long): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.readAt(spark, tableUri, version)
+
+  /** DESCRIBE HISTORY analog: commits newest-first. */
+  def historyDf(): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.history(spark, tableUri)
+
+  /** Row-level change feed of (fromVersion, toVersion] — CDF columns
+    * `_change_type` / `_commit_version` included. */
+  def changesDf(fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.changesBetween(spark, tableUri, fromVersion, toVersion)
+
+  /** Latest committed version (pairs with [[changesDf]]/[[readVersionDf]]). */
+  def latestVersion(): Long =
+    graft.delta.DeltaLog.forTable(spark, tableUri).latestVersion()
 }
