@@ -90,6 +90,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(formatted("q_ngram_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_seq_pack: one window shuffle + the final aggregate, nothing more") {
+    assert(shuffles("q_seq_pack") <= 2)
+  }
+
+  test("q_scan_delta_pushdown: filters handled by the relation, files pruned") {
+    graft.connector.GraftDeltaRelation.lastScan = None
+    val exec = SparkEntry.queries("q_scan_delta_pushdown")(spark, dir)
+      .queryExecution.executedPlan match { // planning runs buildScan
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+    val scan = exec.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected the graftdelta relation scan in the plan")
+    assert(scan.head.handledFilters.nonEmpty, "range filter should be handled")
+    val (total, kept) = graft.connector.GraftDeltaRelation.lastScan.get
+    assert(total == 16 && kept <= total / 2,
+      s"narrow l_orderkey range should prune the sorted table ($kept/$total)")
+    // aggregate above the connector scan: one exchange
+    assert(shuffles("q_scan_delta_pushdown") <= 1)
+  }
+
   test("no query in the inventory has an unpartitioned window") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val windows = fn(spark, dir).queryExecution.optimizedPlan.collect {
