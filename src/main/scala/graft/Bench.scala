@@ -123,6 +123,14 @@ object Bench {
       val (_, tSkip) = timed(noop(graft.delta.DeltaTable.readWhere(spark, tableDir, pred)))
       val (_, tFull) = timed(noop(graft.delta.DeltaTable.read(spark, tableDir)
         .where(org.apache.spark.sql.functions.expr(pred))))
+      // Same pruned read THROUGH the Spark data source (Catalyst pushes
+      // the range into the relation) — the connector's overhead over the
+      // library path should be planning-only. Details-JSON only: the
+      // stdout line is near the driver's 2000-char capture budget.
+      def connectorScan() = noop(spark.read.format("graftdelta").load(tableDir)
+        .where(org.apache.spark.sql.functions.expr(pred)))
+      connectorScan() // warm like the paths above
+      val (_, tConn) = timed(connectorScan())
       val prunedFiles = {
         val log = graft.delta.DeltaLog.forTable(spark, tableDir)
         val snap = log.snapshot()
@@ -140,6 +148,7 @@ object Bench {
         s""""engine":{"table_build":${fmt(tBuild)},"validate_unsorted":${fmt(tV1)},"plan":${fmt(tPlan)},""" +
           s""""compact":${fmt(tCompact)},"validate_sorted":${fmt(tV2)},"strict_overwrite":${fmt(tStrict)},""" +
           s""""skip_read":${fmt(tSkip)},"full_read":${fmt(tFull)},"skip_files_read":$prunedFiles,""" +
+          (if (withBytes) s""""connector_scan":${fmt(tConn)},""" else "") +
           s""""delete_selective":${fmt(tDelete)},"delete_files_rewritten":${delStats.filesRemoved},""" +
           s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
           (if (withBytes) s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" else "") +
