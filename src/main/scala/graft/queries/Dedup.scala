@@ -395,6 +395,39 @@ object Dedup {
         .where(col("jaccard_bp") >= 5000)
     }),
 
+    // Exact-substring overlap (the `exact_substr` dedup mode of Lee et
+    // al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): two documents are substring-duplicates when they share
+    // a verbatim run of >= 30 tokens. Shingle-Jaccard misses these when
+    // the copied run is a small fraction of both documents (quote
+    // farms, boilerplate wrappers); this catches exactly them. The
+    // distributed form of the paper's suffix array: every document
+    // emits the md5 of each 30-token window (narrow, O(tokens) rows of
+    // (hash, id) — never the text), the inverted index is df-capped
+    // like the Jaccard one, and the self-join counts shared windows
+    // per pair. At 100 TB the window hashes are the only shuffled
+    // payload — 16 bytes per token position.
+    "q_dedup_substr" -> ((s, dir) => {
+      val W = 30
+      val wins = table(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= W)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("tk")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(W))))))).as("h"))
+      val keep = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= DfCap)
+        .select(col("h"))
+      val ci = wins.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("h"))
+      ci.as("x").hint("shuffle_hash")
+        .join(ci.as("y").hint("shuffle_hash"), Seq("h"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_windows"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the Jaccard pair
     // graph — the stage that turns pairwise matches into an actionable
     // keep/drop list (cluster id = smallest doc_id in the component).
@@ -500,6 +533,18 @@ object Dedup {
       |WHERE 10000*n_common // (n1 + n2 - n_common) >= 5000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, CASE WHEN len(tk) >= 30
+        |  THEN [md5(array_to_string(tk[i:i+29], ' ')) for i in generate_series(1, len(tk)-29)]
+        |  ELSE [] END AS hs FROM t),
+        |d AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM w),
+        |k AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= 50)
+        |SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM d x JOIN k USING (h) JOIN d y USING (h)
+        |WHERE x.doc_id < y.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         | CAST(COUNT(*) AS BIGINT) AS n_docs
