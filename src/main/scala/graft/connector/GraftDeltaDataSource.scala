@@ -258,7 +258,16 @@ object GraftDeltaRelation {
   }
 }
 
-/** Streaming sink half of the format (see provider doc). */
+/** Streaming sink half of the format (see provider doc).
+  *
+  * `autoCompactEvery N` (plus optional `targetFileSize` bytes) runs the
+  * OPTIMIZE bin-packer after every Nth epoch: continuous ingestion is
+  * THE small-files generator at scale (one file per partition per
+  * trigger), and because the compaction commits `dataChange = false` it
+  * is invisible to every downstream incremental reader of the table —
+  * the stream stays append-only while the layout stays healthy. A
+  * failed compaction never fails the epoch (the data commit already
+  * landed; layout is an optimization). */
 final class GraftDeltaSink(spark: SparkSession, tableUri: String,
     partitionColumns: Seq[String], options: Map[String, String]) extends Sink {
 
@@ -267,6 +276,10 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
   private val appId = options.getOrElse("txnappid",
     options.get("checkpointlocation").map(c => s"graftdelta-sink-$c")
       .getOrElse(s"graftdelta-sink-$tableUri"))
+
+  private val autoCompactEvery = options.get("autocompactevery").map(_.toLong)
+  private val targetFileSize =
+    options.get("targetfilesize").map(_.toLong).getOrElse(128L * 1024 * 1024)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is the micro-batch's streaming plan; re-wrap
@@ -281,6 +294,16 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
       DeltaTable.create(spark, empty, tableUri, partitionColumns)
     }
     DeltaTable.appendIfNew(spark, tableUri, batch, appId, batchId)
+    autoCompactEvery.filter(n => n > 0 && batchId > 0 && batchId % n == 0)
+      .foreach { _ =>
+        try graft.sorter.DeltaSorter(spark, tableUri)
+          .binPack(targetFileSizeBytes = targetFileSize)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graftdelta] auto-compact after epoch $batchId " +
+              s"failed (data commit is safe): $e")
+        }
+      }
   }
 
   override def toString: String = s"GraftDeltaSink[$tableUri]"

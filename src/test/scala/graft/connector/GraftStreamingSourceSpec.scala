@@ -250,6 +250,36 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink autoCompactEvery packs small files without disturbing readers") {
+    val src = TestSpark.tmpDir("gss-ac-src")
+    val dst = TestSpark.tmpDir("gss-ac-dst")
+    val ck = TestSpark.tmpDir("gss-ac-ck")
+    DeltaTable.create(spark, Seq(0L).toDF("v"), src)
+    val q = spark.readStream.format("graftdelta").load(src)
+      .writeStream.format("graftdelta")
+      .option("autoCompactEvery", "2")
+      .option("targetFileSize", (1L << 20).toString)
+      .option("checkpointLocation", ck).start(dst)
+    try {
+      q.processAllAvailable() // epoch 0
+      DeltaTable.append(spark, src, Seq(1L).toDF("v"))
+      q.processAllAvailable() // epoch 1
+      DeltaTable.append(spark, src, Seq(2L).toDF("v"))
+      q.processAllAvailable() // epoch 2 -> compaction fires
+    } finally q.stop()
+    val log = graft.delta.DeltaLog.forTable(spark, dst)
+    assert(log.snapshot().files.size == 1,
+      s"expected packed layout, got ${log.snapshot().files.size} files")
+    // rows intact, and the compaction commit is dataChange=false (a
+    // downstream incremental reader from version 0 re-emits nothing)
+    assert(DeltaTable.read(spark, dst).as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    val changed = (1L to log.latestVersion()).flatMap(log.actionsAt).collect {
+      case a: graft.delta.AddFile if a.dataChange => a
+    }
+    assert(changed.size == 3, "only the three epoch appends carry dataChange=true")
+  }
+
   test("graftdelta sink: table-to-table streaming pipeline, exactly once") {
     val src = TestSpark.tmpDir("gss-pipe-src")
     val dst = TestSpark.tmpDir("gss-pipe-dst")
