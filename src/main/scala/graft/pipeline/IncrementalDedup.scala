@@ -90,6 +90,8 @@ object IncrementalDedup {
       batch: DataFrame, appId: String, batchId: Long): IngestStats = {
     ensureTables(spark, corpusUri, indexUri, batch.schema)
     val sigs = bandSignatures(batch).cache()
+    var dupCorpusCached: Option[DataFrame] = None
+    var droppedCached: Option[DataFrame] = None
     try {
       val index = DeltaTable.read(spark, indexUri)
       // (2) corpus duplicates: any band signature already in the index.
@@ -98,6 +100,7 @@ object IncrementalDedup {
       val dupCorpus = broadcast(sigs)
         .join(index, Seq("band", "sig"), "left_semi")
         .select(col("doc_id")).distinct().cache()
+      dupCorpusCached = Some(dupCorpus)
       val fresh = sigs.join(dupCorpus, Seq("doc_id"), "left_anti")
       // (3) within-batch clusters on shared signatures; keep min doc_id
       val pairs = fresh.as("x").join(fresh.as("y"), Seq("band", "sig"))
@@ -110,6 +113,7 @@ object IncrementalDedup {
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
       val dropped = dupCorpus.unionByName(losers).distinct().cache()
+      droppedCached = Some(dropped)
       val accepted = batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
       val acceptedSigs = sigs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
         .select(col("band"), col("sig"), col("doc_id"))
@@ -123,7 +127,11 @@ object IncrementalDedup {
       val nLosers = dropped.count() - nDupCorpus
       IngestStats(total, nDupCorpus, nLosers, total - nDupCorpus - nLosers)
     } finally {
-      spark.catalog.clearCache()
+      // unpersist exactly what THIS call cached — clearCache() would
+      // also evict the caller's caches (e.g. inside a foreachBatch)
+      droppedCached.foreach(_.unpersist())
+      dupCorpusCached.foreach(_.unpersist())
+      sigs.unpersist()
     }
   }
 

@@ -250,6 +250,39 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("schema evolution mid-stream: the run keeps its start schema") {
+    val dir = TestSpark.tmpDir("gss-evo")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    val name = freshName()
+    val q = spark.readStream.format("graftdelta").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-evo-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // evolve: add a nullable column, append rows carrying it
+      DeltaTable.append(spark, dir,
+        Seq((2L, "x")).toDF("v", "extra"), mergeSchema = true)
+      q.processAllAvailable()
+      // the running stream emits its START schema: new rows arrive, the
+      // evolved column is dropped for this run (restart picks it up)
+      assert(spark.table(name).columns.toSeq == Seq("v"))
+      assert(spark.table(name).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+    // a fresh stream sees the evolved schema
+    val name2 = freshName()
+    val q2 = spark.readStream.format("graftdelta").load(dir)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", TestSpark.tmpDir("gss-evo-ck2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).columns.toSeq == Seq("v", "extra"))
+      assert(spark.table(name2).as[(Long, Option[String])].collect().sorted.toSeq ==
+        Seq((1L, None), (2L, Some("x"))))
+    } finally q2.stop()
+  }
+
   test("sink autoCompactEvery packs small files without disturbing readers") {
     val src = TestSpark.tmpDir("gss-ac-src")
     val dst = TestSpark.tmpDir("gss-ac-dst")
