@@ -83,6 +83,20 @@ object IncrementalDedup {
     }
   }
 
+  /** Batch doc_ids whose band signatures already exist in the index.
+    * The BATCH is the small side, so it must be the broadcast BUILD
+    * side: an inner join with the batch broadcast on the right streams
+    * the (100 TB-scale) index through a hash probe — one pass, zero
+    * index shuffle. (A `left_semi` with the batch on the left canNOT
+    * broadcast the batch — semi-joins build right — and would fall back
+    * to shuffling the index.) Only the matched ids are shuffled, by the
+    * distinct. */
+  private[graft] def corpusDuplicates(index: DataFrame, sigs: DataFrame): DataFrame =
+    index.join(
+      broadcast(sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc"))),
+      Seq("band", "sig"))
+      .select(col("batch_doc").as("doc_id")).distinct()
+
   /** One idempotent ingestion step (see object doc). `batch` must carry
     * `doc_id` (long, unique) and `text`; extra columns ride along into
     * the corpus. */
@@ -94,12 +108,8 @@ object IncrementalDedup {
     var droppedCached: Option[DataFrame] = None
     try {
       val index = DeltaTable.read(spark, indexUri)
-      // (2) corpus duplicates: any band signature already in the index.
-      // The batch side is the small side — broadcast it so the index is
-      // hash-probed in one pass, never shuffled.
-      val dupCorpus = broadcast(sigs)
-        .join(index, Seq("band", "sig"), "left_semi")
-        .select(col("doc_id")).distinct().cache()
+      // (2) corpus duplicates: any band signature already in the index
+      val dupCorpus = corpusDuplicates(index, sigs).cache()
       dupCorpusCached = Some(dupCorpus)
       val fresh = sigs.join(dupCorpus, Seq("doc_id"), "left_anti")
       // (3) within-batch clusters on shared signatures; keep min doc_id

@@ -62,6 +62,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, index).count() == graft.queries.Dedup.Bands.toLong)
   }
 
+  test("index probe broadcasts the BATCH side; the index never shuffles") {
+    val corpus = TestSpark.tmpDir("incd5-corpus")
+    val index = TestSpark.tmpDir("incd5-index")
+    val b = Seq((1L, doc("kappa"))).toDF("doc_id", "text")
+    IncrementalDedup.ingest(spark, corpus, index, b, "t5", 0L)
+    val probe = IncrementalDedup.corpusDuplicates(
+      DeltaTable.read(spark, index),
+      IncrementalDedup.bandSignatures(b))
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"expected a broadcast hash join, plan:\n$plan")
+    assert(bhj.head.buildSide.toString == "BuildRight",
+      "the batch (right side) must be the broadcast build side")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "the index must never be shuffled for the probe")
+  }
+
   test("streaming wiring: staged commits flow through exactly once") {
     val staging = TestSpark.tmpDir("incd4-staging")
     val corpus = TestSpark.tmpDir("incd4-corpus")
