@@ -176,3 +176,28 @@ class SortOptimizer:
     def latest_version(self) -> int:
         """Latest committed table version."""
         return int(self._j.latestVersion())
+
+
+def incremental_dedup_ingest(
+    corpus_uri: str,
+    index_uri: str,
+    batch,
+    app_id: str,
+    batch_id: int,
+) -> dict:
+    """One idempotent step of the incremental fuzzy-dedup pipeline:
+    dedup ``batch`` (a pyspark DataFrame with ``doc_id``/``text``)
+    against the persistent signature index at ``index_uri`` and within
+    itself, append survivors to ``corpus_uri``, survivors' signatures to
+    the index. Replaying the same (app_id, batch_id) is a no-op."""
+    spark = batch.sparkSession
+    stats = spark._jvm.graft.pipeline.IncrementalDedup.ingest(
+        spark._jsparkSession, corpus_uri, index_uri, batch._jdf,
+        app_id, int(batch_id),
+    )
+    return {
+        "batch_rows": stats.batchRows(),
+        "dup_of_corpus": stats.dupOfCorpus(),
+        "dup_within_batch": stats.dupWithinBatch(),
+        "accepted": stats.accepted(),
+    }

@@ -1,0 +1,34 @@
+"""Python surface of the incremental dedup pipeline: batches dedup
+against the signature index, replays are no-ops."""
+from deltasort import SortOptimizer, incremental_dedup_ingest
+
+
+def _doc(family, tail=""):
+    return " ".join(f"{family}{i}" for i in range(1, 41)) + tail
+
+
+def test_ingest_dedups_and_replays_idempotently(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    b1 = spark.createDataFrame(
+        [(1, _doc("alpha")), (2, _doc("beta"))], "doc_id LONG, text STRING"
+    )
+    s1 = incremental_dedup_ingest(corpus, index, b1, "py", 0)
+    assert s1 == {
+        "batch_rows": 2,
+        "dup_of_corpus": 0,
+        "dup_within_batch": 0,
+        "accepted": 2,
+    }
+
+    b2 = spark.createDataFrame(
+        [(3, _doc("alpha", " v2")), (4, _doc("gamma"))],
+        "doc_id LONG, text STRING",
+    )
+    s2 = incremental_dedup_ingest(corpus, index, b2, "py", 1)
+    assert s2["dup_of_corpus"] == 1 and s2["accepted"] == 1
+
+    # replay of batch 1: corpus unchanged
+    incremental_dedup_ingest(corpus, index, b2, "py", 1)
+    opt = SortOptimizer(corpus, spark=spark)
+    assert sorted(r.doc_id for r in opt.read().collect()) == [1, 2, 4]
