@@ -114,6 +114,11 @@ final class GraftDeltaDataSource extends RelationProvider
       case SaveMode.Append =>
         DeltaTable.append(spark, tableUri, clustered,
           mergeSchema = opts.get("mergeschema").exists(_.toBoolean))
+      case SaveMode.Overwrite if opts.contains("replacewhere") =>
+        // selective overwrite: replace exactly the predicate's rows,
+        // atomically, leaving every other file untouched
+        DeltaTable.replaceWhere(spark, tableUri,
+          org.apache.spark.sql.functions.expr(opts("replacewhere")), clustered)
       case SaveMode.Overwrite =>
         val snap = log.snapshot()
         DeltaTable.checkConstraints(log, snap, clustered)

@@ -393,6 +393,39 @@ object DeltaTable {
       cdc = stageCdc(spark, log, changes))
   }
 
+  /** Selective overwrite (delta-spark's `replaceWhere`): atomically
+    * replace exactly the rows matching `predicate` with `data` — the
+    * idempotent-reload idiom (re-land one day/source partition of a
+    * 100 TB table without touching the rest). Semantically DELETE
+    * matching rows + append `data` in ONE commit, with the same
+    * file-level pruning as [[delete]]: untouched files never move.
+    * Every incoming row must satisfy the predicate (checked before
+    * anything stages — the delta-spark contract), so a retry after a
+    * partial upstream failure can never leak rows outside the replaced
+    * region. Change feed: matching rows emit `delete`, incoming rows
+    * emit `insert`. */
+  def replaceWhere(spark: SparkSession, tableUri: String, predicate: Column,
+      data: DataFrame): DmlStats = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val outside = data.where(not(coalesce(predicate, lit(false)))).count()
+    require(outside == 0,
+      s"replaceWhere: $outside incoming row(s) do not satisfy the predicate")
+    val candidates = candidateFiles(spark, snap, predicate)
+    val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
+    val survivors = readFiles(spark, log, snap, touched)
+      .where(not(coalesce(predicate, lit(false))))
+    val deleted = readFiles(spark, log, snap, touched)
+      .where(coalesce(predicate, lit(false)))
+      .withColumn("_change_type", lit("delete"))
+    val inserted = data.select(snap.schema.fieldNames.map(col).toSeq: _*)
+      .withColumn("_change_type", lit("insert"))
+    commitRewrite(spark, log, snap, touched,
+      survivors.unionByName(inserted.drop("_change_type")), "WRITE",
+      Map("mode" -> "Overwrite", "replaceWhere" -> predicate.toString),
+      cdc = stageCdc(spark, log, deleted.unionByName(inserted)))
+  }
+
   /** DELETE rows matching `predicate` (rows where the predicate is NULL
     * are kept, per SQL DELETE semantics). Same file-level pruning as
     * [[upsert]]: only files containing at least one matching row are

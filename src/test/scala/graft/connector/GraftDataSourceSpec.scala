@@ -153,6 +153,43 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(ky < ty, s"z-order should prune on y ($ky/$ty)")
   }
 
+  test("replaceWhere overwrites exactly the predicate's rows, atomically") {
+    val dir = TestSpark.tmpDir("gds-rw")
+    // two files with disjoint p ranges: p=0 file and p=1 file
+    val df = spark.range(100).select(($"id" % 2).as("p"), $"id".as("v"))
+      .repartitionByRange(2, $"p").sortWithinPartitions($"p", $"v")
+    DeltaTable.create(spark, df, dir)
+    val before = DeltaLog.forTable(spark, dir).snapshot()
+
+    // re-land the p=1 region with fresh rows in ONE commit
+    Seq((1L, 1000L), (1L, 1001L)).toDF("p", "v")
+      .write.format("graftdelta").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "p = 1").save(dir)
+
+    val after = DeltaLog.forTable(spark, dir).snapshot()
+    assert(after.version == before.version + 1) // atomic: one commit
+    val rows = DeltaTable.read(spark, dir).as[(Long, Long)].collect()
+    assert(rows.count(_._1 == 0L) == 50, "p=0 region untouched")
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1000L, 1001L))
+    // untouched file never moved
+    val beforePaths = before.files.map(_.path).toSet
+    assert(after.files.exists(f => beforePaths.contains(f.path)),
+      "the p=0 file must survive the commit unmoved")
+    // change feed: deletes of the old region + inserts of the new rows
+    val changes = DeltaTable.changesBetween(spark, dir, before.version, after.version)
+      .groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(changes == Map("delete" -> 50L, "insert" -> 2L))
+
+    // rows outside the predicate are rejected before anything commits
+    intercept[IllegalArgumentException] {
+      Seq((0L, 9L)).toDF("p", "v")
+        .write.format("graftdelta").mode(SaveMode.Overwrite)
+        .option("replaceWhere", "p = 1").save(dir)
+    }
+    assert(DeltaLog.forTable(spark, dir).snapshot().version == after.version)
+  }
+
   test("batch readChangeFeed returns the CDF rows of a version range") {
     val dir = TestSpark.tmpDir("gds-cdf")
     DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir) // v0
