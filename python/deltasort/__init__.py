@@ -122,6 +122,13 @@ class SortOptimizer:
             jmap.put(k, v)
         return json.loads(self._j.updateWhere(predicate, jmap))
 
+    def replace_where(self, predicate: str, data) -> dict:
+        """Selective overwrite: atomically replace exactly the rows
+        matching ``predicate`` with the pyspark DataFrame ``data``
+        (delta-spark's replaceWhere). Every incoming row must satisfy
+        the predicate. Returns {'files_removed': N, 'files_added': N}."""
+        return json.loads(self._j.replaceWhere(predicate, data._jdf))
+
     def add_constraint(self, name: str, check_expr: str) -> None:
         """Engine extension: register a CHECK constraint (Spark-SQL
         boolean expression; NULL passes). Verifies existing rows first;

@@ -49,3 +49,12 @@ def test_changes_between_row_level(spark, tmp_table):
         (2, "B", "update_postimage", 1),
         (2, "b", "update_preimage", 1),
     ]
+
+
+def test_replace_where(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    fresh = spark.createDataFrame([(1, "A")], "k LONG, s STRING")
+    stats = opt.replace_where("k = 1", fresh)
+    assert stats["files_removed"] >= 1 and stats["files_added"] >= 1
+    rows = sorted((r.k, r.s) for r in opt.read().collect())
+    assert rows == [(1, "A"), (2, "b")]

@@ -102,6 +102,12 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
         k -> org.apache.spark.sql.functions.expr(v)
       }))
 
+  /** Selective overwrite: atomically replace exactly the rows matching
+    * `predicate` with `data` (delta-spark's replaceWhere). */
+  def replaceWhere(predicate: String, data: org.apache.spark.sql.DataFrame): String =
+    dmlJson(graft.delta.DeltaTable.replaceWhere(spark, tableUri,
+      org.apache.spark.sql.functions.expr(predicate), data))
+
   /** Engine extension: register a CHECK constraint (verifies existing
     * rows first; enforced by every future data-adding commit). */
   def addConstraint(name: String, checkExpr: String): Unit =
