@@ -409,12 +409,18 @@ object Dedup {
     // payload — 16 bytes per token position.
     "q_dedup_substr" -> ((s, dir) => {
       val W = 30
-      val wins = table(s, dir, "documents")
+      // cache at the per-doc hash-array granularity (like jaccard's
+      // shingle cache): the md5-per-window map is the expensive pass and
+      // feeds three consumers (df index + both self-join sides); the
+      // exploded form is cheap to re-derive from the cached arrays
+      val hashed = table(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .where(size(col("tk")) >= W)
-        .select(col("doc_id"), explode(array_distinct(
+        .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("tk")) - (W - 1)),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(W))))))).as("h"))
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("hs"))
+        .cache()
+      val wins = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
       val keep = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") <= DfCap)
