@@ -167,9 +167,12 @@ final class GraftDeltaDataSource extends RelationProvider
 }
 
 /** Batch relation: snapshot pinned at plan time (all scans of one query
-  * see one table version), file-list pruning from pushed filters. */
+  * see one table version), file-list pruning from pushed filters;
+  * insertable, so SQL `INSERT INTO` / `INSERT OVERWRITE` on a
+  * `USING graftdelta` table commit through the log. */
 final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
-    versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+    versionAsOf: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   private val log = DeltaLog.forTable(spark, tableUri)
   private val snap = versionAsOf.map(log.snapshotAt).getOrElse(log.snapshot())
@@ -204,6 +207,25 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     translated.foreach(c => df = df.where(c))
     val projected = df.select(requiredColumns.toSeq.map(col): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty, "cannot INSERT into a versionAsOf read")
+    // SQL inserts arrive by POSITION (the v1 contract): realign to the
+    // table's column names before the name-based append/overwrite
+    val named = data.toDF(schema.fieldNames.toSeq: _*)
+    if (overwrite) {
+      val log = DeltaLog.forTable(spark, tableUri)
+      val snapNow = log.snapshot()
+      DeltaTable.checkConstraints(log, snapNow, named)
+      val adds = DeltaTable.stageWrite(spark, log, named,
+        snapNow.metadata.partitionColumns, maxRecordsPerFile = None, dataChange = true)
+      val now = System.currentTimeMillis()
+      val removes = snapNow.files.map(f =>
+        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+      log.commitLatest(removes ++ adds :+
+        CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")))
+    } else DeltaTable.append(spark, tableUri, named)
   }
 }
 

@@ -229,4 +229,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(n == 100)
     } finally spark.sql("DROP TABLE graft_sql_t")
   }
+
+  test("SQL INSERT INTO and INSERT OVERWRITE commit through the log") {
+    val dir = TestSpark.tmpDir("gds-insert")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    spark.sql(s"CREATE TABLE graft_sql_ins USING graftdelta OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO graft_sql_ins VALUES (2, 'b'), (3, 'c')")
+      assert(DeltaTable.read(spark, dir).count() == 3)
+      spark.sql("INSERT OVERWRITE graft_sql_ins VALUES (9, 'z')")
+      // the catalog relation caches a snapshot; the log is the truth
+      assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSeq ==
+        Seq((9L, "z")))
+      assert(DeltaLog.forTable(spark, dir).snapshot().version == 2L)
+    } finally spark.sql("DROP TABLE graft_sql_ins")
+  }
 }
