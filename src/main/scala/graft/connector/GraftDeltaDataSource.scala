@@ -123,13 +123,24 @@ final class GraftDeltaDataSource extends RelationProvider
         val snap = log.snapshot()
         DeltaTable.checkConstraints(log, snap, clustered)
         val parts = if (partitionBy.nonEmpty) partitionBy else snap.metadata.partitionColumns
+        // schema/partitioning changes need an explicit overwriteSchema=true
+        // (mirrors the mergeSchema gate on append, and delta-spark): a
+        // mis-typed frame must error, not silently replace the table shape
+        val sameShape =
+          data.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            snap.schema.fields.map(f => (f.name, f.dataType)).toSeq &&
+          parts == snap.metadata.partitionColumns
+        require(sameShape || opts.get("overwriteschema").exists(_.toBoolean),
+          s"graftdelta: Overwrite would change the schema/partitioning of $tableUri " +
+            s"(table: ${snap.schema.simpleString}, incoming: ${data.schema.simpleString}); " +
+            "set .option(\"overwriteSchema\", true) to allow")
         val adds = DeltaTable.stageWrite(spark, log, clustered, parts,
           maxRecordsPerFile = None, dataChange = true)
         val now = System.currentTimeMillis()
         val removes = snap.files.map(f =>
           RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
         val meta =
-          if (data.schema == snap.schema && parts == snap.metadata.partitionColumns) Nil
+          if (sameShape) Nil
           else Seq(snap.metadata.copy(schemaString = data.schema.json,
             partitionColumns = parts))
         log.commitLatest(meta ++ removes ++ adds :+
@@ -173,6 +184,10 @@ final class GraftDeltaDataSource extends RelationProvider
 final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     versionAsOf: Option[Long]) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
+
+  /** Table identity for the SQL DML rules ([[graft.sql.GraftDmlRule]]). */
+  private[graft] def uri: String = tableUri
+  private[graft] def isTimeTravel: Boolean = versionAsOf.isDefined
 
   private val log = DeltaLog.forTable(spark, tableUri)
   private val snap = versionAsOf.map(log.snapshotAt).getOrElse(log.snapshot())
@@ -245,15 +260,23 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
   private val endVersion = endingVersion.getOrElse(log.snapshot().version)
 
   override def sqlContext: SQLContext = spark.sqlContext
+  /** Schema AS OF `endingVersion`, not the latest snapshot: a bounded
+    * range read must not fail (or invent columns) because a later
+    * commit evolved the schema past the range being read. */
   override val schema: StructType = GraftDeltaSource.streamSchema(
-    log.snapshot().schema, changeFeed = true)
+    log.snapshotAt(endVersion).schema, changeFeed = true)
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] = {
     val raw = DeltaTable.changesBetween(spark, tableUri,
       startingVersion - 1, endVersion)
+    // allowMissingColumns semantics: change rows written before a
+    // mergeSchema commit inside the range lack the later columns — read
+    // them as NULL instead of failing resolution
+    val have = raw.columns.toSet
     val normalized = raw.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      (if (have(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)): _*)
     normalized.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
@@ -298,11 +321,28 @@ object GraftDeltaRelation {
 final class GraftDeltaSink(spark: SparkSession, tableUri: String,
     partitionColumns: Seq[String], options: Map[String, String]) extends Sink {
 
-  /** Idempotence identity: stable across restarts of the SAME query
-    * (checkpointLocation-derived by default), distinct across queries. */
-  private val appId = options.getOrElse("txnappid",
-    options.get("checkpointlocation").map(c => s"graftdelta-sink-$c")
-      .getOrElse(s"graftdelta-sink-$tableUri"))
+  /** Idempotence identity: stable across restarts of the SAME query,
+    * distinct across queries. Priority: explicit `txnAppId` option, else
+    * the stream's stable query id (persisted in checkpoint metadata —
+    * the identity delta-spark keys its txn on; unlike a checkpoint PATH
+    * it survives respelling, and unlike the table URI it can never be
+    * shared by two distinct queries writing the same table, which would
+    * silently drop the second query's micro-batches). Resolved lazily at
+    * the first batch because the sink is constructed before the query
+    * runs; `addBatch` executes on the stream thread, where the query id
+    * is a local property. */
+  @volatile private var resolvedAppId: String = null
+  private def appId: String = {
+    if (resolvedAppId == null) resolvedAppId = options.getOrElse("txnappid", {
+      val qid = spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)
+      require(qid != null && qid.nonEmpty,
+        "graftdelta sink: no streaming query id on this thread to key " +
+          "exactly-once commits on; pass .option(\"txnAppId\", ...) explicitly")
+      s"graftdelta-sink-$qid"
+    })
+    resolvedAppId
+  }
 
   private val autoCompactEvery = options.get("autocompactevery").map(_.toLong)
   private val targetFileSize =

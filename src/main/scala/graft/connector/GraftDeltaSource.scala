@@ -151,7 +151,12 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
       }
       end = GraftDeltaOffset(v, idx, initial)
       if (stopHere) done = true
-      else if (idx < list.size - 1L) done = true // cap hit mid-version
+      // cap reached (mid-version OR exactly at a version boundary): stop
+      // BEFORE fetching the next version's file list — the next commit
+      // may be a delete/rewrite whose ignoreDeletes/ignoreChanges failure
+      // must not swallow the batch already admitted under the cap; it
+      // surfaces on the following trigger instead
+      else if (out.size >= cap) done = true
       else if (v == maxVersion) done = true
       else { v += 1; initial = false; idx = -1L }
     }

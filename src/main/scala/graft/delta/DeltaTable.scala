@@ -402,13 +402,20 @@ object DeltaTable {
     * Every incoming row must satisfy the predicate (checked before
     * anything stages — the delta-spark contract), so a retry after a
     * partial upstream failure can never leak rows outside the replaced
-    * region. Change feed: matching rows emit `delete`, incoming rows
-    * emit `insert`. */
+    * region. A non-deterministic input (sampling, rand-derived columns)
+    * is pinned with `localCheckpoint` first: the validation count, the
+    * change-feed rows, and the staged files must all see ONE evaluation,
+    * or the check could pass on rows the commit never writes. Change
+    * feed: matching rows emit `delete`, incoming rows emit `insert`. */
   def replaceWhere(spark: SparkSession, tableUri: String, predicate: Column,
       data: DataFrame): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
-    val outside = data.where(not(coalesce(predicate, lit(false)))).count()
+    val pinned =
+      if (data.queryExecution.analyzed.exists(_.expressions.exists(
+          _.exists(!_.deterministic)))) data.localCheckpoint()
+      else data
+    val outside = pinned.where(not(coalesce(predicate, lit(false)))).count()
     require(outside == 0,
       s"replaceWhere: $outside incoming row(s) do not satisfy the predicate")
     val candidates = candidateFiles(spark, snap, predicate)
@@ -418,7 +425,7 @@ object DeltaTable {
     val deleted = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
-    val inserted = data.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val inserted = pinned.select(snap.schema.fieldNames.map(col).toSeq: _*)
       .withColumn("_change_type", lit("insert"))
     commitRewrite(spark, log, snap, touched,
       survivors.unionByName(inserted.drop("_change_type")), "WRITE",

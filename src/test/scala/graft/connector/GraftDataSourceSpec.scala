@@ -244,4 +244,43 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(DeltaLog.forTable(spark, dir).snapshot().version == 2L)
     } finally spark.sql("DROP TABLE graft_sql_ins")
   }
+
+  test("Overwrite refuses a schema change without overwriteSchema=true") {
+    val dir = TestSpark.tmpDir("gds-ows")
+    Seq((1L, "a")).toDF("k", "s").write.format("graftdelta").save(dir)
+    intercept[IllegalArgumentException] {
+      Seq((1L, 2L)).toDF("k", "n")
+        .write.format("graftdelta").mode(SaveMode.Overwrite).save(dir)
+    }
+    // the refused write committed nothing and the schema is intact
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().version == 0L)
+    assert(spark.read.format("graftdelta").load(dir).columns.toSeq == Seq("k", "s"))
+    // the explicit opt-in performs the schema-changing overwrite
+    Seq((1L, 2L)).toDF("k", "n")
+      .write.format("graftdelta").mode(SaveMode.Overwrite)
+      .option("overwriteSchema", "true").save(dir)
+    assert(spark.read.format("graftdelta").load(dir)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+  }
+
+  test("bounded readChangeFeed predating a schema evolution uses the as-of schema") {
+    val dir = TestSpark.tmpDir("gds-cdf-evolve")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    DeltaTable.append(spark, dir, // v2 adds column s
+      Seq((3L, "x")).toDF("v", "s"), mergeSchema = true)
+    // range (0, 1] ends before the evolution: schema must be as-of v1
+    val pre = spark.read.format("graftdelta").option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "1").load(dir)
+    assert(pre.columns.toSeq == Seq("v", "_change_type", "_commit_version"))
+    assert(pre.count() == 2)
+    // unbounded range spans the evolution: pre-evolution change rows
+    // surface the later column as NULL
+    val all = spark.read.format("graftdelta")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(dir)
+    assert(all.columns.contains("s"))
+    assert(all.where($"_commit_version" <= 1 && $"s".isNull).count() == 2)
+    assert(all.where($"_commit_version" === 2 && $"s" === "x").count() == 1)
+  }
 }

@@ -331,4 +331,51 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     val out = DeltaTable.read(spark, dst).as[(Long, Long)].collect().sorted.toSeq
     assert(out == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
+
+  test("maxFilesPerTrigger cap at a version boundary delivers before a delete fails") {
+    val dir = TestSpark.tmpDir("gss-capboundary")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v").coalesce(1), dir) // v0: 1 file
+    DeltaTable.delete(spark, dir, $"v" >= 1L) // v1: remove-only commit
+    val src = new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0", "maxfilespertrigger" -> "1"))
+    try {
+      // cap is exhausted exactly at v0's boundary: the offset must stop
+      // there instead of probing v1 (whose delete would throw here and
+      // swallow the admitted batch)
+      val end = GraftDeltaOffset.convert(src.getOffset.get)
+      assert(end.version == 0L && !end.isInitial)
+      assert(src.filesForBatch(None, end).size == 1,
+        "the admitted batch is v0's single file")
+      // the failure surfaces on the NEXT trigger, after delivery
+      val ex = intercept[IllegalStateException](src.getOffset)
+      assert(ex.getMessage.contains("ignoreDeletes"))
+    } finally src.stop()
+  }
+
+  test("two queries writing one table get distinct idempotence keys") {
+    val srcA = TestSpark.tmpDir("gss-two-a")
+    val srcB = TestSpark.tmpDir("gss-two-b")
+    val dst = TestSpark.tmpDir("gss-two-dst")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), srcA)
+    DeltaTable.create(spark, Seq(10L).toDF("v"), srcB)
+    // checkpoint via session conf, NOT a sink option: the sink sees no
+    // checkpointLocation and must still derive per-query keys (keying on
+    // the table URI would make query B's batch 0 a duplicate of A's and
+    // silently drop it)
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      TestSpark.tmpDir("gss-two-ck"))
+    try {
+      for (src <- Seq(srcA, srcB)) {
+        val q = spark.readStream.format("graftdelta").load(src)
+          .writeStream.format("graftdelta")
+          .queryName(s"gss_two_${src.hashCode.abs}").start(dst)
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert(DeltaTable.read(spark, dst).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 10L), "both queries' first epochs must land")
+    val txns = graft.delta.DeltaLog.forTable(spark, dst).snapshot().txns
+    val keys = txns.keySet.filter(_.startsWith("graftdelta-sink-"))
+    assert(keys.size == 2, s"expected one txn key per query, got $txns")
+  }
 }

@@ -246,4 +246,35 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(DeltaTable.readAt(spark, dir, 0).where(col("v") === "a").count() == 1)
     assert(DeltaTable.read(spark, dir).where(col("v") === "A!").count() == 1)
   }
+
+  test("replaceWhere pins a non-deterministic input before validating") {
+    val dir = TestSpark.tmpDir("dml-rw-nondet")
+    DeltaTable.create(spark,
+      Seq((0L, -1L), (1L, -2L)).toDF("p", "v").repartitionByRange(2, col("p")), dir)
+    // a shared counter makes the non-determinism REPRODUCIBLE: the first
+    // full evaluation (draws 0..3) yields only p=1 rows and passes the
+    // validation count; any re-evaluation (draws >= 4) yields p=0 rows —
+    // an unpinned plan would stage rows outside the replaced region
+    NonDetDraws.n.set(0)
+    val next = udf(() => NonDetDraws.n.getAndIncrement()).asNondeterministic()
+    val data = spark.range(4).coalesce(1)
+      .select(when(next() < 4, 1L).otherwise(0L).as("p"), col("id").as("v"))
+    DeltaTable.replaceWhere(spark, dir, col("p") === 1L, data)
+    val rows = DeltaTable.read(spark, dir).as[(Long, Long)].collect().sortBy(_._2)
+    assert(rows.count(_._1 == 0L) == 1 && rows.contains((0L, -1L)),
+      "p=0 region untouched")
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"staged rows must be the SAME evaluation the validation saw, got ${rows.toSeq}")
+    // the change feed's inserts agree with the staged rows
+    val inserts = DeltaTable.changesBetween(spark, dir, 0, 1)
+      .where(col("_change_type") === "insert")
+      .select("p", "v").as[(Long, Long)].collect().toSeq
+    assert(inserts.toSet == Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L)))
+  }
+}
+
+/** JVM-wide draw counter for the non-determinism test (local[*] executors
+  * share the JVM, so every partition draws from one sequence). */
+object NonDetDraws {
+  val n = new java.util.concurrent.atomic.AtomicLong(0)
 }
