@@ -34,6 +34,38 @@ object Connector {
       uri
     })
 
+  /** A graft-Delta copy of `nation` mutated through SQL-statement DML
+    * (DELETE / UPDATE / MERGE via [[graft.sql.GraftSparkSessionExtension]]);
+    * built once per JVM. The oracle recomputes the post-DML state
+    * relationally from the raw parquet, so a green row proves the SQL
+    * path routes to the same library ops the engine tests pin. */
+  private def nationSqlDml(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir + "#sqldml", _ => {
+      val uri = java.nio.file.Files.createTempDirectory("graft-conn-sqldml").toString
+      DeltaTable.create(s, table(s, dir, "nation")
+        .repartitionByRange(3, col("n_nationkey"))
+        .sortWithinPartitions(col("n_nationkey")), uri)
+      val t = s"graft_sql_dml_${math.abs(uri.hashCode)}"
+      s.sql(s"CREATE TABLE $t USING graftdelta OPTIONS (path '$uri')")
+      try {
+        table(s, dir, "nation").createOrReplaceTempView(s"${t}_src")
+        s.sql(s"DELETE FROM $t WHERE n_regionkey = 0")
+        s.sql(s"UPDATE $t SET n_name = concat(n_name, '*') WHERE n_regionkey = 1")
+        s.sql(
+          s"""MERGE INTO $t
+             |USING (SELECT n_nationkey, n_name,
+             |              CAST(n_regionkey + 100 AS INT) AS n_regionkey
+             |       FROM ${t}_src WHERE n_nationkey < 3) s
+             |ON $t.n_nationkey = s.n_nationkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally {
+        s.sql(s"DROP TABLE $t")
+        s.catalog.dropTempView(s"${t}_src")
+      }
+      uri
+    })
+
   val queries: Map[String, Q] = Map(
     // selective range + aggregate THROUGH the data source API: Catalyst
     // pushes the l_orderkey range into the relation, which file-prunes
@@ -47,6 +79,14 @@ object Connector {
         .agg(
           sum(cents(col("l_quantity"))).as("sum_qty_cents"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // the table AFTER a SQL DELETE + UPDATE + MERGE ran against it —
+    // the whole statement->library-op routing is on the hash path
+    "q_sql_dml" -> ((s, dir) => {
+      val uri = nationSqlDml(s, dir)
+      s.read.format("graftdelta").load(uri)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     })
   )
 
@@ -57,6 +97,21 @@ object Connector {
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem
         |WHERE l_orderkey >= 1000 AND l_orderkey < 2000
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q_sql_dml" ->
+      """WITH base AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_regionkey = 1 THEN n_name || '*' ELSE n_name END AS n_name,
+        |         n_regionkey
+        |  FROM nation WHERE n_regionkey <> 0
+        |), s AS (
+        |  SELECT n_nationkey, n_name, CAST(n_regionkey + 100 AS INTEGER) AS n_regionkey
+        |  FROM nation WHERE n_nationkey < 3
+        |)
+        |SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
+        |WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM s)
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM s""".stripMargin
   )
 }

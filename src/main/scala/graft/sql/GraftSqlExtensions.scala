@@ -1,0 +1,198 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftShims
+
+import graft.connector.GraftDeltaRelation
+import graft.delta.DeltaTable
+
+/** SQL-statement DML for `USING graftdelta` tables.
+  *
+  * Spark's parser already produces [[DeleteFromTable]] / [[UpdateTable]] /
+  * [[MergeIntoTable]] plans for `DELETE FROM` / `UPDATE` / `MERGE INTO`,
+  * and the analyzer resolves their expressions against any relation —
+  * but only DataSource-v2 tables get an execution rewrite; a v1 relation
+  * fails analysis with "only supported with v2 tables". This extension
+  * closes that gap the same way delta-spark's `DeltaAnalysis` did for its
+  * v1 era: a resolution rule that recognizes the fully-resolved DML plan
+  * over a [[GraftDeltaRelation]] and replaces it with a runnable command
+  * over the existing library ops ([[DeltaTable.delete]]/`update`/
+  * `upsert`), which carry the file-level rewrite pruning, CDF capture,
+  * and constraint checks already proven by the library tests.
+  *
+  * Register with
+  * `.config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")`
+  * (on by default in this repo's entry points).
+  *
+  * Resolved attribute references are stripped back to by-name columns at
+  * run time because the library ops re-read the table under fresh
+  * expression ids; the commands store the RESOLVED expressions so the
+  * analyzer's resolution invariants hold for the command plan itself.
+  */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectResolutionRule(GraftDmlRule.apply)
+}
+
+object GraftDmlRule {
+  /** By-name re-resolution: the library DML ops evaluate predicates and
+    * assignments against their own read of the table, so resolved
+    * attributes from the SQL plan are rebound by (quoted) name. */
+  private[sql] def toColumn(e: Expression): Column =
+    GraftShims.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graftdelta SQL MERGE supports the upsert shape " +
+        "(ON equi-join keys, WHEN MATCHED THEN UPDATE SET *, " +
+        "WHEN NOT MATCHED THEN INSERT *); " +
+        s"$what is not supported — use the graft.delta.DeltaTable API for richer merges")
+}
+
+/** Resolution rule: fully-resolved DML plans over graftdelta v1
+  * relations become runnable commands. */
+case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftDmlRule._
+
+  /** The graftdelta relation plus its catalog identity (needed to
+    * invalidate the cached relation — and its pinned snapshot — after
+    * the DML commits, or a following SELECT on the table would read the
+    * pre-DML version). */
+  private object Target {
+    def unapply(plan: LogicalPlan): Option[(GraftDeltaRelation, Option[String])] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case lr: LogicalRelation => lr.relation match {
+          case r: GraftDeltaRelation =>
+            Some((r, lr.catalogTable.map(_.identifier.unquotedString)))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  private def checkWritable(r: GraftDeltaRelation): String = {
+    require(!r.isTimeTravel, "cannot run DML against a versionAsOf read")
+    r.uri
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case d @ DeleteFromTable(Target(r, ident), condition) if d.resolved =>
+      GraftDeleteCommand(checkWritable(r), condition, ident)
+
+    case u @ UpdateTable(Target(r, ident), assignments, condition) if u.resolved =>
+      val sets = assignments.map {
+        case Assignment(key: AttributeReference, value) => key.name -> value
+        case Assignment(key, _) => throw new UnsupportedOperationException(
+          s"graftdelta SQL UPDATE supports top-level column assignments only, got SET $key")
+      }
+      GraftUpdateCommand(checkWritable(r), sets, condition, ident)
+
+    case m @ MergeIntoTable(Target(r, ident), source, cond,
+        matched, notMatched, bySource, evolution) if m.resolved =>
+      if (evolution) unsupported("WITH SCHEMA EVOLUTION")
+      if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
+      val upAssigns = matched match {
+        case Seq(UpdateAction(None, assigns, _)) => assigns
+        case other => unsupported(s"matched clause ${other.mkString(", ")}")
+      }
+      val insAssigns = notMatched match {
+        case Seq(InsertAction(None, assigns)) => assigns
+        case other => unsupported(s"not-matched clause ${other.mkString(", ")}")
+      }
+      // both clauses must write every target column straight from a
+      // same-named source column — the delta "upsert by key" contract
+      // the library op implements (whole rows from the source replace /
+      // extend the table; a partial SET would need a general merge)
+      def starColumns(assigns: Seq[Assignment]): Seq[(String, String)] =
+        assigns.map {
+          case Assignment(k: AttributeReference, v: AttributeReference)
+              if source.outputSet.contains(v) => k.name -> v.name
+          case a => unsupported(s"assignment $a")
+        }
+      val columns = starColumns(insAssigns)
+      if (starColumns(upAssigns).toMap != columns.toMap)
+        unsupported("differing UPDATE and INSERT assignments")
+      val targetOut = m.targetTable.outputSet
+      val keys = conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if targetOut.contains(a) && source.outputSet.contains(b) =>
+          if (!conf.resolver(a.name, b.name))
+            unsupported(s"join key with differing names (${a.name} = ${b.name})")
+          a.name
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if targetOut.contains(a) && source.outputSet.contains(b) =>
+          if (!conf.resolver(a.name, b.name))
+            unsupported(s"join key with differing names (${a.name} = ${b.name})")
+          a.name
+        case other => unsupported(s"non-equi merge condition $other")
+      }
+      GraftMergeCommand(checkWritable(r), source, keys, columns, ident)
+  }
+}
+
+/** Post-commit invalidation: the catalog caches the resolved relation
+  * (whose snapshot is pinned at plan time) — refresh it so the next
+  * statement reads the new table version. */
+private object GraftDmlRefresh {
+  def apply(session: SparkSession, tableUri: String,
+      catalogIdent: Option[String]): Unit = {
+    catalogIdent.foreach(session.catalog.refreshTable)
+    session.catalog.refreshByPath(tableUri)
+  }
+}
+
+/** `DELETE FROM t [WHERE cond]` -> [[DeltaTable.delete]]. */
+case class GraftDeleteCommand(tableUri: String, condition: Expression,
+    catalogIdent: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    DeltaTable.delete(session, tableUri, GraftDmlRule.toColumn(condition))
+    GraftDmlRefresh(session, tableUri, catalogIdent)
+    Nil
+  }
+}
+
+/** `UPDATE t SET c = e, ... [WHERE cond]` -> [[DeltaTable.update]]. */
+case class GraftUpdateCommand(tableUri: String,
+    assignments: Seq[(String, Expression)], condition: Option[Expression],
+    catalogIdent: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val predicate = condition.map(GraftDmlRule.toColumn)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    DeltaTable.update(session, tableUri, predicate,
+      assignments.map { case (k, v) => k -> GraftDmlRule.toColumn(v) }.toMap)
+    GraftDmlRefresh(session, tableUri, catalogIdent)
+    Nil
+  }
+}
+
+/** `MERGE INTO t USING s ON keys WHEN MATCHED UPDATE SET * WHEN NOT
+  * MATCHED INSERT *` -> [[DeltaTable.upsert]] (the source rows become
+  * the update batch; file-level pruning and CDF capture come with it). */
+case class GraftMergeCommand(tableUri: String, source: LogicalPlan,
+    keys: Seq[String], columns: Seq[(String, String)],
+    catalogIdent: Option[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftShims.ofRows(session, source)
+    val updates = src.select(columns.map { case (t, s) => col(s).as(t) }: _*)
+    DeltaTable.upsert(session, tableUri, updates, keys)
+    GraftDmlRefresh(session, tableUri, catalogIdent)
+    Nil
+  }
+}

@@ -16,4 +16,17 @@ object GraftShims {
       schema: StructType, isStreaming: Boolean): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
+
+  /** Expression -> Column (the `private[sql]` constructor the SQL DML
+    * rules need to hand parsed predicates/assignments to the library
+    * DML ops, which speak the public Column API). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Resolved LogicalPlan -> DataFrame (for MERGE's source query). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

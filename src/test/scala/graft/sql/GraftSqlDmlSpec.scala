@@ -1,0 +1,148 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** SQL-statement DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) on
+  * `USING graftdelta` catalog tables, routed by
+  * [[GraftSparkSessionExtension]] to the library ops — twins of the
+  * DeltaDmlSpec tests, driven through `spark.sql(...)`. Asserts the same
+  * contracts: value semantics, file-level rewrite pruning, change-feed
+  * capture, and clear errors for unsupported shapes. */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  /** Registers `dir` as a catalog table; runs `f` with the name. */
+  private def withTable(dir: String)(f: String => Unit): Unit = {
+    n += 1
+    val t = s"graft_sqldml_$n"
+    spark.sql(s"CREATE TABLE $t USING graftdelta OPTIONS (path '$dir')")
+    try f(t) finally spark.sql(s"DROP TABLE $t")
+  }
+
+  private def activePaths(dir: String): Set[String] =
+    DeltaLog.forTable(spark, dir).snapshot().files.map(_.path).toSet
+
+  test("SQL DELETE removes matching rows, rewrites only touched files") {
+    val dir = TestSpark.tmpDir("sqldml-del")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    val before = activePaths(dir)
+    withTable(dir) { t =>
+      spark.sql(s"DELETE FROM $t WHERE k = 3")
+      // the SELECT sees the post-DML state through the same catalog table
+      assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Int].collect().toSeq ==
+        Seq(1, 2, 4))
+    }
+    val after = activePaths(dir)
+    assert((before intersect after).size == 1, "untouched file must not move")
+  }
+
+  test("SQL DELETE without WHERE empties the table") {
+    val dir = TestSpark.tmpDir("sqldml-delall")
+    DeltaTable.create(spark, Seq(1L, 2L, 3L).toDF("v"), dir)
+    withTable(dir) { t =>
+      spark.sql(s"DELETE FROM $t")
+      assert(spark.sql(s"SELECT * FROM $t").count() == 0)
+    }
+  }
+
+  test("SQL UPDATE applies SET to matching rows; assignments see the pre-image") {
+    val dir = TestSpark.tmpDir("sqldml-upd")
+    DeltaTable.create(spark,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("k", "a", "b"), dir)
+    withTable(dir) { t =>
+      // swap semantics: both assignments read the PRE-image row
+      spark.sql(s"UPDATE $t SET a = b, b = a WHERE k = 1")
+      val rows = spark.sql(s"SELECT k, a, b FROM $t ORDER BY k")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 100L, 10L), (2L, 20L, 200L)))
+      // expression assignment + no-WHERE applies everywhere
+      spark.sql(s"UPDATE $t SET a = a + 1")
+      assert(spark.sql(s"SELECT sum(a) FROM $t").as[Long].head() == 100 + 20 + 2)
+    }
+  }
+
+  test("SQL UPDATE emits pre+post change images") {
+    val dir = TestSpark.tmpDir("sqldml-upd-cdf")
+    DeltaTable.create(spark, Seq((1L, "x")).toDF("k", "v"), dir)
+    withTable(dir) { t => spark.sql(s"UPDATE $t SET v = 'y' WHERE k = 1") }
+    val changes = DeltaTable.changesBetween(spark, dir, 0, 1)
+      .select($"_change_type", $"v").as[(String, String)].collect().toSet
+    assert(changes == Set(("update_preimage", "x"), ("update_postimage", "y")))
+  }
+
+  test("SQL MERGE upserts: matched keys replaced, new keys inserted, pruned rewrite") {
+    val dir = TestSpark.tmpDir("sqldml-merge")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    val before = activePaths(dir)
+    withTable(dir) { t =>
+      Seq((3, "C!"), (9, "i")).toDF("k", "v").createOrReplaceTempView("merge_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $t USING merge_src s ON $t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+          .as[(Int, String)].collect().toSeq ==
+          Seq((1, "a"), (2, "b"), (3, "C!"), (4, "d"), (9, "i")))
+      } finally spark.catalog.dropTempView("merge_src")
+    }
+    val after = activePaths(dir)
+    assert((before -- after).size == 1, "only the file containing k=3 is rewritten")
+  }
+
+  test("SQL MERGE with a subquery source and aliased target") {
+    val dir = TestSpark.tmpDir("sqldml-merge-sub")
+    DeltaTable.create(spark, Seq((1L, 5L)).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      spark.sql(
+        s"""MERGE INTO $t AS tgt
+           |USING (SELECT id AS k, id * 10 AS v FROM range(1, 3)) src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+        .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+    }
+  }
+
+  test("unsupported MERGE shapes fail with a clear error, not silently") {
+    val dir = TestSpark.tmpDir("sqldml-merge-bad")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      Seq((1, "z")).toDF("k", "v").createOrReplaceTempView("merge_bad_src")
+      try {
+        val e1 = intercept[UnsupportedOperationException] {
+          spark.sql(s"""MERGE INTO $t USING merge_bad_src s ON $t.k = s.k
+                       |WHEN MATCHED THEN DELETE""".stripMargin)
+        }
+        assert(e1.getMessage.contains("upsert shape"))
+        val e2 = intercept[UnsupportedOperationException] {
+          spark.sql(s"""MERGE INTO $t USING merge_bad_src s ON $t.k < s.k
+                       |WHEN MATCHED THEN UPDATE SET *
+                       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        assert(e2.getMessage.contains("non-equi"))
+      } finally spark.catalog.dropTempView("merge_bad_src")
+    }
+  }
+
+  test("DML statements on non-graftdelta tables are untouched by the rule") {
+    // a parquet catalog table still gets Spark's own v1 rejection —
+    // the extension must not swallow or garble it
+    val dir = TestSpark.tmpDir("sqldml-parquet")
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/t")
+    spark.sql(s"CREATE TABLE graft_plainpq USING parquet OPTIONS (path '$dir/t')")
+    try {
+      intercept[Exception] { spark.sql("DELETE FROM graft_plainpq WHERE k = 1") }
+      assert(spark.table("graft_plainpq").count() == 1)
+    } finally spark.sql("DROP TABLE graft_plainpq")
+  }
+}
