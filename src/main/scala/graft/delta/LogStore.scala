@@ -95,21 +95,37 @@ object LogStore {
     *
     * 409 (S3 `ConditionalRequestConflict`: another conditional write on
     * the same key is mid-flight) is retried with backoff; if the key
-    * exists once the dust settles, that's a lost race → false. */
-  final class S3HttpStyleClient(endpoint: URI, bucket: String,
+    * exists once the dust settles, that's a lost race → false.
+    *
+    * Authentication is a header-decorating layer: subclasses override
+    * [[requestHeaders]] to add whatever the store's auth scheme needs
+    * ([[SigV4S3Client]] adds AWS SigV4 signing) — the commit protocol
+    * is identical either way. */
+  class S3HttpStyleClient(endpoint: URI, bucket: String,
       http: HttpClient = HttpClient.newHttpClient(), maxAttempts: Int = 5)
       extends ObjectStoreClient {
 
     private def url(key: String): URI =
       endpoint.resolve(s"/$bucket/$key")
 
+    /** Headers for one request; base implementation is unauthenticated. */
+    protected def requestHeaders(method: String, uri: URI,
+        base: Seq[(String, String)], payload: Array[Byte]): Seq[(String, String)] = base
+
+    private def build(method: String, uri: URI, base: Seq[(String, String)],
+        payload: Array[Byte]): HttpRequest = {
+      var b = HttpRequest.newBuilder(uri)
+      requestHeaders(method, uri, base, payload).foreach { case (k, v) =>
+        b = b.header(k, v)
+      }
+      if (method == "PUT") b.PUT(HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+      else b.method(method, HttpRequest.BodyPublishers.noBody()).build()
+    }
+
     def putIfNoneMatch(key: String, data: Array[Byte]): Boolean = {
       var attempt = 0
       while (true) {
-        val req = HttpRequest.newBuilder(url(key))
-          .header("If-None-Match", "*")
-          .PUT(HttpRequest.BodyPublishers.ofByteArray(data))
-          .build()
+        val req = build("PUT", url(key), Seq("If-None-Match" -> "*"), data)
         val rsp = http.send(req, HttpResponse.BodyHandlers.discarding())
         rsp.statusCode() match {
           case ok if ok / 100 == 2 => return true
@@ -130,10 +146,24 @@ object LogStore {
     }
 
     private def exists(key: String): Boolean = {
-      val req = HttpRequest.newBuilder(url(key))
-        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+      val req = build("HEAD", url(key), Nil, Array.emptyByteArray)
       http.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() / 100 == 2
     }
+  }
+
+  /** [[S3HttpStyleClient]] with AWS SigV4 request signing ([[SigV4]]) —
+    * drives REAL authenticated buckets (AWS S3, and any store speaking
+    * SigV4: GCS XML API in interop mode, MinIO with auth on). Pure JDK;
+    * credentials come from a thunk so rotating/STS credentials re-read
+    * per request, and the clock is injectable for tests. */
+  final class SigV4S3Client(endpoint: URI, bucket: String, region: String,
+      credentials: () => SigV4.Credentials,
+      http: HttpClient = HttpClient.newHttpClient(), maxAttempts: Int = 5,
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      extends S3HttpStyleClient(endpoint, bucket, http, maxAttempts) {
+    override protected def requestHeaders(method: String, uri: URI,
+        base: Seq[(String, String)], payload: Array[Byte]): Seq[(String, String)] =
+      SigV4.sign(method, uri, base, payload, region, "s3", credentials(), clock())
   }
 
   /** URI schemes that resolve to eventually-consistent object stores,

@@ -56,11 +56,74 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
+  /** Buckets named `secure*` require a valid AWS SigV4 signature with
+    * [[SecureCreds]] — like a real bucket, anything unsigned or
+    * mis-signed gets 403 before any store semantics apply. Verification
+    * recomputes the signature INLINE from the received request (method,
+    * path, the headers the client claims it signed, actual body hash)
+    * rather than calling [[SigV4]], so a signing bug can't cancel out;
+    * SigV4Spec separately pins the client to published vectors. */
+  private val SecureCreds = ("AKTEST", "SKTEST")
+
+  private def hmacSha(key: Array[Byte], msg: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg.getBytes(StandardCharsets.UTF_8))
+  }
+  private def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+  private def shaHex(b: Array[Byte]): String =
+    hexOf(java.security.MessageDigest.getInstance("SHA-256").digest(b))
+
+  private def verifySigned(x: HttpExchange, body: Array[Byte]): Boolean = {
+    val h = x.getRequestHeaders
+    val auth = h.getFirst("Authorization")
+    if (auth == null || !auth.startsWith("AWS4-HMAC-SHA256 ")) return false
+    val parts = auth.stripPrefix("AWS4-HMAC-SHA256 ").split(",\\s*").map { p =>
+      val Array(k, v) = p.split("=", 2); k -> v
+    }.toMap
+    val credParts = parts("Credential").split("/")
+    if (credParts.length != 5) return false
+    val Array(access, date, region, service, term) = credParts
+    if (access != SecureCreds._1 || term != "aws4_request") return false
+    val payloadHash = shaHex(body) // integrity: hash of the ACTUAL bytes
+    if (h.getFirst("x-amz-content-sha256") != payloadHash) return false
+    val amzDate = h.getFirst("x-amz-date")
+    if (amzDate == null || !amzDate.startsWith(date)) return false
+    val signedHeaders = parts("SignedHeaders")
+    val canonicalHeaders = signedHeaders.split(';').map { name =>
+      val v = if (name == "host") h.getFirst("Host") else h.getFirst(name)
+      s"$name:${Option(v).getOrElse("").trim}"
+    }.mkString("", "\n", "\n")
+    val canonical = Seq(x.getRequestMethod, x.getRequestURI.getRawPath,
+      Option(x.getRequestURI.getRawQuery).getOrElse(""),
+      canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
+    val sts = Seq("AWS4-HMAC-SHA256", amzDate,
+      s"$date/$region/$service/aws4_request",
+      shaHex(canonical.getBytes(StandardCharsets.UTF_8))).mkString("\n")
+    val key = hmacSha(hmacSha(hmacSha(hmacSha(
+      s"AWS4${SecureCreds._2}".getBytes(StandardCharsets.UTF_8),
+      date), region), service), "aws4_request")
+    hexOf(hmacSha(key, sts)) == parts("Signature")
+  }
+
   private def handle(x: HttpExchange): Unit = {
     val key = x.getRequestURI.getPath.stripPrefix("/")
-    try x.getRequestMethod match {
+    try {
+      if (key.startsWith("secure")) {
+        val body =
+          if (x.getRequestMethod == "PUT") x.getRequestBody.readAllBytes()
+          else Array.emptyByteArray
+        if (!verifySigned(x, body)) { x.sendResponseHeaders(403, -1); return }
+        handleVerified(x, key, body)
+      } else handleVerified(x, key,
+        if (x.getRequestMethod == "PUT") x.getRequestBody.readAllBytes()
+        else Array.emptyByteArray)
+    } finally x.close()
+  }
+
+  private def handleVerified(x: HttpExchange, key: String, body: Array[Byte]): Unit =
+    x.getRequestMethod match {
       case "PUT" =>
-        val body = x.getRequestBody.readAllBytes()
         if (inject409.getAndUpdate(n => math.max(0, n - 1)) > 0) {
           x.sendResponseHeaders(409, -1)
         } else if (x.getRequestHeaders.getFirst("If-None-Match") == "*") {
@@ -79,8 +142,7 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
           case b => x.sendResponseHeaders(200, b.length); x.getResponseBody.write(b)
         }
       case _ => x.sendResponseHeaders(405, -1)
-    } finally x.close()
-  }
+    }
 
   private def client(bucket: String) = new LogStore.S3HttpStyleClient(endpoint, bucket)
 
@@ -151,6 +213,69 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.putIfAbsent(stage("t2", "commit-B"), target))
     val key = store.keyOf(fs.makeQualified(target).toUri)
     assert(new String(objects.get(s"tbl/$key"), StandardCharsets.UTF_8) == "commit-A")
+  }
+
+  // ---- SigV4-signed commits against an auth-required store --------------
+
+  private def signedClient(bucket: String) = new LogStore.SigV4S3Client(
+    endpoint, bucket, "test-region",
+    () => SigV4.Credentials(SecureCreds._1, SecureCreds._2))
+
+  test("signing-required store rejects the unsigned client") {
+    val e = intercept[java.io.IOException](
+      client("secure").putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e.getMessage.contains("HTTP 403"))
+    assert(!objects.containsKey("secure/k"))
+  }
+
+  test("mis-signed requests (wrong secret) are rejected") {
+    val bad = new LogStore.SigV4S3Client(endpoint, "secure", "test-region",
+      () => SigV4.Credentials(SecureCreds._1, "WRONG-SECRET"))
+    val e = intercept[java.io.IOException](
+      bad.putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e.getMessage.contains("HTTP 403"))
+    assert(!objects.containsKey("secure/k"))
+  }
+
+  test("SigV4 client: 16 concurrent signed committers, exactly one winner") {
+    val c = signedClient("secure")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          start.await()
+          if (c.putIfNoneMatch("_delta_log/00000000000000000009.json",
+              s"signed-writer-$i".getBytes(StandardCharsets.UTF_8))) Some(i) else None
+        }
+      })
+    }
+    start.countDown()
+    val winners = wins.flatMap(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    val stored = new String(
+      objects.get("secure/_delta_log/00000000000000000009.json"),
+      StandardCharsets.UTF_8)
+    assert(stored == s"signed-writer-${winners.head}")
+    // the losers' view and a late retry agree: the key exists
+    assert(!c.putIfNoneMatch("_delta_log/00000000000000000009.json",
+      "late".getBytes(StandardCharsets.UTF_8)))
+  }
+
+  test("signed client publishes a staged commit through ConditionalPutLogStore") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new Configuration()).getRawFileSystem
+    val dir = TestSpark.tmpDir("cpls-signed")
+    val p = new Path(dir, "tmp-commit")
+    val out = fs.create(p, false)
+    try out.write("signed-commit".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val store = new LogStore.ConditionalPutLogStore(fs, signedClient("secure2"))
+    val target = new Path(dir, "_delta_log/00000000000000000001.json")
+    assert(store.putIfAbsent(p, target))
+    val key = store.keyOf(fs.makeQualified(target).toUri)
+    assert(new String(objects.get(s"secure2/$key"), StandardCharsets.UTF_8)
+      == "signed-commit")
   }
 
   // ---- scheme routing ---------------------------------------------------
