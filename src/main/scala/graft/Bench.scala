@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       // events.parquet stores TIMESTAMP(NANOS) — only readable as long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps explicitly: INT96 output would leave shipdate
@@ -53,6 +54,13 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
+      // One UNTIMED warmup per query before the measured runs: the
+      // first execution of a plan pays JIT + codegen-cache + footer
+      // reads that no later run pays, and with 70+ queries in one JVM
+      // those costs land unevenly enough that even a median of 3 minted
+      // phantom 4-6× "regressions" on byte-identical code (r6:
+      // q_sample_hash 1.35s in-suite vs 0.47s isolated).
+      once()
       val runs = Seq.fill(Runs)(once())
       val firstErr = runs.collectFirst { case Left(e) => e } // fail if ANY run fails
       name -> firstErr.toLeft {
