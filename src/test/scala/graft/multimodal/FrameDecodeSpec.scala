@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.{IIOImage, ImageIO}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import BinaryAssets._
+
+/** REAL GIF multi-frame decode ([[BinaryAssets.decodeGifFrames]]): an
+  * animated GIF generated in-test (ImageIO's GIF writer, full frames of
+  * known solid grays) must decode to the exact frame count and exact
+  * per-frame luminance, the stride-sampling pipeline must emit real
+  * pixel digests for it, and non-GIF video payloads must keep the stub
+  * path — the fallback `q_multimodal_frames`' oracle replays. */
+class FrameDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Solid-gray frame: r=g=b=v, so ITU-R 601 mean luminance == v. */
+  private def gray(v: Int, w: Int = 40, h: Int = 30): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    img
+  }
+
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  private val grays = Seq(0, 60, 120, 200, 255)
+  private lazy val gif = animatedGif(grays.map(gray(_)))
+
+  test("decodeGifFrames: exact frame count, dimensions, and per-frame luminance") {
+    val frames = decodeGifFrames(gif).get
+    assert(frames.size == grays.size)
+    frames.zip(grays).foreach { case (f, v) =>
+      assert((f.getWidth, f.getHeight) == (40, 30))
+      // palettized round-trip of a solid gray is exact
+      val rgb = f.getRGB(7, 7)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) == (v, v, v))
+    }
+    val feats = extractVideoFrameFeatures(
+      spark.createDataset(Seq(Asset(1L, "video", gif)))(
+        org.apache.spark.sql.Encoders.product[Asset]), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(feats.map(_.mean_luma).toSeq == grays)
+    assert(feats.forall(f => f.width == 40 && f.height == 30))
+  }
+
+  test("sampleFrames: GIF assets get real pixel digests, stride honored") {
+    import spark.implicits._
+    val assets = spark.createDataset(Seq(
+      Asset(1L, "video", gif),
+      Asset(2L, "video", "not a gif at all".getBytes("UTF-8"))))
+    val got = sampleFrames(assets, stride = 2).collect()
+
+    val real = got.filter(_.asset_id == 1L).sortBy(_.frame_idx)
+    assert(real.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L), "every 2nd stored frame")
+    // pixel digests: distinct per frame (distinct grays), reproducible
+    assert(real.map(_.frame_md5).distinct.length == 3)
+    val again = sampleFrames(assets, stride = 2).collect()
+      .filter(_.asset_id == 1L).sortBy(_.frame_idx)
+    assert(again.map(_.frame_md5).toSeq == real.map(_.frame_md5).toSeq)
+
+    // non-GIF video payloads keep the stub path byte-for-byte (this is
+    // what keeps the documents-backed oracle query green)
+    val stub = got.filter(_.asset_id == 2L).sortBy(_.frame_idx)
+    val payload = "not a gif at all".getBytes("UTF-8")
+    val nFrames = 1 + payload.length % 32
+    assert(stub.map(_.frame_idx).toSeq == (0 until nFrames by 2).map(_.toLong))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect0 = md.digest(payload ++ ":0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(stub.head.frame_md5 == expect0)
+  }
+
+  test("a single-frame GIF is a 1-frame video, not an error") {
+    val one = animatedGif(Seq(gray(99)))
+    assert(decodeGifFrames(one).get.size == 1)
+  }
+}
