@@ -1,0 +1,166 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Adversarial-skew audit of the two patterns this engine's 100 TB story
+  * leans on, measured with a task-metrics listener on a 90%-one-key
+  * dataset:
+  *
+  *  - `q_seq_pack`'s sharded cumulative-sum window
+  *    (`partitionBy(lang, doc_id % 8)`): per-lang-only packing funnels
+  *    a dominant language through ONE task; the shard must flatten it.
+  *  - the salted pre-aggregation pattern (`q_skew_salted_distinct`):
+  *    the first shuffle must spread a dominant group across salts.
+  *
+  * Assertions are on shuffle-read RECORDS per task — the deterministic
+  * driver of task time at constant per-row cost (wall-clock on a shared
+  * test box is noise); the straggler stage is found as the stage with
+  * the largest total shuffle read. */
+class SkewStressSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (records shuffle-read, bytes shuffle-read) per task, per stage. */
+  private final class TaskTap extends SparkListener {
+    val byStage = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) byStage.getOrElseUpdate(t.stageId, ArrayBuffer())
+        .synchronized {
+          byStage(t.stageId) += ((m.shuffleReadMetrics.recordsRead,
+            m.shuffleReadMetrics.totalBytesRead))
+        }
+    }
+  }
+
+  /** Runs `df` to completion and returns the chosen per-task
+    * shuffle-read metric for the heaviest shuffle stage (stage with the
+    * largest stage-total of that metric). `bytes = true` measures
+    * shuffle bytes — the straggler signal for aggregation-STATE skew
+    * (partial aggregation collapses record counts but not set/sketch
+    * payload sizes); `bytes = false` measures records — the signal for
+    * row-volume skew (windows, joins). */
+  private def heaviestShuffleTasks(df: => DataFrame, bytes: Boolean = false): Seq[Long] = {
+    val tap = new TaskTap
+    spark.sparkContext.addSparkListener(tap)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      // listener events are async: wait for the tallies to go quiet
+      var last = -1L
+      var same = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (same < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = tap.byStage.values.map(_.size).sum.toLong
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+      val pick: ((Long, Long)) => Long = if (bytes) _._2 else _._1
+      val (_, tasks) = tap.byStage.toSeq.maxBy(_._2.map(pick).sum)
+      tasks.map(pick).toSeq
+    } finally spark.sparkContext.removeSparkListener(tap)
+  }
+
+  /** 100k docs, 90% lang="en" — the adversarial shape (one dominant
+    * language/source) a crawl corpus actually has. */
+  private def skewedDocs: DataFrame =
+    spark.range(100000).select(
+      $"id".as("doc_id"),
+      when($"id" % 10 < 9, "en").otherwise(concat(lit("l"), $"id" % 10)).as("lang"),
+      ($"id" % 7 + 1).cast("long").as("n_tok"))
+
+  private def packed(shards: Option[Int]): DataFrame = {
+    val parts = shards match {
+      case Some(n) => Seq(col("lang"), (col("doc_id") % n).as("shard"))
+      case None => Seq(col("lang"), lit(0).as("shard"))
+    }
+    val w = Window.partitionBy(parts.map(c => c): _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skewedDocs.select(col("doc_id") +: col("lang") +: col("n_tok") +: parts.drop(1): _*)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  private def withStaticPlan[A](f: => A): A = {
+    // AQE would coalesce these tiny test shuffles into one partition and
+    // hide the distribution being asserted; at real scale partitions are
+    // above the coalesce target and AQE keeps them apart
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("seq-pack sharding flattens a 90%-one-language corpus") {
+    withStaticPlan {
+      val sharded = heaviestShuffleTasks(packed(Some(8)))
+      val unsharded = heaviestShuffleTasks(packed(None))
+      val total = 100000.0
+
+      // unsharded: the dominant language IS one window partition — one
+      // task drags ~90% of the corpus (the straggler at 100 TB)
+      assert(unsharded.max / total >= 0.85,
+        s"expected a 90% straggler without sharding, got $unsharded")
+
+      // sharded: en splits into 8 window partitions; no task may carry
+      // more than half the corpus, and the straggler must shrink vs the
+      // unsharded run by at least 2x
+      assert(sharded.max / total <= 0.5,
+        s"sharding left a straggler: $sharded")
+      assert(sharded.max * 2 <= unsharded.max,
+        s"sharding did not flatten the straggler: sharded=$sharded unsharded=$unsharded")
+
+      // spread within the sharded stage: max/median of the non-trivial
+      // tasks stays bounded (the PlanAudit-style invariant)
+      val busy = sharded.filter(_ > 0).sorted
+      val ratio = busy.max.toDouble / math.max(1L, busy(busy.size / 2))
+      assert(ratio <= 6.0, s"sharded task spread too wide ($ratio): $sharded")
+    }
+  }
+
+  test("salted pre-aggregation spreads a 90%-one-group set-build") {
+    withStaticPlan {
+      // 64 salts so the hot cells outnumber reducers enough that hash
+      // placement evens out (16 cells over 4 reducers can land 8:4:2:2).
+      // 90% of rows in one group, all values UNIQUE: partial aggregation
+      // collapses the shuffled row COUNT either way, but the hot group's
+      // set state (the bytes) all lands on one reducer unless salted —
+      // the shape Spark does not auto-rewrite (collect_set / sketches /
+      // UDAF state), which is exactly what the salting pattern is for
+      val rows = spark.range(100000).select(
+        when($"id" % 10 < 9, "hot").otherwise(concat(lit("g"), $"id" % 10)).as("grp"),
+        $"id".as("v"))
+      rows.cache().count()
+      try {
+        def maxByteShare(df: DataFrame): Double = {
+          val tasks = heaviestShuffleTasks(df, bytes = true)
+          tasks.max.toDouble / math.max(1L, tasks.sum)
+        }
+        val naive = maxByteShare(
+          rows.groupBy($"grp").agg(collect_set($"v").as("vs"))
+            .select($"grp", size($"vs").as("n")))
+        val salted = maxByteShare {
+          val salt = pmod(hash($"v"), lit(64))
+          rows.groupBy($"grp", salt.as("salt"))
+            .agg(collect_set($"v").as("vs"))
+            .groupBy($"grp").agg(sum(size($"vs")).as("n"))
+        }
+        assert(naive >= 0.7,
+          s"expected the hot group's state on one task, got $naive")
+        assert(salted <= 0.4,
+          s"salting left ${salted * 100}% of shuffle bytes on one task")
+        assert(salted * 2 <= naive,
+          s"salting did not flatten the state straggler: $salted vs $naive")
+      } finally rows.unpersist()
+    }
+  }
+}
