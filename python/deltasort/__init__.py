@@ -184,6 +184,81 @@ class SortOptimizer:
         """Latest committed table version."""
         return int(self._j.latestVersion())
 
+    # -- streaming surface (the `graftdelta` Spark data source) ------------
+
+    def read_stream(
+        self,
+        starting_version: Optional[int] = None,
+        max_files_per_trigger: Optional[int] = None,
+        ignore_deletes: bool = False,
+        ignore_changes: bool = False,
+    ):
+        """Structured-Streaming source over this table: the current
+        snapshot once, then each commit's new files exactly once
+        (maintenance rewrites are invisible). Returns a streaming
+        pyspark DataFrame."""
+        r = self._spark.readStream.format("graftdelta")
+        if starting_version is not None:
+            r = r.option("startingVersion", int(starting_version))
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        if ignore_deletes:
+            r = r.option("ignoreDeletes", "true")
+        if ignore_changes:
+            r = r.option("ignoreChanges", "true")
+        return r.load(self.table_uri)
+
+    def read_change_stream(
+        self,
+        starting_version: Optional[int] = None,
+        max_versions_per_trigger: Optional[int] = None,
+    ):
+        """Streaming change feed: row-level changes (_change_type /
+        _commit_version columns) of each commit, exactly once, commit
+        granularity. Returns a streaming pyspark DataFrame."""
+        r = self._spark.readStream.format("graftdelta").option(
+            "readChangeFeed", "true"
+        )
+        if starting_version is not None:
+            r = r.option("startingVersion", int(starting_version))
+        if max_versions_per_trigger is not None:
+            # CDF offsets advance per commit, so the file cap is a
+            # versions-per-micro-batch cap in this mode
+            r = r.option("maxFilesPerTrigger", int(max_versions_per_trigger))
+        return r.load(self.table_uri)
+
+    def write_stream(
+        self,
+        df,
+        checkpoint_location: str,
+        partition_by: Optional[list[str]] = None,
+        txn_app_id: Optional[str] = None,
+        auto_compact_every: Optional[int] = None,
+        target_file_size_bytes: Optional[int] = None,
+        query_name: Optional[str] = None,
+    ):
+        """Exactly-once streaming sink into this table: each micro-batch
+        commits through the transaction log with a txn watermark, so a
+        replayed epoch (restart, speculative retry) lands exactly once.
+        ``auto_compact_every=N`` bin-packs the table after every Nth
+        epoch with dataChange=false commits (invisible to incremental
+        readers). Returns the started StreamingQuery."""
+        w = (
+            df.writeStream.format("graftdelta")
+            .option("checkpointLocation", checkpoint_location)
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if txn_app_id is not None:
+            w = w.option("txnAppId", txn_app_id)
+        if auto_compact_every is not None:
+            w = w.option("autoCompactEvery", int(auto_compact_every))
+        if target_file_size_bytes is not None:
+            w = w.option("targetFileSize", int(target_file_size_bytes))
+        if query_name is not None:
+            w = w.queryName(query_name)
+        return w.start(self.table_uri)
+
 
 def incremental_dedup_ingest(
     corpus_uri: str,
