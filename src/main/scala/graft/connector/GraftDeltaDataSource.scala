@@ -1,5 +1,7 @@
 package graft.connector
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
@@ -42,16 +44,54 @@ import graft.delta.{AddFile, CommitInfo, DataSkipping, DeltaLog, DeltaTable, Rem
   */
 final class GraftDeltaDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graftdelta"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
-      sys.error("graftdelta: 'path' is required (use .load(path)/.start(path))"))
+      parameters.getOrElse("location",
+        sys.error("graftdelta: 'path' is required (use .load(path)/.start(path))")))
 
   private def lower(parameters: Map[String, String]): Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  // ---- DataSource v2 (TableProvider) — see [[GraftDeltaTableV2]] ------
+
+  /** Writers hand us the frame's schema + `partitionBy` transforms
+    * instead of forcing an inferSchema on a not-yet-existing table. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    v2Table(options = lowerJava(options), userSchema = None,
+      userPartitioning = Nil).schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val partCols = partitioning.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        sys.error(s"graftdelta supports identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    v2Table(lower(properties.asScala.toMap),
+      Option(schema).filter(_.nonEmpty), partCols)
+  }
+
+  private def lowerJava(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Map[String, String] = lower(options.asScala.toMap)
+
+  private def v2Table(options: Map[String, String],
+      userSchema: Option[StructType],
+      userPartitioning: Seq[String]): GraftDeltaTableV2 = {
+    val spark = SparkSession.active
+    new GraftDeltaTableV2(spark, path(options), options, userSchema,
+      userPartitioning)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -86,7 +126,17 @@ final class GraftDeltaDataSource extends RelationProvider
     val opts = lower(parameters)
     val tableUri = path(opts)
     val spark = sqlContext.sparkSession
-    val partitionBy = columnsOption(opts, "partitionby")
+    // native `DataFrameWriter.partitionBy` arrives as the JSON-encoded
+    // `__partition_columns` option on the v1 command path (the same key
+    // delta-spark reads); the comma-separated `partitionBy` option stays
+    // for direct option users
+    val nativePartitionBy = opts.get("__partition_columns").toSeq.flatMap { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        .elements().asScala.map(_.asText()).toSeq
+    }
+    val partitionBy =
+      if (nativePartitionBy.nonEmpty) nativePartitionBy
+      else columnsOption(opts, "partitionby")
     val sortBy = columnsOption(opts, "sortby")
     val zorderBy = columnsOption(opts, "zorderby")
     require(sortBy.isEmpty || zorderBy.isEmpty,
@@ -267,14 +317,19 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
     log.snapshotAt(endVersion).schema, changeFeed = true)
   override def needConversion: Boolean = false
 
-  override def buildScan(): RDD[Row] = {
+  override def buildScan(): RDD[Row] = scanRdd(schema.fieldNames.toSeq)
+
+  /** The change rows projected to `required` (also the v2 face's
+    * execution path — [[GraftScanBuilder]] in change-feed mode). */
+  private[connector] def scanRdd(required: Seq[String]): RDD[Row] = {
     val raw = DeltaTable.changesBetween(spark, tableUri,
       startingVersion - 1, endVersion)
     // allowMissingColumns semantics: change rows written before a
     // mergeSchema commit inside the range lack the later columns — read
     // them as NULL instead of failing resolution
     val have = raw.columns.toSet
-    val normalized = raw.select(schema.fields.toSeq.map(f =>
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val normalized = raw.select(required.map(byName).map(f =>
       (if (have(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)): _*)
     normalized.queryExecution.toRdd.asInstanceOf[RDD[Row]]

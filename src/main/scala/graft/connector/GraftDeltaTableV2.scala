@@ -1,0 +1,218 @@
+package graft.connector
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** DataSource v2 face of the `graftdelta` format.
+  *
+  * [[GraftDeltaDataSource]] implements `TableProvider`, so
+  * `spark.read/write.format("graftdelta")` and session-catalog
+  * `USING graftdelta` tables resolve through this Table on modern Spark:
+  * v2 is what carries `DataFrameWriter.partitionBy` natively (via
+  * `supportsExternalMetadata` + partitioning transforms), catalog-managed
+  * `saveAsTable`, and the v2 pushdown negotiation. Execution stays on the
+  * engine's proven v1 paths through the two official migration seams —
+  * [[V1Scan]] (scan planning still reaches [[GraftDeltaRelation]]'s
+  * log-stats FILE-LIST pruning, and still plans as a
+  * `RowDataSourceScanExec` with visible PushedFilters) and [[V1Write]]
+  * (append/overwrite/replaceWhere commit through the same atomic log
+  * protocol). Streaming keeps the v1 source/sink: the table declares no
+  * streaming capabilities, which makes Spark fall back to the
+  * `StreamSourceProvider`/`StreamSinkProvider` half of the provider.
+  *
+  * Capabilities: `ACCEPT_ANY_SCHEMA` is declared so the library's own
+  * schema contract (exact match, or `mergeSchema` evolution) runs instead
+  * of v2's built-in check — same choice delta-spark makes.
+  */
+final class GraftDeltaTableV2(
+    spark: SparkSession,
+    tableUri: String,
+    options: Map[String, String],
+    userSchema: Option[StructType],
+    userPartitioning: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private val versionAsOf = options.get("versionasof").map(_.toLong)
+  private val readChangeFeed = options.get("readchangefeed").exists(_.toBoolean)
+
+  private lazy val log = DeltaLog.forTable(spark, tableUri)
+
+  /** Snapshot schema wins over any catalog-stored schema (the log is the
+    * source of truth; catalog copies go stale across DML/evolution). */
+  override lazy val schema: StructType =
+    if (!log.tableExists) userSchema.getOrElse(new StructType())
+    else if (readChangeFeed)
+      GraftDeltaSource.streamSchema(
+        log.snapshotAt(options.get("endingversion").map(_.toLong)
+          .getOrElse(log.snapshot().version)).schema, changeFeed = true)
+    else versionAsOf.map(v => log.snapshotAt(v).schema)
+      .getOrElse(log.snapshot().schema)
+
+  override def name(): String = s"graftdelta.`$tableUri`"
+
+  override def partitioning(): Array[Transform] = {
+    val cols =
+      if (log.tableExists) log.snapshot().metadata.partitionColumns
+      else userPartitioning
+    cols.map(Expressions.identity).toArray
+  }
+
+  override def properties(): JMap[String, String] = options.asJava
+
+  override def capabilities(): JSet[TableCapability] = Set(
+    TableCapability.BATCH_READ,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.TRUNCATE,
+    TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(spark, tableUri, schema, versionAsOf, readChangeFeed,
+      options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, tableUri,
+      options ++ info.options.asScala, userPartitioning, info.schema())
+
+  /** DML routing ([[graft.sql.GraftDmlRule]]) and tests. */
+  private[graft] def uri: String = tableUri
+  private[graft] def isTimeTravel: Boolean = versionAsOf.isDefined
+}
+
+/** v2 pushdown negotiation; execution through the v1 relation. */
+final class GraftScanBuilder(
+    spark: SparkSession,
+    tableUri: String,
+    fullSchema: StructType,
+    versionAsOf: Option[Long],
+    readChangeFeed: Boolean,
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] =
+    if (readChangeFeed) filters // change rows: no stats to prune on
+    else {
+      pushed = filters.filter(f => GraftDeltaRelation.toColumn(f).isDefined)
+      // the v1 relation applies every translated filter fully (file
+      // pruning + inner scan), so only untranslatable ones are residual
+      filters.filterNot(pushed.contains)
+    }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val relation: BaseRelation with TableScan = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] =
+          if (readChangeFeed)
+            new GraftDeltaChangeRelation(spark, tableUri,
+              options.get("startingversion").map(_.toLong).getOrElse(0L),
+              options.get("endingversion").map(_.toLong))
+              .scanRdd(required.fieldNames.toSeq)
+          else
+            new GraftDeltaRelation(spark, tableUri, versionAsOf)
+              .buildScan(required.fieldNames, pushed)
+      }
+      relation.asInstanceOf[T]
+    }
+  }
+}
+
+/** v2 write negotiation; the commit runs through the same code as the
+  * v1 `CreatableRelationProvider` path (sortBy/zorderBy clustering,
+  * overwriteSchema gate, replaceWhere, atomic log commit). */
+final class GraftWriteBuilder(
+    spark: SparkSession,
+    tableUri: String,
+    options: Map[String, String],
+    declaredPartitioning: Seq[String],
+    writeSchema: StructType) extends WriteBuilder
+    with SupportsOverwrite with SupportsTruncate {
+
+  /** None = append; Some(filters) = overwrite rows matching ALL filters
+    * (empty / AlwaysTrue = whole table). */
+  private var overwriteBy: Option[Array[Filter]] = None
+
+  override def truncate(): WriteBuilder = { overwriteBy = Some(Array.empty); this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(f => GraftDeltaRelation.toColumn(f).isDefined),
+      s"graftdelta: overwrite filters not translatable: ${filters.mkString(", ")}")
+    overwriteBy = Some(filters)
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          // ACCEPT_ANY_SCHEMA hands us SQL INSERT frames unaligned
+          // (VALUES arrive as col1..colN): when the arity matches but
+          // the names are not the table's, realign by POSITION and cast
+          // to the table types (the SQL contract); name-addressed frames
+          // pass through to the library's name-based schema checks
+          val log = DeltaLog.forTable(spark, tableUri)
+          val aligned =
+            if (!log.tableExists) data
+            else {
+              val tbl = log.snapshot().schema
+              val known = data.columns.forall(n =>
+                tbl.fieldNames.exists(_.equalsIgnoreCase(n)))
+              if (known || data.columns.length != tbl.fields.length) data
+              else data.toDF(tbl.fieldNames.toSeq: _*)
+                .select(tbl.fields.toSeq.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+            }
+          val params = options ++
+            Map("path" -> tableUri) ++
+            (if (declaredPartitioning.nonEmpty && !options.contains("partitionby"))
+              Map("partitionby" -> declaredPartitioning.mkString(","))
+            else Map.empty)
+          val whole = overwriteBy.exists(fs =>
+            fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue]))
+          val partial = overwriteBy.filter(_ => !whole).filter(_.nonEmpty)
+          val mode = overwriteBy match {
+            case None => SaveMode.Append
+            case Some(_) => SaveMode.Overwrite
+          }
+          val withReplace = partial match {
+            case Some(fs) =>
+              // static partition / filter overwrite == replaceWhere
+              val cond = fs.flatMap(GraftDeltaRelation.toColumn).reduce(_ && _)
+              params + ("replacewhere" ->
+                org.apache.spark.sql.graft.GraftShims.expressionOf(cond).sql)
+            case None => params
+          }
+          new GraftDeltaDataSource().createRelation(
+            spark.sqlContext, mode, withReplace, aligned)
+        }
+      }
+  }
+}

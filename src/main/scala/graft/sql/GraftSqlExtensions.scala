@@ -69,41 +69,52 @@ object GraftDmlRule {
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   import GraftDmlRule._
 
-  /** The graftdelta relation plus its catalog identity (needed to
-    * invalidate the cached relation — and its pinned snapshot — after
-    * the DML commits, or a following SELECT on the table would read the
-    * pre-DML version). */
+  /** The graftdelta table's (uri, time-travel bit) plus its catalog
+    * identity (needed to invalidate any cached relation — and its pinned
+    * snapshot — after the DML commits, or a following SELECT on the
+    * table could read the pre-DML version). Matches BOTH faces of the
+    * format: the v1 `LogicalRelation` and the v2 `DataSourceV2Relation`
+    * (catalog tables resolve v2 now that the provider is a
+    * `TableProvider`). */
   private object Target {
-    def unapply(plan: LogicalPlan): Option[(GraftDeltaRelation, Option[String])] =
+    def unapply(plan: LogicalPlan): Option[(String, Boolean, Option[String])] =
       plan match {
         case SubqueryAlias(_, child) => unapply(child)
         case lr: LogicalRelation => lr.relation match {
           case r: GraftDeltaRelation =>
-            Some((r, lr.catalogTable.map(_.identifier.unquotedString)))
+            Some((r.uri, r.isTimeTravel,
+              lr.catalogTable.map(_.identifier.unquotedString)))
           case _ => None
         }
+        case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          dsv2.table match {
+            case t: graft.connector.GraftDeltaTableV2 =>
+              Some((t.uri, t.isTimeTravel,
+                dsv2.identifier.map(_.toString)))
+            case _ => None
+          }
         case _ => None
       }
   }
 
-  private def checkWritable(r: GraftDeltaRelation): String = {
-    require(!r.isTimeTravel, "cannot run DML against a versionAsOf read")
-    r.uri
+  private def checkWritable(t: (String, Boolean, Option[String])): String = {
+    require(!t._2, "cannot run DML against a versionAsOf read")
+    t._1
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
-    case d @ DeleteFromTable(Target(r, ident), condition) if d.resolved =>
-      GraftDeleteCommand(checkWritable(r), condition, ident)
+    case d @ DeleteFromTable(Target(t @ (_, _, ident)), condition) if d.resolved =>
+      GraftDeleteCommand(checkWritable(t), condition, ident)
 
-    case u @ UpdateTable(Target(r, ident), assignments, condition) if u.resolved =>
+    case u @ UpdateTable(Target(t @ (_, _, ident)), assignments, condition) if u.resolved =>
       val sets = assignments.map {
         case Assignment(key: AttributeReference, value) => key.name -> value
         case Assignment(key, _) => throw new UnsupportedOperationException(
           s"graftdelta SQL UPDATE supports top-level column assignments only, got SET $key")
       }
-      GraftUpdateCommand(checkWritable(r), sets, condition, ident)
+      GraftUpdateCommand(checkWritable(t), sets, condition, ident)
 
-    case m @ MergeIntoTable(Target(r, ident), source, cond,
+    case m @ MergeIntoTable(Target(t @ (_, _, ident)), source, cond,
         matched, notMatched, bySource, evolution) if m.resolved =>
       if (evolution) unsupported("WITH SCHEMA EVOLUTION")
       if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
@@ -142,7 +153,62 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           a.name
         case other => unsupported(s"non-equi merge condition $other")
       }
-      GraftMergeCommand(checkWritable(r), source, keys, columns, ident)
+      GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
+
+    // v2 target: the analyzer defers MERGE resolution to tables with
+    // row-level-operation support, which this engine intentionally does
+    // not implement — so the star-shape merge arrives UNRESOLVED
+    // (children resolved, condition/actions not). Resolve the upsert
+    // shape by name here: the library op re-resolves against its own
+    // read anyway, so names are all the command needs.
+    case m @ MergeIntoTable(Target(t @ (_, _, ident)), source, cond,
+        matched, notMatched, bySource, evolution)
+        if !m.resolved && m.childrenResolved =>
+      if (evolution) unsupported("WITH SCHEMA EVOLUTION")
+      if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
+      (matched, notMatched) match {
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
+        case _ => unsupported(
+          s"clauses [${matched.mkString(", ")}] / [${notMatched.mkString(", ")}]")
+      }
+      def sideName(e: Expression, plan: LogicalPlan): Option[String] = e match {
+        case ua: UnresolvedAttribute =>
+          val name = ua.nameParts.last
+          val quals = ua.nameParts.init.map(_.toLowerCase(java.util.Locale.ROOT))
+          val aliasOk = quals.isEmpty || {
+            val aliases = plan.collect { case SubqueryAlias(id, _) =>
+              id.name.toLowerCase(java.util.Locale.ROOT) }.toSet
+            aliases.contains(quals.last)
+          }
+          if (aliasOk) plan.output.collectFirst {
+            case o if conf.resolver(o.name, name) => o.name
+          } else None
+        case a: AttributeReference if plan.outputSet.contains(a) => Some(a.name)
+        case _ => None
+      }
+      val keys = conjuncts(cond).map {
+        case EqualTo(l, r) =>
+          (for { tn <- sideName(l, m.targetTable); sn <- sideName(r, source) }
+            yield (tn, sn))
+            .orElse(for { tn <- sideName(r, m.targetTable); sn <- sideName(l, source) }
+              yield (tn, sn)) match {
+            case Some((tn, sn)) =>
+              if (!conf.resolver(tn, sn))
+                unsupported(s"join key with differing names ($tn = $sn)")
+              tn
+            case None => unsupported(s"unresolvable merge condition $cond")
+          }
+        case other => unsupported(s"non-equi merge condition $other")
+      }
+      // SET * / INSERT *: every target column comes from the same-named
+      // source column
+      val columns = m.targetTable.output.map { o =>
+        source.output.collectFirst {
+          case s if conf.resolver(s.name, o.name) => o.name -> s.name
+        }.getOrElse(unsupported(
+          s"INSERT */UPDATE SET * with no source column named ${o.name}"))
+      }
+      GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
   }
 }
 
