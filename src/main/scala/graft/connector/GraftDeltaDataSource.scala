@@ -102,7 +102,8 @@ final class GraftDeltaDataSource extends RelationProvider
         opts.get("endingversion").map(_.toLong))
     else
       new GraftDeltaRelation(sqlContext.sparkSession, path(opts),
-        opts.get("versionasof").map(_.toLong))
+        GraftDeltaDataSource.timeTravelVersion(
+          sqlContext.sparkSession, path(opts), opts))
   }
 
   private def columnsOption(opts: Map[String, String], key: String): Seq[String] =
@@ -191,7 +192,7 @@ final class GraftDeltaDataSource extends RelationProvider
           RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
         val meta =
           if (sameShape) Nil
-          else Seq(snap.metadata.copy(schemaString = data.schema.json,
+          else Seq(snap.metadata.copy(schemaString = org.apache.spark.sql.graft.GraftShims.asNullable(data.schema).json,
             partitionColumns = parts))
         log.commitLatest(meta ++ removes ++ adds :+
           CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")))
@@ -243,7 +244,9 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
   private val snap = versionAsOf.map(log.snapshotAt).getOrElse(log.snapshot())
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = snap.schema
+  // asNullable: pre-existing tables may have recorded nullable=false
+  // (see DeltaLog.create) — never let a reader compile away null checks
+  override val schema: StructType = org.apache.spark.sql.graft.GraftShims.asNullable(snap.schema)
 
   /** Rows come back as `InternalRow` straight from the inner parquet
     * scan's `toRdd` — no per-row external conversion. */
@@ -334,6 +337,30 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
         .cast(f.dataType).as(f.name)): _*)
     normalized.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+object GraftDeltaDataSource {
+  /** `versionAsOf` / `timestampAsOf` -> the pinned version (both set is
+    * an error). Timestamps accept epoch millis, `yyyy-MM-dd HH:mm:ss`,
+    * ISO instants, or a bare date — resolved against commit times via
+    * [[DeltaLog.versionAtTimestamp]]. */
+  private[connector] def timeTravelVersion(spark: SparkSession, uri: String,
+      opts: Map[String, String]): Option[Long] = {
+    val v = opts.get("versionasof").map(_.toLong)
+    val ts = opts.get("timestampasof")
+    require(v.isEmpty || ts.isEmpty,
+      "graftdelta: versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(ts.map(t =>
+      DeltaLog.forTable(spark, uri).versionAtTimestamp(parseTimestamp(t))))
+  }
+
+  private[connector] def parseTimestamp(s: String): Long =
+    try s.toLong catch { case _: NumberFormatException =>
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch { case _: IllegalArgumentException =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.sql.Date.valueOf(s).getTime } } }
 }
 
 object GraftDeltaRelation {

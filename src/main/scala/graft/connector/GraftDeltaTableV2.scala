@@ -45,7 +45,8 @@ final class GraftDeltaTableV2(
     userPartitioning: Seq[String]) extends Table
     with SupportsRead with SupportsWrite {
 
-  private val versionAsOf = options.get("versionasof").map(_.toLong)
+  private val versionAsOf =
+    GraftDeltaDataSource.timeTravelVersion(spark, tableUri, options)
   private val readChangeFeed = options.get("readchangefeed").exists(_.toBoolean)
 
   private lazy val log = DeltaLog.forTable(spark, tableUri)
@@ -53,13 +54,15 @@ final class GraftDeltaTableV2(
   /** Snapshot schema wins over any catalog-stored schema (the log is the
     * source of truth; catalog copies go stale across DML/evolution). */
   override lazy val schema: StructType =
-    if (!log.tableExists) userSchema.getOrElse(new StructType())
+    (if (!log.tableExists) userSchema.getOrElse(new StructType())
     else if (readChangeFeed)
       GraftDeltaSource.streamSchema(
         log.snapshotAt(options.get("endingversion").map(_.toLong)
           .getOrElse(log.snapshot().version)).schema, changeFeed = true)
     else versionAsOf.map(v => log.snapshotAt(v).schema)
-      .getOrElse(log.snapshot().schema)
+      .getOrElse(log.snapshot().schema)) match {
+      case s => org.apache.spark.sql.graft.GraftShims.asNullable(s) // see DeltaLog.create
+    }
 
   override def name(): String = s"graftdelta.`$tableUri`"
 

@@ -85,6 +85,29 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       lastCheckpoint().map(_.version).getOrElse(-1L) +:
       listCheckpointVersions().map(_.version)).max
 
+  /** Greatest version whose commit timestamp is `<= ts` millis — the
+    * delta `timestampAsOf` rule. Commit times come from each commit's
+    * CommitInfo and are made MONOTONIC the way delta does it (a commit
+    * whose clock reads earlier than its predecessor counts as
+    * predecessor+1ms), so wall-clock skew between writers can't make
+    * time travel non-monotonic. Errors when `ts` predates the earliest
+    * available commit (nothing existed to read). */
+  def versionAtTimestamp(ts: Long): Long = {
+    val versions = availableVersions()
+    require(versions.nonEmpty, s"no readable commit JSON in $tableUri")
+    var adjusted = Long.MinValue
+    var answer = Long.MinValue
+    versions.foreach { v =>
+      val t = actionsAt(v).collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L)
+      adjusted = if (adjusted == Long.MinValue) t else math.max(adjusted + 1, t)
+      if (adjusted <= ts) answer = v
+    }
+    require(answer != Long.MinValue,
+      s"timestampAsOf $ts predates the earliest commit of $tableUri")
+    answer
+  }
+
   /** Optimistic-concurrency commit: try at latest+1, on conflict refresh
     * and retry. The reference's per-partition rewrites commit
     * concurrently through delta-rs' equivalent retry (lib.rs:862-885 via
@@ -357,11 +380,16 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     snap.version
   }
 
-  /** Version-0 commit for a fresh table. */
+  /** Version-0 commit for a fresh table. The schema is persisted
+    * all-nullable (the delta convention): parquet files don't enforce
+    * nullability, and DML can legitimately introduce NULLs later
+    * (merge's partial INSERT, evolved columns) — a recorded
+    * nullable=false would let readers compile away null checks and
+    * silently read 0/""/garbage where a NULL was written. */
   def create(schema: StructType, partitionColumns: Seq[String], adds: Seq[AddFile],
       operation: String = "CREATE TABLE"): Long = {
     require(!tableExists, s"table already exists: $tableUri")
-    val meta = Metadata(UUID.randomUUID().toString, schema.json, partitionColumns)
+    val meta = Metadata(UUID.randomUUID().toString, org.apache.spark.sql.graft.GraftShims.asNullable(schema).json, partitionColumns)
     commit(0L, Seq(Protocol(), meta) ++ adds :+
       CommitInfo(System.currentTimeMillis(), operation, Map("partitionBy" -> partitionColumns.mkString(","))))
   }

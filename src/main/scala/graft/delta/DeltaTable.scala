@@ -702,4 +702,192 @@ object DeltaTable {
       removes ++ adds ++ cdc :+ CommitInfo(now, operation, params))
     DmlStats(removes.size, adds.size)
   }
+
+  /** Prefix under which the merge SOURCE's columns appear in clause
+    * conditions/assignments ([[merge]]): `__src_name`. Distinct column
+    * namespaces are what make an arbitrary ON condition unambiguous
+    * when target and source share names (they almost always do). */
+  val MergeSourcePrefix = "__src_"
+
+  /** General MERGE (the full delta-style clause surface, minus
+    * not-matched-by-source):
+    *
+    *  - a target row matched by exactly one source row takes the FIRST
+    *    matched clause whose condition holds (UPDATE assignments see the
+    *    pre-image target row and the `__src_`-prefixed source row;
+    *    DELETE removes the row); several source rows matching one target
+    *    row is an error (ambiguous, as in delta-spark);
+    *  - a source row matching no target row takes the first not-matched
+    *    clause whose condition holds (unlisted columns insert NULL);
+    *    rows with no applicable clause are dropped.
+    *
+    * Scale shape: file-level rewrite pruning like every DML here —
+    * target-only conjuncts of `condition` prune candidate files from log
+    * stats, join-based discovery finds the touched files, and only those
+    * are re-read + rewritten; the source is broadcast into both the
+    * discovery and the apply join, so a CDC-batch-sized merge against a
+    * 100 TB table moves only the files it hits. An insert-only merge
+    * (no matched clauses) rewrites nothing and anti-joins the source
+    * against the candidate files alone. Change feed: update pre/post
+    * image pairs, delete rows, and insert rows, like the dedicated ops. */
+  def merge(spark: SparkSession, tableUri: String, source: DataFrame,
+      condition: Column, matched: Seq[MergeClause],
+      notMatched: Seq[MergeInsert]): DmlStats = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val fields = snap.schema.fields
+    require(!fields.exists(_.name.startsWith(MergeSourcePrefix)),
+      s"merge: target columns may not start with $MergeSourcePrefix")
+    matched.foreach {
+      case MergeUpdate(_, sets) => sets.keys.foreach(k =>
+        require(fields.exists(_.name == k), s"SET column $k not in table schema"))
+      case _: MergeDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"matched clause must be MergeUpdate/MergeDelete, got $other")
+    }
+    notMatched.foreach(c => c.values.keys.foreach(k =>
+      require(fields.exists(_.name == k), s"INSERT column $k not in table schema")))
+
+    // SET * / INSERT *: empty maps expand to all columns by name
+    def expandSets(sets: Map[String, Column]): Map[String, Column] =
+      if (sets.nonEmpty) sets
+      else fields.map(f => f.name -> col(MergeSourcePrefix + f.name)).toMap
+    val matchedX: Seq[(Option[Column], Option[Map[String, Column]])] = matched.map {
+      case MergeUpdate(c, sets) => (c, Some(expandSets(sets)))
+      case MergeDelete(c) => (c, None)
+    }
+    val insertX: Seq[(Option[Column], Map[String, Column])] =
+      notMatched.map(c => (c.condition, expandSets(c.values)))
+
+    val src = broadcast(
+      source.select(source.columns.toSeq.map(c =>
+        col(c).as(MergeSourcePrefix + c)): _*)
+        .withColumn(MergeSourcePrefix + "match", lit(true)))
+
+    // file pruning from the target-only half of the ON condition
+    val targetNames = fields.map(_.name).toSet
+    val targetOnly = splitConjuncts(spark, condition).filter(e =>
+      e.references.forall(a => targetNames.contains(a.name)))
+    val candidates = targetOnly
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(e => org.apache.spark.sql.graft.GraftShims.column(e))
+      .map(p => candidateFiles(spark, snap, p))
+      .getOrElse(snap.files)
+
+    val touched =
+      if (matchedX.isEmpty) Nil // insert-only: nothing rewritten
+      else touchedFiles(spark, log, snap,
+        _.join(src, condition, "inner"), candidates)
+
+    def clauseCond(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(true)), lit(false))
+
+    val base = readFiles(spark, log, snap, touched)
+    val joined = base.withColumn("__graft_rid", monotonically_increasing_id())
+      .join(src, condition, "left_outer").cache()
+    try {
+      val isMatched = col(MergeSourcePrefix + "match").isNotNull
+      if (touched.nonEmpty) {
+        val dup = joined.where(isMatched)
+          .groupBy(col("__graft_rid")).count()
+          .where(col("count") > 1).count()
+        require(dup == 0,
+          s"merge: $dup target row(s) matched multiple source rows " +
+            "(ambiguous merge, as in delta-spark)")
+      }
+
+      // which matched clause (by index) applies to each row; -1 = none
+      val appliedIdx = matchedX.zipWithIndex.foldRight(lit(-1)) {
+        case (((cond, _), i), els) =>
+          when(clauseCond(cond), lit(i)).otherwise(els)
+      }
+      val applied = when(isMatched, appliedIdx).otherwise(lit(-1))
+      val updateIdxs = matchedX.zipWithIndex.collect {
+        case ((_, Some(_)), i) => i
+      }
+      val keep = applied === -1 ||
+        updateIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _)
+      def outField(f: org.apache.spark.sql.types.StructField): Column =
+        matchedX.zipWithIndex.foldRight(col(f.name)) {
+          case (((_, Some(sets)), i), els) =>
+            when(applied === i,
+              sets.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)))
+              .otherwise(els)
+          case ((_, _), els) => els // delete clause: value irrelevant
+        }
+      val survivors = joined.where(keep)
+        .select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
+
+      // inserts: source rows matching NO target row, first applicable
+      // clause; anti against the candidate files (a pruned file is
+      // PROVEN to hold no row satisfying the condition)
+      val antiBase =
+        if (matchedX.isEmpty) readFiles(spark, log, snap, candidates)
+        else base
+      val srcOnly = src.join(antiBase, condition, "left_anti")
+      val insIdx = insertX.zipWithIndex.foldRight(lit(-1)) {
+        case (((cond, _), i), els) =>
+          when(clauseCond(cond), lit(i)).otherwise(els)
+      }
+      def insField(f: org.apache.spark.sql.types.StructField): Column =
+        insertX.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+          case (((_, sets), i), els) =>
+            when(col("__graft_ins") === i,
+              sets.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)))
+              .otherwise(els)
+        }
+      val inserts = srcOnly.withColumn("__graft_ins", insIdx)
+        .where(col("__graft_ins") =!= -1)
+        .select(fields.toSeq.map(f => insField(f).as(f.name)): _*)
+
+      // change feed: pre/post images for updates, deletes, inserts
+      val updated = joined.where(
+        updateIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _))
+      val pre = updated.select(fields.toSeq.map(f => col(f.name)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = updated.select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
+        .withColumn("_change_type", lit("update_postimage"))
+      val deleteIdxs = matchedX.zipWithIndex.collect { case ((_, None), i) => i }
+      val deleted = joined.where(
+        deleteIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _))
+        .select(fields.toSeq.map(f => col(f.name)): _*)
+        .withColumn("_change_type", lit("delete"))
+      val changes = pre.unionByName(post).unionByName(deleted)
+        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+
+      commitRewrite(spark, log, snap, touched,
+        survivors.unionByName(inserts), "MERGE",
+        Map("matchedFiles" -> touched.size.toString,
+          "candidateFiles" -> candidates.size.toString,
+          "clauses" -> s"${matched.size} matched, ${notMatched.size} notMatched"),
+        cdc = stageCdc(spark, log, changes))
+    } finally joined.unpersist()
+  }
+
+  private def splitConjuncts(spark: SparkSession, c: Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(org.apache.spark.sql.graft.GraftShims.expressionOf(c))
+  }
 }
+
+/** One WHEN clause of [[DeltaTable.merge]]. Conditions and assignment
+  * values reference target columns by name and source columns with the
+  * [[DeltaTable.MergeSourcePrefix]] prefix. */
+sealed trait MergeClause
+/** WHEN MATCHED [AND condition] THEN UPDATE SET ...; empty assignments
+  * = `SET *` (every column from the same-named source column). */
+final case class MergeUpdate(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeClause
+/** WHEN MATCHED [AND condition] THEN DELETE. */
+final case class MergeDelete(condition: Option[Column]) extends MergeClause
+/** WHEN NOT MATCHED [AND condition] THEN INSERT ...; empty values =
+  * `INSERT *`; unlisted columns insert NULL. */
+final case class MergeInsert(condition: Option[Column],
+    values: Map[String, Column]) extends MergeClause

@@ -58,10 +58,11 @@ object GraftDmlRule {
 
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graftdelta SQL MERGE supports the upsert shape " +
-        "(ON equi-join keys, WHEN MATCHED THEN UPDATE SET *, " +
-        "WHEN NOT MATCHED THEN INSERT *); " +
-        s"$what is not supported — use the graft.delta.DeltaTable API for richer merges")
+      s"graftdelta SQL MERGE: $what is not supported " +
+        "(supported: equi or general ON conditions, conditional " +
+        "WHEN MATCHED UPDATE SET .../SET */DELETE, " +
+        "WHEN NOT MATCHED INSERT .../INSERT *; " +
+        "not: WHEN NOT MATCHED BY SOURCE, WITH SCHEMA EVOLUTION)")
 }
 
 /** Resolution rule: fully-resolved DML plans over graftdelta v1
@@ -157,58 +158,131 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // v2 target: the analyzer defers MERGE resolution to tables with
     // row-level-operation support, which this engine intentionally does
-    // not implement — so the star-shape merge arrives UNRESOLVED
-    // (children resolved, condition/actions not). Resolve the upsert
-    // shape by name here: the library op re-resolves against its own
-    // read anyway, so names are all the command needs.
+    // not implement — so the merge arrives UNRESOLVED (children resolved,
+    // condition/actions not). Resolve names against the two sides here:
+    // target columns stay bare, source columns get the library merge's
+    // `__src_` prefix ([[DeltaTable.MergeSourcePrefix]]), which is what
+    // makes an arbitrary ON condition unambiguous when both sides share
+    // names. The star+equi upsert shape keeps the broadcast-key-pruned
+    // [[DeltaTable.upsert]] fast path; everything else routes to the
+    // general [[DeltaTable.merge]].
     case m @ MergeIntoTable(Target(t @ (_, _, ident)), source, cond,
         matched, notMatched, bySource, evolution)
         if !m.resolved && m.childrenResolved =>
       if (evolution) unsupported("WITH SCHEMA EVOLUTION")
       if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
-      (matched, notMatched) match {
-        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
-        case _ => unsupported(
-          s"clauses [${matched.mkString(", ")}] / [${notMatched.mkString(", ")}]")
-      }
-      def sideName(e: Expression, plan: LogicalPlan): Option[String] = e match {
+
+      def aliasesOf(plan: LogicalPlan): Set[String] =
+        plan.collect { case SubqueryAlias(id, _) =>
+          id.name.toLowerCase(java.util.Locale.ROOT) }.toSet
+      val (tAliases, sAliases) = (aliasesOf(m.targetTable), aliasesOf(source))
+
+      /** Which side an attribute names: Left(col) = target, Right(col) =
+        * source (actual output column name). */
+      def side(e: Expression): Option[Either[String, String]] = e match {
         case ua: UnresolvedAttribute =>
           val name = ua.nameParts.last
-          val quals = ua.nameParts.init.map(_.toLowerCase(java.util.Locale.ROOT))
-          val aliasOk = quals.isEmpty || {
-            val aliases = plan.collect { case SubqueryAlias(id, _) =>
-              id.name.toLowerCase(java.util.Locale.ROOT) }.toSet
-            aliases.contains(quals.last)
+          val qual = ua.nameParts.init.lastOption
+            .map(_.toLowerCase(java.util.Locale.ROOT))
+          val inT = m.targetTable.output.collectFirst {
+            case o if conf.resolver(o.name, name) => o.name }
+          val inS = source.output.collectFirst {
+            case o if conf.resolver(o.name, name) => o.name }
+          qual match {
+            case Some(q) if tAliases.contains(q) => inT.map(Left(_))
+            case Some(q) if sAliases.contains(q) => inS.map(Right(_))
+            case Some(_) => None
+            case None => (inT, inS) match {
+              case (Some(c), None) => Some(Left(c))
+              case (None, Some(c)) => Some(Right(c))
+              case (Some(_), Some(_)) => unsupported(
+                s"ambiguous column $name (exists on both sides — qualify it)")
+              case _ => None
+            }
           }
-          if (aliasOk) plan.output.collectFirst {
-            case o if conf.resolver(o.name, name) => o.name
-          } else None
-        case a: AttributeReference if plan.outputSet.contains(a) => Some(a.name)
+        case a: AttributeReference if m.targetTable.outputSet.contains(a) =>
+          Some(Left(a.name))
+        case a: AttributeReference if source.outputSet.contains(a) =>
+          Some(Right(a.name))
         case _ => None
       }
-      val keys = conjuncts(cond).map {
-        case EqualTo(l, r) =>
-          (for { tn <- sideName(l, m.targetTable); sn <- sideName(r, source) }
-            yield (tn, sn))
-            .orElse(for { tn <- sideName(r, m.targetTable); sn <- sideName(l, source) }
-              yield (tn, sn)) match {
-            case Some((tn, sn)) =>
-              if (!conf.resolver(tn, sn))
-                unsupported(s"join key with differing names ($tn = $sn)")
-              tn
-            case None => unsupported(s"unresolvable merge condition $cond")
+
+      /** Rewrite every column reference to the library merge's
+        * namespace: bare target names, `__src_`-prefixed source names. */
+      def translate(e: Expression): Column = GraftShims.column(e.transformUp {
+        case ua: UnresolvedAttribute => side(ua) match {
+          case Some(Left(c)) => UnresolvedAttribute.quoted(c)
+          case Some(Right(c)) =>
+            UnresolvedAttribute.quoted(DeltaTable.MergeSourcePrefix + c)
+          case None => unsupported(s"unresolvable reference $ua")
+        }
+        case a: AttributeReference if m.targetTable.outputSet.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+        case a: AttributeReference if source.outputSet.contains(a) =>
+          UnresolvedAttribute.quoted(DeltaTable.MergeSourcePrefix + a.name)
+      })
+
+      // assignment keys are target columns BY DEFINITION (SQL `SET v =`
+      // / `INSERT (v)`), so they resolve against the target side only —
+      // never through the two-sided ambiguity check
+      def keyName(e: Expression): String = e match {
+        case ua: UnresolvedAttribute =>
+          val name = ua.nameParts.last
+          val qual = ua.nameParts.init.lastOption
+            .map(_.toLowerCase(java.util.Locale.ROOT))
+          if (!qual.forall(tAliases.contains))
+            unsupported(s"SET/INSERT key $ua is not a target column")
+          m.targetTable.output.collectFirst {
+            case o if conf.resolver(o.name, name) => o.name
+          }.getOrElse(unsupported(s"SET/INSERT key $ua is not a target column"))
+        case a: AttributeReference if m.targetTable.outputSet.contains(a) => a.name
+        case other => unsupported(s"SET/INSERT key $other is not a target column")
+      }
+
+      val matchedClauses: Seq[graft.delta.MergeClause] = matched.map {
+        case UpdateStarAction(c) => graft.delta.MergeUpdate(c.map(translate), Map.empty)
+        case UpdateAction(c, assigns, _) => graft.delta.MergeUpdate(c.map(translate),
+          assigns.map(a => keyName(a.key) -> translate(a.value)).toMap)
+        case DeleteAction(c) => graft.delta.MergeDelete(c.map(translate))
+        case other => unsupported(s"matched clause $other")
+      }
+      val insertClauses: Seq[graft.delta.MergeInsert] = notMatched.map {
+        case InsertStarAction(c) => graft.delta.MergeInsert(c.map(translate), Map.empty)
+        case InsertAction(c, assigns) => graft.delta.MergeInsert(c.map(translate),
+          assigns.map(a => keyName(a.key) -> translate(a.value)).toMap)
+        case other => unsupported(s"not-matched clause $other")
+      }
+
+      // star+equi fast path: ON is a conjunction of same-named
+      // target=source equalities and the clauses are exactly
+      // UPDATE SET * / INSERT * -> broadcast-key-pruned upsert
+      val equiKeys: Option[Seq[String]] = {
+        val ks = conjuncts(cond).map {
+          case EqualTo(l, r) =>
+            (side(l), side(r)) match {
+              case (Some(Left(tc)), Some(Right(sc))) if conf.resolver(tc, sc) => Some(tc)
+              case (Some(Right(sc)), Some(Left(tc))) if conf.resolver(tc, sc) => Some(tc)
+              case _ => None
+            }
+          case _ => None
+        }
+        if (ks.forall(_.isDefined)) Some(ks.flatten) else None
+      }
+      (matchedClauses, insertClauses, equiKeys) match {
+        case (Seq(graft.delta.MergeUpdate(None, e1)),
+            Seq(graft.delta.MergeInsert(None, e2)), Some(keys))
+            if e1.isEmpty && e2.isEmpty =>
+          val columns = m.targetTable.output.map { o =>
+            source.output.collectFirst {
+              case so if conf.resolver(so.name, o.name) => o.name -> so.name
+            }.getOrElse(unsupported(
+              s"INSERT */UPDATE SET * with no source column named ${o.name}"))
           }
-        case other => unsupported(s"non-equi merge condition $other")
+          GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
+        case _ =>
+          GraftMergeClausesCommand(checkWritable(t), source, translate(cond),
+            matchedClauses, insertClauses, ident)
       }
-      // SET * / INSERT *: every target column comes from the same-named
-      // source column
-      val columns = m.targetTable.output.map { o =>
-        source.output.collectFirst {
-          case s if conf.resolver(s.name, o.name) => o.name -> s.name
-        }.getOrElse(unsupported(
-          s"INSERT */UPDATE SET * with no source column named ${o.name}"))
-      }
-      GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
   }
 }
 
@@ -242,6 +316,21 @@ case class GraftUpdateCommand(tableUri: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     DeltaTable.update(session, tableUri, predicate,
       assignments.map { case (k, v) => k -> GraftDmlRule.toColumn(v) }.toMap)
+    GraftDmlRefresh(session, tableUri, catalogIdent)
+    Nil
+  }
+}
+
+/** General `MERGE INTO` -> [[DeltaTable.merge]] (conditional clause
+  * chain, partial SET, DELETE action, arbitrary ON). */
+case class GraftMergeClausesCommand(tableUri: String, source: LogicalPlan,
+    condition: Column, matched: Seq[graft.delta.MergeClause],
+    notMatched: Seq[graft.delta.MergeInsert], catalogIdent: Option[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    DeltaTable.merge(session, tableUri,
+      GraftShims.ofRows(session, source), condition, matched, notMatched)
     GraftDmlRefresh(session, tableUri, catalogIdent)
     Nil
   }

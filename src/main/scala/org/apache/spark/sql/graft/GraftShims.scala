@@ -24,6 +24,11 @@ object GraftShims {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** All-nullable copy of a schema (`StructType.asNullable` is
+    * `private[spark]`); see `DeltaLog.create` for why the engine
+    * persists and reports nullable columns. */
+  def asNullable(s: StructType): StructType = s.asNullable
+
   /** Column -> its Catalyst Expression (inverse of [[column]]). */
   def expressionOf(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =

@@ -245,6 +245,31 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_sql_ins")
   }
 
+  test("timestampAsOf time-travels to the last commit at-or-before the time") {
+    val dir = TestSpark.tmpDir("gds-tsasof")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    def readAt(ts: String) = spark.read.format("graftdelta")
+      .option("timestampAsOf", ts).load(dir).as[Long].collect().sorted.toSeq
+    assert(readAt(between.toString) == Seq(1L), "between commits -> v0")
+    assert(readAt(System.currentTimeMillis().toString) == Seq(1L, 2L))
+    // predating the first commit is an error, not an empty table
+    intercept[IllegalArgumentException](readAt("42"))
+    // both time-travel options together are rejected
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("timestampAsOf", between.toString)
+        .option("versionAsOf", "0").load(dir).collect()
+    }
+    // string timestamp forms parse (UTC session timezone)
+    assert(GraftDeltaDataSource.parseTimestamp("1970-01-02") == 86400000L ||
+      GraftDeltaDataSource.parseTimestamp("1970-01-02") > 0)
+    assert(GraftDeltaDataSource.parseTimestamp("2026-01-02T03:04:05Z") ==
+      java.time.Instant.parse("2026-01-02T03:04:05Z").toEpochMilli)
+  }
+
   test("v2: format reads resolve through the TableProvider (DataSourceV2Relation)") {
     val dir = sortedTable()
     val analyzed = spark.read.format("graftdelta").load(dir).queryExecution.analyzed

@@ -1,0 +1,130 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import DeltaTable.MergeSourcePrefix
+
+/** General MERGE ([[DeltaTable.merge]]): delta-style clause semantics —
+  * first applicable clause wins, conditional update/delete/insert,
+  * partial SET, ambiguity detection, file-level rewrite pruning, and
+  * change-feed capture. Source columns are referenced with the
+  * `__src_` prefix in every clause expression. */
+class DeltaMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def s(name: String) = col(MergeSourcePrefix + name)
+
+  private def activePaths(dir: String): Set[String] =
+    DeltaLog.forTable(spark, dir).snapshot().files.map(_.path).toSet
+
+  test("conditional update + delete + insert in ONE merge, with CDC") {
+    val dir = TestSpark.tmpDir("gm-full")
+    DeltaTable.create(spark,
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"), dir)
+    val source = Seq(
+      (1, "A!", 0),   // matched, op below deletes n<... no: update branch
+      (2, "B!", -1),  // matched, delete branch (src n < 0)
+      (9, "i", 90),   // not matched -> insert
+      (8, "skip", -5) // not matched but insert condition rejects it
+    ).toDF("k", "v", "n")
+
+    DeltaTable.merge(spark, dir, source,
+      condition = col("k") === s("k"),
+      matched = Seq(
+        MergeDelete(Some(s("n") < 0)),
+        MergeUpdate(None, Map("v" -> s("v"))) // partial SET: n keeps target value
+      ),
+      notMatched = Seq(MergeInsert(Some(s("n") >= 0), Map.empty)))
+
+    val rows = DeltaTable.read(spark, dir).as[(Int, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1, "A!", 10), // updated v, kept n (partial SET)
+      (3, "c", 30),  // untouched
+      (9, "i", 90))) // inserted; k=2 deleted; k=8 filtered by insert cond
+
+    val changes = DeltaTable.changesBetween(spark, dir, 0, 1)
+      .select($"_change_type", $"k", $"v").as[(String, Int, String)]
+      .collect().toSet
+    assert(changes == Set(
+      ("update_preimage", 1, "a"), ("update_postimage", 1, "A!"),
+      ("delete", 2, "b"), ("insert", 9, "i")))
+  }
+
+  test("first applicable clause wins (clause order matters)") {
+    val dir = TestSpark.tmpDir("gm-order")
+    DeltaTable.create(spark, Seq((1, 100L)).toDF("k", "n"), dir)
+    DeltaTable.merge(spark, dir, Seq((1, 5L)).toDF("k", "n"),
+      condition = col("k") === s("k"),
+      matched = Seq(
+        MergeUpdate(Some(s("n") < 10), Map("n" -> lit(111L))),
+        MergeUpdate(None, Map("n" -> lit(222L)))),
+      notMatched = Nil)
+    assert(DeltaTable.read(spark, dir).as[(Int, Long)].head() == ((1, 111L)))
+  }
+
+  test("several source rows matching one target row is an error") {
+    val dir = TestSpark.tmpDir("gm-ambig")
+    DeltaTable.create(spark, Seq((1, "x")).toDF("k", "v"), dir)
+    val before = DeltaLog.forTable(spark, dir).snapshot().version
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, dir, Seq((1, "a"), (1, "b")).toDF("k", "v"),
+        condition = col("k") === s("k"),
+        matched = Seq(MergeUpdate(None, Map.empty)), notMatched = Nil)
+    }
+    assert(e.getMessage.contains("matched multiple source rows"))
+    assert(DeltaLog.forTable(spark, dir).snapshot().version == before,
+      "ambiguous merge must commit nothing")
+  }
+
+  test("insert-only merge rewrites no files") {
+    val dir = TestSpark.tmpDir("gm-insonly")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val before = activePaths(dir)
+    DeltaTable.merge(spark, dir, Seq((1, "dup"), (2, "new")).toDF("k", "v"),
+      condition = col("k") === s("k"),
+      matched = Nil,
+      notMatched = Seq(MergeInsert(None, Map.empty)))
+    val after = activePaths(dir)
+    assert(before.subsetOf(after), "existing files must not move")
+    assert((after -- before).size == 1, "one appended file")
+    // k=1 matched an existing row -> NOT inserted; k=2 inserted
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "new")))
+  }
+
+  test("non-equi ON condition and expression assignments") {
+    val dir = TestSpark.tmpDir("gm-range")
+    DeltaTable.create(spark,
+      Seq((5, "low"), (50, "mid"), (500, "high")).toDF("n", "band"), dir)
+    // source rows are (lo, hi, label) ranges; target matches by containment
+    val ranges = Seq((0, 10, "tiny"), (100, 1000, "big")).toDF("lo", "hi", "label")
+    DeltaTable.merge(spark, dir, ranges,
+      condition = col("n") >= s("lo") && col("n") < s("hi"),
+      matched = Seq(MergeUpdate(None,
+        Map("band" -> concat(s("label"), lit(":"), col("band"))))),
+      notMatched = Nil)
+    val rows = DeltaTable.read(spark, dir).as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((5, "tiny:low"), (50, "mid"), (500, "big:high")))
+  }
+
+  test("partial INSERT values leave unlisted columns NULL; untouched files stay") {
+    val dir = TestSpark.tmpDir("gm-partins")
+    DeltaTable.create(spark, Seq((1, "a", 10)).toDF("k", "v", "n").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((2, "b", 20)).toDF("k", "v", "n").coalesce(1))
+    val before = activePaths(dir)
+    DeltaTable.merge(spark, dir, Seq((1, "A"), (7, "g")).toDF("k", "v"),
+      condition = col("k") === s("k"),
+      matched = Seq(MergeUpdate(None, Map("v" -> s("v")))),
+      notMatched = Seq(MergeInsert(None, Map("k" -> s("k"), "v" -> s("v")))))
+    val rows = DeltaTable.read(spark, dir)
+      .select($"k", $"v", $"n").as[(Int, String, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1, "A", Some(10)), (2, "b", Some(20)), (7, "g", None)))
+    // only the file containing k=1 was rewritten
+    assert((before intersect activePaths(dir)).size == 1)
+  }
+}

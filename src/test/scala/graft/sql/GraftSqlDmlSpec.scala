@@ -113,23 +113,62 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("general SQL MERGE: conditional update, DELETE action, partial SET") {
+    val dir = TestSpark.tmpDir("sqldml-merge-gen")
+    DeltaTable.create(spark,
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"), dir)
+    withTable(dir) { t =>
+      Seq((1, "A", 1), (2, "B", -1), (9, "i", 90), (8, "x", -8))
+        .toDF("k", "v", "n").createOrReplaceTempView("merge_gen_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $t tgt USING merge_gen_src src ON tgt.k = src.k
+             |WHEN MATCHED AND src.n < 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET v = upper(src.v)
+             |WHEN NOT MATCHED AND src.n >= 0 THEN INSERT (k, v) VALUES (src.k, src.v)
+             |""".stripMargin)
+        val rows = spark.sql(s"SELECT k, v, n FROM $t ORDER BY k")
+          .as[(Int, String, Option[Int])].collect().toSeq
+        assert(rows == Seq(
+          (1, "A", Some(10)),  // conditional update, partial SET keeps n
+          (3, "c", Some(30)),  // untouched
+          (9, "i", None)))     // partial INSERT nulls n; k=2 deleted; k=8 filtered
+      } finally spark.catalog.dropTempView("merge_gen_src")
+    }
+  }
+
+  test("general SQL MERGE: non-equi ON condition") {
+    val dir = TestSpark.tmpDir("sqldml-merge-range")
+    DeltaTable.create(spark,
+      Seq((5, "low"), (500, "high")).toDF("n", "band"), dir)
+    withTable(dir) { t =>
+      Seq((0, 10, "tiny")).toDF("lo", "hi", "label")
+        .createOrReplaceTempView("merge_range_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $t tgt USING merge_range_src src
+             |ON tgt.n >= src.lo AND tgt.n < src.hi
+             |WHEN MATCHED THEN UPDATE SET band = src.label""".stripMargin)
+        assert(spark.sql(s"SELECT n, band FROM $t ORDER BY n")
+          .as[(Int, String)].collect().toSeq == Seq((5, "tiny"), (500, "high")))
+      } finally spark.catalog.dropTempView("merge_range_src")
+    }
+  }
+
   test("unsupported MERGE shapes fail with a clear error, not silently") {
     val dir = TestSpark.tmpDir("sqldml-merge-bad")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
     withTable(dir) { t =>
       Seq((1, "z")).toDF("k", "v").createOrReplaceTempView("merge_bad_src")
       try {
-        val e1 = intercept[UnsupportedOperationException] {
+        val e = intercept[UnsupportedOperationException] {
           spark.sql(s"""MERGE INTO $t USING merge_bad_src s ON $t.k = s.k
-                       |WHEN MATCHED THEN DELETE""".stripMargin)
-        }
-        assert(e1.getMessage.contains("upsert shape"))
-        val e2 = intercept[UnsupportedOperationException] {
-          spark.sql(s"""MERGE INTO $t USING merge_bad_src s ON $t.k < s.k
                        |WHEN MATCHED THEN UPDATE SET *
-                       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+                       |WHEN NOT MATCHED THEN INSERT *
+                       |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
         }
-        assert(e2.getMessage.contains("non-equi"))
+        assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+        assert(spark.table(t).count() == 1, "failed merge commits nothing")
       } finally spark.catalog.dropTempView("merge_bad_src")
     }
   }
