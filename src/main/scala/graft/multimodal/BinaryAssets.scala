@@ -117,11 +117,15 @@ object BinaryAssets {
       rms: Int)
 
   /** REAL audio decode via the JDK's built-in javax.sound.sampled
-    * (WAV/AIFF/AU PCM — zero native or external dependencies). Returns
-    * None when the payload is not a decodable audio stream. RMS
-    * amplitude (0..32767) is computed over at most the first 65536
-    * samples of 16-bit signed PCM so the feature cost is O(1) per asset
-    * regardless of clip length; other sample widths report rms = 0. */
+    * (zero native or external dependencies). Returns None when the
+    * payload is not a decodable audio stream. RMS amplitude (0..32767)
+    * is computed over at most the first 65536 samples so the feature
+    * cost is O(1) per asset regardless of clip length. Non-PCM16
+    * encodings the JDK can convert — notably the COMPRESSED telephony
+    * codecs U-law and A-law (2:1 logarithmic companding), plus 8-bit
+    * and big-endian PCM — are transcoded to 16-bit signed PCM first, so
+    * their RMS is real, not zero; encodings with no JVM converter
+    * still report rms = 0 with true rate/channels/frames. */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)] = {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -134,22 +138,33 @@ object BinaryAssets {
     else try {
       val fmt = in.getFormat
       val frames = in.getFrameLength
-      val rms =
-        if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) 0
+      val pcmSigned = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcm: javax.sound.sampled.AudioInputStream =
+        if (fmt.getEncoding == pcmSigned && fmt.getSampleSizeInBits == 16) in
         else {
+          val target = new javax.sound.sampled.AudioFormat(pcmSigned,
+            fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+            fmt.getSampleRate, false)
+          if (javax.sound.sampled.AudioSystem.isConversionSupported(target, fmt))
+            javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          else null
+        }
+      val rms =
+        if (pcm == null) 0
+        else {
+          val pfmt = pcm.getFormat
           val maxSamples = 65536
           val buf = new Array[Byte](math.min(maxSamples * 2L,
-            math.max(0L, frames) * fmt.getFrameSize).toInt max 2)
+            math.max(0L, frames) * pfmt.getFrameSize).toInt max 2)
           var read = 0
           var eof = false
           while (read < buf.length && !eof) {
-            val n = in.read(buf, read, buf.length - read)
+            val n = pcm.read(buf, read, buf.length - read)
             if (n < 0) eof = true else read += n
           }
           var sumSq = 0.0
           var i = 0
-          val le = !fmt.isBigEndian
+          val le = !pfmt.isBigEndian
           while (i + 1 < read) {
             val s =
               if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort

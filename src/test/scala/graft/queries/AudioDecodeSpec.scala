@@ -74,6 +74,29 @@ class AudioDecodeSpec extends AnyFunSuite {
     assert(silent == 0)
   }
 
+  test("compressed U-law / A-law clips transcode and yield real RMS") {
+    // companded telephony codecs: build PCM16, convert with the JDK's
+    // own encoder, wrap as WAV — decodeAudio must transcode back and
+    // recover the analytic sine RMS within companding tolerance
+    def companded(enc: AudioFormat.Encoding): Array[Byte] = {
+      val pcmBytes = wav(8000, 1, 8000, freq = 440.0, amplitude = 0.5)
+      val pcmIn = AudioSystem.getAudioInputStream(new ByteArrayInputStream(pcmBytes))
+      val target = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val converted = AudioSystem.getAudioInputStream(target, pcmIn)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(converted, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val expected = (0.5 * 32767 / math.sqrt(2)).toInt
+    for (enc <- Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)) {
+      val Some((rate, ch, frames, rms)) = BinaryAssets.decodeAudio(companded(enc))
+      assert(rate == 8000 && ch == 1 && frames == 8000, s"$enc header")
+      // companding is lossy: allow 5%
+      assert(math.abs(rms - expected) <= expected / 20,
+        s"$enc rms $rms vs analytic $expected")
+    }
+  }
+
   test("non-audio payloads are dropped, not crashed on") {
     import spark.implicits._
     val assets = Seq(
