@@ -170,6 +170,64 @@ class SortOptimizer:
         """Time travel: the snapshot as of ``version``."""
         return self._wrap(self._j.readVersionDf(int(version)))
 
+    def read_timestamp(self, ts_millis: int):
+        """Time travel by commit time: the snapshot as of the last
+        commit at or before ``ts_millis`` (delta's timestampAsOf)."""
+        return self._wrap(self._j.readTimestampDf(int(ts_millis)))
+
+    def merge(
+        self,
+        source,
+        condition: str,
+        matched: Optional[list] = None,
+        not_matched: Optional[list] = None,
+    ) -> dict:
+        """General MERGE (delta-style clause chain). ``source`` is a
+        pyspark DataFrame; ``condition`` and clause expressions are
+        Spark-SQL strings where source columns use the ``__src_``
+        prefix (e.g. ``"k = __src_k"``).
+
+        ``matched`` entries: ``("update", cond_or_None, {col: expr})``
+        or ``("delete", cond_or_None)``; ``not_matched`` entries:
+        ``(cond_or_None, {col: expr})``. Empty dicts mean SET * /
+        INSERT *. First applicable clause wins, several source rows
+        matching one target row is an error, unlisted INSERT columns
+        become NULL."""
+        jvm = self._spark._jvm
+
+        def jlist(items):
+            lst = jvm.java.util.ArrayList()
+            for x in items:
+                lst.add(x)
+            return lst
+
+        def jmap(d):
+            m = jvm.java.util.HashMap()
+            for k, v in (d or {}).items():
+                m.put(k, v)
+            return m
+
+        kinds, mconds, msets = [], [], []
+        for clause in matched or []:
+            kinds.append(clause[0])
+            mconds.append(clause[1] if len(clause) > 1 and clause[1] else "")
+            msets.append(jmap(clause[2] if len(clause) > 2 else {}))
+        iconds, isets = [], []
+        for clause in not_matched or []:
+            iconds.append(clause[0] if clause[0] else "")
+            isets.append(jmap(clause[1] if len(clause) > 1 else {}))
+        return json.loads(
+            self._j.merge(
+                source._jdf,
+                condition,
+                jlist(kinds),
+                jlist(mconds),
+                jlist(msets),
+                jlist(iconds),
+                jlist(isets),
+            )
+        )
+
     def history(self):
         """DESCRIBE HISTORY analog: one row per commit, newest first
         (version, timestamp, operation, operationParameters)."""

@@ -58,3 +58,35 @@ def test_replace_where(spark, tmp_table):
     assert stats["files_removed"] >= 1 and stats["files_added"] >= 1
     rows = sorted((r.k, r.s) for r in opt.read().collect())
     assert rows == [(1, "A"), (2, "b")]
+
+
+def test_read_timestamp(spark, tmp_table):
+    import time
+
+    opt = _make(spark, tmp_table)  # v0
+    time.sleep(0.01)
+    between = int(time.time() * 1000)
+    time.sleep(0.01)
+    opt.delete_where("k = 1")  # v1
+    assert sorted(r.k for r in opt.read_timestamp(between).collect()) == [1, 2]
+    now = int(time.time() * 1000)
+    assert sorted(r.k for r in opt.read_timestamp(now).collect()) == [2]
+
+
+def test_general_merge(spark, tmp_table):
+    opt = _make(spark, tmp_table)
+    source = spark.createDataFrame(
+        [(1, "DEL"), (2, "B!"), (9, "new")], "k LONG, s STRING"
+    )
+    stats = opt.merge(
+        source,
+        condition="k = __src_k",
+        matched=[
+            ("delete", "__src_s = 'DEL'"),
+            ("update", None, {"s": "upper(__src_s)"}),
+        ],
+        not_matched=[(None, {})],  # INSERT *
+    )
+    assert stats["files_added"] >= 1
+    rows = sorted((r.k, r.s) for r in opt.read().collect())
+    assert rows == [(2, "B!"), (9, "new")]

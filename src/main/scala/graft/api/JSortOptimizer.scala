@@ -130,6 +130,42 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def readVersionDf(version: Long): org.apache.spark.sql.DataFrame =
     graft.delta.DeltaTable.readAt(spark, tableUri, version)
 
+  /** Time travel by commit time: the snapshot as of the last commit at
+    * or before `tsMillis` (delta's timestampAsOf rule). */
+  def readTimestampDf(tsMillis: Long): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.readAt(spark, tableUri,
+      graft.delta.DeltaLog.forTable(spark, tableUri).versionAtTimestamp(tsMillis))
+
+  /** General MERGE for the Python binding: clause lists as
+    * (kind, condition-or-null, assignments) triples with Spark-SQL
+    * expression STRINGS; source columns are referenced with the
+    * `__src_` prefix ([[graft.delta.DeltaTable.MergeSourcePrefix]]).
+    * `matched` kinds: "update"/"delete"; `notMatched` entries insert.
+    * Empty assignment maps mean SET * / INSERT *. */
+  def merge(source: org.apache.spark.sql.DataFrame, condition: String,
+      matchedKinds: java.util.List[String],
+      matchedConds: java.util.List[String],
+      matchedSets: java.util.List[java.util.Map[String, String]],
+      insertConds: java.util.List[String],
+      insertSets: java.util.List[java.util.Map[String, String]]): String = {
+    def optCond(s: String): Option[org.apache.spark.sql.Column] =
+      Option(s).filter(_.nonEmpty).map(org.apache.spark.sql.functions.expr)
+    def sets(m: java.util.Map[String, String]): Map[String, org.apache.spark.sql.Column] =
+      m.asScala.toMap.map { case (k, v) => k -> org.apache.spark.sql.functions.expr(v) }
+    val matched = matchedKinds.asScala.toSeq.zipWithIndex.map {
+      case ("update", i) => graft.delta.MergeUpdate(
+        optCond(matchedConds.get(i)), sets(matchedSets.get(i)))
+      case ("delete", i) => graft.delta.MergeDelete(optCond(matchedConds.get(i)))
+      case (other, _) => throw new IllegalArgumentException(
+        s"matched clause kind must be update/delete, got $other")
+    }
+    val inserts = insertConds.asScala.toSeq.zipWithIndex.map { case (c, i) =>
+      graft.delta.MergeInsert(optCond(c), sets(insertSets.get(i)))
+    }
+    dmlJson(graft.delta.DeltaTable.merge(spark, tableUri, source,
+      org.apache.spark.sql.functions.expr(condition), matched, inserts))
+  }
+
   /** DESCRIBE HISTORY analog: commits newest-first. */
   def historyDf(): org.apache.spark.sql.DataFrame =
     graft.delta.DeltaTable.history(spark, tableUri)

@@ -51,12 +51,15 @@ object Connector {
         table(s, dir, "nation").createOrReplaceTempView(s"${t}_src")
         s.sql(s"DELETE FROM $t WHERE n_regionkey = 0")
         s.sql(s"UPDATE $t SET n_name = concat(n_name, '*') WHERE n_regionkey = 1")
+        // conditional DELETE clause -> the GENERAL merge path (clause
+        // chain), not the star+equi upsert fast path
         s.sql(
           s"""MERGE INTO $t
              |USING (SELECT n_nationkey, n_name,
              |              CAST(n_regionkey + 100 AS INT) AS n_regionkey
              |       FROM ${t}_src WHERE n_nationkey < 3) s
              |ON $t.n_nationkey = s.n_nationkey
+             |WHEN MATCHED AND s.n_regionkey >= 103 THEN DELETE
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       } finally {
@@ -112,6 +115,11 @@ object Connector {
         |SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
         |WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM s)
         |UNION ALL
-        |SELECT n_nationkey, n_name, n_regionkey FROM s""".stripMargin
+        |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
+        |JOIN base b ON b.n_nationkey = s.n_nationkey
+        |WHERE s.n_regionkey < 103
+        |UNION ALL
+        |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
+        |WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM base)""".stripMargin
   )
 }
