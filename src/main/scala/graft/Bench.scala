@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
       // events.parquet stores TIMESTAMP(NANOS) — only readable as long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps explicitly: INT96 output would leave shipdate

@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
       // events.parquet stores TIMESTAMP(NANOS) — only readable as long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

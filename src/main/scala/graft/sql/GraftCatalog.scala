@@ -1,0 +1,58 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, Table, TableCatalog}
+
+import graft.connector.GraftDeltaTableV2
+
+/** Session-catalog plugin enabling SQL time travel on graftdelta tables:
+  *
+  * {{{ SELECT * FROM t VERSION AS OF 3
+  *     SELECT * FROM t TIMESTAMP AS OF '2026-01-02 03:04:05' }}}
+  *
+  * Spark resolves `FOR/AS OF` through `TableCatalog.loadTable(ident,
+  * version|timestamp)`, which the built-in session catalog rejects for
+  * every table. This extension (registered as
+  * `spark.sql.catalog.spark_catalog`, the same seam delta-spark's
+  * DeltaCatalog uses) intercepts those two calls for `USING graftdelta`
+  * tables and returns the v2 table pinned at the requested version —
+  * everything else delegates untouched, so non-graftdelta tables and
+  * all other catalog traffic behave exactly as before. */
+class GraftCatalog extends DelegatingCatalogExtension {
+
+  /** The graftdelta table uri, when `ident` is a graftdelta table. */
+  private def graftUri(t: Table): Option[String] = {
+    val props = t.properties()
+    val provider = props.get(TableCatalog.PROP_PROVIDER)
+    if (provider == null || !provider.equalsIgnoreCase("graftdelta")) None
+    else Seq("path", "option.path", TableCatalog.PROP_LOCATION)
+      .flatMap(k => Option(props.get(k))).headOption
+      .map(_.stripPrefix("file:"))
+  }
+
+  private def pinned(ident: Identifier, extra: Map[String, String]): Option[Table] =
+    graftUri(super.loadTable(ident)).map { uri =>
+      new GraftDeltaTableV2(SparkSession.active, uri, extra, None, Nil)
+    }
+
+  /** Plain loads also surface the v2 table: the delegate would hand
+    * back a `V1Table`, whose append path resolves the v1 READ relation
+    * — which cannot represent a just-created (CTAS) table whose data
+    * directory has no commits yet. The v2 table handles both states. */
+  override def loadTable(ident: Identifier): Table = {
+    val t = super.loadTable(ident)
+    graftUri(t).map(uri =>
+      new GraftDeltaTableV2(SparkSession.active, uri, Map.empty, None, Nil))
+      .getOrElse(t)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    pinned(ident, Map("versionasof" -> version))
+      .getOrElse(super.loadTable(ident, version))
+
+  /** `timestamp` arrives in MICROseconds since epoch (the v2 catalog
+    * contract); the engine's timestampAsOf speaks milliseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    pinned(ident, Map("timestampasof" -> (timestamp / 1000L).toString))
+      .getOrElse(super.loadTable(ident, timestamp))
+}

@@ -270,6 +270,34 @@ class GraftDataSourceSpec extends AnyFunSuite {
       java.time.Instant.parse("2026-01-02T03:04:05Z").toEpochMilli)
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF time-travel catalog tables") {
+    val dir = TestSpark.tmpDir("gds-sqltt")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    spark.sql(s"CREATE TABLE graft_sqltt USING graftdelta OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT * FROM graft_sqltt VERSION AS OF 0")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql("SELECT * FROM graft_sqltt").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L))
+      val ts = new java.sql.Timestamp(between)
+      assert(spark.sql(s"SELECT * FROM graft_sqltt TIMESTAMP AS OF '$ts'")
+        .as[Long].collect().toSeq == Seq(1L))
+      // DML against a time-travel read is rejected (the rule's guard)
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_sqltt VERSION AS OF 0 WHERE v = 1")
+      }
+      // non-graftdelta tables keep the stock behavior (unsupported)
+      spark.sql("CREATE TABLE graft_plain_tt (v LONG) USING parquet")
+      try intercept[Exception] {
+        spark.sql("SELECT * FROM graft_plain_tt VERSION AS OF 0").collect()
+      } finally spark.sql("DROP TABLE graft_plain_tt")
+    } finally spark.sql("DROP TABLE graft_sqltt")
+  }
+
   test("v2: format reads resolve through the TableProvider (DataSourceV2Relation)") {
     val dir = sortedTable()
     val analyzed = spark.read.format("graftdelta").load(dir).queryExecution.analyzed
