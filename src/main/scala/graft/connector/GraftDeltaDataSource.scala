@@ -354,7 +354,7 @@ object GraftDeltaDataSource {
       DeltaLog.forTable(spark, uri).versionAtTimestamp(parseTimestamp(t))))
   }
 
-  private[connector] def parseTimestamp(s: String): Long =
+  private[graft] def parseTimestamp(s: String): Long =
     try s.toLong catch { case _: NumberFormatException =>
       try java.sql.Timestamp.valueOf(s).getTime
       catch { case _: IllegalArgumentException =>

@@ -38,8 +38,11 @@ import graft.delta.DeltaTable
   * analyzer's resolution invariants hold for the command plan itself.
   */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectResolutionRule(GraftDmlRule.apply)
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE statements
+    extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftDmlRule {

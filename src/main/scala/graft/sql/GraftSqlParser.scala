@@ -1,0 +1,160 @@
+package graft.sql
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+
+import graft.delta.{DeltaLog, DeltaTable}
+import graft.sorter.DeltaSorter
+
+/** Delta-style SQL maintenance statements for graftdelta tables:
+  *
+  * {{{ OPTIMIZE t [ZORDER BY (a, b)]
+  *     VACUUM t [RETAIN n HOURS]
+  *     DESCRIBE HISTORY t
+  *     RESTORE [TABLE] t TO VERSION AS OF n
+  *     RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts' }}}
+  *
+  * `t` is a catalog table name or a single-quoted path. Spark's grammar
+  * has no rules for these verbs, so this is the one place the extension
+  * touches parsing: a [[ParserInterface]] wrapper that recognizes
+  * exactly these statement shapes and delegates EVERYTHING else
+  * (including errors) to Spark's parser — the same pattern delta-spark's
+  * DeltaSqlParser uses. Execution routes to the engine ops
+  * ([[DeltaSorter.binPack]]/[[DeltaSorter.zorderCompact]],
+  * [[DeltaLog.vacuum]], [[DeltaTable.history]], [[DeltaTable.restore]]),
+  * so SQL and library calls are the same code path. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // `t` = identifier chain or single-quoted path
+  private val Ref = """((?:`[^`]+`|[\w.]+)|'[^']+')"""
+  private val Optimize: Regex =
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+  private val Vacuum: Regex =
+    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*""".r
+  private val History: Regex =
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+  private val RestoreV: Regex =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreT: Regex =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+
+  private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case Optimize(ref, zorder) => Some(GraftOptimizeCommand(ref,
+      Option(zorder).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+    case Vacuum(ref, hours) =>
+      Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble)))
+    case History(ref) => Some(GraftHistoryCommand(ref))
+    case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
+    case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
+    case _ => None
+  }
+
+  /** Table reference -> path: quoted literal as-is, identifier via the
+    * session catalog (external location or `path` option). */
+  private[sql] def resolvePath(session: SparkSession, ref: String): String = {
+    if (ref.startsWith("'")) return ref.stripPrefix("'").stripSuffix("'")
+    val ident = session.sessionState.sqlParser.parseTableIdentifier(
+      ref.stripPrefix("`").stripSuffix("`"))
+    val meta = session.sessionState.catalog.getTableMetadata(ident)
+    require(meta.provider.exists(_.equalsIgnoreCase("graftdelta")),
+      s"$ref is not a graftdelta table (provider: ${meta.provider.getOrElse("?")})")
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(_.toString))
+      .getOrElse(sys.error(s"no path/location recorded for $ref"))
+  }
+
+  private[sql] def attrs(fields: (String, org.apache.spark.sql.types.DataType)*)
+      : Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t)() }
+}
+
+/** `OPTIMIZE t [ZORDER BY (...)]` -> bin-pack / z-order compaction. */
+case class GraftOptimizeCommand(tableRef: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrs(
+    "partitions_rewritten" -> LongType, "files_in" -> LongType,
+    "files_out" -> LongType, "bytes_in" -> LongType, "bytes_out" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val sorter = DeltaSorter(session, path)
+    val s = if (zorderBy.nonEmpty) sorter.zorderCompact(zorderBy) else sorter.binPack()
+    session.catalog.refreshByPath(path)
+    Seq(Row(s.partitionsRewritten.toLong, s.filesIn.toLong, s.filesOut.toLong,
+      s.bytesIn, s.bytesOut))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` -> [[DeltaLog.vacuum]]. */
+case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSqlParser.attrs("files_deleted" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val retentionMs = retainHours
+      .map(h => (h * 3600 * 1000).toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val deleted = DeltaLog.forTable(session, path).vacuum(retentionMs)
+    Seq(Row(deleted.size.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY t` -> commits newest-first. */
+case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrs(
+    "version" -> LongType, "timestamp" -> LongType,
+    "operation" -> StringType,
+    "operationParameters" -> MapType(StringType, StringType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    // bounded by the commit count (metadata scale)
+    DeltaTable.history(session, path).collect().toSeq
+  }
+}
+
+/** `RESTORE t TO VERSION|TIMESTAMP AS OF ...` -> [[DeltaTable.restore]]. */
+case class GraftRestoreCommand(tableRef: String, version: Option[Long],
+    timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrs(
+    "files_removed" -> LongType, "files_added" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val v = version.getOrElse {
+      val ts = graft.connector.GraftDeltaDataSource.parseTimestamp(timestamp.get)
+      DeltaLog.forTable(session, path).versionAtTimestamp(ts)
+    }
+    val st = DeltaTable.restore(session, path, v)
+    session.catalog.refreshByPath(path)
+    Seq(Row(st.filesRemoved.toLong, st.filesAdded.toLong))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** SQL maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+  * RESTORE) parsed by [[GraftSqlParser]] and routed to the engine ops —
+  * the SQL surface delta users expect, over both catalog names and
+  * quoted paths. Everything else must still parse through Spark's own
+  * parser untouched. */
+class GraftSqlMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def withTable(dir: String)(f: String => Unit): Unit = {
+    n += 1
+    val t = s"graft_maint_$n"
+    spark.sql(s"CREATE TABLE $t USING graftdelta OPTIONS (path '$dir')")
+    try f(t) finally spark.sql(s"DROP TABLE $t")
+  }
+
+  test("OPTIMIZE packs small files; result row carries the metrics") {
+    val dir = TestSpark.tmpDir("maint-opt")
+    DeltaTable.create(spark, Seq(1L).toDF("v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v").coalesce(1))
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v").coalesce(1))
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.size == 3)
+    withTable(dir) { t =>
+      val row = spark.sql(s"OPTIMIZE $t").collect().head
+      assert(row.getAs[Long]("files_in") == 3 && row.getAs[Long]("files_out") == 1)
+      assert(spark.sql(s"SELECT * FROM $t").count() == 3)
+    }
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.size == 1)
+  }
+
+  test("OPTIMIZE ZORDER BY clusters; quoted-path form works") {
+    val dir = TestSpark.tmpDir("maint-zorder")
+    DeltaTable.create(spark, spark.range(1000)
+      .select(($"id" % 32).as("x"), ($"id" / 32).as("y"), $"id".as("v"))
+      .repartition(4), dir)
+    spark.sql(s"OPTIMIZE '$dir' ZORDER BY (x, y)")
+    val log = DeltaLog.forTable(spark, dir)
+    assert(DeltaTable.read(spark, dir).count() == 1000)
+    // the z-order rewrite is maintenance: dataChange=false
+    val acts = log.actionsAt(log.latestVersion())
+    assert(acts.collect { case a: graft.delta.AddFile => a }.forall(!_.dataChange))
+  }
+
+  test("DESCRIBE HISTORY lists commits newest-first") {
+    val dir = TestSpark.tmpDir("maint-hist")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("v") === 1L)
+    withTable(dir) { t =>
+      val rows = spark.sql(s"DESCRIBE HISTORY $t")
+        .select("version", "operation").as[(Long, String)].collect().toSeq
+      assert(rows == Seq((1L, "DELETE"), (0L, "CREATE TABLE")))
+    }
+  }
+
+  test("VACUUM RETAIN 0 HOURS deletes unreferenced files; table still reads") {
+    val dir = TestSpark.tmpDir("maint-vac")
+    DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 1L)
+    withTable(dir) { t =>
+      val deleted = spark.sql(s"VACUUM $t RETAIN 0 HOURS").collect().head.getLong(0)
+      assert(deleted == 1, "the pre-delete file is unreferenced and old enough")
+      assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
+  test("RESTORE TO VERSION AS OF rolls back as a new commit") {
+    val dir = TestSpark.tmpDir("maint-restore")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir) // v0
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("v") === 1L) // v1
+    withTable(dir) { t =>
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 0")
+      assert(spark.sql(s"SELECT v FROM $t").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L))
+      assert(DeltaLog.forTable(spark, dir).latestVersion() == 2L,
+        "restore is a NEW commit, history preserved")
+    }
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves against commit times") {
+    val dir = TestSpark.tmpDir("maint-restore-ts")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v"))
+    spark.sql(s"RESTORE '$dir' TO TIMESTAMP AS OF '$between'")
+    assert(DeltaTable.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("ordinary SQL still parses through Spark's parser") {
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    intercept[Exception](spark.sql("OPTIMIZE")) // malformed -> Spark's error
+    // VACUUM of a non-graftdelta table is rejected with a clear message
+    spark.sql("CREATE TABLE graft_maint_pq (v LONG) USING parquet")
+    try {
+      val e = intercept[IllegalArgumentException](spark.sql("VACUUM graft_maint_pq"))
+      assert(e.getMessage.contains("not a graftdelta table"))
+    } finally spark.sql("DROP TABLE graft_maint_pq")
+  }
+}
