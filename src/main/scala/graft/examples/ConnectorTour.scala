@@ -33,6 +33,11 @@ object ConnectorTour {
       .master("local[4]")
       .appName("graftdelta-connector-tour")
       .config("spark.sql.shuffle.partitions", "4")
+      // SQL DML (UPDATE/DELETE/MERGE), maintenance statements
+      // (OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) and VERSION AS OF /
+      // TIMESTAMP AS OF time travel
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,6 +76,24 @@ object ConnectorTour {
       .option("checkpointLocation", s"$base/_ck").start(dst)
     try q.processAllAvailable() finally q.stop()
     println(s"streamed into $dst: ${DeltaTable.read(spark, dst).count()} rows")
+
+    // 6. Pure-SQL surface: the same table as a catalog entry, driven
+    //    entirely by statements — DML, time travel, and maintenance.
+    spark.sql(s"CREATE TABLE tour USING graftdelta OPTIONS (path '$src')")
+    spark.sql("UPDATE tour SET bucket = -1 WHERE k < 60")
+    spark.sql("DELETE FROM tour WHERE k >= 990")
+    spark.range(995, 1005).select($"id".as("k"), org.apache.spark.sql.functions.lit(7L).as("bucket"))
+      .createOrReplaceTempView("tour_updates")
+    spark.sql(
+      """MERGE INTO tour USING tour_updates u ON tour.k = u.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    println(s"rows after SQL DML: ${spark.sql("SELECT count(*) FROM tour").head.getLong(0)}")
+    spark.sql("SELECT count(*) AS at_v0 FROM tour VERSION AS OF 0").show()
+    spark.sql("OPTIMIZE tour").show(truncate = false)
+    spark.sql("DESCRIBE HISTORY tour").show(5, truncate = false)
+    spark.sql("VACUUM tour RETAIN 0 HOURS").show()
+    spark.sql("DROP TABLE tour")
 
     spark.stop()
   }
