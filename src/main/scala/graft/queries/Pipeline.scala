@@ -15,8 +15,9 @@ import TextFeatures._
   *
   * Scale notes (100 TB):
   *  - the quality filter and repetition scorer are narrow per-row maps
-  *    (zero shuffle; repetition uses the typed-mapPartitions recipe that
-  *    replaced the interpreted HOF hot loops in round 1);
+  *    (zero shuffle; both use the typed-mapPartitions recipe that
+  *    replaced the interpreted HOF hot loops — one walk per document
+  *    instead of one per counter);
   *  - contamination reuses the df-capped inverted shingle index of
   *    [[Dedup]]: the eval×train join moves only (shingle, doc_id) rows
   *    for shingles under the df cap, so boilerplate n-grams cannot blow
@@ -42,19 +43,48 @@ object Pipeline {
 
   private def flag(c: Column): Column = when(c, 1L).otherwise(0L)
 
-  /** Adds the per-rule 0/1 quality columns + the combined `keep` to a
-    * frame with `doc_id, lang, text, ...` — one narrow pass, shared by
-    * the standalone filter query and the funnel. */
-  private def withQualityFlags(df: DataFrame): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "in")
-    val tk = tokens(col("text"))
-    df.withColumn("n_tokens", size(tk).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(tk)).cast("long"))
-      .withColumn("n_token_chars",
-        aggregate(transform(tk, t => length(t).cast("long")), lit(0L), (a, x) => a + x))
-      .withColumn("stop_hits",
-        size(filter(tk, t => t.isInCollection(stop))).cast("long"))
-      .withColumn("short_hits", size(filter(tk, t => length(t) <= 2)).cast("long"))
+  /** Per-rule 0/1 quality columns + the combined `keep` over the corpus
+    * (`doc_id, lang, n_chars` + counters + flags) — shared by the
+    * standalone filter query and the funnel.
+    *
+    * The five token counters are computed in ONE typed `mapPartitions`
+    * walk per document (the same recipe as `q_repetition`): the
+    * declarative form — five separate `transform`/`filter`/`aggregate`
+    * higher-order functions over `tokens(text)` — re-splits and re-walks
+    * the text once per counter because HOF lambdas are interpreted with
+    * no common-subexpression elimination, which made this the slowest
+    * query in the bench. The tokenizer is `String.split(" ", -1)`
+    * (limit -1 keeps trailing empties, exactly Spark's `split`) and
+    * lengths are codepoint counts (exactly Spark's/DuckDB's `length`).
+    * The flag derivations stay declarative: pure integer arithmetic over
+    * the eight counter columns, fully codegen'd. */
+  private[queries] def qualityFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Set("the", "a", "of", "to", "in")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions(_.map { case (id, lang, nChars, text) =>
+        val tk = text.split(" ", -1)
+        val distinct = new java.util.HashSet[String](tk.length * 2)
+        var tokenChars = 0L
+        var stopHits = 0L
+        var shortHits = 0L
+        var i = 0
+        while (i < tk.length) {
+          val t = tk(i)
+          distinct.add(t)
+          val len = t.codePointCount(0, t.length).toLong
+          tokenChars += len
+          if (stop.contains(t)) stopHits += 1L
+          if (len <= 2L) shortHits += 1L
+          i += 1
+        }
+        (id, lang, nChars, tk.length.toLong, distinct.size.toLong,
+          tokenChars, stopHits, shortHits)
+      })
+      .toDF("doc_id", "lang", "n_chars", "n_tokens", "n_distinct",
+        "n_token_chars", "stop_hits", "short_hits")
       .withColumn("keep_len", flag(col("n_tokens").between(10L, 100000L)))
       .withColumn("keep_avg", flag(col("n_token_chars") * 2 >= col("n_tokens") * 5 &&
         col("n_token_chars") <= col("n_tokens") * 12))
@@ -83,7 +113,7 @@ object Pipeline {
     // surfaces as its own 0/1 column so downstream can audit WHICH rule
     // dropped a document.
     "q_quality_filter" -> ((s, dir) => {
-      withQualityFlags(table(s, dir, "documents"))
+      qualityFlags(s, dir)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("keep_len"), col("keep_avg"), col("keep_stop"),
           col("keep_short"), col("keep_ttr"), col("keep"))
@@ -131,7 +161,7 @@ object Pipeline {
       val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
       val contam = queries("q_contamination")(s, dir)
         .select(col("train_id").as("doc_id")).distinct()
-      withQualityFlags(table(s, dir, "documents"))
+      qualityFlags(s, dir)
         .join(broadcast(clusters), Seq("doc_id"), "left")
         .join(broadcast(contam.withColumn("contaminated", lit(1L))), Seq("doc_id"), "left")
         .withColumn("dup_dropped",

@@ -199,4 +199,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     // video n_frames ≤ 32 → at most ceil(32/8) = 4 samples per asset
     frames.groupBy(_.asset_id).values.foreach(fs => assert(fs.length <= 4))
   }
+
+  test("quality flags: typed single-pass counters match the declarative HOF reference form") {
+    import graft.queries.TextFeatures.tokens
+    // The interpreted-HOF form the typed mapPartitions pass replaced —
+    // kept here as the executable reference semantics (split-keep-empty
+    // tokenization, codepoint lengths, the exact stopword set).
+    val stop = Seq("the", "a", "of", "to", "in")
+    val tk = tokens(col("text"))
+    val ref = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_distinct"),
+        aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
+          (a, x) => a + x).as("n_token_chars"),
+        size(filter(tk, t => t.isInCollection(stop))).cast("long").as("stop_hits"),
+        size(filter(tk, t => length(t) <= 2)).cast("long").as("short_hits"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = Pipeline.qualityFlags(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("n_token_chars"), col("stop_hits"), col("short_hits"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, counters) =>
+      assert(counters === ref(id), s"counter mismatch for doc $id")
+    }
+  }
 }
