@@ -181,6 +181,8 @@ class SortOptimizer:
         condition: str,
         matched: Optional[list] = None,
         not_matched: Optional[list] = None,
+        not_matched_by_source: Optional[list] = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """General MERGE (delta-style clause chain). ``source`` is a
         pyspark DataFrame; ``condition`` and clause expressions are
@@ -191,8 +193,15 @@ class SortOptimizer:
         or ``("delete", cond_or_None)``; ``not_matched`` entries:
         ``(cond_or_None, {col: expr})``. Empty dicts mean SET * /
         INSERT *. First applicable clause wins, several source rows
-        matching one target row is an error, unlisted INSERT columns
-        become NULL."""
+        MODIFYING one target row is an error (benign duplicate matches
+        are fine), unlisted INSERT columns become NULL.
+
+        ``not_matched_by_source`` entries use the matched shape
+        (``("update", cond, {col: expr})`` / ``("delete", cond)``) and
+        apply to target rows with NO source match; their expressions
+        may reference target columns only. ``schema_evolution=True``
+        adds source columns missing from the table (nullable) in the
+        same commit, so ``SET *`` / ``INSERT *`` carry them through."""
         jvm = self._spark._jvm
 
         def jlist(items):
@@ -216,6 +225,11 @@ class SortOptimizer:
         for clause in not_matched or []:
             iconds.append(clause[0] if clause[0] else "")
             isets.append(jmap(clause[1] if len(clause) > 1 else {}))
+        bkinds, bconds, bsets = [], [], []
+        for clause in not_matched_by_source or []:
+            bkinds.append(clause[0])
+            bconds.append(clause[1] if len(clause) > 1 and clause[1] else "")
+            bsets.append(jmap(clause[2] if len(clause) > 2 else {}))
         return json.loads(
             self._j.merge(
                 source._jdf,
@@ -225,6 +239,10 @@ class SortOptimizer:
                 jlist(msets),
                 jlist(iconds),
                 jlist(isets),
+                jlist(bkinds),
+                jlist(bconds),
+                jlist(bsets),
+                bool(schema_evolution),
             )
         )
 

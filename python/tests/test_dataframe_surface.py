@@ -90,3 +90,19 @@ def test_general_merge(spark, tmp_table):
     assert stats["files_added"] >= 1
     rows = sorted((r.k, r.s) for r in opt.read().collect())
     assert rows == [(2, "B!"), (9, "new")]
+
+
+def test_merge_not_matched_by_source_and_evolution(spark, tmp_table):
+    opt = _make(spark, tmp_table)  # rows (1, "a"), (2, "b")
+    source = spark.createDataFrame([(1, "A", 7)], "k LONG, s STRING, extra LONG")
+    opt.merge(
+        source,
+        condition="k = __src_k",
+        matched=[("update", None, {})],  # SET * (carries the new column)
+        not_matched_by_source=[("update", None, {"s": "concat(s, '-stale')"})],
+        schema_evolution=True,
+    )
+    rows = sorted(
+        (r.k, r.s, r.extra) for r in opt.read().select("k", "s", "extra").collect()
+    )
+    assert rows == [(1, "A", 7), (2, "b-stale", None)]

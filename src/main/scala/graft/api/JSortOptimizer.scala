@@ -147,23 +147,48 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       matchedConds: java.util.List[String],
       matchedSets: java.util.List[java.util.Map[String, String]],
       insertConds: java.util.List[String],
-      insertSets: java.util.List[java.util.Map[String, String]]): String = {
+      insertSets: java.util.List[java.util.Map[String, String]]): String =
+    merge(source, condition, matchedKinds, matchedConds, matchedSets,
+      insertConds, insertSets,
+      new java.util.ArrayList[String](), new java.util.ArrayList[String](),
+      new java.util.ArrayList[java.util.Map[String, String]](),
+      schemaEvolution = false)
+
+  /** Full surface: adds WHEN NOT MATCHED BY SOURCE clause triples
+    * (kinds "update"/"delete"; conditions/assignments may reference
+    * target columns only) and the schema-evolution flag. */
+  def merge(source: org.apache.spark.sql.DataFrame, condition: String,
+      matchedKinds: java.util.List[String],
+      matchedConds: java.util.List[String],
+      matchedSets: java.util.List[java.util.Map[String, String]],
+      insertConds: java.util.List[String],
+      insertSets: java.util.List[java.util.Map[String, String]],
+      bySourceKinds: java.util.List[String],
+      bySourceConds: java.util.List[String],
+      bySourceSets: java.util.List[java.util.Map[String, String]],
+      schemaEvolution: Boolean): String = {
     def optCond(s: String): Option[org.apache.spark.sql.Column] =
       Option(s).filter(_.nonEmpty).map(org.apache.spark.sql.functions.expr)
     def sets(m: java.util.Map[String, String]): Map[String, org.apache.spark.sql.Column] =
       m.asScala.toMap.map { case (k, v) => k -> org.apache.spark.sql.functions.expr(v) }
-    val matched = matchedKinds.asScala.toSeq.zipWithIndex.map {
-      case ("update", i) => graft.delta.MergeUpdate(
-        optCond(matchedConds.get(i)), sets(matchedSets.get(i)))
-      case ("delete", i) => graft.delta.MergeDelete(optCond(matchedConds.get(i)))
-      case (other, _) => throw new IllegalArgumentException(
-        s"matched clause kind must be update/delete, got $other")
-    }
+    def clauses(kinds: java.util.List[String], conds: java.util.List[String],
+        assigns: java.util.List[java.util.Map[String, String]], what: String) =
+      kinds.asScala.toSeq.zipWithIndex.map {
+        case ("update", i) => graft.delta.MergeUpdate(
+          optCond(conds.get(i)), sets(assigns.get(i)))
+        case ("delete", i) => graft.delta.MergeDelete(optCond(conds.get(i)))
+        case (other, _) => throw new IllegalArgumentException(
+          s"$what clause kind must be update/delete, got $other")
+      }
+    val matched = clauses(matchedKinds, matchedConds, matchedSets, "matched")
     val inserts = insertConds.asScala.toSeq.zipWithIndex.map { case (c, i) =>
       graft.delta.MergeInsert(optCond(c), sets(insertSets.get(i)))
     }
+    val bySource = clauses(bySourceKinds, bySourceConds, bySourceSets,
+      "not-matched-by-source")
     dmlJson(graft.delta.DeltaTable.merge(spark, tableUri, source,
-      org.apache.spark.sql.functions.expr(condition), matched, inserts))
+      org.apache.spark.sql.functions.expr(condition), matched, inserts,
+      bySource, schemaEvolution))
   }
 
   /** DESCRIBE HISTORY analog: commits newest-first. */

@@ -426,6 +426,18 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
     resolvedAppId
   }
 
+  /** Upgrade guard: sinks from before the query-id keying recorded their
+    * watermark under `graftdelta-sink-<checkpointLocation|tableUri>`. A
+    * checkpoint created under that derivation and restarted under the
+    * new code starts with an empty query-id watermark, so the replayed
+    * micro-batch would commit twice. The legacy ids are consulted
+    * READ-ONLY before each append (new watermarks are written under the
+    * query-id key only), so a batch either keying already covers is
+    * skipped across the upgrade boundary. */
+  private def legacyAppIds: Seq[String] =
+    options.get("checkpointlocation").map(c => s"graftdelta-sink-$c").toSeq :+
+      s"graftdelta-sink-$tableUri"
+
   private val autoCompactEvery = options.get("autocompactevery").map(_.toLong)
   private val targetFileSize =
     options.get("targetfilesize").map(_.toLong).getOrElse(128L * 1024 * 1024)
@@ -442,7 +454,12 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
         new java.util.ArrayList[Row](), data.schema)
       DeltaTable.create(spark, empty, tableUri, partitionColumns)
     }
-    DeltaTable.appendIfNew(spark, tableUri, batch, appId, batchId)
+    val replayedUnderLegacyKey = {
+      val txns = log.snapshot().txns
+      legacyAppIds.exists(id => txns.get(id).exists(_ >= batchId))
+    }
+    if (!replayedUnderLegacyKey)
+      DeltaTable.appendIfNew(spark, tableUri, batch, appId, batchId)
     autoCompactEvery.filter(n => n > 0 && batchId > 0 && batchId % n == 0)
       .foreach { _ =>
         try graft.sorter.DeltaSorter(spark, tableUri)

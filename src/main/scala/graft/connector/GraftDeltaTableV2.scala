@@ -176,10 +176,13 @@ final class GraftWriteBuilder(
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
           // ACCEPT_ANY_SCHEMA hands us SQL INSERT frames unaligned
-          // (VALUES arrive as col1..colN): when the arity matches but
-          // the names are not the table's, realign by POSITION and cast
-          // to the table types (the SQL contract); name-addressed frames
-          // pass through to the library's name-based schema checks
+          // (VALUES arrive as col1..colN): realign by POSITION and cast
+          // to the table types (the SQL contract) ONLY when the frame's
+          // names are Spark's synthetic col1..colN pattern or when NO
+          // name matches the table — a frame with one misspelled column
+          // among otherwise-matching names must instead fall through to
+          // the library's name-based schema check and error, not be
+          // silently positionally remapped.
           val log = DeltaLog.forTable(spark, tableUri)
           val aligned =
             if (!log.tableExists) data
@@ -187,7 +190,13 @@ final class GraftWriteBuilder(
               val tbl = log.snapshot().schema
               val known = data.columns.forall(n =>
                 tbl.fieldNames.exists(_.equalsIgnoreCase(n)))
-              if (known || data.columns.length != tbl.fields.length) data
+              val synthetic = data.columns.zipWithIndex.forall {
+                case (n, i) => n.equalsIgnoreCase(s"col${i + 1}")
+              }
+              val noneMatch = !data.columns.exists(n =>
+                tbl.fieldNames.exists(_.equalsIgnoreCase(n)))
+              if (known || data.columns.length != tbl.fields.length ||
+                  !(synthetic || noneMatch)) data
               else data.toDF(tbl.fieldNames.toSeq: _*)
                 .select(tbl.fields.toSeq.map(f =>
                   org.apache.spark.sql.functions.col(f.name)

@@ -10,7 +10,7 @@ import scala.collection.parallel.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, not, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, not, row_number, sum, when}
 
 /** DataFrame-level read/write on top of [[DeltaLog]].
   *
@@ -679,7 +679,8 @@ object DeltaTable {
     * nothing new is written. */
   private def commitRewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       touched: Seq[AddFile], newData: DataFrame, operation: String,
-      params: Map[String, String], cdc: Seq[AddCDCFile] = Nil): DmlStats = {
+      params: Map[String, String], cdc: Seq[AddCDCFile] = Nil,
+      extraActions: Seq[Action] = Nil): DmlStats = {
     checkConstraints(log, snap, newData)
     val staged = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
@@ -694,12 +695,12 @@ object DeltaTable {
       val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
       emptyAdds.foreach(a => fs.delete(new Path(log.tableRoot, a.path), false))
     }
-    if (touched.isEmpty && adds.isEmpty) return DmlStats(0, 0)
+    if (touched.isEmpty && adds.isEmpty && extraActions.isEmpty) return DmlStats(0, 0)
     val now = System.currentTimeMillis()
     val removes = touched.map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
     log.commitDml(snap.version,
-      removes ++ adds ++ cdc :+ CommitInfo(now, operation, params))
+      extraActions ++ removes ++ adds ++ cdc :+ CommitInfo(now, operation, params))
     DmlStats(removes.size, adds.size)
   }
 
@@ -709,34 +710,62 @@ object DeltaTable {
     * when target and source share names (they almost always do). */
   val MergeSourcePrefix = "__src_"
 
-  /** General MERGE (the full delta-style clause surface, minus
-    * not-matched-by-source):
+  /** General MERGE (the full delta-style clause surface):
     *
-    *  - a target row matched by exactly one source row takes the FIRST
+    *  - a target row matched by one or more source rows takes the FIRST
     *    matched clause whose condition holds (UPDATE assignments see the
     *    pre-image target row and the `__src_`-prefixed source row;
-    *    DELETE removes the row); several source rows matching one target
-    *    row is an error (ambiguous, as in delta-spark);
+    *    DELETE removes the row); several source rows attempting to
+    *    MODIFY the same target row is an error (ambiguous, as in
+    *    delta-spark — duplicates whose clause conditions don't apply are
+    *    benign and leave the row unchanged);
     *  - a source row matching no target row takes the first not-matched
     *    clause whose condition holds (unlisted columns insert NULL);
-    *    rows with no applicable clause are dropped.
+    *    rows with no applicable clause are dropped;
+    *  - a target row matched by NO source row takes the first
+    *    not-matched-by-source clause whose condition holds (the CDC
+    *    mirror idiom: delete/flag target rows absent from the source);
+    *    conditions and assignments may reference target columns only;
+    *  - with `schemaEvolution = true`, source columns absent from the
+    *    table are ADDED (nullable, in the same commit as the rewrite —
+    *    pre-evolution files read them as NULL), so `INSERT *` /
+    *    `UPDATE SET *` carry the new columns through.
     *
     * Scale shape: file-level rewrite pruning like every DML here —
     * target-only conjuncts of `condition` prune candidate files from log
     * stats, join-based discovery finds the touched files, and only those
     * are re-read + rewritten; the source is broadcast into both the
-    * discovery and the apply join, so a CDC-batch-sized merge against a
-    * 100 TB table moves only the files it hits. An insert-only merge
-    * (no matched clauses) rewrites nothing and anti-joins the source
+    * discovery and the apply join when its plan-stat size fits under
+    * `spark.sql.autoBroadcastJoinThreshold` (a CDC-batch-sized merge
+    * against a 100 TB table moves only the files it hits), and degrades
+    * to a shuffle join for backfill-sized sources instead of OOMing the
+    * executors. Not-matched-by-source clauses widen the rewrite set to
+    * every file whose stats ADMIT a row satisfying some clause condition
+    * (an unconditioned clause touches every file — inherent: any file
+    * may hold unmatched rows). An insert-only merge (no matched /
+    * by-source clauses) rewrites nothing and anti-joins the source
     * against the candidate files alone. Change feed: update pre/post
     * image pairs, delete rows, and insert rows, like the dedicated ops. */
   def merge(spark: SparkSession, tableUri: String, source: DataFrame,
       condition: Column, matched: Seq[MergeClause],
-      notMatched: Seq[MergeInsert]): DmlStats = {
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      schemaEvolution: Boolean = false): DmlStats = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
-    val fields = snap.schema.fields
+    // schema evolution: new source columns append as nullable fields;
+    // the metadata update rides in the SAME commit as the rewrite
+    val newCols =
+      if (!schemaEvolution) Array.empty[org.apache.spark.sql.types.StructField]
+      else source.schema.fields
+        .filterNot(f => snap.schema.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true))
+    val fields = snap.schema.fields ++ newCols
+    val evolvedMeta =
+      if (newCols.isEmpty) Nil
+      else Seq(snap.metadata.copy(schemaString =
+        org.apache.spark.sql.types.StructType(fields.toSeq).json))
     require(!fields.exists(_.name.startsWith(MergeSourcePrefix)),
       s"merge: target columns may not start with $MergeSourcePrefix")
     matched.foreach {
@@ -748,6 +777,30 @@ object DeltaTable {
     }
     notMatched.foreach(c => c.values.keys.foreach(k =>
       require(fields.exists(_.name == k), s"INSERT column $k not in table schema")))
+    // by-source clauses see only the target row (there IS no source
+    // row): every condition/assignment must analyze against the target
+    // schema alone — a `__src_` reference (or a typo) fails here, not
+    // silently evaluate to NULL on the outer join's empty source side
+    val targetProbe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields.toSeq))
+    def requireTargetOnly(e: Column): Unit =
+      require(scala.util.Try(targetProbe.select(e)).isSuccess,
+        "not-matched-by-source clauses may reference target columns only " +
+          s"(failed to resolve $e against the table schema)")
+    notMatchedBySource.foreach {
+      case MergeUpdate(c, sets) =>
+        require(sets.nonEmpty,
+          "not-matched-by-source UPDATE requires explicit assignments " +
+            "(there is no source row for SET * to copy)")
+        sets.keys.foreach(k =>
+          require(fields.exists(_.name == k), s"SET column $k not in table schema"))
+        (c.toSeq ++ sets.values).foreach(requireTargetOnly)
+      case MergeDelete(c) =>
+        c.foreach(requireTargetOnly)
+      case other => throw new IllegalArgumentException(
+        s"by-source clause must be MergeUpdate/MergeDelete, got $other")
+    }
 
     // SET * / INSERT *: empty maps expand to all columns by name
     def expandSets(sets: Map[String, Column]): Map[String, Column] =
@@ -757,13 +810,30 @@ object DeltaTable {
       case MergeUpdate(c, sets) => (c, Some(expandSets(sets)))
       case MergeDelete(c) => (c, None)
     }
+    val nmbsX: Seq[(Option[Column], Option[Map[String, Column]])] =
+      notMatchedBySource.map {
+        case MergeUpdate(c, sets) => (c, Some(sets))
+        case MergeDelete(c) => (c, None)
+      }
+    // one clause index space: matched clauses 0..m-1 apply to matched
+    // rows, by-source clauses m..m+n-1 apply to unmatched target rows
+    val allX = matchedX ++ nmbsX
     val insertX: Seq[(Option[Column], Map[String, Column])] =
       notMatched.map(c => (c.condition, expandSets(c.values)))
 
-    val src = broadcast(
-      source.select(source.columns.toSeq.map(c =>
-        col(c).as(MergeSourcePrefix + c)): _*)
-        .withColumn(MergeSourcePrefix + "match", lit(true)))
+    val srcProjected = source.select(source.columns.toSeq.map(c =>
+      col(c).as(MergeSourcePrefix + c)): _*)
+      .withColumn(MergeSourcePrefix + "match", lit(true))
+    // broadcast only when the source's plan-stat size fits the session
+    // threshold: the common CDC batch broadcasts (and key-prunes); a
+    // backfill-sized source degrades to a shuffle join instead of
+    // OOMing the driver building a 100 GB broadcast table
+    val autoBroadcast = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val src =
+      if (autoBroadcast > 0 &&
+          srcProjected.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(autoBroadcast)) broadcast(srcProjected)
+      else srcProjected
 
     // file pruning from the target-only half of the ON condition
     val targetNames = fields.map(_.name).toSet
@@ -775,48 +845,94 @@ object DeltaTable {
       .map(p => candidateFiles(spark, snap, p))
       .getOrElse(snap.files)
 
-    val touched =
-      if (matchedX.isEmpty) Nil // insert-only: nothing rewritten
+    // by-source clauses must rewrite every file whose stats admit a row
+    // satisfying some clause condition (ANY file can hold unmatched
+    // rows — only the conditions prune; an unconditioned clause keeps
+    // every active file)
+    val nmbsFiles: Seq[AddFile] =
+      if (nmbsX.isEmpty) Nil
+      else if (nmbsX.exists(_._1.isEmpty)) snap.files
+      else candidateFiles(spark, snap, nmbsX.flatMap(_._1).reduce(_ || _))
+
+    val touchedByJoin =
+      if (matchedX.isEmpty) Nil // no matched clauses: the join rewrites nothing
       else touchedFiles(spark, log, snap,
         _.join(src, condition, "inner"), candidates)
+    val touched = (touchedByJoin ++ nmbsFiles)
+      .groupBy(_.path).map(_._2.head).toSeq
 
     def clauseCond(c: Option[Column]): Column =
       coalesce(c.getOrElse(lit(true)), lit(false))
 
-    val base = readFiles(spark, log, snap, touched)
+    // pre-evolution files lack the new columns: extend with typed NULLs
+    // (exactly what the snapshot reader does after the commit lands)
+    def withNewCols(df: DataFrame): DataFrame =
+      newCols.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+
+    val base = withNewCols(readFiles(spark, log, snap, touched))
     val joined = base.withColumn("__graft_rid", monotonically_increasing_id())
       .join(src, condition, "left_outer").cache()
     try {
       val isMatched = col(MergeSourcePrefix + "match").isNotNull
-      if (touched.nonEmpty) {
-        val dup = joined.where(isMatched)
-          .groupBy(col("__graft_rid")).count()
-          .where(col("count") > 1).count()
-        require(dup == 0,
-          s"merge: $dup target row(s) matched multiple source rows " +
-            "(ambiguous merge, as in delta-spark)")
-      }
 
-      // which matched clause (by index) applies to each row; -1 = none
-      val appliedIdx = matchedX.zipWithIndex.foldRight(lit(-1)) {
+      // which clause (by index in allX) applies to each row; -1 = none
+      val matchedIdx = matchedX.zipWithIndex.foldRight(lit(-1)) {
         case (((cond, _), i), els) =>
           when(clauseCond(cond), lit(i)).otherwise(els)
       }
-      val applied = when(isMatched, appliedIdx).otherwise(lit(-1))
-      val updateIdxs = matchedX.zipWithIndex.collect {
+      val nmbsIdx = nmbsX.zipWithIndex.foldRight(lit(-1)) {
+        case (((cond, _), i), els) =>
+          when(clauseCond(cond), lit(i + matchedX.size)).otherwise(els)
+      }
+      val applied = when(isMatched, matchedIdx).otherwise(nmbsIdx)
+
+      // several source rows may match one target row; that is an error
+      // only when MORE THAN ONE of them would modify the row (a clause
+      // condition applies) — delta-spark's contract. Benign duplicates
+      // (no applying clause) still fan the row out in the outer join,
+      // so the survivor pass below must collapse them back to one row.
+      val hasBenignDup = if (touchedByJoin.isEmpty) false else {
+        val d = joined.where(isMatched)
+          .groupBy(col("__graft_rid"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(applied =!= -1, 1L).otherwise(0L)).as("n_modifying"))
+          .agg(
+            sum(when(col("n_modifying") > 1, 1L).otherwise(0L)).as("ambiguous"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup"))
+          .collect()(0)
+        require(d.getLong(0) == 0,
+          s"merge: ${d.getLong(0)} target row(s) were modified by multiple " +
+            "source rows (ambiguous merge, as in delta-spark)")
+        d.getLong(1) > 0
+      }
+      val updateIdxs = allX.zipWithIndex.collect {
         case ((_, Some(_)), i) => i
       }
       val keep = applied === -1 ||
         updateIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _)
       def outField(f: org.apache.spark.sql.types.StructField): Column =
-        matchedX.zipWithIndex.foldRight(col(f.name)) {
+        allX.zipWithIndex.foldRight(col(f.name)) {
           case (((_, Some(sets)), i), els) =>
             when(applied === i,
               sets.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)))
               .otherwise(els)
           case ((_, _), els) => els // delete clause: value irrelevant
         }
-      val survivors = joined.where(keep)
+      // with benign duplicates, one copy per target row survives — the
+      // modifying copy if any (there is at most one, checked above),
+      // else an arbitrary unchanged copy; the window shuffles only the
+      // touched-file rows and only runs when duplicates exist
+      val deduped =
+        if (!hasBenignDup) joined
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__graft_rid"))
+            .orderBy(when(applied =!= -1, 0).otherwise(1))
+          joined.withColumn("__graft_rn", row_number().over(w))
+            .where(col("__graft_rn") === 1).drop("__graft_rn")
+        }
+      val survivors = deduped.where(keep)
         .select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
 
       // inserts: source rows matching NO target row, first applicable
@@ -849,7 +965,7 @@ object DeltaTable {
         .withColumn("_change_type", lit("update_preimage"))
       val post = updated.select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
         .withColumn("_change_type", lit("update_postimage"))
-      val deleteIdxs = matchedX.zipWithIndex.collect { case ((_, None), i) => i }
+      val deleteIdxs = allX.zipWithIndex.collect { case ((_, None), i) => i }
       val deleted = joined.where(
         deleteIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _))
         .select(fields.toSeq.map(f => col(f.name)): _*)
@@ -861,8 +977,12 @@ object DeltaTable {
         survivors.unionByName(inserts), "MERGE",
         Map("matchedFiles" -> touched.size.toString,
           "candidateFiles" -> candidates.size.toString,
-          "clauses" -> s"${matched.size} matched, ${notMatched.size} notMatched"),
-        cdc = stageCdc(spark, log, changes))
+          "clauses" -> (s"${matched.size} matched, ${notMatched.size} notMatched, " +
+            s"${notMatchedBySource.size} notMatchedBySource")) ++
+          (if (newCols.isEmpty) Map.empty
+          else Map("newColumns" -> newCols.map(_.name).mkString(","))),
+        cdc = stageCdc(spark, log, changes),
+        extraActions = evolvedMeta)
     } finally joined.unpersist()
   }
 

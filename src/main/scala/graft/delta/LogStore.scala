@@ -105,8 +105,12 @@ object LogStore {
       http: HttpClient = HttpClient.newHttpClient(), maxAttempts: Int = 5)
       extends ObjectStoreClient {
 
+    // Percent-encode the key (slashes kept): keys with spaces, '+', or
+    // non-ASCII would otherwise build invalid URIs — and SigV4 signs
+    // the raw path, so an unencoded key would also mis-sign. _delta_log
+    // JSON keys are safe by convention; table URIs need not be.
     private def url(key: String): URI =
-      endpoint.resolve(s"/$bucket/$key")
+      endpoint.resolve(s"/$bucket/${SigV4.uriEncode(key, keepSlash = true)}")
 
     /** Headers for one request; base implementation is unauthenticated. */
     protected def requestHeaders(method: String, uri: URI,

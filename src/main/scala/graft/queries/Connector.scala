@@ -52,16 +52,21 @@ object Connector {
         s.sql(s"DELETE FROM $t WHERE n_regionkey = 0")
         s.sql(s"UPDATE $t SET n_name = concat(n_name, '*') WHERE n_regionkey = 1")
         // conditional DELETE clause -> the GENERAL merge path (clause
-        // chain), not the star+equi upsert fast path
+        // chain), not the star+equi upsert fast path. The source's
+        // n_regionkey+100 spans 100..102 (regionkey = nationkey % 5),
+        // so the >= 102 threshold makes the DELETE branch actually
+        // fire (for n_nationkey = 2) — at >= 103 it was routed but
+        // never exercised by the oracle.
         s.sql(
           s"""MERGE INTO $t
              |USING (SELECT n_nationkey, n_name,
              |              CAST(n_regionkey + 100 AS INT) AS n_regionkey
              |       FROM ${t}_src WHERE n_nationkey < 3) s
              |ON $t.n_nationkey = s.n_nationkey
-             |WHEN MATCHED AND s.n_regionkey >= 103 THEN DELETE
+             |WHEN MATCHED AND s.n_regionkey >= 102 THEN DELETE
              |WHEN MATCHED THEN UPDATE SET *
-             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE AND $t.n_regionkey = 4 THEN DELETE""".stripMargin)
       } finally {
         s.sql(s"DROP TABLE $t")
         s.catalog.dropTempView(s"${t}_src")
@@ -114,10 +119,11 @@ object Connector {
         |)
         |SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
         |WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM s)
+        |  AND b.n_regionkey <> 4
         |UNION ALL
         |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
         |JOIN base b ON b.n_nationkey = s.n_nationkey
-        |WHERE s.n_regionkey < 103
+        |WHERE s.n_regionkey < 102
         |UNION ALL
         |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
         |WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM base)""".stripMargin

@@ -64,8 +64,9 @@ object GraftDmlRule {
       s"graftdelta SQL MERGE: $what is not supported " +
         "(supported: equi or general ON conditions, conditional " +
         "WHEN MATCHED UPDATE SET .../SET */DELETE, " +
-        "WHEN NOT MATCHED INSERT .../INSERT *; " +
-        "not: WHEN NOT MATCHED BY SOURCE, WITH SCHEMA EVOLUTION)")
+        "WHEN NOT MATCHED INSERT .../INSERT *, " +
+        "WHEN NOT MATCHED BY SOURCE UPDATE SET .../DELETE, " +
+        "WITH SCHEMA EVOLUTION)")
 }
 
 /** Resolution rule: fully-resolved DML plans over graftdelta v1
@@ -118,46 +119,74 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftUpdateCommand(checkWritable(t), sets, condition, ident)
 
+    // resolved target (v1 relation, e.g. a temp view over the format):
+    // the star+equi upsert shape keeps the broadcast-key-pruned fast
+    // path; every other resolved shape — partial SET, conditional
+    // clauses, DELETE, by-source clauses, schema evolution — rebinds
+    // the resolved attributes into the library merge's namespace (bare
+    // target names, `__src_`-prefixed source names) and routes to the
+    // general [[DeltaTable.merge]].
     case m @ MergeIntoTable(Target(t @ (_, _, ident)), source, cond,
         matched, notMatched, bySource, evolution) if m.resolved =>
-      if (evolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
-      val upAssigns = matched match {
-        case Seq(UpdateAction(None, assigns, _)) => assigns
-        case other => unsupported(s"matched clause ${other.mkString(", ")}")
-      }
-      val insAssigns = notMatched match {
-        case Seq(InsertAction(None, assigns)) => assigns
-        case other => unsupported(s"not-matched clause ${other.mkString(", ")}")
-      }
-      // both clauses must write every target column straight from a
-      // same-named source column — the delta "upsert by key" contract
-      // the library op implements (whole rows from the source replace /
-      // extend the table; a partial SET would need a general merge)
-      def starColumns(assigns: Seq[Assignment]): Seq[(String, String)] =
-        assigns.map {
-          case Assignment(k: AttributeReference, v: AttributeReference)
-              if source.outputSet.contains(v) => k.name -> v.name
-          case a => unsupported(s"assignment $a")
-        }
-      val columns = starColumns(insAssigns)
-      if (starColumns(upAssigns).toMap != columns.toMap)
-        unsupported("differing UPDATE and INSERT assignments")
       val targetOut = m.targetTable.outputSet
-      val keys = conjuncts(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetOut.contains(a) && source.outputSet.contains(b) =>
-          if (!conf.resolver(a.name, b.name))
-            unsupported(s"join key with differing names (${a.name} = ${b.name})")
-          a.name
-        case EqualTo(b: AttributeReference, a: AttributeReference)
-            if targetOut.contains(a) && source.outputSet.contains(b) =>
-          if (!conf.resolver(a.name, b.name))
-            unsupported(s"join key with differing names (${a.name} = ${b.name})")
-          a.name
-        case other => unsupported(s"non-equi merge condition $other")
+      def starColumns(assigns: Seq[Assignment]): Option[Seq[(String, String)]] = {
+        val cols = assigns.map {
+          case Assignment(k: AttributeReference, v: AttributeReference)
+              if source.outputSet.contains(v) => Some(k.name -> v.name)
+          case _ => None
+        }
+        if (cols.forall(_.isDefined)) Some(cols.flatten) else None
       }
-      GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
+      def equiKeys: Option[Seq[String]] = {
+        val ks = conjuncts(cond).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if targetOut.contains(a) && source.outputSet.contains(b) &&
+                conf.resolver(a.name, b.name) => Some(a.name)
+          case EqualTo(b: AttributeReference, a: AttributeReference)
+              if targetOut.contains(a) && source.outputSet.contains(b) &&
+                conf.resolver(a.name, b.name) => Some(a.name)
+          case _ => None
+        }
+        if (ks.forall(_.isDefined)) Some(ks.flatten) else None
+      }
+      val fast =
+        if (bySource.nonEmpty || evolution) None
+        else (matched, notMatched) match {
+          case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
+            (starColumns(ins), starColumns(up), equiKeys) match {
+              case (Some(columns), Some(upCols), Some(keys))
+                  if upCols.toMap == columns.toMap =>
+                Some(GraftMergeCommand(checkWritable(t), source, keys, columns, ident))
+              case _ => None
+            }
+          case _ => None
+        }
+      fast.getOrElse {
+        def tr(e: Expression): Column = GraftShims.column(e.transform {
+          case a: AttributeReference if targetOut.contains(a) =>
+            UnresolvedAttribute.quoted(a.name)
+          case a: AttributeReference if source.outputSet.contains(a) =>
+            UnresolvedAttribute.quoted(DeltaTable.MergeSourcePrefix + a.name)
+        })
+        def keyOf(e: Expression): String = e match {
+          case a: AttributeReference if targetOut.contains(a) => a.name
+          case other => unsupported(s"SET/INSERT key $other is not a target column")
+        }
+        def toClauses(actions: Seq[MergeAction]): Seq[graft.delta.MergeClause] =
+          actions.map {
+            case UpdateAction(c, assigns, _) => graft.delta.MergeUpdate(c.map(tr),
+              assigns.map(a => keyOf(a.key) -> tr(a.value)).toMap)
+            case DeleteAction(c) => graft.delta.MergeDelete(c.map(tr))
+            case other => unsupported(s"clause $other")
+          }
+        val inserts = notMatched.map {
+          case InsertAction(c, assigns) => graft.delta.MergeInsert(c.map(tr),
+            assigns.map(a => keyOf(a.key) -> tr(a.value)).toMap)
+          case other => unsupported(s"not-matched clause $other")
+        }
+        GraftMergeClausesCommand(checkWritable(t), source, tr(cond),
+          toClauses(matched), inserts, toClauses(bySource), evolution, ident)
+      }
 
     // v2 target: the analyzer defers MERGE resolution to tables with
     // row-level-operation support, which this engine intentionally does
@@ -172,8 +201,6 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(Target(t @ (_, _, ident)), source, cond,
         matched, notMatched, bySource, evolution)
         if !m.resolved && m.childrenResolved =>
-      if (evolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (bySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
 
       def aliasesOf(plan: LogicalPlan): Set[String] =
         plan.collect { case SubqueryAlias(id, _) =>
@@ -255,6 +282,14 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           assigns.map(a => keyName(a.key) -> translate(a.value)).toMap)
         case other => unsupported(s"not-matched clause $other")
       }
+      // by-source clauses reference target columns only (the library op
+      // enforces it — there is no source row to read)
+      val bySourceClauses: Seq[graft.delta.MergeClause] = bySource.map {
+        case UpdateAction(c, assigns, _) => graft.delta.MergeUpdate(c.map(translate),
+          assigns.map(a => keyName(a.key) -> translate(a.value)).toMap)
+        case DeleteAction(c) => graft.delta.MergeDelete(c.map(translate))
+        case other => unsupported(s"by-source clause $other")
+      }
 
       // star+equi fast path: ON is a conjunction of same-named
       // target=source equalities and the clauses are exactly
@@ -274,7 +309,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       (matchedClauses, insertClauses, equiKeys) match {
         case (Seq(graft.delta.MergeUpdate(None, e1)),
             Seq(graft.delta.MergeInsert(None, e2)), Some(keys))
-            if e1.isEmpty && e2.isEmpty =>
+            if e1.isEmpty && e2.isEmpty && bySourceClauses.isEmpty && !evolution =>
           val columns = m.targetTable.output.map { o =>
             source.output.collectFirst {
               case so if conf.resolver(so.name, o.name) => o.name -> so.name
@@ -284,7 +319,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           GraftMergeCommand(checkWritable(t), source, keys, columns, ident)
         case _ =>
           GraftMergeClausesCommand(checkWritable(t), source, translate(cond),
-            matchedClauses, insertClauses, ident)
+            matchedClauses, insertClauses, bySourceClauses, evolution, ident)
       }
   }
 }
@@ -325,15 +360,19 @@ case class GraftUpdateCommand(tableUri: String,
 }
 
 /** General `MERGE INTO` -> [[DeltaTable.merge]] (conditional clause
-  * chain, partial SET, DELETE action, arbitrary ON). */
+  * chain, partial SET, DELETE action, arbitrary ON, NOT MATCHED BY
+  * SOURCE, WITH SCHEMA EVOLUTION). */
 case class GraftMergeClausesCommand(tableUri: String, source: LogicalPlan,
     condition: Column, matched: Seq[graft.delta.MergeClause],
-    notMatched: Seq[graft.delta.MergeInsert], catalogIdent: Option[String])
+    notMatched: Seq[graft.delta.MergeInsert],
+    notMatchedBySource: Seq[graft.delta.MergeClause],
+    schemaEvolution: Boolean, catalogIdent: Option[String])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     DeltaTable.merge(session, tableUri,
-      GraftShims.ofRows(session, source), condition, matched, notMatched)
+      GraftShims.ofRows(session, source), condition, matched, notMatched,
+      notMatchedBySource, schemaEvolution)
     GraftDmlRefresh(session, tableUri, catalogIdent)
     Nil
   }

@@ -66,7 +66,7 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).as[(Int, Long)].head() == ((1, 111L)))
   }
 
-  test("several source rows matching one target row is an error") {
+  test("several source rows MODIFYING one target row is an error") {
     val dir = TestSpark.tmpDir("gm-ambig")
     DeltaTable.create(spark, Seq((1, "x")).toDF("k", "v"), dir)
     val before = DeltaLog.forTable(spark, dir).snapshot().version
@@ -75,9 +75,146 @@ class DeltaMergeSpec extends AnyFunSuite {
         condition = col("k") === s("k"),
         matched = Seq(MergeUpdate(None, Map.empty)), notMatched = Nil)
     }
-    assert(e.getMessage.contains("matched multiple source rows"))
+    assert(e.getMessage.contains("modified by multiple source rows"))
     assert(DeltaLog.forTable(spark, dir).snapshot().version == before,
       "ambiguous merge must commit nothing")
+  }
+
+  test("duplicate source matches are benign when at most one clause applies") {
+    val dir = TestSpark.tmpDir("gm-benign")
+    DeltaTable.create(spark, Seq((1, "x", 0L), (2, "y", 0L)).toDF("k", "v", "n"), dir)
+    // k=1 matches TWO source rows but only n=7 passes the clause
+    // condition; k=2 matches two source rows and NEITHER applies —
+    // delta-spark accepts both (the error is reserved for two rows
+    // that would actually modify the same target row)
+    DeltaTable.merge(spark, dir,
+      Seq((1, 7L), (1, -1L), (2, -2L), (2, -3L)).toDF("k", "n"),
+      condition = col("k") === s("k"),
+      matched = Seq(MergeUpdate(Some(s("n") > 0), Map("n" -> s("n")))),
+      notMatched = Nil)
+    val rows = DeltaTable.read(spark, dir).as[(Int, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1, "x", 7L), (2, "y", 0L)),
+      "one modified row, one untouched row — and NO duplicated rows")
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, dir, Seq((1, 8L), (1, 9L)).toDF("k", "n"),
+        condition = col("k") === s("k"),
+        matched = Seq(MergeUpdate(Some(s("n") > 0), Map("n" -> s("n")))),
+        notMatched = Nil)
+    }
+    assert(e.getMessage.contains("modified by multiple source rows"))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: update + delete with CDC") {
+    val dir = TestSpark.tmpDir("gm-nmbs")
+    DeltaTable.create(spark,
+      Seq((1, "a", 0L), (2, "b", 0L), (3, "c", 9L), (4, "d", 0L))
+        .toDF("k", "v", "n"), dir)
+    val v0 = DeltaLog.forTable(spark, dir).snapshot().version
+    // source covers k=1 only: k=1 updates from source; k=3 (n>0,
+    // unmatched) is deleted; k=2/k=4 (unmatched, n=0) get flagged
+    DeltaTable.merge(spark, dir, Seq((1, "A")).toDF("k", "v"),
+      condition = col("k") === s("k"),
+      matched = Seq(MergeUpdate(None, Map("v" -> s("v")))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(
+        MergeDelete(Some(col("n") > 0)),
+        MergeUpdate(None, Map("v" -> concat(col("v"), lit("-stale"))))))
+    val rows = DeltaTable.read(spark, dir).as[(Int, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1, "A", 0L), (2, "b-stale", 0L), (4, "d-stale", 0L)))
+    val changes = DeltaTable.changesBetween(spark, dir, v0, v0 + 1)
+      .select($"_change_type", $"k").as[(String, Int)].collect().toSet
+    assert(changes == Set(
+      ("update_preimage", 1), ("update_postimage", 1),
+      ("update_preimage", 2), ("update_postimage", 2),
+      ("update_preimage", 4), ("update_postimage", 4),
+      ("delete", 3)))
+  }
+
+  test("not-matched-by-source clauses may not reference source columns") {
+    val dir = TestSpark.tmpDir("gm-nmbs-src")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, dir, Seq((2, "b")).toDF("k", "v"),
+        condition = col("k") === s("k"),
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(MergeDelete(Some(s("k") > 0))))
+    }
+    assert(e.getMessage.contains("target columns only"))
+  }
+
+  test("a source over the broadcast threshold merges via shuffle join, not broadcast") {
+    val dir = TestSpark.tmpDir("gm-bigsrc")
+    DeltaTable.create(spark,
+      (1 to 2000).map(i => (i, s"v$i")).toDF("k", "v").coalesce(2), dir)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      DeltaTable.merge(spark, dir,
+        (1000 to 3000).map(i => (i, s"s$i")).toDF("k", "v"),
+        condition = col("k") === s("k"),
+        matched = Seq(MergeUpdate(None, Map.empty)),
+        notMatched = Seq(MergeInsert(None, Map.empty)))
+      // listener events are delivered async on the bus — drain until the
+      // count stabilizes (bounded)
+      var last = -1
+      var waited = 0
+      while (plans.size() != last && waited < 40) {
+        last = plans.size(); Thread.sleep(250); waited += 1
+      }
+      val broadcasts = plans.toArray(Array.empty[String])
+        .filter(_.contains("BroadcastExchange"))
+      assert(broadcasts.isEmpty,
+        s"merge with an over-threshold source must not broadcast it:\n${broadcasts.headOption.getOrElse("")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.listenerManager.unregister(listener)
+    }
+    val rows = DeltaTable.read(spark, dir).as[(Int, String)].collect()
+    assert(rows.length == 3000)
+    assert(rows.toMap.apply(1500) == "s1500" && rows.toMap.apply(999) == "v999")
+  }
+
+  test("WITH SCHEMA EVOLUTION: new source column lands nullable, old files read NULL") {
+    val dir = TestSpark.tmpDir("gm-evolve")
+    DeltaTable.create(spark,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.merge(spark, dir,
+      Seq((2, "B", 22L), (3, "c", 33L)).toDF("k", "v", "extra"),
+      condition = col("k") === s("k"),
+      matched = Seq(MergeUpdate(None, Map.empty)),
+      notMatched = Seq(MergeInsert(None, Map.empty)),
+      schemaEvolution = true)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val f = snap.schema.fields.find(_.name == "extra")
+    assert(f.exists(_.nullable), "evolved column must exist and be nullable")
+    val rows = DeltaTable.read(spark, dir)
+      .select($"k", $"v", $"extra").as[(Int, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1, "a", None),       // pre-evolution row: NULL for the new column
+      (2, "B", Some(22L)),  // updated via SET * including the new column
+      (3, "c", Some(33L)))) // inserted with the new column
+    // without the flag, star expansion stays table-schema-driven: a
+    // second merge with another extra column must NOT widen the schema
+    DeltaTable.merge(spark, dir,
+      Seq((4, "d", 44L, true)).toDF("k", "v", "extra", "extra2"),
+      condition = col("k") === s("k"),
+      matched = Nil,
+      notMatched = Seq(MergeInsert(None, Map.empty)))
+    assert(!DeltaLog.forTable(spark, dir).snapshot()
+      .schema.fieldNames.contains("extra2"))
   }
 
   test("insert-only merge rewrites no files") {

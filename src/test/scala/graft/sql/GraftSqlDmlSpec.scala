@@ -155,19 +155,70 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: the CDC mirror idiom") {
+    val dir = TestSpark.tmpDir("sqldml-merge-nmbs")
+    DeltaTable.create(spark,
+      Seq((1, "a", 0), (2, "b", 0), (3, "c", 9)).toDF("k", "v", "n"), dir)
+    val v0 = DeltaLog.forTable(spark, dir).snapshot().version
+    withTable(dir) { t =>
+      Seq((1, "A", 0), (4, "d", 0)).toDF("k", "v", "n")
+        .createOrReplaceTempView("merge_nmbs_src")
+      try {
+        // mirror the source: update matched, insert new, age unmatched
+        // (delete the n>0 row, flag the rest)
+        spark.sql(s"""MERGE INTO $t USING merge_nmbs_src s ON $t.k = s.k
+                     |WHEN MATCHED THEN UPDATE SET *
+                     |WHEN NOT MATCHED THEN INSERT *
+                     |WHEN NOT MATCHED BY SOURCE AND $t.n > 0 THEN DELETE
+                     |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat($t.v, '-stale')
+                     |""".stripMargin)
+        assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+          .as[(Int, String)].collect().toSeq ==
+          Seq((1, "A"), (2, "b-stale"), (4, "d")))
+      } finally spark.catalog.dropTempView("merge_nmbs_src")
+    }
+    // change feed records the by-source delete and updates
+    val changes = DeltaTable.changesBetween(spark, dir, v0, v0 + 1)
+      .select($"_change_type", $"k").as[(String, Int)].collect().toSet
+    assert(changes.contains(("delete", 3)))
+    assert(changes.contains(("update_postimage", 2)))
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds the new source column") {
+    val dir = TestSpark.tmpDir("sqldml-merge-evolve")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      Seq((2, "B", 22L), (3, "c", 33L)).toDF("k", "v", "extra")
+        .createOrReplaceTempView("merge_evo_src")
+      try {
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING merge_evo_src s
+             |ON $t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(spark.sql(s"SELECT k, v, extra FROM $t ORDER BY k")
+          .as[(Int, String, Option[Long])].collect().toSeq ==
+          Seq((1, "a", None), (2, "B", Some(22L)), (3, "c", Some(33L))))
+      } finally spark.catalog.dropTempView("merge_evo_src")
+    }
+    assert(DeltaLog.forTable(spark, dir).snapshot()
+      .schema.fields.find(_.name == "extra").exists(_.nullable))
+  }
+
   test("unsupported MERGE shapes fail with a clear error, not silently") {
     val dir = TestSpark.tmpDir("sqldml-merge-bad")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
     withTable(dir) { t =>
       Seq((1, "z")).toDF("k", "v").createOrReplaceTempView("merge_bad_src")
       try {
-        val e = intercept[UnsupportedOperationException] {
+        // NOT MATCHED BY SOURCE UPDATE may not read source columns
+        val e = intercept[Exception] {
           spark.sql(s"""MERGE INTO $t USING merge_bad_src s ON $t.k = s.k
                        |WHEN MATCHED THEN UPDATE SET *
-                       |WHEN NOT MATCHED THEN INSERT *
-                       |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+                       |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
         }
-        assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+        assert(e.getMessage.contains("target column") ||
+          e.getMessage.contains("target columns only"))
         assert(spark.table(t).count() == 1, "failed merge commits nothing")
       } finally spark.catalog.dropTempView("merge_bad_src")
     }
