@@ -170,6 +170,80 @@ object LogStore {
       SigV4.sign(method, uri, base, payload, region, "s3", credentials(), clock())
   }
 
+  /** [[S3HttpStyleClient]] signing with GCS's V4 HMAC-interop scheme
+    * (`GOOG4-HMAC-SHA256`, `x-goog-*` headers, `storage` service,
+    * region `auto`) — drives authenticated GCS buckets through the XML
+    * API, whose conditional-create wire form (`PUT` + `If-None-Match:
+    * *` → 412 on exists) matches S3's. HMAC keys come from the bucket's
+    * interoperability credentials; OAuth deployments can instead
+    * subclass [[S3HttpStyleClient]] and add a Bearer header. */
+  final class Goog4GcsClient(endpoint: URI, bucket: String,
+      credentials: () => SigV4.Credentials, region: String = "auto",
+      http: HttpClient = HttpClient.newHttpClient(), maxAttempts: Int = 5,
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      extends S3HttpStyleClient(endpoint, bucket, http, maxAttempts) {
+    override protected def requestHeaders(method: String, uri: URI,
+        base: Seq[(String, String)], payload: Array[Byte]): Seq[(String, String)] =
+      SigV4.sign(method, uri, base, payload, region, "storage",
+        credentials(), clock(), SigV4.Goog)
+  }
+
+  /** Azure Blob conditional-create client: `Put Blob` (BlockBlob) with
+    * `If-None-Match: *`. Azure's status mapping differs from S3/GCS —
+    * an existing blob answers 409 `BlobAlreadyExists` (and some
+    * precondition paths 412); BOTH mean "lost the race" here, never
+    * retry-transient like S3's 409. Auth is either SharedKey signing
+    * with the account key ([[SigV4.azureSharedKey]]) or a SAS token
+    * appended to every request URL; with neither, requests go out
+    * unauthenticated (Azurite-style dev endpoints). */
+  final class AzureBlobClient(endpoint: URI, account: String, container: String,
+      accountKeyBase64: Option[String], sasToken: Option[String] = None,
+      http: HttpClient = HttpClient.newHttpClient(),
+      apiVersion: String = "2021-08-06",
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      extends ObjectStoreClient {
+
+    private val Rfc1123 = java.time.format.DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.ROOT)
+      .withZone(java.time.ZoneOffset.UTC)
+
+    private def url(key: String): URI = {
+      val sas = sasToken.map(t => "?" + t.stripPrefix("?")).getOrElse("")
+      endpoint.resolve(
+        s"/$container/${SigV4.uriEncode(key, keepSlash = true)}$sas")
+    }
+
+    private def request(method: String, key: String,
+        payload: Array[Byte], conditional: Boolean): HttpRequest = {
+      val put = method == "PUT"
+      val msHeaders = Seq("x-ms-date" -> Rfc1123.format(clock()),
+        "x-ms-version" -> apiVersion) ++
+        (if (put) Seq("x-ms-blob-type" -> "BlockBlob") else Nil)
+      val ifNoneMatch = if (put && conditional) Some("*") else None
+      val auth = accountKeyBase64.map { k =>
+        "Authorization" -> SigV4.azureSharedKey(method, account, k, container,
+          SigV4.uriEncode(key, keepSlash = true), Map.empty, msHeaders,
+          if (put) payload.length.toLong else 0L, ifNoneMatch)
+      }
+      var b = HttpRequest.newBuilder(url(key))
+      (msHeaders ++ ifNoneMatch.map("If-None-Match" -> _) ++ auth)
+        .foreach { case (k, v) => b = b.header(k, v) }
+      if (put) b.PUT(HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+      else b.method(method, HttpRequest.BodyPublishers.noBody()).build()
+    }
+
+    def putIfNoneMatch(key: String, data: Array[Byte]): Boolean = {
+      val rsp = http.send(request("PUT", key, data, conditional = true),
+        HttpResponse.BodyHandlers.discarding())
+      rsp.statusCode() match {
+        case ok if ok / 100 == 2 => true // 201 Created
+        case 409 | 412 => false          // BlobAlreadyExists / precondition
+        case other => throw new java.io.IOException(
+          s"conditional Put Blob of $container/$key failed: HTTP $other")
+      }
+    }
+  }
+
   /** URI schemes that resolve to eventually-consistent object stores,
     * where rename is copy+delete and must never back a commit. */
   private val ObjectStoreSchemes = Set(
@@ -190,22 +264,81 @@ object LogStore {
     factories.remove(scheme.toLowerCase)
 
   /** Pick the commit backend for a filesystem:
-    * registered factory > hard-link (`file:`) > REFUSE object-store
-    * schemes (rename there is not atomic — a silent-unsafe commit path
-    * is worse than a loud unsupported one) > HDFS-style rename. */
+    * registered factory > hard-link (`file:`) > object-store schemes:
+    * a signed conditional-PUT client auto-built from the Hadoop conf's
+    * credential keys, else REFUSE (rename there is copy+delete, not
+    * atomic — a silent-unsafe commit path is worse than a loud
+    * unsupported one) > HDFS-style rename. */
   def forFileSystem(fs: FileSystem): LogStore = {
     val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("file")
     factories.get(scheme) match {
       case Some(f) => f(fs)
       case None if scheme == "file" => new FileLogStore(fs)
       case None if ObjectStoreSchemes(scheme) =>
-        throw new IllegalArgumentException(
-          s"no atomic commit backend registered for '$scheme://' — rename on an " +
-            "object store is copy+delete, not atomic. Register a conditional-PUT " +
-            "LogStore for this scheme first, e.g.\n" +
-            "  LogStore.register(\"" + scheme + "\", fs => new LogStore.ConditionalPutLogStore(\n" +
-            "    fs, new LogStore.S3HttpStyleClient(endpoint, bucket)))")
+        clientFromConf(fs, scheme)
+          .map(c => new ConditionalPutLogStore(fs, c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no atomic commit backend for '$scheme://' — rename on an " +
+              "object store is copy+delete, not atomic. Either put the store's " +
+              "credentials in the Hadoop conf (s3: fs.s3a.access.key/" +
+              "fs.s3a.secret.key; azure: fs.azure.account.key.<account-host>; " +
+              "gcs HMAC interop: graft.gs.hmac.access.key/graft.gs.hmac.secret.key) " +
+              "or register a conditional-PUT LogStore explicitly, e.g.\n" +
+              "  LogStore.register(\"" + scheme + "\", fs => new LogStore.ConditionalPutLogStore(\n" +
+              "    fs, new LogStore.S3HttpStyleClient(endpoint, bucket)))"))
       case None => new RenameLogStore(fs)
+    }
+  }
+
+  /** Build the signed client for an object-store filesystem from the
+    * conf's standard credential keys — `s3a://bucket/...` with
+    * fs.s3a.* keys, `abfss://container@account.dfs.core.windows.net/...`
+    * with the hadoop-azure account key (or a `graft.az.sas` token),
+    * `gs://bucket/...` with GCS HMAC-interoperability keys. None when
+    * the needed keys are absent (the caller fail-fasts with
+    * instructions). Visible for tests. */
+  private[delta] def clientFromConf(fs: FileSystem,
+      scheme: String): Option[ObjectStoreClient] = {
+    val conf = fs.getConf
+    val authority = Option(fs.getUri.getAuthority).getOrElse("")
+    def opt(k: String): Option[String] =
+      Option(conf.get(k)).map(_.trim).filter(_.nonEmpty)
+    scheme match {
+      case "s3" | "s3a" | "s3n" =>
+        for {
+          access <- opt("fs.s3a.access.key")
+          secret <- opt("fs.s3a.secret.key")
+        } yield {
+          val region = opt("fs.s3a.endpoint.region").getOrElse("us-east-1")
+          val endpoint = URI.create(opt("fs.s3a.endpoint")
+            .map(e => if (e.contains("://")) e else s"https://$e")
+            .getOrElse(s"https://s3.$region.amazonaws.com"))
+          new SigV4S3Client(endpoint, authority, region,
+            () => SigV4.Credentials(access, secret, opt("fs.s3a.session.token")))
+        }
+      case "gs" | "gcs" =>
+        for {
+          access <- opt("graft.gs.hmac.access.key")
+          secret <- opt("graft.gs.hmac.secret.key")
+        } yield new Goog4GcsClient(
+          URI.create(opt("graft.gs.endpoint").getOrElse("https://storage.googleapis.com")),
+          authority, () => SigV4.Credentials(access, secret))
+      case "abfs" | "abfss" | "wasb" | "wasbs" | "az" =>
+        // authority: container@account.dfs.core.windows.net
+        authority.split("@", 2) match {
+          case Array(container, host) =>
+            val account = host.takeWhile(_ != '.')
+            val key = opt(s"fs.azure.account.key.$host")
+              .orElse(opt(s"fs.azure.account.key.$account"))
+            val sas = opt("graft.az.sas")
+            if (key.isEmpty && sas.isEmpty) None
+            else Some(new AzureBlobClient(
+              URI.create(opt("graft.az.endpoint")
+                .getOrElse(s"https://$account.blob.core.windows.net")),
+              account, container, key, sas))
+          case _ => None
+        }
+      case _ => None
     }
   }
 }

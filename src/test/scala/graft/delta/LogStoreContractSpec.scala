@@ -74,20 +74,25 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def shaHex(b: Array[Byte]): String =
     hexOf(java.security.MessageDigest.getInstance("SHA-256").digest(b))
 
-  private def verifySigned(x: HttpExchange, body: Array[Byte]): Boolean = {
+  /** Inline V4 verification, parametrized over the AWS/GOOG literal
+    * prefixes (the algorithm is otherwise identical — which is exactly
+    * what [[LogStore.Goog4GcsClient]] banks on). */
+  private def verifySignedV4(x: HttpExchange, body: Array[Byte],
+      algorithm: String, headerPrefix: String, secretPrefix: String,
+      terminator: String, creds: (String, String)): Boolean = {
     val h = x.getRequestHeaders
     val auth = h.getFirst("Authorization")
-    if (auth == null || !auth.startsWith("AWS4-HMAC-SHA256 ")) return false
-    val parts = auth.stripPrefix("AWS4-HMAC-SHA256 ").split(",\\s*").map { p =>
+    if (auth == null || !auth.startsWith(s"$algorithm ")) return false
+    val parts = auth.stripPrefix(s"$algorithm ").split(",\\s*").map { p =>
       val Array(k, v) = p.split("=", 2); k -> v
     }.toMap
     val credParts = parts("Credential").split("/")
     if (credParts.length != 5) return false
     val Array(access, date, region, service, term) = credParts
-    if (access != SecureCreds._1 || term != "aws4_request") return false
+    if (access != creds._1 || term != terminator) return false
     val payloadHash = shaHex(body) // integrity: hash of the ACTUAL bytes
-    if (h.getFirst("x-amz-content-sha256") != payloadHash) return false
-    val amzDate = h.getFirst("x-amz-date")
+    if (h.getFirst(s"$headerPrefix-content-sha256") != payloadHash) return false
+    val amzDate = h.getFirst(s"$headerPrefix-date")
     if (amzDate == null || !amzDate.startsWith(date)) return false
     val signedHeaders = parts("SignedHeaders")
     val canonicalHeaders = signedHeaders.split(';').map { name =>
@@ -97,27 +102,92 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val canonical = Seq(x.getRequestMethod, x.getRequestURI.getRawPath,
       Option(x.getRequestURI.getRawQuery).getOrElse(""),
       canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
-    val sts = Seq("AWS4-HMAC-SHA256", amzDate,
-      s"$date/$region/$service/aws4_request",
+    val sts = Seq(algorithm, amzDate,
+      s"$date/$region/$service/$terminator",
       shaHex(canonical.getBytes(StandardCharsets.UTF_8))).mkString("\n")
     val key = hmacSha(hmacSha(hmacSha(hmacSha(
-      s"AWS4${SecureCreds._2}".getBytes(StandardCharsets.UTF_8),
-      date), region), service), "aws4_request")
+      s"$secretPrefix${creds._2}".getBytes(StandardCharsets.UTF_8),
+      date), region), service), terminator)
     hexOf(hmacSha(key, sts)) == parts("Signature")
   }
+
+  private def verifySigned(x: HttpExchange, body: Array[Byte]): Boolean =
+    verifySignedV4(x, body, "AWS4-HMAC-SHA256", "x-amz", "AWS4",
+      "aws4_request", SecureCreds)
+
+  /** GCS HMAC-interop credentials for `gsecure*` buckets. */
+  private val GoogCreds = ("GOOGTEST", "GOOGSECRET")
+
+  /** Azure SharedKey account for `azsecure` containers. */
+  private val AzAccount = "testacct"
+  private val AzKeyB64 = java.util.Base64.getEncoder.encodeToString(
+    "azure-shared-key-for-tests".getBytes(StandardCharsets.UTF_8))
+
+  /** Inline Azure SharedKey verification: rebuild the documented
+    * string-to-sign from the RECEIVED request and compare signatures. */
+  private def verifyAzureSigned(x: HttpExchange, body: Array[Byte]): Boolean = {
+    val h = x.getRequestHeaders
+    val auth = h.getFirst("Authorization")
+    if (auth == null || !auth.startsWith(s"SharedKey $AzAccount:")) return false
+    if (h.getFirst("x-ms-date") == null || h.getFirst("x-ms-version") == null)
+      return false
+    import scala.jdk.CollectionConverters._
+    val msHeaders = h.keySet().asScala.toSeq
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.startsWith("x-ms-"))
+      .sorted
+      .map(n => s"$n:${h.getFirst(n).trim}")
+      .mkString("", "\n", "\n")
+    val contentLength =
+      if (x.getRequestMethod == "PUT" && body.nonEmpty) body.length.toString else ""
+    val stringToSign = Seq(
+      x.getRequestMethod, "", "", contentLength, "", "", "", "", "",
+      Option(h.getFirst("If-None-Match")).getOrElse(""), "", "",
+      msHeaders + s"/$AzAccount${x.getRequestURI.getRawPath}").mkString("\n")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      java.util.Base64.getDecoder.decode(AzKeyB64), "HmacSHA256"))
+    val sig = java.util.Base64.getEncoder.encodeToString(
+      mac.doFinal(stringToSign.getBytes(StandardCharsets.UTF_8)))
+    auth == s"SharedKey $AzAccount:$sig"
+  }
+
+  /** Azure status semantics: Put Blob + If-None-Match:* on an existing
+    * blob answers 409 BlobAlreadyExists (not S3's 412). */
+  private def handleAzure(x: HttpExchange, key: String, body: Array[Byte]): Unit =
+    x.getRequestMethod match {
+      case "PUT" =>
+        if (x.getRequestHeaders.getFirst("x-ms-blob-type") == null) {
+          x.sendResponseHeaders(400, -1)
+        } else if (x.getRequestHeaders.getFirst("If-None-Match") == "*") {
+          if (objects.putIfAbsent(key, body) == null) x.sendResponseHeaders(201, -1)
+          else x.sendResponseHeaders(409, -1)
+        } else {
+          objects.put(key, body)
+          x.sendResponseHeaders(201, -1)
+        }
+      case "HEAD" =>
+        x.sendResponseHeaders(if (objects.containsKey(key)) 200 else 404, -1)
+      case _ => x.sendResponseHeaders(405, -1)
+    }
 
   private def handle(x: HttpExchange): Unit = {
     val key = x.getRequestURI.getPath.stripPrefix("/")
     try {
+      val body =
+        if (x.getRequestMethod == "PUT") x.getRequestBody.readAllBytes()
+        else Array.emptyByteArray
       if (key.startsWith("secure")) {
-        val body =
-          if (x.getRequestMethod == "PUT") x.getRequestBody.readAllBytes()
-          else Array.emptyByteArray
         if (!verifySigned(x, body)) { x.sendResponseHeaders(403, -1); return }
         handleVerified(x, key, body)
-      } else handleVerified(x, key,
-        if (x.getRequestMethod == "PUT") x.getRequestBody.readAllBytes()
-        else Array.emptyByteArray)
+      } else if (key.startsWith("gsecure")) {
+        if (!verifySignedV4(x, body, "GOOG4-HMAC-SHA256", "x-goog", "GOOG4",
+            "goog4_request", GoogCreds)) { x.sendResponseHeaders(403, -1); return }
+        handleVerified(x, key, body)
+      } else if (key.startsWith("azsecure")) {
+        if (!verifyAzureSigned(x, body)) { x.sendResponseHeaders(403, -1); return }
+        handleAzure(x, key, body)
+      } else handleVerified(x, key, body)
     } finally x.close()
   }
 
@@ -276,6 +346,168 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val key = store.keyOf(fs.makeQualified(target).toUri)
     assert(new String(objects.get(s"secure2/$key"), StandardCharsets.UTF_8)
       == "signed-commit")
+  }
+
+  // ---- GCS (GOOG4 HMAC-interop) twin suite ------------------------------
+
+  private def gcsClient(bucket: String) = new LogStore.Goog4GcsClient(
+    endpoint, bucket, () => SigV4.Credentials(GoogCreds._1, GoogCreds._2))
+
+  test("GCS: signing-required bucket rejects the unsigned client") {
+    val e = intercept[java.io.IOException](
+      client("gsecure").putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e.getMessage.contains("HTTP 403"))
+    assert(!objects.containsKey("gsecure/k"))
+  }
+
+  test("GCS: mis-signed requests (wrong HMAC secret) are rejected") {
+    val bad = new LogStore.Goog4GcsClient(endpoint, "gsecure",
+      () => SigV4.Credentials(GoogCreds._1, "WRONG"))
+    val e = intercept[java.io.IOException](
+      bad.putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e.getMessage.contains("HTTP 403"))
+    assert(!objects.containsKey("gsecure/k"))
+  }
+
+  test("GCS: 16 concurrent GOOG4-signed committers, exactly one winner") {
+    val c = gcsClient("gsecure")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          start.await()
+          if (c.putIfNoneMatch("_delta_log/00000000000000000011.json",
+              s"gcs-writer-$i".getBytes(StandardCharsets.UTF_8))) Some(i) else None
+        }
+      })
+    }
+    start.countDown()
+    val winners = wins.flatMap(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    assert(new String(objects.get("gsecure/_delta_log/00000000000000000011.json"),
+      StandardCharsets.UTF_8) == s"gcs-writer-${winners.head}")
+    assert(!c.putIfNoneMatch("_delta_log/00000000000000000011.json", "late".getBytes))
+  }
+
+  // ---- Azure (SharedKey) twin suite --------------------------------------
+
+  private def azureClient(container: String) = new LogStore.AzureBlobClient(
+    endpoint, AzAccount, container, Some(AzKeyB64))
+
+  test("Azure: signing-required container rejects unsigned and mis-signed requests") {
+    val unsigned = new LogStore.AzureBlobClient(endpoint, AzAccount, "azsecure", None)
+    val e1 = intercept[java.io.IOException](
+      unsigned.putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e1.getMessage.contains("HTTP 403"))
+    val badKey = java.util.Base64.getEncoder.encodeToString(
+      "wrong-key".getBytes(StandardCharsets.UTF_8))
+    val bad = new LogStore.AzureBlobClient(endpoint, AzAccount, "azsecure", Some(badKey))
+    val e2 = intercept[java.io.IOException](
+      bad.putIfNoneMatch("k", "v".getBytes(StandardCharsets.UTF_8)))
+    assert(e2.getMessage.contains("HTTP 403"))
+    assert(!objects.containsKey("azsecure/k"))
+  }
+
+  test("Azure: 16 concurrent SharedKey-signed committers, exactly one winner (409 = exists)") {
+    val c = azureClient("azsecure")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] = {
+          start.await()
+          if (c.putIfNoneMatch("_delta_log/00000000000000000013.json",
+              s"az-writer-$i".getBytes(StandardCharsets.UTF_8))) Some(i) else None
+        }
+      })
+    }
+    start.countDown()
+    val winners = wins.flatMap(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    assert(new String(objects.get("azsecure/_delta_log/00000000000000000013.json"),
+      StandardCharsets.UTF_8) == s"az-writer-${winners.head}")
+    assert(!c.putIfNoneMatch("_delta_log/00000000000000000013.json", "late".getBytes))
+  }
+
+  test("Azure: staged commit publishes through ConditionalPutLogStore") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new Configuration()).getRawFileSystem
+    val dir = TestSpark.tmpDir("cpls-az")
+    val p = new Path(dir, "tmp-commit")
+    val out = fs.create(p, false)
+    try out.write("az-commit".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val store = new LogStore.ConditionalPutLogStore(fs, azureClient("azsecure2"))
+    val target = new Path(dir, "_delta_log/00000000000000000001.json")
+    assert(store.putIfAbsent(p, target))
+    assert(!store.putIfAbsent(p, target), "second publish must lose")
+    val key = store.keyOf(fs.makeQualified(target).toUri)
+    assert(new String(objects.get(s"azsecure2/$key"), StandardCharsets.UTF_8)
+      == "az-commit")
+  }
+
+  // ---- conf-driven client wiring ----------------------------------------
+
+  private def confFs(schemeName: String, authority: String,
+      kv: (String, String)*): org.apache.hadoop.fs.FileSystem = {
+    val fs = new RawLocalFileSystem() {
+      override def getScheme: String = schemeName
+      override def getUri: java.net.URI =
+        java.net.URI.create(s"$schemeName://$authority/")
+    }
+    val conf = new Configuration()
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    fs.setConf(conf)
+    fs.initialize(fs.getUri, conf) // sets up statistics for read paths
+    fs
+  }
+
+  test("clientFromConf wires s3a/gs/abfss credentials to the right signed client") {
+    assert(LogStore.clientFromConf(confFs("s3a", "bkt",
+      "fs.s3a.access.key" -> "AK", "fs.s3a.secret.key" -> "SK"), "s3a")
+      .exists(_.isInstanceOf[LogStore.SigV4S3Client]))
+    assert(LogStore.clientFromConf(confFs("gs", "bkt",
+      "graft.gs.hmac.access.key" -> "GK", "graft.gs.hmac.secret.key" -> "GS"), "gs")
+      .exists(_.isInstanceOf[LogStore.Goog4GcsClient]))
+    assert(LogStore.clientFromConf(
+      confFs("abfss", "cont@acct.dfs.core.windows.net",
+        "fs.azure.account.key.acct.dfs.core.windows.net" -> AzKeyB64), "abfss")
+      .exists(_.isInstanceOf[LogStore.AzureBlobClient]))
+    // a SAS token alone also unlocks azure
+    assert(LogStore.clientFromConf(
+      confFs("abfss", "cont@acct.dfs.core.windows.net",
+        "graft.az.sas" -> "sv=2021&sig=x"), "abfss")
+      .exists(_.isInstanceOf[LogStore.AzureBlobClient]))
+    // missing credentials -> None (forFileSystem then fail-fasts)
+    assert(LogStore.clientFromConf(confFs("s3a", "bkt"), "s3a").isEmpty)
+    assert(LogStore.clientFromConf(confFs("gs", "bkt"), "gs").isEmpty)
+    assert(LogStore.clientFromConf(
+      confFs("abfss", "cont@acct.dfs.core.windows.net"), "abfss").isEmpty)
+  }
+
+  test("forFileSystem with conf credentials returns a conditional-PUT store, end-to-end signed") {
+    // point the conf-built azure client at the FAKE signing store: the
+    // whole path — scheme routing → conf wiring → SharedKey signing →
+    // conditional PUT — runs for real
+    val fs = confFs("abfss", s"azsecure3@$AzAccount.dfs.core.windows.net",
+      s"fs.azure.account.key.$AzAccount.dfs.core.windows.net" -> AzKeyB64,
+      "graft.az.endpoint" -> endpoint.toString)
+    val store = LogStore.forFileSystem(fs)
+    assert(store.isInstanceOf[LogStore.ConditionalPutLogStore])
+    val dir = TestSpark.tmpDir("conf-az")
+    val p = new Path(dir, "tmp")
+    val out = fs.create(p, false)
+    try out.write("conf-az-commit".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(dir, "_delta_log/00000000000000000001.json")
+    assert(store.putIfAbsent(p, target))
+    assert(!store.putIfAbsent(p, target), "existing blob loses (Azure 409)")
+    val stored = objects.entrySet().stream()
+      .filter(e => e.getKey.startsWith("azsecure3/"))
+      .findFirst().get()
+    assert(new String(stored.getValue, StandardCharsets.UTF_8) == "conf-az-commit")
   }
 
   // ---- scheme routing ---------------------------------------------------
