@@ -29,9 +29,11 @@ import graft.delta.{DeltaLog, DeltaTable}
   * log-stats FILE-LIST pruning, and still plans as a
   * `RowDataSourceScanExec` with visible PushedFilters) and [[V1Write]]
   * (append/overwrite/replaceWhere commit through the same atomic log
-  * protocol). Streaming keeps the v1 source/sink: the table declares no
-  * streaming capabilities, which makes Spark fall back to the
-  * `StreamSourceProvider`/`StreamSinkProvider` half of the provider.
+  * protocol). Streaming keeps the v1 source/sink through BOTH doors:
+  * path-based `readStream.format(...).load` hits the
+  * `StreamSourceProvider`/`StreamSinkProvider` half directly, and
+  * catalog tables (`readStream.table` / `writeStream.toTable`) route
+  * through the `V2TableWithV1Fallback` seam (see [[v1Table]]).
   *
   * Capabilities: `ACCEPT_ANY_SCHEMA` is declared so the library's own
   * schema contract (exact match, or `mergeSchema` evolution) runs instead
@@ -42,8 +44,24 @@ final class GraftDeltaTableV2(
     tableUri: String,
     options: Map[String, String],
     userSchema: Option[StructType],
-    userPartitioning: Seq[String]) extends Table
-    with SupportsRead with SupportsWrite {
+    userPartitioning: Seq[String],
+    catalogTable: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+    extends Table
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.graft.GraftV1FallbackTable {
+
+  /** Streaming goes through the PROVEN v1 source/sink (exactly-once,
+    * watermark-correct) — the official `V2TableWithV1Fallback` seam:
+    * `spark.readStream.table(t)` resolves the v1 streaming relation and
+    * `writeStream.toTable(t)` builds the v1 sink, both through the
+    * provider's StreamSource/StreamSinkProvider half. Same route
+    * delta-spark takes; requires the catalog identity, so it is only
+    * reachable for catalog tables (path-based streaming uses
+    * `readStream.format(...).load` which never consults this). */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    catalogTable.getOrElse(throw new UnsupportedOperationException(
+      s"graftdelta: no catalog identity for $tableUri — stream path-based " +
+        "tables via readStream.format(\"graftdelta\").load(path)"))
 
   private val versionAsOf =
     GraftDeltaDataSource.timeTravelVersion(spark, tableUri, options)

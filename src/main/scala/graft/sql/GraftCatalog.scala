@@ -41,8 +41,13 @@ class GraftCatalog extends DelegatingCatalogExtension {
     * directory has no commits yet. The v2 table handles both states. */
   override def loadTable(ident: Identifier): Table = {
     val t = super.loadTable(ident)
+    // carry the delegate's CatalogTable through: it is what lets the
+    // v2 table offer the v1 streaming fallback (readStream.table /
+    // writeStream.toTable route to the proven v1 source/sink)
+    val catalogTable = org.apache.spark.sql.graft.GraftV1Fallback.v1TableOf(t)
     graftUri(t).map(uri =>
-      new GraftDeltaTableV2(SparkSession.active, uri, Map.empty, None, Nil))
+      new GraftDeltaTableV2(SparkSession.active, uri, Map.empty, None, Nil,
+        catalogTable))
       .getOrElse(t)
   }
 

@@ -40,3 +40,26 @@ object GraftShims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Public bridge over the `private[sql]` [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * seam (the official "v2 table, v1 streaming" fallback the analyzer and
+  * DataStreamWriter consult — the same trait delta-spark's DeltaTableV2
+  * mixes in from inside the sql package). Implementors provide
+  * `v1Table`; streaming reads/writes of catalog tables then route to the
+  * provider's StreamSource/StreamSinkProvider half. */
+trait GraftV1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
+object GraftV1Fallback {
+  /** The delegate catalog's CatalogTable, when `t` carries one — either
+    * a plain `V1Table` (what V2SessionCatalog returns for v1-provider
+    * tables; it does NOT mix in the fallback trait) or another
+    * fallback-capable v2 table. */
+  def v1TableOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case f: org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback =>
+      Some(f.v1Table)
+    case _ => None
+  }
+}

@@ -378,4 +378,46 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     val keys = txns.keySet.filter(_.startsWith("graftdelta-sink-"))
     assert(keys.size == 2, s"expected one txn key per query, got $txns")
   }
+
+  test("catalog tables stream: readStream.table -> writeStream.toTable, exactly once") {
+    val src = TestSpark.tmpDir("gss-cat-src")
+    val dst = TestSpark.tmpDir("gss-cat-dst")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), src)
+    DeltaTable.create(spark,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "v", org.apache.spark.sql.types.LongType)))), dst)
+    spark.sql(s"CREATE TABLE gss_cat_src USING graftdelta OPTIONS (path '$src')")
+    spark.sql(s"CREATE TABLE gss_cat_dst USING graftdelta OPTIONS (path '$dst')")
+    try {
+      val ck = TestSpark.tmpDir("gss-cat-ck")
+      def run(): Unit = {
+        // both halves resolve through the catalog: the v2 table's
+        // V2TableWithV1Fallback seam must hand Spark the v1 streaming
+        // source and sink. The v1-fallback write path requires the
+        // writer format to match the table provider (Spark's own
+        // contract for v1 tables — parquet tables only skip .format()
+        // because parquet is the session default).
+        val q = spark.readStream.table("gss_cat_src")
+          .writeStream.format("graftdelta")
+          .option("checkpointLocation", ck)
+          .toTable("gss_cat_dst")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      assert(DeltaTable.read(spark, dst).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L))
+      DeltaTable.append(spark, src, Seq(3L).toDF("v"))
+      run() // restart from checkpoint: only the new commit arrives
+      run() // no-op restart: nothing re-emitted (exactly-once)
+      assert(DeltaTable.read(spark, dst).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // the post-stream table reads fine through SQL too
+      assert(spark.sql("SELECT sum(v) FROM gss_cat_dst").head().getLong(0) == 6L)
+    } finally {
+      spark.sql("DROP TABLE gss_cat_src")
+      spark.sql("DROP TABLE gss_cat_dst")
+    }
+  }
 }
