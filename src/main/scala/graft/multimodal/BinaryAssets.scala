@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * ImageIO (PNG/JPEG/BMP/GIF, headless, no native libraries) — and so is
   * PCM audio decode: [[decodeAudio]] uses the JDK's javax.sound.sampled
   * (WAV/AIFF/AU). Compressed-audio and video codecs have no JVM
-  * implementation in this environment, so [[decodeStub]] stands in for
-  * those as a clearly-marked deterministic fake; everything around both —
-  * schema, batch shape, partition sizing, typed Dataset plumbing — is
-  * identical and tested ([[graft.MultimodalSpec]]).
+  * implementation in this environment, so decode stages first probe the
+  * pluggable [[CodecDecoders]] chain (ServiceLoader — an ffmpeg-backed
+  * jar on the executor classpath plugs in with no engine change) and
+  * then fall back to [[decodeStub]], a clearly-marked deterministic
+  * fake; everything around both — schema, batch shape, partition
+  * sizing, typed Dataset plumbing — is identical and tested
+  * ([[graft.MultimodalSpec]], FrameDecodeSpec).
   *
   * Scale notes (100 TB of media): payloads dominate row size, so
   * `spark.sql.files.maxPartitionBytes` (not row count) governs task
@@ -184,10 +187,13 @@ object BinaryAssets {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        decodeAudio(a.payload).map { case (rate, ch, frames, rms) =>
-          AudioFeatures(a.asset_id, a.payload.length.toLong, rate, ch, frames,
-            if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L, rms)
-        }
+        // JDK javax.sound decode first; compressed codecs (MP3/AAC...)
+        // through the registered decoder chain when one is shipped
+        decodeAudio(a.payload).orElse(CodecDecoders.decodeAudio(a.payload))
+          .map { case (rate, ch, frames, rms) =>
+            AudioFeatures(a.asset_id, a.payload.length.toLong, rate, ch, frames,
+              if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L, rms)
+          }
       }
     }
   }
@@ -329,7 +335,10 @@ object BinaryAssets {
   def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "video").flatMap { a =>
-      decodeGifFrames(a.payload) match {
+      // decode priority: JDK GIF → registered compressed-codec decoder
+      // ([[CodecDecoders]], e.g. an ffmpeg-backed plug-in on the
+      // executor classpath) → deterministic stub
+      decodeGifFrames(a.payload).orElse(CodecDecoders.decodeFrames(a.payload)) match {
         case Some(frames) =>
           (0 until frames.size by stride).map { i =>
             FrameSample(a.asset_id, i.toLong, frameMd5(frames(i)))

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import scala.jdk.CollectionConverters._
+
+/** Pluggable decoder for compressed codecs the JVM cannot decode
+  * natively (MP3/AAC, MP4/H.264, ...). The engine's decode stages probe
+  * the registered chain BEFORE falling back to the deterministic stub,
+  * so a deployment that ships an ffmpeg- or JavaCV-backed implementation
+  * gets real frames/samples with NO engine code change — and this
+  * sandbox, which ships none, keeps the honest stub behavior unchanged.
+  *
+  * Implementations must be cheap to construct and thread-safe: the
+  * chain is probed lazily once per JVM (i.e. once per executor) and
+  * shared across that executor's tasks — the per-partition batch shape
+  * of the decode stages ([[BinaryAssets.extractFeatures]] et al.) means
+  * any expensive codec/library init belongs in the implementation's own
+  * lazy state, amortized across its batch.
+  */
+trait CodecDecoder {
+  /** Diagnostic name (shows up nowhere hot). */
+  def name: String
+
+  /** All frames of a compressed VIDEO payload, or None when this
+    * decoder does not handle the container/codec. */
+  def decodeFrames(payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]]
+
+  /** (sampleRate, channels, frameCount, rms 0..32767) of a compressed
+    * AUDIO payload, or None when unhandled. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)]
+}
+
+/** The per-JVM decoder chain. Discovery is `java.util.ServiceLoader`
+  * over `META-INF/services/graft.multimodal.CodecDecoder` — pure
+  * classpath, which is exactly how an executor acquires the decoder in
+  * a real cluster (ship the jar, no session config needed). [[register]]
+  * prepends programmatically for tests and driver-side experiments
+  * (local-mode only: executors in a real cluster never see driver-side
+  * registration — production decoders go on the classpath). */
+object CodecDecoders {
+  @volatile private var extra: List[CodecDecoder] = Nil
+
+  private lazy val discovered: List[CodecDecoder] =
+    java.util.ServiceLoader.load(classOf[CodecDecoder]).asScala.toList
+
+  def all: List[CodecDecoder] = extra ++ discovered
+
+  def register(d: CodecDecoder): Unit = extra = d :: extra
+  def unregister(d: CodecDecoder): Unit = extra = extra.filterNot(_ eq d)
+
+  /** Run `f` with `d` installed, then restore — the test seam. */
+  def withDecoder[A](d: CodecDecoder)(f: => A): A = {
+    register(d)
+    try f finally unregister(d)
+  }
+
+  /** First decoder that claims the payload, else None (→ stub path). */
+  def decodeFrames(payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    all.iterator.map(_.decodeFrames(payload)).collectFirst { case Some(v) => v }
+
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)] =
+    all.iterator.map(_.decodeAudio(payload)).collectFirst { case Some(v) => v }
+}

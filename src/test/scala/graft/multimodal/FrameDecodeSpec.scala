@@ -94,4 +94,49 @@ class FrameDecodeSpec extends AnyFunSuite {
     val one = animatedGif(Seq(gray(99)))
     assert(decodeGifFrames(one).get.size == 1)
   }
+
+  test("codec seam: a registered decoder takes non-GIF payloads; stub restored after") {
+    import spark.implicits._
+    // a "compressed video" payload no JVM codec handles — magic FAKV
+    val magic = "FAKV".getBytes("UTF-8")
+    val payload = magic ++ Array.fill[Byte](100)(7)
+    val assets = Seq(Asset(1L, "video", payload)).toDS()
+    val fake = new CodecDecoder {
+      def name = "fake-ffmpeg"
+      def decodeFrames(p: Array[Byte]) =
+        if (p.take(4).sameElements(magic))
+          Some(Vector(gray(10), gray(20), gray(30))) // "decoded" 3 frames
+        else None
+      def decodeAudio(p: Array[Byte]) =
+        if (p.take(4).sameElements(magic)) Some((44100, 2, 441L, 123)) else None
+    }
+    // without the decoder: deterministic stub (payload-derived count+digest)
+    val stub = sampleFrames(assets, stride = 1).collect()
+    val (_, _, stubFrames) = decodeStub(Asset(1L, "video", payload))
+    assert(stub.length == stubFrames)
+    val real = CodecDecoders.withDecoder(fake) {
+      sampleFrames(assets, stride = 1).collect()
+    }
+    // with it: exactly the decoder's 3 frames, digests of REAL pixels
+    assert(real.length == 3)
+    assert(real.map(_.frame_idx).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(real.map(_.frame_md5).distinct.length == 3, "per-frame pixel digests")
+    assert(!real.map(_.frame_md5).toSet.exists(stub.map(_.frame_md5).toSet))
+    // audio side of the seam: compressed payload resolves through the chain
+    val audio = CodecDecoders.withDecoder(fake) {
+      extractAudioFeatures(Seq(Asset(2L, "audio", payload)).toDS()).collect()
+    }
+    assert(audio.length == 1 && audio.head.sample_rate == 44100 &&
+      audio.head.rms == 123 && audio.head.duration_ms == 10L)
+    // decoder unregistered: the stub path is back, byte-identical
+    val after = sampleFrames(assets, stride = 1).collect()
+    assert(after.map(r => (r.frame_idx, r.frame_md5)).sorted.toSeq ==
+      stub.map(r => (r.frame_idx, r.frame_md5)).sorted.toSeq)
+    // GIFs still prefer the built-in real decode over plug-ins
+    val gifAssets = Seq(Asset(3L, "video", gif)).toDS()
+    val viaSeam = CodecDecoders.withDecoder(fake) {
+      sampleFrames(gifAssets, stride = 1).collect()
+    }
+    assert(viaSeam.length == grays.size)
+  }
 }
