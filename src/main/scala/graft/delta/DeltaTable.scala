@@ -759,7 +759,9 @@ object DeltaTable {
     val newCols =
       if (!schemaEvolution) Array.empty[org.apache.spark.sql.types.StructField]
       else source.schema.fields
-        .filterNot(f => snap.schema.fieldNames.contains(f.name))
+        // case-INsensitive: Spark resolves `V` against table column `v`,
+        // so treating them as distinct would evolve a duplicate field
+        .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
         .map(_.copy(nullable = true))
     val fields = snap.schema.fields ++ newCols
     val evolvedMeta =
