@@ -427,16 +427,36 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
   }
 
   /** Upgrade guard: sinks from before the query-id keying recorded their
-    * watermark under `graftdelta-sink-<checkpointLocation|tableUri>`. A
+    * watermark under `graftdelta-sink-<checkpointLocation>`. A
     * checkpoint created under that derivation and restarted under the
     * new code starts with an empty query-id watermark, so the replayed
-    * micro-batch would commit twice. The legacy ids are consulted
-    * READ-ONLY before each append (new watermarks are written under the
-    * query-id key only), so a batch either keying already covers is
-    * skipped across the upgrade boundary. */
-  private def legacyAppIds: Seq[String] =
-    options.get("checkpointlocation").map(c => s"graftdelta-sink-$c").toSeq :+
-      s"graftdelta-sink-$tableUri"
+    * micro-batch would commit twice. The legacy id is consulted
+    * READ-ONLY and exactly ONCE per sink instance (new watermarks are
+    * written under the query-id key only), and only while the query-id
+    * key has no watermark of its own — once the new keying has
+    * committed anything, the guard is permanently moot for this query.
+    * Scope deliberately EXCLUDES the even-older table-uri derivation:
+    * that key cannot distinguish queries, so honoring it would let one
+    * table's stale watermark silently swallow the first batches of
+    * every NEW query (fresh checkpoints start at batch 0). And the
+    * checkpoint-location key is per-query by construction: a different
+    * query has a different checkpoint. */
+  @volatile private var legacyChecked = false
+  @volatile private var legacyWatermarkValue: Option[Long] = None
+  private def legacyWatermark(log: DeltaLog): Option[Long] = {
+    if (!legacyChecked) {
+      legacyWatermarkValue =
+        if (!log.tableExists) None
+        else {
+          val txns = log.snapshot().txns
+          if (txns.contains(appId)) None // new keying already active
+          else options.get("checkpointlocation")
+            .map(c => s"graftdelta-sink-$c").flatMap(txns.get)
+        }
+      legacyChecked = true
+    }
+    legacyWatermarkValue
+  }
 
   private val autoCompactEvery = options.get("autocompactevery").map(_.toLong)
   private val targetFileSize =
@@ -454,11 +474,7 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
         new java.util.ArrayList[Row](), data.schema)
       DeltaTable.create(spark, empty, tableUri, partitionColumns)
     }
-    val replayedUnderLegacyKey = {
-      val txns = log.snapshot().txns
-      legacyAppIds.exists(id => txns.get(id).exists(_ >= batchId))
-    }
-    if (!replayedUnderLegacyKey)
+    if (!legacyWatermark(log).exists(_ >= batchId))
       DeltaTable.appendIfNew(spark, tableUri, batch, appId, batchId)
     autoCompactEvery.filter(n => n > 0 && batchId > 0 && batchId % n == 0)
       .foreach { _ =>

@@ -217,15 +217,25 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * (disjoint DML, appends, other partitions) retry fine. */
   def commitDml(readVersion: Long, actions: Seq[Action], maxAttempts: Int = 50): Long = {
     val myRemoves = actions.collect { case r: RemoveFile => r.path }.toSet
+    val myMetadata = actions.exists(_.isInstanceOf[Metadata])
     var attempt = 0
     while (true) {
       val latest = latestVersion()
-      val clashing = ((readVersion + 1) to latest).iterator
-        .flatMap(actionsAt)
+      val intervening = ((readVersion + 1) to latest).iterator
+        .flatMap(actionsAt).toSeq
+      val clashing = intervening
         .collect { case r: RemoveFile if myRemoves.contains(r.path) => r.path }
-        .toSeq.distinct
+        .distinct
       if (clashing.nonEmpty)
         throw new ConcurrentDeleteException(tableUri, clashing)
+      // a metadata-carrying commit (schema-evolving MERGE) must not
+      // retry past ANOTHER metadata change: my schema was derived from
+      // readVersion, so blindly committing it would silently undo the
+      // winner's evolution (their new column would vanish). Loud
+      // failure, like every other metadata conflict — the caller
+      // re-runs the merge against the evolved table.
+      if (myMetadata && intervening.exists(_.isInstanceOf[Metadata]))
+        throw new ConcurrentMetadataException(tableUri, readVersion, latest)
       try return commit(latest + 1, actions)
       catch {
         case e: VersionConflictException =>
@@ -414,6 +424,18 @@ final class ConcurrentDeleteException(tableUri: String, paths: Seq[String])
   extends RuntimeException(
     s"concurrent delete conflict on $tableUri: file(s) removed by another commit: " +
       paths.take(5).mkString(", ") + (if (paths.size > 5) ", ..." else ""))
+
+/** This commit carries a metadata (schema) update derived from a
+  * snapshot that another metadata change has since superseded (Delta's
+  * MetadataChangedException analog) — committing it anyway would
+  * silently revert the other writer's schema. Re-run the operation
+  * against the current table version. */
+final class ConcurrentMetadataException(tableUri: String, readVersion: Long,
+    latest: Long)
+  extends RuntimeException(
+    s"concurrent metadata change on $tableUri: this commit's schema was derived " +
+      s"from version $readVersion but the metadata changed again by version $latest; " +
+      "re-run against the current version")
 
 /** Materialized view of the log at a version. `txns` is the latest
   * recorded [[SetTransaction]] version per appId (the exactly-once

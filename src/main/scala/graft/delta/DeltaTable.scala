@@ -894,7 +894,10 @@ object DeltaTable {
       // condition applies) — delta-spark's contract. Benign duplicates
       // (no applying clause) still fan the row out in the outer join,
       // so the survivor pass below must collapse them back to one row.
-      val hasBenignDup = if (touchedByJoin.isEmpty) false else {
+      // Checked whenever ANY file is rewritten — including by-source-only
+      // rewrites (matched = Nil): their files can still hold matched
+      // rows, which fan out all the same.
+      val hasBenignDup = if (touched.isEmpty) false else {
         val d = joined.where(isMatched)
           .groupBy(col("__graft_rid"))
           .agg(count(lit(1)).as("n"),

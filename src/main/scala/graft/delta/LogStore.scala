@@ -183,9 +183,19 @@ object LogStore {
       clock: () => java.time.Instant = () => java.time.Instant.now())
       extends S3HttpStyleClient(endpoint, bucket, http, maxAttempts) {
     override protected def requestHeaders(method: String, uri: URI,
-        base: Seq[(String, String)], payload: Array[Byte]): Seq[(String, String)] =
-      SigV4.sign(method, uri, base, payload, region, "storage",
+        base: Seq[(String, String)], payload: Array[Byte]): Seq[(String, String)] = {
+      // GCS does NOT honor If-None-Match on uploads — its XML-API
+      // conditional create is `x-goog-if-generation-match: 0` (412 when
+      // the object exists, matching the S3-shaped status handling).
+      // The header is added here so it is part of the SIGNED set; the
+      // inherited If-None-Match stays on the request harmlessly.
+      val withGen =
+        if (method == "PUT" && base.exists(_._1.equalsIgnoreCase("If-None-Match")))
+          base :+ ("x-goog-if-generation-match" -> "0")
+        else base
+      SigV4.sign(method, uri, withGen, payload, region, "storage",
         credentials(), clock(), SigV4.Goog)
+    }
   }
 
   /** Azure Blob conditional-create client: `Put Blob` (BlockBlob) with
@@ -207,8 +217,14 @@ object LogStore {
       .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.ROOT)
       .withZone(java.time.ZoneOffset.UTC)
 
+    // ONE auth mechanism per client: SharedKey signs a canonicalized
+    // resource WITHOUT the SAS query params, so sending both would
+    // mis-sign every request (Azure canonicalizes all query params).
+    // SharedKey wins when both are configured; SAS applies otherwise.
+    private val effectiveSas = if (accountKeyBase64.isDefined) None else sasToken
+
     private def url(key: String): URI = {
-      val sas = sasToken.map(t => "?" + t.stripPrefix("?")).getOrElse("")
+      val sas = effectiveSas.map(t => "?" + t.stripPrefix("?")).getOrElse("")
       endpoint.resolve(
         s"/$container/${SigV4.uriEncode(key, keepSlash = true)}$sas")
     }

@@ -54,4 +54,32 @@ class ConcurrentDmlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "A2"), (2, "b"), (3, "c"), (4, "d")))
     assert(log.latestVersion() == 3)
   }
+
+  test("a metadata-carrying commit fails loudly past a concurrent metadata change") {
+    // two schema-evolving merges planned from the same snapshot: the
+    // loser must NOT blind-retry its stale metadata (that would
+    // silently revert the winner's new column) — Delta's
+    // MetadataChangedException analog
+    val (_, log) = mkTable("dml-meta-conflict")
+    val snap = log.snapshot()
+    def evolved(colName: String) = snap.metadata.copy(schemaString =
+      org.apache.spark.sql.types.StructType(snap.schema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField(colName,
+          org.apache.spark.sql.types.LongType)).json)
+    // winner A evolves with column x
+    log.commitDml(snap.version, Seq(evolved("x"),
+      CommitInfo(1L, "MERGE", Map("newColumns" -> "x"))))
+    // loser B, planned at the same version, tries to evolve with y
+    val e = intercept[ConcurrentMetadataException] {
+      log.commitDml(snap.version, Seq(evolved("y"),
+        CommitInfo(2L, "MERGE", Map("newColumns" -> "y"))))
+    }
+    assert(e.getMessage.contains("concurrent metadata change"))
+    // the winner's evolution is intact
+    assert(log.snapshot().schema.fieldNames.contains("x"))
+    assert(!log.snapshot().schema.fieldNames.contains("y"))
+    // and a DATA-only commit from the same stale version still retries
+    // through (metadata strictness must not break ordinary DML)
+    log.commitDml(snap.version, Seq(CommitInfo(3L, "DELETE", Map.empty)))
+  }
 }

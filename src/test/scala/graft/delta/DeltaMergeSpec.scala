@@ -105,6 +105,25 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("modified by multiple source rows"))
   }
 
+  test("by-source-only merge with duplicate source matches never duplicates rows") {
+    // the SQL mirror idiom `WHEN NOT MATCHED THEN INSERT * WHEN NOT
+    // MATCHED BY SOURCE THEN DELETE` (no matched clauses) against a
+    // dup-keyed source: matched target rows take NO clause, but they
+    // still fan out in the outer join and must collapse to ONE survivor
+    val dir = TestSpark.tmpDir("gm-nmbs-dup")
+    DeltaTable.create(spark, Seq((1, "x"), (3, "gone")).toDF("k", "v"), dir)
+    DeltaTable.merge(spark, dir,
+      Seq((1, "a"), (1, "b"), (2, "new")).toDF("k", "v"),
+      condition = col("k") === s("k"),
+      matched = Nil,
+      notMatched = Seq(MergeInsert(None, Map.empty)),
+      notMatchedBySource = Seq(MergeDelete(None)))
+    val rows = DeltaTable.read(spark, dir).as[(Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1, "x"), (2, "new")),
+      "k=1 exactly once (not once per duplicate source match), k=3 mirrored away")
+  }
+
   test("WHEN NOT MATCHED BY SOURCE: update + delete with CDC") {
     val dir = TestSpark.tmpDir("gm-nmbs")
     DeltaTable.create(spark,

@@ -152,6 +152,27 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     auth == s"SharedKey $AzAccount:$sig"
   }
 
+  /** Real-GCS upload semantics: `If-None-Match` is IGNORED on PUT (an
+    * upload carrying only that header silently overwrites); the only
+    * conditional create is `x-goog-if-generation-match: 0` → 412 when
+    * the object exists. Emulating this pins that the client sends the
+    * goog header — an If-None-Match-only client would pass a
+    * conditional fake but lose commits against real GCS. */
+  private def handleGcs(x: HttpExchange, key: String, body: Array[Byte]): Unit =
+    x.getRequestMethod match {
+      case "PUT" =>
+        if (x.getRequestHeaders.getFirst("x-goog-if-generation-match") == "0") {
+          if (objects.putIfAbsent(key, body) == null) x.sendResponseHeaders(200, -1)
+          else x.sendResponseHeaders(412, -1)
+        } else {
+          objects.put(key, body) // If-None-Match alone does NOT protect
+          x.sendResponseHeaders(200, -1)
+        }
+      case "HEAD" =>
+        x.sendResponseHeaders(if (objects.containsKey(key)) 200 else 404, -1)
+      case _ => x.sendResponseHeaders(405, -1)
+    }
+
   /** Azure status semantics: Put Blob + If-None-Match:* on an existing
     * blob answers 409 BlobAlreadyExists (not S3's 412). */
   private def handleAzure(x: HttpExchange, key: String, body: Array[Byte]): Unit =
@@ -183,7 +204,7 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       } else if (key.startsWith("gsecure")) {
         if (!verifySignedV4(x, body, "GOOG4-HMAC-SHA256", "x-goog", "GOOG4",
             "goog4_request", GoogCreds)) { x.sendResponseHeaders(403, -1); return }
-        handleVerified(x, key, body)
+        handleGcs(x, key, body)
       } else if (key.startsWith("azsecure")) {
         if (!verifyAzureSigned(x, body)) { x.sendResponseHeaders(403, -1); return }
         handleAzure(x, key, body)
