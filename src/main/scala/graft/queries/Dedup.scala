@@ -475,22 +475,37 @@ object Dedup {
     // whose shuffles move only (band, bucket, vec_id) and candidate ids.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      import s.implicits._
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .withColumn("n2", qnorm2(col("v")))
         .cache()
-      val bandCols = (0 until EBands).map { b =>
-        val bucket = (0 until EPlanes).map { j =>
-          val w = typedLit((1 to Similarity.Dim).map(i =>
-            Similarity.planeWeight(b * EPlanes + j, i)))
-          when(call_function("qdot_long", w, col("v")) > 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(b).cast("long").as("band"), bucket.as("bucket"))
-      }
-      val bands = vecs
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // all EBands×EPlanes hyperplane signs in ONE typed walk per vector
+      // (the q_repetition recipe): the declarative form was 64 separate
+      // qdot_long calls per row, each re-reading the array through the
+      // expression engine. The integer math is identical — plane p's
+      // weights are the same planeWeight(p, 1..Dim) the declarative
+      // form inlined — so the oracle hash stays pinned.
+      val planes: Array[Array[Long]] = Array.tabulate(EBands * EPlanes)(p =>
+        Array.tabulate(Similarity.Dim)(i => Similarity.planeWeight(p, i + 1)))
+      val bands = vecs.select(col("vec_id"), col("v")).as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, v) =>
+            (0 until EBands).iterator.map { b =>
+              var bucket = 0L
+              var j = 0
+              while (j < EPlanes) {
+                val w = planes(b * EPlanes + j)
+                var dot = 0L
+                var i = 0
+                while (i < v.length) { dot += w(i) * v(i); i += 1 }
+                if (dot > 0) bucket |= (1L << j)
+                j += 1
+              }
+              (id, b.toLong, bucket)
+            }
+          }
+        }.toDF("vec_id", "band", "bucket")
       val cands = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
         .where(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
