@@ -89,11 +89,48 @@ object ConnectorTour {
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     println(s"rows after SQL DML: ${spark.sql("SELECT count(*) FROM tour").head.getLong(0)}")
+
+    // 7. CDC mirroring + schema evolution in ONE statement: keep the
+    //    table an exact mirror of the source (unmatched target rows are
+    //    deleted) while a new source column evolves onto the schema
+    //    (pre-evolution rows read it as NULL).
+    spark.sql("SELECT k, bucket, k % 3 AS shard FROM tour WHERE k % 2 = 0")
+      .createOrReplaceTempView("tour_mirror")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO tour USING tour_mirror m ON tour.k = m.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    println(s"rows after mirror merge (evens only, evolved `shard`): " +
+      spark.sql("SELECT count(*) FROM tour").head.getLong(0))
+    spark.sql("SELECT shard, count(*) AS n FROM tour GROUP BY shard ORDER BY shard").show()
+
     spark.sql("SELECT count(*) AS at_v0 FROM tour VERSION AS OF 0").show()
     spark.sql("OPTIMIZE tour").show(truncate = false)
     spark.sql("DESCRIBE HISTORY tour").show(5, truncate = false)
     spark.sql("VACUUM tour RETAIN 0 HOURS").show()
+
+    // 8. Catalog-table streaming: the same v1 exactly-once source/sink,
+    //    addressed purely by table name (the V2TableWithV1Fallback seam).
+    spark.sql(s"CREATE TABLE tour_sink USING graftdelta LOCATION '$base/tour_sink' " +
+      "AS SELECT * FROM tour WHERE 1 = 0")
+    val q2 = spark.readStream.table("tour")
+      .writeStream.format("graftdelta")
+      .option("checkpointLocation", s"$base/_ck_cat")
+      .toTable("tour_sink")
+    try q2.processAllAvailable() finally q2.stop()
+    println(s"streamed by table name: " +
+      spark.sql("SELECT count(*) FROM tour_sink").head.getLong(0))
+    spark.sql("DROP TABLE tour_sink")
     spark.sql("DROP TABLE tour")
+
+    // Cloud tables need only conf credentials — the same URI that works
+    // on delta-rs works here once the keys are present, e.g.:
+    //   spark.conf: fs.s3a.access.key / fs.s3a.secret.key   -> s3a://bucket/t
+    //               fs.azure.account.key.<account-host>     -> abfss://c@acct.dfs.core.windows.net/t
+    //               graft.gs.hmac.access.key / .secret.key  -> gs://bucket/t
+    // Commits then flow through the signed conditional-PUT LogStore
+    // (SigV4 / SharedKey / GOOG4) instead of non-atomic rename.
 
     spark.stop()
   }
