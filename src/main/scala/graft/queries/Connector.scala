@@ -67,6 +67,16 @@ object Connector {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *
              |WHEN NOT MATCHED BY SOURCE AND $t.n_regionkey = 4 THEN DELETE""".stripMargin)
+        // schema evolution on the hash path: a second merge evolves
+        // n_extra onto the table (update-only; pre-evolution rows must
+        // read NULL for it)
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $t
+             |USING (SELECT n_nationkey, n_name, n_regionkey,
+             |              CAST(n_regionkey * 10 AS INT) AS n_extra
+             |       FROM ${t}_src WHERE n_nationkey BETWEEN 5 AND 8) s
+             |ON $t.n_nationkey = s.n_nationkey
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       } finally {
         s.sql(s"DROP TABLE $t")
         s.catalog.dropTempView(s"${t}_src")
@@ -94,7 +104,8 @@ object Connector {
     "q_sql_dml" -> ((s, dir) => {
       val uri = nationSqlDml(s, dir)
       s.read.format("graftdelta").load(uri)
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_extra"))
     })
   )
 
@@ -116,16 +127,27 @@ object Connector {
         |), s AS (
         |  SELECT n_nationkey, n_name, CAST(n_regionkey + 100 AS INTEGER) AS n_regionkey
         |  FROM nation WHERE n_nationkey < 3
+        |), m1 AS (
+        |  SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
+        |  WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM s)
+        |    AND b.n_regionkey <> 4
+        |  UNION ALL
+        |  SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
+        |  JOIN base b ON b.n_nationkey = s.n_nationkey
+        |  WHERE s.n_regionkey < 102
+        |  UNION ALL
+        |  SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
+        |  WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM base)
+        |), evo AS (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         CAST(n_regionkey * 10 AS INTEGER) AS n_extra
+        |  FROM nation WHERE n_nationkey BETWEEN 5 AND 8
         |)
-        |SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM base b
-        |WHERE b.n_nationkey NOT IN (SELECT n_nationkey FROM s)
-        |  AND b.n_regionkey <> 4
-        |UNION ALL
-        |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
-        |JOIN base b ON b.n_nationkey = s.n_nationkey
-        |WHERE s.n_regionkey < 102
-        |UNION ALL
-        |SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM s
-        |WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM base)""".stripMargin
+        |SELECT m.n_nationkey,
+        |  CASE WHEN e.n_nationkey IS NOT NULL THEN e.n_name ELSE m.n_name END AS n_name,
+        |  CASE WHEN e.n_nationkey IS NOT NULL THEN e.n_regionkey ELSE m.n_regionkey
+        |       END AS n_regionkey,
+        |  e.n_extra
+        |FROM m1 m LEFT JOIN evo e ON m.n_nationkey = e.n_nationkey""".stripMargin
   )
 }
