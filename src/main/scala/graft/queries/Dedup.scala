@@ -97,17 +97,26 @@ object Dedup {
   }
 
   /** (doc_id, sh, n_sh): one narrow typed pass computing the shingle
-    * sets and their sizes. */
-  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val sh = distinctShingles(text)
-        (id, sh, sh.size.toLong)
-      })
-      .toDF("doc_id", "sh", "n_sh")
-  }
+    * sets and their sizes. Memoized as a CACHED frame per (session,
+    * dir): the shingle pass feeds q_dedup_jaccard, q_contamination, and
+    * through them the funnel — which previously re-tokenized the corpus
+    * once per consumer. A `clearCache()` (the bench does one per run)
+    * only drops the materialization; the memoized plan recomputes on
+    * next use, so sharing is safe across cache resets. */
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    shingleMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$dir", _ => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val sh = distinctShingles(text)
+          (id, sh, sh.size.toLong)
+        })
+        .toDF("doc_id", "sh", "n_sh")
+        .cache()
+    })
 
   /** (doc_id, sh, mh): shingles plus the K MinHash values. For seed k,
     * mh(k) = min over shingles of md5("k:" + shingle) as lowercase hex —
@@ -372,7 +381,7 @@ object Dedup {
     // full set sizes; the oracle applies the identical cap. The corpus
     // plants 25 pairs ≥ 0.8, all sharing rare shingles.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val docs = shingleDocs(s, dir).cache()
+      val docs = shingleDocs(s, dir) // memoized + cached (shared pass)
       val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       val keep = inv.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
