@@ -223,9 +223,9 @@ object Analytics {
     // est >= true is asserted in-row via the exact df alongside.
     "q_countmin" -> ((s, dir) => {
       // the md5 shingle pass is the expensive map and feeds BOTH the
-      // sketch build and the exact-df probe side — cache it ONCE at
-      // per-doc (pre-explode) scale; released by the per-query drain
-      val docs = Dedup.shingleDocs(s, dir).cache()
+      // sketch build and the exact-df probe side — shingleDocs is
+      // memoized+cached at per-doc (pre-explode) scale
+      val docs = Dedup.shingleDocs(s, dir)
       val inv = docs.select(explode(col("sh")).as("sh"))
       def bucket(d: Int, c: Column) =
         pmod(md5Bits32(concat(lit(s"$d:"), c)), lit(CmsWidth))
