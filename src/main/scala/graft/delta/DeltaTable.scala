@@ -903,8 +903,12 @@ object DeltaTable {
           .agg(count(lit(1)).as("n"),
             sum(when(applied =!= -1, 1L).otherwise(0L)).as("n_modifying"))
           .agg(
-            sum(when(col("n_modifying") > 1, 1L).otherwise(0L)).as("ambiguous"),
-            sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup"))
+            // coalesce: zero matched rows (a rewrite driven purely by
+            // by-source clauses) leaves zero groups, and SUM over
+            // nothing is NULL, not 0
+            coalesce(sum(when(col("n_modifying") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("ambiguous"),
+            coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("dup"))
           .collect()(0)
         require(d.getLong(0) == 0,
           s"merge: ${d.getLong(0)} target row(s) were modified by multiple " +

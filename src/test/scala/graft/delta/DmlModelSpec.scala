@@ -100,4 +100,108 @@ class DmlModelSpec extends AnyFunSuite {
       assert(got == history(v), s"time travel to v$v diverged")
     }
   }
+
+  test("random general-merge clause chains keep table == model at every step") {
+    // Seeded random MERGEs with random clause chains — matched
+    // update/delete, not-matched insert, not-matched-by-source
+    // update/delete, each with a random condition — applied to the
+    // table AND to an in-memory model implementing the documented
+    // semantics (first applicable clause wins, conditions see the
+    // pre-image). Sources use distinct keys (duplicate-match semantics
+    // are pinned by DeltaMergeSpec's dedicated tests).
+    import DeltaTable.MergeSourcePrefix
+    def s(name: String) = col(MergeSourcePrefix + name)
+
+    val rnd = new Random(4321)
+    val dir = TestSpark.tmpDir("merge-model")
+    val model = mutable.Map[Long, Long]()
+    val seed = Seq.tabulate(8)(i => (i.toLong, rnd.nextLong() & 0xffffL))
+    seed.foreach { case (k, v) => model(k) = v }
+    DeltaTable.create(spark, seed.toDF("k", "v").repartition(2), dir)
+
+    // (column condition, model predicate over the PRE-image (tv, sv))
+    val matchedConds: Seq[(Option[org.apache.spark.sql.Column], (Long, Long) => Boolean)] = Seq(
+      (None, (_, _) => true),
+      (Some(s("v") % 2 === 0), (_, sv) => sv % 2 == 0),
+      (Some(col("v") > 0x7fffL), (tv, _) => tv > 0x7fffL),
+      (Some(s("v") > col("v")), (tv, sv) => sv > tv))
+    val matchedSets: Seq[(Map[String, org.apache.spark.sql.Column], (Long, Long) => Long)] = Seq(
+      (Map("v" -> s("v")), (_, sv) => sv),
+      (Map("v" -> (col("v") + s("v"))), (tv, sv) => tv + sv),
+      (Map("v" -> lit(7L)), (_, _) => 7L))
+    val nmbsConds: Seq[(Option[org.apache.spark.sql.Column], Long => Boolean)] = Seq(
+      (None, _ => true),
+      (Some(col("v") % 2 === 1), tv => tv % 2 == 1),
+      (Some(col("k") < 5), _ => false /* replaced below, needs k */ ))
+    val insertConds: Seq[(Option[org.apache.spark.sql.Column], Long => Boolean)] = Seq(
+      (None, _ => true),
+      (Some(s("v") > 0x7fffL), sv => sv > 0x7fffL))
+
+    for (step <- 1 to 16) {
+      val src = Seq.fill(rnd.nextInt(6) + 1)(
+        (rnd.nextLong().abs % (Keys * 2), rnd.nextLong() & 0xffffL))
+        .distinctBy(_._1)
+      val srcMap = src.toMap
+
+      val matched = Seq.fill(rnd.nextInt(3)) {
+        val (cond, condF) = matchedConds(rnd.nextInt(matchedConds.size))
+        if (rnd.nextInt(3) == 0) (MergeDelete(cond), Left(condF))
+        else {
+          val (sets, setF) = matchedSets(rnd.nextInt(matchedSets.size))
+          (MergeUpdate(cond, sets), Right((condF, setF)))
+        }
+      }
+      val nmbs = Seq.fill(rnd.nextInt(2)) {
+        val (cond, condF) = nmbsConds(rnd.nextInt(2)) // skip the k-based one
+        if (rnd.nextBoolean()) (MergeDelete(cond), Left(condF))
+        else (MergeUpdate(cond, Map("v" -> (col("v") + 1000L))),
+          Right((condF, (tv: Long) => tv + 1000L)))
+      }
+      val insert =
+        if (rnd.nextBoolean()) {
+          val (cond, condF) = insertConds(rnd.nextInt(insertConds.size))
+          Seq((MergeInsert(cond, Map.empty), condF))
+        } else Nil
+
+      DeltaTable.merge(spark, dir, src.toDF("k", "v"),
+        condition = col("k") === s("k"),
+        matched = matched.map(_._1),
+        notMatched = insert.map(_._1),
+        notMatchedBySource = nmbs.map(_._1))
+
+      // model: evaluate every clause against the PRE-image
+      val pre = model.toMap
+      pre.foreach { case (k, tv) =>
+        srcMap.get(k) match {
+          case Some(sv) =>
+            matched.map(_._2).collectFirst {
+              case Left(condF) if condF(tv, sv) => None // delete
+              case Right((condF, setF)) if condF(tv, sv) => Some(setF(tv, sv))
+            } match {
+              case Some(None) => model.remove(k)
+              case Some(Some(nv)) => model(k) = nv
+              case None => () // no applicable clause: unchanged
+            }
+          case None =>
+            nmbs.map(_._2).collectFirst {
+              case Left(condF) if condF(tv) => None
+              case Right((condF, setF)) if condF(tv) => Some(setF(tv))
+            } match {
+              case Some(None) => model.remove(k)
+              case Some(Some(nv)) => model(k) = nv
+              case None => ()
+            }
+        }
+      }
+      srcMap.foreach { case (k, sv) =>
+        if (!pre.contains(k))
+          insert.collectFirst { case (_, condF) if condF(sv) => sv }
+            .foreach(v => model(k) = v)
+      }
+
+      assert(tableState(dir) == model.toMap,
+        s"merge model diverged at step $step (matched=${matched.size}, " +
+          s"nmbs=${nmbs.size}, insert=${insert.size})")
+    }
+  }
 }
