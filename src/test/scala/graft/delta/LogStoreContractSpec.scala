@@ -531,6 +531,37 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(stored.getValue, StandardCharsets.UTF_8) == "conf-az-commit")
   }
 
+  test("conf-wired s3a and gs commit end-to-end against their signing fakes") {
+    // the whole path for the other two clouds too: scheme routing →
+    // conf wiring → SigV4/GOOG4 signing → conditional PUT
+    def publish(fs: org.apache.hadoop.fs.FileSystem, marker: String): String = {
+      val store = LogStore.forFileSystem(fs)
+      assert(store.isInstanceOf[LogStore.ConditionalPutLogStore])
+      val dir = TestSpark.tmpDir(s"conf-$marker")
+      val p = new Path(dir, "tmp")
+      val out = fs.create(p, false)
+      try out.write(marker.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val target = new Path(dir, "_delta_log/00000000000000000001.json")
+      assert(store.putIfAbsent(p, target))
+      assert(!store.putIfAbsent(p, target), "second publish must lose")
+      store.asInstanceOf[LogStore.ConditionalPutLogStore]
+        .keyOf(fs.makeQualified(target).toUri)
+    }
+    val s3Key = publish(confFs("s3a", "secure4",
+      "fs.s3a.access.key" -> SecureCreds._1,
+      "fs.s3a.secret.key" -> SecureCreds._2,
+      "fs.s3a.endpoint" -> endpoint.toString,
+      "fs.s3a.endpoint.region" -> "test-region"), "s3a-e2e")
+    assert(new String(objects.get(s"secure4/$s3Key"), StandardCharsets.UTF_8)
+      == "s3a-e2e")
+    val gsKey = publish(confFs("gs", "gsecure2",
+      "graft.gs.hmac.access.key" -> GoogCreds._1,
+      "graft.gs.hmac.secret.key" -> GoogCreds._2,
+      "graft.gs.endpoint" -> endpoint.toString), "gs-e2e")
+    assert(new String(objects.get(s"gsecure2/$gsKey"), StandardCharsets.UTF_8)
+      == "gs-e2e")
+  }
+
   // ---- scheme routing ---------------------------------------------------
 
   private def fakeFs(schemeName: String) = {
