@@ -889,15 +889,30 @@ object DeltaTable {
       }
       val applied = when(isMatched, matchedIdx).otherwise(nmbsIdx)
 
-      // several source rows may match one target row; that is an error
-      // only when MORE THAN ONE of them would modify the row (a clause
-      // condition applies) — delta-spark's contract. Benign duplicates
-      // (no applying clause) still fan the row out in the outer join,
-      // so the survivor pass below must collapse them back to one row.
+      // several source rows may match one target row. delta-spark's
+      // cardinality contract, which we mirror exactly:
+      //  - no matched clauses (insert-only / by-source-only merge): no
+      //    check — no source row modifies a matched target row, dup
+      //    matches just fan out and collapse below;
+      //  - the single-unconditional-DELETE exemption: the outcome is
+      //    unambiguous (delete once) however many source rows match;
+      //  - MATCHED-only merge: delta-spark pre-prunes the source by the
+      //    matched-clause predicates before its count, so only rows
+      //    where >1 source rows would MODIFY the target are ambiguous;
+      //  - merge with NOT MATCHED / BY SOURCE clauses too: no pruning —
+      //    ANY multi-matched target row is an error.
+      // Benign duplicates still fan the row out in the outer join, so
+      // the survivor pass below must collapse them back to one row.
       // Checked whenever ANY file is rewritten — including by-source-only
       // rewrites (matched = Nil): their files can still hold matched
       // rows, which fan out all the same.
+      val matchedOnly = insertX.isEmpty && nmbsX.isEmpty
+      val uncondDeleteOnly = matchedX == Seq((None, None))
       val hasBenignDup = if (touched.isEmpty) false else {
+        val ambiguous =
+          if (matchedX.isEmpty || uncondDeleteOnly) lit(false)
+          else if (matchedOnly) col("n_modifying") > 1
+          else col("n") > 1
         val d = joined.where(isMatched)
           .groupBy(col("__graft_rid"))
           .agg(count(lit(1)).as("n"),
@@ -906,13 +921,14 @@ object DeltaTable {
             // coalesce: zero matched rows (a rewrite driven purely by
             // by-source clauses) leaves zero groups, and SUM over
             // nothing is NULL, not 0
-            coalesce(sum(when(col("n_modifying") > 1, 1L).otherwise(0L)), lit(0L))
+            coalesce(sum(when(ambiguous, 1L).otherwise(0L)), lit(0L))
               .as("ambiguous"),
             coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("dup"))
           .collect()(0)
         require(d.getLong(0) == 0,
-          s"merge: ${d.getLong(0)} target row(s) were modified by multiple " +
-            "source rows (ambiguous merge, as in delta-spark)")
+          s"merge: ${d.getLong(0)} target row(s) matched/modified by " +
+            "multiple source rows (ambiguous merge; delta-spark " +
+            "cardinality check)")
         d.getLong(1) > 0
       }
       val updateIdxs = allX.zipWithIndex.collect {

@@ -253,7 +253,19 @@ object LogStore {
         HttpResponse.BodyHandlers.discarding())
       rsp.statusCode() match {
         case ok if ok / 100 == 2 => true // 201 Created
-        case 409 | 412 => false          // BlobAlreadyExists / precondition
+        case 409 =>
+          // Azure overloads 409: BlobAlreadyExists means "lost the race",
+          // but LeaseIdMissing / ContainerBeingDeleted etc. are real
+          // failures that must not masquerade as a concurrent winner
+          // (they'd send the committer into a futile version-bump loop).
+          // The service names the condition in the x-ms-error-code
+          // response header; absent (minimal emulators), assume the race.
+          Option(rsp.headers().firstValue("x-ms-error-code").orElse(null)) match {
+            case None | Some("BlobAlreadyExists") => false
+            case Some(code) => throw new java.io.IOException(
+              s"conditional Put Blob of $container/$key failed: HTTP 409 $code")
+          }
+        case 412 => false                // precondition (If-None-Match)
         case other => throw new java.io.IOException(
           s"conditional Put Blob of $container/$key failed: HTTP $other")
       }
@@ -313,6 +325,17 @@ object LogStore {
     * `gs://bucket/...` with GCS HMAC-interoperability keys. None when
     * the needed keys are absent (the caller fail-fasts with
     * instructions). Visible for tests. */
+  /** Parse the AWS region out of a regional S3 endpoint host —
+    * `s3.us-west-2.amazonaws.com`, `bucket.s3-eu-west-1.amazonaws.com`,
+    * `s3.dualstack.ap-southeast-2.amazonaws.com` — so a user who set
+    * only `fs.s3a.endpoint` isn't silently signed for us-east-1
+    * (SigV4 scopes the signature by region; a mismatch is a 403). */
+  private[delta] def regionFromEndpoint(endpoint: String): Option[String] = {
+    val host = Option(URI.create(endpoint).getHost).getOrElse("")
+    val Re = """(?:^|\.)s3[.-](?:dualstack[.-])?([a-z]{2}(?:-[a-z]+)+-\d+)\.""".r
+    Re.findFirstMatchIn(host + ".").map(_.group(1))
+  }
+
   private[delta] def clientFromConf(fs: FileSystem,
       scheme: String): Option[ObjectStoreClient] = {
     val conf = fs.getConf
@@ -321,16 +344,27 @@ object LogStore {
       Option(conf.get(k)).map(_.trim).filter(_.nonEmpty)
     scheme match {
       case "s3" | "s3a" | "s3n" =>
+        // Presence-check the static keys now (absent → caller fail-fasts
+        // with instructions) but RE-READ them inside the credential thunk:
+        // rotating STS credentials land in the live Hadoop conf as a new
+        // (access, secret, token) triple, and pairing a stale key with a
+        // fresh token mis-signs every request.
         for {
-          access <- opt("fs.s3a.access.key")
-          secret <- opt("fs.s3a.secret.key")
+          _ <- opt("fs.s3a.access.key")
+          _ <- opt("fs.s3a.secret.key")
         } yield {
-          val region = opt("fs.s3a.endpoint.region").getOrElse("us-east-1")
-          val endpoint = URI.create(opt("fs.s3a.endpoint")
+          val endpointStr = opt("fs.s3a.endpoint")
             .map(e => if (e.contains("://")) e else s"https://$e")
-            .getOrElse(s"https://s3.$region.amazonaws.com"))
+          val region = opt("fs.s3a.endpoint.region")
+            .orElse(endpointStr.flatMap(regionFromEndpoint))
+            .getOrElse("us-east-1")
+          val endpoint = URI.create(
+            endpointStr.getOrElse(s"https://s3.$region.amazonaws.com"))
+          def req(k: String): String = opt(k).getOrElse(throw new IllegalStateException(
+            s"$k disappeared from the Hadoop conf mid-session"))
           new SigV4S3Client(endpoint, authority, region,
-            () => SigV4.Credentials(access, secret, opt("fs.s3a.session.token")))
+            () => SigV4.Credentials(req("fs.s3a.access.key"),
+              req("fs.s3a.secret.key"), opt("fs.s3a.session.token")))
         }
       case "gs" | "gcs" =>
         for {

@@ -75,7 +75,7 @@ class DeltaMergeSpec extends AnyFunSuite {
         condition = col("k") === s("k"),
         matched = Seq(MergeUpdate(None, Map.empty)), notMatched = Nil)
     }
-    assert(e.getMessage.contains("modified by multiple source rows"))
+    assert(e.getMessage.contains("multiple source rows"))
     assert(DeltaLog.forTable(spark, dir).snapshot().version == before,
       "ambiguous merge must commit nothing")
   }
@@ -102,7 +102,37 @@ class DeltaMergeSpec extends AnyFunSuite {
         matched = Seq(MergeUpdate(Some(s("n") > 0), Map("n" -> s("n")))),
         notMatched = Nil)
     }
-    assert(e.getMessage.contains("modified by multiple source rows"))
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("mixed merge (matched + insert): ANY dup match errors, even non-modifying") {
+    // delta-spark only pre-prunes the source by matched predicates in
+    // MATCHED-only merges; with an insert clause present a duplicate
+    // match is ambiguous even when neither source row passes the
+    // matched condition
+    val dir = TestSpark.tmpDir("gm-mixed-strict")
+    DeltaTable.create(spark, Seq((1, "x", 0L)).toDF("k", "v", "n"), dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, dir,
+        Seq((1, -1L), (1, -2L)).toDF("k", "n"),
+        condition = col("k") === s("k"),
+        matched = Seq(MergeUpdate(Some(s("n") > 0), Map("n" -> s("n")))),
+        notMatched = Seq(MergeInsert(None,
+          Map("k" -> s("k"), "v" -> lit("new"), "n" -> s("n")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("single unconditional DELETE tolerates multi-match (delete once)") {
+    // delta-spark's explicit exemption: the outcome is unambiguous
+    val dir = TestSpark.tmpDir("gm-uncond-del")
+    DeltaTable.create(spark, Seq((1, "x"), (2, "y")).toDF("k", "v"), dir)
+    DeltaTable.merge(spark, dir,
+      Seq((1, "a"), (1, "b")).toDF("k", "v"),
+      condition = col("k") === s("k"),
+      matched = Seq(MergeDelete(None)), notMatched = Nil)
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].collect().toSeq ==
+      Seq((2, "y")))
   }
 
   test("by-source-only merge with duplicate source matches never duplicates rows") {

@@ -43,6 +43,8 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
   private val inject409 = new AtomicInteger(0) // consume-one-409 fault injector
+  // consume-one Azure x-ms-error-code injector (null = no injection)
+  private val injectAzError = new java.util.concurrent.atomic.AtomicReference[String](null)
   private var server: HttpServer = _
   private var endpoint: URI = _
 
@@ -181,8 +183,17 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (x.getRequestHeaders.getFirst("x-ms-blob-type") == null) {
           x.sendResponseHeaders(400, -1)
         } else if (x.getRequestHeaders.getFirst("If-None-Match") == "*") {
-          if (objects.putIfAbsent(key, body) == null) x.sendResponseHeaders(201, -1)
-          else x.sendResponseHeaders(409, -1)
+          if (injectAzError.get() != null) {
+            // a non-race 409 (lease/container conditions) names itself
+            // in x-ms-error-code, exactly like the real service
+            x.getResponseHeaders.set("x-ms-error-code", injectAzError.getAndSet(null))
+            x.sendResponseHeaders(409, -1)
+          } else if (objects.putIfAbsent(key, body) == null) {
+            x.sendResponseHeaders(201, -1)
+          } else {
+            x.getResponseHeaders.set("x-ms-error-code", "BlobAlreadyExists")
+            x.sendResponseHeaders(409, -1)
+          }
         } else {
           objects.put(key, body)
           x.sendResponseHeaders(201, -1)
@@ -531,6 +542,40 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(stored.getValue, StandardCharsets.UTF_8) == "conf-az-commit")
   }
 
+  test("Azure: non-race 409 (LeaseIdMissing) throws instead of reporting a lost race") {
+    // Azure overloads 409 — only BlobAlreadyExists means a concurrent
+    // winner; masking a lease/container failure as "lost the race"
+    // would send commitDml into its 50-attempt version-bump loop
+    val fs = confFs("abfss", s"azsecure409@$AzAccount.dfs.core.windows.net",
+      s"fs.azure.account.key.$AzAccount.dfs.core.windows.net" -> AzKeyB64,
+      "graft.az.endpoint" -> endpoint.toString)
+    val store = LogStore.forFileSystem(fs)
+    val dir = TestSpark.tmpDir("az-409")
+    val p = new Path(dir, "tmp")
+    val out = fs.create(p, false)
+    try out.write("x".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    injectAzError.set("LeaseIdMissing")
+    val e = intercept[java.io.IOException] {
+      store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000001.json"))
+    }
+    assert(e.getMessage.contains("LeaseIdMissing"))
+    // and the real-race shape (header = BlobAlreadyExists) still reports false
+    assert(store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000001.json")))
+    assert(!store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000001.json")))
+  }
+
+  test("S3: region is derived from a regional endpoint when endpoint.region is absent") {
+    import LogStore.regionFromEndpoint
+    assert(regionFromEndpoint("https://s3.us-west-2.amazonaws.com") == Some("us-west-2"))
+    assert(regionFromEndpoint("https://s3-eu-west-1.amazonaws.com") == Some("eu-west-1"))
+    assert(regionFromEndpoint("https://s3.dualstack.ap-southeast-2.amazonaws.com") ==
+      Some("ap-southeast-2"))
+    assert(regionFromEndpoint("https://bucket.s3.us-gov-west-1.amazonaws.com") ==
+      Some("us-gov-west-1"))
+    assert(regionFromEndpoint("https://s3.amazonaws.com").isEmpty) // legacy global
+    assert(regionFromEndpoint("http://127.0.0.1:9000").isEmpty)    // minio-style
+  }
+
   test("conf-wired s3a and gs commit end-to-end against their signing fakes") {
     // the whole path for the other two clouds too: scheme routing →
     // conf wiring → SigV4/GOOG4 signing → conditional PUT
@@ -560,6 +605,33 @@ class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "graft.gs.endpoint" -> endpoint.toString), "gs-e2e")
     assert(new String(objects.get(s"gsecure2/$gsKey"), StandardCharsets.UTF_8)
       == "gs-e2e")
+  }
+
+  test("S3: rotated conf credentials are picked up per request, not captured at build") {
+    // STS rotation lands a new (access, secret, token) triple in the
+    // live conf; an eagerly-captured key paired with a re-read token
+    // would mis-sign every request from then on. Prove the thunk
+    // re-reads: a client built with GOOD creds must start failing the
+    // fake's signature verification (403) once the conf's secret rots.
+    val fs = confFs("s3a", "secure5",
+      "fs.s3a.access.key" -> SecureCreds._1,
+      "fs.s3a.secret.key" -> SecureCreds._2,
+      "fs.s3a.endpoint" -> endpoint.toString,
+      "fs.s3a.endpoint.region" -> "test-region")
+    val store = LogStore.forFileSystem(fs)
+    val dir = TestSpark.tmpDir("conf-rotate")
+    val p = new Path(dir, "tmp")
+    val out = fs.create(p, false)
+    try out.write("v1".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    assert(store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000001.json")))
+    fs.getConf.set("fs.s3a.secret.key", "ROTTEN")
+    val e = intercept[java.io.IOException] {
+      store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000002.json"))
+    }
+    assert(e.getMessage.contains("403"),
+      s"rotated-to-bad secret must be re-read and mis-sign (got: ${e.getMessage})")
+    fs.getConf.set("fs.s3a.secret.key", SecureCreds._2) // rotate back: healthy again
+    assert(store.putIfAbsent(p, new Path(dir, "_delta_log/00000000000000000002.json")))
   }
 
   // ---- scheme routing ---------------------------------------------------
