@@ -494,6 +494,73 @@ object DeltaTable {
       CommitInfo(System.currentTimeMillis(), "DROP CONSTRAINT", Map("name" -> name))))
   }
 
+  /** `ALTER TABLE ADD COLUMN(S)`: append nullable columns to the table
+    * schema as a pure metadata commit — no file is rewritten, and
+    * pre-evolution files read the new columns as NULL (the reader always
+    * applies the snapshot schema; same machinery as mergeSchema appends
+    * and MERGE `WITH SCHEMA EVOLUTION`). Name clashes are rejected
+    * case-insensitively, matching the evolution rules elsewhere.
+    * Commits through [[DeltaLog.commitDml]], so a concurrent metadata
+    * change (another ALTER, an evolving merge) fails loudly instead of
+    * silently undoing the winner's schema. */
+  def addColumns(spark: SparkSession, tableUri: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    require(cols.nonEmpty, "ADD COLUMNS requires at least one column")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val dupIn = cols.groupBy(f => lc(f.name)).collect { case (n, g) if g.size > 1 => n }
+    require(dupIn.isEmpty, s"duplicate column name(s) in ADD COLUMNS: ${dupIn.mkString(", ")}")
+    val existing = snap.schema.fields.map(f => lc(f.name)).toSet
+    val clash = cols.map(_.name).filter(n => existing.contains(lc(n)))
+    require(clash.isEmpty,
+      s"column(s) already exist on $tableUri: ${clash.mkString(", ")}")
+    val merged = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.toSeq ++ cols.map(_.copy(nullable = true)))
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(schemaString = merged.json),
+      CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+        Map("columns" -> cols.map(_.name).mkString(",")))))
+  }
+
+  /** `ALTER TABLE SET TBLPROPERTIES`: merge properties into
+    * [[Metadata.configuration]] (the Delta convention — properties ride
+    * the metaData action, replay through checkpoints, and survive
+    * restarts). CHECK constraints have their own verbs with an existing-
+    * rows scan; routing them through here would skip that verification. */
+  def setTblProperties(spark: SparkSession, tableUri: String,
+      props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES requires at least one property")
+    require(!props.keys.exists(_.startsWith(ConstraintPrefix)),
+      s"constraints are managed via ADD/DROP CONSTRAINT, not TBLPROPERTIES " +
+        s"(got: ${props.keys.filter(_.startsWith(ConstraintPrefix)).mkString(", ")})")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props)))
+  }
+
+  /** `ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]`: remove properties
+    * from the configuration. With `ifExists = false`, absent keys error
+    * (Spark's default semantics for UNSET). */
+  def unsetTblProperties(spark: SparkSession, tableUri: String,
+      keys: Seq[String], ifExists: Boolean = false): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES requires at least one key")
+    require(!keys.exists(_.startsWith(ConstraintPrefix)),
+      "constraints are managed via ADD/DROP CONSTRAINT, not TBLPROPERTIES")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val missing = keys.filterNot(snap.metadata.configuration.contains)
+    if (!ifExists) require(missing.isEmpty,
+      s"no such propert${if (missing.size == 1) "y" else "ies"} on $tableUri: " +
+        missing.mkString(", "))
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(configuration = snap.metadata.configuration -- keys),
+      CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
+        Map("keys" -> keys.mkString(",")))))
+  }
+
   /** Enforce the snapshot's CHECK constraints over a batch about to be
     * written: ONE aggregate pass over the batch evaluates every
     * constraint's violation count (a row violates when its expression

@@ -66,6 +66,20 @@ object GraftSqlParser {
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreT: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  // ALTER TABLE t ADD COLUMNS (c1 INT, c2 STRING) | ADD COLUMN c INT —
+  // intercepted because Spark's v1 AlterTableAddColumns would update only
+  // the session catalog, not the delta log (the source of truth here)
+  private val AlterAddCols: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+))\\s*;?\\s*""".r
+  private val AlterSetProps: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterUnsetProps: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(IF\\s+EXISTS\\s*)?\\((.+)\\)\\s*;?\\s*""".r
+  // one `'k' = 'v'` / `"k" = "v"` / `bare.key = bare-value` pair
+  private val PropPair: Regex =
+    """(?s)\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*=\s*(?:'([^']*)'|"([^"]*)"|([^,\s]+))\s*""".r
+  private val PropKey: Regex =
+    """(?s)\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case Optimize(ref, zorder) => Some(GraftOptimizeCommand(ref,
@@ -76,7 +90,46 @@ object GraftSqlParser {
     case History(ref) => Some(GraftHistoryCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
+    case AlterAddCols(ref, parens, bare) =>
+      Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
+    case AlterSetProps(ref, pairs) =>
+      Some(GraftAlterPropertiesCommand(ref, parseProps(pairs), Nil, ifExists = false))
+    case AlterUnsetProps(ref, ifExists, keys) =>
+      Some(GraftAlterPropertiesCommand(ref, Map.empty, parseKeys(keys),
+        ifExists = ifExists != null))
     case _ => None
+  }
+
+  /** Split a TBLPROPERTIES pair list on top-level commas and parse each
+    * `key = value` (quoted or bare). Quoted values may contain commas. */
+  private[sql] def parseProps(pairs: String): Map[String, String] =
+    splitPairs(pairs).map {
+      case PropPair(k1, k2, k3, v1, v2, v3) =>
+        Seq(k1, k2, k3).find(_ != null).get -> Seq(v1, v2, v3).find(_ != null).get
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES entry: $other")
+    }.toMap
+
+  private[sql] def parseKeys(keys: String): Seq[String] =
+    splitPairs(keys).map {
+      case PropKey(k1, k2, k3) => Seq(k1, k2, k3).find(_ != null).get
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES key: $other")
+    }
+
+  /** Comma-split that respects single/double quotes. */
+  private def splitPairs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { cur += c; quote = c }
+      else if (c == ',') { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Table reference -> path: quoted literal as-is, identifier via the
@@ -156,5 +209,35 @@ case class GraftRestoreCommand(tableRef: String, version: Option[Long],
     val st = DeltaTable.restore(session, path, v)
     session.catalog.refreshByPath(path)
     Seq(Row(st.filesRemoved.toLong, st.filesAdded.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN(S) ...` -> [[DeltaTable.addColumns]] (a pure
+  * metadata commit; the delta log is the schema's source of truth, and
+  * reads always resolve through it, so no catalog schema update needed). */
+case class GraftAlterAddColumnsCommand(tableRef: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val schema = session.sessionState.sqlParser.parseTableSchema(colsDdl)
+    DeltaTable.addColumns(session, path, schema.fields.toSeq)
+    session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET/UNSET TBLPROPERTIES (...)` ->
+  * [[DeltaTable.setTblProperties]] / [[DeltaTable.unsetTblProperties]]. */
+case class GraftAlterPropertiesCommand(tableRef: String,
+    set: Map[String, String], unset: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    if (set.nonEmpty) DeltaTable.setTblProperties(session, path, set)
+    else DeltaTable.unsetTblProperties(session, path, unset, ifExists)
+    session.catalog.refreshByPath(path)
+    Seq.empty
   }
 }

@@ -224,6 +224,78 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS: pure metadata commit, pre-evolution files read NULL") {
+    val dir = TestSpark.tmpDir("sqldml-altadd")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    val before = activePaths(dir)
+    withTable(dir) { t =>
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, tag STRING)")
+      // no file rewritten — schema evolution is metadata-only
+      assert(activePaths(dir) == before, "ADD COLUMNS must not rewrite data files")
+      val rows = spark.sql(s"SELECT k, v, score, tag FROM $t ORDER BY k")
+        .as[(Int, String, Option[Double], Option[String])].collect().toSeq
+      assert(rows == Seq((1, "a", None, None), (2, "b", None, None)),
+        "pre-evolution files must read the new columns as NULL")
+      // the evolved columns are writable and mix with pre-evolution rows
+      spark.sql(s"INSERT INTO $t VALUES (3, 'c', 0.5, 'x')")
+      assert(spark.sql(s"SELECT tag FROM $t WHERE k = 3").as[String].head() == "x")
+      // single-column, no-parens form; duplicate add rejected case-insensitively
+      spark.sql(s"ALTER TABLE $t ADD COLUMN extra BIGINT")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (SCORE INT)")
+      }
+      assert(e.getMessage.contains("already exist"))
+    }
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES round-trips through the log") {
+    val dir = TestSpark.tmpDir("sqldml-altprops")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.owner' = 'team-a', " +
+        "'delta.logRetentionDuration' = 'interval 30 days')")
+      def conf() = DeltaLog.forTable(spark, dir).snapshot().metadata.configuration
+      assert(conf()("graft.owner") == "team-a")
+      assert(conf()("delta.logRetentionDuration") == "interval 30 days")
+      // overwrite an existing key
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.owner' = 'team-b')")
+      assert(conf()("graft.owner") == "team-b")
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.owner')")
+      assert(!conf().contains("graft.owner"))
+      // absent key: errors without IF EXISTS, silent with it
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.owner')")
+      }
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('graft.owner')")
+      // constraints must go through their own verbs (existing-rows scan)
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+          "('delta.constraints.positive' = 'k > 0')")
+      }
+      assert(e.getMessage.contains("ADD/DROP CONSTRAINT"))
+    }
+  }
+
+  test("concurrent ALTER: second metadata change from a stale snapshot fails loudly") {
+    val dir = TestSpark.tmpDir("sqldml-altconc")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    // two writers plan from the same snapshot; the second commit must
+    // not silently undo the first's evolution
+    val log = DeltaLog.forTable(spark, dir)
+    val staleVersion = log.snapshot().version
+    DeltaTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.LongType)))
+    val snapStale = log.snapshotAt(staleVersion)
+    intercept[graft.delta.ConcurrentMetadataException] {
+      log.commitDml(staleVersion, Seq(
+        snapStale.metadata.copy(schemaString = snapStale.schema.json),
+        graft.delta.CommitInfo(System.currentTimeMillis(), "ADD COLUMNS", Map.empty)))
+    }
+    // the winner's column survives
+    assert(DeltaLog.forTable(spark, dir).snapshot().schema.fieldNames.contains("c1"))
+  }
+
   test("DML statements on non-graftdelta tables are untouched by the rule") {
     // a parquet catalog table still gets Spark's own v1 rejection —
     // the extension must not swallow or garble it
