@@ -80,7 +80,11 @@ object Action {
         configuration = strMap(m.get("configuration"))))
     } else if (node.has("protocol")) {
       val p = node.get("protocol")
-      Some(Protocol(p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt()))
+      def feats(name: String): Option[Set[String]] =
+        if (p.has(name)) Some(p.get(name).elements().asScala.map(_.asText()).toSet)
+        else None
+      Some(Protocol(p.get("minReaderVersion").asInt(), p.get("minWriterVersion").asInt(),
+        feats("readerFeatures"), feats("writerFeatures")))
     } else if (node.has("txn")) {
       val t = node.get("txn")
       Some(SetTransaction(
@@ -156,9 +160,22 @@ case class Metadata(
       s""""configuration":${jmap(configuration)},"createdTime":0}}"""
 }
 
-case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action {
-  def json: String =
-    s"""{"protocol":{"minReaderVersion":$minReaderVersion,"minWriterVersion":$minWriterVersion}}"""
+/** Protocol action. Reader/writer feature LISTS (table-features
+  * protocol, minReaderVersion 3 / minWriterVersion 7) are carried
+  * through verbatim: with the feature lists present, what gates a read
+  * is the list contents, not the bare version number — a v3 table whose
+  * readerFeatures are all benign is readable ([[DeltaLog]] enforces). */
+case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+    readerFeatures: Option[Set[String]] = None,
+    writerFeatures: Option[Set[String]] = None) extends Action {
+  def json: String = {
+    def feats(name: String, f: Option[Set[String]]) = f.map(s =>
+      s""","$name":${s.toSeq.sorted.map(Action.jstr).mkString("[", ",", "]")}""").getOrElse("")
+    s"""{"protocol":{"minReaderVersion":$minReaderVersion,""" +
+      s""""minWriterVersion":$minWriterVersion""" +
+      feats("readerFeatures", readerFeatures) +
+      feats("writerFeatures", writerFeatures) + "}}"
+  }
 }
 
 /** Application transaction watermark (the protocol's `txn` action):

@@ -96,7 +96,11 @@ object Checkpoints {
           size = opt[Long](a, "size").getOrElse(0L),
           modificationTime = opt[Long](a, "modificationTime").getOrElse(0L),
           dataChange = opt[Boolean](a, "dataChange").getOrElse(true),
-          stats = opt[String](a, "stats").filter(_.nonEmpty)): Action
+          // foreign checkpoints (delta-spark with writeStatsAsStruct and
+          // writeStatsAsJson=false) may carry ONLY the parsed struct —
+          // re-serialize it into the JSON form the skipping layer speaks
+          stats = opt[String](a, "stats").filter(_.nonEmpty)
+            .orElse(opt[Row](a, "stats_parsed").map(statsJsonOfParsed))): Action
       }).orElse(struct("remove").map { r =>
         RemoveFile(
           path = r.getAs[String]("path"),
@@ -112,9 +116,12 @@ object Checkpoints {
             opt[scala.collection.Seq[String]](m, "partitionColumns").map(_.toSeq).getOrElse(Nil),
           configuration = strMap(m, "configuration")): Action
       }).orElse(struct("protocol").map { p =>
+        def feats(name: String): Option[Set[String]] =
+          opt[scala.collection.Seq[String]](p, name).map(_.toSet)
         Protocol(
           opt[Int](p, "minReaderVersion").getOrElse(1),
-          opt[Int](p, "minWriterVersion").getOrElse(2)): Action
+          opt[Int](p, "minWriterVersion").getOrElse(2),
+          feats("readerFeatures"), feats("writerFeatures")): Action
       }).orElse(struct("txn").map { t =>
         SetTransaction(
           appId = t.getAs[String]("appId"),
@@ -122,6 +129,38 @@ object Checkpoints {
           lastUpdated = opt[Long](t, "lastUpdated").getOrElse(0L)): Action
       })
     }
+  }
+
+  /** Re-serialize a checkpoint `stats_parsed` struct into the JSON
+    * `stats` form the skipping layer parses. Value rendering matches the
+    * engine's own stats writer: strings/booleans quoted, dates as
+    * `yyyy-MM-dd`, timestamps as fixed-width `yyyy-MM-dd HH:mm:ss.SSSSSS`
+    * (UTC), numbers plain; nested structs recurse (unused by pruning,
+    * carried for fidelity). Unknown field absence degrades to an empty
+    * object — same "make no claim" stance as unparseable JSON stats. */
+  private[delta] def statsJsonOfParsed(parsed: Row): String = {
+    val TsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def valueJson(v: Any): String = v match {
+      case null => "null"
+      case s: String => Action.jstr(s)
+      case b: Boolean => Action.jstr(b.toString) // engine quotes booleans
+      case t: java.sql.Timestamp => Action.jstr(TsFmt.format(t.toInstant))
+      case i: java.time.Instant => Action.jstr(TsFmt.format(i))
+      case d: java.sql.Date => Action.jstr(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Action.jstr(d.toString)
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+      case r: Row => objJson(r)
+      case n: Number => n.toString
+      case other => Action.jstr(other.toString)
+    }
+    def objJson(r: Row): String =
+      Option(r.schema).map(_.fields.zipWithIndex.map { case (f, i) =>
+        s"${Action.jstr(f.name)}:${valueJson(if (r.isNullAt(i)) null else r.get(i))}"
+      }.mkString("{", ",", "}")).getOrElse("{}")
+    objJson(parsed)
   }
 
   /** Checkpoint row shapes (the protocol's top-level action columns).

@@ -183,6 +183,25 @@ object DataSkipping {
   private def statsKey(raw: String, isString: Boolean): Either[String, BigDecimal] =
     if (isString) Left(raw) else Right(BigDecimal(raw))
 
+  /** Normalize a timestamp value into this module's fixed-width
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS` key domain. Accepts the engine's own
+    * form, partition-value serializations without a fraction, and
+    * foreign ISO forms with a 'T' separator and optional literal-UTC
+    * 'Z'. A non-UTC zone offset (or anything else unrecognized) returns
+    * None — "make no claim", never a wrong prune. Non-timestamp types
+    * pass through untouched. */
+  private val TsShapes =
+    """^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d{1,9}))?Z?$""".r
+  private def normalizeTsValue(dt: Option[DataType], v: String): Option[String] =
+    dt match {
+      case Some(TimestampType | TimestampNTZType) => v match {
+        case TsShapes(d, t, f) =>
+          Some(s"$d $t." + Option(f).getOrElse("").padTo(6, '0').take(6))
+        case _ => None
+      }
+      case _ => Some(v)
+    }
+
   private def stringDomain(schema: StructType, name: String): Boolean =
     schema.find(_.name == name).map(_.dataType).exists {
       case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
@@ -197,8 +216,11 @@ object DataSkipping {
       : Option[(Either[String, BigDecimal], Either[String, BigDecimal], Option[Long])] =
     parseStats(mapper, statsJson).flatMap { v =>
       val isString = stringDomain(schema, name)
-      try for { mn <- v.min.get(name); mx <- v.max.get(name) }
-        yield (statsKey(mn, isString), statsKey(mx, isString), v.nullCount.get(name))
+      val dt = schema.find(_.name == name).map(_.dataType)
+      try for {
+        mn <- v.min.get(name).flatMap(normalizeTsValue(dt, _))
+        mx <- v.max.get(name).flatMap(normalizeTsValue(dt, _))
+      } yield (statsKey(mn, isString), statsKey(mx, isString), v.nullCount.get(name))
       catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -256,19 +278,7 @@ object DataSkipping {
         case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
       }
-      // timestamp partition values serialize WITHOUT the fixed-width
-      // fraction this module's key encoding uses — normalize or a point
-      // compare against a literal key is lexicographically off
-      def normalize(v: String): Option[String] = dt match {
-        case Some(TimestampType | TimestampNTZType) =>
-          val Ts = """^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d{1,9}))?$""".r
-          v match {
-            case Ts(d, t, f) =>
-              Some(s"$d $t." + Option(f).getOrElse("").padTo(6, '0').take(6))
-            case _ => None // unknown serialization: make no claim
-          }
-        case _ => Some(v)
-      }
+      def normalize(v: String): Option[String] = normalizeTsValue(dt, v)
       if (partitionValues.contains(name)) {
         Option(partitionValues(name)) match {
           case None => (None, None, view.numRecords) // null partition: all rows null
@@ -281,8 +291,14 @@ object DataSkipping {
             }
         }
       } else {
-        (view.min.get(name).map(statsKey(_, isString)),
-          view.max.get(name).map(statsKey(_, isString)),
+        // stats values pass through the same normalization: a FOREIGN
+        // writer (delta-spark) serializes timestamp stats as ISO
+        // `2024-01-01T10:30:00.000Z`, and 'T' > ' ' lexicographically —
+        // unnormalized, a same-day comparison against our fixed-width
+        // key could prune a file that matches
+        def key(v: String) = normalize(v).map(statsKey(_, isString))
+        (view.min.get(name).flatMap(key),
+          view.max.get(name).flatMap(key),
           view.nullCount.get(name))
       }
     }

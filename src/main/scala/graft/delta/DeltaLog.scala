@@ -299,13 +299,26 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     versions.foreach(v => actionsAt(v).foreach(apply))
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
     // Protocol gate (the Delta contract delta-rs enforces for the
-    // reference): a table written with reader features beyond ours
-    // (deletion vectors, column mapping = minReaderVersion 3) must fail
-    // loudly instead of returning silently wrong rows.
+    // reference): a table written with reader features beyond ours must
+    // fail loudly instead of returning silently wrong rows. The
+    // table-features protocol (minReaderVersion 3) gates by FEATURE
+    // LIST, not bare version: a foreign v3 table whose readerFeatures
+    // are all benign (timestampNtz, vacuumProtocolCheck) reads fine,
+    // while deletionVectors / columnMapping / v2Checkpoint fail BY NAME
+    // so the user knows exactly which capability the table demands.
     protocol.filter(_.minReaderVersion > DeltaLog.SupportedReaderVersion).foreach { p =>
-      throw new IllegalStateException(
-        s"cannot read $tableUri: requires Delta reader version ${p.minReaderVersion}, " +
-          s"this engine supports <= ${DeltaLog.SupportedReaderVersion}")
+      p.readerFeatures match {
+        case Some(features) if p.minReaderVersion == 3 =>
+          val unsupported = (features -- DeltaLog.SupportedReaderFeatures).toSeq.sorted
+          if (unsupported.nonEmpty) throw new IllegalStateException(
+            s"cannot read $tableUri: table requires unsupported reader feature" +
+              s"${if (unsupported.size == 1) "" else "s"} ${unsupported.mkString(", ")} " +
+              s"(supported: ${DeltaLog.SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+        case _ =>
+          throw new IllegalStateException(
+            s"cannot read $tableUri: requires Delta reader version ${p.minReaderVersion}, " +
+              s"this engine supports <= ${DeltaLog.SupportedReaderVersion}")
+      }
     }
     val base = seed.map(_.version).orElse(cp.map(_.version)).getOrElse(-1L)
     Snapshot(
@@ -451,9 +464,20 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
 object DeltaLog {
   /** Highest Delta reader protocol version this engine implements
     * (1 = plain add/remove tables; 2 adds writer-side constraints we
-    * don't need to understand to READ; 3 = deletion vectors / column
-    * mapping, which change row visibility and are rejected). */
+    * don't need to understand to READ; 3 = table features — readable
+    * when every listed readerFeature is in
+    * [[SupportedReaderFeatures]], rejected by name otherwise). */
   val SupportedReaderVersion = 2
+
+  /** Reader features (minReaderVersion 3 tables) this engine can honor:
+    *  - `timestampNtz`: TIMESTAMP_NTZ columns — Spark reads the type
+    *    natively and our stats domain covers it;
+    *  - `vacuumProtocolCheck`: constrains VACUUM writers, changes
+    *    nothing about how committed data is read.
+    * Everything else — deletionVectors, columnMapping, v2Checkpoint,
+    * typeWidening, variantType-* — changes row visibility, column
+    * resolution, or checkpoint discovery and must fail loudly. */
+  val SupportedReaderFeatures: Set[String] = Set("timestampNtz", "vacuumProtocolCheck")
 
   /** Memoized [[DeltaLog]] instances per table path (access-order LRU,
     * bounded). Reusing the instance is what makes the incremental

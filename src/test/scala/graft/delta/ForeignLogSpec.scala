@@ -1,0 +1,266 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Foreign-log interop: logs and checkpoints written by OTHER Delta
+  * implementations (delta-spark, delta-rs) in shapes this engine never
+  * writes itself. The reference gets this reading for free from
+  * delta-rs (`open_table`, crates/sorter-core/src/lib.rs:252); we pin it
+  * against hand-authored fixtures:
+  *
+  *  - checkpoint parquet with `stats_parsed`/`partitionValues_parsed`
+  *    struct columns alongside (or INSTEAD of) JSON `stats`, plus
+  *    `add.tags`;
+  *  - `_last_checkpoint` carrying foreign extras (`sizeInBytes`,
+  *    `checksum`, `checkpointSchema`);
+  *  - the table-features protocol: minReaderVersion 3 readable when the
+  *    readerFeatures list is benign, rejected BY FEATURE NAME otherwise;
+  *  - ISO-serialized timestamp stats (`2024-01-01T10:30:00.000Z`)
+  *    normalizing into the engine's skipping domain.
+  */
+class ForeignLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write one commit file with the given action-JSON lines. */
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One real parquet data file under `dir`, returning (name, size). */
+  private def writeDataFile(dir: String, rows: Seq[(Long, String)]): (String, Long) = {
+    val tmp = TestSpark.tmpDir("foreign-part")
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val name = part.getName
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, name))
+    (name, part.length())
+  }
+
+  private val schemaJson = new StructType()
+    .add("id", LongType).add("name", StringType).json
+
+  private def metaJson =
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":0}}"""
+
+  test("delta-spark-shaped checkpoint: stats_parsed only, tags, foreign _last_checkpoint extras") {
+    val dir = TestSpark.tmpDir("foreign-cp")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a"), (2L, "b")))
+    val (f1, s1) = writeDataFile(dir, Seq((10L, "x"), (20L, "y")))
+
+    // v0: ordinary JSON commit (replayed only if the checkpoint is ignored)
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+
+    // checkpoint at v0 in the delta-spark shape: add has stats=null,
+    // stats_parsed + partitionValues_parsed structs, and tags
+    val statsParsedType = new StructType()
+      .add("numRecords", LongType)
+      .add("minValues", new StructType().add("id", LongType).add("name", StringType))
+      .add("maxValues", new StructType().add("id", LongType).add("name", StringType))
+      .add("nullCount", new StructType().add("id", LongType).add("name", LongType))
+    val addType = new StructType()
+      .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType).add("modificationTime", LongType)
+      .add("dataChange", BooleanType).add("stats", StringType)
+      .add("stats_parsed", statsParsedType)
+      .add("partitionValues_parsed", new StructType().add("__dummy", StringType))
+      .add("tags", MapType(StringType, StringType))
+    val protoType = new StructType()
+      .add("minReaderVersion", IntegerType).add("minWriterVersion", IntegerType)
+      .add("readerFeatures", ArrayType(StringType))
+      .add("writerFeatures", ArrayType(StringType))
+    val metaType = new StructType()
+      .add("id", StringType)
+      .add("format", new StructType().add("provider", StringType)
+        .add("options", MapType(StringType, StringType)))
+      .add("schemaString", StringType)
+      .add("partitionColumns", ArrayType(StringType))
+      .add("configuration", MapType(StringType, StringType))
+      .add("createdTime", LongType)
+    val cpType = new StructType()
+      .add("protocol", protoType).add("metaData", metaType).add("add", addType)
+    val cpRows = Seq(
+      Row(Row(1, 2, null, null), null, null),
+      Row(null, Row("fixture", Row("parquet", Map.empty[String, String]), schemaJson,
+        Seq.empty[String], Map.empty[String, String], 0L), null),
+      Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false,
+        null, // stats JSON ABSENT — only the parsed struct speaks
+        Row(2L, Row(1L, "a"), Row(2L, "b"), Row(0L, 0L)),
+        Row(null.asInstanceOf[String]),
+        Map("INSERTION_TIME" -> "1", "OPTIMIZE_TARGET_SIZE" -> "268435456"))))
+    val cpTmp = TestSpark.tmpDir("foreign-cp-tmp")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cpRows).asJava),
+      cpType).coalesce(1).write.mode("overwrite").parquet(cpTmp)
+    val cpPart = new java.io.File(cpTmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.copy(cpPart.toPath,
+      Paths.get(dir, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+
+    // foreign _last_checkpoint: sizeInBytes / checksum / checkpointSchema
+    // extras must be ignored, version+size honored
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      (s"""{"version":0,"size":3,"sizeInBytes":${cpPart.length()},""" +
+        """"numOfAddFiles":1,"checksum":"abc123",""" +
+        """"checkpointSchema":{"type":"struct","fields":[]}}""")
+        .getBytes(StandardCharsets.UTF_8))
+
+    // v1: a post-checkpoint JSON commit with tags on the add
+    writeCommit(dir, 1L, Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,""" +
+        s""""modificationTime":2,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":10},\\"maxValues\\":{\\"id\\":20},\\"nullCount\\":{\\"id\\":0}}",""" +
+        s""""tags":{"INSERTION_TIME":"2"}}}""",
+      """{"commitInfo":{"timestamp":2,"operation":"WRITE","operationParameters":{}}}"""))
+
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    assert(snap.version == 1)
+    assert(snap.files.map(_.path).toSet == Set(f0, f1))
+    // the checkpoint's parsed-only stats were reconstructed into JSON
+    val cpAdd = snap.files.find(_.path == f0).get
+    assert(cpAdd.stats.isDefined, "stats_parsed must reconstruct JSON stats")
+    assert(cpAdd.stats.get.contains("\"numRecords\":2"))
+    // and they actually PRUNE: id > 5 excludes the checkpointed file
+    val pruned = DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("id > 5"))
+    assert(pruned.map(_.path) == Seq(f1),
+      s"reconstructed stats must prune f0 (got ${pruned.map(_.path)})")
+    // rows read correctly through the snapshot
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y")))
+  }
+
+  test("reader-v3 table-features: benign feature list reads, DV/columnMapping fail by name") {
+    def mkTable(features: String): String = {
+      val dir = TestSpark.tmpDir("foreign-v3")
+      val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+      writeCommit(dir, 0L, Seq(
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$features],"writerFeatures":["appendOnly","invariants"]}}""",
+        metaJson,
+        s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,""" +
+          s""""modificationTime":1,"dataChange":true}}"""))
+      dir
+    }
+    // benign features: reads fine
+    val ok = mkTable("\"timestampNtz\",\"vacuumProtocolCheck\"")
+    assert(DeltaTable.read(spark, ok).count() == 1)
+    // deletion vectors: fails naming the feature
+    val dv = mkTable("\"deletionVectors\",\"timestampNtz\"")
+    val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, dv).snapshot())
+    assert(e1.getMessage.contains("unsupported reader feature deletionVectors"),
+      s"only the unsupported feature is named (got: ${e1.getMessage})")
+    // column mapping: fails naming the feature
+    val cm = mkTable("\"columnMapping\"")
+    val e2 = intercept[IllegalStateException](DeltaLog.forTable(spark, cm).snapshot())
+    assert(e2.getMessage.contains("columnMapping"))
+    // v3 WITHOUT a feature list (malformed foreign writer): version error
+    val bare = TestSpark.tmpDir("foreign-v3-bare")
+    val (fb, sb) = writeDataFile(bare, Seq((1L, "a")))
+    writeCommit(bare, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaJson,
+      s"""{"add":{"path":"$fb","partitionValues":{},"size":$sb,"modificationTime":1,"dataChange":true}}"""))
+    val e3 = intercept[IllegalStateException](DeltaLog.forTable(spark, bare).snapshot())
+    assert(e3.getMessage.contains("reader version 3"))
+  }
+
+  test("v3 feature gate applies through CHECKPOINT protocol rows too") {
+    // protocol arrives via checkpoint parquet, not JSON — same gating
+    val dir = TestSpark.tmpDir("foreign-v3-cp")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    val protoType = new StructType()
+      .add("minReaderVersion", IntegerType).add("minWriterVersion", IntegerType)
+      .add("readerFeatures", ArrayType(StringType))
+      .add("writerFeatures", ArrayType(StringType))
+    val metaType = new StructType()
+      .add("id", StringType).add("schemaString", StringType)
+      .add("partitionColumns", ArrayType(StringType))
+      .add("configuration", MapType(StringType, StringType))
+    val addType = new StructType()
+      .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType).add("modificationTime", LongType).add("dataChange", BooleanType)
+    val cpType = new StructType()
+      .add("protocol", protoType).add("metaData", metaType).add("add", addType)
+    val rows = Seq(
+      Row(Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors")), null, null),
+      Row(null, Row("fixture", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
+      Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false)))
+    val tmp = TestSpark.tmpDir("foreign-v3-cp-tmp")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      cpType).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.copy(part.toPath, Paths.get(dir, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("ISO timestamp stats normalize into the skipping domain (same-day correctness)") {
+    // a foreign writer serialized stats as `2024-01-01T05:00:00.000Z`;
+    // without normalization 'T' > ' ' would let a predicate inside the
+    // same day prune a file that actually matches
+    val schema = new StructType().add("ts", TimestampType).add("v", LongType)
+    val file = AddFile("f.parquet", Map.empty, 100L, 0L, dataChange = true,
+      stats = Some(
+        """{"numRecords":10,""" +
+          """"minValues":{"ts":"2024-01-01T05:00:00.000Z"},""" +
+          """"maxValues":{"ts":"2024-01-01T08:00:00.000Z"},""" +
+          """"nullCount":{"ts":0}}"""))
+    def prune(pred: String) = DataSkipping.prune(Seq(file), schema,
+      spark.sessionState.sqlParser.parseExpression(pred))
+    // 06:00 is INSIDE [05:00, 08:00] — must keep
+    assert(prune("ts >= timestamp'2024-01-01 06:00:00'").nonEmpty,
+      "file covering the predicate range must be kept")
+    assert(prune("ts <= timestamp'2024-01-01 06:00:00'").nonEmpty)
+    // clearly outside — must prune
+    assert(prune("ts >= timestamp'2024-01-01 09:00:00'").isEmpty,
+      "file entirely below the predicate must be pruned")
+    assert(prune("ts <= timestamp'2024-01-01 04:00:00'").isEmpty)
+    // a non-UTC offset makes no claim (kept, never mis-pruned)
+    val offset = file.copy(stats = Some(
+      """{"numRecords":10,"minValues":{"ts":"2024-01-01T05:00:00+02:00"},""" +
+        """"maxValues":{"ts":"2024-01-01T08:00:00+02:00"},"nullCount":{"ts":0}}"""))
+    assert(DataSkipping.prune(Seq(offset), schema,
+      spark.sessionState.sqlParser.parseExpression(
+        "ts >= timestamp'2024-01-01 09:00:00'")).nonEmpty,
+      "unrecognized serialization must make no claim")
+  }
+
+  test("protocol JSON round-trips feature lists") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = Protocol(3, 7, Some(Set("timestampNtz", "deletionVectors")),
+      Some(Set("appendOnly")))
+    assert(Action.fromJson(mapper.readTree(p.json)).contains(p))
+    // legacy protocol stays list-free both ways
+    val legacy = Protocol(1, 2)
+    assert(!legacy.json.contains("readerFeatures"))
+    assert(Action.fromJson(mapper.readTree(legacy.json)).contains(legacy))
+  }
+}
