@@ -24,7 +24,8 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * Maintenance modes beyond the reference (sort columns not required):
   * `--restore VERSION` rolls the table back as a new commit;
   * `--vacuum RETENTION_MS` deletes unreferenced data files older than
-  * the retention window; `--bin-pack` coalesces small files per
+  * the retention window (`--vacuum-force` waives the 7-day
+  * retention-floor check); `--bin-pack` coalesces small files per
   * partition to `--target-file-size-bytes` without imposing an order
   * (OPTIMIZE analog). */
 object Main {
@@ -37,7 +38,8 @@ object Main {
     while (i < args.length) {
       args(i) match {
         case flag @ ("--dry-run" | "--validate-only" | "--validate-quick" |
-            "--repartition-by-sort-key" | "--zorder" | "--bin-pack") =>
+            "--repartition-by-sort-key" | "--zorder" | "--bin-pack" |
+            "--vacuum-force") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -66,8 +68,11 @@ object Main {
       return 0
     }
     if (opts.contains("vacuum")) {
+      // --vacuum-force waives the retention-floor check (delta-spark's
+      // retentionDurationCheck analog) for deliberate short windows
       val deleted = graft.delta.DeltaLog.forTable(spark, table)
-        .vacuum(retentionMs = opts("vacuum").toLong)
+        .vacuum(retentionMs = opts("vacuum").toLong,
+          enforceRetentionDuration = !opts.contains("vacuum-force"))
       println(s"vacuum complete: ${deleted.size} file(s) deleted")
       return 0
     }

@@ -241,7 +241,13 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
   private[graft] def isTimeTravel: Boolean = versionAsOf.isDefined
 
   private val log = DeltaLog.forTable(spark, tableUri)
-  private val snap = versionAsOf.map(log.snapshotAt).getOrElse(log.snapshot())
+  private val snap = versionAsOf.map { v =>
+    val s = log.snapshotAt(v)
+    // fail at planning time with the clear "vacuumed" error, not a
+    // FileNotFoundException deep inside a scan task
+    graft.delta.DeltaTable.verifyNotVacuumed(spark, log, s, v)
+    s
+  }.getOrElse(log.snapshot())
 
   override def sqlContext: SQLContext = spark.sqlContext
   // asNullable: pre-existing tables may have recorded nullable=false

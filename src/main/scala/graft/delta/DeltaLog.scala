@@ -336,9 +336,26 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * of recent historical snapshots and concurrently staged writes —
     * after a vacuum, [[snapshotAt]] versions whose files were dropped
     * can no longer be materialized (their metadata still replays).
-    * Returns the table-relative paths deleted. */
-  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    * Returns the table-relative paths deleted.
+    *
+    * With `enforceRetentionDuration` (the default, mirroring
+    * delta-spark's retentionDurationCheck), a window below the table's
+    * `delta.deletedFileRetentionDuration` property (default 7 days) is
+    * REFUSED — an over-eager vacuum silently breaks concurrent readers
+    * and time travel; the caller must opt out explicitly. */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
+      enforceRetentionDuration: Boolean = true): Seq[String] = {
     val snap = snapshot()
+    if (enforceRetentionDuration) {
+      val floor = DeltaLog.retentionFloorMs(snap.metadata.configuration)
+      require(retentionMs >= floor,
+        f"vacuum retention ${retentionMs / 3600000.0}%.1fh is below the table's " +
+          f"deleted-file retention floor ${floor / 3600000.0}%.1fh " +
+          "(delta.deletedFileRetentionDuration): files this recent may back " +
+          "concurrent readers, staged commits, or time travel. Raise the " +
+          "retention, lower the table property, or pass " +
+          "enforceRetentionDuration=false to override")
+    }
     val root = tableRoot
     val active = snap.files.map(f => fs.makeQualified(new Path(root, f.path)).toUri).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -478,6 +495,30 @@ object DeltaLog {
     * typeWidening, variantType-* — changes row visibility, column
     * resolution, or checkpoint discovery and must fail loudly. */
   val SupportedReaderFeatures: Set[String] = Set("timestampNtz", "vacuumProtocolCheck")
+
+  /** The table's deleted-file retention floor in ms: the
+    * `delta.deletedFileRetentionDuration` property (`interval N
+    * weeks|days|hours|minutes|seconds`, delta's convention), default
+    * 7 days. Unparseable values fall back to the default — a typo must
+    * not silently drop the floor to zero. */
+  private[delta] def retentionFloorMs(configuration: Map[String, String]): Long = {
+    val Default = 7L * 24 * 3600 * 1000
+    configuration.get("delta.deletedFileRetentionDuration").map { v =>
+      val Interval = """(?i)\s*interval\s+(\d+)\s+(week|day|hour|minute|second)s?\s*""".r
+      v match {
+        case Interval(n, unit) =>
+          val ms = unit.toLowerCase(java.util.Locale.ROOT) match {
+            case "week" => 7L * 24 * 3600 * 1000
+            case "day" => 24L * 3600 * 1000
+            case "hour" => 3600L * 1000
+            case "minute" => 60L * 1000
+            case "second" => 1000L
+          }
+          n.toLong * ms
+        case _ => Default
+      }
+    }.getOrElse(Default)
+  }
 
   /** Memoized [[DeltaLog]] instances per table path (access-order LRU,
     * bounded). Reusing the instance is what makes the incremental

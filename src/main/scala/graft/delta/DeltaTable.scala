@@ -68,11 +68,41 @@ object DeltaTable {
     readFiles(spark, log, snap, kept).where(org.apache.spark.sql.functions.expr(predicate))
   }
 
-  /** Time travel: read the table as of a historical `version`. */
+  /** Time travel: read the table as of a historical `version`. Fails
+    * up front with a clear "vacuumed" error when the version's files
+    * are gone, instead of a FileNotFoundException deep inside a scan
+    * task. */
   def readAt(spark: SparkSession, tableUri: String, version: Long): DataFrame = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshotAt(version)
+    verifyNotVacuumed(spark, log, snap, version)
     readFiles(spark, log, snap, snap.files)
+  }
+
+  /** Guard for historical reads: every file the snapshot references must
+    * still exist. ONE recursive listing of the table root (the same
+    * cost profile as vacuum itself — no per-file round trips), compared
+    * as qualified URIs exactly like vacuum's active-set check. The log
+    * replays metadata fine after a vacuum; it's the DATA that silently
+    * vanished, and that must be said plainly. */
+  private[graft] def verifyNotVacuumed(spark: SparkSession, log: DeltaLog,
+      snap: Snapshot, version: Long): Unit = {
+    if (snap.files.isEmpty) return
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val present = scala.collection.mutable.Set.empty[java.net.URI]
+    val it = fs.listFiles(log.tableRoot, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) present += fs.makeQualified(st.getPath).toUri
+    }
+    val missing = snap.files.filterNot(f =>
+      present.contains(fs.makeQualified(new Path(log.tableRoot, f.path)).toUri))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot read version $version of ${log.tableUri}: the version has been " +
+        s"vacuumed — ${missing.size} of ${snap.files.size} data file(s) no " +
+        s"longer exist (e.g. ${missing.head.path}). Historical metadata still " +
+        "replays, but the data is gone; only versions within the vacuum " +
+        "retention window are readable")
   }
 
   /** Write `df`'s rows as new data files (staging + rename), returning

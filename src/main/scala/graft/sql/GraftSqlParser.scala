@@ -177,7 +177,12 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double])
     val retentionMs = retainHours
       .map(h => (h * 3600 * 1000).toLong)
       .getOrElse(7L * 24 * 3600 * 1000)
-    val deleted = DeltaLog.forTable(session, path).vacuum(retentionMs)
+    // delta-spark's retentionDurationCheck analog: RETAIN below the
+    // table's floor errors unless the session conf waives the check
+    val enforce = session.conf
+      .get("spark.graft.delta.retentionDurationCheck.enabled", "true").toBoolean
+    val deleted = DeltaLog.forTable(session, path)
+      .vacuum(retentionMs, enforceRetentionDuration = enforce)
     Seq(Row(deleted.size.toLong))
   }
 }

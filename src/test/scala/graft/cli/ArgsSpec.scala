@@ -39,10 +39,17 @@ class ArgsSpec extends AnyFunSuite {
     DeltaTable.append(spark, dir, Seq(3).toDF("v").coalesce(1))         // v1
     assert(Main.run(spark, Map("table" -> dir, "restore" -> "0")) == 0) // v2
     assert(DeltaTable.read(spark, dir).count() == 2)
-    assert(Main.run(spark, Map("table" -> dir, "vacuum" -> "0")) == 0)
-    // v1's file was unreferenced after the restore and is now gone
-    val err = intercept[Exception] { DeltaTable.readAt(spark, dir, 1).count() }
-    assert(err != null)
+    // a sub-floor retention is refused without --vacuum-force
+    val floorErr = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("table" -> dir, "vacuum" -> "0"))
+    }
+    assert(floorErr.getMessage.contains("retention"))
+    assert(Main.run(spark,
+      Map("table" -> dir, "vacuum" -> "0", "vacuum-force" -> "true")) == 0)
+    // v1's file was unreferenced after the restore and is now gone —
+    // the historical read names the cause instead of a scan-task error
+    val err = intercept[IllegalStateException] { DeltaTable.readAt(spark, dir, 1).count() }
+    assert(err.getMessage.contains("vacuumed"))
   }
 
   test("validate-only exits 1 on overlapping files, 0 on a sorted table") {

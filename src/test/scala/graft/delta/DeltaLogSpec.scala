@@ -318,11 +318,11 @@ class DeltaLogSpec extends AnyFunSuite {
     log.commitLatest(Seq(
       RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
       CommitInfo(0L, "DELETE", Map.empty)))
-    val deleted = log.vacuum(retentionMs = 0L)
+    val deleted = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
     assert(deleted == Seq(victim.path))
     assert(!new java.io.File(dir, victim.path).exists())
     assert(DeltaTable.read(spark, dir).count() == 2)
-    assert(log.vacuum(retentionMs = 0L).isEmpty)
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false).isEmpty)
   }
 
   test("a table requiring a newer reader protocol is rejected, not misread") {

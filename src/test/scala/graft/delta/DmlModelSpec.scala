@@ -64,7 +64,7 @@ class DmlModelSpec extends AnyFunSuite {
         case 4 => // manual checkpoint: replay must survive it
           log.checkpoint()
         case 5 => // vacuum with zero retention: only dead files go
-          log.vacuum(retentionMs = 0L)
+          log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
         case 6 => // maintenance bin-pack: moves rows, changes none
           graft.sorter.DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
         case 7 => // update a random key range with a pre-image expression

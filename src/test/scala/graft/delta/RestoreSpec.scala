@@ -52,10 +52,53 @@ class RestoreSpec extends AnyFunSuite {
     assert(log.latestVersion() == 0, "no-op restore must not commit")
 
     DeltaTable.upsert(spark, dir, Seq((1, "A!")).toDF("k", "v"), Seq("k")) // v1
-    log.vacuum(retentionMs = 0L) // v0's file is now gone
+    log.vacuum(retentionMs = 0L, enforceRetentionDuration = false) // v0's file is now gone
     val err = intercept[IllegalArgumentException] {
       DeltaTable.restore(spark, dir, 0)
     }
     assert(err.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum refuses a retention below the table's floor unless overridden") {
+    val dir = TestSpark.tmpDir("vacuum-floor")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    // default floor: 7 days
+    val e = intercept[IllegalArgumentException] { log.vacuum(retentionMs = 3600 * 1000) }
+    assert(e.getMessage.contains("retention floor 168.0h"))
+    // the table property lowers the floor (delta's convention)
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.deletedFileRetentionDuration" -> "interval 1 hours"))
+    assert(log.vacuum(retentionMs = 3600 * 1000).isEmpty) // now allowed
+    val e2 = intercept[IllegalArgumentException] { log.vacuum(retentionMs = 60 * 1000) }
+    assert(e2.getMessage.contains("retention floor 1.0h"))
+    // explicit override always works
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false).isEmpty)
+    // an unparseable property must fall back to the 7-day default, not 0
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.deletedFileRetentionDuration" -> "garbage"))
+    val e3 = intercept[IllegalArgumentException] { log.vacuum(retentionMs = 3600 * 1000) }
+    assert(e3.getMessage.contains("retention floor 168.0h"))
+  }
+
+  test("historical reads after an over-eager vacuum fail with a clear 'vacuumed' error") {
+    val dir = TestSpark.tmpDir("vacuum-timetravel")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v").coalesce(1), dir) // v0
+    DeltaTable.upsert(spark, dir, Seq((1, "A!")).toDF("k", "v"), Seq("k"))  // v1
+    val log = DeltaLog.forTable(spark, dir)
+    assert(DeltaTable.readAt(spark, dir, 0).count() == 1, "pre-vacuum time travel works")
+    log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
+    // the library path
+    val e = intercept[IllegalStateException] { DeltaTable.readAt(spark, dir, 0).count() }
+    assert(e.getMessage.contains("has been vacuumed"))
+    assert(e.getMessage.contains("version 0"))
+    // the connector path (SQL `VERSION AS OF` lands here) fails at
+    // planning, not deep inside a scan task
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graftdelta").option("versionAsOf", "0").load(dir).count()
+    }
+    assert(e2.getMessage.contains("has been vacuumed"))
+    // the current version still reads fine
+    assert(DeltaTable.read(spark, dir).as[(Int, String)].head() == ((1, "A!")))
   }
 }

@@ -65,9 +65,17 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), dir)
     DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 1L)
     withTable(dir) { t =>
-      val deleted = spark.sql(s"VACUUM $t RETAIN 0 HOURS").collect().head.getLong(0)
-      assert(deleted == 1, "the pre-delete file is unreferenced and old enough")
-      assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().toSeq == Seq(2L))
+      // sub-floor retention is refused by default (retentionDurationCheck)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"VACUUM $t RETAIN 0 HOURS")
+      }
+      assert(e.getMessage.contains("retention floor"))
+      spark.conf.set("spark.graft.delta.retentionDurationCheck.enabled", "false")
+      try {
+        val deleted = spark.sql(s"VACUUM $t RETAIN 0 HOURS").collect().head.getLong(0)
+        assert(deleted == 1, "the pre-delete file is unreferenced and old enough")
+        assert(spark.sql(s"SELECT k FROM $t").as[Long].collect().toSeq == Seq(2L))
+      } finally spark.conf.unset("spark.graft.delta.retentionDurationCheck.enabled")
     }
   }
 
