@@ -139,6 +139,39 @@ class SortOptimizer:
         """Engine extension: drop a CHECK constraint by name."""
         self._j.dropConstraint(name)
 
+    def restore(self, version: int) -> dict:
+        """Roll the table back to ``version`` as a NEW commit (history is
+        preserved; a second restore can undo the first). Metadata-only at
+        any scale. Returns {'files_removed': N, 'files_added': N}."""
+        return json.loads(self._j.restore(int(version)))
+
+    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000,
+               force: bool = False) -> dict:
+        """Delete unreferenced data files older than the retention
+        window. Refuses a window below the table's
+        delta.deletedFileRetentionDuration floor (default 7 days) unless
+        ``force`` — an over-eager vacuum breaks concurrent readers and
+        time travel. Returns {'files_deleted': N}."""
+        return json.loads(self._j.vacuum(int(retention_ms), bool(force)))
+
+    def add_columns(self, cols_ddl: str) -> None:
+        """ALTER TABLE ADD COLUMNS from a DDL string, e.g.
+        ``"score DOUBLE, tag STRING"`` — a pure metadata commit;
+        pre-evolution files read the new columns as NULL."""
+        self._j.addColumns(cols_ddl)
+
+    def set_tbl_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES: merge properties into the
+        table metadata (replayed through checkpoints)."""
+        jmap = self._spark._jvm.java.util.HashMap()
+        for k, v in props.items():
+            jmap.put(k, v)
+        self._j.setTblProperties(jmap)
+
+    def unset_tbl_properties(self, keys: list[str], if_exists: bool = False) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]."""
+        self._j.unsetTblProperties(self._jlist(list(keys)), bool(if_exists))
+
     def validate_quick(self, sort_columns: list[str]) -> dict:
         """Engine extension: zero-IO stats audit from the Delta log.
         Raises RuntimeError on ordering violations proven under exact

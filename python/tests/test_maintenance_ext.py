@@ -72,3 +72,48 @@ def test_check_constraints_gate_writes(spark, tmp_table):
     df = spark.createDataFrame([(500, "z")], _SCHEMA).coalesce(1)
     jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
     assert len(read_pandas(spark, tmp_table)) == 3
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)  # v0
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.delete_where("k = 1")  # v1
+    assert len(read_pandas(spark, tmp_table)) == 1
+    st = opt.restore(0)  # v2
+    assert st["files_added"] >= 1, st
+    rows = {
+        (r.k, r.v) for r in read_pandas(spark, tmp_table).itertuples(index=False)
+    }
+    assert rows == {(1, "a"), (2, "b")}
+    assert opt.latest_version() == 2, "restore commits forward, never rewrites history"
+    # and the restore itself is undoable
+    opt.restore(1)
+    assert len(read_pandas(spark, tmp_table)) == 1
+
+
+def test_vacuum_enforces_retention_floor(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)  # v0
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.delete_where("k = 1")  # v1: v0's file is now unreferenced
+    # sub-floor retention refused by default (delta's retentionDurationCheck)
+    with pytest.raises(Exception, match="retention floor"):
+        opt.vacuum(retention_ms=0)
+    assert opt.vacuum(retention_ms=0, force=True) == {"files_deleted": 1}
+    # current state unaffected; the vacuumed version reads with a clear error
+    assert len(read_pandas(spark, tmp_table)) == 1
+    with pytest.raises(Exception, match="vacuumed"):
+        opt.read_version(0).count()
+
+
+def test_add_columns_and_tbl_properties(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.add_columns("score double, tag string")
+    df = read_pandas(spark, tmp_table)
+    assert set(df.columns) == {"k", "v", "score", "tag"}
+    assert df["score"].isna().all(), "pre-evolution rows read the new column as NULL"
+    opt.set_tbl_properties({"graft.owner": "team-a"})
+    opt.unset_tbl_properties(["graft.owner"])
+    with pytest.raises(Exception, match="no such propert"):
+        opt.unset_tbl_properties(["graft.owner"])
+    opt.unset_tbl_properties(["graft.owner"], if_exists=True)

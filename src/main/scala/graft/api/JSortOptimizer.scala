@@ -117,6 +117,37 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def dropConstraint(name: String): Unit =
     graft.delta.DeltaTable.dropConstraint(spark, tableUri, name)
 
+  /** RESTORE: roll the table back to `version` as a new commit
+    * (metadata-only at any scale; history is preserved). */
+  def restore(version: Long): String =
+    dmlJson(graft.delta.DeltaTable.restore(spark, tableUri, version))
+
+  /** VACUUM: delete unreferenced data files older than the retention
+    * window. `force = false` enforces the table's
+    * delta.deletedFileRetentionDuration floor (default 7 days) —
+    * delta-spark's retentionDurationCheck. Returns
+    * `{"files_deleted":N}`. */
+  def vacuum(retentionMs: Long, force: Boolean): String = {
+    val deleted = graft.delta.DeltaLog.forTable(spark, tableUri)
+      .vacuum(retentionMs, enforceRetentionDuration = !force)
+    s"""{"files_deleted":${deleted.size}}"""
+  }
+
+  /** ALTER TABLE ADD COLUMNS: append nullable columns from a DDL string
+    * (`"score DOUBLE, tag STRING"`) as a pure metadata commit. */
+  def addColumns(colsDdl: String): Unit =
+    graft.delta.DeltaTable.addColumns(spark, tableUri,
+      spark.sessionState.sqlParser.parseTableSchema(colsDdl).fields.toSeq)
+
+  /** ALTER TABLE SET TBLPROPERTIES. */
+  def setTblProperties(props: java.util.Map[String, String]): Unit =
+    graft.delta.DeltaTable.setTblProperties(spark, tableUri, props.asScala.toMap)
+
+  /** ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]. */
+  def unsetTblProperties(keys: java.util.List[String], ifExists: Boolean): Unit =
+    graft.delta.DeltaTable.unsetTblProperties(spark, tableUri,
+      keys.asScala.toSeq, ifExists)
+
   // ---- DataFrame-returning surface: py4j hands these JVM frames to
   // pyspark, which wraps them as first-class Python DataFrames (the
   // binding's read()/history()/changes_between()) — no serialization,
