@@ -114,12 +114,18 @@ object Dedup {
   private val shingleMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleMemo.synchronized {
-      shingleMemo.computeIfAbsent(s,
+  private def memoized(
+      memo: java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      memo.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
-    perSession.computeIfAbsent(dir, _ => {
+    perSession.computeIfAbsent(dir, _ => build)
+  }
+  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    memoized(shingleMemo, s, dir) {
       import s.implicits._
       table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -129,8 +135,35 @@ object Dedup {
         })
         .toDF("doc_id", "sh", "n_sh")
         .cache()
-    })
-  }
+    }
+
+  /** The df-capped inverted shingle index `(doc_id, n_sh, shingle)` —
+    * postings only for shingles with document frequency in [2, DfCap].
+    * Memoized + CACHED per (session, dir) like [[shingleDocs]], and for
+    * the same reason: q_dedup_jaccard consumes it twice (the pair
+    * self-join), q_contamination twice more (eval and train sides), and
+    * the funnel runs both — without the cache each consumer re-explodes
+    * the corpus and re-aggregates document frequencies. The df filter
+    * stays count-based (partial-aggregatable) BEFORE any per-shingle
+    * list materializes, so a boilerplate shingle with df in the millions
+    * never buffers a posting list anywhere. */
+  private val invIndexMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private[queries] def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    memoized(invIndexMemo, s, dir) {
+      val inv = shingleDocs(s, dir)
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      val keep = inv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= DfCap)
+        .select(col("shingle"))
+      // The exploded index is |docs|×|shingles/doc| rows — never a
+      // broadcast candidate (Catalyst misestimates post-Generate size);
+      // shuffle-hash on the shingle key is the scale-correct join.
+      inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+        .cache()
+    }
 
   /** (doc_id, sh, mh): shingles plus the K MinHash values. For seed k,
     * mh(k) = min over shingles of md5("k:" + shingle) as lowercase hex —
@@ -395,16 +428,7 @@ object Dedup {
     // full set sizes; the oracle applies the identical cap. The corpus
     // plants 25 pairs ≥ 0.8, all sharing rare shingles.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val docs = shingleDocs(s, dir) // memoized + cached (shared pass)
-      val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      val keep = inv.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= DfCap)
-        .select(col("shingle"))
-      // The exploded index is |docs|×|shingles/doc| rows — never a
-      // broadcast candidate (Catalyst misestimates post-Generate size);
-      // shuffle-hash on the shingle key is the scale-correct join.
-      val ci = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+      val ci = invertedIndex(s, dir) // memoized + cached (shared index)
       val common = ci.as("x").hint("shuffle_hash")
         .join(ci.as("y").hint("shuffle_hash"), Seq("shingle"))
         .where(col("x.doc_id") < col("y.doc_id"))

@@ -214,13 +214,9 @@ object Pipeline {
     // blowup bound to q_dedup_jaccard, and the same shuffle-hash joins
     // (the exploded index is never a broadcast candidate).
     "q_contamination" -> ((s, dir) => {
-      val docs = Dedup.shingleDocs(s, dir)
-      val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      val keep = inv.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= Dedup.DfCap)
-        .select(col("shingle"))
-      val ci = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+      // the memoized df-capped index is the same one q_dedup_jaccard
+      // probes — inside the funnel the explode + df-agg + join runs ONCE
+      val ci = Dedup.invertedIndex(s, dir)
       val eval_ = ci.where(pmod(col("doc_id"), lit(10L)) === 0)
         .select(col("shingle"), col("doc_id").as("eval_id"), col("n_sh").as("n_eval"))
       val train = ci.where(pmod(col("doc_id"), lit(10L)) =!= 0)
