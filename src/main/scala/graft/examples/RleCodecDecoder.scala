@@ -1,0 +1,125 @@
+package graft.examples
+
+import java.awt.image.BufferedImage
+
+import graft.multimodal.CodecDecoder
+
+/** Worked example of the [[graft.multimodal.CodecDecoders]] plug-in
+  * seam: a complete, pure-JDK [[CodecDecoder]] for a deliberately
+  * trivial run-length-encoded toy codec, wired up exactly the way an
+  * ffmpeg- or JavaCV-backed decoder would be — discovered via
+  * `META-INF/services/graft.multimodal.CodecDecoder` on the classpath,
+  * no session configuration, no engine change. CodecSeamSpec drives the
+  * REAL decode stages ([[graft.multimodal.BinaryAssets.sampleFrames]] /
+  * `extractAudioFeatures`) end-to-end through this decoder purely via
+  * ServiceLoader discovery.
+  *
+  * The toy container formats (both magic-gated, so this decoder is
+  * inert for every real payload and never shadows the JDK paths):
+  *
+  *  - video `GRLE`: magic, then big-endian u16 width, height, frame
+  *    count, then per frame a run-length stream of (u8 runLength,
+  *    u8 grayValue) pairs covering width×height pixels;
+  *  - audio `GRLA`: magic, then u32 sampleRate, u8 channels, then
+  *    (u8 runLength, u8 sample) pairs of unsigned 8-bit mono-frame
+  *    samples.
+  *
+  * A production decoder replaces the RLE loops with its library calls;
+  * everything else — the Option contract ("None = not mine"),
+  * thread-safety via statelessness, registration — is identical. */
+final class RleCodecDecoder extends CodecDecoder {
+  import RleCodecDecoder._
+
+  override def name: String = "example-rle"
+
+  override def decodeFrames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+    if (!hasMagic(payload, VideoMagic)) return None
+    val in = java.nio.ByteBuffer.wrap(payload, 4, payload.length - 4)
+    val (w, h, n) = (in.getShort & 0xffff, in.getShort & 0xffff, in.getShort & 0xffff)
+    val frames = Vector.newBuilder[BufferedImage]
+    for (_ <- 0 until n) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var px = 0
+      while (px < w * h) {
+        val run = in.get() & 0xff
+        val value = in.get() & 0xff
+        var i = 0
+        while (i < run && px < w * h) {
+          raster.setSample(px % w, px / w, 0, value)
+          px += 1; i += 1
+        }
+      }
+      frames += img
+    }
+    Some(frames.result())
+  }
+
+  override def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    if (!hasMagic(payload, AudioMagic)) return None
+    val in = java.nio.ByteBuffer.wrap(payload, 4, payload.length - 4)
+    val sampleRate = in.getInt
+    val channels = in.get() & 0xff
+    var nSamples = 0L
+    var sumSq = 0.0
+    while (in.remaining() >= 2) {
+      val run = in.get() & 0xff
+      val sample = in.get() & 0xff
+      // widen the unsigned 8-bit sample into the signed 16-bit domain
+      // the engine's PCM path reports RMS in
+      val s16 = ((sample - 128) << 8).toDouble
+      sumSq += s16 * s16 * run
+      nSamples += run
+    }
+    val rms = if (nSamples == 0) 0 else math.sqrt(sumSq / nSamples).toInt
+    Some((sampleRate, channels,
+      if (channels == 0) 0L else nSamples / channels, rms))
+  }
+}
+
+object RleCodecDecoder {
+  private val VideoMagic = "GRLE".getBytes("US-ASCII")
+  private val AudioMagic = "GRLA".getBytes("US-ASCII")
+
+  private def hasMagic(payload: Array[Byte], magic: Array[Byte]): Boolean =
+    payload.length > magic.length + 2 &&
+      java.util.Arrays.equals(payload, 0, magic.length, magic, 0, magic.length)
+
+  /** Encode gray frames (each `w*h` bytes, row-major) into the toy
+    * video container — the fixture side of the example. */
+  def encodeVideo(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VideoMagic)
+    val head = java.nio.ByteBuffer.allocate(6)
+    head.putShort(w.toShort).putShort(h.toShort).putShort(frames.size.toShort)
+    out.write(head.array())
+    frames.foreach { f =>
+      require(f.length == w * h, s"frame must be ${w * h} bytes, got ${f.length}")
+      var i = 0
+      while (i < f.length) {
+        var run = 1
+        while (run < 255 && i + run < f.length && f(i + run) == f(i)) run += 1
+        out.write(run); out.write(f(i) & 0xff)
+        i += run
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Encode unsigned 8-bit samples into the toy audio container. */
+  def encodeAudio(sampleRate: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(AudioMagic)
+    val head = java.nio.ByteBuffer.allocate(5)
+    head.putInt(sampleRate).put(channels.toByte)
+    out.write(head.array())
+    var i = 0
+    while (i < samples.length) {
+      var run = 1
+      while (run < 255 && i + run < samples.length && samples(i + run) == samples(i)) run += 1
+      out.write(run); out.write(samples(i) & 0xff)
+      i += run
+    }
+    out.toByteArray
+  }
+}

@@ -302,7 +302,7 @@ object BinaryAssets {
 
   /** Deterministic digest of a frame's pixel content (row-major ARGB),
     * the real-decode analog of the stub's payload digest. */
-  private def frameMd5(img: java.awt.image.BufferedImage): String = {
+  private[graft] def frameMd5(img: java.awt.image.BufferedImage): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(4 * img.getWidth)
     var y = 0

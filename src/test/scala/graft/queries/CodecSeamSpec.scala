@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.examples.RleCodecDecoder
+import graft.multimodal.{BinaryAssets, CodecDecoders}
+import graft.multimodal.BinaryAssets.Asset
+
+/** The codec plug-in seam, end to end: [[RleCodecDecoder]] (the worked
+  * example shipped in `graft.examples`) is discovered purely via
+  * `META-INF/services/graft.multimodal.CodecDecoder` — no programmatic
+  * registration anywhere in this spec — and the REAL distributed decode
+  * stages route matching payloads through it instead of the stub. This
+  * is exactly the path an ffmpeg/JavaCV jar takes on an executor
+  * classpath: ship the jar, frames become real, zero engine change. */
+class CodecSeamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ServiceLoader discovers the example decoder from META-INF/services") {
+    assert(CodecDecoders.all.exists(_.name == "example-rle"),
+      s"discovered decoders: ${CodecDecoders.all.map(_.name)}")
+  }
+
+  test("video frames decode through the discovered decoder, not the stub") {
+    import spark.implicits._
+    // two 4x2 gray frames with distinct, known pixels
+    val f0 = Array.fill[Byte](8)(10)
+    val f1 = Array.tabulate[Byte](8)(i => (i * 30).toByte)
+    val payload = RleCodecDecoder.encodeVideo(4, 2, Seq(f0, f1))
+    val assets = spark.createDataset(Seq(
+      Asset(1L, "video", payload),
+      // a non-GRLE payload falls back to the deterministic stub
+      Asset(2L, "video", Array.fill[Byte](100)(7))))
+    val got = BinaryAssets.sampleFrames(assets, stride = 1)
+      .collect().groupBy(_.asset_id)
+    // asset 1: the decoder's ACTUAL frame count (2), with pixel digests
+    // equal to digesting the decoded gray rasters
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L))
+    assert(got(1L).map(_.frame_md5).distinct.length == 2,
+      "distinct frames must digest differently")
+    // asset 2: stub path — frame count derived from payload length
+    assert(got.contains(2L), "stub fallback must still fan out frames")
+    // decode directly and digest the same way the stage does: equality
+    // proves the stage used THIS decoder's frames
+    val direct = new RleCodecDecoder().decodeFrames(payload).get
+    assert(got(1L).sortBy(_.frame_idx).map(_.frame_md5).toSeq ==
+      direct.map(BinaryAssets.frameMd5))
+  }
+
+  test("audio features decode through the discovered decoder") {
+    import spark.implicits._
+    // 1 second of silence (constant 128 = zero in unsigned-8) at 8 kHz
+    // mono → frames = 8000, rms = 0
+    val silence = RleCodecDecoder.encodeAudio(8000, 1, Array.fill[Byte](8000)(128.toByte))
+    // full-scale square wave alternating 0/255 → rms ≈ 32512
+    val square = RleCodecDecoder.encodeAudio(16000, 2,
+      Array.tabulate[Byte](1000)(i => if (i % 2 == 0) 0 else 255.toByte))
+    val feats = BinaryAssets.extractAudioFeatures(spark.createDataset(Seq(
+      Asset(1L, "audio", silence), Asset(2L, "audio", square))))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).sample_rate == 8000 && feats(1L).channels == 1)
+    assert(feats(1L).n_frames == 8000L && feats(1L).rms == 0)
+    assert(feats(2L).sample_rate == 16000 && feats(2L).channels == 2)
+    assert(feats(2L).n_frames == 500L)
+    assert(feats(2L).rms > 32000, s"full-scale square rms, got ${feats(2L).rms}")
+  }
+
+  test("the decoder chain never shadows the JDK paths (magic-gated)") {
+    val d = new RleCodecDecoder()
+    assert(d.decodeFrames("GIF89a-not-rle".getBytes("US-ASCII") ++ Array.fill[Byte](20)(1)).isEmpty)
+    assert(d.decodeAudio("RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array.fill[Byte](20)(1)).isEmpty)
+  }
+}
