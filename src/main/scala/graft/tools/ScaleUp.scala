@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a testdata SF directory: replicate every
+  * table `factor`× with key offsets that keep the star-schema joins
+  * consistent (replica r's lineitem references replica r's orders,
+  * parts, suppliers), producing a corpus whose per-operator work scales
+  * LINEARLY — the property a real 10× corpus has and a naive
+  * row-duplication does not:
+  *
+  *  - `documents.text` gets a per-replica token suffix (replica 0 is
+  *    the original), so near-dup/shingle structure repeats WITHIN each
+  *    replica but never across — a naive copy gives every doc 9 exact
+  *    clones and blows the pair graph up quadratically;
+  *  - `embeddings.embedding` is rotated by r components per replica —
+  *    rotated random vectors decorrelate, keeping LSH bucket loads and
+  *    candidate rates at replica-0 levels instead of stacking identical
+  *    vectors into the same buckets.
+  *
+  * Usage: {{{ sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10" }}}
+  * This is a build tool for scale experiments (BENCH_SF1), not part of
+  * the query surface. */
+object ScaleUp {
+  /** Key offset between replicas — far above any base key. */
+  val Offset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst) = args.take(2)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    /** Replicate with per-replica column transforms. */
+    def replicate(df: DataFrame, parts: Int)(tx: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(r => tx(df, r)).reduce(_.unionAll(_))
+        .repartition(parts)
+
+    def off(c: String, r: Int): org.apache.spark.sql.Column =
+      col(c) + lit(r * Offset)
+
+    val jobs: Seq[(String, () => DataFrame)] = Seq(
+      // pure dimensions: constant regardless of SF
+      "region" -> (() => read("region")),
+      "nation" -> (() => read("nation")),
+      "customer" -> (() => replicate(read("customer"), 8)((d, r) =>
+        d.withColumn("c_custkey", off("c_custkey", r)))),
+      "supplier" -> (() => replicate(read("supplier"), 4)((d, r) =>
+        d.withColumn("s_suppkey", off("s_suppkey", r)))),
+      "part" -> (() => replicate(read("part"), 8)((d, r) =>
+        d.withColumn("p_partkey", off("p_partkey", r)))),
+      "orders" -> (() => replicate(read("orders"), 16)((d, r) =>
+        d.withColumn("o_orderkey", off("o_orderkey", r))
+          .withColumn("o_custkey", off("o_custkey", r)))),
+      "lineitem" -> (() => replicate(read("lineitem"), 32)((d, r) =>
+        d.withColumn("l_orderkey", off("l_orderkey", r))
+          .withColumn("l_partkey", off("l_partkey", r))
+          .withColumn("l_suppkey", off("l_suppkey", r)))),
+      "events" -> (() => replicate(read("events"), 32)((d, r) =>
+        d.withColumn("event_id", off("event_id", r))
+          .withColumn("user_id", off("user_id", r)))),
+      "documents" -> (() => replicate(read("documents"), 16)((d, r) =>
+        d.withColumn("doc_id", off("doc_id", r))
+          .withColumn("text",
+            if (r == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"$$1q$r")))),
+      "embeddings" -> (() => replicate(read("embeddings"), 8)((d, r) =>
+        d.withColumn("vec_id", off("vec_id", r))
+          .withColumn("embedding",
+            if (r == 0) col("embedding")
+            else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+              s"slice(embedding, 1, $r))")))))
+
+    jobs.foreach { case (t, build) =>
+      val t0 = System.nanoTime()
+      build().write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(f"[scaleup] $t%-10s $n%9d rows  ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}
