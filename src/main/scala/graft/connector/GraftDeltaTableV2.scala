@@ -91,7 +91,18 @@ final class GraftDeltaTableV2(
     cols.map(Expressions.identity).toArray
   }
 
-  override def properties(): JMap[String, String] = options.asJava
+  /** The log's metadata configuration (TBLPROPERTIES, constraints) is
+    * surfaced here so `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` report
+    * the table's REAL properties — the catalog's stored copy never
+    * learns about `ALTER TABLE SET TBLPROPERTIES` commits, which land
+    * in the delta log. Options passed on this load win on key clash
+    * (they configured this very instance). */
+  override def properties(): JMap[String, String] = {
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (log.tableExists) props ++= log.snapshot().metadata.configuration
+    props ++= options
+    props.asJava
+  }
 
   override def capabilities(): JSet[TableCapability] = Set(
     TableCapability.BATCH_READ,

@@ -276,6 +276,36 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW TBLPROPERTIES reflects log-committed properties") {
+    val dir = TestSpark.tmpDir("sqldml-showprops")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.owner' = 'team-a')")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.owner").contains("team-a"),
+        s"log-committed property must surface (got: $props)")
+    }
+  }
+
+  test("unsupported ALTERs (RENAME/DROP COLUMN) fail loudly, never silently diverge") {
+    val dir = TestSpark.tmpDir("sqldml-altguard")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      for (stmt <- Seq(
+          s"ALTER TABLE $t RENAME COLUMN v TO w",
+          s"ALTER TABLE $t DROP COLUMN v")) {
+        val e = intercept[Exception] { spark.sql(stmt) }
+        assert(e.getMessage != null, s"$stmt must error")
+      }
+      // the log schema is untouched
+      assert(DeltaLog.forTable(spark, dir).snapshot().schema.fieldNames.toSeq ==
+        Seq("k", "v"))
+      // and reads through the table name still see both columns
+      assert(spark.sql(s"SELECT k, v FROM $t").columns.toSeq == Seq("k", "v"))
+    }
+  }
+
   test("concurrent ALTER: second metadata change from a stale snapshot fails loudly") {
     val dir = TestSpark.tmpDir("sqldml-altconc")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
