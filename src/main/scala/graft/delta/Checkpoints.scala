@@ -172,7 +172,8 @@ object Checkpoints {
   private[delta] case class CpFormat(provider: String, options: Map[String, String])
   private[delta] case class CpMeta(id: String, format: CpFormat, schemaString: String,
       partitionColumns: Seq[String], configuration: Map[String, String], createdTime: Long)
-  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]], writerFeatures: Option[Seq[String]])
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean, stats: Option[String])
   private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
@@ -196,7 +197,12 @@ object Checkpoints {
     import spark.implicits._
     val meta = snap.metadata
     val rows =
-      CpRow(Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion)),
+      // feature lists round-trip: a benign-featured foreign table must
+      // not lose its protocol detail in OUR checkpoint (a version-only
+      // CpProtocol would turn it unreadable on the next checkpoint replay)
+      CpRow(Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+        snap.protocol.readerFeatures.map(_.toSeq.sorted),
+        snap.protocol.writerFeatures.map(_.toSeq.sorted))),
         None, None, None) +:
       CpRow(None, Some(CpMeta(meta.id, CpFormat("parquet", Map.empty), meta.schemaString,
         meta.partitionColumns, meta.configuration, 0L)), None, None) +:

@@ -377,10 +377,46 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     deleted.toSeq
   }
 
+  /** Writer protocol gate, enforced at the commit chokepoint (the
+    * mirror of replay's reader gate): committing to a table whose
+    * protocol demands writer capabilities we don't implement would
+    * silently break that table's invariants for every OTHER reader —
+    * e.g. ignoring deletion vectors on write corrupts row visibility.
+    * Commits that CARRY a Protocol action are exempt (that is how
+    * upgrades/downgrades are written, and how fixtures author foreign
+    * tables). Also enforces `delta.appendOnly`: a data-changing
+    * RemoveFile on an append-only table is refused (maintenance
+    * rewrites with dataChange=false stay legal, as in delta-spark). */
+  private def checkWritable(actions: Seq[Action]): Unit = {
+    if (actions.exists(_.isInstanceOf[Protocol])) return
+    val snap = try snapshot() catch { case _: Exception => return } // new table
+    val p = snap.protocol
+    if (p.minWriterVersion > DeltaLog.SupportedWriterVersion) {
+      p.writerFeatures match {
+        case Some(features) if p.minWriterVersion == 7 =>
+          val unsupported = (features -- DeltaLog.SupportedWriterFeatures).toSeq.sorted
+          if (unsupported.nonEmpty) throw new IllegalStateException(
+            s"cannot write to $tableUri: table requires unsupported writer feature" +
+              s"${if (unsupported.size == 1) "" else "s"} ${unsupported.mkString(", ")} " +
+              s"(supported: ${DeltaLog.SupportedWriterFeatures.toSeq.sorted.mkString(", ")})")
+        case _ => throw new IllegalStateException(
+          s"cannot write to $tableUri: requires Delta writer version ${p.minWriterVersion}, " +
+            s"this engine supports <= ${DeltaLog.SupportedWriterVersion}")
+      }
+    }
+    if (snap.metadata.configuration.get("delta.appendOnly").exists(_.toBoolean) &&
+        actions.exists { case r: RemoveFile => r.dataChange; case _ => false })
+      throw new IllegalStateException(
+        s"cannot delete or rewrite rows of $tableUri: the table is append-only " +
+          "(delta.appendOnly=true); only appends and dataChange=false " +
+          "maintenance rewrites are allowed")
+  }
+
   /** Atomically write `actions` as version `expectedVersion`.
     * Throws [[VersionConflictException]] if that version already exists
     * (another writer won the race) — callers refresh and retry. */
   def commit(expectedVersion: Long, actions: Seq[Action]): Long = {
+    if (expectedVersion > 0) checkWritable(actions)
     fs.mkdirs(logPath)
     val target = versionFile(expectedVersion)
     val content = actions.map(_.json).mkString("", "\n", "\n")
@@ -495,6 +531,23 @@ object DeltaLog {
     * typeWidening, variantType-* — changes row visibility, column
     * resolution, or checkpoint discovery and must fail loudly. */
   val SupportedReaderFeatures: Set[String] = Set("timestampNtz", "vacuumProtocolCheck")
+
+  /** Highest Delta writer protocol version this engine implements —
+    * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /
+    * CHECK constraints), 3 adds CHECK constraints, 4 adds change data
+    * feed; all genuinely implemented here. 5-6 (generated columns,
+    * identity) and 7 (feature lists) gate by [[SupportedWriterFeatures]]. */
+  val SupportedWriterVersion = 4
+
+  /** Writer features (minWriterVersion 7 tables) this engine honors:
+    * append-only enforcement, invariants/CHECK constraints, CDF, plus
+    * the reader-benign pair. Everything else (deletionVectors,
+    * columnMapping, generatedColumns, identityColumns, rowTracking,
+    * ...) would silently break the table's contract for other readers
+    * and is refused by name. */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "timestampNtz", "vacuumProtocolCheck")
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

@@ -253,6 +253,95 @@ class ForeignLogSpec extends AnyFunSuite {
       "unrecognized serialization must make no claim")
   }
 
+  test("writer protocol gate: unsupported writer features refuse commits by name") {
+    // a v7 table demanding deletionVectors on write: appending blind
+    // would corrupt row visibility for every other reader
+    val dir = TestSpark.tmpDir("foreign-w7")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+    writeCommit(dir, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["deletionVectors","appendOnly"]}}""",
+      metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaTable.read(spark, dir).count() == 1, "reading stays fine")
+    val e = intercept[IllegalStateException] {
+      DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("unsupported writer feature deletionVectors"))
+
+    // all-supported feature list: writes flow
+    val ok = TestSpark.tmpDir("foreign-w7-ok")
+    val (f1, s1) = writeDataFile(ok, Seq((1L, "a")))
+    writeCommit(ok, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["invariants","changeDataFeed"]}}""",
+      metaJson,
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaTable.append(spark, ok, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, ok).count() == 2)
+
+    // bare v5 (no feature list): version error — and a protocol-carrying
+    // commit (the upgrade path) is exempt from the gate
+    val v5 = TestSpark.tmpDir("foreign-w5")
+    val (f2, s2) = writeDataFile(v5, Seq((1L, "a")))
+    writeCommit(v5, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
+      metaJson,
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[IllegalStateException] {
+      DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
+    }
+    assert(e2.getMessage.contains("writer version 5"))
+    val log = DeltaLog.forTable(spark, v5)
+    log.commitLatest(Seq(Protocol(1, 2),
+      CommitInfo(0L, "DOWNGRADE", Map.empty))) // exempt: carries Protocol
+    DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, v5).count() == 2)
+  }
+
+  test("delta.appendOnly: deletes refused, appends and dataChange=false rewrites legal") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("append-only")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v")) // appends flow
+    val e = intercept[IllegalStateException] {
+      DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 1)
+    }
+    assert(e.getMessage.contains("append-only"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaTable.update(spark, dir, org.apache.spark.sql.functions.col("k") === 1,
+        Map("v" -> org.apache.spark.sql.functions.lit("x")))
+    }
+    assert(e2.getMessage.contains("append-only"))
+    assert(DeltaTable.read(spark, dir).count() == 3, "nothing was modified")
+    // maintenance compaction moves rows without changing data: legal
+    graft.sorter.DeltaSorter(spark, dir).binPack()
+    assert(DeltaTable.read(spark, dir).count() == 3)
+    // and the property can be turned back off
+    DeltaTable.unsetTblProperties(spark, dir, Seq("delta.appendOnly"))
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 1)
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
+  test("our checkpoints round-trip protocol feature lists") {
+    // checkpoint a feature-protocol table and replay from ONLY the
+    // checkpoint: the feature detail must survive (a version-only
+    // checkpoint row would misreport the protocol after replay)
+    val dir = TestSpark.tmpDir("cp-features")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    log.commitLatest(Seq(
+      Protocol(3, 7, Some(Set("timestampNtz")), Some(Set("invariants", "appendOnly"))),
+      CommitInfo(0L, "UPGRADE", Map.empty)))
+    log.checkpoint()
+    // delete the JSON commits: replay must come from the checkpoint
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    val p = DeltaLog.forTable(spark, dir).snapshot().protocol
+    assert(p == Protocol(3, 7, Some(Set("timestampNtz")), Some(Set("appendOnly", "invariants"))))
+  }
+
   test("protocol JSON round-trips feature lists") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val p = Protocol(3, 7, Some(Set("timestampNtz", "deletionVectors")),
