@@ -463,9 +463,10 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * nullable=false would let readers compile away null checks and
     * silently read 0/""/garbage where a NULL was written. */
   def create(schema: StructType, partitionColumns: Seq[String], adds: Seq[AddFile],
-      operation: String = "CREATE TABLE"): Long = {
+      operation: String = "CREATE TABLE",
+      configuration: Map[String, String] = Map.empty): Long = {
     require(!tableExists, s"table already exists: $tableUri")
-    val meta = Metadata(UUID.randomUUID().toString, org.apache.spark.sql.graft.GraftShims.asNullable(schema).json, partitionColumns)
+    val meta = Metadata(UUID.randomUUID().toString, org.apache.spark.sql.graft.GraftShims.asNullable(schema).json, partitionColumns, configuration)
     commit(0L, Seq(Protocol(), meta) ++ adds :+
       CommitInfo(System.currentTimeMillis(), operation, Map("partitionBy" -> partitionColumns.mkString(","))))
   }

@@ -51,6 +51,53 @@ class GraftCatalog extends DelegatingCatalogExtension {
       .getOrElse(t)
   }
 
+  /** `CREATE TABLE ... USING graftdelta TBLPROPERTIES (...)`: the
+    * delegate stores properties only in the session catalog, which the
+    * engine never consults — a user setting `delta.appendOnly` at
+    * CREATE would get a catalog-only note and zero enforcement. When
+    * user properties are present, commit them to the DELTA LOG too:
+    * merged into an existing table's metadata, or as the version-0
+    * metadata of a fresh table created with an explicit schema (CTAS
+    * with TBLPROPERTIES then appends its data as version 1). Property-
+    * free creates keep the existing lazy behavior (first write creates
+    * the log), so plain CTAS history is unchanged. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val created = super.createTable(ident, columns, partitions, properties)
+    import scala.jdk.CollectionConverters._
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    if (!provider.exists(_.equalsIgnoreCase("graftdelta"))) return created
+    val Reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "path", "transient_lastDdlTime")
+    val userProps = properties.asScala.toMap
+      .filterNot { case (k, _) => Reserved.contains(k) || k.startsWith("option.") }
+    if (userProps.isEmpty) return created
+    // NOTE: the session catalog's createTable returns null by contract —
+    // resolve the table uri by re-loading the just-created entry
+    val spark = SparkSession.active
+    val uri = graftUri(super.loadTable(ident)).getOrElse(return created)
+    val log = graft.delta.DeltaLog.forTable(spark, uri)
+    if (log.tableExists) {
+      graft.delta.DeltaTable.setTblProperties(spark, uri, userProps)
+    } else if (columns.nonEmpty) {
+      import org.apache.spark.sql.graft.GraftShims
+      log.create(GraftShims.v2ColumnsToStructType(columns),
+        GraftShims.identityPartitionNames(partitions.toSeq), Nil,
+        configuration = userProps)
+    } else {
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident TBLPROPERTIES on an empty location needs an " +
+          "explicit schema (the properties must land in the table's delta " +
+          "log, which does not exist yet) — declare columns, or create " +
+          "plain and use ALTER TABLE ... SET TBLPROPERTIES after the first write")
+    }
+    created
+  }
+
   /** Schema and property changes on graftdelta tables must commit to
     * the DELTA LOG (the source of truth every read resolves against) —
     * the supported verbs (ADD COLUMNS, SET/UNSET TBLPROPERTIES) are

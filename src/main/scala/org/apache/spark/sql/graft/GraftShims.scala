@@ -29,6 +29,24 @@ object GraftShims {
     * persists and reports nullable columns. */
   def asNullable(s: StructType): StructType = s.asNullable
 
+  /** v2 catalog Column array -> StructType (CatalogV2Util is
+    * private[sql]; GraftCatalog's createTable routing needs it). */
+  def v2ColumnsToStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
+
+  /** Identity-transform partition column names; throws on any other
+    * transform shape (bucket/days/...) — graftdelta partitions by
+    * identity only. */
+  def identityPartitionNames(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    transforms.map {
+      case id: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+        id.ref.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graftdelta supports identity partitioning only, got $other")
+    }
+
   /** Column -> its Catalyst Expression (inverse of [[column]]). */
   def expressionOf(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =

@@ -288,6 +288,44 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE TBLPROPERTIES lands in the delta log, not just the catalog") {
+    // fresh table with explicit schema: version-0 metadata carries the
+    // properties, and delta.appendOnly is ENFORCED from the first write
+    val dir = TestSpark.tmpDir("sqldml-createprops")
+    spark.sql(s"CREATE TABLE graft_cp1 (k INT, v STRING) USING graftdelta " +
+      s"LOCATION '$dir' TBLPROPERTIES ('delta.appendOnly' = 'true', 'graft.team' = 'x')")
+    try {
+      val meta = DeltaLog.forTable(spark, dir).snapshot().metadata
+      assert(meta.configuration("delta.appendOnly") == "true")
+      assert(meta.configuration("graft.team") == "x")
+      spark.sql("INSERT INTO graft_cp1 VALUES (1, 'a')")
+      val e = intercept[Exception] { spark.sql("DELETE FROM graft_cp1 WHERE k = 1") }
+      assert(e.getMessage.contains("append-only"),
+        s"CREATE-time appendOnly must be enforced (got: ${e.getMessage})")
+      assert(spark.sql("SELECT * FROM graft_cp1").count() == 1)
+    } finally spark.sql("DROP TABLE graft_cp1")
+
+    // registering an EXISTING table with properties merges them into its log
+    val dir2 = TestSpark.tmpDir("sqldml-createprops2")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir2)
+    spark.sql(s"CREATE TABLE graft_cp2 USING graftdelta OPTIONS (path '$dir2') " +
+      "TBLPROPERTIES ('graft.team' = 'y')")
+    try {
+      assert(DeltaLog.forTable(spark, dir2).snapshot()
+        .metadata.configuration("graft.team") == "y")
+    } finally spark.sql("DROP TABLE graft_cp2")
+
+    // CTAS with properties: v0 = schema'd create carrying them, v1 = data
+    val dir3 = TestSpark.tmpDir("sqldml-createprops3")
+    spark.sql(s"CREATE TABLE graft_cp3 USING graftdelta LOCATION '$dir3' " +
+      "TBLPROPERTIES ('graft.team' = 'z') AS SELECT 1 AS k, 'a' AS v")
+    try {
+      val snap = DeltaLog.forTable(spark, dir3).snapshot()
+      assert(snap.metadata.configuration("graft.team") == "z")
+      assert(spark.sql("SELECT * FROM graft_cp3").count() == 1)
+    } finally spark.sql("DROP TABLE graft_cp3")
+  }
+
   test("unsupported ALTERs (RENAME/DROP COLUMN) fail loudly, never silently diverge") {
     val dir = TestSpark.tmpDir("sqldml-altguard")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
