@@ -44,9 +44,14 @@ class DmlModelSpec extends AnyFunSuite {
     // committed version -> expected table contents at that version
     val history = mutable.Map[Long, Map[Long, Long]](0L -> model.toMap)
 
+    // metadata-commit model: graft.* TBLPROPERTIES interleaved with the
+    // DML ops — they must ride the same linear history (replay through
+    // checkpoints, survive vacuum) without disturbing the row state
+    val propsModel = mutable.Map[String, String]()
+
     for (step <- 1 to 24) {
       val before = log.latestVersion()
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // upsert a random batch (mix of updates + inserts)
           val batch = Seq.fill(rnd.nextInt(5) + 1)(
             (rnd.nextLong().abs % Keys, rnd.nextLong() & 0xffffL))
@@ -74,8 +79,18 @@ class DmlModelSpec extends AnyFunSuite {
           DeltaTable.update(spark, dir, col("k").between(lo, hi),
             Map("v" -> (col("v") + delta)))
           model.mapValuesInPlace((k, v) => if (k >= lo && k <= hi) v + delta else v)
+        case 8 => // ALTER SET TBLPROPERTIES: pure metadata commit
+          val (key, value) = (s"graft.p${rnd.nextInt(4)}", s"v${rnd.nextInt(100)}")
+          DeltaTable.setTblProperties(spark, dir, Map(key -> value))
+          propsModel(key) = value
+        case 9 => // ALTER UNSET TBLPROPERTIES IF EXISTS
+          val key = s"graft.p${rnd.nextInt(4)}"
+          DeltaTable.unsetTblProperties(spark, dir, Seq(key), ifExists = true)
+          propsModel.remove(key)
       }
       assert(tableState(dir) == model.toMap, s"state diverged at step $step")
+      assert(log.snapshot().metadata.configuration.filter(_._1.startsWith("graft.")) ==
+        propsModel.toMap, s"properties diverged at step $step")
       // stats-pruned reads agree with the model under every interleaving
       val probe = rnd.nextLong().abs % Keys
       val pruned = DeltaTable.readWhere(spark, dir, s"k = $probe")
@@ -98,6 +113,28 @@ class DmlModelSpec extends AnyFunSuite {
     checked.foreach { v =>
       val got = DeltaTable.readAt(spark, dir, v).as[(Long, Long)].collect().toMap
       assert(got == history(v), s"time travel to v$v diverged")
+    }
+
+    // epilogue: schema evolution on top of the whole random history —
+    // ADD COLUMNS is metadata-only (every surviving row reads NULL),
+    // the evolved schema accepts writes, and PRE-evolution versions
+    // still time-travel with their OWN two-column schema
+    val preEvo = log.latestVersion()
+    DeltaTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    val evolved = DeltaTable.read(spark, dir)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(evolved.map(r => r._1 -> r._2).toMap == model.toMap,
+      "evolution must not disturb rows")
+    assert(evolved.forall(_._3.isEmpty), "pre-evolution rows read NULL")
+    DeltaTable.append(spark, dir,
+      Seq((900L, 1L, Some(5L))).toDF("k", "v", "extra"))
+    assert(DeltaTable.read(spark, dir).where(col("k") === 900L)
+      .as[(Long, Long, Option[Long])].head()._3.contains(5L))
+    if (allFilesPresent(preEvo)) {
+      assert(DeltaTable.readAt(spark, dir, preEvo).columns.toSeq == Seq("k", "v"),
+        "pre-evolution versions keep their own schema")
     }
   }
 
