@@ -40,8 +40,53 @@ import graft.delta.DeltaTable
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectResolutionRule(GraftDmlRule.apply)
-    // OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE statements
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE statements, plus
+    // the table_changes(...) CDF TVF rewrite
     extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+}
+
+/** delta-spark's `table_changes` table-valued function: row-level CDF
+  * through plain SQL —
+  * {{{ SELECT * FROM table_changes('events', 2)          -- from v2 to latest
+  *     SELECT * FROM table_changes('events', 2, 5)       -- bounded
+  *     SELECT * FROM table_changes('/path/to/t', 0, 3)   -- by path }}}
+  *
+  * Spark has no seam for third-party TVFs (`ResolveFunctions` throws on
+  * unknown names before any extension resolution rule runs), so this is
+  * a PARSE-time rewrite, the one hook that runs earlier: each
+  * `table_changes(...)` call in the statement is materialized as the
+  * changes DataFrame ([[DeltaTable.changesBetween]]) behind a
+  * deterministic temp view, and the call text is replaced by the view
+  * name. Arguments must be literals (as in delta-spark); versions are
+  * longs, or strings parsed as a version / commit timestamp. Matching
+  * delta, the FROM version is INCLUSIVE — `changesBetween` speaks
+  * exclusive-start, so the rewrite shifts by one. */
+object GraftTableChanges {
+  private val Call =
+    """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*('[^']*'|[^,()\s]+)\s*(?:,\s*('[^']*'|[^,()\s]+)\s*)?\)""".r
+
+  def rewrite(session: SparkSession, sqlText: String): String = {
+    if (!sqlText.toLowerCase(java.util.Locale.ROOT).contains("table_changes")) return sqlText
+    Call.replaceAllIn(sqlText, m => {
+      val ref = m.group(1)
+      val path =
+        if (ref.contains("/")) ref
+        else GraftSqlParser.resolvePath(session, ref)
+      val log = graft.delta.DeltaLog.forTable(session, path)
+      def version(raw: String): Long = {
+        val v = raw.stripPrefix("'").stripSuffix("'")
+        scala.util.Try(v.toLong).getOrElse(log.versionAtTimestamp(
+          graft.connector.GraftDeltaDataSource.parseTimestamp(v)))
+      }
+      val from = version(m.group(2))
+      val to = Option(m.group(3)).map(version).getOrElse(log.latestVersion())
+      val view = "graft_table_changes_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$path#$from#$to") & 0xffffffffL)
+      DeltaTable.changesBetween(session, path, from - 1, to)
+        .createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
   }
 }
 

@@ -34,7 +34,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseMaintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    parseMaintenance(sqlText).getOrElse {
+      // table_changes(...) CDF calls rewrite to temp views here — the
+      // analyzer has no seam for third-party TVFs (see GraftTableChanges)
+      val rewritten = scala.util.Try(SparkSession.active)
+        .map(s => GraftTableChanges.rewrite(s, sqlText)).getOrElse(sqlText)
+      delegate.parsePlan(rewritten)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

@@ -276,6 +276,31 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes TVF streams row-level CDF through SQL") {
+    val dir = TestSpark.tmpDir("sqldml-tvf")
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v"))           // v1
+    DeltaTable.delete(spark, dir, col("k") === 2)                         // v2
+    withTable(dir) { t =>
+      // from v1 (inclusive, as in delta-spark) to latest: the append
+      // and the delete's row-level change
+      val rows = spark.sql(
+        s"SELECT k, _change_type, _commit_version FROM table_changes('$t', 1)")
+        .as[(Int, String, Long)].collect().toSet
+      assert(rows == Set((3, "insert", 1L), (2, "delete", 2L)), s"got $rows")
+      // bounded range: only v1
+      val bounded = spark.sql(
+        s"SELECT k, _change_type FROM table_changes('$t', 1, 1)")
+        .as[(Int, String)].collect().toSet
+      assert(bounded == Set((3, "insert")))
+      // by path, with downstream filtering through the plan
+      val byPath = spark.sql(
+        s"SELECT count(*) FROM table_changes('$dir', 0) WHERE _change_type = 'insert'")
+        .as[Long].head()
+      assert(byPath == 3L, "v0's two creates + v1's append")
+    }
+  }
+
   test("SHOW TBLPROPERTIES reflects log-committed properties") {
     val dir = TestSpark.tmpDir("sqldml-showprops")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
