@@ -68,6 +68,8 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*""".r
   private val History: Regex =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+  private val Detail: Regex =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val RestoreV: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreT: Regex =
@@ -94,6 +96,7 @@ object GraftSqlParser {
     case Vacuum(ref, hours) =>
       Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble)))
     case History(ref) => Some(GraftHistoryCommand(ref))
+    case Detail(ref) => Some(GraftDetailCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
     case AlterAddCols(ref, parens, bare) =>
@@ -203,6 +206,30 @@ case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
     val path = GraftSqlParser.resolvePath(session, tableRef)
     // bounded by the commit count (metadata scale)
     DeltaTable.history(session, path).collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` -> one row of table facts from the snapshot
+  * (delta-spark's surface: format, id, location, partition columns,
+  * file count/bytes, properties, protocol versions) — all from log
+  * metadata, zero data IO. */
+case class GraftDetailCommand(tableRef: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrs(
+    "format" -> StringType, "id" -> StringType, "location" -> StringType,
+    "partitionColumns" -> org.apache.spark.sql.types.ArrayType(StringType),
+    "numFiles" -> LongType, "sizeInBytes" -> LongType,
+    "properties" -> MapType(StringType, StringType),
+    "minReaderVersion" -> LongType, "minWriterVersion" -> LongType,
+    "version" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val snap = DeltaLog.forTable(session, path).snapshot()
+    Seq(Row("graftdelta", snap.metadata.id, path,
+      snap.metadata.partitionColumns,
+      snap.files.size.toLong, snap.files.map(_.size).sum,
+      snap.metadata.configuration,
+      snap.protocol.minReaderVersion.toLong, snap.protocol.minWriterVersion.toLong,
+      snap.version))
   }
 }
 

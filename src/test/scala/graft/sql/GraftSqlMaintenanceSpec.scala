@@ -60,6 +60,22 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE DETAIL reports snapshot facts from metadata only") {
+    val dir = TestSpark.tmpDir("maint-detail")
+    DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("graft.owner" -> "me"))
+    withTable(dir) { t =>
+      val row = spark.sql(s"DESCRIBE DETAIL $t").collect().head
+      assert(row.getAs[String]("format") == "graftdelta")
+      assert(row.getAs[String]("location").stripPrefix("file:") == dir)
+      assert(row.getAs[Long]("numFiles") == 2L)
+      assert(row.getAs[Long]("sizeInBytes") > 0L)
+      assert(row.getAs[Map[String, String]]("properties") == Map("graft.owner" -> "me"))
+      assert(row.getAs[Long]("version") == 1L)
+      assert(row.getAs[Long]("minReaderVersion") == 1L)
+    }
+  }
+
   test("VACUUM RETAIN 0 HOURS deletes unreferenced files; table still reads") {
     val dir = TestSpark.tmpDir("maint-vac")
     DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), dir)
