@@ -139,6 +139,11 @@ class SortOptimizer:
         """Engine extension: drop a CHECK constraint by name."""
         self._j.dropConstraint(name)
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: snapshot facts (version, file count/bytes,
+        partition columns, properties, protocol) — zero data IO."""
+        return json.loads(self._j.detail())
+
     def restore(self, version: int) -> dict:
         """Roll the table back to ``version`` as a NEW commit (history is
         preserved; a second restore can undo the first). Metadata-only at

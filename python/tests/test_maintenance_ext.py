@@ -117,3 +117,15 @@ def test_add_columns_and_tbl_properties(spark, tmp_table):
     with pytest.raises(Exception, match="no such propert"):
         opt.unset_tbl_properties(["graft.owner"])
     opt.unset_tbl_properties(["graft.owner"], if_exists=True)
+
+
+def test_detail_reports_snapshot_facts(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.set_tbl_properties({"graft.owner": "me"})
+    d = opt.detail()
+    assert d["format"] == "graftdelta"
+    assert d["version"] == 1
+    assert d["num_files"] >= 1 and d["size_in_bytes"] > 0
+    assert d["properties"] == {"graft.owner": "me"}
+    assert d["min_reader_version"] == 1

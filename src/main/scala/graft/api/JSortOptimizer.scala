@@ -122,6 +122,21 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def restore(version: Long): String =
     dmlJson(graft.delta.DeltaTable.restore(spark, tableUri, version))
 
+  /** DESCRIBE DETAIL: one JSON object of snapshot facts, zero data IO. */
+  def detail(): String = {
+    val snap = graft.delta.DeltaLog.forTable(spark, tableUri).snapshot()
+    js(new java.util.LinkedHashMap[String, Any] {
+      put("format", "graftdelta"); put("id", snap.metadata.id)
+      put("location", tableUri); put("version", snap.version)
+      put("num_files", snap.files.size.toLong)
+      put("size_in_bytes", snap.files.map(_.size).sum)
+      put("partition_columns", snap.metadata.partitionColumns.asJava)
+      put("properties", snap.metadata.configuration.asJava)
+      put("min_reader_version", snap.protocol.minReaderVersion)
+      put("min_writer_version", snap.protocol.minWriterVersion)
+    })
+  }
+
   /** VACUUM: delete unreferenced data files older than the retention
     * window. `force = false` enforces the table's
     * delta.deletedFileRetentionDuration floor (default 7 days) —
