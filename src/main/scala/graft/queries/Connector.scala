@@ -84,6 +84,19 @@ object Connector {
       uri
     })
 
+  /** A graft-Delta copy of `region` with a deterministic DML history —
+    * v0 create, v1 DELETE, v2 UPDATE — whose row-level change feed the
+    * oracle can replay relationally; built once per JVM. */
+  private def regionCdf(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir + "#cdf", _ => {
+      val uri = java.nio.file.Files.createTempDirectory("graft-conn-cdf").toString
+      DeltaTable.create(s, table(s, dir, "region").coalesce(1), uri) // v0
+      DeltaTable.delete(s, uri, col("r_regionkey") === 1)            // v1
+      DeltaTable.update(s, uri, col("r_regionkey") === 2,            // v2
+        Map("r_name" -> concat(col("r_name"), lit("!"))))
+      uri
+    })
+
   val queries: Map[String, Q] = Map(
     // selective range + aggregate THROUGH the data source API: Catalyst
     // pushes the l_orderkey range into the relation, which file-prunes
@@ -106,6 +119,16 @@ object Connector {
       s.read.format("graftdelta").load(uri)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("n_extra"))
+    }),
+
+    // row-level CDF through the SQL table_changes TVF (parse-time
+    // rewrite → changesBetween): from v1 INCLUSIVE, so the v0 creation
+    // inserts are excluded and exactly the DELETE's and UPDATE's
+    // row-level changes appear
+    "q_sql_cdf" -> ((s, dir) => {
+      val uri = regionCdf(s, dir)
+      s.sql(s"SELECT r_regionkey, r_name, _change_type, _commit_version " +
+        s"FROM table_changes('$uri', 1)")
     })
   )
 
@@ -148,6 +171,19 @@ object Connector {
         |  CASE WHEN e.n_nationkey IS NOT NULL THEN e.n_regionkey ELSE m.n_regionkey
         |       END AS n_regionkey,
         |  e.n_extra
-        |FROM m1 m LEFT JOIN evo e ON m.n_nationkey = e.n_nationkey""".stripMargin
+        |FROM m1 m LEFT JOIN evo e ON m.n_nationkey = e.n_nationkey""".stripMargin,
+
+    // the CDF of v1's DELETE (r_regionkey=1) and v2's UPDATE
+    // (r_regionkey=2), replayed relationally from the raw parquet
+    "q_sql_cdf" ->
+      """SELECT r_regionkey, r_name, 'delete' AS _change_type,
+        |       CAST(1 AS BIGINT) AS _commit_version
+        |FROM region WHERE r_regionkey = 1
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', 2
+        |FROM region WHERE r_regionkey = 2
+        |UNION ALL
+        |SELECT r_regionkey, r_name || '!', 'update_postimage', 2
+        |FROM region WHERE r_regionkey = 2""".stripMargin
   )
 }
