@@ -566,9 +566,35 @@ object DeltaTable {
         s"(got: ${props.keys.filter(_.startsWith(ConstraintPrefix)).mkString(", ")})")
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
-    log.commitDml(snap.version, Seq(
-      snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
-      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props)))
+    // delta.minReaderVersion / delta.minWriterVersion are delta's
+    // property-spelled PROTOCOL UPGRADE, not configuration — storing
+    // them inert would claim an upgrade that never happened. They ride
+    // the commit as a Protocol action (and never enter configuration).
+    val ProtoR = "delta.minReaderVersion"
+    val ProtoW = "delta.minWriterVersion"
+    val plain = props -- Seq(ProtoR, ProtoW)
+    val upgrade: Seq[Action] =
+      if (!props.contains(ProtoR) && !props.contains(ProtoW)) Nil
+      else {
+        def v(key: String, cur: Int) = props.get(key).map(_.toInt).getOrElse(cur)
+        val (newR, newW) = (v(ProtoR, snap.protocol.minReaderVersion),
+          v(ProtoW, snap.protocol.minWriterVersion))
+        require(newR >= snap.protocol.minReaderVersion &&
+          newW >= snap.protocol.minWriterVersion,
+          s"protocol can only be upgraded (current " +
+            s"${snap.protocol.minReaderVersion}/${snap.protocol.minWriterVersion}, " +
+            s"requested $newR/$newW)")
+        require(newR <= 2 && newW <= 4,
+          s"requested protocol $newR/$newW: versions beyond reader 2 / writer 4 " +
+            "are feature-list protocols — upgrade with an explicit Protocol " +
+            "action carrying readerFeatures/writerFeatures instead")
+        Seq(snap.protocol.copy(minReaderVersion = newR, minWriterVersion = newW))
+      }
+    val meta =
+      if (plain.isEmpty) Nil
+      else Seq(snap.metadata.copy(configuration = snap.metadata.configuration ++ plain))
+    log.commitDml(snap.version, upgrade ++ meta :+
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES", props))
   }
 
   /** `ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]`: remove properties

@@ -369,6 +369,35 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("delta.minReader/WriterVersion properties upgrade the protocol, not the config") {
+    val dir = TestSpark.tmpDir("sqldml-protoup")
+    DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
+    withTable(dir) { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('delta.minWriterVersion' = '4', 'graft.note' = 'x')")
+      val snap = DeltaLog.forTable(spark, dir).snapshot()
+      assert(snap.protocol == graft.delta.Protocol(1, 4),
+        "the property spells a protocol upgrade")
+      assert(!snap.metadata.configuration.contains("delta.minWriterVersion"),
+        "protocol keys never enter configuration")
+      assert(snap.metadata.configuration("graft.note") == "x",
+        "plain properties in the same statement still land")
+      // downgrades refused
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.minWriterVersion' = '2')")
+      }
+      assert(e.getMessage.contains("only be upgraded"))
+      // feature-list protocols need the explicit Protocol API
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.minWriterVersion' = '7')")
+      }
+      assert(e2.getMessage.contains("feature-list"))
+      // the upgraded table still reads and writes (4 <= our writer support)
+      spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 2L)
+    }
+  }
+
   test("concurrent ALTER: second metadata change from a stale snapshot fails loudly") {
     val dir = TestSpark.tmpDir("sqldml-altconc")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
