@@ -273,7 +273,8 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     // table schema, then drop files whose stats PROVE no row matches
     val kept = translated.reduceOption(_ && _)
       .flatMap(p => DeltaTable.predicateExpr(spark, snap, p)) match {
-        case Some(cond) => DataSkipping.prune(snap.files, snap.schema, cond)
+        // pruneFiles: column-mapped tables key stats by physical name
+        case Some(cond) => DeltaTable.pruneFiles(snap, snap.files, cond)
         case None => snap.files
       }
     GraftDeltaRelation.lastScan = Some((snap.files.size, kept.size))

@@ -306,10 +306,20 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // are all benign (timestampNtz, vacuumProtocolCheck) reads fine,
     // while deletionVectors / columnMapping / v2Checkpoint fail BY NAME
     // so the user knows exactly which capability the table demands.
+    // column mapping: mode "name" reads are supported (physical-name
+    // translation in readFiles + stats pruning); "id" needs parquet
+    // field-id resolution we don't implement — fail loudly, because
+    // reading an id-mapped table by name returns all-NULL columns.
+    val cmMode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name") throw new IllegalStateException(
+      s"cannot read $tableUri: delta.columnMapping.mode '$cmMode' is not " +
+        "supported (only 'none' and 'name')")
+    val readerFeaturesOk = DeltaLog.SupportedReaderFeatures ++
+      (if (cmMode == "name") Set("columnMapping") else Set.empty)
     protocol.filter(_.minReaderVersion > DeltaLog.SupportedReaderVersion).foreach { p =>
       p.readerFeatures match {
         case Some(features) if p.minReaderVersion == 3 =>
-          val unsupported = (features -- DeltaLog.SupportedReaderFeatures).toSeq.sorted
+          val unsupported = (features -- readerFeaturesOk).toSeq.sorted
           if (unsupported.nonEmpty) throw new IllegalStateException(
             s"cannot read $tableUri: table requires unsupported reader feature" +
               s"${if (unsupported.size == 1) "" else "s"} ${unsupported.mkString(", ")} " +
@@ -410,6 +420,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"cannot delete or rewrite rows of $tableUri: the table is append-only " +
           "(delta.appendOnly=true); only appends and dataChange=false " +
           "maintenance rewrites are allowed")
+    // column-mapped tables are READ-ONLY here: our writers stage files
+    // under logical column names, which a mapped table's readers would
+    // resolve as missing physical columns
+    if (snap.columnMappingMode != "none")
+      throw new IllegalStateException(
+        s"cannot write to $tableUri: column-mapped tables " +
+          s"(delta.columnMapping.mode=${snap.columnMappingMode}) are " +
+          "read-only for this engine")
   }
 
   /** Atomically write `actions` as version `expectedVersion`.
@@ -513,6 +531,35 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
     * values live in paths/partitionValues, not in the parquet files). */
   def dataSchema: StructType =
     StructType(schema.filterNot(f => metadata.partitionColumns.contains(f.name)))
+
+  /** `delta.columnMapping.mode`: "none" (ours — parquet columns carry
+    * logical names) or a foreign table's "name" mode, where parquet
+    * columns, stats keys, and partitionValues use per-field PHYSICAL
+    * names recorded in the schema metadata. Mode "id" is rejected at
+    * replay. */
+  def columnMappingMode: String =
+    metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
+}
+
+object Snapshot {
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** A field's physical (on-disk) name under column mapping; the
+    * logical name when unmapped. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** The schema with every name (recursively) replaced by its physical
+    * name — what the parquet files actually contain. */
+  def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => physicalSchema(st)
+        case o => o
+      }
+      f.copy(name = physicalName(f), dataType = dt)
+    })
 }
 
 object DeltaLog {

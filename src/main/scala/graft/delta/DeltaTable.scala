@@ -43,14 +43,27 @@ object DeltaTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val paths = files.map(f => new Path(log.tableRoot, f.path).toString)
     val partCols = snap.metadata.partitionColumns
+    // foreign column-mapping (mode=name) tables: the parquet columns —
+    // and partition DIRECTORY names — carry per-field physical names;
+    // read by physical name, then project back to the logical schema.
+    // Without this, a by-name read returns all-NULL columns silently.
+    val mapped = snap.columnMappingMode == "name"
+    val readSchema =
+      if (partCols.isEmpty) snap.dataSchema else snap.schema
+    val physReadSchema =
+      if (mapped) Snapshot.physicalSchema(readSchema) else readSchema
     // the explicit snapshot schema (not inference) makes columns added
     // by schema evolution read as NULL from pre-evolution files
     val df =
-      if (partCols.isEmpty) spark.read.schema(snap.dataSchema).parquet(paths: _*)
-      else spark.read.schema(snap.schema)
+      if (partCols.isEmpty) spark.read.schema(physReadSchema).parquet(paths: _*)
+      else spark.read.schema(physReadSchema)
         .option("basePath", log.tableRoot.toString).parquet(paths: _*)
-    // normalize to the declared schema: order + partition-column types
-    df.select(snap.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // normalize to the declared LOGICAL schema: names (for mapped
+    // tables — struct casts rename nested fields positionally), order,
+    // and partition-column types
+    df.select(snap.schema.fields.map(f =>
+      col(if (mapped) Snapshot.physicalName(f) else f.name)
+        .cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   /** Read with log-only data skipping: prune the snapshot's file list
@@ -64,8 +77,32 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val kept = DataSkipping.prune(snap.files, snap.schema, parsed)
+    val kept = pruneFiles(snap, snap.files, parsed)
     readFiles(spark, log, snap, kept).where(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** [[DataSkipping.prune]] with column-mapping awareness: a mapped
+    * (mode=name) table's stats JSON and partitionValues are keyed by
+    * PHYSICAL names, so the logical predicate and schema are translated
+    * before pruning — otherwise no stats key would ever match and
+    * skipping would silently degrade to keep-everything (conservative
+    * but defeating the point). */
+  private[graft] def pruneFiles(snap: Snapshot, files: Seq[AddFile],
+      predicate: org.apache.spark.sql.catalyst.expressions.Expression): Seq[AddFile] = {
+    if (snap.columnMappingMode != "name")
+      return DataSkipping.prune(files, snap.schema, predicate)
+    val m = snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
+    val physSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.map(f => f.copy(name = m(f.name))))
+    val physPred = predicate.transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 && m.contains(a.nameParts.head) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(m(a.nameParts.head)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if m.contains(a.name) => a.withName(m(a.name))
+    }
+    DataSkipping.prune(files, physSchema, physPred)
   }
 
   /** Time travel: read the table as of a historical `version`. Fails
@@ -307,6 +344,9 @@ object DeltaTable {
       s"fromVersion $fromVersion > toVersion $toVersion")
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshotAt(toVersion)
+    require(snap.columnMappingMode == "none",
+      s"change feed of a column-mapped table is not supported " +
+        s"(delta.columnMapping.mode=${snap.columnMappingMode})")
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
       val cdcs = actions.collect { case c: AddCDCFile => c }
@@ -752,7 +792,7 @@ object DeltaTable {
   private def candidateFiles(spark: SparkSession, snap: Snapshot,
       predicate: Column): Seq[AddFile] =
     predicateExpr(spark, snap, predicate) match {
-      case Some(cond) => DataSkipping.prune(snap.files, snap.schema, cond)
+      case Some(cond) => pruneFiles(snap, snap.files, cond)
       case None => snap.files
     }
 

@@ -342,6 +342,92 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(p == Protocol(3, 7, Some(Set("timestampNtz")), Some(Set("appendOnly", "invariants"))))
   }
 
+  test("column mapping mode=name: logical reads over physical parquet, pruning included") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("foreign-cm")
+    // parquet files carry PHYSICAL uuid-ish names
+    def writePhys(rows: Seq[(Long, String)]): (String, Long) = {
+      val tmp = TestSpark.tmpDir("foreign-cm-part")
+      rows.toDF("col-aaa111", "col-bbb222").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.copy(part.toPath, Paths.get(dir, part.getName))
+      (part.getName, part.length())
+    }
+    val (f0, s0) = writePhys(Seq((1L, "a"), (2L, "b")))
+    val (f1, s1) = writePhys(Seq((10L, "x"), (20L, "y")))
+    // logical schema with physicalName metadata per field
+    val cmSchema = new StructType()
+      .add("id", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-aaa111")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("name", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-bbb222")
+          .putLong("delta.columnMapping.id", 2).build())
+    val cmMeta =
+      s"""{"metaData":{"id":"cm-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}"""
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      cmMeta,
+      // stats keyed by PHYSICAL names, as a real mapped writer records
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa111\\":1},\\"maxValues\\":{\\"col-aaa111\\":2},\\"nullCount\\":{\\"col-aaa111\\":0}}"}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa111\\":10},\\"maxValues\\":{\\"col-aaa111\\":20},\\"nullCount\\":{\\"col-aaa111\\":0}}"}}"""))
+
+    // reads come back under LOGICAL names with the right values (the
+    // silent failure mode this support exists to kill: all-NULL columns)
+    val rows = DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y")))
+    assert(DeltaTable.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // logical predicates prune on the physical stats keys
+    val pruned = DeltaTable.readWhere(spark, dir, "id >= 10")
+    assert(pruned.as[(Long, String)].collect().toSet == Set((10L, "x"), (20L, "y")))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DeltaTable.pruneFiles(snap, snap.files,
+      spark.sessionState.sqlParser.parseExpression("id >= 10")).map(_.path) == Seq(f1),
+      "stats pruning must work through the name mapping")
+    // the table is read-only: any write commit is refused (here the
+    // writer-version gate fires first; the column-mapping read-only
+    // gate backstops fixtures with low writer versions)
+    val e = intercept[IllegalStateException] {
+      DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("writer version 5") || e.getMessage.contains("read-only"))
+    // and the change feed says so plainly instead of leaking physical names
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.changesBetween(spark, dir, 0, 0)
+    }
+    assert(e2.getMessage.contains("column-mapped"))
+  }
+
+  test("column mapping mode=id is rejected loudly, mode=name passes the v3 feature gate") {
+    def mk(mode: String, reader: Int, writer: Int, features: String): String = {
+      val dir = TestSpark.tmpDir(s"foreign-cm-$mode")
+      val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+      writeCommit(dir, 0L, Seq(
+        s"""{"protocol":{"minReaderVersion":$reader,"minWriterVersion":$writer$features}}""",
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}""",
+        s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+      dir
+    }
+    val id = mk("id", 2, 5, "")
+    val e = intercept[IllegalStateException](DeltaLog.forTable(spark, id).snapshot())
+    assert(e.getMessage.contains("'id' is not supported"))
+    // v3 + readerFeatures [columnMapping] with mode=name: readable
+    // (the fixture's files carry logical names = physical, trivially mapped)
+    val v3 = mk("name", 3, 7,
+      ""","readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]""")
+    assert(DeltaTable.read(spark, v3).count() == 1)
+  }
+
   test("protocol JSON round-trips feature lists") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val p = Protocol(3, 7, Some(Set("timestampNtz", "deletionVectors")),
