@@ -101,8 +101,9 @@ object Dedup {
     * dir): the shingle pass feeds q_dedup_jaccard, q_contamination, and
     * through them the funnel — which previously re-tokenized the corpus
     * once per consumer. A `clearCache()` (the bench does one per run)
-    * only drops the materialization; the memoized plan recomputes on
-    * next use, so sharing is safe across cache resets.
+    * drops the materialization AND the CacheManager registration; the
+    * memoized accessor re-arms `.cache()` on next use, so each run
+    * recomputes the pass exactly once and never serves stale blocks.
     *
     * The outer map is WEAK on the session (SparkSession doesn't override
     * equals, so keys compare by identity): a stopped session's entries
@@ -122,7 +123,17 @@ object Dedup {
       memo.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
-    perSession.computeIfAbsent(dir, _ => build)
+    val df = perSession.computeIfAbsent(dir, _ => build)
+    // Re-ARM the cache after an external clearCache(): clearCache doesn't
+    // just drop the materialized blocks, it UNREGISTERS the plan from the
+    // CacheManager — after it, every consumer of the memoized frame
+    // re-executes the whole subtree (the funnel probes the inverted index
+    // four times → four corpus tokenization passes). storageLevel is the
+    // public probe for "still registered"; re-caching restores the
+    // compute-once-per-use contract without ever serving stale data (the
+    // blocks themselves were already dropped).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
   }
   private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
     memoized(shingleMemo, s, dir) {
@@ -162,6 +173,33 @@ object Dedup {
       // broadcast candidate (Catalyst misestimates post-Generate size);
       // shuffle-hash on the shingle key is the scale-correct join.
       inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("shingle"))
+        .cache()
+    }
+
+  /** Candidate-pair common-shingle counts `(d1 < d2, n1, n2, n_common)`
+    * — the per-shingle self-join of [[invertedIndex]], grouped. This is
+    * the ONE expensive pair computation the whole near-dup family hangs
+    * off: q_dedup_jaccard thresholds its Jaccard, q_contamination is its
+    * eval×train SLICE (a pair with one eval-split and one train-split
+    * member — same counts, no second join), q_dedup_clusters and the
+    * funnel consume both. Memoized + CACHED per (session, dir) like the
+    * index itself, so a funnel run pays the self-join once. At 100 TB
+    * this is the standard materialized "candidate pairs" table; its size
+    * is bounded by the df-cap (Σ df² over kept shingles), not the
+    * corpus. */
+  private val pairCountsMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private[queries] def pairCounts(s: SparkSession, dir: String): DataFrame =
+    memoized(pairCountsMemo, s, dir) {
+      val ci = invertedIndex(s, dir)
+      ci.as("x").hint("shuffle_hash")
+        .join(ci.as("y").hint("shuffle_hash"), Seq("shingle"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(count(lit(1)).as("n_common"))
         .cache()
     }
 
@@ -428,15 +466,7 @@ object Dedup {
     // full set sizes; the oracle applies the identical cap. The corpus
     // plants 25 pairs ≥ 0.8, all sharing rare shingles.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val ci = invertedIndex(s, dir) // memoized + cached (shared index)
-      val common = ci.as("x").hint("shuffle_hash")
-        .join(ci.as("y").hint("shuffle_hash"), Seq("shingle"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(count(lit(1)).as("n_common"))
-      common
+      pairCounts(s, dir)
         .select(col("d1"), col("d2"),
           bp(col("n_common"), col("n1") + col("n2") - col("n_common")).as("jaccard_bp"))
         .where(col("jaccard_bp") >= 5000)

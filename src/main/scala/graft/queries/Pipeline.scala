@@ -214,16 +214,20 @@ object Pipeline {
     // blowup bound to q_dedup_jaccard, and the same shuffle-hash joins
     // (the exploded index is never a broadcast candidate).
     "q_contamination" -> ((s, dir) => {
-      // the memoized df-capped index is the same one q_dedup_jaccard
-      // probes — inside the funnel the explode + df-agg + join runs ONCE
-      val ci = Dedup.invertedIndex(s, dir)
-      val eval_ = ci.where(pmod(col("doc_id"), lit(10L)) === 0)
-        .select(col("shingle"), col("doc_id").as("eval_id"), col("n_sh").as("n_eval"))
-      val train = ci.where(pmod(col("doc_id"), lit(10L)) =!= 0)
-        .select(col("shingle"), col("doc_id").as("train_id"))
-      eval_.hint("shuffle_hash").join(train.hint("shuffle_hash"), Seq("shingle"))
-        .groupBy(col("eval_id"), col("train_id"), col("n_eval"))
-        .agg(count(lit(1)).as("n_common"))
+      // the eval×train SLICE of the memoized candidate-pair table —
+      // the same (d1 < d2, n_common) counts q_dedup_jaccard thresholds,
+      // restricted to pairs with exactly one eval-split member and
+      // re-oriented eval→train. Inside the funnel this means the
+      // per-shingle self-join runs ONCE for clusters + contamination
+      // combined, instead of once per consumer.
+      val isEval = (c: Column) => pmod(c, lit(10L)) === 0
+      Dedup.pairCounts(s, dir)
+        .where(isEval(col("d1")) =!= isEval(col("d2")))
+        .select(
+          when(isEval(col("d1")), col("d1")).otherwise(col("d2")).as("eval_id"),
+          when(isEval(col("d1")), col("d2")).otherwise(col("d1")).as("train_id"),
+          when(isEval(col("d1")), col("n1")).otherwise(col("n2")).as("n_eval"),
+          col("n_common"))
         .where(col("n_common") >= ContamMinCommon)
         .select(col("eval_id"), col("train_id"), col("n_common"),
           bp(col("n_common"), col("n_eval")).as("overlap_bp"))
