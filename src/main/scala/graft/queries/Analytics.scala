@@ -222,20 +222,28 @@ object Analytics {
     // no RNG), so DuckDB replays them exactly; the CMS guarantee
     // est >= true is asserted in-row via the exact df alongside.
     "q_countmin" -> ((s, dir) => {
-      // the md5 shingle pass is the expensive map and feeds BOTH the
-      // sketch build and the exact-df probe side — shingleDocs is
-      // memoized+cached at per-doc (pre-explode) scale
+      // Two cost levers over the naive build: (a) aggregate to DISTINCT
+      // shingle document-frequencies first and SUM df into buckets —
+      // grouping before summing is associative, so the sketch counts are
+      // bit-identical while the bucket pass runs over |distinct|, not
+      // |occurrences| × depth; (b) ONE md5 per shingle serves all
+      // CmsDepth rows — the 128-bit digest splits into four independent
+      // 32-bit words (row d = hex digits [1+8d, 8+8d]), the standard
+      // several-hashes-from-one-digest CMS construction. The df frame is
+      // cached because the sketch build and the probe side both consume
+      // it.
       val docs = Dedup.shingleDocs(s, dir)
-      val inv = docs.select(explode(col("sh")).as("sh"))
+      val dfs = docs.select(explode(col("sh")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df")).cache()
       def bucket(d: Int, c: Column) =
-        pmod(md5Bits32(concat(lit(s"$d:"), c)), lit(CmsWidth))
-      // one pass, counting every row into its bucket per sketch row
-      val sketch = inv.select(explode(array((0 until CmsDepth).map(d =>
-        struct(lit(d.toLong).as("d"), bucket(d, col("sh")).as("b"))): _*)).as("db"))
+        pmod(conv(substring(md5(c), 1 + 8 * d, 8), 16, 10).cast("long"),
+          lit(CmsWidth))
+      val sketch = dfs.select(col("df"),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d.toLong).as("d"), bucket(d, col("sh")).as("b"))): _*)).as("db"))
         .groupBy(col("db.d").as("d"), col("db.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-      val top = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("sh").asc).limit(TopNgrams)
+        .agg(sum(col("df")).as("c"))
+      val top = dfs.orderBy(col("df").desc, col("sh").asc).limit(TopNgrams)
       val probed = (0 until CmsDepth).foldLeft(top) { (df, d) =>
         df.join(broadcast(sketch.where(col("d") === d)
           .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
@@ -357,17 +365,17 @@ object Analytics {
         | FROM t),
         |inv AS (SELECT unnest(sh) AS sh FROM s),
         |sk AS (SELECT d,
-        |  CAST(concat('0x', substr(md5(d || ':' || sh), 1, 8)) AS BIGINT) % 256 AS b,
+        |  CAST(concat('0x', substr(md5(sh), CAST(1 + 8*d AS INT), 8)) AS BIGINT) % 256 AS b,
         |  CAST(COUNT(*) AS BIGINT) AS c
         | FROM inv, generate_series(0, 3) g(d) GROUP BY 1, 2),
         |top AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM inv
         |  GROUP BY sh ORDER BY df DESC, sh LIMIT 20)
         |SELECT sh, df,
         | least(
-        |  (SELECT c FROM sk WHERE d = 0 AND b = CAST(concat('0x', substr(md5('0:' || sh), 1, 8)) AS BIGINT) % 256),
-        |  (SELECT c FROM sk WHERE d = 1 AND b = CAST(concat('0x', substr(md5('1:' || sh), 1, 8)) AS BIGINT) % 256),
-        |  (SELECT c FROM sk WHERE d = 2 AND b = CAST(concat('0x', substr(md5('2:' || sh), 1, 8)) AS BIGINT) % 256),
-        |  (SELECT c FROM sk WHERE d = 3 AND b = CAST(concat('0x', substr(md5('3:' || sh), 1, 8)) AS BIGINT) % 256)
+        |  (SELECT c FROM sk WHERE d = 0 AND b = CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 1 AND b = CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 2 AND b = CAST(concat('0x', substr(md5(sh), 17, 8)) AS BIGINT) % 256),
+        |  (SELECT c FROM sk WHERE d = 3 AND b = CAST(concat('0x', substr(md5(sh), 25, 8)) AS BIGINT) % 256)
         | ) AS est_df
         |FROM top""".stripMargin,
 

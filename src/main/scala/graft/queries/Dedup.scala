@@ -486,17 +486,44 @@ object Dedup {
     // payload — 16 bytes per token position.
     "q_dedup_substr" -> ((s, dir) => {
       val W = 30
+      import s.implicits._
       // cache at the per-doc hash-array granularity (like jaccard's
       // shingle cache): the md5-per-window map is the expensive pass and
       // feeds three consumers (df index + both self-join sides); the
-      // exploded form is cheap to re-derive from the cached arrays
+      // exploded form is cheap to re-derive from the cached arrays.
+      // The window hashes are computed in ONE typed pass with a reused
+      // MessageDigest fed token bytes directly (no window string is ever
+      // materialized) — semantically array_distinct(transform(...,
+      // md5(concat_ws(" ", slice(tk, i, W))))), but the interpreted
+      // higher-order form re-built a ~200-byte string per token position
+      // through the expression engine (the simhash/shingle lesson,
+      // commit 425603b).
       val hashed = table(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .where(size(col("tk")) >= W)
-        .select(col("doc_id"), array_distinct(
-          transform(sequence(lit(1), size(col("tk")) - (W - 1)),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("hs"))
-        .cache()
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val SP = ' '.toByte
+          it.flatMap { case (id, text) =>
+            val tk = text.split(" ")
+            if (tk.length < W) None
+            else {
+              val tb = tk.map(_.getBytes("UTF-8"))
+              val seen = new scala.collection.mutable.LinkedHashSet[String]
+              var i = 0
+              while (i + W <= tk.length) {
+                md.reset()
+                var j = i
+                while (j < i + W) {
+                  if (j > i) md.update(SP)
+                  md.update(tb(j)); j += 1
+                }
+                seen += hex(md.digest())
+                i += 1
+              }
+              Some((id, seen.toSeq))
+            }
+          }
+        }.toDF("doc_id", "hs").cache()
       val wins = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
       val keep = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("df"))
