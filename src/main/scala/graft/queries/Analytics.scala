@@ -178,10 +178,16 @@ object Analytics {
     "q_approx_distinct" -> ((s, dir) => {
       val m = LinearCountBuckets
       val bucket = pmod(md5Bits32(col("l_partkey").cast("string")), lit(m))
+      // dedupe (group, key) FIRST: the single-agg form ran TWO distinct
+      // aggregates, which Spark plans as a double Expand over every raw
+      // row; after the partial-aggregatable dedup shuffle, n_exact is a
+      // plain count, one countDistinct remains, and the md5 runs once
+      // per distinct key instead of once per row
       table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(bucket).as("occupied"),
-          countDistinct(col("l_partkey")).as("n_exact"))
+          count(lit(1)).as("n_exact"))
         .withColumn("est_distinct",
           when(col("occupied") >= m, lit(-1L)) // saturated: estimate undefined
             .otherwise(round(lit(m.toDouble) *
