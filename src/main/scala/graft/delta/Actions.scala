@@ -45,6 +45,23 @@ object Action {
       e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
     }.toMap
 
+  private def dvOf(node: JsonNode): Option[DeletionVectorDescriptor] =
+    if (!node.hasNonNull("deletionVector")) None
+    else {
+      val d = node.get("deletionVector")
+      // a present-but-malformed descriptor must fail LOUDLY: quietly
+      // dropping it would resurrect every row the vector deletes
+      require(d.hasNonNull("storageType") && d.hasNonNull("pathOrInlineDv") &&
+          d.hasNonNull("sizeInBytes") && d.hasNonNull("cardinality"),
+        s"malformed deletionVector descriptor: $d")
+      Some(DeletionVectorDescriptor(
+        storageType = d.get("storageType").asText(),
+        pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+        offset = if (d.hasNonNull("offset")) Some(d.get("offset").asInt()) else None,
+        sizeInBytes = d.get("sizeInBytes").asInt(),
+        cardinality = d.get("cardinality").asLong()))
+    }
+
   /** Parse one log line (one action object) from its wrapper key. */
   def fromJson(node: JsonNode): Option[Action] = {
     if (node.has("add")) {
@@ -56,7 +73,8 @@ object Action {
         modificationTime = if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
         dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(),
         stats = if (a.hasNonNull("stats") && a.get("stats").asText().nonEmpty)
-          Some(a.get("stats").asText()) else None))
+          Some(a.get("stats").asText()) else None,
+        deletionVector = dvOf(a)))
     } else if (node.has("remove")) {
       val r = node.get("remove")
       Some(RemoveFile(
@@ -64,7 +82,8 @@ object Action {
         deletionTimestamp = if (r.has("deletionTimestamp")) r.get("deletionTimestamp").asLong() else 0L,
         dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(),
         partitionValues = strMap(r.get("partitionValues")),
-        size = if (r.has("size")) r.get("size").asLong() else 0L))
+        size = if (r.has("size")) r.get("size").asLong() else 0L,
+        deletionVector = dvOf(r)))
     } else if (node.has("cdc")) {
       val c = node.get("cdc")
       Some(AddCDCFile(
@@ -103,6 +122,29 @@ object Action {
 
 import Action._
 
+/** The protocol's deletion-vector descriptor, carried on `add` (and the
+  * matching `remove`) actions of tables with the `deletionVectors`
+  * feature. `storageType` "u" = UUID-named sidecar under the table root,
+  * "p" = absolute sidecar path, "i" = the vector itself, Z85-inline.
+  * [[graft.delta.DeletionVectors]] resolves and deserializes it. */
+case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int],
+    sizeInBytes: Int,
+    cardinality: Long) {
+  /** The protocol's unique id for log reconciliation: a file version is
+    * keyed by (path, DV id), so a DELETE that swaps a file's vector
+    * (add(F, new) + remove(F, old) in one commit) replaces rather than
+    * drops the file during replay, in either action order. */
+  def uniqueId: String =
+    s"$storageType$pathOrInlineDv${offset.fold("")(o => s"@$o")}"
+  def json: String =
+    s"""{"storageType":${jstr(storageType)},"pathOrInlineDv":${jstr(pathOrInlineDv)}""" +
+      offset.fold("")(o => s""","offset":$o""") +
+      s""","sizeInBytes":$sizeInBytes,"cardinality":$cardinality}"""
+}
+
 /** A data file that is part of the table snapshot. `stats` is the
   * protocol's per-file statistics JSON
   * (`{"numRecords":N,"minValues":{..},"maxValues":{..},"nullCount":{..}}`,
@@ -115,11 +157,15 @@ case class AddFile(
     size: Long,
     modificationTime: Long,
     dataChange: Boolean,
-    stats: Option[String] = None) extends Action {
+    stats: Option[String] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None) extends Action {
+  /** Log-reconciliation key: (path, DV unique id) per the protocol. */
+  def reconcileKey: String = path + deletionVector.fold("")("::" + _.uniqueId)
   def json: String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
       s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange""" +
-      stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+      stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") + "}}"
 }
 
 /** Change-data file (Delta CDF's `cdc` action): the row-level changes of
@@ -141,10 +187,14 @@ case class RemoveFile(
     deletionTimestamp: Long,
     dataChange: Boolean,
     partitionValues: Map[String, String],
-    size: Long) extends Action {
+    size: Long,
+    deletionVector: Option[DeletionVectorDescriptor] = None) extends Action {
+  /** Log-reconciliation key: (path, DV unique id) per the protocol. */
+  def reconcileKey: String = path + deletionVector.fold("")("::" + _.uniqueId)
   def json: String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$deletionTimestamp,""" +
-      s""""dataChange":$dataChange,"partitionValues":${jmap(partitionValues)},"size":$size}}"""
+      s""""dataChange":$dataChange,"partitionValues":${jmap(partitionValues)},"size":$size""" +
+      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") + "}}"
 }
 
 /** Table metadata: schema (Spark StructType JSON) + partitioning. */

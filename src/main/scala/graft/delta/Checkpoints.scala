@@ -83,6 +83,16 @@ object Checkpoints {
     }
     def strMap(r: Row, name: String): Map[String, String] =
       opt[scala.collection.Map[String, String]](r, name).map(_.toMap).getOrElse(Map.empty)
+    // foreign checkpoints of DV tables carry the descriptor as a struct
+    def dvOf(r: Row): Option[DeletionVectorDescriptor] =
+      opt[Row](r, "deletionVector").map { d =>
+        DeletionVectorDescriptor(
+          storageType = d.getAs[String]("storageType"),
+          pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
+          offset = opt[Int](d, "offset"),
+          sizeInBytes = opt[Int](d, "sizeInBytes").getOrElse(0),
+          cardinality = opt[Long](d, "cardinality").getOrElse(0L))
+      }
 
     df.collect().toSeq.flatMap { row =>
       def struct(name: String): Option[Row] =
@@ -100,14 +110,16 @@ object Checkpoints {
           // writeStatsAsJson=false) may carry ONLY the parsed struct —
           // re-serialize it into the JSON form the skipping layer speaks
           stats = opt[String](a, "stats").filter(_.nonEmpty)
-            .orElse(opt[Row](a, "stats_parsed").map(statsJsonOfParsed))): Action
+            .orElse(opt[Row](a, "stats_parsed").map(statsJsonOfParsed)),
+          deletionVector = dvOf(a)): Action
       }).orElse(struct("remove").map { r =>
         RemoveFile(
           path = r.getAs[String]("path"),
           deletionTimestamp = opt[Long](r, "deletionTimestamp").getOrElse(0L),
           dataChange = opt[Boolean](r, "dataChange").getOrElse(true),
           partitionValues = strMap(r, "partitionValues"),
-          size = opt[Long](r, "size").getOrElse(0L)): Action
+          size = opt[Long](r, "size").getOrElse(0L),
+          deletionVector = dvOf(r)): Action
       }).orElse(struct("metaData").map { m =>
         Metadata(
           id = opt[String](m, "id").getOrElse(""),
@@ -195,6 +207,12 @@ object Checkpoints {
   def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot,
       maxActionsPerPart: Int = 1000000): Unit = {
     import spark.implicits._
+    // can't be reached through normal flow (DV tables refuse writes, so
+    // no commit ever auto-checkpoints one) — but a checkpoint that
+    // silently dropped descriptors would resurrect deleted rows for
+    // every future reader, so the invariant is enforced here too
+    require(snap.files.forall(_.deletionVector.isEmpty),
+      "refusing to write a checkpoint that would drop deletion vectors")
     val meta = snap.metadata
     val rows =
       // feature lists round-trip: a benign-featured foreign table must

@@ -271,18 +271,23 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * exclusive with `cp`), or nothing. */
   private def replay(cp: Option[Checkpoints.LastCheckpoint], versions: Seq[Long],
       seed: Option[Snapshot] = None): Snapshot = {
+    // keyed by (path, DV unique id), not bare path: a DV-enabled DELETE
+    // swaps a file's vector with add(F, newDv) + remove(F, oldDv) in ONE
+    // commit — path-only keying would drop the file entirely whenever the
+    // remove happened to apply after the add. For DV-less tables the key
+    // degenerates to the path and behavior is unchanged.
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     val txns = mutable.Map.empty[String, Long]
     var metadata: Option[Metadata] = seed.map(_.metadata)
     var protocol: Option[Protocol] = seed.map(_.protocol)
     seed.foreach { s =>
-      s.files.foreach(f => adds(f.path) = f)
+      s.files.foreach(f => adds(f.reconcileKey) = f)
       txns ++= s.txns
     }
 
     def apply(action: Action): Unit = action match {
-      case a: AddFile => adds(a.path) = a
-      case r: RemoveFile => adds.remove(r.path)
+      case a: AddFile => adds(a.reconcileKey) = a
+      case r: RemoveFile => adds.remove(r.reconcileKey)
       case m: Metadata => metadata = Some(m)
       case p: Protocol => protocol = Some(p)
       case t: SetTransaction =>
@@ -303,9 +308,10 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // fail loudly instead of returning silently wrong rows. The
     // table-features protocol (minReaderVersion 3) gates by FEATURE
     // LIST, not bare version: a foreign v3 table whose readerFeatures
-    // are all benign (timestampNtz, vacuumProtocolCheck) reads fine,
-    // while deletionVectors / columnMapping / v2Checkpoint fail BY NAME
-    // so the user knows exactly which capability the table demands.
+    // we implement (timestampNtz, vacuumProtocolCheck, deletionVectors,
+    // columnMapping in mode=name) reads fine, while v2Checkpoint /
+    // typeWidening / unknown features fail BY NAME so the user knows
+    // exactly which capability the table demands.
     // column mapping: mode "name" reads are supported (physical-name
     // translation in readFiles + stats pruning); "id" needs parquet
     // field-id resolution we don't implement — fail loudly, because
@@ -428,6 +434,15 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"cannot write to $tableUri: column-mapped tables " +
           s"(delta.columnMapping.mode=${snap.columnMappingMode}) are " +
           "read-only for this engine")
+    // DV-bearing tables are READ-ONLY too: every rewrite/DELETE/MERGE
+    // would have to merge the existing vectors into its row accounting,
+    // which this engine does not do — a blind rewrite resurrects
+    // deleted rows. (Feature-flagged-but-vector-free tables are already
+    // refused above: deletionVectors is not a supported writer feature.)
+    if (snap.files.exists(_.deletionVector.isDefined))
+      throw new IllegalStateException(
+        s"cannot write to $tableUri: the table has files with deletion " +
+          "vectors; DV tables are read-only for this engine")
   }
 
   /** Atomically write `actions` as version `expectedVersion`.
@@ -574,11 +589,17 @@ object DeltaLog {
     *  - `timestampNtz`: TIMESTAMP_NTZ columns — Spark reads the type
     *    natively and our stats domain covers it;
     *  - `vacuumProtocolCheck`: constrains VACUUM writers, changes
-    *    nothing about how committed data is read.
-    * Everything else — deletionVectors, columnMapping, v2Checkpoint,
-    * typeWidening, variantType-* — changes row visibility, column
-    * resolution, or checkpoint discovery and must fail loudly. */
-  val SupportedReaderFeatures: Set[String] = Set("timestampNtz", "vacuumProtocolCheck")
+    *    nothing about how committed data is read;
+    *  - `deletionVectors`: read-side row filtering via the sidecar /
+    *    inline roaring bitmaps ([[DeletionVectors]], applied in
+    *    [[DeltaTable.readFiles]]); writes stay refused;
+    *  - `columnMapping` is accepted conditionally (mode=name only —
+    *    replay adds it to the allowed set after checking the mode).
+    * Everything else — v2Checkpoint, typeWidening, variantType-* —
+    * changes column resolution or checkpoint discovery and must fail
+    * loudly. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /

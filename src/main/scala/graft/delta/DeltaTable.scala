@@ -10,7 +10,7 @@ import scala.collection.parallel.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, not, row_number, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, not, row_number, sum, udf, when}
 
 /** DataFrame-level read/write on top of [[DeltaLog]].
   *
@@ -41,7 +41,6 @@ object DeltaTable {
       files: Seq[AddFile]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val paths = files.map(f => new Path(log.tableRoot, f.path).toString)
     val partCols = snap.metadata.partitionColumns
     // foreign column-mapping (mode=name) tables: the parquet columns —
     // and partition DIRECTORY names — carry per-field physical names;
@@ -54,10 +53,40 @@ object DeltaTable {
       if (mapped) Snapshot.physicalSchema(readSchema) else readSchema
     // the explicit snapshot schema (not inference) makes columns added
     // by schema evolution read as NULL from pre-evolution files
-    val df =
+    def rawRead(fs: Seq[AddFile]): DataFrame = {
+      val paths = fs.map(f => new Path(log.tableRoot, f.path).toString)
       if (partCols.isEmpty) spark.read.schema(physReadSchema).parquet(paths: _*)
       else spark.read.schema(physReadSchema)
         .option("basePath", log.tableRoot.toString).parquet(paths: _*)
+    }
+    // deletion vectors: files carrying one get their flagged row indexes
+    // dropped. Only the DV-bearing files pay the filter — they scan with
+    // the parquet reader's _metadata.{file_path,row_index} columns and an
+    // anti-membership test against the per-file bitmaps (driver-loaded
+    // once, broadcast); vector-free files take the plain path and the two
+    // branches union before the logical projection.
+    val (dvFiles, plainFiles) = files.partition(_.deletionVector.isDefined)
+    val df =
+      if (dvFiles.isEmpty) rawRead(files)
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        def norm(p: String): String = new Path(p).toUri.getPath
+        val dvByPath: Map[String, DeletionVectors.RoaringBitmapArray] =
+          dvFiles.map { f =>
+            norm(new Path(log.tableRoot, f.path).toString) ->
+              DeletionVectors.load(conf, log.tableRoot, f.deletionVector.get)
+          }.toMap
+        val bc = spark.sparkContext.broadcast(dvByPath)
+        val deleted = udf((path: String, rowIndex: Long) =>
+          bc.value.get(new Path(path).toUri.getPath).exists(_.contains(rowIndex)))
+        val filtered = rawRead(dvFiles)
+          .withColumn("__graft_dv_path", col("_metadata.file_path"))
+          .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+          .where(!deleted(col("__graft_dv_path"), col("__graft_dv_ri")))
+          .drop("__graft_dv_path", "__graft_dv_ri")
+        if (plainFiles.isEmpty) filtered
+        else rawRead(plainFiles).unionByName(filtered)
+      }
     // normalize to the declared LOGICAL schema: names (for mapped
     // tables — struct casts rename nested fields positionally), order,
     // and partition-column types
@@ -347,6 +376,9 @@ object DeltaTable {
     require(snap.columnMappingMode == "none",
       s"change feed of a column-mapped table is not supported " +
         s"(delta.columnMapping.mode=${snap.columnMappingMode})")
+    require(snap.files.forall(_.deletionVector.isEmpty),
+      "change feed of a table with deletion vectors is not supported " +
+        "(the add/remove diff fallback would misreport DV-masked rows)")
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
       val cdcs = actions.collect { case c: AddCDCFile => c }

@@ -1,0 +1,321 @@
+package graft.delta
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Deletion-vector reads, pinned against fixtures serialized by the
+  * TEST-side writer below (an independent implementation of the same
+  * published formats — portable roaring per the RoaringFormatSpec, DV
+  * blob + sidecar framing per the Delta protocol's "Deletion Vectors"
+  * section, Z85 per ZeroMQ RFC 32). The reference reads DV tables
+  * through deltalake 0.28 (crates/sorter-core/Cargo.toml:15).
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------- test-side writers
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+
+  private def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = Z85Alphabet(((v % 85)).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  private def uuidToZ85(u: UUID): String = {
+    val b = ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    z85Encode(b.array())
+  }
+
+  /** Serialize one 32-bit roaring bitmap (portable format). `runKeys`
+    * selects which containers encode as runs (forces SERIAL_COOKIE). */
+  private def serRoaring32(values: Seq[Int], runKeys: Set[Int] = Set.empty): Array[Byte] = {
+    val byKey = values.map(v => (v >>> 16, v & 0xffff)).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, vs) => (k, vs.map(_._2).distinct.sorted) }
+    val n = byKey.size
+    val useRunFormat = runKeys.nonEmpty
+    val out = new java.io.ByteArrayOutputStream()
+    def putShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def putIntLE(v: Int): Unit = { putShortLE(v & 0xffff); putShortLE(v >>> 16) }
+    // containers serialized up front so the offset header can be exact
+    val bodies = byKey.map { case (k, vs) =>
+      val b = new java.io.ByteArrayOutputStream()
+      def bShortLE(v: Int): Unit = { b.write(v & 0xff); b.write((v >>> 8) & 0xff) }
+      if (runKeys.contains(k)) {
+        // encode as sorted runs of consecutive values
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var start = vs.head; var prev = vs.head
+        vs.tail.foreach { v =>
+          if (v == prev + 1) prev = v
+          else { runs += ((start, prev - start)); start = v; prev = v }
+        }
+        runs += ((start, prev - start))
+        bShortLE(runs.size)
+        runs.foreach { case (s, l) => bShortLE(s); bShortLE(l) }
+      } else if (vs.size <= 4096) {
+        vs.foreach(bShortLE)
+      } else {
+        val words = new Array[Long](1024)
+        vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+        words.foreach { w =>
+          var x = w; var i = 0
+          while (i < 8) { b.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+        }
+      }
+      b.toByteArray
+    }
+    val hasOffsets = !useRunFormat || n >= 4
+    if (useRunFormat) {
+      putIntLE(12347 | ((n - 1) << 16))
+      val flags = new Array[Byte]((n + 7) / 8)
+      byKey.zipWithIndex.foreach { case ((k, _), i) =>
+        if (runKeys.contains(k)) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      out.write(flags)
+    } else {
+      putIntLE(12346)
+      putIntLE(n)
+    }
+    byKey.foreach { case (k, vs) => putShortLE(k); putShortLE(vs.size - 1) }
+    if (hasOffsets) {
+      var off = out.size() + 4 * n
+      bodies.foreach { b => putIntLE(off); off += b.length }
+    }
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** DV blob: portable magic + [count][bitmaps] (64-bit array form). */
+  private def serDvBlob(values: Seq[Long], runKeys: Set[Int] = Set.empty): Array[Byte] = {
+    val byHigh = values.groupBy(v => (v >>> 32).toInt)
+    val nBitmaps = if (values.isEmpty) 0 else byHigh.keys.max + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(DeletionVectors.PortableMagic).putLong(nBitmaps.toLong)
+    out.write(head.array())
+    (0 until nBitmaps).foreach { h =>
+      out.write(serRoaring32(byHigh.getOrElse(h, Nil).map(_.toInt), runKeys))
+    }
+    out.toByteArray
+  }
+
+  /** Sidecar file: version byte then [len BE][blob][crc BE] per blob.
+    * Returns the descriptor offset of each blob. */
+  private def writeSidecar(path: java.nio.file.Path, blobs: Seq[Array[Byte]]): Seq[Int] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // format version
+    val offsets = blobs.map { blob =>
+      val off = out.size()
+      val b = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(blob.length)
+      out.write(b.array()); out.write(blob)
+      val crc = new CRC32; crc.update(blob)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array())
+      off
+    }
+    Files.createDirectories(path.getParent)
+    Files.write(path, out.toByteArray)
+    offsets
+  }
+
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One single-row-group parquet file of (id, name) rows in THIS order
+    * (row_index within the file == sequence position). */
+  private def writeDataFile(dir: String, rows: Seq[(Long, String)]): (String, Long) = {
+    val tmp = TestSpark.tmpDir("dv-part")
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    (part.getName, part.length())
+  }
+
+  private val schemaJson = new StructType()
+    .add("id", LongType).add("name", StringType).json
+
+  private def metaJson =
+    s"""{"metaData":{"id":"dv-fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":0}}"""
+
+  private val dvProtocol =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def dvJson(storageType: String, pathOrInlineDv: String, offset: Option[Int],
+      sizeInBytes: Int, cardinality: Long): String =
+    s"""{"storageType":"$storageType","pathOrInlineDv":"$pathOrInlineDv"""" +
+      offset.fold("")(o => s""","offset":$o""") +
+      s""","sizeInBytes":$sizeInBytes,"cardinality":$cardinality}"""
+
+  // ------------------------------------------------------- unit tests
+
+  test("z85 decodes the ZeroMQ RFC 32 published vector") {
+    // the spec's test case: "HelloWorld" <-> 86 4F D2 6F B5 59 F7 5B
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq ==
+      Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+    // and the test-side encoder round-trips through the main-side decoder
+    val u = new UUID(0x0123456789abcdefL, 0xfedcba9876543210L)
+    assert(DeletionVectors.z85ToUuid(uuidToZ85(u)) == u)
+  }
+
+  test("portable roaring round-trip: array, bitmap, and run containers; multi-key; 64-bit") {
+    // array container (sparse) + a second high-16 key
+    val sparse = Seq(0L, 2L, 5L, 65536L + 7, 65536L + 9)
+    val a = DeletionVectors.deserialize(serDvBlob(sparse))
+    sparse.foreach(v => assert(a.contains(v), s"sparse should contain $v"))
+    Seq(1L, 3L, 65536L + 8, 1L << 33).foreach(v => assert(!a.contains(v)))
+
+    // bitmap container: > 4096 values in one 64Ki block
+    val dense = (0 until 5000).map(i => i * 2L)
+    val b = DeletionVectors.deserialize(serDvBlob(dense))
+    assert(dense.forall(b.contains))
+    assert((0 until 5000).forall(i => !b.contains(i * 2L + 1)))
+
+    // run containers (SERIAL_COOKIE + run bitset), runs of consecutive values
+    val runs = (100L to 200L) ++ (500L to 510L)
+    val r = DeletionVectors.deserialize(serDvBlob(runs, runKeys = Set(0)))
+    assert(runs.forall(r.contains))
+    assert(!r.contains(99L) && !r.contains(201L) && !r.contains(499L) && !r.contains(511L))
+
+    // 64-bit: values above 2^32 land in the second bitmap
+    val high = Seq(5L, (1L << 32) + 3, (1L << 32) + 4)
+    val h = DeletionVectors.deserialize(serDvBlob(high))
+    high.foreach(v => assert(h.contains(v)))
+    assert(!h.contains(3L) && !h.contains((1L << 32) + 5) && !h.contains((2L << 32) + 3))
+  }
+
+  test("sidecar framing: length mismatch and CRC corruption fail loudly") {
+    val dir = Paths.get(TestSpark.tmpDir("dv-frame"))
+    val blob = serDvBlob(Seq(1L, 2L))
+    val offs = writeSidecar(dir.resolve("deletion_vector_x.bin"), Seq(blob))
+    val d = DeletionVectorDescriptor("p", dir.resolve("deletion_vector_x.bin").toString,
+      Some(offs.head), blob.length, 2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    assert(DeletionVectors.load(conf, root, d).contains(1L))
+    // wrong declared size
+    val wrongSize = d.copy(sizeInBytes = blob.length - 1)
+    val e1 = intercept[java.io.IOException](DeletionVectors.load(conf, root, wrongSize))
+    assert(e1.getMessage.contains("sizeInBytes"))
+    // corrupt one data byte -> CRC must catch it
+    val bytes = Files.readAllBytes(dir.resolve("deletion_vector_x.bin"))
+    bytes(1 + 4 + 6) = (bytes(1 + 4 + 6) ^ 0x01).toByte
+    Files.write(dir.resolve("deletion_vector_x.bin"), bytes)
+    val e2 = intercept[java.io.IOException](DeletionVectors.load(conf, root, d))
+    assert(e2.getMessage.contains("CRC"))
+  }
+
+  // ------------------------------------------------- end-to-end table
+
+  test("DV table: sidecar 'u' (with prefix), packed offsets, and inline 'i' vectors filter rows") {
+    val dir = TestSpark.tmpDir("dv-table")
+    val (f0, s0) = writeDataFile(dir, (0L until 10L).map(i => (i, s"r$i")))
+    val (f1, s1) = writeDataFile(dir, (10L until 20L).map(i => (i, s"r$i")))
+    val (f2, s2) = writeDataFile(dir, (20L until 30L).map(i => (i, s"r$i")))
+
+    // f0 + f1 vectors PACKED into one sidecar file (as delta-spark does),
+    // named by z85 uuid under a random prefix dir
+    val uuid = UUID.randomUUID()
+    val prefix = "ab"
+    val dv0 = serDvBlob(Seq(0L, 2L))          // f0: drop row 0 and 2 -> ids 0, 2
+    val dv1 = serDvBlob(Seq(9L))              // f1: drop last row -> id 19
+    val offs = writeSidecar(
+      Paths.get(dir, prefix, s"deletion_vector_$uuid.bin"), Seq(dv0, dv1))
+    val pathEnc = prefix + uuidToZ85(uuid)
+    // f2: inline vector dropping its first row -> id 20
+    val dv2 = serDvBlob(Seq(0L))
+    val inline = z85Encode(dv2 ++ Array.fill((4 - dv2.length % 4) % 4)(0.toByte))
+
+    writeCommit(dir, 0L, Seq(
+      dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("u", pathEnc, Some(offs(0)), dv0.length, 2)}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("u", pathEnc, Some(offs(1)), dv1.length, 1)}}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("i", inline, None, dv2.length, 1)}}}"""))
+
+    val got = DeltaTable.read(spark, dir).as[(Long, String)].collect().map(_._1).toSet
+    val expected = (0L until 30L).toSet -- Set(0L, 2L, 19L, 20L)
+    assert(got == expected)
+
+    // cardinality-consistent count
+    assert(DeltaTable.read(spark, dir).count() == 26)
+
+    // DV tables are read-only: append, DML, and the change feed refuse
+    val e = intercept[IllegalStateException] {
+      DeltaTable.append(spark, dir, Seq((99L, "z")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("deletionVectors") || e.getMessage.contains("deletion "))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.changesBetween(spark, dir, 0, 0)
+    }
+    assert(e2.getMessage.contains("deletion vectors"))
+  }
+
+  test("DV swap reconciliation: add(F, newDv) + remove(F, oldDv) keeps the file, either order") {
+    val dir = TestSpark.tmpDir("dv-swap")
+    val (f0, s0) = writeDataFile(dir, (0L until 6L).map(i => (i, s"r$i")))
+    val dvA = serDvBlob(Seq(1L))
+    val dvB = serDvBlob(Seq(1L, 3L))
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_pack.bin"), Seq(dvA, dvB))
+    val abs = Paths.get(dir, "deletion_vector_pack.bin").toString
+    def addLine(dv: String) =
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":$dv}}"""
+
+    // v0: plain file; v1: DELETE adds dvA and removes the DV-less version
+    // (remove FIRST in the commit — path-keyed replay would lose the file)
+    writeCommit(dir, 0L, Seq(dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(dir, 1L, Seq(
+      s"""{"remove":{"path":"$f0","deletionTimestamp":2,"dataChange":true,"partitionValues":{},"size":$s0}}""",
+      addLine(dvJson("p", abs, Some(offs(0)), dvA.length, 1))))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().map(_._1).toSet ==
+      Set(0L, 2L, 3L, 4L, 5L))
+
+    // v2: another DELETE swaps dvA -> dvB, add BEFORE remove this time
+    writeCommit(dir, 2L, Seq(
+      addLine(dvJson("p", abs, Some(offs(1)), dvB.length, 2)),
+      s"""{"remove":{"path":"$f0","deletionTimestamp":3,"dataChange":true,"partitionValues":{},""" +
+        s""""size":$s0,"deletionVector":${dvJson("p", abs, Some(offs(0)), dvA.length, 1)}}}"""))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().map(_._1).toSet ==
+      Set(0L, 2L, 4L, 5L))
+
+    // time travel still sees the dvA state
+    assert(DeltaTable.readAt(spark, dir, 1).as[(Long, String)]
+      .collect().map(_._1).toSet == Set(0L, 2L, 3L, 4L, 5L))
+  }
+}

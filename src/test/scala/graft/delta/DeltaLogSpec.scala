@@ -345,9 +345,16 @@ class DeltaLogSpec extends AnyFunSuite {
       """{"add":{"path":"p.parquet","partitionValues":{},"size":10,
         |"modificationTime":5,"dataChange":true,
         |"stats":"{\"numRecords\":2}","tags":{"x":"y"},
-        |"deletionVector":{"storageType":"u"},"baseRowId":7}}""".stripMargin))
+        |"clusteringProvider":"liquid","baseRowId":7}}""".stripMargin))
     assert(add.contains(AddFile("p.parquet", Map.empty, 10L, 5L,
       dataChange = true, stats = Some("""{"numRecords":2}"""))))
+    // EXCEPT deletionVector, which is semantic now: a present-but-
+    // truncated descriptor fails loudly instead of resurrecting rows
+    val e = intercept[IllegalArgumentException](Action.fromJson(mapper.readTree(
+      """{"add":{"path":"p.parquet","partitionValues":{},"size":10,
+        |"modificationTime":5,"dataChange":true,
+        |"deletionVector":{"storageType":"u"}}}""".stripMargin)))
+    assert(e.getMessage.contains("malformed deletionVector"))
     // unknown top-level action kinds replay as no-ops
     assert(Action.fromJson(mapper.readTree(
       """{"domainMetadata":{"domain":"d","configuration":"{}"}}""")).isEmpty)

@@ -149,7 +149,7 @@ class ForeignLogSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y")))
   }
 
-  test("reader-v3 table-features: benign feature list reads, DV/columnMapping fail by name") {
+  test("reader-v3 table-features: supported feature lists read, the rest fail by name") {
     def mkTable(features: String): String = {
       val dir = TestSpark.tmpDir("foreign-v3")
       val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
@@ -164,10 +164,16 @@ class ForeignLogSpec extends AnyFunSuite {
     // benign features: reads fine
     val ok = mkTable("\"timestampNtz\",\"vacuumProtocolCheck\"")
     assert(DeltaTable.read(spark, ok).count() == 1)
-    // deletion vectors: fails naming the feature
+    // deletionVectors is a SUPPORTED reader feature now (read-side
+    // filtering in readFiles) — the table reads; its files here carry
+    // no descriptors so nothing filters
     val dv = mkTable("\"deletionVectors\",\"timestampNtz\"")
-    val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, dv).snapshot())
-    assert(e1.getMessage.contains("unsupported reader feature deletionVectors"),
+    assert(DeltaTable.read(spark, dv).count() == 1)
+    // v2Checkpoint (checkpoint discovery we don't implement): fails
+    // naming the feature
+    val v2 = mkTable("\"v2Checkpoint\",\"timestampNtz\"")
+    val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, v2).snapshot())
+    assert(e1.getMessage.contains("unsupported reader feature v2Checkpoint"),
       s"only the unsupported feature is named (got: ${e1.getMessage})")
     // column mapping: fails naming the feature
     val cm = mkTable("\"columnMapping\"")
@@ -206,7 +212,7 @@ class ForeignLogSpec extends AnyFunSuite {
     val cpType = new StructType()
       .add("protocol", protoType).add("metaData", metaType).add("add", addType)
     val rows = Seq(
-      Row(Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors")), null, null),
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
       Row(null, Row("fixture", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
       Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false)))
     val tmp = TestSpark.tmpDir("foreign-v3-cp-tmp")
@@ -219,7 +225,7 @@ class ForeignLogSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("ISO timestamp stats normalize into the skipping domain (same-day correctness)") {
