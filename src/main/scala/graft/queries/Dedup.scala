@@ -177,15 +177,17 @@ object Dedup {
     }
 
   /** Candidate-pair common-shingle counts `(d1 < d2, n1, n2, n_common)`
-    * — the per-shingle self-join of [[invertedIndex]], grouped. This is
-    * the ONE expensive pair computation the whole near-dup family hangs
-    * off: q_dedup_jaccard thresholds its Jaccard, q_contamination is its
-    * eval×train SLICE (a pair with one eval-split and one train-split
-    * member — same counts, no second join), q_dedup_clusters and the
-    * funnel consume both. Memoized + CACHED per (session, dir) like the
-    * index itself, so a funnel run pays the self-join once. At 100 TB
-    * this is the standard materialized "candidate pairs" table; its size
-    * is bounded by the df-cap (Σ df² over kept shingles), not the
+    * — the per-shingle self-join of [[invertedIndex]], grouped, KEPT
+    * only where some consumer's final threshold can pass: Jaccard ≥ 0.5
+    * (q_dedup_jaccard, and through it clusters/retained/funnel) or
+    * n_common ≥ ContamMinCommon (the funnel's contamination stage —
+    * [[graft.queries.Pipeline]] slices eval×train pairs out of this).
+    * Pushing both filters BELOW the materialization point keeps the
+    * cached frame duplicate-bounded (tens of rows, not every candidate
+    * pair), so memoizing + caching costs nothing while a funnel run
+    * still pays the self-join exactly once. At 100 TB this is the
+    * standard materialized "candidate pairs" table; the join blowup is
+    * bounded by the df-cap (Σ df² over kept shingles), never the
     * corpus. */
   private val pairCountsMemo =
     new java.util.WeakHashMap[SparkSession,
@@ -200,6 +202,9 @@ object Dedup {
           col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("n_common"))
+        .where(
+          bp(col("n_common"), col("n1") + col("n2") - col("n_common")) >= 5000 ||
+            col("n_common") >= Pipeline.ContamMinCommon)
         .cache()
     }
 

@@ -96,6 +96,27 @@ object Pipeline {
           col("keep_short") * col("keep_ttr"))
   }
 
+  /** The q_contamination pairs derived from [[Dedup.pairCounts]] — the
+    * same (d1 < d2, n_common) counts, restricted to pairs with exactly
+    * one eval-split member and re-oriented eval→train. Identical rows to
+    * the standalone eval×train join by construction (each cross-split
+    * pair appears exactly once on either path; PipelineOpsSpec pins it);
+    * the funnel uses this form because its cluster stage already
+    * materializes the shared pair table. */
+  private[queries] def contamFromPairCounts(s: SparkSession, dir: String): DataFrame = {
+    val isEval = (c: Column) => pmod(c, lit(10L)) === 0
+    Dedup.pairCounts(s, dir)
+      .where(isEval(col("d1")) =!= isEval(col("d2")))
+      .select(
+        when(isEval(col("d1")), col("d1")).otherwise(col("d2")).as("eval_id"),
+        when(isEval(col("d1")), col("d2")).otherwise(col("d1")).as("train_id"),
+        when(isEval(col("d1")), col("n1")).otherwise(col("n2")).as("n_eval"),
+        col("n_common"))
+      .where(col("n_common") >= ContamMinCommon)
+      .select(col("eval_id"), col("train_id"), col("n_common"),
+        bp(col("n_common"), col("n_eval")).as("overlap_bp"))
+  }
+
   /** Deterministic per-language md5 pick — shared by the sampling query
     * and the funnel. */
   private def pickedCol: Column = {
@@ -159,7 +180,11 @@ object Pipeline {
     // corpus is never shuffled.
     "q_pipeline_funnel" -> ((s, dir) => {
       val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
-      val contam = queries("q_contamination")(s, dir)
+      // contamination via the SHARED candidate-pair table: the cluster
+      // stage above already pays the pair self-join, so the funnel's
+      // contamination stage is a slice of its cached output instead of
+      // a second per-shingle join
+      val contam = contamFromPairCounts(s, dir)
         .select(col("train_id").as("doc_id")).distinct()
       qualityFlags(s, dir)
         .join(broadcast(clusters), Seq("doc_id"), "left")
@@ -214,20 +239,22 @@ object Pipeline {
     // blowup bound to q_dedup_jaccard, and the same shuffle-hash joins
     // (the exploded index is never a broadcast candidate).
     "q_contamination" -> ((s, dir) => {
-      // the eval×train SLICE of the memoized candidate-pair table —
-      // the same (d1 < d2, n_common) counts q_dedup_jaccard thresholds,
-      // restricted to pairs with exactly one eval-split member and
-      // re-oriented eval→train. Inside the funnel this means the
-      // per-shingle self-join runs ONCE for clusters + contamination
-      // combined, instead of once per consumer.
-      val isEval = (c: Column) => pmod(c, lit(10L)) === 0
-      Dedup.pairCounts(s, dir)
-        .where(isEval(col("d1")) =!= isEval(col("d2")))
-        .select(
-          when(isEval(col("d1")), col("d1")).otherwise(col("d2")).as("eval_id"),
-          when(isEval(col("d1")), col("d2")).otherwise(col("d1")).as("train_id"),
-          when(isEval(col("d1")), col("n1")).otherwise(col("n2")).as("n_eval"),
-          col("n_common"))
+      // the memoized df-capped index is the same one q_dedup_jaccard
+      // probes; the eval×train join generates only the cross-split pair
+      // rows (~2·p·(1-p) of the full self-join's output), which is the
+      // cheapest plan when contamination runs ALONE. The funnel, which
+      // pays the full self-join for its cluster stage anyway, uses
+      // [[contamFromPairCounts]] — the identical pairs sliced from the
+      // shared candidate-pair table (PipelineOpsSpec pins the
+      // equivalence).
+      val ci = Dedup.invertedIndex(s, dir)
+      val eval_ = ci.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("shingle"), col("doc_id").as("eval_id"), col("n_sh").as("n_eval"))
+      val train = ci.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("shingle"), col("doc_id").as("train_id"))
+      eval_.hint("shuffle_hash").join(train.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("eval_id"), col("train_id"), col("n_eval"))
+        .agg(count(lit(1)).as("n_common"))
         .where(col("n_common") >= ContamMinCommon)
         .select(col("eval_id"), col("train_id"), col("n_common"),
           bp(col("n_common"), col("n_eval")).as("overlap_bp"))

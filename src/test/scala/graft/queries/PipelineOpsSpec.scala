@@ -23,6 +23,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
   }
 
+  test("contamination via the shared pair table equals the standalone eval×train join") {
+    // the funnel derives its contamination stage from Dedup.pairCounts
+    // (contamFromPairCounts); q_contamination runs its own eval×train
+    // join. Same pairs, same counts, same overlap — any drift between
+    // the two paths is a correctness bug, not a perf detail.
+    val standalone = Pipeline.queries("q_contamination")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val shared = Pipeline.contamFromPairCounts(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(standalone.nonEmpty, "fixture plants contaminated pairs")
+    assert(shared == standalone)
+  }
+
   test("minhash LSH candidates cover every high-jaccard pair (recall at J≥0.8)") {
     val trueDups = Dedup.queries("q_dedup_jaccard")(spark, dir).collect()
       .filter(_.getAs[Long]("jaccard_bp") >= 8000)
