@@ -110,6 +110,11 @@ object Action {
         appId = t.get("appId").asText(),
         version = t.get("version").asLong(),
         lastUpdated = if (t.has("lastUpdated")) t.get("lastUpdated").asLong() else 0L))
+    } else if (node.has("sidecar")) {
+      val s = node.get("sidecar")
+      Some(SidecarFile(
+        path = s.get("path").asText(),
+        sizeInBytes = if (s.has("sizeInBytes")) s.get("sizeInBytes").asLong() else 0L))
     } else if (node.has("commitInfo")) {
       val c = node.get("commitInfo")
       Some(CommitInfo(
@@ -235,6 +240,16 @@ case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
 case class SetTransaction(appId: String, version: Long, lastUpdated: Long) extends Action {
   def json: String =
     s"""{"txn":{"appId":${jstr(appId)},"version":$version,"lastUpdated":$lastUpdated}}"""
+}
+
+/** A v2-checkpoint sidecar reference (the `sidecar` action of the
+  * protocol's V2 Checkpoint feature): the named file under
+  * `_delta_log/_sidecars/` carries this checkpoint's add/remove rows.
+  * Only ever seen inside checkpoint manifests — [[Checkpoints.read]]
+  * expands them; replay never does. */
+case class SidecarFile(path: String, sizeInBytes: Long) extends Action {
+  def json: String =
+    s"""{"sidecar":{"path":${jstr(path)},"sizeInBytes":$sizeInBytes}}"""
 }
 
 /** Operation provenance recorded with each commit (the reference records

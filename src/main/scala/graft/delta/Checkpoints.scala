@@ -32,8 +32,12 @@ import org.apache.spark.sql.{Row, SparkSession}
   */
 object Checkpoints {
 
-  /** Parsed `_last_checkpoint` pointer. */
-  case class LastCheckpoint(version: Long, size: Long, parts: Option[Int])
+  /** Parsed `_last_checkpoint` pointer. `v2Manifest` carries the
+    * UUID-named manifest file name when the checkpoint was discovered by
+    * listing (the pointer itself never names it — v2 readers find the
+    * manifest by pattern). */
+  case class LastCheckpoint(version: Long, size: Long, parts: Option[Int],
+      v2Manifest: Option[String] = None)
 
   private def lastCheckpointPath(logPath: Path) = new Path(logPath, "_last_checkpoint")
 
@@ -68,6 +72,64 @@ object Checkpoints {
       Seq(new Path(logPath, f"${cp.version}%020d.checkpoint.parquet"))
     case Some(n) =>
       (1 to n).map(i => new Path(logPath, f"${cp.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+  }
+
+  /** V2-checkpoint manifest name pattern (`V2 Checkpoint` table feature):
+    * `NNNN.checkpoint.<uniqueStr>.{json|parquet}` — unique string, NOT
+    * the multi-part `MMM.PPP` numeric pair. */
+  private val V2ManifestRe =
+    """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
+
+  /** The v2 manifest file name for `version`, if one exists on disk. */
+  def findV2Manifest(fs: FileSystem, logPath: Path, version: Long): Option[String] =
+    if (!fs.exists(logPath)) None
+    else fs.listStatus(logPath).iterator.map(_.getPath.getName).collectFirst {
+      case n @ V2ManifestRe(v, u, _) if v.toLong == version && !u.forall(_.isDigit) => n
+    }
+
+  /** Is this name a v2 manifest (used by on-disk checkpoint discovery)? */
+  def v2ManifestVersion(name: String): Option[Long] = name match {
+    // a purely-numeric middle segment is a multi-part PART file, not a manifest
+    case V2ManifestRe(v, u, _) if !u.forall(_.isDigit) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Read a checkpoint — classic single/multi-part parquet, or a v2
+    * manifest (parquet or JSON) whose `sidecar` actions are expanded
+    * from `_delta_log/_sidecars/`. The pointer never names a v2
+    * manifest, so when the classic file for a pointer's version is
+    * absent the v2 pattern is tried before failing. */
+  def read(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint): Seq[Action] = {
+    val manifest = cp.v2Manifest.orElse {
+      if (cp.parts.isEmpty && !fs.exists(paths(logPath, cp).head))
+        findV2Manifest(fs, logPath, cp.version)
+      else None
+    }
+    manifest match {
+      case None => readActions(spark, paths(logPath, cp))
+      case Some(name) =>
+        val p = new Path(logPath, name)
+        val raw =
+          if (name.endsWith(".json")) {
+            val in = fs.open(p)
+            val content = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+            finally in.close()
+            val mapper = new ObjectMapper()
+            content.split('\n').filter(_.trim.nonEmpty).toSeq
+              .flatMap(line => Action.fromJson(mapper.readTree(line)))
+          } else readActions(spark, Seq(p))
+        val (sidecars, inline) = raw.partitionMap {
+          case s: SidecarFile => Left(s)
+          case a => Right(a)
+        }
+        val sidecarPaths = sidecars.map { s =>
+          if (s.path.contains("://") || s.path.startsWith("/")) new Path(s.path)
+          else new Path(new Path(logPath, "_sidecars"), s.path)
+        }
+        inline ++ (if (sidecarPaths.isEmpty) Nil else readActions(spark, sidecarPaths))
+    }
   }
 
   /** Load checkpoint rows into actions (schema-defensive, see above). */
@@ -139,6 +201,10 @@ object Checkpoints {
           appId = t.getAs[String]("appId"),
           version = opt[Long](t, "version").getOrElse(0L),
           lastUpdated = opt[Long](t, "lastUpdated").getOrElse(0L)): Action
+      }).orElse(struct("sidecar").map { s =>
+        SidecarFile(
+          path = s.getAs[String]("path"),
+          sizeInBytes = opt[Long](s, "sizeInBytes").getOrElse(0L)): Action
       })
     }
   }

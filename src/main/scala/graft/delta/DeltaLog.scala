@@ -193,6 +193,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case n if n.matches("""\d{20}\.checkpoint\.parquet""") =>
         Checkpoints.LastCheckpoint(n.take(20).toLong, -1L, None)
     }
+    val v2 = names.flatMap(n => Checkpoints.v2ManifestVersion(n).map(v =>
+      Checkpoints.LastCheckpoint(v, -1L, None, v2Manifest = Some(n))))
     val multi = names.collect {
       case n if n.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""") =>
         val seg = n.split('.')
@@ -202,7 +204,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
         Checkpoints.LastCheckpoint(v, -1L, Some(n))
     }.toSeq
-    (single ++ multiComplete).sortBy(_.version)
+    (single ++ multiComplete ++ v2).sortBy(_.version)
   }
 
   /** Conflict-checked optimistic commit for DML (upsert/delete/restore):
@@ -293,13 +295,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case t: SetTransaction =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
       case _: AddCDCFile => () // change feed only — never snapshot state
+      case _: SidecarFile => () // expanded inside Checkpoints.read
       case _: CommitInfo => ()
     }
 
     cp.foreach { c =>
       val s = sparkOpt.getOrElse(sys.error(
         s"reading the checkpointed table $tableUri requires DeltaLog.forTable(spark, uri)"))
-      Checkpoints.readActions(s, Checkpoints.paths(logPath, c)).foreach(apply)
+      Checkpoints.read(s, fs, logPath, c).foreach(apply)
     }
     versions.foreach(v => actionsAt(v).foreach(apply))
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
@@ -309,7 +312,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // table-features protocol (minReaderVersion 3) gates by FEATURE
     // LIST, not bare version: a foreign v3 table whose readerFeatures
     // we implement (timestampNtz, vacuumProtocolCheck, deletionVectors,
-    // columnMapping in mode=name) reads fine, while v2Checkpoint /
+    // v2Checkpoint, columnMapping in mode=name) reads fine, while
     // typeWidening / unknown features fail BY NAME so the user knows
     // exactly which capability the table demands.
     // column mapping: mode "name" reads are supported (physical-name
@@ -593,13 +596,15 @@ object DeltaLog {
     *  - `deletionVectors`: read-side row filtering via the sidecar /
     *    inline roaring bitmaps ([[DeletionVectors]], applied in
     *    [[DeltaTable.readFiles]]); writes stay refused;
+    *  - `v2Checkpoint`: UUID-named manifests (parquet or JSON) with
+    *    `sidecar` actions expanded from `_delta_log/_sidecars/`
+    *    ([[Checkpoints.read]]);
     *  - `columnMapping` is accepted conditionally (mode=name only —
     *    replay adds it to the allowed set after checking the mode).
-    * Everything else — v2Checkpoint, typeWidening, variantType-* —
-    * changes column resolution or checkpoint discovery and must fail
-    * loudly. */
+    * Everything else — typeWidening, variantType-* — changes column
+    * resolution or value encoding and must fail loudly. */
   val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /

@@ -555,20 +555,17 @@ object Dedup {
     // which is also what the oracle's recursive CTE computes.
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
+      // no edge-level cache: the jaccard pairs are a filter over the
+      // already-cached duplicate-bounded pairCounts table, so the
+      // count() and the collect() both read the same materialization
       val edges = queries("q_dedup_jaccard")(s, dir)
-        .select(col("d1"), col("d2")).cache()
-      // Both branches fully consume `edges` before returning (collect /
-      // eager checkpoint inside labelPropagation), so the cache is
-      // released here rather than leaking past the query.
-      val out =
-        if (edges.count() <= ClusterEdgeCap) {
-          val pairs = edges.as[(Long, Long)].collect()
-          s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
-        } else {
-          labelPropagation(edges)
-        }
-      edges.unpersist(false)
-      out
+        .select(col("d1"), col("d2"))
+      if (edges.count() <= ClusterEdgeCap) {
+        val pairs = edges.as[(Long, Long)].collect()
+        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+      } else {
+        labelPropagation(edges)
+      }
     }),
 
     // Embedding-cosine near-dup, LSH-bucketed (the 100 TB shape):

@@ -169,11 +169,11 @@ class ForeignLogSpec extends AnyFunSuite {
     // no descriptors so nothing filters
     val dv = mkTable("\"deletionVectors\",\"timestampNtz\"")
     assert(DeltaTable.read(spark, dv).count() == 1)
-    // v2Checkpoint (checkpoint discovery we don't implement): fails
+    // typeWidening (value re-encoding we don't implement): fails
     // naming the feature
-    val v2 = mkTable("\"v2Checkpoint\",\"timestampNtz\"")
+    val v2 = mkTable("\"typeWidening\",\"timestampNtz\"")
     val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, v2).snapshot())
-    assert(e1.getMessage.contains("unsupported reader feature v2Checkpoint"),
+    assert(e1.getMessage.contains("unsupported reader feature typeWidening"),
       s"only the unsupported feature is named (got: ${e1.getMessage})")
     // column mapping: fails naming the feature
     val cm = mkTable("\"columnMapping\"")
@@ -212,7 +212,7 @@ class ForeignLogSpec extends AnyFunSuite {
     val cpType = new StructType()
       .add("protocol", protoType).add("metaData", metaType).add("add", addType)
     val rows = Seq(
-      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+      Row(Row(3, 7, Seq("typeWidening"), Seq("typeWidening")), null, null),
       Row(null, Row("fixture", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
       Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false)))
     val tmp = TestSpark.tmpDir("foreign-v3-cp-tmp")
@@ -225,7 +225,107 @@ class ForeignLogSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
+  }
+
+  test("v2 checkpoint: uuid-named parquet manifest with sidecar files replays") {
+    val dir = TestSpark.tmpDir("foreign-v2cp")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a"), (2L, "b")))
+    val (f1, s1) = writeDataFile(dir, Seq((10L, "x")))
+    val (f2, s2) = writeDataFile(dir, Seq((20L, "y")))
+
+    // v0 JSON is DELETED (vacuumed past the checkpoint) — replay must
+    // come entirely from the manifest + sidecars
+    val addType = new StructType()
+      .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType).add("modificationTime", LongType).add("dataChange", BooleanType)
+    def writeParquetRows(rows: Seq[Row], tpe: StructType, target: java.nio.file.Path): Unit = {
+      val tmp = TestSpark.tmpDir("v2cp-tmp")
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        tpe).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.createDirectories(target.getParent)
+      Files.copy(part.toPath, target)
+    }
+    // two sidecars, each carrying one add
+    val sidecarType = new StructType().add("add", addType)
+    writeParquetRows(Seq(Row(Row(f0, Map.empty[String, String], s0, 1L, true))),
+      sidecarType, Paths.get(dir, "_delta_log", "_sidecars", "side-a.parquet"))
+    writeParquetRows(Seq(Row(Row(f1, Map.empty[String, String], s1, 1L, true))),
+      sidecarType, Paths.get(dir, "_delta_log", "_sidecars", "side-b.parquet"))
+    // the manifest: protocol (v3 + v2Checkpoint) + metaData inline,
+    // checkpointMetadata tolerated, two sidecar refs
+    val protoType = new StructType()
+      .add("minReaderVersion", IntegerType).add("minWriterVersion", IntegerType)
+      .add("readerFeatures", ArrayType(StringType)).add("writerFeatures", ArrayType(StringType))
+    val metaType = new StructType()
+      .add("id", StringType).add("schemaString", StringType)
+      .add("partitionColumns", ArrayType(StringType))
+      .add("configuration", MapType(StringType, StringType))
+    val cpMetaType = new StructType().add("version", LongType)
+    val sideRefType = new StructType().add("path", StringType).add("sizeInBytes", LongType)
+    val manType = new StructType()
+      .add("protocol", protoType).add("metaData", metaType)
+      .add("checkpointMetadata", cpMetaType).add("sidecar", sideRefType)
+    val manifest = Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("appendOnly")), null, null, null),
+      Row(null, Row("v2fix", schemaJson, Seq.empty[String], Map.empty[String, String]), null, null),
+      Row(null, null, Row(0L), null),
+      Row(null, null, null, Row("side-a.parquet", 0L)),
+      Row(null, null, null, Row("side-b.parquet", 0L)))
+    writeParquetRows(manifest, manType,
+      Paths.get(dir, "_delta_log", f"${0L}%020d.checkpoint.80a083e8-7026.parquet"))
+    // pointer in the v2 shape: names the version, NOT the manifest file
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":5,"checkpointSchema":{"type":"struct","fields":[]}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // a post-checkpoint JSON commit still applies on top
+    writeCommit(dir, 1L, Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":2,"dataChange":true}}"""))
+
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 1)
+    assert(snap.files.map(_.path).toSet == Set(f0, f1, f2))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y")))
+  }
+
+  test("v2 checkpoint: JSON manifest + pointer-less discovery by listing") {
+    val dir = TestSpark.tmpDir("foreign-v2cp-json")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+    val (f1, s1) = writeDataFile(dir, Seq((2L, "b")))
+    val sidecarType = new StructType().add("add", new StructType()
+      .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType).add("modificationTime", LongType).add("dataChange", BooleanType))
+    val tmp = TestSpark.tmpDir("v2cp-json-tmp")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(Row(f0, Map.empty[String, String], s0, 1L, true)))).asJava),
+      sidecarType).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir, "_delta_log", "_sidecars"))
+    Files.copy(part.toPath, Paths.get(dir, "_delta_log", "_sidecars", "s0.parquet"))
+    // JSON manifest: standard action lines + checkpointMetadata + sidecar
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    Files.write(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.checkpoint.ab12cd34.json"),
+      (Seq(
+        """{"checkpointMetadata":{"version":0,"tags":{}}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],"writerFeatures":["appendOnly"]}}""",
+        metaJson,
+        """{"sidecar":{"path":"s0.parquet","sizeInBytes":0,"modificationTime":0}}""",
+        s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    // NO _last_checkpoint at all: discovery must list the uuid manifest
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.version == 0)
+    assert(snap.files.map(_.path).toSet == Set(f0, f1))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
   }
 
   test("ISO timestamp stats normalize into the skipping domain (same-day correctness)") {
