@@ -599,12 +599,21 @@ object DeltaLog {
     *  - `v2Checkpoint`: UUID-named manifests (parquet or JSON) with
     *    `sidecar` actions expanded from `_delta_log/_sidecars/`
     *    ([[Checkpoints.read]]);
+    *  - `typeWidening` (+ its preview name): [[DeltaTable.readFiles]]
+    *    scans with the EXPLICIT snapshot schema, and Spark 4's parquet
+    *    readers natively promote the whole widening matrix (int
+    *    upcasts, float→double, int→double/decimal, decimal
+    *    precision/scale growth, date→timestampNTZ) — pre-widening
+    *    files read correctly with no extra work (TypeWideningSpec
+    *    pins every pair); stats of pre-widening files that no longer
+    *    parse under the widened type make no skipping claim;
     *  - `columnMapping` is accepted conditionally (mode=name only —
     *    replay adds it to the allowed set after checking the mode).
-    * Everything else — typeWidening, variantType-* — changes column
-    * resolution or value encoding and must fail loudly. */
+    * Everything else — variantType-* and unknown names — changes value
+    * encoding in ways we cannot decode and must fail loudly. */
   val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint",
+      "typeWidening", "typeWidening-preview")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /

@@ -1,0 +1,88 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The `typeWidening` reader feature: a table whose schema was widened
+  * AFTER files were written — pre-widening parquet files carry the
+  * narrow physical types and the snapshot schema declares the wide
+  * ones. [[DeltaTable.readFiles]] always scans with the explicit
+  * snapshot schema, and Spark 4's parquet readers natively promote the
+  * protocol's whole widening matrix, so these tables read with no
+  * special-casing; this spec pins every pair so a Spark upgrade that
+  * regressed a promotion fails here, not in a user's scan.
+  */
+class TypeWideningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("pre-widening files read under the widened snapshot schema (full matrix)") {
+    val dir = TestSpark.tmpDir("widen")
+    // the NARROW physical file: byte/short/int/float/decimal(5,2)/date/int
+    val tmp = TestSpark.tmpDir("widen-part")
+    spark.range(3).selectExpr(
+      "cast(id as byte) as b", "cast(id as short) as s", "cast(id as int) as i",
+      "cast(id as float) as f", "cast(id as decimal(5,2)) as dec",
+      "date_add(date'2024-01-01', cast(id as int)) as dt",
+      "cast(id as int) as i2d")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+
+    // the WIDENED logical schema, as an ALTER ... TYPE would leave it
+    val wide = new StructType()
+      .add("b", ShortType)            // byte  -> short
+      .add("s", IntegerType)          // short -> int
+      .add("i", LongType)             // int   -> long
+      .add("f", DoubleType)           // float -> double
+      .add("dec", DecimalType(12, 4)) // decimal(5,2) -> decimal(12,4)
+      .add("dt", TimestampNTZType)    // date -> timestamp_ntz
+      .add("i2d", DecimalType(10, 0)) // int -> decimal(10,0)
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["typeWidening","timestampNtz"],""" +
+        """"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"widen-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(wide.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"i\\":0},\\"maxValues\\":{\\"i\\":2},\\"nullCount\\":{\\"i\\":0}}"}}"""))
+
+    val df = DeltaTable.read(spark, dir)
+    assert(df.schema == wide, s"snapshot schema must be the widened one (got ${df.schema})")
+    val rows = df.orderBy("i").collect()
+    assert(rows.length == 3)
+    val r = rows(1)
+    assert(r.getAs[Short]("b") == 1.toShort)
+    assert(r.getAs[Int]("s") == 1)
+    assert(r.getAs[Long]("i") == 1L)
+    assert(r.getAs[Double]("f") == 1.0)
+    assert(r.getAs[java.math.BigDecimal]("dec").compareTo(new java.math.BigDecimal("1.0000")) == 0)
+    assert(r.getAs[java.time.LocalDateTime]("dt") ==
+      java.time.LocalDate.parse("2024-01-02").atStartOfDay())
+    assert(r.getAs[java.math.BigDecimal]("i2d").compareTo(java.math.BigDecimal.ONE) == 0)
+
+    // narrow-typed stats still prune correctly under the widened schema
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("i > 5")).isEmpty,
+      "stats written as ints must prune under the widened long column")
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("i >= 1")).nonEmpty)
+  }
+}
