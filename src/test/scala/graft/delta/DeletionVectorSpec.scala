@@ -285,6 +285,82 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("deletion vectors"))
   }
 
+  test("modern-table composition: column mapping + deletion vectors + v2 checkpoint together") {
+    // the shape a current delta-spark table actually has with defaults
+    // on: mode=name column mapping (physical parquet names), a DELETE's
+    // deletion vector, and state replayed through a v2 checkpoint with
+    // sidecars — all three features composing in one read
+    val dir = TestSpark.tmpDir("dv-modern")
+    // physical column names, as a mapped writer lays them down
+    val tmp = TestSpark.tmpDir("dv-modern-part")
+    (0L until 8L).map(i => (i, s"r$i")).toDF("col-xyz1", "col-xyz2")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val (f0, s0) = (part.getName, part.length())
+    // DV drops rows 1 and 6
+    val dv = serDvBlob(Seq(1L, 6L))
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_m.bin"), Seq(dv))
+    val cmSchema = new StructType()
+      .add("id", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-xyz1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("name", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-xyz2")
+          .putLong("delta.columnMapping.id", 2).build())
+    // v2 checkpoint at version 0: manifest (JSON) with protocol +
+    // metaData inline, the DV-carrying add in a parquet sidecar
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir.resolve("_sidecars"))
+    val addType = new StructType()
+      .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType).add("modificationTime", LongType).add("dataChange", BooleanType)
+      .add("deletionVector", new StructType()
+        .add("storageType", StringType).add("pathOrInlineDv", StringType)
+        .add("offset", IntegerType).add("sizeInBytes", IntegerType)
+        .add("cardinality", LongType))
+    val sideRows = Seq(org.apache.spark.sql.Row(org.apache.spark.sql.Row(
+      f0, Map.empty[String, String], s0, 1L, true,
+      org.apache.spark.sql.Row("p", Paths.get(dir, "deletion_vector_m.bin").toString,
+        offs.head, dv.length, 2L))))
+    val sideTmp = TestSpark.tmpDir("dv-modern-side")
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(sideRows).asJava),
+      new StructType().add("add", addType))
+      .coalesce(1).write.mode("overwrite").parquet(sideTmp)
+    val sidePart = new java.io.File(sideTmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.copy(sidePart.toPath, logDir.resolve("_sidecars").resolve("m0.parquet"))
+    Files.write(logDir.resolve(f"${0L}%020d.checkpoint.deadbeef01.json"),
+      (Seq(
+        """{"checkpointMetadata":{"version":0}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors","columnMapping","v2Checkpoint"],""" +
+          """"writerFeatures":["deletionVectors","columnMapping"]}}""",
+        s"""{"metaData":{"id":"modern","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+        """{"sidecar":{"path":"m0.parquet","sizeInBytes":0}}""")
+        .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""".getBytes(StandardCharsets.UTF_8))
+
+    // logical names out, DV rows gone, stats/pruning path healthy
+    val got = DeltaTable.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.as[(Long, String)].collect().map(_._1).toSet ==
+      Set(0L, 2L, 3L, 4L, 5L, 7L))
+    // still read-only on every axis
+    val e = intercept[IllegalStateException] {
+      DeltaTable.append(spark, dir, Seq((99L, "z")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("read-only") || e.getMessage.contains("writer feature"))
+  }
+
   test("DV swap reconciliation: add(F, newDv) + remove(F, oldDv) keeps the file, either order") {
     val dir = TestSpark.tmpDir("dv-swap")
     val (f0, s0) = writeDataFile(dir, (0L until 6L).map(i => (i, s"r$i")))
