@@ -134,6 +134,9 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       put("properties", snap.metadata.configuration.asJava)
       put("min_reader_version", snap.protocol.minReaderVersion)
       put("min_writer_version", snap.protocol.minWriterVersion)
+      put("table_features", (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
+        snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted.asJava)
+      put("num_deletion_vectors", snap.files.count(_.deletionVector.isDefined).toLong)
     })
   }
 

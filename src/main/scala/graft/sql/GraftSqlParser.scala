@@ -211,8 +211,10 @@ case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
 
 /** `DESCRIBE DETAIL t` -> one row of table facts from the snapshot
   * (delta-spark's surface: format, id, location, partition columns,
-  * file count/bytes, properties, protocol versions) — all from log
-  * metadata, zero data IO. */
+  * file count/bytes, properties, protocol versions + feature lists,
+  * deletion-vector presence) — all from log metadata, zero data IO.
+  * The feature/DV columns are the first things a user needs when
+  * diagnosing a foreign table that refuses writes. */
 case class GraftDetailCommand(tableRef: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrs(
     "format" -> StringType, "id" -> StringType, "location" -> StringType,
@@ -220,15 +222,21 @@ case class GraftDetailCommand(tableRef: String) extends LeafRunnableCommand {
     "numFiles" -> LongType, "sizeInBytes" -> LongType,
     "properties" -> MapType(StringType, StringType),
     "minReaderVersion" -> LongType, "minWriterVersion" -> LongType,
+    "tableFeatures" -> org.apache.spark.sql.types.ArrayType(StringType),
+    "numDeletionVectors" -> LongType,
     "version" -> LongType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val snap = DeltaLog.forTable(session, path).snapshot()
+    val features = (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
+      snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted
     Seq(Row("graftdelta", snap.metadata.id, path,
       snap.metadata.partitionColumns,
       snap.files.size.toLong, snap.files.map(_.size).sum,
       snap.metadata.configuration,
       snap.protocol.minReaderVersion.toLong, snap.protocol.minWriterVersion.toLong,
+      features,
+      snap.files.count(_.deletionVector.isDefined).toLong,
       snap.version))
   }
 }

@@ -73,6 +73,9 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       assert(row.getAs[Map[String, String]]("properties") == Map("graft.owner" -> "me"))
       assert(row.getAs[Long]("version") == 1L)
       assert(row.getAs[Long]("minReaderVersion") == 1L)
+      // our own tables: no feature lists, no deletion vectors
+      assert(row.getAs[scala.collection.Seq[String]]("tableFeatures").isEmpty)
+      assert(row.getAs[Long]("numDeletionVectors") == 0L)
     }
   }
 
