@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import java.util.UUID
 import java.util.zip.CRC32
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -283,6 +284,23 @@ class DeletionVectorSpec extends AnyFunSuite {
       DeltaTable.changesBetween(spark, dir, 0, 0)
     }
     assert(e2.getMessage.contains("deletion vectors"))
+  }
+
+  test("DV table through the connector: pushed filters compose with the row mask") {
+    val dir = TestSpark.tmpDir("dv-conn")
+    val (f0, s0) = writeDataFile(dir, (0L until 10L).map(i => (i, s"r$i")))
+    val dv = serDvBlob(Seq(3L)) // drop id 3
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_c.bin"), Seq(dv))
+    val abs = Paths.get(dir, "deletion_vector_c.bin").toString
+    writeCommit(dir, 0L, Seq(
+      dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":10,\\"minValues\\":{\\"id\\":0},\\"maxValues\\":{\\"id\\":9},\\"nullCount\\":{\\"id\\":0}}",""" +
+        s""""deletionVector":${dvJson("p", abs, Some(offs.head), dv.length, 1)}}}"""))
+    val got = spark.read.format("graftdelta").load(dir)
+      .where(col("id") >= 2 && col("id") <= 5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L, 5L), "filter applies AND the DV-masked row stays gone")
   }
 
   test("modern-table composition: column mapping + deletion vectors + v2 checkpoint together") {
