@@ -607,13 +607,20 @@ object DeltaLog {
     *    files read correctly with no extra work (TypeWideningSpec
     *    pins every pair); stats of pre-widening files that no longer
     *    parse under the widened type make no skipping claim;
+    *  - `variantType` (+ preview name): Spark 4 has native VariantType
+    *    — the schemaString's `variant` columns parse, and the parquet
+    *    readers decode the binary (metadata, value) pair; variant
+    *    columns carry no stats, so skipping makes no claim on them
+    *    (VariantReadSpec pins read + to_json + variant_get).
+    *    `variantShredding-preview` stays refused: the shredded physical
+    *    layout (typed_value subcolumns) is a different contract;
     *  - `columnMapping` is accepted conditionally (mode=name only —
     *    replay adds it to the allowed set after checking the mode).
-    * Everything else — variantType-* and unknown names — changes value
-    * encoding in ways we cannot decode and must fail loudly. */
+    * Everything else — unknown names — changes value encoding in ways
+    * we cannot decode and must fail loudly. */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint",
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview", "variantType", "variantType-preview")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /

@@ -169,11 +169,11 @@ class ForeignLogSpec extends AnyFunSuite {
     // no descriptors so nothing filters
     val dv = mkTable("\"deletionVectors\",\"timestampNtz\"")
     assert(DeltaTable.read(spark, dv).count() == 1)
-    // variantType (binary variant encoding we don't implement): fails
+    // variantShredding-preview (shredded physical layout we don't implement): fails
     // naming the feature
-    val v2 = mkTable("\"variantType\",\"timestampNtz\"")
+    val v2 = mkTable("\"variantShredding-preview\",\"timestampNtz\"")
     val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, v2).snapshot())
-    assert(e1.getMessage.contains("unsupported reader feature variantType"),
+    assert(e1.getMessage.contains("unsupported reader feature variantShredding-preview"),
       s"only the unsupported feature is named (got: ${e1.getMessage})")
     // column mapping: fails naming the feature
     val cm = mkTable("\"columnMapping\"")
@@ -212,7 +212,7 @@ class ForeignLogSpec extends AnyFunSuite {
     val cpType = new StructType()
       .add("protocol", protoType).add("metaData", metaType).add("add", addType)
     val rows = Seq(
-      Row(Row(3, 7, Seq("variantType"), Seq("variantType")), null, null),
+      Row(Row(3, 7, Seq("variantShredding-preview"), Seq("variantShredding-preview")), null, null),
       Row(null, Row("fixture", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
       Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false)))
     val tmp = TestSpark.tmpDir("foreign-v3-cp-tmp")
@@ -225,7 +225,7 @@ class ForeignLogSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("variantShredding-preview"))
   }
 
   test("v2 checkpoint: uuid-named parquet manifest with sidecar files replays") {

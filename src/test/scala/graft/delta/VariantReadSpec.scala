@@ -1,0 +1,77 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The `variantType` reader feature: tables whose schema carries
+  * VARIANT columns (semi-structured values as a binary
+  * (metadata, value) pair). Spark 4 has native VariantType — the
+  * schemaString's `variant` entries parse and the parquet readers
+  * decode the pair — so these tables read through the ordinary
+  * explicit-schema scan. The shredded layout
+  * (`variantShredding-preview`, typed_value subcolumns) is a different
+  * physical contract and stays refused by name (ForeignLogSpec).
+  */
+class VariantReadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("variant columns read, project through to_json and variant_get") {
+    val dir = TestSpark.tmpDir("variant")
+    // a foreign writer's file: id + a variant column with mixed shapes
+    val tmp = TestSpark.tmpDir("variant-part")
+    spark.sql(
+      """select id,
+        |  parse_json(case id
+        |    when 0 then '{"kind":"doc","score":1.5}'
+        |    when 1 then '[1,2,3]'
+        |    else '"plain-string"' end) as payload
+        |from range(3)""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+
+    val schemaJson = spark.sql("select 1L as id, parse_json('{}') as payload")
+      .schema.json // {"id": long, "payload": variant}
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+        s"""{"metaData":{"id":"variant-fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+          s""""configuration":{},"createdTime":0}}""",
+        s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+          s""""modificationTime":1,"dataChange":true,""" +
+          s""""stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"id\\":0},\\"maxValues\\":{\\"id\\":2},\\"nullCount\\":{\\"id\\":0}}"}}""")
+        .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+
+    val df = DeltaTable.read(spark, dir)
+    assert(df.schema("payload").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val byId = df.selectExpr("id", "to_json(payload) as j")
+      .as[(Long, String)].collect().toMap
+    assert(byId(0L) == """{"kind":"doc","score":1.5}""")
+    assert(byId(1L) == "[1,2,3]")
+    assert(byId(2L) == "\"plain-string\"")
+    // typed extraction works on the decoded values
+    assert(df.selectExpr("variant_get(payload, '$.score', 'double') as s")
+      .where("s is not null").as[Double].collect().toSeq == Seq(1.5))
+    // id stats still prune; the variant column makes no skipping claim
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("id > 5")).isEmpty)
+    // writes refused: variantType is not a supported WRITER feature
+    val e = intercept[IllegalStateException] {
+      DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("id = 0"))
+    }
+    assert(e.getMessage.contains("variantType"))
+  }
+}
