@@ -225,6 +225,23 @@ object DeletionVectors {
     case other => throw new IOException(s"DV storageType '$other' has no file path")
   }
 
+  /** Driver-side memo for [[cachedLoad]]: a descriptor's content is
+    * immutable (addressed by path + offset), so re-reading the sidecar
+    * on every readFiles/buildScan of the same snapshot is pure waste.
+    * Bounded by wholesale clearing — DV counts per table are small and
+    * a rare refetch beats an eviction policy. */
+  private val loadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), RoaringBitmapArray]()
+  private val LoadMemoCap = 4096
+
+  /** [[load]] through the per-descriptor driver memo. */
+  def cachedLoad(conf: Configuration, tableRoot: Path,
+      d: DeletionVectorDescriptor): RoaringBitmapArray = {
+    if (loadMemo.size() > LoadMemoCap) loadMemo.clear()
+    loadMemo.computeIfAbsent((tableRoot.toString, d.uniqueId),
+      _ => load(conf, tableRoot, d))
+  }
+
   /** Load and deserialize the bitmap a descriptor names. Verifies the
     * sidecar framing (length field must equal `sizeInBytes`, CRC-32 must
     * match) so a truncated or corrupted vector fails loudly instead of

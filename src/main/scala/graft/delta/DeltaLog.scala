@@ -569,15 +569,23 @@ object Snapshot {
     else f.name
 
   /** The schema with every name (recursively) replaced by its physical
-    * name — what the parquet files actually contain. */
-  def physicalSchema(s: StructType): StructType =
-    StructType(s.fields.map { f =>
-      val dt = f.dataType match {
+    * name — what the parquet files actually contain. Structs nested
+    * inside arrays and maps are translated too: their fields carry
+    * physicalName metadata like any other, and missing them would
+    * re-expose the silent all-NULL read this mapping exists to kill,
+    * one nesting level down. */
+  def physicalSchema(s: StructType): StructType = {
+    def dataType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
         case st: StructType => physicalSchema(st)
+        case org.apache.spark.sql.types.ArrayType(et, n) =>
+          org.apache.spark.sql.types.ArrayType(dataType(et), n)
+        case org.apache.spark.sql.types.MapType(kt, vt, n) =>
+          org.apache.spark.sql.types.MapType(dataType(kt), dataType(vt), n)
         case o => o
       }
-      f.copy(name = physicalName(f), dataType = dt)
-    })
+    StructType(s.fields.map(f => f.copy(name = physicalName(f), dataType = dataType(f.dataType))))
+  }
 }
 
 object DeltaLog {

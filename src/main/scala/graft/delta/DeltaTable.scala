@@ -74,11 +74,23 @@ object DeltaTable {
         val dvByPath: Map[String, DeletionVectors.RoaringBitmapArray] =
           dvFiles.map { f =>
             norm(new Path(log.tableRoot, f.path).toString) ->
-              DeletionVectors.load(conf, log.tableRoot, f.deletionVector.get)
+              DeletionVectors.cachedLoad(conf, log.tableRoot, f.deletionVector.get)
           }.toMap
         val bc = spark.sparkContext.broadcast(dvByPath)
-        val deleted = udf((path: String, rowIndex: Long) =>
-          bc.value.get(new Path(path).toUri.getPath).exists(_.contains(rowIndex)))
+        // file_path is constant within a split, so memoize the last
+        // normalized lookup instead of URI-parsing every row. The memo
+        // is ONE reference (path, bitmap) — a single atomic read/write,
+        // so even a shared closure could never pair a path with the
+        // wrong file's bitmap (worst case is a redundant re-lookup).
+        var last: (String, Option[DeletionVectors.RoaringBitmapArray]) = (null, None)
+        val deleted = udf { (path: String, rowIndex: Long) =>
+          var l = last
+          if (l._1 != path) {
+            l = (path, bc.value.get(new Path(path).toUri.getPath))
+            last = l
+          }
+          l._2.exists(_.contains(rowIndex))
+        }
         val filtered = rawRead(dvFiles)
           .withColumn("__graft_dv_path", col("_metadata.file_path"))
           .withColumn("__graft_dv_ri", col("_metadata.row_index"))
@@ -381,6 +393,16 @@ object DeltaTable {
         "(the add/remove diff fallback would misreport DV-masked rows)")
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
+      // the snapshot check above covers only toVersion's surviving state:
+      // a DV DELETE at an INTERMEDIATE version (later compacted away)
+      // would otherwise fall into the add-diff branch and report the
+      // masked file's surviving rows as plain inserts
+      require(actions.forall {
+        case a: AddFile => a.deletionVector.isEmpty
+        case r: RemoveFile => r.deletionVector.isEmpty
+        case _ => true
+      }, s"change feed: version $v of $tableUri carries deletion vectors, " +
+        "which the add/remove diff cannot represent")
       val cdcs = actions.collect { case c: AddCDCFile => c }
       if (cdcs.nonEmpty) {
         // DML commit with row-level capture: the cdc files already carry

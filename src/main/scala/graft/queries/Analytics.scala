@@ -182,8 +182,12 @@ object Analytics {
       // aggregates, which Spark plans as a double Expand over every raw
       // row; after the partial-aggregatable dedup shuffle, n_exact is a
       // plain count, one countDistinct remains, and the md5 runs once
-      // per distinct key instead of once per row
+      // per distinct key instead of once per row. NULL keys are dropped
+      // up front: count(*) over the deduped rows would count a
+      // (group, NULL) row that COUNT(DISTINCT) — ours before this
+      // rewrite, and the oracle's still — excludes
       table(s, dir, "lineitem")
+        .where(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(bucket).as("occupied"),

@@ -47,6 +47,13 @@ object Dedup {
     * generation (df-1 shingles too — they cannot produce a pair). */
   val DfCap = 50
 
+  /** q_dedup_jaccard's near-dup threshold in basis points (J >= 0.5).
+    * ONE constant on purpose: [[pairCounts]] pre-filters the cached
+    * candidate table with it, so a consumer threshold lower than the
+    * pre-filter would silently see nothing below this line. The DuckDB
+    * oracle hard-codes the same 5000 (jaccardSql). */
+  val JaccardMinBp = 5000L
+
   /** Embedding LSH structure: EBands independent bands, each the sign
     * pattern of EPlanes hyperplanes (plane id = band*EPlanes + j).
     * 2^EPlanes buckets per band: more planes → geometrically smaller
@@ -203,7 +210,7 @@ object Dedup {
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("n_common"))
         .where(
-          bp(col("n_common"), col("n1") + col("n2") - col("n_common")) >= 5000 ||
+          bp(col("n_common"), col("n1") + col("n2") - col("n_common")) >= JaccardMinBp ||
             col("n_common") >= Pipeline.ContamMinCommon)
         .cache()
     }
@@ -474,7 +481,7 @@ object Dedup {
       pairCounts(s, dir)
         .select(col("d1"), col("d2"),
           bp(col("n_common"), col("n1") + col("n2") - col("n_common")).as("jaccard_bp"))
-        .where(col("jaccard_bp") >= 5000)
+        .where(col("jaccard_bp") >= JaccardMinBp)
     }),
 
     // Exact-substring overlap (the `exact_substr` dedup mode of Lee et

@@ -286,6 +286,35 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("deletion vectors"))
   }
 
+  test("change feed refuses DV commits at INTERMEDIATE versions, not just the final snapshot") {
+    // v1's DV DELETE is later compacted away; snapshotAt(2) is DV-free,
+    // but the add-diff fallback for v1 would report the masked file's
+    // surviving rows as plain inserts — the range scan must refuse
+    val dir = TestSpark.tmpDir("dv-cdf-mid")
+    val (f0, s0) = writeDataFile(dir, (0L until 5L).map(i => (i, s"r$i")))
+    val (f1, s1) = writeDataFile(dir, Seq((0L, "r0"), (2L, "r2"), (3L, "r3"), (4L, "r4")))
+    val dv = serDvBlob(Seq(1L))
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_g.bin"), Seq(dv))
+    val abs = Paths.get(dir, "deletion_vector_g.bin").toString
+    writeCommit(dir, 0L, Seq(dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(dir, 1L, Seq(
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":2,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("p", abs, Some(offs.head), dv.length, 1)}}}""",
+      s"""{"remove":{"path":"$f0","deletionTimestamp":2,"dataChange":true,"partitionValues":{},"size":$s0}}"""))
+    // v2: compaction materializes the masked rows into a plain file
+    writeCommit(dir, 2L, Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":3,"dataChange":false}}""",
+      s"""{"remove":{"path":"$f0","deletionTimestamp":3,"dataChange":false,"partitionValues":{},""" +
+        s""""size":$s0,"deletionVector":${dvJson("p", abs, Some(offs.head), dv.length, 1)}}}"""))
+    assert(DeltaTable.read(spark, dir).count() == 4) // snapshot is clean
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.changesBetween(spark, dir, 0, 2)
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("deletion vectors"))
+  }
+
   test("DV table through the connector: pushed filters compose with the row mask") {
     val dir = TestSpark.tmpDir("dv-conn")
     val (f0, s0) = writeDataFile(dir, (0L until 10L).map(i => (i, s"r$i")))

@@ -448,6 +448,48 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(p == Protocol(3, 7, Some(Set("timestampNtz")), Some(Set("appendOnly", "invariants"))))
   }
 
+  test("column mapping mode=name: structs nested in arrays translate too") {
+    // element fields of an array<struct> carry physicalName metadata
+    // like any top-level field; missing the translation re-exposes the
+    // silent all-NULL read one nesting level down
+    val dir = TestSpark.tmpDir("foreign-cm-nested")
+    val tmp = TestSpark.tmpDir("foreign-cm-nested-part")
+    spark.sql(
+      """select array(named_struct('pk-a', id, 'pv-b', concat('v', id))) as `col-arr1`,
+        |       id as `col-id9`
+        |from range(3)""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val PhysKey = "delta.columnMapping.physicalName"
+    def meta(phys: String, id: Long) = new MetadataBuilder()
+      .putString(PhysKey, phys).putLong("delta.columnMapping.id", id).build()
+    val elem = new StructType()
+      .add("a", LongType, nullable = true, meta("pk-a", 3))
+      .add("b", StringType, nullable = true, meta("pv-b", 4))
+    val cmSchema = new StructType()
+      .add("arr", ArrayType(elem), nullable = true, meta("col-arr1", 1))
+      .add("id", LongType, nullable = true, meta("col-id9", 2))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-nested","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaTable.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("arr", "id"))
+    assert(df.schema("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq == Seq("a", "b"))
+    val rows = df.selectExpr("id", "arr[0].a as a", "arr[0].b as b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((0L, 0L, "v0"), (1L, 1L, "v1"), (2L, 2L, "v2")),
+      "nested fields must carry VALUES, not NULLs")
+  }
+
   test("column mapping mode=name: logical reads over physical parquet, pruning included") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("foreign-cm")
