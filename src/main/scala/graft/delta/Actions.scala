@@ -120,7 +120,9 @@ object Action {
       Some(CommitInfo(
         timestamp = if (c.has("timestamp")) c.get("timestamp").asLong() else 0L,
         operation = if (c.has("operation")) c.get("operation").asText() else "",
-        operationParameters = strMap(c.get("operationParameters"))))
+        operationParameters = strMap(c.get("operationParameters")),
+        inCommitTimestamp = if (c.hasNonNull("inCommitTimestamp"))
+          Some(c.get("inCommitTimestamp").asLong()) else None))
     } else None // unknown action kinds (cdc, domainMetadata, ...) are ignored on replay
   }
 }
@@ -253,12 +255,20 @@ case class SidecarFile(path: String, sizeInBytes: Long) extends Action {
 }
 
 /** Operation provenance recorded with each commit (the reference records
-  * Write{mode: Overwrite, predicate: replaceWhere} — lib.rs:870-874). */
+  * Write{mode: Overwrite, predicate: replaceWhere} — lib.rs:870-874).
+  * `inCommitTimestamp` is the inCommitTimestamp writer feature's
+  * authoritative commit time (`delta.enableInCommitTimestamps`) —
+  * carried for foreign tables and preferred by timestamp time travel
+  * and DESCRIBE HISTORY; our own writers never set it. */
 case class CommitInfo(
     timestamp: Long,
     operation: String,
-    operationParameters: Map[String, String]) extends Action {
+    operationParameters: Map[String, String],
+    inCommitTimestamp: Option[Long] = None) extends Action {
+  /** The commit's effective wall-clock: the ICT when recorded. */
+  def effectiveTimestamp: Long = inCommitTimestamp.getOrElse(timestamp)
   def json: String =
     s"""{"commitInfo":{"timestamp":$timestamp,"operation":${jstr(operation)},""" +
-      s""""operationParameters":${jmap(operationParameters)}}}"""
+      s""""operationParameters":${jmap(operationParameters)}""" +
+      inCommitTimestamp.map(t => s""","inCommitTimestamp":$t""").getOrElse("") + "}}"
 }

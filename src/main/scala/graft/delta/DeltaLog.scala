@@ -98,7 +98,9 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     var adjusted = Long.MinValue
     var answer = Long.MinValue
     versions.foreach { v =>
-      val t = actionsAt(v).collectFirst { case c: CommitInfo => c.timestamp }
+      // effectiveTimestamp: ICT-enabled foreign tables record the
+      // authoritative commit time in commitInfo.inCommitTimestamp
+      val t = actionsAt(v).collectFirst { case c: CommitInfo => c.effectiveTimestamp }
         .getOrElse(0L)
       adjusted = if (adjusted == Long.MinValue) t else math.max(adjusted + 1, t)
       if (adjusted <= ts) answer = v

@@ -360,7 +360,7 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     log.availableVersions().sorted(Ordering[Long].reverse).flatMap { v =>
       log.actionsAt(v).collectFirst {
-        case c: CommitInfo => (v, c.timestamp, c.operation, c.operationParameters)
+        case c: CommitInfo => (v, c.effectiveTimestamp, c.operation, c.operationParameters)
       }.orElse(Some((v, 0L, "", Map.empty[String, String])))
     }.toDF("version", "timestamp", "operation", "operationParameters")
   }

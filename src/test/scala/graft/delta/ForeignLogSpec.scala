@@ -328,6 +328,32 @@ class ForeignLogSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("in-commit timestamps drive timestamp time travel and history") {
+    // an ICT table (delta.enableInCommitTimestamps): the authoritative
+    // commit time is commitInfo.inCommitTimestamp, NOT the commitInfo
+    // timestamp (which a backfill/clone may have rewritten) — the two
+    // deliberately DISAGREE here so following the wrong one fails
+    val dir = TestSpark.tmpDir("foreign-ict")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+    val (f1, s1) = writeDataFile(dir, Seq((2L, "b")))
+    writeCommit(dir, 0L, Seq(
+      """{"commitInfo":{"timestamp":999999,"operation":"WRITE","operationParameters":{},"inCommitTimestamp":1000}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}""",
+      metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{},"inCommitTimestamp":2000}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":true}}"""))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.versionAtTimestamp(1500L) == 0L,
+      "ts 1500 sits between the ICTs 1000 and 2000 -> version 0")
+    assert(log.versionAtTimestamp(2000L) == 1L)
+    val hist = DeltaTable.history(spark, dir).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("timestamp")).toMap
+    assert(hist == Map(0L -> 1000L, 1L -> 2000L),
+      "history must report the in-commit timestamps")
+  }
+
   test("ISO timestamp stats normalize into the skipping domain (same-day correctness)") {
     // a foreign writer serialized stats as `2024-01-01T05:00:00.000Z`;
     // without normalization 'T' > ' ' would let a predicate inside the
