@@ -52,6 +52,29 @@ object Bench {
           (try scala.io.Source.fromFile(s"$f/comm").mkString.trim == "java"
            catch { case _: Throwable => false })
       } catch { case _: Throwable => -1 }
+    // Contamination DEFENSE, not just diagnosis (r4/r8/r9/r10 driver
+    // benches were all refuted by idle-machine reruns — sustained
+    // external load inflates every run, so median-of-3 and the adaptive
+    // re-run cannot trim it): refuse to start measuring on a busy
+    // machine. Wait for the load to drain (up to ~5 min); if it never
+    // does, stamp "contaminated":true into the artifact itself so no
+    // consumer can mistake the numbers for signal.
+    val LoadThreshold = 2.0
+    def foreignJvms(): Int = jvmCount() match {
+      case -1 => 0 // /proc unreadable — can't tell, don't block
+      case n => math.max(0, n - 2) // minus self + the sbt parent
+    }
+    def machineBusy(): Boolean =
+      loadAvg().headOption.exists(_ > LoadThreshold) || foreignJvms() > 1
+    var contaminationWaits = 0
+    while (machineBusy() && contaminationWaits < 10) {
+      System.err.println(s"[bench] machine busy (load1m=${loadAvg().headOption.getOrElse(-1.0)}, " +
+        s"foreign JVMs=${foreignJvms()}); waiting 30s for it to drain...")
+      Thread.sleep(30000); contaminationWaits += 1
+    }
+    val contaminated = machineBusy()
+    if (contaminated) System.err.println(
+      "[bench] machine STILL busy after waiting; artifact will be stamped contaminated")
     val loadStart = loadAvg(); val jvmsStart = jvmCount()
     // Optional local-iteration filter: comma-separated query names. The
     // driver never sets it, so round benches always run the full set.
@@ -224,7 +247,8 @@ object Bench {
         s""""end":${loadEnd.mkString("[", ",", "]")},""" +
         s""""jvms_start":$jvmsStart,"jvms_end":$jvmsEnd},"""
     val details =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,""" +
+        s""""runs_per_query":$Runs,""" +
         s""""aggregation":"median","queries":${qJson(_.toString)},""" +
         s""""query_stats":$stats,"failed":$fs,$loadJson$engineFull"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
@@ -236,8 +260,12 @@ object Bench {
     val loadCompact =
       s""""load1m":[${loadStart.headOption.getOrElse(-1.0)},""" +
         s"""${loadEnd.headOption.getOrElse(-1.0)}],"jvms":[$jvmsStart,$jvmsEnd],"""
+    // The flag is emitted in the compact line only when SET — the 1900-
+    // char budget is tight and a clean run needs no disclaimer.
+    val contaminatedJson = if (contaminated) """"contaminated":true,""" else ""
     def line(fmt: Double => String) =
-      s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":${qJson(fmt)},""" +
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec",$contaminatedJson""" +
+        s""""queries":${qJson(fmt)},""" +
         s""""failed":$fs,$loadCompact$engineCompact"sf":"$sfDir"}"""
     // 1900-char budget: 2000-char driver tail minus sbt's trailing
     // "[success] Total time ..." line; degrade to 1 decimal before

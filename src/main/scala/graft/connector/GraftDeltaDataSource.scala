@@ -189,7 +189,8 @@ final class GraftDeltaDataSource extends RelationProvider
           maxRecordsPerFile = None, dataChange = true)
         val now = System.currentTimeMillis()
         val removes = snap.files.map(f =>
-          RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+          RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+            f.deletionVector))
         val meta =
           if (sameShape) Nil
           else Seq(snap.metadata.copy(schemaString = org.apache.spark.sql.graft.GraftShims.asNullable(data.schema).json,
@@ -297,7 +298,8 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
         snapNow.metadata.partitionColumns, maxRecordsPerFile = None, dataChange = true)
       val now = System.currentTimeMillis()
       val removes = snapNow.files.map(f =>
-        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+          f.deletionVector))
       log.commitLatest(removes ++ adds :+
         CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")))
     } else DeltaTable.append(spark, tableUri, named)

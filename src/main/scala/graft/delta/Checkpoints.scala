@@ -252,8 +252,11 @@ object Checkpoints {
       partitionColumns: Seq[String], configuration: Map[String, String], createdTime: Long)
   private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
       readerFeatures: Option[Seq[String]], writerFeatures: Option[Seq[String]])
+  private[delta] case class CpDv(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, dataChange: Boolean, stats: Option[String])
+      modificationTime: Long, dataChange: Boolean, stats: Option[String],
+      deletionVector: Option[CpDv])
   private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
       add: Option[CpAdd], txn: Option[CpTxn])
@@ -273,12 +276,6 @@ object Checkpoints {
   def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot,
       maxActionsPerPart: Int = 1000000): Unit = {
     import spark.implicits._
-    // can't be reached through normal flow (DV tables refuse writes, so
-    // no commit ever auto-checkpoints one) — but a checkpoint that
-    // silently dropped descriptors would resurrect deleted rows for
-    // every future reader, so the invariant is enforced here too
-    require(snap.files.forall(_.deletionVector.isEmpty),
-      "refusing to write a checkpoint that would drop deletion vectors")
     val meta = snap.metadata
     val rows =
       // feature lists round-trip: a benign-featured foreign table must
@@ -294,8 +291,13 @@ object Checkpoints {
         CpRow(None, None, None, Some(CpTxn(app, v, 0L)))
       } ++
       snap.files.map(a =>
+        // the DV descriptor rides along — a checkpoint that dropped it
+        // would resurrect the masked rows for every future reader
         CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
-          dataChange = false, stats = a.stats)), None)))
+          dataChange = false, stats = a.stats,
+          deletionVector = a.deletionVector.map(d =>
+            CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))),
+          None)))
     val wantedParts = math.max(1,
       math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
     val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")

@@ -20,9 +20,12 @@ import org.apache.hadoop.fs.Path
   * one with `deltalake::open_table` (lib.rs:252) gets DV-filtered rows —
   * this module gives the Spark engine the same capability.
   *
-  * Scope: READ ONLY. Rewriting or DML-ing a DV-bearing table requires
-  * merging the existing vectors into every rewrite, which this engine
-  * does not do — [[DeltaLog.assertWritable]] refuses such tables loudly.
+  * Scope: reads apply the mask; writes RESOLVE it. This engine never
+  * creates deletion vectors, but compaction/sort/DML on a DV table is
+  * supported by materializing the mask — rewrites read the survivors
+  * ([[DeltaTable.readFiles]]), stage vector-free files, and remove the
+  * old (path, DV id) pairs; [[DeltaLog]]'s commit gate enforces that a
+  * remove of a DV-bearing file carries its exact descriptor.
   *
   * Format summary (all verified against the published specs):
   *  - descriptor `storageType`: "u" = sidecar file named by a Z85-coded

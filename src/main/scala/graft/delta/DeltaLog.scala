@@ -313,20 +313,24 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // fail loudly instead of returning silently wrong rows. The
     // table-features protocol (minReaderVersion 3) gates by FEATURE
     // LIST, not bare version: a foreign v3 table whose readerFeatures
-    // we implement (timestampNtz, vacuumProtocolCheck, deletionVectors,
-    // v2Checkpoint, columnMapping in mode=name) reads fine, while
-    // typeWidening / unknown features fail BY NAME so the user knows
+    // we implement (the [[DeltaLog.SupportedReaderFeatures]] set —
+    // timestampNtz, vacuumProtocolCheck, deletionVectors, v2Checkpoint,
+    // typeWidening, variantType — plus columnMapping in mode=name)
+    // reads fine, while unknown features fail BY NAME so the user knows
     // exactly which capability the table demands.
-    // column mapping: mode "name" reads are supported (physical-name
-    // translation in readFiles + stats pruning); "id" needs parquet
-    // field-id resolution we don't implement — fail loudly, because
-    // reading an id-mapped table by name returns all-NULL columns.
+    // column mapping: mode "name" reads resolve by per-field physical
+    // names (readFiles + stats pruning); mode "id" reads additionally
+    // resolve through Spark's parquet field-id path
+    // (spark.sql.parquet.fieldId.read.enabled + parquet.field.id
+    // metadata attached in Snapshot.physicalSchema) — without that, an
+    // id-mapped table read by name returns all-NULL columns silently.
     val cmMode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (cmMode != "none" && cmMode != "name") throw new IllegalStateException(
-      s"cannot read $tableUri: delta.columnMapping.mode '$cmMode' is not " +
-        "supported (only 'none' and 'name')")
+    if (cmMode != "none" && cmMode != "name" && cmMode != "id")
+      throw new IllegalStateException(
+        s"cannot read $tableUri: delta.columnMapping.mode '$cmMode' is not " +
+          "supported (only 'none', 'name', and 'id')")
     val readerFeaturesOk = DeltaLog.SupportedReaderFeatures ++
-      (if (cmMode == "name") Set("columnMapping") else Set.empty)
+      (if (cmMode != "none") Set("columnMapping") else Set.empty)
     protocol.filter(_.minReaderVersion > DeltaLog.SupportedReaderVersion).foreach { p =>
       p.readerFeatures match {
         case Some(features) if p.minReaderVersion == 3 =>
@@ -379,6 +383,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     val root = tableRoot
     val active = snap.files.map(f => fs.makeQualified(new Path(root, f.path)).toUri).toSet
+    // deletion-vector sidecars referenced by the active snapshot are
+    // live data too; ones no descriptor names (left behind when a
+    // compaction materialized the mask) are garbage like any orphaned
+    // parquet file and age out under the same retention window
+    val activeDvs = snap.files.flatMap(_.deletionVector)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
+      .map(d => fs.makeQualified(DeletionVectors.sidecarPath(root, d)).toUri).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val deleted = mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(root, true)
@@ -387,10 +398,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       val p = st.getPath
       val rel = root.toUri.relativize(fs.makeQualified(p).toUri).getPath
       val topSeg = rel.split('/').head
-      if (st.isFile && rel.endsWith(".parquet") &&
+      val isDvSidecar =
+        p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin")
+      if (st.isFile && (rel.endsWith(".parquet") || isDvSidecar) &&
           !rel.startsWith("_delta_log/") && !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
-          !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
+          !p.getName.startsWith(".") && (!p.getName.startsWith("_") || isDvSidecar) &&
           !active.contains(fs.makeQualified(p).toUri) &&
+          !activeDvs.contains(fs.makeQualified(p).toUri) &&
           st.getModificationTime < cutoff) {
         if (fs.delete(p, false)) deleted += rel
       }
@@ -431,23 +445,48 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"cannot delete or rewrite rows of $tableUri: the table is append-only " +
           "(delta.appendOnly=true); only appends and dataChange=false " +
           "maintenance rewrites are allowed")
-    // column-mapped tables are READ-ONLY here: our writers stage files
-    // under logical column names, which a mapped table's readers would
-    // resolve as missing physical columns
-    if (snap.columnMappingMode != "none")
+    // column mapping: mode=name tables are writable — stageWrite stages
+    // files (and partition directories) under the schema's PHYSICAL
+    // names, exactly what a mapped reader resolves. Mode=id stays
+    // read-only: honest id-mode writes must stamp parquet field ids and
+    // track maxColumnId across renames of physical columns, which this
+    // engine does not do.
+    if (snap.columnMappingMode == "id")
       throw new IllegalStateException(
-        s"cannot write to $tableUri: column-mapped tables " +
-          s"(delta.columnMapping.mode=${snap.columnMappingMode}) are " +
-          "read-only for this engine")
-    // DV-bearing tables are READ-ONLY too: every rewrite/DELETE/MERGE
-    // would have to merge the existing vectors into its row accounting,
-    // which this engine does not do — a blind rewrite resurrects
-    // deleted rows. (Feature-flagged-but-vector-free tables are already
-    // refused above: deletionVectors is not a supported writer feature.)
-    if (snap.files.exists(_.deletionVector.isDefined))
-      throw new IllegalStateException(
-        s"cannot write to $tableUri: the table has files with deletion " +
-          "vectors; DV tables are read-only for this engine")
+        s"cannot write to $tableUri: column-mapped tables in mode=id are " +
+          "read-only for this engine (mode=name tables are writable)")
+    // generated columns (writer version 4's second half): a writer that
+    // ignores a field's generation expression silently breaks the
+    // column's contract for every reader that relies on it
+    snap.schema.fields.find(_.metadata.contains("delta.generationExpression"))
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"cannot write to $tableUri: column ${f.name} carries a generation " +
+            "expression (delta.generationExpression), which this engine does " +
+            "not evaluate — writing would break the generated-column contract")
+      }
+    // DV-bearing tables are writable by RESOLVING vectors only: this
+    // engine never creates deletion vectors — its rewrites read through
+    // the mask ([[DeltaTable.readFiles]]) and stage survivor-only files
+    // — so the one invariant to enforce at the chokepoint is that any
+    // remove of a DV-bearing active file carries that exact descriptor.
+    // Replay reconciles by (path, DV id): a bare-path remove would
+    // leave the masked add live and the commit would DUPLICATE its
+    // surviving rows. (Adds carrying a DV descriptor are legal too —
+    // RESTORE re-adds historical files with their historical vectors.)
+    val dvByPath = snap.files.collect {
+      case f if f.deletionVector.isDefined => f.path -> f.deletionVector.get.uniqueId
+    }.toMap
+    if (dvByPath.nonEmpty) actions.foreach {
+      case r: RemoveFile if dvByPath.contains(r.path) &&
+          !r.deletionVector.map(_.uniqueId).contains(dvByPath(r.path)) =>
+        throw new IllegalStateException(
+          s"cannot write to $tableUri: remove of ${r.path} does not carry " +
+            "the file's deletion-vector descriptor — replay keys files by " +
+            "(path, DV id), so this remove would leave the masked file live " +
+            "and duplicate its surviving rows")
+      case _ => ()
+    }
   }
 
   /** Atomically write `actions` as version `expectedVersion`.
@@ -563,6 +602,10 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
 
 object Snapshot {
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val ColumnIdKey = "delta.columnMapping.id"
+  /** The metadata key Spark's parquet reader resolves by when
+    * `spark.sql.parquet.fieldId.read.enabled` is set. */
+  private val ParquetFieldIdKey = "parquet.field.id"
 
   /** A field's physical (on-disk) name under column mapping; the
     * logical name when unmapped. */
@@ -575,18 +618,32 @@ object Snapshot {
     * inside arrays and maps are translated too: their fields carry
     * physicalName metadata like any other, and missing them would
     * re-expose the silent all-NULL read this mapping exists to kill,
-    * one nesting level down. */
-  def physicalSchema(s: StructType): StructType = {
+    * one nesting level down.
+    *
+    * With `withFieldIds` (column mapping mode=id), each field also gets
+    * the `parquet.field.id` metadata Spark's parquet reader keys on
+    * (`spark.sql.parquet.fieldId.read.enabled`): id-mode files must be
+    * resolved by the field ids stamped into their footers — an id-mode
+    * writer may rename PHYSICAL columns too, so even physical-name
+    * matching can silently miss. */
+  def physicalSchema(s: StructType, withFieldIds: Boolean = false): StructType = {
     def dataType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
       dt match {
-        case st: StructType => physicalSchema(st)
+        case st: StructType => physicalSchema(st, withFieldIds)
         case org.apache.spark.sql.types.ArrayType(et, n) =>
           org.apache.spark.sql.types.ArrayType(dataType(et), n)
         case org.apache.spark.sql.types.MapType(kt, vt, n) =>
           org.apache.spark.sql.types.MapType(dataType(kt), dataType(vt), n)
         case o => o
       }
-    StructType(s.fields.map(f => f.copy(name = physicalName(f), dataType = dataType(f.dataType))))
+    StructType(s.fields.map { f =>
+      val md =
+        if (withFieldIds && f.metadata.contains(ColumnIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(ColumnIdKey)).build()
+        else f.metadata
+      f.copy(name = physicalName(f), dataType = dataType(f.dataType), metadata = md)
+    })
   }
 }
 
@@ -635,19 +692,30 @@ object DeltaLog {
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /
     * CHECK constraints), 3 adds CHECK constraints, 4 adds change data
-    * feed; all genuinely implemented here. 5-6 (generated columns,
-    * identity) and 7 (feature lists) gate by [[SupportedWriterFeatures]]. */
-  val SupportedWriterVersion = 4
+    * feed (generated columns — version 4's other half — are guarded by
+    * an explicit generationExpression refusal in [[checkWritable]]),
+    * 5 adds column mapping (mode=name writes stage physical names;
+    * mode=id is refused there too); all genuinely implemented here.
+    * 6 (identity columns) and 7 (feature lists) gate by
+    * [[SupportedWriterFeatures]]. */
+  val SupportedWriterVersion = 5
 
   /** Writer features (minWriterVersion 7 tables) this engine honors:
-    * append-only enforcement, invariants/CHECK constraints, CDF, plus
-    * the reader-benign pair. Everything else (deletionVectors,
-    * columnMapping, generatedColumns, identityColumns, rowTracking,
+    * append-only enforcement, invariants/CHECK constraints, CDF, the
+    * reader-benign pair, and `deletionVectors` in its vector-RESOLVING
+    * form — this engine never creates DVs, but it may append to a DV
+    * table and may compact/sort/DELETE it by materializing the mask
+    * (reads apply the bitmaps, removes carry the (path, DV id) pair the
+    * protocol reconciles by, new files hold survivors only — the same
+    * shape as delta-spark's OPTIMIZE on a DV table). Everything else
+    * (columnMapping, generatedColumns, identityColumns, rowTracking,
     * ...) would silently break the table's contract for other readers
-    * and is refused by name. */
+    * and is refused by name. `columnMapping` is honored in mode=name
+    * (physical-name writes); mode=id tables are still refused at the
+    * same chokepoint. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-    "timestampNtz", "vacuumProtocolCheck")
+    "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N
@@ -695,5 +763,15 @@ object DeltaLog {
       }
       log
     }
+  }
+
+  /** Drop the memoized instance (and with it the incremental snapshot
+    * seed) for `tableUri` — the mirror of delta-spark's
+    * `DeltaLog.invalidateCache`, for when the log directory was mutated
+    * outside this engine (external writer, manual cleanup) and the next
+    * access must replay from disk. */
+  def invalidate(tableUri: String): Unit = instances.synchronized {
+    instances.remove(new Path(tableUri).toUri.toString)
+    ()
   }
 }

@@ -42,15 +42,22 @@ object DeltaTable {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val partCols = snap.metadata.partitionColumns
-    // foreign column-mapping (mode=name) tables: the parquet columns —
-    // and partition DIRECTORY names — carry per-field physical names;
-    // read by physical name, then project back to the logical schema.
-    // Without this, a by-name read returns all-NULL columns silently.
-    val mapped = snap.columnMappingMode == "name"
+    // foreign column-mapping tables: the parquet columns — and partition
+    // DIRECTORY names — carry per-field physical names; read by physical
+    // name, then project back to the logical schema. Without this, a
+    // by-name read returns all-NULL columns silently. Mode "id" tables
+    // additionally resolve by the parquet field ids stamped into the
+    // files (Spark's fieldId read path), because an id-mode writer is
+    // free to rename physical columns between files.
+    val cmMode = snap.columnMappingMode
+    val mapped = cmMode != "none"
+    if (cmMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema =
       if (partCols.isEmpty) snap.dataSchema else snap.schema
     val physReadSchema =
-      if (mapped) Snapshot.physicalSchema(readSchema) else readSchema
+      if (mapped) Snapshot.physicalSchema(readSchema, withFieldIds = cmMode == "id")
+      else readSchema
     // the explicit snapshot schema (not inference) makes columns added
     // by schema evolution read as NULL from pre-evolution files
     def rawRead(fs: Seq[AddFile]): DataFrame = {
@@ -123,14 +130,14 @@ object DeltaTable {
   }
 
   /** [[DataSkipping.prune]] with column-mapping awareness: a mapped
-    * (mode=name) table's stats JSON and partitionValues are keyed by
-    * PHYSICAL names, so the logical predicate and schema are translated
-    * before pruning — otherwise no stats key would ever match and
-    * skipping would silently degrade to keep-everything (conservative
-    * but defeating the point). */
+    * table's stats JSON and partitionValues are keyed by PHYSICAL names
+    * (in both name and id modes, per the protocol), so the logical
+    * predicate and schema are translated before pruning — otherwise no
+    * stats key would ever match and skipping would silently degrade to
+    * keep-everything (conservative but defeating the point). */
   private[graft] def pruneFiles(snap: Snapshot, files: Seq[AddFile],
       predicate: org.apache.spark.sql.catalyst.expressions.Expression): Seq[AddFile] = {
-    if (snap.columnMappingMode != "name")
+    if (snap.columnMappingMode == "none")
       return DataSkipping.prune(files, snap.schema, predicate)
     val m = snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
     val physSchema = org.apache.spark.sql.types.StructType(
@@ -787,10 +794,13 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     val cur = log.snapshot()
     val tgt = log.snapshotAt(version)
-    val curPaths = cur.files.map(_.path).toSet
-    val tgtPaths = tgt.files.map(_.path).toSet
-    val toRemove = cur.files.filterNot(f => tgtPaths.contains(f.path))
-    val toAdd = tgt.files.filterNot(f => curPaths.contains(f.path))
+    // diff by the protocol's reconciliation key (path, DV id), not bare
+    // path: restoring across a DV-swapping DELETE must re-add the file
+    // WITH its historical vector and remove the current (path, newDv)
+    val curKeys = cur.files.map(_.reconcileKey).toSet
+    val tgtKeys = tgt.files.map(_.reconcileKey).toSet
+    val toRemove = cur.files.filterNot(f => tgtKeys.contains(f.reconcileKey))
+    val toAdd = tgt.files.filterNot(f => curKeys.contains(f.reconcileKey))
 
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val missing = toAdd.filterNot(f => fs.exists(new Path(log.tableRoot, f.path)))
@@ -807,7 +817,8 @@ object DeltaTable {
     // schema rollback rides along (e.g. undoing a mergeSchema append)
     if (!sameMeta) actions += tgt.metadata
     actions ++= toRemove.map(f =>
-      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+        f.deletionVector))
     actions ++= toAdd.map(f => f.copy(modificationTime = now, dataChange = true))
     actions += CommitInfo(now, "RESTORE", Map("version" -> version.toString))
     log.commitDml(cur.version, actions.result())
@@ -914,8 +925,11 @@ object DeltaTable {
     }
     if (touched.isEmpty && adds.isEmpty && extraActions.isEmpty) return DmlStats(0, 0)
     val now = System.currentTimeMillis()
+    // carry the DV descriptor: replay reconciles by (path, DV id), so a
+    // bare-path remove of a DV-bearing file would leave it live
     val removes = touched.map(f =>
-      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+        f.deletionVector))
     log.commitDml(snap.version,
       extraActions ++ removes ++ adds ++ cdc :+ CommitInfo(now, operation, params))
     DmlStats(removes.size, adds.size)

@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   *    return HUGEINT/BIGINT; Spark row_number returns int).
   */
 object Tables {
-  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong)
-    * — convert to a microsecond timestamp with integer math (ns epoch
-    * exceeds 2^53, so double division would corrupt it). */
+  /** Load a testdata table, normalizing `events.ts` to TimestampType
+    * whatever the generator stored:
+    *  - TIMESTAMP(NANOS) reads as LONG under
+    *    spark.sql.legacy.parquet.nanosAsLong — convert with integer
+    *    math (ns epoch exceeds 2^53, so double division corrupts it);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    *    TIMESTAMP_NTZ — cast in the UTC session keeps the wall clock,
+    *    so downstream window/session/range logic (and the DuckDB
+    *    oracle, which reads the same µs values) is unchanged. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
     else df
   }
 

@@ -173,9 +173,14 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     val t0 = System.nanoTime()
     val snap = deltaLog.snapshot()
     val groups = snap.files
-      .filter(f => f.size > 0 && f.size < targetFileSizeBytes)
+      // DV-bearing files are always eligible regardless of size: packing
+      // them materializes the deletion mask and drops the descriptor —
+      // the only way dead rows ever leave the disk
+      .filter(f => f.size > 0 && (f.size < targetFileSizeBytes || f.deletionVector.isDefined))
       .groupBy(_.partitionValues).values.toSeq
-      .filter(_.size > 1) // one small file per partition: nothing to pack
+      // one small file per partition: nothing to pack — unless it
+      // carries a DV worth purging
+      .filter(fs => fs.size > 1 || fs.exists(_.deletionVector.isDefined))
       .map { files =>
         val part = snap.metadata.partitionColumns
           .flatMap(c => files.head.partitionValues.get(c).map(c -> _))

@@ -61,11 +61,15 @@ object Planner {
     val groups = (proven ++ candidates
       .filterNot { g =>
         // drop partitions that already pass (lib.rs:298-311); a file with
-        // no stats (empty file) contributes nothing to ordering
+        // no stats (empty file) contributes nothing to ordering. A
+        // partition with deletion-vector files is NEVER dropped: even
+        // when its surviving rows are sorted, compaction's other job is
+        // purging the masked rows and their descriptors — skipping it
+        // would leave dead rows on disk forever.
         val fs = g.files.flatMap(f => statsByPath.get(absPath(f)))
         val sortedWithin = fs.forall(_.sortedWithin)
         val (cross, _) = Validator.boundaryViolations(fs, cfg.nullsFirst, cfg.descFlags)
-        sortedWithin && cross == 0
+        sortedWithin && cross == 0 && g.files.forall(_.deletionVector.isEmpty)
       })
       .sortBy(-_.estimatedBytes) // largest first (lib.rs:313)
 

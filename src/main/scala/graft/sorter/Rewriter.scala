@@ -45,7 +45,7 @@ object Rewriter {
     files.map { f =>
       // log-carried stats first (tables written by this engine or
       // delta-rs carry numRecords) — the footer read is the fallback
-      f.stats.flatMap { s =>
+      val physical = f.stats.flatMap { s =>
         try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
         catch { case scala.util.control.NonFatal(_) => None }
       }.getOrElse {
@@ -53,6 +53,10 @@ object Rewriter {
           HadoopInputFile.fromPath(new Path(log.tableRoot, f.path), conf))
         try reader.getRecordCount finally reader.close()
       }
+      // numRecords (and the footer) count PHYSICAL rows; a deletion
+      // vector masks `cardinality` of them, and the rewrite only ever
+      // carries the survivors — size new files to what will be written
+      math.max(0L, physical - f.deletionVector.map(_.cardinality).getOrElse(0L))
     }.sum
   }
 
@@ -86,8 +90,12 @@ object Rewriter {
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,
       snap.metadata.partitionColumns, maxRecords, dataChange = false)
     val now = System.currentTimeMillis()
+    // the remove must carry the file's DV descriptor: snapshot replay
+    // keys files by (path, DV id), so a bare-path remove would leave the
+    // DV-bearing add live and the rewrite would DUPLICATE its rows
     val removes = group.files.map(f =>
-      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size,
+        f.deletionVector))
     val predicate = Predicates.sql(group.partition.getOrElse(Nil), snap.schema)
     log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "WRITE",
       Map("mode" -> "Overwrite", "predicate" -> predicate,
@@ -120,8 +128,12 @@ object Rewriter {
     val adds = DeltaTable.stageWrite(spark, log, df.coalesce(nOut),
       snap.metadata.partitionColumns, Some(maxRecords), dataChange = false)
     val now = System.currentTimeMillis()
+    // the remove must carry the file's DV descriptor: snapshot replay
+    // keys files by (path, DV id), so a bare-path remove would leave the
+    // DV-bearing add live and the rewrite would DUPLICATE its rows
     val removes = group.files.map(f =>
-      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size,
+        f.deletionVector))
     val predicate = Predicates.sql(group.partition.getOrElse(Nil), snap.schema)
     log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
       Map("binPack" -> "true", "predicate" -> predicate,
@@ -150,7 +162,8 @@ object Rewriter {
       snap.metadata.partitionColumns, maxRecords, dataChange = true)
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
-      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+        f.deletionVector))
     log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "WRITE",
       Map("mode" -> "Overwrite",
         "sortColumns" -> cfg.sortColumns.mkString(","),
@@ -187,7 +200,8 @@ object Rewriter {
       snap.metadata.partitionColumns, maxRecords, dataChange = false)
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
-      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size))
+      RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size,
+        f.deletionVector))
     log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
       Map("zorderColumns" -> zCols.mkString(","), "bits" -> bits.toString)))
 

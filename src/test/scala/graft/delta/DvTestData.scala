@@ -1,0 +1,178 @@
+package graft.delta
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+
+/** Test-side DV fixture authoring: an independent implementation of the
+  * published formats (portable roaring per the RoaringFormatSpec, DV
+  * blob + sidecar framing per the Delta protocol's "Deletion Vectors"
+  * section, Z85 per ZeroMQ RFC 32), shared by [[DeletionVectorSpec]]
+  * (read-side pins) and the maintenance specs (write-side: compaction
+  * materializing the mask). */
+object DvTestData {
+
+  val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = Z85Alphabet(((v % 85)).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def uuidToZ85(u: UUID): String = {
+    val b = ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    z85Encode(b.array())
+  }
+
+  /** Serialize one 32-bit roaring bitmap (portable format). `runKeys`
+    * selects which containers encode as runs (forces SERIAL_COOKIE). */
+  def serRoaring32(values: Seq[Int], runKeys: Set[Int] = Set.empty): Array[Byte] = {
+    val byKey = values.map(v => (v >>> 16, v & 0xffff)).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, vs) => (k, vs.map(_._2).distinct.sorted) }
+    val n = byKey.size
+    val useRunFormat = runKeys.nonEmpty
+    val out = new java.io.ByteArrayOutputStream()
+    def putShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def putIntLE(v: Int): Unit = { putShortLE(v & 0xffff); putShortLE(v >>> 16) }
+    // containers serialized up front so the offset header can be exact
+    val bodies = byKey.map { case (k, vs) =>
+      val b = new java.io.ByteArrayOutputStream()
+      def bShortLE(v: Int): Unit = { b.write(v & 0xff); b.write((v >>> 8) & 0xff) }
+      if (runKeys.contains(k)) {
+        // encode as sorted runs of consecutive values
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var start = vs.head; var prev = vs.head
+        vs.tail.foreach { v =>
+          if (v == prev + 1) prev = v
+          else { runs += ((start, prev - start)); start = v; prev = v }
+        }
+        runs += ((start, prev - start))
+        bShortLE(runs.size)
+        runs.foreach { case (s, l) => bShortLE(s); bShortLE(l) }
+      } else if (vs.size <= 4096) {
+        vs.foreach(bShortLE)
+      } else {
+        val words = new Array[Long](1024)
+        vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+        words.foreach { w =>
+          var x = w; var i = 0
+          while (i < 8) { b.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+        }
+      }
+      b.toByteArray
+    }
+    val hasOffsets = !useRunFormat || n >= 4
+    if (useRunFormat) {
+      putIntLE(12347 | ((n - 1) << 16))
+      val flags = new Array[Byte]((n + 7) / 8)
+      byKey.zipWithIndex.foreach { case ((k, _), i) =>
+        if (runKeys.contains(k)) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      out.write(flags)
+    } else {
+      putIntLE(12346)
+      putIntLE(n)
+    }
+    byKey.foreach { case (k, vs) => putShortLE(k); putShortLE(vs.size - 1) }
+    if (hasOffsets) {
+      var off = out.size() + 4 * n
+      bodies.foreach { b => putIntLE(off); off += b.length }
+    }
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** DV blob: portable magic + [count][bitmaps] (64-bit array form). */
+  def serDvBlob(values: Seq[Long], runKeys: Set[Int] = Set.empty): Array[Byte] = {
+    val byHigh = values.groupBy(v => (v >>> 32).toInt)
+    val nBitmaps = if (values.isEmpty) 0 else byHigh.keys.max + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(DeletionVectors.PortableMagic).putLong(nBitmaps.toLong)
+    out.write(head.array())
+    (0 until nBitmaps).foreach { h =>
+      out.write(serRoaring32(byHigh.getOrElse(h, Nil).map(_.toInt), runKeys))
+    }
+    out.toByteArray
+  }
+
+  /** Sidecar file: version byte then [len BE][blob][crc BE] per blob.
+    * Returns the descriptor offset of each blob. */
+  def writeSidecar(path: java.nio.file.Path, blobs: Seq[Array[Byte]]): Seq[Int] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // format version
+    val offsets = blobs.map { blob =>
+      val off = out.size()
+      val b = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(blob.length)
+      out.write(b.array()); out.write(blob)
+      val crc = new CRC32; crc.update(blob)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array())
+      off
+    }
+    Files.createDirectories(path.getParent)
+    Files.write(path, out.toByteArray)
+    offsets
+  }
+
+  def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One single-row-group parquet file of (id, name) rows in THIS order
+    * (row_index within the file == sequence position). */
+  def writeDataFile(spark: SparkSession, dir: String,
+      rows: Seq[(Long, String)]): (String, Long) = {
+    import spark.implicits._
+    val tmp = TestSpark.tmpDir("dv-part")
+    rows.toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    (part.getName, part.length())
+  }
+
+  val schemaJson: String = new StructType()
+    .add("id", LongType).add("name", StringType).json
+
+  def metaJson: String =
+    s"""{"metaData":{"id":"dv-fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":0}}"""
+
+  val dvProtocol: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  def dvJson(storageType: String, pathOrInlineDv: String, offset: Option[Int],
+      sizeInBytes: Int, cardinality: Long): String =
+    s"""{"storageType":"$storageType","pathOrInlineDv":"$pathOrInlineDv"""" +
+      offset.fold("")(o => s""","offset":$o""") +
+      s""","sizeInBytes":$sizeInBytes,"cardinality":$cardinality}"""
+}

@@ -386,20 +386,22 @@ class ForeignLogSpec extends AnyFunSuite {
   }
 
   test("writer protocol gate: unsupported writer features refuse commits by name") {
-    // a v7 table demanding deletionVectors on write: appending blind
-    // would corrupt row visibility for every other reader
+    // a v7 table demanding rowTracking on write: appending blind would
+    // break the row-id/commit-version bookkeeping other writers maintain
+    // (deletionVectors moved OFF this list round 11: the engine now
+    // writes DV tables by resolving the vectors — DvMaintenanceSpec)
     val dir = TestSpark.tmpDir("foreign-w7")
     val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
     writeCommit(dir, 0L, Seq(
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        s""""writerFeatures":["deletionVectors","appendOnly"]}}""",
+        s""""writerFeatures":["rowTracking","appendOnly"]}}""",
       metaJson,
       s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaTable.read(spark, dir).count() == 1, "reading stays fine")
     val e = intercept[IllegalStateException] {
       DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
     }
-    assert(e.getMessage.contains("unsupported writer feature deletionVectors"))
+    assert(e.getMessage.contains("unsupported writer feature rowTracking"))
 
     // all-supported feature list: writes flow
     val ok = TestSpark.tmpDir("foreign-w7-ok")
@@ -580,7 +582,7 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("column-mapped"))
   }
 
-  test("column mapping mode=id is rejected loudly, mode=name passes the v3 feature gate") {
+  test("unknown column mapping modes are rejected loudly, mode=name passes the v3 feature gate") {
     def mk(mode: String, reader: Int, writer: Int, features: String): String = {
       val dir = TestSpark.tmpDir(s"foreign-cm-$mode")
       val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
@@ -592,14 +594,79 @@ class ForeignLogSpec extends AnyFunSuite {
         s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
       dir
     }
-    val id = mk("id", 2, 5, "")
-    val e = intercept[IllegalStateException](DeltaLog.forTable(spark, id).snapshot())
-    assert(e.getMessage.contains("'id' is not supported"))
+    val bogus = mk("bogus", 2, 5, "")
+    val e = intercept[IllegalStateException](DeltaLog.forTable(spark, bogus).snapshot())
+    assert(e.getMessage.contains("'bogus' is not supported"))
     // v3 + readerFeatures [columnMapping] with mode=name: readable
     // (the fixture's files carry logical names = physical, trivially mapped)
     val v3 = mk("name", 3, 7,
       ""","readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]""")
     assert(DeltaTable.read(spark, v3).count() == 1)
+  }
+
+  test("column mapping mode=id: reads resolve by parquet FIELD ID, stats prune by physical name") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("foreign-cm-id")
+    // id-mode files are resolved by the field ids stamped into their
+    // footers — to PROVE the read is id-keyed (not a physical-name
+    // fallback), the parquet column names here match NEITHER the
+    // logical nor the recorded physical names
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val writeSchema = new StructType()
+      .add("whatever-a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build())
+      .add("whatever-b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())
+    def writeIdFile(rows: Seq[(Long, String)]): (String, Long) = {
+      val tmp = TestSpark.tmpDir("foreign-cm-id-part")
+      spark.createDataFrame(rows.toDF("a", "b").rdd, writeSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.copy(part.toPath, Paths.get(dir, part.getName))
+      (part.getName, part.length())
+    }
+    val (f0, s0) = writeIdFile(Seq((1L, "a"), (2L, "b")))
+    val (f1, s1) = writeIdFile(Seq((10L, "x"), (20L, "y")))
+    val cmSchema = new StructType()
+      .add("id", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-p1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("name", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-p2")
+          .putLong("delta.columnMapping.id", 2).build())
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"cm-id-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      // stats keyed by PHYSICAL names (per the protocol, in id mode too)
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-p1\\":1},\\"maxValues\\":{\\"col-p1\\":2},\\"nullCount\\":{\\"col-p1\\":0}}"}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-p1\\":10},\\"maxValues\\":{\\"col-p1\\":20},\\"nullCount\\":{\\"col-p1\\":0}}"}}"""))
+
+    // same rows/columns as the name-mode twin above, via id resolution
+    val rows = DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y")),
+      "id-mode read must resolve columns by field id, not by any name")
+    assert(DeltaTable.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // logical predicates prune on the physical stats keys
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DeltaTable.pruneFiles(snap, snap.files,
+      spark.sessionState.sqlParser.parseExpression("id >= 10")).map(_.path) == Seq(f1),
+      "stats pruning must work through the id-mode physical-name keys")
+    assert(DeltaTable.readWhere(spark, dir, "id >= 10").as[(Long, String)]
+      .collect().toSet == Set((10L, "x"), (20L, "y")))
+    // id-mode tables stay read-only (rename/drop tracking on write is
+    // name-mode only)
+    val e = intercept[IllegalStateException] {
+      DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("columnMapping") || e.getMessage.contains("read-only"))
   }
 
   test("protocol JSON round-trips feature lists") {

@@ -1,0 +1,165 @@
+package graft.sorter
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta._
+import graft.delta.DvTestData._
+
+/** Maintenance on deletion-vector tables: the engine's core operation
+  * (compact/sort, reference lib.rs:778-896) applied to the modern tables
+  * delta-rs 0.28 serves. A rewrite must MATERIALIZE the mask — read the
+  * survivors, stage vector-free files, and remove the old (path, DV id)
+  * pairs — because snapshot replay reconciles by exactly that key: a
+  * bare-path remove would leave the masked add live and duplicate rows.
+  */
+class DvMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeData(dir: String, rows: Seq[(Long, String)]): (String, Long) =
+    DvTestData.writeDataFile(spark, dir, rows)
+
+  /** Two-file DV fixture: f0 = ids 0..9 masking {0, 2}; f1 = ids 5..14
+    * masking {14} (last row). Bounds overlap, so a sort plan on `id`
+    * must rewrite. Survivors: {1,3..9} ⊎ {5..13} = 17 rows. */
+  private def fixture(): (String, Set[Long], Long) = {
+    val dir = TestSpark.tmpDir("dv-maint")
+    val (f0, s0) = writeData(dir, (0L until 10L).map(i => (i, s"r$i")))
+    val (f1, s1) = writeData(dir, (5L until 15L).map(i => (i, s"s$i")))
+    val dv0 = serDvBlob(Seq(0L, 2L))
+    val dv1 = serDvBlob(Seq(9L))
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_mt.bin"), Seq(dv0, dv1))
+    val abs = Paths.get(dir, "deletion_vector_mt.bin").toString
+    writeCommit(dir, 0L, Seq(
+      dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("p", abs, Some(offs(0)), dv0.length, 2)}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("p", abs, Some(offs(1)), dv1.length, 1)}}}"""))
+    val expected = ((0L until 10L).toSet -- Set(0L, 2L)) ++ ((5L until 15L).toSet - 14L)
+    (dir, expected, 17L)
+  }
+
+  test("compact materializes the mask: descriptors gone, survivors only, validate green") {
+    val (dir, expectedIds, expectedCount) = fixture()
+    val before = DeltaTable.read(spark, dir).as[(Long, String)].collect()
+    assert(before.length == expectedCount)
+
+    val sorter = DeltaSorter(spark, dir)
+    val summary = sorter.compact(SortConfig(Seq("id")))
+    assert(summary.filesIn == 2, "both DV files must be rewritten")
+
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    assert(snap.files.forall(_.deletionVector.isEmpty),
+      "compaction must drop every deletion-vector descriptor")
+    // row-for-row identical to the masked read, no duplicates
+    val after = DeltaTable.read(spark, dir).as[(Long, String)].collect()
+    assert(after.length == expectedCount, "a duplicated or resurrected row means replay mis-keyed")
+    assert(after.sorted.toSeq == before.sorted.toSeq)
+    assert(after.map(_._1).toSet == expectedIds)
+    // new files' log stats count survivors, not physical pre-mask rows
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statRows = snap.files.flatMap(_.stats).map(s => mapper.readTree(s).get("numRecords").asLong()).sum
+    assert(statRows == expectedCount)
+    assert(sorter.validate(Seq("id")).ok, "rewritten table must validate sorted")
+  }
+
+  test("binPack purges a deletion vector even from a lone file in its partition") {
+    val dir = TestSpark.tmpDir("dv-binpack")
+    val (f0, s0) = writeData(dir, (0L until 10L).map(i => (i, s"r$i")))
+    val dv0 = serDvBlob(Seq(4L, 5L))
+    val offs = writeSidecar(Paths.get(dir, "deletion_vector_bp.bin"), Seq(dv0))
+    val abs = Paths.get(dir, "deletion_vector_bp.bin").toString
+    writeCommit(dir, 0L, Seq(
+      dvProtocol, metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":${dvJson("p", abs, Some(offs(0)), dv0.length, 2)}}}"""))
+
+    val summary = DeltaSorter(spark, dir).binPack()
+    assert(summary.filesIn == 1, "the lone DV-bearing file is still pack-eligible")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().map(_._1).toSet ==
+      (0L until 10L).toSet -- Set(4L, 5L))
+  }
+
+  test("strict full-sort overwrite resolves vectors table-wide") {
+    val (dir, expectedIds, expectedCount) = fixture()
+    DeltaSorter(spark, dir).compact(SortConfig(Seq("id"), repartitionBySortKey = true))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    val ids = DeltaTable.read(spark, dir).select("id").as[Long].collect()
+    assert(ids.length == expectedCount && ids.toSet == expectedIds)
+  }
+
+  test("DELETE on a DV table composes with the mask and re-keys the remove") {
+    val (dir, expectedIds, _) = fixture()
+    // id 7 appears in BOTH files; both are touched, rewritten, de-vectored
+    val stats = DeltaTable.delete(spark, dir, col("id") === 7L)
+    assert(stats.filesRemoved == 2)
+    val got = DeltaTable.read(spark, dir).select("id").as[Long].collect()
+    assert(got.toSet == expectedIds - 7L)
+    assert(got.length == 15, "masked rows must stay deleted and no row may duplicate")
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.forall(_.deletionVector.isEmpty))
+  }
+
+  test("commit gate refuses a bare-path remove of a DV-bearing file") {
+    val (dir, _, _) = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    val f = snap.files.find(_.deletionVector.isDefined).get
+    val e = intercept[IllegalStateException] {
+      log.commit(snap.version + 1, Seq(
+        RemoveFile(f.path, 1L, dataChange = false, f.partitionValues, f.size)))
+    }
+    assert(e.getMessage.contains("deletion-vector descriptor"))
+  }
+
+  test("checkpointed DV snapshot round-trips: replay from checkpoint equals JSON replay") {
+    val (dir, expectedIds, expectedCount) = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    val jsonSnap = log.snapshot()
+    log.checkpoint()
+    // force checkpoint-based replay: drop the JSON commit it summarizes
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    DeltaLog.invalidate(dir)
+    val cpSnap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(cpSnap.files.map(_.reconcileKey).toSet == jsonSnap.files.map(_.reconcileKey).toSet,
+      "checkpoint must carry the (path, DV id) pairs verbatim")
+    assert(cpSnap.files.count(_.deletionVector.isDefined) == 2)
+    val got = DeltaTable.read(spark, dir).select("id").as[Long].collect()
+    assert(got.length == expectedCount && got.toSet == expectedIds)
+  }
+
+  test("vacuum deletes orphaned DV sidecars but never live ones") {
+    val (dir, expectedIds, expectedCount) = fixture()
+    val sidecar = Paths.get(dir, "deletion_vector_mt.bin")
+    // live: the snapshot still references the sidecar — protected
+    val log = DeltaLog.forTable(spark, dir)
+    log.vacuum(retentionMs = 0, enforceRetentionDuration = false)
+    assert(Files.exists(sidecar), "a referenced DV sidecar is live data")
+    assert(DeltaTable.read(spark, dir).count() == expectedCount)
+    // compact, then vacuum: the descriptors are gone, the sidecar is garbage
+    DeltaSorter(spark, dir).compact(SortConfig(Seq("id")))
+    val deleted = log.vacuum(retentionMs = 0, enforceRetentionDuration = false)
+    assert(!Files.exists(sidecar), s"orphaned DV sidecar must be vacuumed (deleted: $deleted)")
+    assert(deleted.exists(_.endsWith(".bin")) && deleted.exists(_.endsWith(".parquet")))
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet == expectedIds)
+  }
+
+  test("RESTORE across a DV-resolving compaction brings the vectors back") {
+    val (dir, expectedIds, expectedCount) = fixture()
+    DeltaSorter(spark, dir).compact(SortConfig(Seq("id"))) // v1: vector-free
+    DeltaTable.restore(spark, dir, 0L) // v2: back to the DV state
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.count(_.deletionVector.isDefined) == 2,
+      "restore diffs by (path, DV id), so the historical descriptors return")
+    val got = DeltaTable.read(spark, dir).select("id").as[Long].collect()
+    assert(got.length == expectedCount && got.toSet == expectedIds)
+  }
+}
