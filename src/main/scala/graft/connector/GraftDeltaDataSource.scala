@@ -185,8 +185,14 @@ final class GraftDeltaDataSource extends RelationProvider
           s"graftdelta: Overwrite would change the schema/partitioning of $tableUri " +
             s"(table: ${snap.schema.simpleString}, incoming: ${data.schema.simpleString}); " +
             "set .option(\"overwriteSchema\", true) to allow")
+        // overwriteSchema on a column-mapped table would replace the
+        // mapped schema with an unmapped one, stranding every existing
+        // physical-named file — evolve through append/ALTER instead
+        require(sameShape || snap.columnMappingMode == "none",
+          s"graftdelta: overwriteSchema is not supported on a column-mapped " +
+            s"table (delta.columnMapping.mode=${snap.columnMappingMode})")
         val adds = DeltaTable.stageWrite(spark, log, clustered, parts,
-          maxRecordsPerFile = None, dataChange = true)
+          maxRecordsPerFile = None, dataChange = true, Some(snap))
         val now = System.currentTimeMillis()
         val removes = snap.files.map(f =>
           RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
@@ -295,7 +301,7 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
       val snapNow = log.snapshot()
       DeltaTable.checkConstraints(log, snapNow, named)
       val adds = DeltaTable.stageWrite(spark, log, named,
-        snapNow.metadata.partitionColumns, maxRecordsPerFile = None, dataChange = true)
+        snapNow.metadata.partitionColumns, maxRecordsPerFile = None, dataChange = true, Some(snapNow))
       val now = System.currentTimeMillis()
       val removes = snapNow.files.map(f =>
         RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,

@@ -445,16 +445,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         s"cannot delete or rewrite rows of $tableUri: the table is append-only " +
           "(delta.appendOnly=true); only appends and dataChange=false " +
           "maintenance rewrites are allowed")
-    // column mapping: mode=name tables are writable — stageWrite stages
-    // files (and partition directories) under the schema's PHYSICAL
-    // names, exactly what a mapped reader resolves. Mode=id stays
-    // read-only: honest id-mode writes must stamp parquet field ids and
-    // track maxColumnId across renames of physical columns, which this
-    // engine does not do.
-    if (snap.columnMappingMode == "id")
-      throw new IllegalStateException(
-        s"cannot write to $tableUri: column-mapped tables in mode=id are " +
-          "read-only for this engine (mode=name tables are writable)")
+    // column mapping: both modes are writable — stageWrite projects the
+    // DataFrame to the schema's PHYSICAL names before staging (files,
+    // partition directories, footer stats keys) and stamps
+    // `parquet.field.id` into the footers whenever the schema records
+    // column ids (required by id-mode readers, ignored by name-mode
+    // ones); schema evolution assigns fresh physical names + ids and
+    // advances maxColumnId (DeltaTable.evolveMetadata).
     // generated columns (writer version 4's second half): a writer that
     // ignores a field's generation expression silently breaks the
     // column's contract for every reader that relies on it
@@ -474,17 +471,23 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // leave the masked add live and the commit would DUPLICATE its
     // surviving rows. (Adds carrying a DV descriptor are legal too —
     // RESTORE re-adds historical files with their historical vectors.)
-    val dvByPath = snap.files.collect {
-      case f if f.deletionVector.isDefined => f.path -> f.deletionVector.get.uniqueId
-    }.toMap
-    if (dvByPath.nonEmpty) actions.foreach {
-      case r: RemoveFile if dvByPath.contains(r.path) &&
-          !r.deletionVector.map(_.uniqueId).contains(dvByPath(r.path)) =>
+    // The check runs for EVERY remove of an active file, both
+    // directions: a remove missing the active file's descriptor, and a
+    // remove carrying a stale/spurious descriptor for a vector-free
+    // active file — either way the reconcileKey would miss during
+    // replay, silently no-op, and leave the add live (duplicate rows).
+    val activeDv: Map[String, Option[String]] =
+      snap.files.map(f => f.path -> f.deletionVector.map(_.uniqueId)).toMap
+    actions.foreach {
+      case r: RemoveFile if activeDv.contains(r.path) &&
+          r.deletionVector.map(_.uniqueId) != activeDv(r.path) =>
         throw new IllegalStateException(
-          s"cannot write to $tableUri: remove of ${r.path} does not carry " +
-            "the file's deletion-vector descriptor — replay keys files by " +
-            "(path, DV id), so this remove would leave the masked file live " +
-            "and duplicate its surviving rows")
+          s"cannot write to $tableUri: remove of ${r.path} does not carry the " +
+            s"active file's deletion-vector descriptor (remove has " +
+            s"${r.deletionVector.map(_.uniqueId).getOrElse("none")}, active file has " +
+            s"${activeDv(r.path).getOrElse("none")}) — replay reconciles removes " +
+            "by (path, DV id), so this remove would silently no-op and leave " +
+            "the active file live, duplicating its rows")
       case _ => ()
     }
   }
@@ -694,8 +697,8 @@ object DeltaLog {
     * CHECK constraints), 3 adds CHECK constraints, 4 adds change data
     * feed (generated columns — version 4's other half — are guarded by
     * an explicit generationExpression refusal in [[checkWritable]]),
-    * 5 adds column mapping (mode=name writes stage physical names;
-    * mode=id is refused there too); all genuinely implemented here.
+    * 5 adds column mapping (writes project to physical names and stamp
+    * field ids, both modes); all genuinely implemented here.
     * 6 (identity columns) and 7 (feature lists) gate by
     * [[SupportedWriterFeatures]]. */
   val SupportedWriterVersion = 5
@@ -708,11 +711,10 @@ object DeltaLog {
     * (reads apply the bitmaps, removes carry the (path, DV id) pair the
     * protocol reconciles by, new files hold survivors only — the same
     * shape as delta-spark's OPTIMIZE on a DV table). Everything else
-    * (columnMapping, generatedColumns, identityColumns, rowTracking,
-    * ...) would silently break the table's contract for other readers
-    * and is refused by name. `columnMapping` is honored in mode=name
-    * (physical-name writes); mode=id tables are still refused at the
-    * same chokepoint. */
+    * (generatedColumns, identityColumns, rowTracking, ...) would
+    * silently break the table's contract for other readers and is
+    * refused by name. `columnMapping` is honored in both modes:
+    * physical-name writes with field ids stamped into the footers. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")

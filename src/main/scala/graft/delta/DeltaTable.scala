@@ -26,6 +26,25 @@ object DeltaTable {
 
   val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Per-parent-session memo of the field-id-enabled read session used
+    * for mode=id tables (cloning per read would rebuild session state
+    * every scan; weak keys let a closed session's clone be collected).
+    * The clone snapshots the parent's conf at FIRST id-mode read — the
+    * one divergence from reading on the parent directly, and benign:
+    * scan-relevant confs rarely change mid-session. */
+  private val idReadSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def idReadSession(spark: SparkSession): SparkSession =
+    idReadSessions.synchronized {
+      var s = idReadSessions.get(spark)
+      if (s == null) {
+        s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
+          Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+        idReadSessions.put(spark, s)
+      }
+      s
+    }
+
   /** Read the active snapshot as a DataFrame (partition columns
     * reconstructed from hive-style paths and cast to the table schema). */
   def read(spark: SparkSession, tableUri: String): DataFrame = {
@@ -51,8 +70,17 @@ object DeltaTable {
     // free to rename physical columns between files.
     val cmMode = snap.columnMappingMode
     val mapped = cmMode != "none"
-    if (cmMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode resolution needs spark.sql.parquet.fieldId.read.enabled,
+    // a SESSION conf the parquet reader consults at scan time — setting
+    // it on the caller's session would silently change how every later
+    // field-id-bearing parquet read in the session resolves. Scope it:
+    // build the scans against a cloned session (same SparkContext,
+    // copied conf) carrying the flag; the HadoopFsRelation captures the
+    // clone, so execution reads the flag from it no matter when (or
+    // composed with what) the returned DataFrame finally runs.
+    val readSession =
+      if (cmMode == "id") idReadSession(spark)
+      else spark
     val readSchema =
       if (partCols.isEmpty) snap.dataSchema else snap.schema
     val physReadSchema =
@@ -62,8 +90,8 @@ object DeltaTable {
     // by schema evolution read as NULL from pre-evolution files
     def rawRead(fs: Seq[AddFile]): DataFrame = {
       val paths = fs.map(f => new Path(log.tableRoot, f.path).toString)
-      if (partCols.isEmpty) spark.read.schema(physReadSchema).parquet(paths: _*)
-      else spark.read.schema(physReadSchema)
+      if (partCols.isEmpty) readSession.read.schema(physReadSchema).parquet(paths: _*)
+      else readSession.read.schema(physReadSchema)
         .option("basePath", log.tableRoot.toString).parquet(paths: _*)
     }
     // deletion vectors: files carrying one get their flagged row indexes
@@ -193,16 +221,54 @@ object DeltaTable {
   /** Write `df`'s rows as new data files (staging + rename), returning
     * AddFile actions with paths relative to the table root. Does NOT
     * commit. `dataChange=false` marks rewrites of existing rows
-    * (lib.rs:818-828) so downstream incremental readers skip them. */
+    * (lib.rs:818-828) so downstream incremental readers skip them.
+    *
+    * `snap` (pass it whenever writing into an EXISTING table) carries
+    * the column-mapping context: on a mapped table (mode name or id)
+    * the incoming logical-named DataFrame is projected to the schema's
+    * PHYSICAL names before staging — parquet columns, partition
+    * directory names, footer-derived stats keys, and (when the schema
+    * records column ids) `parquet.field.id` footer metadata all come
+    * out physical, exactly what a mapped reader (ours or any other
+    * engine's) resolves. Without this projection a mapped table's
+    * appended files would silently read back all-NULL. */
   def stageWrite(spark: SparkSession, log: DeltaLog, df: DataFrame,
       partitionColumns: Seq[String], maxRecordsPerFile: Option[Long],
-      dataChange: Boolean): Seq[AddFile] = {
+      dataChange: Boolean, snap: Option[Snapshot] = None): Seq[AddFile] = {
+    val mapped = snap.exists(_.columnMappingMode != "none")
+    val (wdf, wparts) =
+      if (!mapped) (df, partitionColumns)
+      else {
+        val byName = snap.get.schema.fields.map(f => f.name -> f).toMap
+        val proj = df.schema.fields.map { lf =>
+          val f = byName.getOrElse(lf.name, sys.error(
+            s"stageWrite: column ${lf.name} has no column-mapping entry in the " +
+              s"table schema of ${log.tableUri} (evolve the schema first)"))
+          // field ids ride whenever the schema records them (delta
+          // assigns ids in BOTH mapping modes; id-mode readers require
+          // them in the footers, name-mode readers ignore them)
+          val pf = Snapshot.physicalSchema(
+            org.apache.spark.sql.types.StructType(Array(f)), withFieldIds = true).fields(0)
+          // cast to the physical struct type renames NESTED fields
+          // (positionally); the alias renames + carries the top-level
+          // metadata (physicalName + parquet.field.id) into the write
+          // schema, which is where the parquet writer reads ids from
+          col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+        }
+        (df.select(proj.toSeq: _*),
+          partitionColumns.map(p => Snapshot.physicalName(byName(p))))
+      }
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(log.tableRoot, s"_staging-${UUID.randomUUID()}")
+    // the parquet write is EAGER, so scoping the field-id write flag to
+    // this call (set + restore) cannot leak into later writes
+    val FieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldIdWrite = spark.conf.getOption(FieldIdWriteKey)
     try {
-      var w = df.write.mode("overwrite")
+      if (mapped) spark.conf.set(FieldIdWriteKey, "true")
+      var w = wdf.write.mode("overwrite")
       maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
-      if (partitionColumns.nonEmpty) w = w.partitionBy(partitionColumns: _*)
+      if (wparts.nonEmpty) w = w.partitionBy(wparts: _*)
       w.parquet(staging.toString)
 
       val staged = mutable.ArrayBuffer.empty[(String, Path, Long)] // (relDir, file, size)
@@ -247,6 +313,10 @@ object DeltaTable {
           stats = statsByPath.get(relPath))
       }
     } finally {
+      if (mapped) prevFieldIdWrite match {
+        case Some(v) => spark.conf.set(FieldIdWriteKey, v)
+        case None => spark.conf.unset(FieldIdWriteKey)
+      }
       fs.delete(staging, true)
     }
   }
@@ -259,6 +329,48 @@ object DeltaTable {
       val dec = URLDecoder.decode(v, StandardCharsets.UTF_8)
       k -> (if (dec == HiveNullPartition) null else dec)
     }.toMap
+
+  /** Merged metadata for appending `newCols` to the table schema
+    * (mergeSchema appends, ALTER ADD COLUMNS, schema-evolving MERGE).
+    * On a column-mapped table every new column is assigned a fresh
+    * physical name (`col-<uuid>`, the delta-spark convention) and the
+    * next column id, and `delta.columnMapping.maxColumnId` advances —
+    * without this an evolved column would "map" through its logical
+    * name, breaking the mapping invariant for every other engine that
+    * reads the table. */
+  private[graft] def evolveMetadata(snap: Snapshot,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Metadata = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    if (snap.columnMappingMode == "none") {
+      val merged = StructType(snap.schema.fields.toSeq ++ newCols.map(_.copy(nullable = true)))
+      snap.metadata.copy(schemaString = merged.json)
+    } else {
+      val IdKey = "delta.columnMapping.id"
+      val usedIds = snap.schema.fields.collect {
+        case f if f.metadata.contains(IdKey) => f.metadata.getLong(IdKey)
+      }
+      var maxId = (snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).toSeq ++ usedIds :+ 0L).max
+      val withMapping = newCols.map { f =>
+        maxId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
+          .putLong(IdKey, maxId).build()
+        f.copy(nullable = true, metadata = md)
+      }
+      val merged = StructType(snap.schema.fields.toSeq ++ withMapping)
+      snap.metadata.copy(schemaString = merged.json,
+        configuration = snap.metadata.configuration +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+    }
+  }
+
+  /** The snapshot with an evolved metadata applied — what stageWrite
+    * must project against when the commit carrying `meta` also stages
+    * files with the new columns. */
+  private def withMeta(snap: Snapshot, meta: Metadata): Snapshot =
+    snap.copy(metadata = meta, schema = org.apache.spark.sql.types.DataType
+      .fromJson(meta.schemaString).asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Create a new Delta table at `tableUri` from a DataFrame. */
   def create(spark: SparkSession, df: DataFrame, tableUri: String,
@@ -298,15 +410,12 @@ object DeltaTable {
         s"${got.toSeq.sortBy(_._1).mkString(", ")}" +
         (if (!mergeSchema && newCols.nonEmpty) " (pass mergeSchema=true to add columns)" else ""))
     checkConstraints(log, snap, df)
-    val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
-      maxRecordsPerFile = None, dataChange = true)
     val evolution =
       if (newCols.isEmpty) Nil
-      else {
-        val merged = org.apache.spark.sql.types.StructType(
-          snap.schema.fields.toSeq ++ newCols.map(_.copy(nullable = true)))
-        Seq(snap.metadata.copy(schemaString = merged.json))
-      }
+      else Seq(evolveMetadata(snap, newCols.toSeq))
+    val effSnap = evolution.headOption.map(withMeta(snap, _)).getOrElse(snap)
+    val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
+      maxRecordsPerFile = None, dataChange = true, Some(effSnap))
     log.commit(snap.version + 1, evolution ++ adds :+
       CommitInfo(System.currentTimeMillis(), "WRITE",
         Map("mode" -> "Append") ++
@@ -331,7 +440,7 @@ object DeltaTable {
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return false
     checkConstraints(log, snap, df)
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
-      maxRecordsPerFile = None, dataChange = true)
+      maxRecordsPerFile = None, dataChange = true, Some(snap))
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     while (true) {
       try {
@@ -646,10 +755,8 @@ object DeltaTable {
     val clash = cols.map(_.name).filter(n => existing.contains(lc(n)))
     require(clash.isEmpty,
       s"column(s) already exist on $tableUri: ${clash.mkString(", ")}")
-    val merged = org.apache.spark.sql.types.StructType(
-      snap.schema.fields.toSeq ++ cols.map(_.copy(nullable = true)))
     log.commitDml(snap.version, Seq(
-      snap.metadata.copy(schemaString = merged.json),
+      evolveMetadata(snap, cols),
       CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
         Map("columns" -> cols.map(_.name).mkString(",")))))
   }
@@ -911,7 +1018,7 @@ object DeltaTable {
       extraActions: Seq[Action] = Nil): DmlStats = {
     checkConstraints(log, snap, newData)
     val staged = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
-      maxRecordsPerFile = None, dataChange = true)
+      maxRecordsPerFile = None, dataChange = true, Some(snap))
     // never commit a zero-row file: a whole-file DELETE must be a
     // remove-only commit (downstream incremental readers distinguish
     // delete-only commits from rewrites by exactly this)
@@ -997,8 +1104,11 @@ object DeltaTable {
     val fields = snap.schema.fields ++ newCols
     val evolvedMeta =
       if (newCols.isEmpty) Nil
-      else Seq(snap.metadata.copy(schemaString =
-        org.apache.spark.sql.types.StructType(fields.toSeq).json))
+      else Seq(evolveMetadata(snap, newCols.toSeq))
+    // the effective snapshot (evolved schema applied) is what the
+    // rewrite stages against — on a mapped table the new columns must
+    // project through their freshly assigned physical names
+    val effSnap = evolvedMeta.headOption.map(withMeta(snap, _)).getOrElse(snap)
     require(!fields.exists(_.name.startsWith(MergeSourcePrefix)),
       s"merge: target columns may not start with $MergeSourcePrefix")
     matched.foreach {
@@ -1229,7 +1339,7 @@ object DeltaTable {
       val changes = pre.unionByName(post).unionByName(deleted)
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
 
-      commitRewrite(spark, log, snap, touched,
+      commitRewrite(spark, log, effSnap, touched,
         survivors.unionByName(inserts), "MERGE",
         Map("matchedFiles" -> touched.size.toString,
           "candidateFiles" -> candidates.size.toString,

@@ -88,7 +88,7 @@ object Rewriter {
     val (sortedDf, maxRecords) = sorted(df, cfg, group.estimatedBytes, rows)
 
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,
-      snap.metadata.partitionColumns, maxRecords, dataChange = false)
+      snap.metadata.partitionColumns, maxRecords, dataChange = false, Some(snap))
     val now = System.currentTimeMillis()
     // the remove must carry the file's DV descriptor: snapshot replay
     // keys files by (path, DV id), so a bare-path remove would leave the
@@ -126,7 +126,7 @@ object Rewriter {
     val avgRowBytes = math.max(1L, bytes / math.max(1L, rows))
     val maxRecords = math.max(1L, targetBytes / avgRowBytes)
     val adds = DeltaTable.stageWrite(spark, log, df.coalesce(nOut),
-      snap.metadata.partitionColumns, Some(maxRecords), dataChange = false)
+      snap.metadata.partitionColumns, Some(maxRecords), dataChange = false, Some(snap))
     val now = System.currentTimeMillis()
     // the remove must carry the file's DV descriptor: snapshot replay
     // keys files by (path, DV id), so a bare-path remove would leave the
@@ -159,7 +159,7 @@ object Rewriter {
     val (sortedDf, maxRecords) = sorted(df, cfg, bytesIn, rows)
 
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,
-      snap.metadata.partitionColumns, maxRecords, dataChange = true)
+      snap.metadata.partitionColumns, maxRecords, dataChange = true, Some(snap))
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
@@ -197,7 +197,7 @@ object Rewriter {
     val (sortedDf, maxRecords) = sorted(withZ, zcfg, bytesIn, rows)
     // the projection drops the helper key but never reorders rows
     val adds = DeltaTable.stageWrite(spark, log, sortedDf.drop("_graft_z"),
-      snap.metadata.partitionColumns, maxRecords, dataChange = false)
+      snap.metadata.partitionColumns, maxRecords, dataChange = false, Some(snap))
     val now = System.currentTimeMillis()
     val removes = snap.files.map(f =>
       RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size,

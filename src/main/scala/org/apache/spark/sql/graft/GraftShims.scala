@@ -52,6 +52,18 @@ object GraftShims {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** A cloned session (same SparkContext, copied session state/conf)
+    * with `confs` applied — lets a reader scope a session-level SQL
+    * conf to the DataFrames built against the clone instead of mutating
+    * the caller's session (`cloneSession` is `private[sql]`; this is
+    * how per-table reader confs like the parquet field-id flag are
+    * applied without leaking into unrelated reads). */
+  def cloneSessionWithConf(s: SparkSession, confs: Map[String, String]): SparkSession = {
+    val c = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
   /** Resolved LogicalPlan -> DataFrame (for MERGE's source query). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

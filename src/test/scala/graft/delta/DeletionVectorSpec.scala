@@ -252,11 +252,16 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("id", "name"))
     assert(got.as[(Long, String)].collect().map(_._1).toSet ==
       Set(0L, 2L, 3L, 4L, 5L, 7L))
-    // still read-only on every axis
-    val e = intercept[IllegalStateException] {
-      DeltaTable.append(spark, dir, Seq((99L, "z")).toDF("id", "name"))
-    }
-    assert(e.getMessage.contains("read-only") || e.getMessage.contains("writer feature"))
+    // and WRITABLE: the append composes with all three features — the
+    // new file stages under physical names, the existing DV mask stays
+    // intact, and the v2-checkpoint-replayed state survives the commit
+    DeltaTable.append(spark, dir, Seq((99L, "z")).toDF("id", "name"))
+    val after = DeltaTable.read(spark, dir)
+    assert(after.as[(Long, String)].collect().map(_._1).toSet ==
+      Set(0L, 2L, 3L, 4L, 5L, 7L, 99L),
+      "appended row visible, DV-masked rows 1 and 6 still gone")
+    assert(after.as[(Long, String)].collect().toMap.apply(99L) == "z",
+      "appended file must read back by PHYSICAL name mapping, not as NULLs")
   }
 
   test("DV swap reconciliation: add(F, newDv) + remove(F, oldDv) keeps the file, either order") {

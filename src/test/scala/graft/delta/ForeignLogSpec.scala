@@ -3,6 +3,8 @@ package graft.delta
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -414,23 +416,35 @@ class ForeignLogSpec extends AnyFunSuite {
     DeltaTable.append(spark, ok, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, ok).count() == 2)
 
-    // bare v5 (no feature list): version error — and a protocol-carrying
-    // commit (the upgrade path) is exempt from the gate
+    // bare v5 (column mapping; mode=none on this fixture): writes flow
+    // now that the engine implements writer version 5 end-to-end
     val v5 = TestSpark.tmpDir("foreign-w5")
     val (f2, s2) = writeDataFile(v5, Seq((1L, "a")))
     writeCommit(v5, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
       metaJson,
       s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
-    val e2 = intercept[IllegalStateException] {
-      DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
-    }
-    assert(e2.getMessage.contains("writer version 5"))
-    val log = DeltaLog.forTable(spark, v5)
-    log.commitLatest(Seq(Protocol(1, 2),
-      CommitInfo(0L, "DOWNGRADE", Map.empty))) // exempt: carries Protocol
     DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, v5).count() == 2)
+
+    // bare v6 (identity columns, no feature list): still a genuine
+    // version refusal — and a protocol-carrying commit (the downgrade
+    // path) is exempt from the gate
+    val v6 = TestSpark.tmpDir("foreign-w6")
+    val (f3, s3) = writeDataFile(v6, Seq((1L, "a")))
+    writeCommit(v6, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      metaJson,
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":$s3,"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[IllegalStateException] {
+      DeltaTable.append(spark, v6, Seq((2L, "b")).toDF("id", "name"))
+    }
+    assert(e2.getMessage.contains("writer version 6"))
+    val log = DeltaLog.forTable(spark, v6)
+    log.commitLatest(Seq(Protocol(1, 2),
+      CommitInfo(0L, "DOWNGRADE", Map.empty))) // exempt: carries Protocol
+    DeltaTable.append(spark, v6, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, v6).count() == 2)
   }
 
   test("delta.appendOnly: deletes refused, appends and dataChange=false rewrites legal") {
@@ -568,18 +582,93 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(DeltaTable.pruneFiles(snap, snap.files,
       spark.sessionState.sqlParser.parseExpression("id >= 10")).map(_.path) == Seq(f1),
       "stats pruning must work through the name mapping")
-    // the table is read-only: any write commit is refused (here the
-    // writer-version gate fires first; the column-mapping read-only
-    // gate backstops fixtures with low writer versions)
-    val e = intercept[IllegalStateException] {
-      DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
-    }
-    assert(e.getMessage.contains("writer version 5") || e.getMessage.contains("read-only"))
-    // and the change feed says so plainly instead of leaking physical names
+    // the table is WRITABLE, and the append must stage the new file
+    // under the schema's PHYSICAL column names — a logical-named file
+    // would silently read back all-NULL in every mapped reader (ours
+    // and any other engine's)
+    DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y"), (30L, "z")))
+    val snap2 = DeltaLog.forTable(spark, dir).snapshot()
+    val newAdds = snap2.files.map(_.path).filterNot(Seq(f0, f1).contains)
+    assert(newAdds.size == 1, s"expected one appended file, got $newAdds")
+    // raw parquet read of the staged file: physical names on disk
+    assert(spark.read.parquet(Paths.get(dir, newAdds.head).toString)
+      .columns.toSeq == Seq("col-aaa111", "col-bbb222"))
+    // footer-derived stats keyed by physical names -> pruning keeps working
+    val newFile = snap2.files.find(_.path == newAdds.head).get
+    assert(newFile.stats.exists(_.contains("col-aaa111")),
+      s"stats must use physical keys, got ${newFile.stats}")
+    assert(DeltaTable.pruneFiles(snap2, snap2.files,
+      spark.sessionState.sqlParser.parseExpression("id >= 30")).map(_.path) ==
+      Seq(newAdds.head))
+    // the change feed still refuses plainly instead of leaking physical names
     val e2 = intercept[IllegalArgumentException] {
       DeltaTable.changesBetween(spark, dir, 0, 0)
     }
     assert(e2.getMessage.contains("column-mapped"))
+  }
+
+  test("column mapping mode=name: DML rewrites and schema evolution stay physical") {
+    import spark.implicits._
+    // author a mapped table through OUR writer (create is mode=none, so
+    // build the mapped fixture by hand like a foreign writer would)
+    val dir = TestSpark.tmpDir("foreign-cm-dml")
+    val tmp = TestSpark.tmpDir("foreign-cm-dml-part")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-k1", "col-v1").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val cmSchema = new StructType()
+      .add("k", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-k1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("v", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-v1")
+          .putLong("delta.columnMapping.id", 2).build())
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-dml","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+
+    // DELETE rewrites through the mapping: survivors stay readable
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 2L)
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+    // UPDATE the same way
+    DeltaTable.update(spark, dir, org.apache.spark.sql.functions.col("k") === 3L,
+      Map("v" -> org.apache.spark.sql.functions.lit("C")))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "C")))
+    // every live file carries physical names only
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    snap.files.foreach { f =>
+      val cols = spark.read.parquet(Paths.get(dir, f.path).toString).columns.toSeq
+      assert(cols.toSet.subsetOf(Set("col-k1", "col-v1")),
+        s"file ${f.path} leaked logical names: $cols")
+    }
+
+    // schema evolution assigns a FRESH physical name + next column id
+    // and advances maxColumnId — the delta column-mapping invariant
+    DeltaTable.append(spark, dir,
+      Seq((9L, "z", 1.5)).toDF("k", "v", "score"), mergeSchema = true)
+    val snap2 = DeltaLog.forTable(spark, dir).snapshot()
+    val scoreF = snap2.schema("score")
+    val physName = scoreF.metadata.getString("delta.columnMapping.physicalName")
+    assert(physName.startsWith("col-") && physName != "score")
+    assert(scoreF.metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(snap2.metadata.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(DeltaTable.read(spark, dir)
+      .selectExpr("k", "v", "score").as[(Long, String, Option[Double])]
+      .collect().toSet ==
+      Set((1L, "a", None), (3L, "C", None), (9L, "z", Some(1.5))),
+      "pre-evolution rows read NULL score; evolved row reads its value")
   }
 
   test("unknown column mapping modes are rejected loudly, mode=name passes the v3 feature gate") {
@@ -661,12 +750,32 @@ class ForeignLogSpec extends AnyFunSuite {
       "stats pruning must work through the id-mode physical-name keys")
     assert(DeltaTable.readWhere(spark, dir, "id >= 10").as[(Long, String)]
       .collect().toSet == Set((10L, "x"), (20L, "y")))
-    // id-mode tables stay read-only (rename/drop tracking on write is
-    // name-mode only)
-    val e = intercept[IllegalStateException] {
-      DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
-    }
-    assert(e.getMessage.contains("columnMapping") || e.getMessage.contains("read-only"))
+    // the field-id READ flag stays scoped to this table's scans: the
+    // caller's session conf is untouched, so an unrelated parquet read
+    // in the same session keeps resolving by name
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") == "false",
+      "id-mode read must not flip the session-global field-id flag")
+
+    // id-mode tables are WRITABLE: the append stamps physical names AND
+    // parquet field ids into the footer — without the ids, the new file
+    // would be unreadable to every id-resolving engine (including our
+    // own reader, which the round-trip below exercises)
+    DeltaTable.append(spark, dir, Seq((30L, "z")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (10L, "x"), (20L, "y"), (30L, "z")))
+    val snap2 = DeltaLog.forTable(spark, dir).snapshot()
+    val newPath = snap2.files.map(_.path).filterNot(Seq(f0, f1).contains).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(dir, newPath).toString),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val pq = reader.getFooter.getFileMetaData.getSchema
+      assert(pq.getFields.size == 2)
+      val byName = pq.getFields.asScala.map(f => f.getName -> f).toMap
+      assert(byName("col-p1").getId.intValue == 1, "field id 1 stamped")
+      assert(byName("col-p2").getId.intValue == 2, "field id 2 stamped")
+    } finally reader.close()
   }
 
   test("protocol JSON round-trips feature lists") {

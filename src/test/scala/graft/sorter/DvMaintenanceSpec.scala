@@ -120,6 +120,24 @@ class DvMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion-vector descriptor"))
   }
 
+  test("commit gate refuses a spurious descriptor on a remove of a vector-FREE file") {
+    // the other direction: a stale/bogus descriptor also misses the
+    // (path, DV id) reconcileKey at replay, silently no-ops, and leaves
+    // the active add live — duplicate rows
+    val (dir, _, _) = fixture()
+    DeltaTable.append(spark, dir, Seq((100L, "plain")).toDF("id", "name"))
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    val f = snap.files.find(_.deletionVector.isEmpty).get
+    val bogus = DeletionVectorDescriptor("i", "00000", None, 4, 1L)
+    val e = intercept[IllegalStateException] {
+      log.commit(snap.version + 1, Seq(
+        RemoveFile(f.path, 1L, dataChange = false, f.partitionValues, f.size,
+          Some(bogus))))
+    }
+    assert(e.getMessage.contains("deletion-vector descriptor"))
+  }
+
   test("checkpointed DV snapshot round-trips: replay from checkpoint equals JSON replay") {
     val (dir, expectedIds, expectedCount) = fixture()
     val log = DeltaLog.forTable(spark, dir)
