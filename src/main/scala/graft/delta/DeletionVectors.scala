@@ -56,6 +56,31 @@ object DeletionVectors {
     t
   }
 
+  /** Encode bytes (length must be a multiple of 4) as Z85. */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 input length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = Z85Alphabet((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** The 20-char Z85 form of a UUID ("u" descriptor path component). */
+  def uuidToZ85(u: UUID): String = {
+    val b = ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    z85Encode(b.array())
+  }
+
   /** Decode a Z85 string (length must be a multiple of 5) to bytes. */
   def z85Decode(s: String): Array[Byte] = {
     require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
@@ -94,16 +119,30 @@ object DeletionVectors {
     * executors via broadcast for the scan-side row filter. */
   sealed trait Container extends Serializable {
     def contains(low16: Int): Boolean
+    /** Visit every stored 16-bit value in ascending order. */
+    def foreachLow(f: Int => Unit): Unit
   }
   /** Sorted array of 16-bit values (cardinality <= 4096). */
   final case class ArrayContainer(values: Array[Char]) extends Container {
     def contains(low16: Int): Boolean =
       java.util.Arrays.binarySearch(values, low16.toChar) >= 0
+    def foreachLow(f: Int => Unit): Unit = values.foreach(v => f(v.toInt))
   }
   /** 65536-bit bitset (1024 longs). */
   final case class BitmapContainer(words: Array[Long]) extends Container {
     def contains(low16: Int): Boolean =
       (words(low16 >>> 6) & (1L << (low16 & 63))) != 0
+    def foreachLow(f: Int => Unit): Unit = {
+      var w = 0
+      while (w < words.length) {
+        var bits = words(w)
+        while (bits != 0) {
+          f(w * 64 + java.lang.Long.numberOfTrailingZeros(bits))
+          bits &= bits - 1
+        }
+        w += 1
+      }
+    }
   }
   /** Sorted runs of (start, lengthMinus1). */
   final case class RunContainer(starts: Array[Char], lengths: Array[Char]) extends Container {
@@ -118,6 +157,15 @@ object DeletionVectors {
       }
       false
     }
+    def foreachLow(f: Int => Unit): Unit = {
+      var r = 0
+      while (r < starts.length) {
+        var v = starts(r).toInt
+        val end = v + lengths(r).toInt
+        while (v <= end) { f(v); v += 1 }
+        r += 1
+      }
+    }
   }
 
   /** A 32-bit roaring bitmap: sorted high-16 keys + parallel containers. */
@@ -128,6 +176,14 @@ object DeletionVectors {
       val i = java.util.Arrays.binarySearch(keys, key)
       i >= 0 && containers(i).contains(v & 0xffff)
     }
+    def foreach(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val high = keys(i).toInt << 16
+        containers(i).foreachLow(low => f(high | low))
+        i += 1
+      }
+    }
   }
 
   /** The 64-bit bitmap array: index i holds values with high word i. */
@@ -135,6 +191,18 @@ object DeletionVectors {
     def contains(v: Long): Boolean = {
       val high = (v >>> 32).toInt
       high < bitmaps.length && bitmaps(high).contains(v.toInt)
+    }
+    /** All stored row indexes, ascending (bounded by the vector's own
+      * cardinality — DV merges materialize through this). */
+    def toArray: Array[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var hi = 0
+      while (hi < bitmaps.length) {
+        val base = hi.toLong << 32
+        bitmaps(hi).foreach(v => buf += (base | (v & 0xffffffffL)))
+        hi += 1
+      }
+      buf.toArray
     }
   }
 
@@ -281,5 +349,106 @@ object DeletionVectors {
       } finally in.close()
     case other =>
       throw new IOException(s"unsupported DV storageType '$other'")
+  }
+
+  // ------------------------------------------------- write side
+  // (DV-creating DML: DELETE/UPDATE mark rows deleted by writing a
+  //  vector instead of rewriting the file — cost O(deleted rows))
+
+  /** Serialize one 32-bit roaring bitmap (portable format, array/bitmap
+    * containers — writers are not required to emit runs). `values` must
+    * be sorted distinct non-negative ints. */
+  private def writeRoaring32(out: java.io.ByteArrayOutputStream, values: Array[Int]): Unit = {
+    def putShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def putIntLE(v: Int): Unit = { putShortLE(v & 0xffff); putShortLE(v >>> 16) }
+    // group into 16-bit-keyed containers (values are sorted, so groups
+    // are contiguous)
+    val byKey = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var i = 0
+    while (i < values.length) {
+      val key = values(i) >>> 16
+      var j = i
+      while (j < values.length && (values(j) >>> 16) == key) j += 1
+      byKey += ((key, java.util.Arrays.copyOfRange(values, i, j).map(_ & 0xffff)))
+      i = j
+    }
+    val n = byKey.size
+    putIntLE(SerialCookieNoRun)
+    putIntLE(n)
+    byKey.foreach { case (k, vs) => putShortLE(k); putShortLE(vs.length - 1) }
+    // offset header (always present in the no-run form)
+    val bodies = byKey.map { case (_, vs) =>
+      val b = new java.io.ByteArrayOutputStream()
+      if (vs.length <= 4096) {
+        vs.foreach { v => b.write(v & 0xff); b.write((v >>> 8) & 0xff) }
+      } else {
+        val words = new Array[Long](1024)
+        vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+        words.foreach { w =>
+          var x = w; var k = 0
+          while (k < 8) { b.write((x & 0xff).toInt); x >>>= 8; k += 1 }
+        }
+      }
+      b.toByteArray
+    }
+    var off = out.size() + 4 * n
+    bodies.foreach { b => putIntLE(off); off += b.length }
+    bodies.foreach(out.write)
+  }
+
+  /** Serialize row indexes into a DV blob (portable magic + 64-bit
+    * RoaringBitmapArray) — the exact inverse of [[deserialize]], which
+    * round-trip tests pin. Input need not be sorted or distinct. */
+  def serializeBlob(rowIndexes: Array[Long]): Array[Byte] = {
+    val sorted = rowIndexes.distinct.sorted
+    require(sorted.isEmpty || sorted.head >= 0, "row indexes must be non-negative")
+    val nBitmaps = if (sorted.isEmpty) 0L else (sorted.last >>> 32) + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(PortableMagic).putLong(nBitmaps)
+    out.write(head.array())
+    var hi = 0L
+    var i = 0
+    while (hi < nBitmaps) {
+      var j = i
+      while (j < sorted.length && (sorted(j) >>> 32) == hi) j += 1
+      writeRoaring32(out, java.util.Arrays.copyOfRange(sorted, i, j).map(_.toInt))
+      i = j
+      hi += 1
+    }
+    out.toByteArray
+  }
+
+  /** Write `blobs` into ONE new sidecar file under the table root
+    * (1 format-version byte, then per blob: 4-byte BE length, the blob,
+    * 4-byte BE CRC-32 — the framing [[load]] verifies). Returns the
+    * 20-char Z85 uuid for the "u" descriptors plus each blob's offset.
+    * The file only becomes live data when a commit references it, so a
+    * failed commit leaves garbage that vacuum ages out like any other
+    * orphan. */
+  def writeSidecarFile(conf: Configuration, tableRoot: Path,
+      blobs: Seq[Array[Byte]]): (String, Seq[Int]) = {
+    require(blobs.nonEmpty, "writeSidecarFile needs at least one blob")
+    val uuid = UUID.randomUUID()
+    val p = new Path(tableRoot, s"deletion_vector_$uuid.bin")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    val offsets = Seq.newBuilder[Int]
+    try {
+      out.write(1) // format version
+      var pos = 1
+      blobs.foreach { blob =>
+        offsets += pos
+        val crc = new CRC32
+        crc.update(blob)
+        val frame = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        out.write(frame.putInt(blob.length).array())
+        out.write(blob)
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(crc.getValue.toInt).array())
+        pos += 4 + blob.length + 4
+      }
+    } finally out.close()
+    (uuidToZ85(uuid), offsets.result())
   }
 }

@@ -57,7 +57,20 @@ object DeltaTable {
     * the reference registering one partition's files, lib.rs:792-800 —
     * file-list selection from the log, not path filtering). */
   def readFiles(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile]): DataFrame =
+    readFilesInternal(spark, log, snap, files, keepMeta = false)
+
+  /** [[readFiles]] plus two provenance columns: `__graft_path` (the
+    * absolute file path) and `__graft_ri` (the row's PHYSICAL index in
+    * that parquet file — DV-masked rows are already dropped, and the
+    * surviving rows keep their physical indexes, which is exactly what
+    * a deletion-vector writer must record). */
+  private[graft] def readFilesWithMeta(spark: SparkSession, log: DeltaLog,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    readFilesInternal(spark, log, snap, files, keepMeta = true)
+
+  private def readFilesInternal(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      files: Seq[AddFile], keepMeta: Boolean): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val partCols = snap.metadata.partitionColumns
@@ -100,9 +113,13 @@ object DeltaTable {
     // anti-membership test against the per-file bitmaps (driver-loaded
     // once, broadcast); vector-free files take the plain path and the two
     // branches union before the logical projection.
+    def withMeta(d: DataFrame): DataFrame =
+      if (!keepMeta) d
+      else d.withColumn("__graft_path", col("_metadata.file_path"))
+        .withColumn("__graft_ri", col("_metadata.row_index"))
     val (dvFiles, plainFiles) = files.partition(_.deletionVector.isDefined)
     val df =
-      if (dvFiles.isEmpty) rawRead(files)
+      if (dvFiles.isEmpty) withMeta(rawRead(files))
       else {
         val conf = spark.sparkContext.hadoopConfiguration
         def norm(p: String): String = new Path(p).toUri.getPath
@@ -126,20 +143,25 @@ object DeltaTable {
           }
           l._2.exists(_.contains(rowIndex))
         }
-        val filtered = rawRead(dvFiles)
+        val masked = rawRead(dvFiles)
           .withColumn("__graft_dv_path", col("_metadata.file_path"))
           .withColumn("__graft_dv_ri", col("_metadata.row_index"))
           .where(!deleted(col("__graft_dv_path"), col("__graft_dv_ri")))
-          .drop("__graft_dv_path", "__graft_dv_ri")
+        val filtered =
+          if (!keepMeta) masked.drop("__graft_dv_path", "__graft_dv_ri")
+          else masked.withColumnRenamed("__graft_dv_path", "__graft_path")
+            .withColumnRenamed("__graft_dv_ri", "__graft_ri")
         if (plainFiles.isEmpty) filtered
-        else rawRead(plainFiles).unionByName(filtered)
+        else withMeta(rawRead(plainFiles)).unionByName(filtered)
       }
     // normalize to the declared LOGICAL schema: names (for mapped
     // tables — struct casts rename nested fields positionally), order,
     // and partition-column types
-    df.select(snap.schema.fields.map(f =>
+    val outCols = snap.schema.fields.map(f =>
       col(if (mapped) Snapshot.physicalName(f) else f.name)
-        .cast(f.dataType).as(f.name)).toSeq: _*)
+        .cast(f.dataType).as(f.name)).toSeq ++
+      (if (keepMeta) Seq(col("__graft_path"), col("__graft_ri")) else Nil)
+    df.select(outCols: _*)
   }
 
   /** Read with log-only data skipping: prune the snapshot's file list
@@ -504,22 +526,20 @@ object DeltaTable {
     require(snap.columnMappingMode == "none",
       s"change feed of a column-mapped table is not supported " +
         s"(delta.columnMapping.mode=${snap.columnMappingMode})")
-    require(snap.files.forall(_.deletionVector.isEmpty),
-      "change feed of a table with deletion vectors is not supported " +
-        "(the add/remove diff fallback would misreport DV-masked rows)")
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
-      // the snapshot check above covers only toVersion's surviving state:
-      // a DV DELETE at an INTERMEDIATE version (later compacted away)
-      // would otherwise fall into the add-diff branch and report the
-      // masked file's surviving rows as plain inserts
-      require(actions.forall {
+      val cdcs = actions.collect { case c: AddCDCFile => c }
+      // commits WITH row-level change files are exact however they
+      // stored their masks (our DV-creating DELETE/UPDATE always writes
+      // them); only the add/remove diff FALLBACK cannot represent a DV
+      // change — a masked add would misreport surviving rows as inserts
+      require(cdcs.nonEmpty || actions.forall {
         case a: AddFile => a.deletionVector.isEmpty
         case r: RemoveFile => r.deletionVector.isEmpty
         case _ => true
-      }, s"change feed: version $v of $tableUri carries deletion vectors, " +
-        "which the add/remove diff cannot represent")
-      val cdcs = actions.collect { case c: AddCDCFile => c }
+      }, s"change feed: version $v of $tableUri carries deletion vectors " +
+        "without row-level change files, which the add/remove diff cannot " +
+        "represent")
       if (cdcs.nonEmpty) {
         // DML commit with row-level capture: the cdc files already carry
         // _change_type (insert / update_postimage / delete) and exactly
@@ -673,21 +693,168 @@ object DeltaTable {
       cdc = stageCdc(spark, log, deleted.unionByName(inserted)))
   }
 
+  /** Opt a table into DV-creating DML ([[delete]]/[[update]] then mark
+    * rows deleted with a vector instead of rewriting their file):
+    * upgrades the protocol to the table-features form carrying
+    * `deletionVectors` (legacy writer capabilities become explicit
+    * features, per the protocol's upgrade rule) and sets
+    * `delta.enableDeletionVectors=true`, in one commit — the
+    * delta-spark property, honored the delta-spark way. */
+  def enableDeletionVectors(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val p = snap.protocol
+    if (snap.metadata.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean) &&
+        p.readerFeatures.exists(_.contains("deletionVectors"))) return
+    val impliedW: Set[String] =
+      (if (p.minWriterVersion >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
+        (if (p.minWriterVersion >= 3) Set("checkConstraints") else Set.empty) ++
+        (if (p.minWriterVersion >= 4) Set("changeDataFeed") else Set.empty) ++
+        (if (p.minWriterVersion >= 5) Set("columnMapping") else Set.empty) ++
+        // generatedColumns/identityColumns are implied by v4/v6 but only
+        // listed when the schema actually uses them — listing an unused
+        // feature would refuse later writes for no protection at all
+        (if (snap.schema.fields.exists(_.metadata.contains("delta.generationExpression")))
+          Set("generatedColumns") else Set.empty)
+    val readerF = (if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
+      else if (snap.columnMappingMode != "none") Set("columnMapping")
+      else Set.empty[String]) + "deletionVectors"
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else impliedW) + "deletionVectors"
+    val now = System.currentTimeMillis()
+    log.commitLatest(Seq(
+      Protocol(3, 7, Some(readerF), Some(writerF)),
+      snap.metadata.copy(configuration =
+        snap.metadata.configuration + ("delta.enableDeletionVectors" -> "true")),
+      CommitInfo(now, "SET TBLPROPERTIES",
+        Map("delta.enableDeletionVectors" -> "true"))))
+  }
+
+  /** Whether DML on this table should mark deleted rows with deletion
+    * vectors instead of rewriting files: `delta.enableDeletionVectors`
+    * is true AND the protocol carries the feature on both sides. A
+    * property without the protocol is refused loudly (the table's other
+    * readers could not be trusted to see the vectors) rather than
+    * silently downgraded to rewrites. */
+  private def dvWriteEnabled(log: DeltaLog, snap: Snapshot): Boolean = {
+    if (!snap.metadata.configuration.get("delta.enableDeletionVectors")
+      .exists(_.toBoolean)) return false
+    val p = snap.protocol
+    val ok = p.minReaderVersion == 3 && p.minWriterVersion == 7 &&
+      p.readerFeatures.exists(_.contains("deletionVectors")) &&
+      p.writerFeatures.exists(_.contains("deletionVectors"))
+    if (!ok) throw new IllegalStateException(
+      s"${log.tableUri} sets delta.enableDeletionVectors=true but its protocol " +
+        s"(${p.minReaderVersion}/${p.minWriterVersion}) does not carry the " +
+        "deletionVectors feature — run DeltaTable.enableDeletionVectors first")
+    true
+  }
+
+  /** Per-touched-file deletion bitmaps for the rows selected by `hit`:
+    * (file, serialized blob merged with any existing vector, total
+    * masked cardinality). The (path, row-index) pairs aggregate into
+    * bitmaps in the EXECUTORS — only index pairs shuffle, never data
+    * columns — and the driver collect is bounded by the commit's
+    * serialized bitmaps, i.e. O(deleted rows): the whole point of a DV
+    * DELETE over a rewrite. Surviving-row indexes are PHYSICAL
+    * ([[readFilesWithMeta]]), so a second DELETE's indexes are disjoint
+    * from the existing mask by construction. */
+  private def buildDvs(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      touched: Seq[AddFile], hit: Column): Seq[(AddFile, Array[Byte], Long)] = {
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte], Long)] =
+      readFilesWithMeta(spark, log, snap, touched)
+        .where(hit)
+        .select(col("__graft_path"), col("__graft_ri"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (p, it) =>
+          val idx = it.map(_._2).toArray.distinct
+          (p, DeletionVectors.serializeBlob(idx), idx.length.toLong)
+        }.collect().toSeq
+    val byAbs = touched.map(f =>
+      new Path(log.tableRoot, f.path).toUri.getPath -> f).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    perFile.map { case (abs, blob, card) =>
+      val f = byAbs(new Path(abs).toUri.getPath)
+      f.deletionVector match {
+        case None => (f, blob, card)
+        case Some(d) =>
+          val merged = (DeletionVectors.cachedLoad(conf, log.tableRoot, d).toArray ++
+            DeletionVectors.deserialize(blob).toArray).distinct
+          (f, DeletionVectors.serializeBlob(merged), merged.length.toLong)
+      }
+    }
+  }
+
+  /** Commit a DV-writing DML: every touched file's matching rows get
+    * masked by a fresh vector (files whose mask would cover EVERY
+    * physical row are removed outright, no add), `extraAdds` carries
+    * any new data files (UPDATE postimages), and the removes carry the
+    * old descriptors the commit gate demands. One sidecar file packs
+    * all of the commit's bitmaps. */
+  private def commitVectorMask(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      touched: Seq[AddFile], hit: Column, extraAdds: Seq[AddFile],
+      operation: String, params: Map[String, String],
+      cdc: Seq[AddCDCFile]): DmlStats = {
+    val now = System.currentTimeMillis()
+    val entries = buildDvs(spark, log, snap, touched, hit)
+    val mapper = new ObjectMapper()
+    def physRows(f: AddFile): Option[Long] = f.stats.flatMap { s =>
+      try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val (gone, maskedFiles) = entries.partition { case (f, _, card) =>
+      physRows(f).contains(card)
+    }
+    val adds: Seq[AddFile] =
+      if (maskedFiles.isEmpty) Nil
+      else {
+        val (z85, offsets) = DeletionVectors.writeSidecarFile(
+          spark.sessionState.newHadoopConf(), log.tableRoot, maskedFiles.map(_._2))
+        maskedFiles.zip(offsets).map { case ((f, blob, card), off) =>
+          f.copy(modificationTime = now, dataChange = true,
+            deletionVector = Some(
+              DeletionVectorDescriptor("u", z85, Some(off), blob.length, card)))
+        }
+      }
+    val removes = touched.map(f =>
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+        f.deletionVector))
+    log.commitDml(snap.version,
+      removes ++ adds ++ extraAdds ++ cdc :+ CommitInfo(now, operation,
+        params ++ Map("deletionVectors" -> "true",
+          "fullyDeletedFiles" -> gone.size.toString)))
+    DmlStats(removes.size, adds.size + extraAdds.size)
+  }
+
   /** DELETE rows matching `predicate` (rows where the predicate is NULL
     * are kept, per SQL DELETE semantics). Same file-level pruning as
     * [[upsert]]: only files containing at least one matching row are
-    * rewritten; the discovery scan reads only the predicate's columns. */
+    * touched; the discovery scan reads only the predicate's columns.
+    *
+    * On a table opted into [[enableDeletionVectors]], the matching rows
+    * are masked by a deletion vector instead of rewriting their file —
+    * the commit swaps (path, oldDv) for (path, mergedDv), costs
+    * O(deleted rows) instead of O(file bytes), and a later compact
+    * materializes the mask away. Otherwise the classic survivor
+    * rewrite. */
   def delete(spark: SparkSession, tableUri: String, predicate: Column): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
     val candidates = candidateFiles(spark, snap, predicate)
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
-    val survivors = readFiles(spark, log, snap, touched)
-      .where(not(coalesce(predicate, lit(false))))
     val changes = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
+    if (dvWriteEnabled(log, snap))
+      return commitVectorMask(spark, log, snap, touched,
+        coalesce(predicate, lit(false)), extraAdds = Nil, "DELETE",
+        Map("candidateFiles" -> candidates.size.toString),
+        cdc = stageCdc(spark, log, changes))
+    val survivors = readFiles(spark, log, snap, touched)
+      .where(not(coalesce(predicate, lit(false))))
     commitRewrite(spark, log, snap, touched, survivors, "DELETE",
       Map("candidateFiles" -> candidates.size.toString),
       cdc = stageCdc(spark, log, changes))
@@ -780,6 +947,16 @@ object DeltaTable {
     // the commit as a Protocol action (and never enter configuration).
     val ProtoR = "delta.minReaderVersion"
     val ProtoW = "delta.minWriterVersion"
+    // delta.enableDeletionVectors=true needs the protocol upgraded
+    // alongside (delta-spark does the same on SET TBLPROPERTIES) — a
+    // bare property would make every later DML refuse loudly
+    val DvProp = "delta.enableDeletionVectors"
+    if (props.get(DvProp).exists(_.toBoolean)) {
+      enableDeletionVectors(spark, tableUri)
+      val rest = props - DvProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
     val plain = props -- Seq(ProtoR, ProtoW)
     val upgrade: Seq[Action] =
       if (!props.contains(ProtoR) && !props.contains(ProtoW)) Nil
@@ -885,6 +1062,19 @@ object DeltaTable {
     val changes = base.where(hit).withColumn("_change_type", lit("update_preimage"))
       .unionByName(applied(base.where(hit), onlyMatches = true)
         .withColumn("_change_type", lit("update_postimage")))
+    if (dvWriteEnabled(log, snap)) {
+      // DV form: the pre-image rows are masked in place (unmatched rows
+      // never move) and only the POSTIMAGE rows stage as new files — a
+      // selective UPDATE costs O(updated rows), not O(touched file bytes)
+      val post = applied(base.where(hit), onlyMatches = true)
+      checkConstraints(log, snap, post)
+      val staged = stageWrite(spark, log, post, snap.metadata.partitionColumns,
+        maxRecordsPerFile = None, dataChange = true, Some(snap))
+      return commitVectorMask(spark, log, snap, touched, hit, extraAdds = staged,
+        "UPDATE", Map("matchedFiles" -> touched.size.toString,
+          "candidateFiles" -> candidates.size.toString),
+        cdc = stageCdc(spark, log, changes))
+    }
     commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
       "UPDATE", Map("matchedFiles" -> touched.size.toString,
         "candidateFiles" -> candidates.size.toString),

@@ -129,10 +129,11 @@ class DeletionVectorSpec extends AnyFunSuite {
     // compose with the mask on read
     DeltaTable.append(spark, dir, Seq((99L, "z")).toDF("id", "name"))
     assert(DeltaTable.read(spark, dir).count() == 27)
-    // the change feed still refuses: the add/remove diff fallback
-    // cannot represent DV-masked rows
+    // the change feed still refuses a DV-carrying commit with no
+    // row-level change files: the add/remove diff fallback cannot
+    // represent DV-masked rows (version 0 here carries foreign DV adds)
     val e2 = intercept[IllegalArgumentException] {
-      DeltaTable.changesBetween(spark, dir, 0, 0)
+      DeltaTable.changesBetween(spark, dir, -1, 0)
     }
     assert(e2.getMessage.contains("deletion vectors"))
   }

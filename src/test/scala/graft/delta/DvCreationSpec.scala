@@ -1,0 +1,159 @@
+package graft.delta
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** DV-CREATING DML: on a table opted in via
+  * [[DeltaTable.enableDeletionVectors]], DELETE/UPDATE mark rows with a
+  * deletion vector (roaring bitmap sidecar, "u" descriptor) instead of
+  * rewriting the touched file — cost O(deleted rows), the delta-spark
+  * behavior modern engines expect. Round 11 built the RESOLVING side
+  * (maintenance materializes masks, DvMaintenanceSpec); this spec pins
+  * the creating side: serializer round-trip through our own reader,
+  * mask merging across DELETEs, whole-file deletion, UPDATE postimage
+  * staging, exact CDF, and compact purging the vectors. */
+class DvCreationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkTable(prefix: String, n: Int = 100): String = {
+    val dir = TestSpark.tmpDir(prefix)
+    DeltaTable.create(spark,
+      (0 until n).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    dir
+  }
+
+  test("serializeBlob round-trips through the read-side parser") {
+    // array, bitmap (>4096 per key), multi-key, multi-high-word
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L, 1L, 5L, 65535L),
+      Array(65536L, 70000L, 131072L),
+      (0L until 5000L).toArray, // bitmap container
+      Array(3L, (1L << 32) + 7L, (2L << 32))) // 64-bit high words
+    cases.foreach { vs =>
+      val rt = DeletionVectors.deserialize(DeletionVectors.serializeBlob(vs))
+      assert(rt.toArray.toSeq == vs.distinct.sorted.toSeq, s"round-trip of ${vs.toSeq}")
+      vs.foreach(v => assert(rt.contains(v)))
+      assert(!rt.contains(999999999L))
+    }
+  }
+
+  test("DELETE writes a vector instead of rewriting the file") {
+    val dir = mkTable("dv-create-del")
+    val before = DeltaLog.forTable(spark, dir).snapshot()
+    assert(before.files.size == 1)
+    val dataFile = before.files.head.path
+    val stats = DeltaTable.delete(spark, dir, col("id") >= 10L && col("id") < 20L)
+    assert(stats == DeltaTable.DmlStats(1, 1))
+    val after = DeltaLog.forTable(spark, dir).snapshot()
+    assert(after.files.map(_.path) == Seq(dataFile),
+      "the data file must stay in place — masked, not rewritten")
+    val dv = after.files.head.deletionVector
+    assert(dv.exists(_.cardinality == 10) && dv.exists(_.storageType == "u"))
+    assert(DeltaTable.read(spark, dir).count() == 90)
+    assert(DeltaTable.read(spark, dir).where(col("id") < 25L)
+      .select("id").as[Long].collect().toSet == ((0L until 10L) ++ (20L until 25L)).toSet)
+    // the sidecar is live data: an aggressive vacuum must not eat it
+    DeltaLog.forTable(spark, dir).vacuum(retentionMs = 0, enforceRetentionDuration = false)
+    assert(DeltaTable.read(spark, dir).count() == 90)
+  }
+
+  test("second DELETE merges masks; CDF exact; compact purges the vectors") {
+    val dir = mkTable("dv-create-merge")
+    DeltaTable.delete(spark, dir, col("id") < 5L)
+    DeltaTable.delete(spark, dir, col("id") >= 95L)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.size == 1)
+    assert(snap.files.head.deletionVector.exists(_.cardinality == 10),
+      "the second DELETE must merge into one mask")
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (5L until 95L).toSet)
+    // CDF: both DV DELETEs report exactly their deleted rows (cdc files
+    // make the feed exact even though the commits carry DV adds)
+    val feed = DeltaTable.changesBetween(spark, dir, 1, snap.version)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet ==
+      ((0L until 5L) ++ (95L until 100L)).toSet)
+    // compact materializes the mask away and the data survives
+    graft.sorter.DeltaSorter(spark, dir).binPack()
+    val compacted = DeltaLog.forTable(spark, dir).snapshot()
+    assert(compacted.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (5L until 95L).toSet)
+    // and the orphaned sidecar becomes vacuumable garbage
+    val deleted = DeltaLog.forTable(spark, dir)
+      .vacuum(retentionMs = 0, enforceRetentionDuration = false)
+    assert(deleted.exists(_.endsWith(".bin")))
+  }
+
+  test("a DELETE covering a whole file removes it outright, no empty mask") {
+    val dir = TestSpark.tmpDir("dv-create-gone")
+    DeltaTable.create(spark,
+      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.append(spark, dir,
+      (50 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    DeltaTable.enableDeletionVectors(spark, dir)
+    val stats = DeltaTable.delete(spark, dir, col("id") < 50L)
+    assert(stats == DeltaTable.DmlStats(1, 0),
+      "fully-covered file: remove-only commit, nothing added")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.size == 1 && snap.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, dir).count() == 50)
+  }
+
+  test("UPDATE masks preimages in place and stages only the postimages") {
+    val dir = mkTable("dv-create-upd")
+    val stats = DeltaTable.update(spark, dir, col("id") === 7L,
+      Map("name" -> lit("SEVEN")))
+    assert(stats.filesRemoved == 1 && stats.filesAdded == 2,
+      "one masked original + one postimage file")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.count(_.deletionVector.isDefined) == 1)
+    assert(snap.files.find(_.deletionVector.isDefined)
+      .get.deletionVector.get.cardinality == 1)
+    assert(DeltaTable.read(spark, dir).count() == 100)
+    assert(DeltaTable.read(spark, dir).where(col("id") === 7L)
+      .select("name").as[String].head() == "SEVEN")
+    // CDF carries the pre/post image pair
+    val feed = DeltaTable.changesBetween(spark, dir, snap.version - 1, snap.version)
+    assert(feed.where(col("_change_type") === "update_preimage")
+      .select("name").as[String].collect().toSeq == Seq("r7"))
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .select("name").as[String].collect().toSeq == Seq("SEVEN"))
+  }
+
+  test("time travel and RESTORE work across a DV DELETE") {
+    val dir = mkTable("dv-create-tt")
+    val v0 = DeltaLog.forTable(spark, dir).snapshot().version
+    DeltaTable.delete(spark, dir, col("id") < 30L)
+    assert(DeltaTable.readAt(spark, dir, v0).count() == 100,
+      "pre-delete version still reads every row")
+    assert(DeltaTable.read(spark, dir).count() == 70)
+    DeltaTable.restore(spark, dir, v0)
+    assert(DeltaTable.read(spark, dir).count() == 100,
+      "restore must drop the mask again (diff by (path, DV id))")
+  }
+
+  test("the property without the protocol refuses loudly") {
+    val dir = TestSpark.tmpDir("dv-create-noproto")
+    DeltaTable.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), dir)
+    // a foreign writer could set the property without upgrading
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    log.commitLatest(Seq(
+      snap.metadata.copy(configuration = snap.metadata.configuration +
+        ("delta.enableDeletionVectors" -> "true")),
+      CommitInfo(0L, "SET TBLPROPERTIES", Map.empty)))
+    val e = intercept[IllegalStateException] {
+      DeltaTable.delete(spark, dir, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("deletionVectors feature"))
+  }
+}
