@@ -452,16 +452,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // column ids (required by id-mode readers, ignored by name-mode
     // ones); schema evolution assigns fresh physical names + ids and
     // advances maxColumnId (DeltaTable.evolveMetadata).
-    // generated columns (writer version 4's second half): a writer that
-    // ignores a field's generation expression silently breaks the
-    // column's contract for every reader that relies on it
-    snap.schema.fields.find(_.metadata.contains("delta.generationExpression"))
-      .foreach { f =>
-        throw new IllegalStateException(
-          s"cannot write to $tableUri: column ${f.name} carries a generation " +
-            "expression (delta.generationExpression), which this engine does " +
-            "not evaluate — writing would break the generated-column contract")
-      }
+    // generated columns (writer version 4's second half) are honored:
+    // append computes a missing generated column from its expression,
+    // UPDATE recomputes after assignments (and refuses a direct SET),
+    // and every data-adding write verifies provided values against the
+    // expression in the same aggregate pass as CHECK constraints
+    // (DeltaTable.checkConstraints) — so no commit can break the
+    // column's contract for other readers.
     // DV-bearing tables are writable by RESOLVING vectors only: this
     // engine never creates deletion vectors — its rewrites read through
     // the mask ([[DeltaTable.readFiles]]) and stage survivor-only files
@@ -711,13 +708,15 @@ object DeltaLog {
     * (reads apply the bitmaps, removes carry the (path, DV id) pair the
     * protocol reconciles by, new files hold survivors only — the same
     * shape as delta-spark's OPTIMIZE on a DV table). Everything else
-    * (generatedColumns, identityColumns, rowTracking, ...) would
-    * silently break the table's contract for other readers and is
-    * refused by name. `columnMapping` is honored in both modes:
-    * physical-name writes with field ids stamped into the footers. */
+    * (identityColumns, rowTracking, ...) would silently break the
+    * table's contract for other readers and is refused by name.
+    * `columnMapping` is honored in both modes (physical-name writes,
+    * field ids stamped); `generatedColumns` by computing/verifying the
+    * generation expressions on every data-adding write. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-    "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
+    "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    "generatedColumns")
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

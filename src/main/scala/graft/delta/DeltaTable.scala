@@ -420,9 +420,16 @@ object DeltaTable {
       mergeSchema: Boolean = false): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
+    // generated columns the batch does not provide are COMPUTED from
+    // their expressions (the delta-spark writer behavior); provided
+    // values are verified against the expression in checkConstraints
+    val dfIn = generatedFields(snap).foldLeft(df) { case (d, (f, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else d.withColumn(f.name, expr(g).cast(f.dataType))
+    }
     val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val newCols = df.schema.fields.filter(f => !want.contains(f.name))
+    val got = dfIn.schema.fields.map(f => f.name -> f.dataType).toMap
+    val newCols = dfIn.schema.fields.filter(f => !want.contains(f.name))
     val mismatch = snap.schema.fields.filter(f => got.get(f.name).exists(_ != f.dataType)).toSeq ++
       (if (mergeSchema) Seq.empty else newCols.toSeq) ++
       snap.schema.fields.filter(f => !got.contains(f.name)).toSeq
@@ -431,12 +438,12 @@ object DeltaTable {
         s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
         s"${got.toSeq.sortBy(_._1).mkString(", ")}" +
         (if (!mergeSchema && newCols.nonEmpty) " (pass mergeSchema=true to add columns)" else ""))
-    checkConstraints(log, snap, df)
+    checkConstraints(log, snap, dfIn)
     val evolution =
       if (newCols.isEmpty) Nil
       else Seq(evolveMetadata(snap, newCols.toSeq))
     val effSnap = evolution.headOption.map(withMeta(snap, _)).getOrElse(snap)
-    val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
+    val adds = stageWrite(spark, log, dfIn, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true, Some(effSnap))
     log.commit(snap.version + 1, evolution ++ adds :+
       CommitInfo(System.currentTimeMillis(), "WRITE",
@@ -1002,23 +1009,45 @@ object DeltaTable {
         Map("keys" -> keys.mkString(",")))))
   }
 
-  /** Enforce the snapshot's CHECK constraints over a batch about to be
-    * written: ONE aggregate pass over the batch evaluates every
-    * constraint's violation count (a row violates when its expression
-    * IS FALSE — NULL passes, per SQL CHECK). Called by the data-adding
-    * writers (append, DML rewrites) before staging; maintenance
-    * rewrites (dataChange=false) move existing rows and skip it. */
+  /** The key a generated column's expression lives under in its field
+    * metadata (the Delta convention). */
+  val GenerationExpressionKey = "delta.generationExpression"
+
+  /** The table's generated columns: (field, generation expression). */
+  private[graft] def generatedFields(snap: Snapshot)
+      : Seq[(org.apache.spark.sql.types.StructField, String)] =
+    snap.schema.fields.toSeq.collect {
+      case f if f.metadata.contains(GenerationExpressionKey) =>
+        f -> f.metadata.getString(GenerationExpressionKey)
+    }
+
+  /** Enforce the snapshot's CHECK constraints — and generated-column
+    * expressions — over a batch about to be written: ONE aggregate pass
+    * evaluates every violation count (a CHECK row violates when its
+    * expression IS FALSE — NULL passes, per SQL CHECK; a generated
+    * column violates when the stored value is not null-safe-equal to
+    * its expression). Called by the data-adding writers (append, DML
+    * rewrites) before staging; maintenance rewrites (dataChange=false)
+    * move existing rows and skip it. */
   private[graft] def checkConstraints(log: DeltaLog, snap: Snapshot, df: DataFrame): Unit = {
     val cs = snap.metadata.configuration.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }.toSeq.sortBy(_._1)
-    if (cs.isEmpty) return
+    val gens = generatedFields(snap).map { case (f, g) =>
+      (s"generated column ${f.name}", s"${f.name} <=> CAST(($g) AS ${f.dataType.sql})")
+    }
+    val all = cs ++ gens
+    if (all.isEmpty) return
     val aggs = cs.map { case (n, e) =>
       sum(when(coalesce(expr(e), lit(true)) === lit(false), 1L).otherwise(0L)).as(n)
+    } ++ gens.zipWithIndex.map { case ((_, e), i) =>
+      // <=> is null-safe: a NULL stored value only passes when the
+      // expression also evaluates NULL
+      sum(when(expr(e), 0L).otherwise(1L)).as(s"__gen_$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cs.zipWithIndex.foreach { case ((n, e), i) =>
+    all.zipWithIndex.foreach { case ((n, e), i) =>
       if (!row.isNullAt(i) && row.getLong(i) > 0)
         throw new ConstraintViolationException(log.tableUri, n, e, row.getLong(i))
     }
@@ -1045,19 +1074,32 @@ object DeltaTable {
     val fields = snap.schema.fields
     assignments.keys.foreach(k => require(fields.exists(_.name == k),
       s"SET column $k not in table schema (${fields.map(_.name).mkString(", ")})"))
+    val gens = generatedFields(snap)
+    assignments.keys.foreach(k => require(!gens.exists(_._1.name == k),
+      s"cannot SET generated column $k — its value is computed from " +
+        s"'${gens.find(_._1.name == k).map(_._2).getOrElse("")}'; update the " +
+        "columns it derives from instead"))
 
     val candidates = candidateFiles(spark, snap, predicate)
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val hit = coalesce(predicate, lit(false))
-    def applied(df: DataFrame, onlyMatches: Boolean) = df.select(fields.toSeq.map { f =>
-      assignments.get(f.name) match {
-        case Some(e) =>
-          val v = e.cast(f.dataType)
-          (if (onlyMatches) v else when(hit, v).otherwise(col(f.name))).as(f.name)
-        case None => col(f.name)
+    def applied(df: DataFrame, onlyMatches: Boolean) = {
+      val assigned = df.select(fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(e) =>
+            val v = e.cast(f.dataType)
+            (if (onlyMatches) v else when(hit, v).otherwise(col(f.name))).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      // regenerate computed columns from the POST-assignment row (a SET
+      // of a dependency must flow through; unchanged rows recompute to
+      // their existing value, so this is safe on the full-rewrite path)
+      gens.foldLeft(assigned) { case (d, (f, g)) =>
+        d.withColumn(f.name, expr(g).cast(f.dataType))
       }
-    }: _*)
+    }
     val base = readFiles(spark, log, snap, touched)
     val changes = base.where(hit).withColumn("_change_type", lit("update_preimage"))
       .unionByName(applied(base.where(hit), onlyMatches = true)

@@ -1,0 +1,107 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Generated columns (writer protocol v4's second half, the
+  * `delta.generationExpression` field-metadata convention): delta-spark
+  * writers produce these tables routinely, so the engine EVALUATES the
+  * expressions instead of refusing the table —
+  *  - an append missing the generated column computes it;
+  *  - an append PROVIDING values verifies them (null-safe-equal to the
+  *    expression) in the same aggregate pass as CHECK constraints;
+  *  - UPDATE refuses a direct SET of a generated column and recomputes
+  *    it from the post-assignment row, so dependency changes flow
+  *    through. */
+class GeneratedColumnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private val genSchema = new StructType()
+    .add("id", LongType)
+    .add("id2", LongType, nullable = true,
+      new MetadataBuilder().putString("delta.generationExpression", "id * 2").build())
+
+  /** Foreign v4 fixture: one file of (id, id2 = id*2) rows. */
+  private def mkTable(prefix: String): String = {
+    val dir = TestSpark.tmpDir(prefix)
+    val tmp = TestSpark.tmpDir(s"$prefix-part")
+    Seq((1L, 2L), (2L, 4L)).toDF("id", "id2").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"gen-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(genSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    dir
+  }
+
+  test("append without the generated column computes it") {
+    val dir = mkTable("gen-compute")
+    DeltaTable.append(spark, dir, Seq(10L, 11L).toDF("id"))
+    assert(DeltaTable.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 4L), (10L, 20L), (11L, 22L)))
+  }
+
+  test("append providing WRONG generated values is refused; correct values pass") {
+    val dir = mkTable("gen-verify")
+    val e = intercept[ConstraintViolationException] {
+      DeltaTable.append(spark, dir, Seq((5L, 99L)).toDF("id", "id2"))
+    }
+    assert(e.getMessage.contains("generated column id2"))
+    assert(DeltaTable.read(spark, dir).count() == 2, "nothing committed")
+    DeltaTable.append(spark, dir, Seq((5L, 10L)).toDF("id", "id2"))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+  }
+
+  test("UPDATE recomputes generated columns from the post-assignment row") {
+    val dir = mkTable("gen-update")
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, dir, col("id") === 1L, Map("id2" -> lit(0L)))
+    }
+    assert(e.getMessage.contains("generated column id2"))
+    DeltaTable.update(spark, dir, col("id") === 1L, Map("id" -> lit(100L)))
+    assert(DeltaTable.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((100L, 200L), (2L, 4L)), "id2 must follow the new id")
+  }
+
+  test("a v7 feature table listing generatedColumns is writable") {
+    val dir = TestSpark.tmpDir("gen-v7")
+    val tmp = TestSpark.tmpDir("gen-v7-part")
+    Seq((1L, 2L)).toDF("id", "id2").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["generatedColumns","invariants"]}}""",
+      s"""{"metaData":{"id":"gen-v7","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(genSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    DeltaTable.append(spark, dir, Seq(7L).toDF("id"))
+    assert(DeltaTable.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (7L, 14L)))
+  }
+}
