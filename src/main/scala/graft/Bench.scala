@@ -82,6 +82,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQueries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // Mid-run contamination sampling: the start gate alone stamped r11
+    // "contaminated":false while load rose from 1.35 to 6.62 DURING the
+    // run and the medians came out up to 12× the idle truth. Foreign
+    // JVMs are the self-load-free signal (our own 32 worker threads
+    // legitimately push loadavg up, so raw load mid-run indicts nothing);
+    // sample after every query and keep the max.
+    var foreignJvmsMax = foreignJvms()
+    var load1mMax = loadAvg().headOption.getOrElse(0.0)
+    def sampleMachine(): Unit = {
+      foreignJvmsMax = math.max(foreignJvmsMax, foreignJvms())
+      load1mMax = math.max(load1mMax, loadAvg().headOption.getOrElse(0.0))
+    }
     val results = benchQueries.map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -123,6 +135,7 @@ object Bench {
         runs = runs ++ Seq.fill(2)(once()); extras += 2
       }
       val firstErr = runs.collectFirst { case Left(e) => e } // fail if ANY run fails
+      sampleMachine()
       name -> firstErr.toLeft {
         val ts = runs.collect { case Right(t) => t }.sorted
         (ts(ts.size / 2), ts.head, ts.last, ts.size)
@@ -242,12 +255,36 @@ object Bench {
     // Full-precision record for the judge (committed to the repo root):
     // the stdout line below only survives the driver's tail if short.
     val loadEnd = loadAvg(); val jvmsEnd = jvmCount()
+    sampleMachine()
+    // END-OF-RUN contamination verdict (the r11 lesson: a start-only
+    // stamp is actively misleading once load rises mid-run). Three
+    // independent indictments, any one of which marks the artifact:
+    //  - the start gate never cleared (machine busy before measuring);
+    //  - a foreign JVM beyond the allowed one showed up at ANY sample
+    //    point (external work ran alongside the measured queries);
+    //  - >= 2 queries kept median > 3× their own min AFTER the adaptive
+    //    re-runs — the contamination fingerprint in the numbers
+    //    themselves (one such query can be genuine plan bimodality, a
+    //    cluster of them is sustained external load). Affected queries
+    //    are listed either way, so a consumer can discount exactly them.
+    val suspects = ok.collect {
+      case (k, (med, mn, _, _)) if mn > 0 && med > 3 * mn => k
+    }.toSeq.sorted
+    val contaminatedFinal = contaminated || foreignJvmsMax > 1 || suspects.size >= 2
+    if (contaminatedFinal) System.err.println(
+      s"[bench] CONTAMINATED verdict: start_busy=$contaminated " +
+        s"foreign_jvms_max=$foreignJvmsMax suspects=${suspects.mkString(",")}")
     val loadJson =
       s""""load":{"start":${loadStart.mkString("[", ",", "]")},""" +
         s""""end":${loadEnd.mkString("[", ",", "]")},""" +
-        s""""jvms_start":$jvmsStart,"jvms_end":$jvmsEnd},"""
+        s""""load1m_max":$load1mMax,""" +
+        s""""jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,""" +
+        s""""foreign_jvms_max":$foreignJvmsMax},"""
+    val suspectsJson = suspects.map(k => "\"" + k + "\"").mkString("[", ",", "]")
     val details =
-      s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminatedFinal,""" +
+        s""""contamination":{"at_start":$contaminated,""" +
+        s""""foreign_jvms_max":$foreignJvmsMax,"suspect_queries":$suspectsJson},""" +
         s""""runs_per_query":$Runs,""" +
         s""""aggregation":"median","queries":${qJson(_.toString)},""" +
         s""""query_stats":$stats,"failed":$fs,$loadJson$engineFull"sf":"$sfDir"}"""
@@ -261,8 +298,11 @@ object Bench {
       s""""load1m":[${loadStart.headOption.getOrElse(-1.0)},""" +
         s"""${loadEnd.headOption.getOrElse(-1.0)}],"jvms":[$jvmsStart,$jvmsEnd],"""
     // The flag is emitted in the compact line only when SET — the 1900-
-    // char budget is tight and a clean run needs no disclaimer.
-    val contaminatedJson = if (contaminated) """"contaminated":true,""" else ""
+    // char budget is tight and a clean run needs no disclaimer. The
+    // count of suspect queries rides along (names are in the details).
+    val contaminatedJson =
+      if (contaminatedFinal) s""""contaminated":true,"suspects":${suspects.size},"""
+      else ""
     def line(fmt: Double => String) =
       s"""{"metric":"total","value":${d2(total)},"unit":"sec",$contaminatedJson""" +
         s""""queries":${qJson(fmt)},""" +
