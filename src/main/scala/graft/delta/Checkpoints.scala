@@ -135,33 +135,40 @@ object Checkpoints {
   /** Load checkpoint rows into actions (schema-defensive, see above). */
   def readActions(spark: SparkSession, files: Seq[Path]): Seq[Action] = {
     val df = spark.read.parquet(files.map(_.toString): _*)
-    val top = df.schema.fieldNames.toSet
+    df.collect().toSeq.flatMap(parseRow)
+  }
 
-    def opt[T](r: Row, name: String): Option[T] = {
-      val sch = r.schema
-      if (sch != null && sch.fieldNames.contains(name) && !r.isNullAt(sch.fieldIndex(name)))
-        Some(r.getAs[T](name))
-      else None
+  private def opt[T](r: Row, name: String): Option[T] = {
+    val sch = r.schema
+    if (sch != null && sch.fieldNames.contains(name) && !r.isNullAt(sch.fieldIndex(name)))
+      Some(r.getAs[T](name))
+    else None
+  }
+  private def strMap(r: Row, name: String): Map[String, String] =
+    opt[scala.collection.Map[String, String]](r, name).map(_.toMap).getOrElse(Map.empty)
+  // foreign checkpoints of DV tables carry the descriptor as a struct
+  private def dvOf(r: Row): Option[DeletionVectorDescriptor] =
+    opt[Row](r, "deletionVector").map { d =>
+      DeletionVectorDescriptor(
+        storageType = d.getAs[String]("storageType"),
+        pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
+        offset = opt[Int](d, "offset"),
+        sizeInBytes = opt[Int](d, "sizeInBytes").getOrElse(0),
+        cardinality = opt[Long](d, "cardinality").getOrElse(0L))
     }
-    def strMap(r: Row, name: String): Map[String, String] =
-      opt[scala.collection.Map[String, String]](r, name).map(_.toMap).getOrElse(Map.empty)
-    // foreign checkpoints of DV tables carry the descriptor as a struct
-    def dvOf(r: Row): Option[DeletionVectorDescriptor] =
-      opt[Row](r, "deletionVector").map { d =>
-        DeletionVectorDescriptor(
-          storageType = d.getAs[String]("storageType"),
-          pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
-          offset = opt[Int](d, "offset"),
-          sizeInBytes = opt[Int](d, "sizeInBytes").getOrElse(0),
-          cardinality = opt[Long](d, "cardinality").getOrElse(0L))
-      }
 
-    df.collect().toSeq.flatMap { row =>
-      def struct(name: String): Option[Row] =
-        if (top.contains(name) && !row.isNullAt(row.fieldIndex(name)))
-          Some(row.getAs[Row](name))
-        else None
-      (struct("add").map { a =>
+  /** Parse one checkpoint row into an action. Pure over the row (the
+    * row carries its own schema), so it runs identically on the driver
+    * and inside executors — the distributed scan-planning path
+    * ([[readPruned]]) depends on exactly that. */
+  private[delta] def parseRow(row: Row): Option[Action] = {
+    val top: Set[String] =
+      Option(row.schema).map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+    def struct(name: String): Option[Row] =
+      if (top.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+        Some(row.getAs[Row](name))
+      else None
+    (struct("add").map { a =>
         AddFile(
           path = a.getAs[String]("path"),
           partitionValues = strMap(a, "partitionValues"),
@@ -206,7 +213,74 @@ object Checkpoints {
           path = s.getAs[String]("path"),
           sizeInBytes = opt[Long](s, "sizeInBytes").getOrElse(0L)): Action
       })
+  }
+
+  /** Distributed scan-planning read of a checkpoint: the `add` rows are
+    * parsed AND stats-pruned INSIDE the executors, so the driver only
+    * materializes the pruned survivors — on a 100 TB table whose
+    * checkpoint holds millions of files, planning a selective scan no
+    * longer costs O(active files) driver memory (the watch item on
+    * [[readActions]]'s collect). Non-add rows — protocol, metaData,
+    * txn; O(1) of them — are returned in full; `mkPrune` receives them
+    * first so the pruning closure can be built from the table's schema.
+    * Returns (non-add actions, pruned adds). */
+  def readPruned(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint,
+      mkPrune: Seq[Action] => (Seq[AddFile] => Seq[AddFile])): (Seq[Action], Seq[AddFile]) = {
+    val manifest = cp.v2Manifest.orElse {
+      if (cp.parts.isEmpty && !fs.exists(paths(logPath, cp).head))
+        findV2Manifest(fs, logPath, cp.version)
+      else None
     }
+    // inline actions + the parquet files that (may) carry add rows
+    val (inline, addFiles): (Seq[Action], Seq[Path]) = manifest match {
+      case None => (Nil, paths(logPath, cp))
+      case Some(name) =>
+        val p = new Path(logPath, name)
+        val raw =
+          if (name.endsWith(".json")) {
+            val in = fs.open(p)
+            val content = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+            finally in.close()
+            val mapper = new ObjectMapper()
+            content.split('\n').filter(_.trim.nonEmpty).toSeq
+              .flatMap(line => Action.fromJson(mapper.readTree(line)))
+          } else readActions(spark, Seq(p))
+        val (sidecars, inlineA) = raw.partitionMap {
+          case s: SidecarFile => Left(s)
+          case a => Right(a)
+        }
+        (inlineA, sidecars.map { s =>
+          if (s.path.contains("://") || s.path.startsWith("/")) new Path(s.path)
+          else new Path(new Path(logPath, "_sidecars"), s.path)
+        })
+    }
+    val inlineNonAdd = inline.filterNot(_.isInstanceOf[AddFile])
+    val inlineAdds = inline.collect { case a: AddFile => a }
+    if (addFiles.isEmpty) {
+      val prune = mkPrune(inlineNonAdd)
+      return (inlineNonAdd, prune(inlineAdds))
+    }
+    val df = spark.read.parquet(addFiles.map(_.toString): _*)
+    val hasAdd = df.schema.fieldNames.contains("add")
+    val parquetNonAdd =
+      (if (hasAdd) df.where(org.apache.spark.sql.functions.col("add").isNull) else df)
+        .collect().toSeq.flatMap(parseRow)
+    val nonAdd = inlineNonAdd ++ parquetNonAdd
+    val prune = mkPrune(nonAdd)
+    val prunedAdds: Seq[AddFile] =
+      if (!hasAdd) Nil
+      else {
+        implicit val enc: org.apache.spark.sql.Encoder[AddFile] =
+          org.apache.spark.sql.Encoders.product[AddFile]
+        df.where(org.apache.spark.sql.functions.col("add").isNotNull)
+          .mapPartitions { rows =>
+            val parsed = rows.flatMap(parseRow).collect { case a: AddFile => a }.toSeq
+            prune(parsed).iterator
+          }.collect().toSeq
+      }
+    (nonAdd, prune(inlineAdds) ++ prunedAdds)
   }
 
   /** Re-serialize a checkpoint `stats_parsed` struct into the JSON

@@ -324,6 +324,22 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // (spark.sql.parquet.fieldId.read.enabled + parquet.field.id
     // metadata attached in Snapshot.physicalSchema) — without that, an
     // id-mapped table read by name returns all-NULL columns silently.
+    checkReadable(meta, protocol)
+    val base = seed.map(_.version).orElse(cp.map(_.version)).getOrElse(-1L)
+    Snapshot(
+      version = math.max(base, versions.lastOption.getOrElse(-1L)),
+      metadata = meta,
+      schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
+      files = adds.values.toSeq,
+      protocol = protocol.getOrElse(Protocol()),
+      txns = txns.toMap)
+  }
+
+  /** The reader protocol + column-mapping gate (shared by full replay
+    * and the distributed scan-planning path): a table demanding
+    * capabilities we lack must fail loudly, BY NAME, before any rows
+    * are returned. */
+  private def checkReadable(meta: Metadata, protocol: Option[Protocol]): Unit = {
     val cmMode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (cmMode != "none" && cmMode != "name" && cmMode != "id")
       throw new IllegalStateException(
@@ -345,14 +361,90 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
               s"this engine supports <= ${DeltaLog.SupportedReaderVersion}")
       }
     }
-    val base = seed.map(_.version).orElse(cp.map(_.version)).getOrElse(-1L)
-    Snapshot(
-      version = math.max(base, versions.lastOption.getOrElse(-1L)),
+  }
+
+  /** Scan-planning snapshot: the same state as [[snapshot]] with
+    * `files` already pruned by `prune(probeSnapshot, files)` — and,
+    * when the state seeds from a checkpoint with no materialized
+    * snapshot cached, the pruning runs DISTRIBUTED over the checkpoint
+    * parquet ([[Checkpoints.readPruned]]): the driver materializes only
+    * the surviving AddFiles, never the whole active set. On a 100 TB
+    * table (millions of active files) this is the difference between a
+    * selective read planning in O(survivors) and OOMing the driver.
+    *
+    * The probe snapshot handed to `prune` carries the table's
+    * metadata/schema/protocol and an EMPTY file list (so the closure
+    * ships to executors without dragging state along). The result is
+    * not cached — it is partial by construction. Falls back to the
+    * materialized path whenever a snapshot is already cached (pruning
+    * a cached list is a driver-side filter, no IO at all) or the log
+    * shape is unexpected. */
+  def scanSnapshot(prune: (Snapshot, Seq[AddFile]) => Seq[AddFile]): Snapshot = {
+    val json = listVersions()
+    val latestJson = json.lastOption.getOrElse(-1L)
+    cachedSnapshot match {
+      case Some(s) if latestJson == s.version =>
+        return s.copy(files = prune(s, s.files))
+      case _ => ()
+    }
+    val cp = lastCheckpoint().orElse {
+      if (json.headOption.contains(0L)) None
+      else listCheckpointVersions().lastOption
+    }
+    val spark = sparkOpt.orNull
+    val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
+    val contiguous = cp.isEmpty || tail == ((cp.get.version + 1) to latestJson)
+    if (cp.isEmpty || spark == null || !contiguous) {
+      val s = snapshot()
+      return s.copy(files = prune(s, s.files))
+    }
+    val tailActions = tail.flatMap(actionsAt)
+    val (nonAdd, cpAdds) = Checkpoints.readPruned(spark, fs, logPath, cp.get,
+      mkPrune = { nonAddActions =>
+        val meta = (nonAddActions ++ tailActions).collect { case m: Metadata => m }
+          .lastOption.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
+        val proto = (nonAddActions ++ tailActions).collect { case p: Protocol => p }
+          .lastOption.getOrElse(Protocol())
+        checkReadable(meta, Some(proto))
+        val probe = Snapshot(cp.get.version, meta,
+          DataType.fromJson(meta.schemaString).asInstanceOf[StructType], Nil, proto)
+        files => prune(probe, files)
+      })
+    // replay the JSON tail over the pruned base: removes reconcile by
+    // (path, DV id) exactly like full replay — a remove of a file the
+    // pruning already dropped is a harmless no-op, same outcome either
+    // way. Tail ADDS were never seen by the distributed prune, so they
+    // are pruned at the end (driver-side: the tail is O(recent commits))
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    val tailKeys = mutable.Set.empty[String]
+    cpAdds.foreach(f => adds(f.reconcileKey) = f)
+    var metadata = nonAdd.collect { case m: Metadata => m }.lastOption
+    var protocol = nonAdd.collect { case p: Protocol => p }.lastOption
+    val txns = mutable.Map.empty[String, Long]
+    nonAdd.foreach {
+      case t: SetTransaction =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case _ => ()
+    }
+    tailActions.foreach {
+      case a: AddFile => adds(a.reconcileKey) = a; tailKeys += a.reconcileKey
+      case r: RemoveFile => adds.remove(r.reconcileKey); tailKeys -= r.reconcileKey
+      case m: Metadata => metadata = Some(m)
+      case p: Protocol => protocol = Some(p)
+      case t: SetTransaction =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case _ => ()
+    }
+    val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
+    val bare = Snapshot(
+      version = math.max(cp.get.version, latestJson),
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
-      files = adds.values.toSeq,
+      files = Nil,
       protocol = protocol.getOrElse(Protocol()),
       txns = txns.toMap)
+    val (fromTail, fromCp) = adds.values.toSeq.partition(f => tailKeys(f.reconcileKey))
+    bare.copy(files = fromCp ++ prune(bare, fromTail))
   }
 
   /** Delete data files that are no longer referenced by the CURRENT

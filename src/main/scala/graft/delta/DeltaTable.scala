@@ -173,10 +173,15 @@ object DeltaTable {
     * files the stats PROVE cannot match. */
   def readWhere(spark: SparkSession, tableUri: String, predicate: String): DataFrame = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val kept = pruneFiles(snap, snap.files, parsed)
-    readFiles(spark, log, snap, kept).where(org.apache.spark.sql.functions.expr(predicate))
+    // scanSnapshot prunes DISTRIBUTED over the checkpoint when no
+    // materialized snapshot is cached — planning a selective read of a
+    // million-file table materializes only the surviving AddFiles on
+    // the driver (the probe snapshot the closure captures carries no
+    // file list, so the closure ships light)
+    val snap = log.scanSnapshot((probe, files) => pruneFiles(probe, files, parsed))
+    readFiles(spark, log, snap, snap.files)
+      .where(org.apache.spark.sql.functions.expr(predicate))
   }
 
   /** [[DataSkipping.prune]] with column-mapping awareness: a mapped

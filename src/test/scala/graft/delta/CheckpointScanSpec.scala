@@ -1,0 +1,92 @@
+package graft.delta
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Distributed checkpoint scan planning ([[DeltaLog.scanSnapshot]] +
+  * [[Checkpoints.readPruned]]): on a checkpoint-seeded table the add
+  * rows are parsed and stats-pruned inside the executors, and only the
+  * pruned survivors reach the driver — a 100k-file checkpoint plans a
+  * point read without materializing 100k AddFiles driver-side. */
+class CheckpointScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val N = 100000
+  private val schema = new org.apache.spark.sql.types.StructType()
+    .add("id", org.apache.spark.sql.types.LongType)
+
+  /** A table whose checkpoint carries N fabricated adds, each claiming
+    * a disjoint id range [i*10, i*10+9] in its stats. Planning never
+    * opens data files, so none need to exist. The seeding JSON commit
+    * is deleted after checkpointing to force checkpoint-based replay. */
+  private def fixture(): String = {
+    val dir = TestSpark.tmpDir("cp-scan")
+    val adds = (0 until N).map { i =>
+      AddFile(f"part-$i%06d.parquet", Map.empty, 100L, 1L, dataChange = true,
+        stats = Some(s"""{"numRecords":10,"minValues":{"id":${i * 10L}},""" +
+          s""""maxValues":{"id":${i * 10L + 9}},"nullCount":{"id":0}}"""))
+    }
+    val log = DeltaLog.forTable(spark, dir)
+    log.create(schema, Nil, adds)
+    log.checkpoint()
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    DeltaLog.invalidate(dir)
+    dir
+  }
+
+  private def plan(dir: String, predicate: String): Snapshot = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    DeltaLog.forTable(spark, dir).scanSnapshot((probe, files) =>
+      DeltaTable.pruneFiles(probe, files, parsed))
+  }
+
+  test("a selective predicate over a 100k-file checkpoint plans to one file") {
+    val dir = fixture()
+    val snap = plan(dir, "id = 123456")
+    assert(snap.files.map(_.path) == Seq("part-012345.parquet"))
+    assert(snap.schema.fieldNames.toSeq == Seq("id"))
+    assert(snap.version == 0L)
+    // range predicate: exactly the covering files, in checkpoint order
+    val range = plan(dir, "id >= 55 and id < 125")
+    assert(range.files.map(_.path).sorted ==
+      Seq("part-000005.parquet", "part-000006.parquet", "part-000007.parquet",
+        "part-000008.parquet", "part-000009.parquet", "part-000010.parquet",
+        "part-000011.parquet", "part-000012.parquet"))
+  }
+
+  test("the JSON tail replays over the pruned base: adds pruned, removes honored") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    val now = 2L
+    // v1: remove a file the predicate would keep, add two fresh files —
+    // one matching the predicate, one provably not
+    log.commit(1L, Seq(
+      RemoveFile("part-012345.parquet", now, dataChange = true, Map.empty, 100L),
+      AddFile("tail-match.parquet", Map.empty, 100L, now, dataChange = true,
+        stats = Some("""{"numRecords":1,"minValues":{"id":123456},""" +
+          """"maxValues":{"id":123456},"nullCount":{"id":0}}""")),
+      AddFile("tail-miss.parquet", Map.empty, 100L, now, dataChange = true,
+        stats = Some("""{"numRecords":1,"minValues":{"id":-5},""" +
+          """"maxValues":{"id":-5},"nullCount":{"id":0}}""")),
+      CommitInfo(now, "WRITE", Map.empty)))
+    DeltaLog.invalidate(dir)
+    val snap = plan(dir, "id = 123456")
+    assert(snap.files.map(_.path) == Seq("tail-match.parquet"),
+      "removed checkpoint file gone, tail add pruned like any other file")
+    assert(snap.version == 1L)
+  }
+
+  test("scanSnapshot equals materialized prune on a cached snapshot") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    val full = log.snapshot() // materialize + cache
+    assert(full.files.size == N)
+    val viaScan = plan(dir, "id = 777777").files.map(_.path)
+    val parsed = spark.sessionState.sqlParser.parseExpression("id = 777777")
+    val viaFull = DeltaTable.pruneFiles(full, full.files, parsed).map(_.path)
+    assert(viaScan == viaFull && viaScan == Seq("part-077777.parquet"))
+  }
+}
