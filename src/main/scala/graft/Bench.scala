@@ -231,6 +231,17 @@ object Bench {
       // rewritten — the DML cost a maintenance-sorted table buys.
       val (delStats, tDelete) = timed(graft.delta.DeltaTable.delete(
         spark, tableDir, org.apache.spark.sql.functions.expr(pred)))
+      // DV maintenance at scale: opt the table into deletion vectors,
+      // DV-delete another shipdate month (cost O(deleted rows) — the
+      // file is masked, not rewritten), then compact — the rewrite must
+      // RESOLVE the masks (read survivors through the bitmaps, stage
+      // vector-free files, remove the (path, DV id) pairs).
+      val dvPred = "l_shipdate >= timestamp'1995-03-01 00:00:00' and " +
+        "l_shipdate < timestamp'1995-04-01 00:00:00'"
+      graft.delta.DeltaTable.enableDeletionVectors(spark, tableDir)
+      val (dvStats, tDvDelete) = timed(graft.delta.DeltaTable.delete(
+        spark, tableDir, org.apache.spark.sql.functions.expr(dvPred)))
+      val (_, tDvCompact) = timed(sorter.compact(cfg))
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tableDir), true)
       def render(fmt: Double => String, withBytes: Boolean) =
@@ -239,6 +250,8 @@ object Bench {
           s""""skip_read":${fmt(tSkip)},"full_read":${fmt(tFull)},"skip_files_read":$prunedFiles,""" +
           (if (withBytes) s""""connector_scan":${fmt(tConn)},""" else "") +
           s""""delete_selective":${fmt(tDelete)},"delete_files_rewritten":${delStats.filesRemoved},""" +
+          s""""dv_delete":${fmt(tDvDelete)},"dv_files_masked":${dvStats.filesAdded},""" +
+          s""""dv_compact":${fmt(tDvCompact)},""" +
           s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
           (if (withBytes) s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" else "") +
           s""""violations_before":${v1.boundaryViolations},"ok_after":${v2.ok}},"""

@@ -60,11 +60,15 @@ object DeltaTable {
       files: Seq[AddFile]): DataFrame =
     readFilesInternal(spark, log, snap, files, keepMeta = false)
 
-  /** [[readFiles]] plus two provenance columns: `__graft_path` (the
-    * absolute file path) and `__graft_ri` (the row's PHYSICAL index in
+  /** [[readFiles]] plus three provenance columns: `__graft_path` (the
+    * absolute file path), `__graft_ri` (the row's PHYSICAL index in
     * that parquet file — DV-masked rows are already dropped, and the
     * surviving rows keep their physical indexes, which is exactly what
-    * a deletion-vector writer must record). */
+    * a deletion-vector writer must record), and `__graft_block` (the
+    * row's split offset, for split-run stitching in the validator).
+    * `_metadata` itself resolves only while the scan is the plan's
+    * surface — the DV filter's projections bury it — so every consumer
+    * that needs provenance goes through here. */
   private[graft] def readFilesWithMeta(spark: SparkSession, log: DeltaLog,
       snap: Snapshot, files: Seq[AddFile]): DataFrame =
     readFilesInternal(spark, log, snap, files, keepMeta = true)
@@ -117,6 +121,7 @@ object DeltaTable {
       if (!keepMeta) d
       else d.withColumn("__graft_path", col("_metadata.file_path"))
         .withColumn("__graft_ri", col("_metadata.row_index"))
+        .withColumn("__graft_block", col("_metadata.file_block_start"))
     val (dvFiles, plainFiles) = files.partition(_.deletionVector.isDefined)
     val df =
       if (dvFiles.isEmpty) withMeta(rawRead(files))
@@ -146,11 +151,14 @@ object DeltaTable {
         val masked = rawRead(dvFiles)
           .withColumn("__graft_dv_path", col("_metadata.file_path"))
           .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+          .withColumn("__graft_dv_block", col("_metadata.file_block_start"))
           .where(!deleted(col("__graft_dv_path"), col("__graft_dv_ri")))
         val filtered =
-          if (!keepMeta) masked.drop("__graft_dv_path", "__graft_dv_ri")
+          if (!keepMeta)
+            masked.drop("__graft_dv_path", "__graft_dv_ri", "__graft_dv_block")
           else masked.withColumnRenamed("__graft_dv_path", "__graft_path")
             .withColumnRenamed("__graft_dv_ri", "__graft_ri")
+            .withColumnRenamed("__graft_dv_block", "__graft_block")
         if (plainFiles.isEmpty) filtered
         else withMeta(rawRead(plainFiles)).unionByName(filtered)
       }
@@ -160,7 +168,8 @@ object DeltaTable {
     val outCols = snap.schema.fields.map(f =>
       col(if (mapped) Snapshot.physicalName(f) else f.name)
         .cast(f.dataType).as(f.name)).toSeq ++
-      (if (keepMeta) Seq(col("__graft_path"), col("__graft_ri")) else Nil)
+      (if (keepMeta) Seq(col("__graft_path"), col("__graft_ri"), col("__graft_block"))
+       else Nil)
     df.select(outCols: _*)
   }
 

@@ -52,7 +52,12 @@ object Planner {
     // partition the validator would flag anyway.
     val (proven, candidates) = allGroups.partition(statsProvenUnsorted(snap, cfg))
 
-    val stats = Validator.fileStats(spark, log, snap, candidates.flatMap(_.files),
+    // DV-bearing files are excluded from the stats scan: their group is
+    // kept in the plan REGARDLESS of sortedness (the filterNot below —
+    // compaction must purge the masks), so scanning them here could not
+    // change any decision and only burns IO.
+    val stats = Validator.fileStats(spark, log, snap,
+      candidates.flatMap(_.files).filter(_.deletionVector.isEmpty),
       cfg.sortColumns, cfg.nullsFirst, cfg.descColumns)
     val statsByPath: Map[String, FileStats] =
       stats.map(s => s.path -> s).toMap

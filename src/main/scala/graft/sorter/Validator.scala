@@ -52,10 +52,14 @@ object Validator {
     validateSortColumns(snap.schema, sortColumns)
     if (files.isEmpty) return Seq.empty
     val ord = new TupleOrdering(nullsFirst, sortColumns.map(descColumns.contains))
-    val df = DeltaTable.readFiles(spark, log, snap, files)
+    // readFilesWithMeta, not a raw `_metadata` select: on DV-bearing
+    // files the mask filter's projections bury the metadata column, and
+    // validation must judge the SURVIVING rows anyway (they are what
+    // readers see, in whatever order the file keeps them)
+    val df = DeltaTable.readFilesWithMeta(spark, log, snap, files)
     val width = sortColumns.length
     val keyed = df.select(
-      (Seq(col("_metadata.file_path"), col("_metadata.file_block_start")) ++
+      (Seq(col("__graft_path"), col("__graft_block")) ++
         sortColumns.map(col)): _*)
     val runs = keyed.rdd.mapPartitions { it =>
       val out = mutable.ArrayBuffer.empty[FileRun]

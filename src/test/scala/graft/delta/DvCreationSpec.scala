@@ -140,6 +140,24 @@ class DvCreationSpec extends AnyFunSuite {
       "restore must drop the mask again (diff by (path, DV id))")
   }
 
+  test("validator judges the surviving rows of a DV table; planner still compacts it") {
+    // regression: fileStats selected `_metadata` over readFiles output,
+    // which resolves on a plain scan but not through the DV filter's
+    // projections — a SORTED table with a fresh mask (stats fast path
+    // can't prove it unsorted) then blew up validate/plan
+    val dir = mkTable("dv-create-validate")
+    DeltaTable.delete(spark, dir, col("id") % 10L === 3L)
+    val sorter = graft.sorter.DeltaSorter(spark, dir)
+    val report = sorter.validate(Seq("id"))
+    assert(report.ok, s"survivors stay ascending after masking: $report")
+    val plan = sorter.plan(graft.sorter.SortConfig(Seq("id")))
+    assert(plan.groups.nonEmpty,
+      "a sorted-but-masked group must still compact (the mask purge is the point)")
+    sorter.compact(graft.sorter.SortConfig(Seq("id")))
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, dir).count() == 90)
+  }
+
   test("the property without the protocol refuses loudly") {
     val dir = TestSpark.tmpDir("dv-create-noproto")
     DeltaTable.create(spark,
