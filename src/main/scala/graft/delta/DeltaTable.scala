@@ -75,8 +75,16 @@ object DeltaTable {
 
   private def readFilesInternal(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       files: Seq[AddFile], keepMeta: Boolean): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    if (files.isEmpty) {
+      val emptySchema =
+        if (!keepMeta) snap.schema
+        else snap.schema
+          .add("__graft_path", org.apache.spark.sql.types.StringType)
+          .add("__graft_ri", org.apache.spark.sql.types.LongType)
+          .add("__graft_block", org.apache.spark.sql.types.LongType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    }
     val partCols = snap.metadata.partitionColumns
     // foreign column-mapping tables: the parquet columns — and partition
     // DIRECTORY names — carry per-field physical names; read by physical
@@ -668,6 +676,19 @@ object DeltaTable {
       .withColumn("_change_type", lit("update_postimage"))
       .unionByName(updates.join(broadcast(matchedKeys), keyCols, "left_anti")
         .withColumn("_change_type", lit("insert")))
+    if (dvWriteEnabled(log, snap)) {
+      // DV form: matched pre-image rows are masked in place; the whole
+      // update batch (matched replacements + fresh inserts) stages as
+      // new files — unmatched rows of touched files never move
+      val hitRows = readFilesWithMeta(spark, log, snap, touched)
+        .join(broadcast(keys), keyCols, "left_semi")
+      checkConstraints(log, snap, updates)
+      val staged = stageWrite(spark, log, updates, snap.metadata.partitionColumns,
+        maxRecordsPerFile = None, dataChange = true, Some(snap))
+      return commitVectorMask(spark, log, snap, touched, hitRows, staged,
+        "MERGE", Map("matchedFiles" -> touched.size.toString),
+        cdc = stageCdc(spark, log, changes))
+    }
     commitRewrite(spark, log, snap, touched,
       survivors.unionByName(updates), "MERGE",
       Map("matchedFiles" -> touched.size.toString),
@@ -771,7 +792,9 @@ object DeltaTable {
     true
   }
 
-  /** Per-touched-file deletion bitmaps for the rows selected by `hit`:
+  /** Per-touched-file deletion bitmaps for the rows of `hitRows` (any
+    * frame carrying `__graft_path`/`__graft_ri` — a predicate filter
+    * over [[readFilesWithMeta]], or a MERGE join's modified rows):
     * (file, serialized blob merged with any existing vector, total
     * masked cardinality). The (path, row-index) pairs aggregate into
     * bitmaps in the EXECUTORS — only index pairs shuffle, never data
@@ -781,11 +804,10 @@ object DeltaTable {
     * ([[readFilesWithMeta]]), so a second DELETE's indexes are disjoint
     * from the existing mask by construction. */
   private def buildDvs(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      touched: Seq[AddFile], hit: Column): Seq[(AddFile, Array[Byte], Long)] = {
+      touched: Seq[AddFile], hitRows: DataFrame): Seq[(AddFile, Array[Byte], Long)] = {
     import spark.implicits._
     val perFile: Seq[(String, Array[Byte], Long)] =
-      readFilesWithMeta(spark, log, snap, touched)
-        .where(hit)
+      hitRows
         .select(col("__graft_path"), col("__graft_ri"))
         .as[(String, Long)]
         .groupByKey(_._1)
@@ -808,18 +830,20 @@ object DeltaTable {
     }
   }
 
-  /** Commit a DV-writing DML: every touched file's matching rows get
-    * masked by a fresh vector (files whose mask would cover EVERY
-    * physical row are removed outright, no add), `extraAdds` carries
-    * any new data files (UPDATE postimages), and the removes carry the
-    * old descriptors the commit gate demands. One sidecar file packs
-    * all of the commit's bitmaps. */
+  /** Commit a DV-writing DML: every file with rows in `hitRows` gets
+    * those rows masked by a fresh vector (files whose mask would cover
+    * EVERY physical row are removed outright, no add; touched files
+    * with NO hit rows — possible under MERGE's conservative by-source
+    * file discovery — are left entirely alone), `extraAdds` carries any
+    * new data files (UPDATE/MERGE postimages, inserts), and the removes
+    * carry the old descriptors the commit gate demands. One sidecar
+    * file packs all of the commit's bitmaps. */
   private def commitVectorMask(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      touched: Seq[AddFile], hit: Column, extraAdds: Seq[AddFile],
+      touched: Seq[AddFile], hitRows: DataFrame, extraAdds: Seq[AddFile],
       operation: String, params: Map[String, String],
-      cdc: Seq[AddCDCFile]): DmlStats = {
+      cdc: Seq[AddCDCFile], extraActions: Seq[Action] = Nil): DmlStats = {
     val now = System.currentTimeMillis()
-    val entries = buildDvs(spark, log, snap, touched, hit)
+    val entries = buildDvs(spark, log, snap, touched, hitRows)
     val mapper = new ObjectMapper()
     def physRows(f: AddFile): Option[Long] = f.stats.flatMap { s =>
       try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
@@ -839,11 +863,16 @@ object DeltaTable {
               DeletionVectorDescriptor("u", z85, Some(off), blob.length, card)))
         }
       }
-    val removes = touched.map(f =>
+    // only files that actually lost rows move; an untouched-in-practice
+    // file removed here without a replacing add would LOSE its rows
+    val entryPaths = entries.map(_._1.path).toSet
+    val removes = touched.filter(f => entryPaths.contains(f.path)).map(f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
         f.deletionVector))
+    if (removes.isEmpty && adds.isEmpty && extraAdds.isEmpty && extraActions.isEmpty)
+      return DmlStats(0, 0)
     log.commitDml(snap.version,
-      removes ++ adds ++ extraAdds ++ cdc :+ CommitInfo(now, operation,
+      extraActions ++ removes ++ adds ++ extraAdds ++ cdc :+ CommitInfo(now, operation,
         params ++ Map("deletionVectors" -> "true",
           "fullyDeletedFiles" -> gone.size.toString)))
     DmlStats(removes.size, adds.size + extraAdds.size)
@@ -871,7 +900,9 @@ object DeltaTable {
       .withColumn("_change_type", lit("delete"))
     if (dvWriteEnabled(log, snap))
       return commitVectorMask(spark, log, snap, touched,
-        coalesce(predicate, lit(false)), extraAdds = Nil, "DELETE",
+        readFilesWithMeta(spark, log, snap, touched)
+          .where(coalesce(predicate, lit(false))),
+        extraAdds = Nil, "DELETE",
         Map("candidateFiles" -> candidates.size.toString),
         cdc = stageCdc(spark, log, changes))
     val survivors = readFiles(spark, log, snap, touched)
@@ -1126,7 +1157,9 @@ object DeltaTable {
       checkConstraints(log, snap, post)
       val staged = stageWrite(spark, log, post, snap.metadata.partitionColumns,
         maxRecordsPerFile = None, dataChange = true, Some(snap))
-      return commitVectorMask(spark, log, snap, touched, hit, extraAdds = staged,
+      return commitVectorMask(spark, log, snap, touched,
+        readFilesWithMeta(spark, log, snap, touched).where(hit),
+        extraAdds = staged,
         "UPDATE", Map("matchedFiles" -> touched.size.toString,
           "candidateFiles" -> candidates.size.toString),
         cdc = stageCdc(spark, log, changes))
@@ -1459,7 +1492,13 @@ object DeltaTable {
       newCols.foldLeft(df)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
 
-    val base = withNewCols(readFiles(spark, log, snap, touched))
+    // DV mode reads with provenance columns: the join carries each
+    // target row's (file, row index) through, so modified rows can be
+    // masked in place instead of rewriting their file
+    val dvMode = dvWriteEnabled(log, snap)
+    val base = withNewCols(
+      if (dvMode) readFilesWithMeta(spark, log, snap, touched)
+      else readFiles(spark, log, snap, touched))
     val joined = base.withColumn("__graft_rid", monotonically_increasing_id())
       .join(src, condition, "left_outer").cache()
     try {
@@ -1585,14 +1624,30 @@ object DeltaTable {
       val changes = pre.unionByName(post).unionByName(deleted)
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
 
-      commitRewrite(spark, log, effSnap, touched,
-        survivors.unionByName(inserts), "MERGE",
-        Map("matchedFiles" -> touched.size.toString,
-          "candidateFiles" -> candidates.size.toString,
-          "clauses" -> (s"${matched.size} matched, ${notMatched.size} notMatched, " +
-            s"${notMatchedBySource.size} notMatchedBySource")) ++
-          (if (newCols.isEmpty) Map.empty
-          else Map("newColumns" -> newCols.map(_.name).mkString(","))),
+      val params = Map("matchedFiles" -> touched.size.toString,
+        "candidateFiles" -> candidates.size.toString,
+        "clauses" -> (s"${matched.size} matched, ${notMatched.size} notMatched, " +
+          s"${notMatchedBySource.size} notMatchedBySource")) ++
+        (if (newCols.isEmpty) Map.empty
+        else Map("newColumns" -> newCols.map(_.name).mkString(",")))
+      if (dvMode) {
+        // modified rows (any applied clause — update or delete) mask in
+        // place; only update POSTIMAGES and inserts stage as new files.
+        // A touched file with no modified rows (possible under the
+        // conservative by-source discovery) is left entirely alone.
+        val postimages = deduped.where(
+          updateIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _))
+          .select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
+        val newData = postimages.unionByName(inserts)
+        checkConstraints(log, effSnap, newData)
+        val staged = stageWrite(spark, log, newData, snap.metadata.partitionColumns,
+          maxRecordsPerFile = None, dataChange = true, Some(effSnap))
+        val hitRows = deduped.where(applied =!= -1)
+          .select(col("__graft_path"), col("__graft_ri"))
+        commitVectorMask(spark, log, effSnap, touched, hitRows, staged, "MERGE",
+          params, cdc = stageCdc(spark, log, changes), extraActions = evolvedMeta)
+      } else commitRewrite(spark, log, effSnap, touched,
+        survivors.unionByName(inserts), "MERGE", params,
         cdc = stageCdc(spark, log, changes),
         extraActions = evolvedMeta)
     } finally joined.unpersist()

@@ -140,6 +140,59 @@ class DvCreationSpec extends AnyFunSuite {
       "restore must drop the mask again (diff by (path, DV id))")
   }
 
+  test("upsert masks matched rows and stages the update batch only") {
+    val dir = mkTable("dv-create-upsert")
+    val updates = Seq((7L, "SEVEN"), (200L, "new")).toDF("id", "name").coalesce(1)
+    val stats = DeltaTable.upsert(spark, dir, updates, Seq("id"))
+    assert(stats.filesRemoved == 1 && stats.filesAdded == 2,
+      "one masked original + one staged batch file")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.count(_.deletionVector.isDefined) == 1)
+    assert(snap.files.find(_.deletionVector.isDefined)
+      .get.deletionVector.get.cardinality == 1, "only the matched row masks")
+    assert(DeltaTable.read(spark, dir).count() == 101)
+    val byId = DeltaTable.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(byId(7L) == "SEVEN" && byId(200L) == "new" && byId(8L) == "r8")
+  }
+
+  test("merge: matched update/delete clauses mask; file with no modified rows untouched") {
+    val dir = TestSpark.tmpDir("dv-create-merge2")
+    DeltaTable.create(spark,
+      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.append(spark, dir,
+      (50 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    DeltaTable.enableDeletionVectors(spark, dir)
+    val before = DeltaLog.forTable(spark, dir).snapshot().files.map(_.path).toSet
+    // source touches only the FIRST file's id range: update 3, delete 7,
+    // insert 555
+    val src = Seq((3L, "THREE"), (7L, "gone"), (555L, "new")).toDF("id", "name")
+    DeltaTable.merge(spark, dir, src,
+      condition = col("id") === col(DeltaTable.MergeSourcePrefix + "id"),
+      matched = Seq(
+        MergeDelete(Some(col(DeltaTable.MergeSourcePrefix + "name") === "gone")),
+        MergeUpdate(None, Map.empty)),
+      notMatched = Seq(MergeInsert(None, Map.empty)))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // the second file held no matched row: same add, untouched
+    assert(snap.files.exists(f => before.contains(f.path) && f.deletionVector.isEmpty),
+      "unmodified file must not move")
+    assert(snap.files.count(_.deletionVector.isDefined) == 1)
+    assert(snap.files.find(_.deletionVector.isDefined)
+      .get.deletionVector.get.cardinality == 2, "update preimage + deleted row")
+    val byId = DeltaTable.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(byId.size == 100, "100 - 1 deleted + 1 inserted")
+    assert(byId(3L) == "THREE" && !byId.contains(7L) && byId(555L) == "new")
+    // CDF exact through the cdc files
+    val v = snap.version
+    val feed = DeltaTable.changesBetween(spark, dir, v - 1, v)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(7L))
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .select("name").as[String].collect().toSeq == Seq("THREE"))
+    assert(feed.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq == Seq(555L))
+  }
+
   test("validator judges the surviving rows of a DV table; planner still compacts it") {
     // regression: fileStats selected `_metadata` over readFiles output,
     // which resolves on a plain scan but not through the DV filter's
