@@ -43,6 +43,27 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert((before intersect after).size == 1, "untouched file must not move")
   }
 
+  test("SET TBLPROPERTIES enableDeletionVectors makes SQL DELETE write a vector") {
+    val dir = TestSpark.tmpDir("sqldml-dv")
+    DeltaTable.create(spark,
+      (0 until 100).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1), dir)
+    withTable(dir) { t =>
+      // the property auto-upgrades the protocol (delta-spark behavior)
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.enableDeletionVectors'='true')")
+      val before = activePaths(dir)
+      spark.sql(s"DELETE FROM $t WHERE k < 10")
+      assert(activePaths(dir) == before, "masked in place, no rewrite")
+      val snap = DeltaLog.forTable(spark, dir).snapshot()
+      assert(snap.files.head.deletionVector.exists(_.cardinality == 10))
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 90)
+      // OPTIMIZE purges the masks through the same SQL surface
+      spark.sql(s"OPTIMIZE $t")
+      val compacted = DeltaLog.forTable(spark, dir).snapshot()
+      assert(compacted.files.forall(_.deletionVector.isEmpty))
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 90)
+    }
+  }
+
   test("SQL DELETE without WHERE empties the table") {
     val dir = TestSpark.tmpDir("sqldml-delall")
     DeltaTable.create(spark, Seq(1L, 2L, 3L).toDF("v"), dir)
