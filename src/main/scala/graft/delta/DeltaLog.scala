@@ -784,13 +784,13 @@ object DeltaLog {
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /
     * CHECK constraints), 3 adds CHECK constraints, 4 adds change data
-    * feed (generated columns — version 4's other half — are guarded by
-    * an explicit generationExpression refusal in [[checkWritable]]),
+    * feed + generated columns (computed/verified on write),
     * 5 adds column mapping (writes project to physical names and stamp
-    * field ids, both modes); all genuinely implemented here.
-    * 6 (identity columns) and 7 (feature lists) gate by
-    * [[SupportedWriterFeatures]]. */
-  val SupportedWriterVersion = 5
+    * field ids, both modes), 6 adds identity columns (values assigned
+    * on append from start/step, high-water mark advanced in the same
+    * commit); all genuinely implemented here. 7 (feature lists) gates
+    * by [[SupportedWriterFeatures]]. */
+  val SupportedWriterVersion = 6
 
   /** Writer features (minWriterVersion 7 tables) this engine honors:
     * append-only enforcement, invariants/CHECK constraints, CDF, the
@@ -800,15 +800,16 @@ object DeltaLog {
     * (reads apply the bitmaps, removes carry the (path, DV id) pair the
     * protocol reconciles by, new files hold survivors only — the same
     * shape as delta-spark's OPTIMIZE on a DV table). Everything else
-    * (identityColumns, rowTracking, ...) would silently break the
-    * table's contract for other readers and is refused by name.
-    * `columnMapping` is honored in both modes (physical-name writes,
-    * field ids stamped); `generatedColumns` by computing/verifying the
-    * generation expressions on every data-adding write. */
+    * (rowTracking, ...) would silently break the table's contract for
+    * other readers and is refused by name. `columnMapping` is honored
+    * in both modes (physical-name writes, field ids stamped);
+    * `generatedColumns` by computing/verifying the generation
+    * expressions on every data-adding write; `identityColumns` by
+    * sequence assignment + high-water-mark tracking on append. */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-    "generatedColumns")
+    "generatedColumns", "identityColumns")
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

@@ -445,10 +445,13 @@ object DeltaTable {
     // generated columns the batch does not provide are COMPUTED from
     // their expressions (the delta-spark writer behavior); provided
     // values are verified against the expression in checkConstraints
-    val dfIn = generatedFields(snap).foldLeft(df) { case (d, (f, g)) =>
+    val dfGen = generatedFields(snap).foldLeft(df) { case (d, (f, g)) =>
       if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
       else d.withColumn(f.name, expr(g).cast(f.dataType))
     }
+    // identity columns (writer v6): values assigned from the sequence,
+    // high-water mark advanced in the same commit
+    val (dfIn, idMarks) = assignIdentity(spark, snap, dfGen)
     val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val got = dfIn.schema.fields.map(f => f.name -> f.dataType).toMap
     val newCols = dfIn.schema.fields.filter(f => !want.contains(f.name))
@@ -467,7 +470,45 @@ object DeltaTable {
     val effSnap = evolution.headOption.map(withMeta(snap, _)).getOrElse(snap)
     val adds = stageWrite(spark, log, dfIn, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true, Some(effSnap))
-    log.commit(snap.version + 1, evolution ++ adds :+
+    // identity high-water marks tighten to the exact extreme the staged
+    // files recorded in their footer stats; the rare stats-less add
+    // falls back to reading the staged files (already renamed into the
+    // table, invisible until this commit lands)
+    val tightMarks: Map[String, Long] =
+      if (idMarks.isEmpty) Map.empty
+      else {
+        val mapper = new ObjectMapper()
+        val steps = identityFields(snap).map(t => t._1.name -> t._3).toMap
+        idMarks.map { case (name, fallback) =>
+          val up = steps.getOrElse(name, 1L) >= 0
+          val bounds = adds.flatMap(a => a.stats.flatMap { s =>
+            try {
+              val n = mapper.readTree(s)
+                .path(if (up) "maxValues" else "minValues").path(name)
+              if (n.isNumber) Some(n.asLong) else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          })
+          val nonEmptyAdds = adds.count(a => a.stats.exists { s =>
+            try mapper.readTree(s).path("numRecords").asLong(0L) > 0L
+            catch { case scala.util.control.NonFatal(_) => false }
+          })
+          val exact =
+            if (bounds.size >= nonEmptyAdds && bounds.nonEmpty)
+              Some(if (up) bounds.max else bounds.min)
+            else if (adds.isEmpty) Some(fallback)
+            else {
+              val paths = adds.map(a => new Path(log.tableRoot, a.path).toString)
+              val agg = if (up) org.apache.spark.sql.functions.max(col(name))
+                else org.apache.spark.sql.functions.min(col(name))
+              Option(spark.read.parquet(paths: _*).agg(agg).collect()(0))
+                .filterNot(_.isNullAt(0)).map(_.getLong(0))
+            }
+          name -> exact.getOrElse(fallback)
+        }
+      }
+    val metaActions: Seq[Action] =
+      advanceIdentityMarks(effSnap, tightMarks).map(Seq[Action](_)).getOrElse(evolution)
+    log.commit(snap.version + 1, metaActions ++ adds :+
       CommitInfo(System.currentTimeMillis(), "WRITE",
         Map("mode" -> "Append") ++
           (if (evolution.nonEmpty)
@@ -755,9 +796,10 @@ object DeltaTable {
         (if (p.minWriterVersion >= 5) Set("columnMapping") else Set.empty) ++
         // generatedColumns/identityColumns are implied by v4/v6 but only
         // listed when the schema actually uses them — listing an unused
-        // feature would refuse later writes for no protection at all
-        (if (snap.schema.fields.exists(_.metadata.contains("delta.generationExpression")))
-          Set("generatedColumns") else Set.empty)
+        // feature has no protective value
+        (if (snap.schema.fields.exists(_.metadata.contains(GenerationExpressionKey)))
+          Set("generatedColumns") else Set.empty) ++
+        (if (identityFields(snap).nonEmpty) Set("identityColumns") else Set.empty)
     val readerF = (if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
       else if (snap.columnMappingMode != "none") Set("columnMapping")
       else Set.empty[String]) + "deletionVectors"
@@ -1058,6 +1100,93 @@ object DeltaTable {
     * metadata (the Delta convention). */
   val GenerationExpressionKey = "delta.generationExpression"
 
+  /** Identity-column field-metadata keys (writer protocol v6, the
+    * delta-spark convention: start/step define the sequence,
+    * highWaterMark tracks the largest value ever generated,
+    * allowExplicitInsert permits caller-provided values). */
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityHighWaterMarkKey = "delta.identity.highWaterMark"
+  val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
+
+  /** The table's identity columns: (field, start, step, highWaterMark,
+    * allowExplicitInsert). */
+  private[graft] def identityFields(snap: Snapshot)
+      : Seq[(org.apache.spark.sql.types.StructField, Long, Long, Option[Long], Boolean)] =
+    snap.schema.fields.toSeq.collect {
+      case f if f.metadata.contains(IdentityStartKey) ||
+          f.metadata.contains(IdentityStepKey) =>
+        def num(k: String, d: Long) =
+          if (f.metadata.contains(k)) f.metadata.getLong(k) else d
+        (f, num(IdentityStartKey, 1L), num(IdentityStepKey, 1L),
+          if (f.metadata.contains(IdentityHighWaterMarkKey))
+            Some(f.metadata.getLong(IdentityHighWaterMarkKey)) else None,
+          f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey))
+    }
+
+  /** Assign identity values to `df` for every identity column it does
+    * not provide: value = next + step * uniqueId, where uniqueId comes
+    * from `zipWithUniqueId` (unique, gaps allowed — exactly the
+    * protocol's contract; identity sequences are NOT promised gap-free).
+    * Returns the frame plus, per assigned column, a conservative new
+    * high-water mark (refined from the staged files' footer stats by
+    * the caller when available). */
+  private def assignIdentity(spark: SparkSession, snap: Snapshot,
+      df: DataFrame): (DataFrame, Map[String, Long]) = {
+    val ids = identityFields(snap)
+    if (ids.isEmpty) return (df, Map.empty)
+    var cur = df
+    val hwm = Map.newBuilder[String, Long]
+    ids.foreach { case (f, start, step, mark, allowExplicit) =>
+      if (cur.columns.exists(_.equalsIgnoreCase(f.name))) {
+        require(allowExplicit,
+          s"cannot write column ${f.name}: it is an IDENTITY column " +
+            "(GENERATED ALWAYS) — values are assigned by the engine; drop the " +
+            "column from the batch, or recreate it with " +
+            "GENERATED BY DEFAULT (delta.identity.allowExplicitInsert=true)")
+        // explicit values ride as-is; per delta-spark, they do NOT move
+        // the high-water mark (SYNC IDENTITY would)
+      } else {
+        // next value continues from the mark (or starts the sequence);
+        // step's sign decides the direction of "beyond"
+        val next = mark.map(_ + step).getOrElse(start)
+        val schema2 = cur.schema.add(f.name, org.apache.spark.sql.types.LongType)
+        val rdd = cur.rdd.zipWithUniqueId().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (next + step * i))
+        }
+        cur = spark.createDataFrame(rdd, schema2)
+        // conservative fallback mark; the caller tightens it from the
+        // staged files' footer stats (exact max of what was written)
+        hwm += f.name -> next
+      }
+    }
+    (cur, hwm.result())
+  }
+
+  /** Metadata with identity high-water marks advanced to `marks`
+    * (max/min-merged with any existing mark by step direction). */
+  private def advanceIdentityMarks(snap: Snapshot,
+      marks: Map[String, Long]): Option[Metadata] = {
+    if (marks.isEmpty) return None
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val updated = StructType(snap.schema.fields.map { f =>
+      marks.get(f.name) match {
+        case None => f
+        case Some(m) =>
+          val step =
+            if (f.metadata.contains(IdentityStepKey)) f.metadata.getLong(IdentityStepKey) else 1L
+          val prev =
+            if (f.metadata.contains(IdentityHighWaterMarkKey))
+              Some(f.metadata.getLong(IdentityHighWaterMarkKey)) else None
+          val merged = prev.fold(m)(p => if (step >= 0) math.max(p, m) else math.min(p, m))
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(IdentityHighWaterMarkKey, merged).build())
+      }
+    })
+    Some(snap.metadata.copy(schemaString = updated.json))
+  }
+
   /** The table's generated columns: (field, generation expression). */
   private[graft] def generatedFields(snap: Snapshot)
       : Seq[(org.apache.spark.sql.types.StructField, String)] =
@@ -1124,6 +1253,8 @@ object DeltaTable {
       s"cannot SET generated column $k — its value is computed from " +
         s"'${gens.find(_._1.name == k).map(_._2).getOrElse("")}'; update the " +
         "columns it derives from instead"))
+    assignments.keys.foreach(k => require(!identityFields(snap).exists(_._1.name == k),
+      s"cannot SET identity column $k — identity values are engine-assigned"))
 
     val candidates = candidateFiles(spark, snap, predicate)
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
@@ -1399,6 +1530,16 @@ object DeltaTable {
     }
     notMatched.foreach(c => c.values.keys.foreach(k =>
       require(fields.exists(_.name == k), s"INSERT column $k not in table schema")))
+    // identity columns: merge inserts carry caller values (there is no
+    // sequence-assignment path inside the join) — legal only when the
+    // column was declared GENERATED BY DEFAULT
+    identityFields(snap).foreach { case (f, _, _, _, allowExplicit) =>
+      require(notMatched.isEmpty || allowExplicit,
+        s"MERGE INSERT into a table with IDENTITY column ${f.name} " +
+          "(GENERATED ALWAYS) is not supported — the engine assigns identity " +
+          "values on append only; use GENERATED BY DEFAULT " +
+          s"($IdentityAllowExplicitKey=true) to insert explicit values")
+    }
     // by-source clauses see only the target row (there IS no source
     // row): every condition/assignment must analyze against the target
     // schema alone — a `__src_` reference (or a typo) fails here, not

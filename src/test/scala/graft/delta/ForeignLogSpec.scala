@@ -427,24 +427,24 @@ class ForeignLogSpec extends AnyFunSuite {
     DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, v5).count() == 2)
 
-    // bare v6 (identity columns, no feature list): still a genuine
-    // version refusal — and a protocol-carrying commit (the downgrade
-    // path) is exempt from the gate
-    val v6 = TestSpark.tmpDir("foreign-w6")
-    val (f3, s3) = writeDataFile(v6, Seq((1L, "a")))
-    writeCommit(v6, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+    // bare v7 (feature-list protocol WITHOUT a feature list — a
+    // malformed foreign table): still a genuine version refusal — and a
+    // protocol-carrying commit (the downgrade path) is exempt
+    val v7 = TestSpark.tmpDir("foreign-w7bare")
+    val (f3, s3) = writeDataFile(v7, Seq((1L, "a")))
+    writeCommit(v7, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7}}""",
       metaJson,
       s"""{"add":{"path":"$f3","partitionValues":{},"size":$s3,"modificationTime":1,"dataChange":true}}"""))
     val e2 = intercept[IllegalStateException] {
-      DeltaTable.append(spark, v6, Seq((2L, "b")).toDF("id", "name"))
+      DeltaTable.append(spark, v7, Seq((2L, "b")).toDF("id", "name"))
     }
-    assert(e2.getMessage.contains("writer version 6"))
-    val log = DeltaLog.forTable(spark, v6)
+    assert(e2.getMessage.contains("writer version 7"))
+    val log = DeltaLog.forTable(spark, v7)
     log.commitLatest(Seq(Protocol(1, 2),
       CommitInfo(0L, "DOWNGRADE", Map.empty))) // exempt: carries Protocol
-    DeltaTable.append(spark, v6, Seq((2L, "b")).toDF("id", "name"))
-    assert(DeltaTable.read(spark, v6).count() == 2)
+    DeltaTable.append(spark, v7, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, v7).count() == 2)
   }
 
   test("delta.appendOnly: deletes refused, appends and dataChange=false rewrites legal") {
