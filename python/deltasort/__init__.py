@@ -177,6 +177,14 @@ class SortOptimizer:
         """ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]."""
         self._j.unsetTblProperties(self._jlist(list(keys)), bool(if_exists))
 
+    def enable_deletion_vectors(self) -> None:
+        """Opt the table into deletion-vector DML (protocol upgrade +
+        ``delta.enableDeletionVectors=true`` in one commit):
+        ``delete_where``/``update_where``/``merge`` then mask rows at
+        O(deleted rows) instead of rewriting files; ``compact``/
+        ``bin_pack`` purge the masks."""
+        self._j.enableDeletionVectors()
+
     def validate_quick(self, sort_columns: list[str]) -> dict:
         """Engine extension: zero-IO stats audit from the Delta log.
         Raises RuntimeError on ordering violations proven under exact

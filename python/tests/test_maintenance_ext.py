@@ -129,3 +129,18 @@ def test_detail_reports_snapshot_facts(spark, tmp_table):
     assert d["num_files"] >= 1 and d["size_in_bytes"] > 0
     assert d["properties"] == {"graft.owner": "me"}
     assert d["min_reader_version"] == 1
+
+
+def test_enable_deletion_vectors_masks_deletes(spark, tmp_table):
+    rows = [(i, f"r{i}") for i in range(100)]
+    write_table(spark, tmp_table, rows, _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_deletion_vectors()
+    before = opt.detail()["num_files"]
+    opt.delete_where("k < 10")
+    d = opt.detail()
+    assert d["num_files"] == before, "masked in place, not rewritten"
+    assert len(read_pandas(spark, tmp_table)) == 90
+    # compact resolves the masks; the data survives
+    opt.bin_pack()
+    assert len(read_pandas(spark, tmp_table)) == 90

@@ -166,6 +166,13 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     graft.delta.DeltaTable.unsetTblProperties(spark, tableUri,
       keys.asScala.toSeq, ifExists)
 
+  /** Opt the table into deletion-vector DML (protocol upgrade +
+    * `delta.enableDeletionVectors=true`, one commit): DELETE/UPDATE/
+    * MERGE then mask rows at O(deleted rows) instead of rewriting
+    * files; compact/OPTIMIZE purges the masks. */
+  def enableDeletionVectors(): Unit =
+    graft.delta.DeltaTable.enableDeletionVectors(spark, tableUri)
+
   // ---- DataFrame-returning surface: py4j hands these JVM frames to
   // pyspark, which wraps them as first-class Python DataFrames (the
   // binding's read()/history()/changes_between()) — no serialization,
