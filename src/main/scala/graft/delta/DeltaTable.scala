@@ -593,9 +593,6 @@ object DeltaTable {
       s"fromVersion $fromVersion > toVersion $toVersion")
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshotAt(toVersion)
-    require(snap.columnMappingMode == "none",
-      s"change feed of a column-mapped table is not supported " +
-        s"(delta.columnMapping.mode=${snap.columnMappingMode})")
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
       val cdcs = actions.collect { case c: AddCDCFile => c }
@@ -613,9 +610,26 @@ object DeltaTable {
       if (cdcs.nonEmpty) {
         // DML commit with row-level capture: the cdc files already carry
         // _change_type (insert / update_postimage / delete) and exactly
-        // the changed rows — never rewritten survivors
+        // the changed rows — never rewritten survivors. On a mapped
+        // table the cdc files are physical-named like data files
+        // (stageCdc writes them that way; foreign mapped writers do
+        // too), so the read resolves physical and projects logical.
         val paths = cdcs.map(c => new Path(log.tableRoot, c.path).toString)
-        Some(spark.read.parquet(paths: _*).withColumn("_commit_version", lit(v)))
+        val cmMode = snap.columnMappingMode
+        val df =
+          if (cmMode == "none") spark.read.parquet(paths: _*)
+          else {
+            val readSession = if (cmMode == "id") idReadSession(spark) else spark
+            val readSchema = org.apache.spark.sql.types.StructType(
+              Snapshot.physicalSchema(snap.schema, withFieldIds = cmMode == "id").fields :+
+                org.apache.spark.sql.types.StructField("_change_type",
+                  org.apache.spark.sql.types.StringType))
+            readSession.read.schema(readSchema).parquet(paths: _*)
+              .select(snap.schema.fields.map(f =>
+                col(Snapshot.physicalName(f)).cast(f.dataType).as(f.name)).toSeq :+
+                col("_change_type"): _*)
+          }
+        Some(df.withColumn("_commit_version", lit(v)))
       } else {
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
         if (adds.isEmpty) None
@@ -728,12 +742,12 @@ object DeltaTable {
         maxRecordsPerFile = None, dataChange = true, Some(snap))
       return commitVectorMask(spark, log, snap, touched, hitRows, staged,
         "MERGE", Map("matchedFiles" -> touched.size.toString),
-        cdc = stageCdc(spark, log, changes))
+        cdc = stageCdc(spark, log, changes, snap))
     }
     commitRewrite(spark, log, snap, touched,
       survivors.unionByName(updates), "MERGE",
       Map("matchedFiles" -> touched.size.toString),
-      cdc = stageCdc(spark, log, changes))
+      cdc = stageCdc(spark, log, changes, snap))
   }
 
   /** Selective overwrite (delta-spark's `replaceWhere`): atomically
@@ -773,7 +787,7 @@ object DeltaTable {
     commitRewrite(spark, log, snap, touched,
       survivors.unionByName(inserted.drop("_change_type")), "WRITE",
       Map("mode" -> "Overwrite", "replaceWhere" -> predicate.toString),
-      cdc = stageCdc(spark, log, deleted.unionByName(inserted)))
+      cdc = stageCdc(spark, log, deleted.unionByName(inserted), snap))
   }
 
   /** Opt a table into DV-creating DML ([[delete]]/[[update]] then mark
@@ -946,12 +960,12 @@ object DeltaTable {
           .where(coalesce(predicate, lit(false))),
         extraAdds = Nil, "DELETE",
         Map("candidateFiles" -> candidates.size.toString),
-        cdc = stageCdc(spark, log, changes))
+        cdc = stageCdc(spark, log, changes, snap))
     val survivors = readFiles(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
     commitRewrite(spark, log, snap, touched, survivors, "DELETE",
       Map("candidateFiles" -> candidates.size.toString),
-      cdc = stageCdc(spark, log, changes))
+      cdc = stageCdc(spark, log, changes, snap))
   }
 
   /** Prefix under which CHECK constraints live in
@@ -1293,12 +1307,12 @@ object DeltaTable {
         extraAdds = staged,
         "UPDATE", Map("matchedFiles" -> touched.size.toString,
           "candidateFiles" -> candidates.size.toString),
-        cdc = stageCdc(spark, log, changes))
+        cdc = stageCdc(spark, log, changes, snap))
     }
     commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
       "UPDATE", Map("matchedFiles" -> touched.size.toString,
         "candidateFiles" -> candidates.size.toString),
-      cdc = stageCdc(spark, log, changes))
+      cdc = stageCdc(spark, log, changes, snap))
   }
 
   /** RESTORE: roll the table back to historical `version` as a NEW
@@ -1399,12 +1413,30 @@ object DeltaTable {
   /** Write the per-commit change rows (table columns + `_change_type`)
     * under `_change_data/` and return the cdc actions. The directory is
     * unique per call, so files only become visible through the commit;
-    * vacuum never touches `_`-prefixed top-level dirs. */
+    * vacuum never touches `_`-prefixed top-level dirs. On a
+    * column-mapped table the change rows are projected to PHYSICAL
+    * names exactly like data files (the protocol's cdc convention —
+    * logical-named cdc files would be unreadable to every other mapped
+    * reader); `_change_type` stays literal. */
   private def stageCdc(spark: SparkSession, log: DeltaLog,
-      changes: DataFrame): Seq[AddCDCFile] = {
+      changes: DataFrame, snap: Snapshot): Seq[AddCDCFile] = {
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = new Path(log.tableRoot, s"_change_data/${UUID.randomUUID()}")
-    changes.write.mode("overwrite").parquet(dir.toString)
+    val projected =
+      if (snap.columnMappingMode == "none") changes
+      else {
+        val byName = snap.schema.fields.map(f => f.name -> f).toMap
+        changes.select(changes.schema.fields.map { lf =>
+          byName.get(lf.name) match {
+            case Some(f) =>
+              val pf = Snapshot.physicalSchema(
+                org.apache.spark.sql.types.StructType(Array(f)), withFieldIds = true).fields(0)
+              col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+            case None => col(lf.name) // _change_type and friends
+          }
+        }.toSeq: _*)
+      }
+    projected.write.mode("overwrite").parquet(dir.toString)
     val out = mutable.ArrayBuffer.empty[AddCDCFile]
     val it = fs.listFiles(dir, false)
     while (it.hasNext) {
@@ -1786,10 +1818,10 @@ object DeltaTable {
         val hitRows = deduped.where(applied =!= -1)
           .select(col("__graft_path"), col("__graft_ri"))
         commitVectorMask(spark, log, effSnap, touched, hitRows, staged, "MERGE",
-          params, cdc = stageCdc(spark, log, changes), extraActions = evolvedMeta)
+          params, cdc = stageCdc(spark, log, changes, effSnap), extraActions = evolvedMeta)
       } else commitRewrite(spark, log, effSnap, touched,
         survivors.unionByName(inserts), "MERGE", params,
-        cdc = stageCdc(spark, log, changes),
+        cdc = stageCdc(spark, log, changes, effSnap),
         extraActions = evolvedMeta)
     } finally joined.unpersist()
   }

@@ -602,11 +602,12 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(DeltaTable.pruneFiles(snap2, snap2.files,
       spark.sessionState.sqlParser.parseExpression("id >= 30")).map(_.path) ==
       Seq(newAdds.head))
-    // the change feed still refuses plainly instead of leaking physical names
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaTable.changesBetween(spark, dir, 0, 0)
-    }
-    assert(e2.getMessage.contains("column-mapped"))
+    // the change feed resolves through the mapping too: the appended
+    // version's insert rows come back under LOGICAL names
+    val feed = DeltaTable.changesBetween(spark, dir, snap2.version - 1, snap2.version)
+    assert(feed.columns.take(2).toSeq == Seq("id", "name"))
+    assert(feed.select("id", "name").as[(Long, String)].collect().toSeq ==
+      Seq((30L, "z")))
   }
 
   test("column mapping mode=name: DML rewrites and schema evolution stay physical") {
@@ -641,6 +642,18 @@ class ForeignLogSpec extends AnyFunSuite {
     DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("k") === 2L)
     assert(DeltaTable.read(spark, dir).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (3L, "c")))
+    // row-level change capture works through the mapping: logical names
+    // out of the feed, PHYSICAL names inside the cdc parquet on disk
+    val delV = DeltaLog.forTable(spark, dir).snapshot().version
+    val delFeed = DeltaTable.changesBetween(spark, dir, delV - 1, delV)
+    assert(delFeed.where(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("k", "v").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    val cdcFile = new java.io.File(Paths.get(dir, "_change_data").toFile
+      .listFiles().head, "").listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    assert(spark.read.parquet(cdcFile.toString).columns.toSet ==
+      Set("col-k1", "col-v1", "_change_type"),
+      "cdc files must carry physical names, like data files")
     // UPDATE the same way
     DeltaTable.update(spark, dir, org.apache.spark.sql.functions.col("k") === 3L,
       Map("v" -> org.apache.spark.sql.functions.lit("C")))
