@@ -357,8 +357,13 @@ object DeletionVectors {
 
   /** Serialize one 32-bit roaring bitmap (portable format, array/bitmap
     * containers — writers are not required to emit runs). `values` must
-    * be sorted distinct non-negative ints. */
-  private def writeRoaring32(out: java.io.ByteArrayOutputStream, values: Array[Int]): Unit = {
+    * be sorted distinct non-negative ints. Serialized into its OWN
+    * buffer so the offset header is relative to THIS bitmap's start, as
+    * the RoaringFormatSpec requires — an offset measured from the
+    * enclosing DV blob would send offset-honoring readers (buffer-mapped
+    * implementations) to the wrong container positions. */
+  private def writeRoaring32(outer: java.io.ByteArrayOutputStream, values: Array[Int]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
     def putShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     def putIntLE(v: Int): Unit = { putShortLE(v & 0xffff); putShortLE(v >>> 16) }
     // group into 16-bit-keyed containers (values are sorted, so groups
@@ -394,6 +399,7 @@ object DeletionVectors {
     var off = out.size() + 4 * n
     bodies.foreach { b => putIntLE(off); off += b.length }
     bodies.foreach(out.write)
+    outer.write(out.toByteArray)
   }
 
   /** Serialize row indexes into a DV blob (portable magic + 64-bit

@@ -383,9 +383,15 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val json = listVersions()
     val latestJson = json.lastOption.getOrElse(-1L)
     cachedSnapshot match {
-      case Some(s) if latestJson == s.version =>
+      case Some(_) =>
+        // ANY materialized snapshot (current or stale) makes the
+        // incremental path the winner: snapshot() replays O(new commits)
+        // over the cached seed and the prune is a driver-side filter —
+        // re-scanning the whole checkpoint distributed on every call
+        // would turn a poll loop into a per-call Spark job
+        val s = snapshot()
         return s.copy(files = prune(s, s.files))
-      case _ => ()
+      case None => ()
     }
     val cp = lastCheckpoint().orElse {
       if (json.headOption.contains(0L)) None

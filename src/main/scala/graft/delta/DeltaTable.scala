@@ -45,6 +45,23 @@ object DeltaTable {
       s
     }
 
+  /** The write-side twin of [[idReadSession]]: mapped staging writes
+    * run against a clone carrying the field-id WRITE flag, so the
+    * caller's session conf is never mutated (a set+restore would race
+    * concurrent writes on the same session). */
+  private val fieldIdWriteSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def fieldIdWriteSession(spark: SparkSession): SparkSession =
+    fieldIdWriteSessions.synchronized {
+      var s = fieldIdWriteSessions.get(spark)
+      if (s == null) {
+        s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
+          Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
+        fieldIdWriteSessions.put(spark, s)
+      }
+      s
+    }
+
   /** Read the active snapshot as a DataFrame (partition columns
     * reconstructed from hive-style paths and cast to the table schema). */
   def read(spark: SparkSession, tableUri: String): DataFrame = {
@@ -304,13 +321,15 @@ object DeltaTable {
       }
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(log.tableRoot, s"_staging-${UUID.randomUUID()}")
-    // the parquet write is EAGER, so scoping the field-id write flag to
-    // this call (set + restore) cannot leak into later writes
-    val FieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldIdWrite = spark.conf.getOption(FieldIdWriteKey)
     try {
-      if (mapped) spark.conf.set(FieldIdWriteKey, "true")
-      var w = wdf.write.mode("overwrite")
+      // mapped writes must stamp parquet.field.id into the footers: run
+      // the write against the field-id-write clone (the resolved plan is
+      // re-bound to it), never by mutating the caller's session conf
+      val toWrite =
+        if (!mapped) wdf
+        else org.apache.spark.sql.graft.GraftShims.ofRows(
+          fieldIdWriteSession(spark), wdf.queryExecution.analyzed)
+      var w = toWrite.write.mode("overwrite")
       maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
       if (wparts.nonEmpty) w = w.partitionBy(wparts: _*)
       w.parquet(staging.toString)
@@ -357,10 +376,6 @@ object DeltaTable {
           stats = statsByPath.get(relPath))
       }
     } finally {
-      if (mapped) prevFieldIdWrite match {
-        case Some(v) => spark.conf.set(FieldIdWriteKey, v)
-        case None => spark.conf.unset(FieldIdWriteKey)
-      }
       fs.delete(staging, true)
     }
   }
@@ -390,9 +405,20 @@ object DeltaTable {
       snap.metadata.copy(schemaString = merged.json)
     } else {
       val IdKey = "delta.columnMapping.id"
-      val usedIds = snap.schema.fields.collect {
-        case f if f.metadata.contains(IdKey) => f.metadata.getLong(IdKey)
+      // recurse: NESTED struct fields carry ids too, and on an
+      // (out-of-spec but tolerated) table missing maxColumnId, skipping
+      // them could hand a new column a duplicate id — id-mode readers
+      // would then resolve the wrong physical column
+      def idsOf(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
+        case st: org.apache.spark.sql.types.StructType => st.fields.toSeq.flatMap { f =>
+          (if (f.metadata.contains(IdKey)) Seq(f.metadata.getLong(IdKey)) else Nil) ++
+            idsOf(f.dataType)
+        }
+        case org.apache.spark.sql.types.ArrayType(et, _) => idsOf(et)
+        case org.apache.spark.sql.types.MapType(kt, vt, _) => idsOf(kt) ++ idsOf(vt)
+        case _ => Nil
       }
+      val usedIds = idsOf(snap.schema)
       var maxId = (snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
         .map(_.toLong).toSeq ++ usedIds :+ 0L).max
       val withMapping = newCols.map { f =>
@@ -479,12 +505,18 @@ object DeltaTable {
       else {
         val mapper = new ObjectMapper()
         val steps = identityFields(snap).map(t => t._1.name -> t._3).toMap
+        // staged files (and their footer stats) carry PHYSICAL names on
+        // a mapped table — resolve the column the way the files spell it
+        val physByName = snap.schema.fields.map(f =>
+          f.name -> (if (snap.columnMappingMode == "none") f.name
+          else Snapshot.physicalName(f))).toMap
         idMarks.map { case (name, fallback) =>
+          val phys = physByName.getOrElse(name, name)
           val up = steps.getOrElse(name, 1L) >= 0
           val bounds = adds.flatMap(a => a.stats.flatMap { s =>
             try {
               val n = mapper.readTree(s)
-                .path(if (up) "maxValues" else "minValues").path(name)
+                .path(if (up) "maxValues" else "minValues").path(phys)
               if (n.isNumber) Some(n.asLong) else None
             } catch { case scala.util.control.NonFatal(_) => None }
           })
@@ -498,8 +530,8 @@ object DeltaTable {
             else if (adds.isEmpty) Some(fallback)
             else {
               val paths = adds.map(a => new Path(log.tableRoot, a.path).toString)
-              val agg = if (up) org.apache.spark.sql.functions.max(col(name))
-                else org.apache.spark.sql.functions.min(col(name))
+              val agg = if (up) org.apache.spark.sql.functions.max(col(phys))
+                else org.apache.spark.sql.functions.min(col(phys))
               Option(spark.read.parquet(paths: _*).agg(agg).collect()(0))
                 .filterNot(_.isNullAt(0)).map(_.getLong(0))
             }
@@ -709,6 +741,14 @@ object DeltaTable {
         s"${want.toSeq.sortBy(_._1).mkString(", ")}; dataframe has " +
         s"${got.toSeq.sortBy(_._1).mkString(", ")}")
     keyCols.foreach(k => require(want.contains(k), s"key column $k not in table schema"))
+    // the upsert batch always carries every column, identity included —
+    // explicit identity values are legal only under GENERATED BY DEFAULT
+    identityFields(snap).foreach { case (f, _, _, _, allowExplicit) =>
+      require(allowExplicit,
+        s"upsert into a table with IDENTITY column ${f.name} (GENERATED " +
+          "ALWAYS) is not supported — identity values are engine-assigned " +
+          s"on append; use GENERATED BY DEFAULT ($IdentityAllowExplicitKey=true)")
+    }
 
     if (updates.isEmpty) return DmlStats(0, 0)
     val keys = updates.select(keyCols.map(col): _*).distinct()
@@ -820,12 +860,17 @@ object DeltaTable {
     val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
       else impliedW) + "deletionVectors"
     val now = System.currentTimeMillis()
-    log.commitLatest(Seq(
+    // commitDml, not commitLatest: this commit carries a Metadata action
+    // derived from `snap` — a blind retry past a concurrent schema
+    // evolution or SET TBLPROPERTIES would silently revert the winner's
+    // change (the same guard setTblProperties itself relies on)
+    log.commitDml(snap.version, Seq(
       Protocol(3, 7, Some(readerF), Some(writerF)),
       snap.metadata.copy(configuration =
         snap.metadata.configuration + ("delta.enableDeletionVectors" -> "true")),
       CommitInfo(now, "SET TBLPROPERTIES",
         Map("delta.enableDeletionVectors" -> "true"))))
+    ()
   }
 
   /** Whether DML on this table should mark deleted rows with deletion
@@ -951,16 +996,25 @@ object DeltaTable {
     val candidates = candidateFiles(spark, snap, predicate)
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
+    if (dvWriteEnabled(log, snap)) {
+      // ONE cached hit frame feeds both the cdc rows and the mask, so
+      // they cannot diverge (a non-deterministic predicate would
+      // otherwise mask different rows than the feed reports) and the
+      // touched files scan once instead of twice
+      val hit = readFilesWithMeta(spark, log, snap, touched)
+        .where(coalesce(predicate, lit(false))).cache()
+      try {
+        val changes = hit.drop("__graft_path", "__graft_ri", "__graft_block")
+          .withColumn("_change_type", lit("delete"))
+        return commitVectorMask(spark, log, snap, touched, hit,
+          extraAdds = Nil, "DELETE",
+          Map("candidateFiles" -> candidates.size.toString),
+          cdc = stageCdc(spark, log, changes, snap))
+      } finally hit.unpersist()
+    }
     val changes = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
-    if (dvWriteEnabled(log, snap))
-      return commitVectorMask(spark, log, snap, touched,
-        readFilesWithMeta(spark, log, snap, touched)
-          .where(coalesce(predicate, lit(false))),
-        extraAdds = Nil, "DELETE",
-        Map("candidateFiles" -> candidates.size.toString),
-        cdc = stageCdc(spark, log, changes, snap))
     val survivors = readFiles(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
     commitRewrite(spark, log, snap, touched, survivors, "DELETE",
@@ -1290,25 +1344,34 @@ object DeltaTable {
         d.withColumn(f.name, expr(g).cast(f.dataType))
       }
     }
+    if (dvWriteEnabled(log, snap)) {
+      // DV form: the pre-image rows are masked in place (unmatched rows
+      // never move) and only the POSTIMAGE rows stage as new files — a
+      // selective UPDATE costs O(updated rows), not O(touched file
+      // bytes). ONE cached hit frame feeds the mask, the postimages,
+      // and the cdc rows, so they cannot diverge and the touched files
+      // scan once
+      val hitRows = readFilesWithMeta(spark, log, snap, touched)
+        .where(hit).cache()
+      try {
+        val pre = hitRows.drop("__graft_path", "__graft_ri", "__graft_block")
+        val post = applied(pre, onlyMatches = true)
+        val changes = pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+        checkConstraints(log, snap, post)
+        val staged = stageWrite(spark, log, post, snap.metadata.partitionColumns,
+          maxRecordsPerFile = None, dataChange = true, Some(snap))
+        return commitVectorMask(spark, log, snap, touched, hitRows,
+          extraAdds = staged,
+          "UPDATE", Map("matchedFiles" -> touched.size.toString,
+            "candidateFiles" -> candidates.size.toString),
+          cdc = stageCdc(spark, log, changes, snap))
+      } finally hitRows.unpersist()
+    }
     val base = readFiles(spark, log, snap, touched)
     val changes = base.where(hit).withColumn("_change_type", lit("update_preimage"))
       .unionByName(applied(base.where(hit), onlyMatches = true)
         .withColumn("_change_type", lit("update_postimage")))
-    if (dvWriteEnabled(log, snap)) {
-      // DV form: the pre-image rows are masked in place (unmatched rows
-      // never move) and only the POSTIMAGE rows stage as new files — a
-      // selective UPDATE costs O(updated rows), not O(touched file bytes)
-      val post = applied(base.where(hit), onlyMatches = true)
-      checkConstraints(log, snap, post)
-      val staged = stageWrite(spark, log, post, snap.metadata.partitionColumns,
-        maxRecordsPerFile = None, dataChange = true, Some(snap))
-      return commitVectorMask(spark, log, snap, touched,
-        readFilesWithMeta(spark, log, snap, touched).where(hit),
-        extraAdds = staged,
-        "UPDATE", Map("matchedFiles" -> touched.size.toString,
-          "candidateFiles" -> candidates.size.toString),
-        cdc = stageCdc(spark, log, changes, snap))
-    }
     commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
       "UPDATE", Map("matchedFiles" -> touched.size.toString,
         "candidateFiles" -> candidates.size.toString),
@@ -1564,13 +1627,21 @@ object DeltaTable {
       require(fields.exists(_.name == k), s"INSERT column $k not in table schema")))
     // identity columns: merge inserts carry caller values (there is no
     // sequence-assignment path inside the join) — legal only when the
-    // column was declared GENERATED BY DEFAULT
+    // column was declared GENERATED BY DEFAULT; and no UPDATE clause,
+    // matched or by-source, may SET one (same contract as update())
     identityFields(snap).foreach { case (f, _, _, _, allowExplicit) =>
       require(notMatched.isEmpty || allowExplicit,
         s"MERGE INSERT into a table with IDENTITY column ${f.name} " +
           "(GENERATED ALWAYS) is not supported — the engine assigns identity " +
           "values on append only; use GENERATED BY DEFAULT " +
           s"($IdentityAllowExplicitKey=true) to insert explicit values")
+      (matched ++ notMatchedBySource).foreach {
+        case MergeUpdate(_, sets) =>
+          require(!sets.contains(f.name),
+            s"cannot SET identity column ${f.name} in a MERGE clause — " +
+              "identity values are engine-assigned")
+        case _ => ()
+      }
     }
     // by-source clauses see only the target row (there IS no source
     // row): every condition/assignment must analyze against the target
@@ -1778,9 +1849,24 @@ object DeltaTable {
                 .getOrElse(lit(null).cast(f.dataType)))
               .otherwise(els)
         }
-      val inserts = srcOnly.withColumn("__graft_ins", insIdx)
+      // generated columns a clause does not list are COMPUTED from their
+      // expressions over the inserted row (what delta-spark does), not
+      // inserted as NULL — which the write-time verification would
+      // rightly reject. Clause-provided values pass through and get
+      // verified like any other write.
+      val gens = generatedFields(snap)
+      val inserts0 = srcOnly.withColumn("__graft_ins", insIdx)
         .where(col("__graft_ins") =!= -1)
-        .select(fields.toSeq.map(f => insField(f).as(f.name)): _*)
+        .select(fields.toSeq.map(f => insField(f).as(f.name)) :+ col("__graft_ins"): _*)
+      val inserts = gens.foldLeft(inserts0) { case (d, (f, g)) =>
+        val provided = insertX.zipWithIndex.collect {
+          case ((_, sets), i) if sets.contains(f.name) => i
+        }
+        val isProvided = provided.map(i => col("__graft_ins") === i)
+          .foldLeft(lit(false))(_ || _)
+        d.withColumn(f.name,
+          when(isProvided, col(f.name)).otherwise(expr(g).cast(f.dataType)))
+      }.drop("__graft_ins")
 
       // change feed: pre/post images for updates, deletes, inserts
       val updated = joined.where(

@@ -42,6 +42,20 @@ class DvCreationSpec extends AnyFunSuite {
       vs.foreach(v => assert(rt.contains(v)))
       assert(!rt.contains(999999999L))
     }
+    // the offset header must be relative to EACH BITMAP's own start
+    // (RoaringFormatSpec) — a blob-relative offset round-trips through
+    // sequential parsers but breaks offset-honoring (buffer-mapped)
+    // readers. Single array container: cookie(4)+size(4)+keycard(4)+
+    // offsets(4) = offset 16.
+    val blob = DeletionVectors.serializeBlob(Array(1L, 2L, 3L))
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(12 + 12) == 16, "container offset must be bitmap-relative")
+    // and for a SECOND 32-bit bitmap (high word 1), relative to ITS start
+    val blob2 = DeletionVectors.serializeBlob(Array(3L, (1L << 32) + 7L))
+    val bm1Len = 4 + 4 + 4 + 4 + 2 // one array container holding one value
+    val bb2 = java.nio.ByteBuffer.wrap(blob2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb2.getInt(12 + bm1Len + 12) == 16,
+      "second bitmap's offsets restart from its own serialization")
   }
 
   test("DELETE writes a vector instead of rewriting the file") {
