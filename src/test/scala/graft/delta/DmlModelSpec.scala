@@ -31,14 +31,26 @@ class DmlModelSpec extends AnyFunSuite {
     DeltaTable.read(spark, dir).as[(Long, Long)].collect().toMap
 
   test("random op sequences keep table == model at every version") {
-    val rnd = new Random(1234)
-    val dir = TestSpark.tmpDir("dml-model")
+    runRandomOpModel(TestSpark.tmpDir("dml-model"), rndSeed = 1234, dv = false)
+  }
+
+  test("random op sequences keep table == model with DELETION VECTORS enabled") {
+    // same model, same op set — but DELETE/UPDATE/upsert mask rows
+    // instead of rewriting files, compact/bin-pack must purge the
+    // masks, checkpoints must round-trip the descriptors, and vacuum
+    // must keep live sidecars while aging out orphaned ones
+    runRandomOpModel(TestSpark.tmpDir("dml-model-dv"), rndSeed = 987, dv = true)
+  }
+
+  private def runRandomOpModel(dir: String, rndSeed: Int, dv: Boolean): Unit = {
+    val rnd = new Random(rndSeed)
     val model = mutable.Map[Long, Long]()
 
     // v0: seed table
     val seed = Seq.tabulate(6)(i => (i.toLong, rnd.nextLong() & 0xffffL))
     seed.foreach { case (k, v) => model(k) = v }
     DeltaTable.create(spark, seed.toDF("k", "v").repartition(2), dir)
+    if (dv) DeltaTable.enableDeletionVectors(spark, dir)
     val log = DeltaLog.forTable(spark, dir)
 
     // committed version -> expected table contents at that version
@@ -106,8 +118,14 @@ class DmlModelSpec extends AnyFunSuite {
     // still replay the log (metadata) even if the scan would fail, so we
     // only check versions whose files all still exist
     val fs = new java.io.File(dir)
-    def allFilesPresent(v: Long): Boolean =
-      log.snapshotAt(v).files.forall(a => new java.io.File(fs, a.path).exists())
+    def allFilesPresent(v: Long): Boolean = {
+      val snap = log.snapshotAt(v)
+      snap.files.forall(a => new java.io.File(fs, a.path).exists()) &&
+      snap.files.flatMap(_.deletionVector)
+        .filter(d => d.storageType == "u" || d.storageType == "p")
+        .forall(d => new java.io.File(DeletionVectors
+          .sidecarPath(log.tableRoot, d).toUri.getPath).exists())
+    }
     val checked = history.keys.toSeq.sorted.filter(allFilesPresent)
     assert(checked.nonEmpty)
     checked.foreach { v =>
