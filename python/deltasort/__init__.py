@@ -144,6 +144,34 @@ class SortOptimizer:
         partition columns, properties, protocol) — zero data IO."""
         return json.loads(self._j.detail())
 
+    def describe_columns(self) -> list:
+        """DESCRIBE-level per-column metadata: ``name``/``type``/
+        ``nullable`` plus ``generation_expression`` for generated columns
+        (writer v4) and ``identity`` (``start``/``step``/
+        ``high_water_mark``/``allow_explicit_insert``) for identity
+        columns (writer v6). Zero data IO."""
+        return json.loads(self._j.describeColumns())
+
+    def enable_row_tracking(self) -> None:
+        """Opt the table into Row Tracking (protocol upgrade carrying
+        ``rowTracking`` + ``domainMetadata``, base-row-ID backfill, and
+        ``delta.enableRowTracking=true`` — one commit). Enabled tables
+        preserve row IDs through every row-moving rewrite."""
+        self._j.enableRowTracking()
+
+    def enable_in_commit_timestamps(self) -> None:
+        """Opt the table into In-Commit Timestamps: every later commit
+        carries a monotonic authoritative ``inCommitTimestamp`` that
+        history and timestamp time travel prefer."""
+        self._j.enableInCommitTimestamps()
+
+    def read_with_row_ids(self):
+        """The table as a pyspark DataFrame with ``_row_id`` and
+        ``_row_commit_version`` surfaced (Row Tracking read side:
+        materialized column value when a file carries one, else
+        baseRowId + physical row index)."""
+        return self._wrap(self._j.readWithRowIdsDf())
+
     def restore(self, version: int) -> dict:
         """Roll the table back to ``version`` as a NEW commit (history is
         preserved; a second restore can undo the first). Metadata-only at

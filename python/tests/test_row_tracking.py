@@ -1,0 +1,91 @@
+"""Round-13 writer features through the binding: row tracking (stable
+row IDs), in-commit timestamps, and the DESCRIBE-level column metadata
+(generation expressions, identity sequences)."""
+from deltasort import SortOptimizer
+from conftest import write_table
+
+_SCHEMA = "k long, v string"
+
+
+def test_row_tracking_ids_survive_compaction(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)
+    jvm = spark._jvm
+    df = spark.createDataFrame([(3, "c"), (4, "d")], _SCHEMA).coalesce(1)
+    jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_row_tracking()
+    before = {
+        r["v"]: r["_row_id"]
+        for r in opt.read_with_row_ids().collect()
+    }
+    assert sorted(before.values()) == [0, 1, 2, 3]
+    opt.bin_pack(target_file_size_bytes=1 << 20)  # rows move files
+    after = {
+        r["v"]: r["_row_id"]
+        for r in opt.read_with_row_ids().collect()
+    }
+    assert after == before, f"row IDs must survive compaction: {before} -> {after}"
+    # the high-water mark is inspectable through detail()'s domains;
+    # the compacted file got its own fresh block (4..7) even though its
+    # rows carry materialized IDs — per spec every new file consumes one
+    domains = opt.detail()["domains"]
+    assert "delta.rowTracking" in domains
+    assert '"rowIdHighWaterMark":7' in domains["delta.rowTracking"].replace(" ", "")
+
+
+def test_in_commit_timestamps_drive_history(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_in_commit_timestamps()
+    jvm = spark._jvm
+    df = spark.createDataFrame([(2, "b")], _SCHEMA).coalesce(1)
+    jvm.graft.delta.DeltaTable.append(spark._jsparkSession, tmp_table, df._jdf, False)
+    hist = opt.history().collect()
+    ts = [r["timestamp"] for r in sorted(hist, key=lambda r: r["version"])]
+    assert ts[1:] == sorted(set(ts[1:])), f"ICT history must be strictly monotonic: {ts}"
+    props = opt.detail()["properties"]
+    assert props.get("delta.enableInCommitTimestamps") == "true"
+    assert "delta.inCommitTimestampEnablementVersion" in props
+
+
+def test_describe_columns_exposes_identity_and_generation(spark, tmp_path):
+    # author a v6-style foreign fixture: identity + generated column
+    # metadata in the schema, the delta-spark field-metadata convention
+    import json
+    from pathlib import Path
+
+    table = tmp_path / "table"
+    log_dir = table / "_delta_log"
+    log_dir.mkdir(parents=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {
+                "delta.identity.start": 10,
+                "delta.identity.step": 2,
+                "delta.identity.highWaterMark": 14,
+                "delta.identity.allowExplicitInsert": False,
+            }},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "v2", "type": "string", "nullable": True, "metadata": {
+                "delta.generationExpression": "upper(v)",
+            }},
+        ],
+    }
+    commit = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {"id": "py-describe", "format": {"provider": "parquet",
+            "options": {}}, "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+    ]
+    (log_dir / "00000000000000000000.json").write_text(
+        "\n".join(json.dumps(a) for a in commit) + "\n")
+
+    opt = SortOptimizer(str(table), spark=spark)
+    cols = {c["name"]: c for c in opt.describe_columns()}
+    assert cols["id"]["identity"] == {
+        "start": 10, "step": 2, "high_water_mark": 14,
+        "allow_explicit_insert": False,
+    }
+    assert cols["v2"]["generation_expression"] == "upper(v)"
+    assert "identity" not in cols["v"] and "generation_expression" not in cols["v"]

@@ -137,8 +137,54 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       put("table_features", (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
         snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted.asJava)
       put("num_deletion_vectors", snap.files.count(_.deletionVector.isDefined).toLong)
+      // live domain-metadata configurations (rowTracking high-water mark,
+      // clustering columns, foreign domains) — metadata-only, like the rest
+      put("domains", snap.domains.map { case (k, d) => k -> d.configuration }.asJava)
     })
   }
+
+  /** DESCRIBE-level per-column metadata: name/type/nullable plus the
+    * writer-feature detail a binding needs to drive the round-12/13
+    * surfaces — generation expressions (writer v4) and identity
+    * start/step/high-water-mark/allowExplicitInsert (writer v6). Zero
+    * data IO (schema metadata only). */
+  def describeColumns(): String = {
+    val snap = graft.delta.DeltaLog.forTable(spark, tableUri).snapshot()
+    val gens = graft.delta.DeltaTable.generatedFields(snap)
+      .map { case (f, g) => f.name -> g }.toMap
+    val ids = graft.delta.DeltaTable.identityFields(snap)
+      .map(t => t._1.name -> t).toMap
+    js(snap.schema.fields.map { f =>
+      val m = new java.util.LinkedHashMap[String, Any]
+      m.put("name", f.name)
+      m.put("type", f.dataType.simpleString)
+      m.put("nullable", f.nullable)
+      gens.get(f.name).foreach(g => m.put("generation_expression", g))
+      ids.get(f.name).foreach { case (_, start, step, hwm, allowExplicit) =>
+        val id = new java.util.LinkedHashMap[String, Any]
+        id.put("start", start)
+        id.put("step", step)
+        hwm.foreach(h => id.put("high_water_mark", h))
+        id.put("allow_explicit_insert", allowExplicit)
+        m.put("identity", id)
+      }
+      m
+    }.toSeq.asJava)
+  }
+
+  /** Opt the table into Row Tracking (protocol upgrade + backfill +
+    * `delta.enableRowTracking=true`, one commit). */
+  def enableRowTracking(): Unit =
+    graft.delta.DeltaTable.enableRowTracking(spark, tableUri)
+
+  /** Opt the table into In-Commit Timestamps. */
+  def enableInCommitTimestamps(): Unit =
+    graft.delta.DeltaTable.enableInCommitTimestamps(spark, tableUri)
+
+  /** The table with `_row_id` / `_row_commit_version` surfaced (Row
+    * Tracking read side). */
+  def readWithRowIdsDf(): org.apache.spark.sql.DataFrame =
+    graft.delta.DeltaTable.readWithRowIds(spark, tableUri)
 
   /** VACUUM: delete unreferenced data files older than the retention
     * window. `force = false` enforces the table's

@@ -64,6 +64,8 @@ object Action {
 
   /** Parse one log line (one action object) from its wrapper key. */
   def fromJson(node: JsonNode): Option[Action] = {
+    def optLong(n: JsonNode, name: String): Option[Long] =
+      if (n.hasNonNull(name)) Some(n.get(name).asLong()) else None
     if (node.has("add")) {
       val a = node.get("add")
       Some(AddFile(
@@ -74,7 +76,9 @@ object Action {
         dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(),
         stats = if (a.hasNonNull("stats") && a.get("stats").asText().nonEmpty)
           Some(a.get("stats").asText()) else None,
-        deletionVector = dvOf(a)))
+        deletionVector = dvOf(a),
+        baseRowId = optLong(a, "baseRowId"),
+        defaultRowCommitVersion = optLong(a, "defaultRowCommitVersion")))
     } else if (node.has("remove")) {
       val r = node.get("remove")
       Some(RemoveFile(
@@ -83,7 +87,9 @@ object Action {
         dataChange = !r.has("dataChange") || r.get("dataChange").asBoolean(),
         partitionValues = strMap(r.get("partitionValues")),
         size = if (r.has("size")) r.get("size").asLong() else 0L,
-        deletionVector = dvOf(r)))
+        deletionVector = dvOf(r),
+        baseRowId = optLong(r, "baseRowId"),
+        defaultRowCommitVersion = optLong(r, "defaultRowCommitVersion")))
     } else if (node.has("cdc")) {
       val c = node.get("cdc")
       Some(AddCDCFile(
@@ -115,6 +121,13 @@ object Action {
       Some(SidecarFile(
         path = s.get("path").asText(),
         sizeInBytes = if (s.has("sizeInBytes")) s.get("sizeInBytes").asLong() else 0L))
+    } else if (node.has("domainMetadata")) {
+      val d = node.get("domainMetadata")
+      Some(DomainMetadata(
+        domain = d.get("domain").asText(),
+        configuration =
+          if (d.hasNonNull("configuration")) d.get("configuration").asText() else "",
+        removed = d.has("removed") && d.get("removed").asBoolean()))
     } else if (node.has("commitInfo")) {
       val c = node.get("commitInfo")
       Some(CommitInfo(
@@ -123,7 +136,7 @@ object Action {
         operationParameters = strMap(c.get("operationParameters")),
         inCommitTimestamp = if (c.hasNonNull("inCommitTimestamp"))
           Some(c.get("inCommitTimestamp").asLong()) else None))
-    } else None // unknown action kinds (cdc, domainMetadata, ...) are ignored on replay
+    } else None // unknown action kinds (checkpointMetadata, ...) are ignored on replay
   }
 }
 
@@ -165,14 +178,25 @@ case class AddFile(
     modificationTime: Long,
     dataChange: Boolean,
     stats: Option[String] = None,
-    deletionVector: Option[DeletionVectorDescriptor] = None) extends Action {
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    /** Row Tracking writer feature: this file's rows carry fresh row IDs
+      * `baseRowId + physical index` (unless overridden by a materialized
+      * row-id column). Assigned at the commit chokepoint from the
+      * `delta.rowTracking` domain's high-water mark. */
+    baseRowId: Option[Long] = None,
+    /** The commit version stamped on this file's rows as their default
+      * row commit version (fresh value; materialized column overrides). */
+    defaultRowCommitVersion: Option[Long] = None) extends Action {
   /** Log-reconciliation key: (path, DV unique id) per the protocol. */
   def reconcileKey: String = path + deletionVector.fold("")("::" + _.uniqueId)
   def json: String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":${jmap(partitionValues)},""" +
       s""""size":$size,"modificationTime":$modificationTime,"dataChange":$dataChange""" +
       stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
-      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") + "}}"
+      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") +
+      baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""").getOrElse("") +
+      "}}"
 }
 
 /** Change-data file (Delta CDF's `cdc` action): the row-level changes of
@@ -195,13 +219,22 @@ case class RemoveFile(
     dataChange: Boolean,
     partitionValues: Map[String, String],
     size: Long,
-    deletionVector: Option[DeletionVectorDescriptor] = None) extends Action {
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    /** Row Tracking: the removed file's row-ID block, PRESERVED from the
+      * active add (the spec's requirement on removes) so readers of the
+      * tombstone window can still resolve the rows' IDs. Stamped at the
+      * commit chokepoint when the writer feature is on. */
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None) extends Action {
   /** Log-reconciliation key: (path, DV unique id) per the protocol. */
   def reconcileKey: String = path + deletionVector.fold("")("::" + _.uniqueId)
   def json: String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$deletionTimestamp,""" +
       s""""dataChange":$dataChange,"partitionValues":${jmap(partitionValues)},"size":$size""" +
-      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") + "}}"
+      deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") +
+      baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""").getOrElse("") +
+      "}}"
 }
 
 /** Table metadata: schema (Spark StructType JSON) + partitioning. */
@@ -252,6 +285,21 @@ case class SetTransaction(appId: String, version: Long, lastUpdated: Long) exten
 case class SidecarFile(path: String, sizeInBytes: Long) extends Action {
   def json: String =
     s"""{"sidecar":{"path":${jstr(path)},"sizeInBytes":$sizeInBytes}}"""
+}
+
+/** The protocol's `domainMetadata` action (Domain Metadata writer
+  * feature): a named system domain carrying a configuration string —
+  * e.g. `delta.rowTracking` holds the row-ID high-water mark, clustered
+  * tables record their clustering columns in `delta.clustering`. Replay
+  * keeps the LATEST action per domain name; `removed = true` deletes the
+  * domain from the snapshot. Snapshots CARRY every live domain and
+  * checkpoints re-emit them, so foreign domains survive our commits —
+  * dropping one would silently corrupt the owning writer's state. */
+case class DomainMetadata(domain: String, configuration: String,
+    removed: Boolean = false) extends Action {
+  def json: String =
+    s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
+      s""""configuration":${jstr(configuration)},"removed":$removed}}"""
 }
 
 /** Operation provenance recorded with each commit (the reference records

@@ -180,7 +180,9 @@ object Checkpoints {
           // re-serialize it into the JSON form the skipping layer speaks
           stats = opt[String](a, "stats").filter(_.nonEmpty)
             .orElse(opt[Row](a, "stats_parsed").map(statsJsonOfParsed)),
-          deletionVector = dvOf(a)): Action
+          deletionVector = dvOf(a),
+          baseRowId = opt[Long](a, "baseRowId"),
+          defaultRowCommitVersion = opt[Long](a, "defaultRowCommitVersion")): Action
       }).orElse(struct("remove").map { r =>
         RemoveFile(
           path = r.getAs[String]("path"),
@@ -188,7 +190,9 @@ object Checkpoints {
           dataChange = opt[Boolean](r, "dataChange").getOrElse(true),
           partitionValues = strMap(r, "partitionValues"),
           size = opt[Long](r, "size").getOrElse(0L),
-          deletionVector = dvOf(r)): Action
+          deletionVector = dvOf(r),
+          baseRowId = opt[Long](r, "baseRowId"),
+          defaultRowCommitVersion = opt[Long](r, "defaultRowCommitVersion")): Action
       }).orElse(struct("metaData").map { m =>
         Metadata(
           id = opt[String](m, "id").getOrElse(""),
@@ -208,6 +212,11 @@ object Checkpoints {
           appId = t.getAs[String]("appId"),
           version = opt[Long](t, "version").getOrElse(0L),
           lastUpdated = opt[Long](t, "lastUpdated").getOrElse(0L)): Action
+      }).orElse(struct("domainMetadata").map { d =>
+        DomainMetadata(
+          domain = d.getAs[String]("domain"),
+          configuration = opt[String](d, "configuration").getOrElse(""),
+          removed = opt[Boolean](d, "removed").getOrElse(false)): Action
       }).orElse(struct("sidecar").map { s =>
         SidecarFile(
           path = s.getAs[String]("path"),
@@ -283,6 +292,88 @@ object Checkpoints {
     (nonAdd, prune(inlineAdds) ++ prunedAdds)
   }
 
+  /** V2 checkpoint write: the spec's UUID-named manifest
+    * (`NNNN.checkpoint.<uuid>.parquet` — checkpointMetadata, protocol,
+    * metaData, txn, domainMetadata, `sidecar` references) plus the add
+    * rows sharded into `_delta_log/_sidecars/<uuid>.parquet` files, one
+    * distributed write task per shard. The `_last_checkpoint` pointer
+    * carries version+size only — v2 readers (including ours) find the
+    * manifest by name pattern, exactly how foreign v2 checkpoints are
+    * discovered on read ([[findV2Manifest]]). */
+  private def writeV2(spark: SparkSession, fs: FileSystem, logPath: Path,
+      snap: Snapshot, maxActionsPerPart: Int): Unit = {
+    import spark.implicits._
+    val meta = snap.metadata
+    def cpAdd(a: AddFile): CpAdd =
+      CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
+        dataChange = false, stats = a.stats,
+        deletionVector = a.deletionVector.map(d =>
+          CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+        baseRowId = a.baseRowId,
+        defaultRowCommitVersion = a.defaultRowCommitVersion)
+    val sidecarsDir = new Path(logPath, "_sidecars")
+    fs.mkdirs(sidecarsDir)
+    val wantedParts = math.max(1,
+      math.ceil(snap.files.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
+    val tmp = new Path(logPath, s".cp-v2-tmp-${UUID.randomUUID()}")
+    val sidecarRefs = try {
+      spark.createDataset(snap.files.map(a => CpSidecarFileRow(Some(cpAdd(a)), None)))
+        .repartition(wantedParts)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val partFiles = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .sortBy(_.getName)
+      partFiles.map { part =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        val target = new Path(sidecarsDir, name)
+        if (!fs.rename(part, target)) sys.error(s"failed to publish sidecar $target")
+        val st = fs.getFileStatus(target)
+        CpSidecarRef(name, st.getLen, st.getModificationTime)
+      }.toSeq
+    } finally fs.delete(tmp, true)
+
+    val manifestRows =
+      CpManifestRow(Some(CpCkptMeta(snap.version)), None, None, None, None, None) +:
+      CpManifestRow(None,
+        Some(CpProtocol(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+          snap.protocol.readerFeatures.map(_.toSeq.sorted),
+          snap.protocol.writerFeatures.map(_.toSeq.sorted))),
+        None, None, None, None) +:
+      CpManifestRow(None, None,
+        Some(CpMeta(meta.id, CpFormat("parquet", Map.empty), meta.schemaString,
+          meta.partitionColumns, meta.configuration, 0L)), None, None, None) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        CpManifestRow(None, None, None, Some(CpTxn(app, v, 0L)), None, None)
+      } ++
+      snap.domains.toSeq.sortBy(_._1).map { case (_, d) =>
+        CpManifestRow(None, None, None, None,
+          Some(CpDomain(d.domain, d.configuration, d.removed)), None)
+      } ++
+      sidecarRefs.map(r => CpManifestRow(None, None, None, None, None, Some(r))))
+    val tmp2 = new Path(logPath, s".cp-v2-manifest-tmp-${UUID.randomUUID()}")
+    try {
+      spark.createDataset(manifestRows).coalesce(1)
+        .write.mode("overwrite").parquet(tmp2.toString)
+      val part = fs.listStatus(tmp2).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .headOption.getOrElse(sys.error(s"v2 manifest write produced no parquet in $tmp2"))
+      val target = new Path(logPath,
+        f"${snap.version}%020d.checkpoint.${UUID.randomUUID()}.parquet")
+      if (!fs.rename(part, target)) sys.error(s"failed to publish v2 manifest $target")
+    } finally fs.delete(tmp2, true)
+
+    val pointer = s"""{"version":${snap.version},"size":${manifestRows.size + snap.files.size}}"""
+    val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
+    val out = fs.create(ptrTmp, false)
+    try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val ptr = lastCheckpointPath(logPath)
+    fs.delete(ptr, false)
+    if (!fs.rename(ptrTmp, ptr)) {
+      fs.delete(ptrTmp, false)
+      sys.error(s"failed to publish checkpoint pointer $ptr")
+    }
+  }
+
   /** Re-serialize a checkpoint `stats_parsed` struct into the JSON
     * `stats` form the skipping layer parses. Value rendering matches the
     * engine's own stats writer: strings/booleans quoted, dates as
@@ -330,10 +421,30 @@ object Checkpoints {
       offset: Option[Int], sizeInBytes: Int, cardinality: Long)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean, stats: Option[String],
-      deletionVector: Option[CpDv])
+      deletionVector: Option[CpDv],
+      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None)
   private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
+  private[delta] case class CpDomain(domain: String, configuration: String, removed: Boolean)
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
-      add: Option[CpAdd], txn: Option[CpTxn])
+      add: Option[CpAdd], txn: Option[CpTxn],
+      domainMetadata: Option[CpDomain] = None)
+  // ---- v2-checkpoint row shapes ----------------------------------------
+  /** Sidecar data files carry ONLY file actions; the `remove` column is
+    * always null here (we checkpoint active state, not tombstones) but
+    * is part of the spec's sidecar schema, so strict readers find it. */
+  private[delta] case class CpRemove(path: String, deletionTimestamp: Long,
+      dataChange: Boolean)
+  private[delta] case class CpSidecarFileRow(add: Option[CpAdd], remove: Option[CpRemove])
+  private[delta] case class CpSidecarRef(path: String, sizeInBytes: Long,
+      modificationTime: Long)
+  private[delta] case class CpCkptMeta(version: Long)
+  /** V2 manifest rows: every non-file action, the `sidecar` references,
+    * and the spec's `checkpointMetadata` stamp. */
+  private[delta] case class CpManifestRow(
+      checkpointMetadata: Option[CpCkptMeta],
+      protocol: Option[CpProtocol], metaData: Option[CpMeta],
+      txn: Option[CpTxn], domainMetadata: Option[CpDomain],
+      sidecar: Option[CpSidecarRef])
 
   /** Write a checkpoint of `snap` and repoint `_last_checkpoint`.
     *
@@ -350,6 +461,14 @@ object Checkpoints {
   def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot,
       maxActionsPerPart: Int = 1000000): Unit = {
     import spark.implicits._
+    // `delta.checkpointPolicy=v2` tables get the V2 Checkpoint layout
+    // (UUID-named manifest + `_delta_log/_sidecars/` shards) — a table
+    // whose policy requires v2 can now be maintained END-TO-END by this
+    // engine, not just read. Everything else keeps the classic form.
+    if (snap.metadata.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      writeV2(spark, fs, logPath, snap, maxActionsPerPart)
+      return
+    }
     val meta = snap.metadata
     val rows =
       // feature lists round-trip: a benign-featured foreign table must
@@ -364,13 +483,24 @@ object Checkpoints {
       (snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         CpRow(None, None, None, Some(CpTxn(app, v, 0L)))
       } ++
+      // live domains ride the checkpoint — dropping a foreign domain
+      // (clustering columns, a rowTracking high-water mark) would
+      // silently corrupt the owning writer's state on the next replay
+      snap.domains.toSeq.sortBy(_._1).map { case (_, d) =>
+        CpRow(None, None, None, None,
+          Some(CpDomain(d.domain, d.configuration, d.removed)))
+      } ++
       snap.files.map(a =>
         // the DV descriptor rides along — a checkpoint that dropped it
         // would resurrect the masked rows for every future reader
         CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
           dataChange = false, stats = a.stats,
           deletionVector = a.deletionVector.map(d =>
-            CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))),
+            CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+          // row-tracking block: a checkpoint that dropped it would hand
+          // every row a DIFFERENT id on the next replay
+          baseRowId = a.baseRowId,
+          defaultRowCommitVersion = a.defaultRowCommitVersion)),
           None)))
     val wantedParts = math.max(1,
       math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)

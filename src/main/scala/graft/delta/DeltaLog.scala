@@ -282,11 +282,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // degenerates to the path and behavior is unchanged.
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     val txns = mutable.Map.empty[String, Long]
+    val domains = mutable.Map.empty[String, DomainMetadata]
     var metadata: Option[Metadata] = seed.map(_.metadata)
     var protocol: Option[Protocol] = seed.map(_.protocol)
     seed.foreach { s =>
       s.files.foreach(f => adds(f.reconcileKey) = f)
       txns ++= s.txns
+      domains ++= s.domains
     }
 
     def apply(action: Action): Unit = action match {
@@ -296,6 +298,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case p: Protocol => protocol = Some(p)
       case t: SetTransaction =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case d: DomainMetadata => // latest per domain wins; removed tombstones drop
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
       case _: AddCDCFile => () // change feed only — never snapshot state
       case _: SidecarFile => () // expanded inside Checkpoints.read
       case _: CommitInfo => ()
@@ -332,7 +336,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = adds.values.toSeq,
       protocol = protocol.getOrElse(Protocol()),
-      txns = txns.toMap)
+      txns = txns.toMap,
+      domains = domains.toMap)
   }
 
   /** The reader protocol + column-mapping gate (shared by full replay
@@ -427,9 +432,12 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     var metadata = nonAdd.collect { case m: Metadata => m }.lastOption
     var protocol = nonAdd.collect { case p: Protocol => p }.lastOption
     val txns = mutable.Map.empty[String, Long]
+    val domains = mutable.Map.empty[String, DomainMetadata]
     nonAdd.foreach {
       case t: SetTransaction =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
       case _ => ()
     }
     tailActions.foreach {
@@ -439,6 +447,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case p: Protocol => protocol = Some(p)
       case t: SetTransaction =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
       case _ => ()
     }
     val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
@@ -448,7 +458,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = Nil,
       protocol = protocol.getOrElse(Protocol()),
-      txns = txns.toMap)
+      txns = txns.toMap,
+      domains = domains.toMap)
     val (fromTail, fromCp) = adds.values.toSeq.partition(f => tailKeys(f.reconcileKey))
     bare.copy(files = fromCp ++ prune(bare, fromTail))
   }
@@ -520,9 +531,9 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * tables). Also enforces `delta.appendOnly`: a data-changing
     * RemoveFile on an append-only table is refused (maintenance
     * rewrites with dataChange=false stay legal, as in delta-spark). */
-  private def checkWritable(actions: Seq[Action]): Unit = {
+  private def checkWritable(actions: Seq[Action], snapOpt: Option[Snapshot]): Unit = {
     if (actions.exists(_.isInstanceOf[Protocol])) return
-    val snap = try snapshot() catch { case _: Exception => return } // new table
+    val snap = snapOpt.getOrElse(return) // new table
     val p = snap.protocol
     if (p.minWriterVersion > DeltaLog.SupportedWriterVersion) {
       p.writerFeatures match {
@@ -587,14 +598,122 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
   }
 
+  /** Row Tracking (writer feature `rowTracking`): stamp fresh
+    * `baseRowId`s — from the `delta.rowTracking` domain's
+    * rowIdHighWaterMark — and `defaultRowCommitVersion`s onto adds that
+    * lack them, PRESERVE the block on removes of active files (the
+    * spec's requirement), and advance the high-water-mark domain in the
+    * same commit. Runs for every commit of a table whose protocol (the
+    * snapshot's, or this commit's own Protocol action) carries the
+    * feature, so fixtures and upgrades stamp correctly from version 0.
+    * Adds that ALREADY carry a baseRowId (RESTORE re-adds, rewrites
+    * preserving blocks, foreign-authored actions) pass through intact. */
+  private def stampRowTracking(snapOpt: Option[Snapshot], expectedVersion: Long,
+      actions: Seq[Action]): Seq[Action] = {
+    val proto = actions.collectFirst { case p: Protocol => p }
+      .orElse(snapOpt.map(_.protocol))
+    if (!proto.exists(_.writerFeatures.exists(_.contains("rowTracking")))) return actions
+    def hwmOf(cfg: String): Option[Long] =
+      try Option(mapper.readTree(cfg).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    val callerDomain = actions.collectFirst {
+      case d: DomainMetadata if d.domain == DeltaLog.RowTrackingDomain && !d.removed => d
+    }
+    var hwm = math.max(
+      callerDomain.flatMap(d => hwmOf(d.configuration)).getOrElse(-1L),
+      snapOpt.flatMap(_.domains.get(DeltaLog.RowTrackingDomain))
+        .flatMap(d => hwmOf(d.configuration)).getOrElse(-1L))
+    // physical row count: footer stats first; stats-less adds (rare —
+    // stats collection is best-effort) fall back to a ~KB footer read
+    def physRows(a: AddFile): Long =
+      a.stats.flatMap { s =>
+        try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(tableRoot, a.path), hadoopConf))
+        try reader.getRecordCount finally reader.close()
+      }
+    val activeByPath: Map[String, AddFile] =
+      snapOpt.map(_.files.iterator.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+    var assigned = false
+    val stamped = actions.map {
+      case a: AddFile =>
+        val withBase =
+          if (a.baseRowId.nonEmpty) a
+          else {
+            assigned = true
+            val b = hwm + 1
+            hwm += physRows(a)
+            a.copy(baseRowId = Some(b))
+          }
+        if (withBase.defaultRowCommitVersion.isEmpty)
+          withBase.copy(defaultRowCommitVersion = Some(expectedVersion))
+        else withBase
+      case r: RemoveFile if r.baseRowId.isEmpty =>
+        activeByPath.get(r.path).fold(r)(f =>
+          r.copy(baseRowId = f.baseRowId,
+            defaultRowCommitVersion = f.defaultRowCommitVersion))
+      case other => other
+    }
+    if (!assigned) stamped
+    else stamped.filterNot {
+      case d: DomainMetadata => d.domain == DeltaLog.RowTrackingDomain && !d.removed
+      case _ => false
+    } :+ DomainMetadata(DeltaLog.RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":$hwm}""")
+  }
+
+  /** In-Commit Timestamps (writer feature `inCommitTimestamp`,
+    * `delta.enableInCommitTimestamps`): stamp the commit's authoritative
+    * time into commitInfo.inCommitTimestamp, monotonic past the previous
+    * commit's effective timestamp (max(now, prev+1) — wall-clock skew
+    * between writers cannot make history non-monotonic), and move
+    * commitInfo to the FRONT of the commit, both per the spec. A commit
+    * with no commitInfo gets one synthesized — ICT tables require every
+    * commit to carry the timestamp. */
+  private def stampIct(snapOpt: Option[Snapshot], expectedVersion: Long,
+      actions: Seq[Action]): Seq[Action] = {
+    val config = actions.collect { case m: Metadata => m }.lastOption
+      .orElse(snapOpt.map(_.metadata)).map(_.configuration).getOrElse(Map.empty)
+    if (!config.get("delta.enableInCommitTimestamps").exists(_.toBoolean)) return actions
+    val prev: Long =
+      if (expectedVersion == 0) -1L
+      else try actionsAt(expectedVersion - 1)
+        .collectFirst { case c: CommitInfo => c.effectiveTimestamp }.getOrElse(-1L)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val (infos, rest) = actions.partition(_.isInstanceOf[CommitInfo])
+    val info = infos.collectFirst { case c: CommitInfo => c }
+      .getOrElse(CommitInfo(System.currentTimeMillis(), "UNKNOWN", Map.empty))
+    // a caller-provided ICT (the enablement commit pins the property to
+    // its own stamp) is honored as long as it keeps monotonicity
+    val ict = math.max(
+      info.inCommitTimestamp.getOrElse(System.currentTimeMillis()), prev + 1)
+    info.copy(inCommitTimestamp = Some(ict)) +: rest
+  }
+
   /** Atomically write `actions` as version `expectedVersion`.
     * Throws [[VersionConflictException]] if that version already exists
-    * (another writer won the race) — callers refresh and retry. */
+    * (another writer won the race) — callers refresh and retry.
+    *
+    * This is the protocol-feature chokepoint: row-tracking stamping
+    * ([[stampRowTracking]]) and in-commit-timestamp stamping
+    * ([[stampIct]]) run here, per attempt, so EVERY writer path —
+    * append, DML, rewrites, the sorter — honors the features without
+    * knowing about them, and a retried commit re-stamps against the
+    * refreshed snapshot (fresh high-water mark, fresh version number,
+    * fresh monotonic clock). */
   def commit(expectedVersion: Long, actions: Seq[Action]): Long = {
-    if (expectedVersion > 0) checkWritable(actions)
+    val snapOpt =
+      if (expectedVersion > 0) try Some(snapshot()) catch { case _: Exception => None }
+      else None
+    if (expectedVersion > 0) checkWritable(actions, snapOpt)
+    val stamped = stampIct(snapOpt, expectedVersion,
+      stampRowTracking(snapOpt, expectedVersion, actions))
     fs.mkdirs(logPath)
     val target = versionFile(expectedVersion)
-    val content = actions.map(_.json).mkString("", "\n", "\n")
+    val content = stamped.map(_.json).mkString("", "\n", "\n")
     val tmp = new Path(logPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -681,9 +800,13 @@ final class ConcurrentMetadataException(tableUri: String, readVersion: Long,
 
 /** Materialized view of the log at a version. `txns` is the latest
   * recorded [[SetTransaction]] version per appId (the exactly-once
-  * watermark for idempotent writers). */
+  * watermark for idempotent writers). `domains` is the live
+  * [[DomainMetadata]] per domain name (latest action wins, removed
+  * tombstones drop) — carried so checkpoints re-emit foreign domains
+  * and the rowTracking high-water mark replays. */
 case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files: Seq[AddFile],
-    protocol: Protocol = Protocol(), txns: Map[String, Long] = Map.empty) {
+    protocol: Protocol = Protocol(), txns: Map[String, Long] = Map.empty,
+    domains: Map[String, DomainMetadata] = Map.empty) {
   /** Data-file schema = table schema minus partition columns (partition
     * values live in paths/partitionValues, not in the parquet files). */
   def dataSchema: StructType =
@@ -800,14 +923,15 @@ object DeltaLog {
 
   /** Writer features (minWriterVersion 7 tables) this engine honors:
     * append-only enforcement, invariants/CHECK constraints, CDF, the
-    * reader-benign pair, and `deletionVectors` in its vector-RESOLVING
-    * form — this engine never creates DVs, but it may append to a DV
-    * table and may compact/sort/DELETE it by materializing the mask
-    * (reads apply the bitmaps, removes carry the (path, DV id) pair the
-    * protocol reconciles by, new files hold survivors only — the same
-    * shape as delta-spark's OPTIMIZE on a DV table). Everything else
-    * (rowTracking, ...) would silently break the table's contract for
-    * other readers and is refused by name. `columnMapping` is honored
+    * reader-benign pair, and `deletionVectors` BOTH ways — resolving
+    * (reads apply the bitmaps; compact/sort materialize the mask away
+    * with removes carrying the (path, DV id) pair the protocol
+    * reconciles by) and CREATING: DELETE/UPDATE/MERGE on a table with
+    * `delta.enableDeletionVectors=true` mask rows in place via
+    * [[graft.delta.DeletionVectors]] sidecars, with stats widened to
+    * tightBounds=false per the spec (DeltaTable.commitVectorMask).
+    * Unknown features would silently break the table's contract for
+    * other readers and are refused by name. `columnMapping` is honored
     * in both modes (physical-name writes, field ids stamped);
     * `generatedColumns` by computing/verifying the generation
     * expressions on every data-adding write; `identityColumns` by
@@ -815,7 +939,28 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-    "generatedColumns", "identityColumns")
+    "generatedColumns", "identityColumns",
+    // domainMetadata: domains replay latest-per-name into the snapshot,
+    // checkpoints re-emit every live one, and commits never drop a
+    // foreign domain — the preservation contract the feature demands
+    "domainMetadata",
+    // rowTracking: the commit chokepoint stamps fresh baseRowIds from
+    // the delta.rowTracking high-water-mark domain, preserves the block
+    // on removes, and row-moving rewrites of ENABLED tables materialize
+    // row IDs (DeltaTable.readFilesPreservingRowIds) — stability the
+    // spec demands
+    "rowTracking",
+    // inCommitTimestamp: the chokepoint stamps a monotonic ICT into
+    // commitInfo (first action) on every commit of an enabled table;
+    // reads already prefer it (CommitInfo.effectiveTimestamp)
+    "inCommitTimestamp",
+    // v2Checkpoint (reader-writer feature): reads expand the UUID-named
+    // manifest + sidecars (Checkpoints.read); writes honor
+    // delta.checkpointPolicy=v2 with the same layout (Checkpoints.writeV2)
+    "v2Checkpoint")
+
+  /** The domain name Row Tracking keeps its row-ID high-water mark in. */
+  val RowTrackingDomain = "delta.rowTracking"
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

@@ -29,37 +29,42 @@ object DeltaTable {
   /** Per-parent-session memo of the field-id-enabled read session used
     * for mode=id tables (cloning per read would rebuild session state
     * every scan; weak keys let a closed session's clone be collected).
+    * The VALUE is held behind a WeakReference too: the clone strongly
+    * references its parent through SessionState, so a strongly-held
+    * value would keep the weak KEY reachable forever and no entry could
+    * ever be reclaimed (stopped sessions would stay pinned in long-lived
+    * multi-session drivers). A clone collected between reads is merely
+    * rebuilt — in-flight DataFrames keep theirs alive via their
+    * captured relations.
     * The clone snapshots the parent's conf at FIRST id-mode read — the
     * one divergence from reading on the parent directly, and benign:
     * scan-relevant confs rarely change mid-session. */
   private val idReadSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[SparkSession]]()
   private def idReadSession(spark: SparkSession): SparkSession =
     idReadSessions.synchronized {
-      var s = idReadSessions.get(spark)
-      if (s == null) {
-        s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
+      Option(idReadSessions.get(spark)).flatMap(r => Option(r.get)).getOrElse {
+        val s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
           Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
-        idReadSessions.put(spark, s)
+        idReadSessions.put(spark, new java.lang.ref.WeakReference(s))
+        s
       }
-      s
     }
 
   /** The write-side twin of [[idReadSession]]: mapped staging writes
     * run against a clone carrying the field-id WRITE flag, so the
     * caller's session conf is never mutated (a set+restore would race
-    * concurrent writes on the same session). */
+    * concurrent writes on the same session). Same weak-value discipline. */
   private val fieldIdWriteSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[SparkSession]]()
   private def fieldIdWriteSession(spark: SparkSession): SparkSession =
     fieldIdWriteSessions.synchronized {
-      var s = fieldIdWriteSessions.get(spark)
-      if (s == null) {
-        s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
+      Option(fieldIdWriteSessions.get(spark)).flatMap(r => Option(r.get)).getOrElse {
+        val s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
           Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
-        fieldIdWriteSessions.put(spark, s)
+        fieldIdWriteSessions.put(spark, new java.lang.ref.WeakReference(s))
+        s
       }
-      s
     }
 
   /** Read the active snapshot as a DataFrame (partition columns
@@ -90,12 +95,20 @@ object DeltaTable {
       snap: Snapshot, files: Seq[AddFile]): DataFrame =
     readFilesInternal(spark, log, snap, files, keepMeta = true)
 
+  /** `extraCols` (with keepMeta): additional PHYSICAL columns read
+    * straight from the parquet files and surfaced alongside the meta
+    * columns — the row-tracking materialized row-id/commit-version
+    * columns, which live in the files but never in the table schema.
+    * Files lacking one read it as NULL (schema-on-read), exactly the
+    * "fall back to the fresh value" semantics the spec gives them. */
   private def readFilesInternal(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      files: Seq[AddFile], keepMeta: Boolean): DataFrame = {
+      files: Seq[AddFile], keepMeta: Boolean,
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     if (files.isEmpty) {
       val emptySchema =
         if (!keepMeta) snap.schema
-        else snap.schema
+        else org.apache.spark.sql.types.StructType(
+          snap.schema.fields ++ extraCols)
           .add("__graft_path", org.apache.spark.sql.types.StringType)
           .add("__graft_ri", org.apache.spark.sql.types.LongType)
           .add("__graft_block", org.apache.spark.sql.types.LongType)
@@ -125,9 +138,13 @@ object DeltaTable {
       else spark
     val readSchema =
       if (partCols.isEmpty) snap.dataSchema else snap.schema
-    val physReadSchema =
+    val physReadSchema0 =
       if (mapped) Snapshot.physicalSchema(readSchema, withFieldIds = cmMode == "id")
       else readSchema
+    // extra physical columns (materialized row ids) append AFTER the
+    // mapping translation — their names are already physical
+    val physReadSchema = org.apache.spark.sql.types.StructType(
+      physReadSchema0.fields ++ extraCols)
     // the explicit snapshot schema (not inference) makes columns added
     // by schema evolution read as NULL from pre-evolution files
     def rawRead(fs: Seq[AddFile]): DataFrame = {
@@ -193,6 +210,7 @@ object DeltaTable {
     val outCols = snap.schema.fields.map(f =>
       col(if (mapped) Snapshot.physicalName(f) else f.name)
         .cast(f.dataType).as(f.name)).toSeq ++
+      extraCols.map(f => col("`" + f.name.replace("`", "``") + "`")) ++
       (if (keepMeta) Seq(col("__graft_path"), col("__graft_ri"), col("__graft_block"))
        else Nil)
     df.select(outCols: _*)
@@ -301,7 +319,14 @@ object DeltaTable {
       if (!mapped) (df, partitionColumns)
       else {
         val byName = snap.get.schema.fields.map(f => f.name -> f).toMap
+        // row-tracking materialized columns are ALREADY physical (they
+        // never appear in the table schema) — pass them through untouched
+        val matNames: Set[String] = snap.get.metadata.configuration.get(RowIdColKey).toSet ++
+          snap.get.metadata.configuration.get(RowCommitColKey).toSet
         val proj = df.schema.fields.map { lf =>
+          if (matNames.contains(lf.name)) {
+            quoteCol(lf.name)
+          } else {
           val f = byName.getOrElse(lf.name, sys.error(
             s"stageWrite: column ${lf.name} has no column-mapping entry in the " +
               s"table schema of ${log.tableUri} (evolve the schema first)"))
@@ -315,6 +340,7 @@ object DeltaTable {
           // metadata (physicalName + parquet.field.id) into the write
           // schema, which is where the parquet writer reads ids from
           col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+          }
         }
         (df.select(proj.toSeq: _*),
           partitionColumns.map(p => Snapshot.physicalName(byName(p))))
@@ -631,14 +657,18 @@ object DeltaTable {
       // commits WITH row-level change files are exact however they
       // stored their masks (our DV-creating DELETE/UPDATE always writes
       // them); only the add/remove diff FALLBACK cannot represent a DV
-      // change — a masked add would misreport surviving rows as inserts
+      // change — a masked add would misreport surviving rows as inserts.
+      // Scoped to dataChange actions: a compact/OPTIMIZE that purges
+      // masks emits dataChange=false removes carrying DV descriptors and
+      // no cdc files — it changes no data and must pass (the fallback
+      // below already collects dataChange adds only)
       require(cdcs.nonEmpty || actions.forall {
-        case a: AddFile => a.deletionVector.isEmpty
-        case r: RemoveFile => r.deletionVector.isEmpty
+        case a: AddFile => !a.dataChange || a.deletionVector.isEmpty
+        case r: RemoveFile => !r.dataChange || r.deletionVector.isEmpty
         case _ => true
       }, s"change feed: version $v of $tableUri carries deletion vectors " +
-        "without row-level change files, which the add/remove diff cannot " +
-        "represent")
+        "on data-changing actions without row-level change files, which " +
+        "the add/remove diff cannot represent")
       if (cdcs.nonEmpty) {
         // DML commit with row-level capture: the cdc files already carry
         // _change_type (insert / update_postimage / delete) and exactly
@@ -759,7 +789,10 @@ object DeltaTable {
 
     val touched = touchedFiles(spark, log, snap,
       _.join(broadcast(keys), keyCols, "left_semi"))
-    val survivors = readFiles(spark, log, snap, touched)
+    // unmatched rows of touched files preserve their row IDs on enabled
+    // tables; matched rows are REPLACED n→1 by the update batch, which
+    // gets fresh IDs (the strict per-row-preserving analog is merge())
+    val survivors = readFilesPreservingRowIds(spark, log, snap, touched)
       .join(broadcast(keys), keyCols, "left_anti")
     // row-level change capture: keys that hit an existing row are
     // update_postimage, the rest are inserts. `matchedKeys` is bounded
@@ -785,7 +818,7 @@ object DeltaTable {
         cdc = stageCdc(spark, log, changes, snap))
     }
     commitRewrite(spark, log, snap, touched,
-      survivors.unionByName(updates), "MERGE",
+      survivors.unionByName(updates, allowMissingColumns = true), "MERGE",
       Map("matchedFiles" -> touched.size.toString),
       cdc = stageCdc(spark, log, changes, snap))
   }
@@ -817,7 +850,9 @@ object DeltaTable {
       s"replaceWhere: $outside incoming row(s) do not satisfy the predicate")
     val candidates = candidateFiles(spark, snap, predicate)
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
-    val survivors = readFiles(spark, log, snap, touched)
+    // survivors preserve their row IDs on enabled tables; the incoming
+    // rows are new and get fresh ones (null materialized values)
+    val survivors = readFilesPreservingRowIds(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
     val deleted = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
@@ -825,7 +860,8 @@ object DeltaTable {
     val inserted = pinned.select(snap.schema.fieldNames.map(col).toSeq: _*)
       .withColumn("_change_type", lit("insert"))
     commitRewrite(spark, log, snap, touched,
-      survivors.unionByName(inserted.drop("_change_type")), "WRITE",
+      survivors.unionByName(inserted.drop("_change_type"),
+        allowMissingColumns = true), "WRITE",
       Map("mode" -> "Overwrite", "replaceWhere" -> predicate.toString),
       cdc = stageCdc(spark, log, deleted.unionByName(inserted), snap))
   }
@@ -837,28 +873,41 @@ object DeltaTable {
     * features, per the protocol's upgrade rule) and sets
     * `delta.enableDeletionVectors=true`, in one commit — the
     * delta-spark property, honored the delta-spark way. */
+  /** The writer features a pre-feature-list protocol version implies
+    * (the protocol's upgrade rule): what a legacy table's capabilities
+    * become when its protocol is upgraded to the v7 feature-list form.
+    * generatedColumns/identityColumns are implied by v4/v6 but only
+    * listed when the schema actually uses them — listing an unused
+    * feature has no protective value. */
+  private def legacyWriterFeatures(snap: Snapshot): Set[String] = {
+    val p = snap.protocol
+    (if (p.minWriterVersion >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
+      (if (p.minWriterVersion >= 3) Set("checkConstraints") else Set.empty) ++
+      (if (p.minWriterVersion >= 4) Set("changeDataFeed") else Set.empty) ++
+      (if (p.minWriterVersion >= 5) Set("columnMapping") else Set.empty) ++
+      (if (snap.schema.fields.exists(_.metadata.contains(GenerationExpressionKey)))
+        Set("generatedColumns") else Set.empty) ++
+      (if (identityFields(snap).nonEmpty) Set("identityColumns") else Set.empty)
+  }
+
+  /** The reader-feature set a protocol upgrade to v3 must carry for this
+    * table (existing list, or what the legacy version implies). */
+  private def legacyReaderFeatures(snap: Snapshot): Set[String] = {
+    val p = snap.protocol
+    if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
+    else if (snap.columnMappingMode != "none") Set("columnMapping")
+    else Set.empty[String]
+  }
+
   def enableDeletionVectors(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
     val p = snap.protocol
     if (snap.metadata.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean) &&
         p.readerFeatures.exists(_.contains("deletionVectors"))) return
-    val impliedW: Set[String] =
-      (if (p.minWriterVersion >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
-        (if (p.minWriterVersion >= 3) Set("checkConstraints") else Set.empty) ++
-        (if (p.minWriterVersion >= 4) Set("changeDataFeed") else Set.empty) ++
-        (if (p.minWriterVersion >= 5) Set("columnMapping") else Set.empty) ++
-        // generatedColumns/identityColumns are implied by v4/v6 but only
-        // listed when the schema actually uses them — listing an unused
-        // feature has no protective value
-        (if (snap.schema.fields.exists(_.metadata.contains(GenerationExpressionKey)))
-          Set("generatedColumns") else Set.empty) ++
-        (if (identityFields(snap).nonEmpty) Set("identityColumns") else Set.empty)
-    val readerF = (if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
-      else if (snap.columnMappingMode != "none") Set("columnMapping")
-      else Set.empty[String]) + "deletionVectors"
+    val readerF = legacyReaderFeatures(snap) + "deletionVectors"
     val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
-      else impliedW) + "deletionVectors"
+      else legacyWriterFeatures(snap)) + "deletionVectors"
     val now = System.currentTimeMillis()
     // commitDml, not commitLatest: this commit carries a Metadata action
     // derived from `snap` — a blind retry past a concurrent schema
@@ -931,6 +980,248 @@ object DeltaTable {
     }
   }
 
+  // ---- row tracking ---------------------------------------------------
+
+  /** Table properties naming the MATERIALIZED row-id / row-commit-version
+    * columns (the delta-spark convention): physical parquet columns that
+    * live in the data files but never in the table schema, written by
+    * row-moving rewrites of row-tracking-ENABLED tables so each row's ID
+    * survives the move. A row's ID = materialized value when non-null,
+    * else `baseRowId + physical index` (same for the commit version). */
+  val RowIdColKey = "delta.rowTracking.materializedRowIdColumnName"
+  val RowCommitColKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private[graft] def rowTrackingSupported(snap: Snapshot): Boolean =
+    snap.protocol.writerFeatures.exists(_.contains("rowTracking"))
+
+  /** Enabled = the spec's stability contract: every file carries row
+    * IDs and every operation that moves rows must PRESERVE them (via
+    * materialization). Supported-but-not-enabled only requires the
+    * commit chokepoint's fresh assignment + high-water-mark upkeep. */
+  private[graft] def rowTrackingEnabled(snap: Snapshot): Boolean =
+    rowTrackingSupported(snap) &&
+      snap.metadata.configuration.get("delta.enableRowTracking").exists(_.toBoolean)
+
+  private def quoteCol(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Opt a table into row tracking: upgrade the protocol to the
+    * table-features form carrying `rowTracking` + its prerequisite
+    * `domainMetadata`, set `delta.enableRowTracking=true`, pick the
+    * materialized column names, and BACKFILL — re-add every active file
+    * (dataChange=false) so the commit chokepoint stamps base row IDs
+    * onto them; enabled tables require ALL files to carry IDs. One
+    * commit, conflict-checked (it carries Metadata). */
+  def enableRowTracking(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    if (rowTrackingEnabled(snap)) return
+    val p = snap.protocol
+    val readerF = legacyReaderFeatures(snap)
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else legacyWriterFeatures(snap)) ++ Set("rowTracking", "domainMetadata")
+    val conf = snap.metadata.configuration ++ Map(
+      "delta.enableRowTracking" -> "true",
+      RowIdColKey -> snap.metadata.configuration.getOrElse(RowIdColKey,
+        s"_row-id-col-${UUID.randomUUID()}"),
+      RowCommitColKey -> snap.metadata.configuration.getOrElse(RowCommitColKey,
+        s"_row-commit-version-col-${UUID.randomUUID()}"))
+    val now = System.currentTimeMillis()
+    // backfill: bare re-adds (same path, same DV, dataChange=false) that
+    // the chokepoint stamps — replay replaces each file by reconcileKey
+    val backfill = snap.files.filter(_.baseRowId.isEmpty)
+      .map(f => f.copy(modificationTime = now, dataChange = false))
+    log.commitDml(snap.version, Seq(
+      Protocol(math.max(p.minReaderVersion, if (readerF.nonEmpty) 3 else p.minReaderVersion),
+        7,
+        if (readerF.nonEmpty) Some(readerF) else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
+        Some(writerF)),
+      snap.metadata.copy(configuration = conf)) ++ backfill :+
+      CommitInfo(now, "SET TBLPROPERTIES",
+        Map("delta.enableRowTracking" -> "true")))
+    ()
+  }
+
+  /** Opt a table into In-Commit Timestamps (`delta.enableInCommitTimestamps`
+    * + the `inCommitTimestamp` writer feature): from the enablement
+    * commit on, every commit's authoritative time is the monotonic
+    * `commitInfo.inCommitTimestamp` the chokepoint stamps ([[DeltaLog]]
+    * stampIct), which history and `TIMESTAMP AS OF` already prefer. The
+    * enablement version/timestamp properties are pinned to the enabling
+    * commit itself (the spec's post-creation-enable requirement), and
+    * the retry loop recomputes them on every lost race so they can never
+    * name the wrong version. */
+  def enableInCommitTimestamps(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    var attempt = 0
+    while (true) {
+      val snap = log.snapshot()
+      if (snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").exists(_.toBoolean)) return
+      val p = snap.protocol
+      val readerF = legacyReaderFeatures(snap)
+      val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+        else legacyWriterFeatures(snap)) + "inCommitTimestamp"
+      val v = snap.version + 1
+      val prev = try log.actionsAt(snap.version)
+        .collectFirst { case c: CommitInfo => c.effectiveTimestamp }.getOrElse(-1L)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+      val ict = math.max(System.currentTimeMillis(), prev + 1)
+      try {
+        log.commit(v, Seq(
+          Protocol(
+            if (readerF.nonEmpty) 3 else p.minReaderVersion, 7,
+            if (readerF.nonEmpty) Some(readerF)
+            else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
+            Some(writerF)),
+          snap.metadata.copy(configuration = snap.metadata.configuration ++ Map(
+            "delta.enableInCommitTimestamps" -> "true",
+            "delta.inCommitTimestampEnablementVersion" -> v.toString,
+            "delta.inCommitTimestampEnablementTimestamp" -> ict.toString)),
+          CommitInfo(ict, "SET TBLPROPERTIES",
+            Map("delta.enableInCommitTimestamps" -> "true"),
+            inCommitTimestamp = Some(ict))))
+        return
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+      }
+    }
+  }
+
+  /** The files' rows with their row-tracking identity attached:
+    * `__graft_row_id` / `__graft_rcv` (spec semantics — materialized
+    * column value when the file carries one, else baseRowId + physical
+    * row index / the file's defaultRowCommitVersion) alongside the usual
+    * `__graft_path`/`__graft_ri`/`__graft_block` meta columns. DV-masked
+    * rows are already dropped, and survivors keep their PHYSICAL
+    * indexes, so IDs are stable under deletion vectors by construction. */
+  private def withRowIdCols(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val matId = snap.metadata.configuration.get(RowIdColKey)
+    val matCv = snap.metadata.configuration.get(RowCommitColKey)
+    val extras = (matId.toSeq ++ matCv.toSeq).map(n => StructField(n, LongType))
+    val df = readFilesInternal(spark, log, snap, files, keepMeta = true, extras)
+    def normPath(p: String): String = new Path(p).toUri.getPath
+    val byPath: Map[String, (Long, Long)] = files.collect {
+      case f if f.baseRowId.nonEmpty =>
+        normPath(new Path(log.tableRoot, f.path).toString) ->
+          ((f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(-1L)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(byPath)
+    // same single-reference memo discipline as the DV filter: file_path
+    // is constant within a split, worst case under sharing is a
+    // redundant re-lookup, never a wrong pairing
+    val baseOf = {
+      var last: (String, Option[Long]) = (null, None)
+      udf { (p: String) =>
+        var l = last
+        if (l._1 != p) { l = (p, bc.value.get(normPath(p)).map(_._1)); last = l }
+        l._2
+      }
+    }
+    val cvOf = {
+      var last: (String, Option[Long]) = (null, None)
+      udf { (p: String) =>
+        var l = last
+        if (l._1 != p) {
+          l = (p, bc.value.get(normPath(p)).map(_._2).filter(_ >= 0)); last = l
+        }
+        l._2
+      }
+    }
+    val freshId = baseOf(col("__graft_path")) + col("__graft_ri")
+    val idCol = matId.map(n => coalesce(quoteCol(n), freshId)).getOrElse(freshId)
+    val freshCv = cvOf(col("__graft_path"))
+    val cvCol = matCv.map(n => coalesce(quoteCol(n), freshCv)).getOrElse(freshCv)
+    df.withColumn("__graft_row_id", idCol)
+      .withColumn("__graft_rcv", cvCol)
+      .drop(matId.toSeq ++ matCv.toSeq: _*)
+  }
+
+  /** Read the table with the spec's row-tracking identity surfaced as
+    * `_row_id` and `_row_commit_version` (fresh values from
+    * baseRowId + physical position, overridden by materialized columns
+    * where files carry them — both halves of the spec's definition). */
+  def readWithRowIds(spark: SparkSession, tableUri: String): DataFrame = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    require(rowTrackingSupported(snap),
+      s"$tableUri does not carry the rowTracking writer feature")
+    withRowIdCols(spark, log, snap, snap.files)
+      .drop("__graft_path", "__graft_ri", "__graft_block")
+      .withColumnRenamed("__graft_row_id", "_row_id")
+      .withColumnRenamed("__graft_rcv", "_row_commit_version")
+  }
+
+  /** The names of the materialized columns when preservation applies to
+    * this snapshot (row tracking ENABLED): rewrite inputs carry them,
+    * staged files keep them. Errors loudly if an enabled table is
+    * missing the names — preserving silently-fresh IDs would break the
+    * stability contract for every other reader. */
+  private[graft] def materializedRowIdCols(log: DeltaLog, snap: Snapshot): Option[(String, String)] = {
+    if (!rowTrackingEnabled(snap)) return None
+    val matId = snap.metadata.configuration.get(RowIdColKey)
+    val matCv = snap.metadata.configuration.get(RowCommitColKey)
+    require(matId.nonEmpty && matCv.nonEmpty,
+      s"row tracking is enabled on ${log.tableUri} but " +
+        s"$RowIdColKey/$RowCommitColKey are not set — a row-moving rewrite " +
+        "cannot preserve row IDs")
+    Some((matId.get, matCv.get))
+  }
+
+  /** Rewrite-input read for row-MOVING rewrites (compact, sort, z-order,
+    * DML survivor rewrites): on a row-tracking-ENABLED table the frame
+    * carries the materialized row-id/commit-version columns populated
+    * with each row's CURRENT identity, so staging it writes files whose
+    * rows keep their IDs — the spec's stability contract. On other
+    * tables this is exactly [[readFiles]]. */
+  private[graft] def readFilesPreservingRowIds(spark: SparkSession, log: DeltaLog,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    materializedRowIdCols(log, snap) match {
+      case None => readFiles(spark, log, snap, files)
+      case Some((matId, matCv)) =>
+        withRowIdCols(spark, log, snap, files)
+          .drop("__graft_path", "__graft_ri", "__graft_block")
+          .withColumnRenamed("__graft_row_id", matId)
+          .withColumnRenamed("__graft_rcv", matCv)
+    }
+
+  /** [[readFilesPreservingRowIds]] keeping the meta columns — the DV-mode
+    * DML flows need (file, row index) for the mask AND preserved identity
+    * for the staged postimages. */
+  private[graft] def readFilesWithMetaPreserving(spark: SparkSession, log: DeltaLog,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    materializedRowIdCols(log, snap) match {
+      case None => readFilesWithMeta(spark, log, snap, files)
+      case Some((matId, matCv)) =>
+        val df = withRowIdCols(spark, log, snap, files)
+          .withColumnRenamed("__graft_row_id", matId)
+          .withColumnRenamed("__graft_rcv", matCv)
+        // meta columns last, the order every consumer expects
+        df.select((df.columns.filterNot(_.startsWith("__graft_")).map(quoteCol) ++
+          Seq(col("__graft_path"), col("__graft_ri"), col("__graft_block"))).toSeq: _*)
+    }
+
+  /** Stats JSON with `"tightBounds":false` injected — the protocol's DV
+    * writer requirement: once a deletion vector masks rows, the file's
+    * min/max may be attained only by DELETED rows, so foreign engines
+    * that answer metadata-only MIN/MAX from tight stats must be told the
+    * bounds are wide. numRecords stays PHYSICAL (also per spec).
+    * Idempotent (re-masking a masked file re-puts the same flag); a
+    * rewrite that drops the DV restores tight stats for free, because
+    * staged files get fresh footer stats with no tightBounds field. */
+  private def widenStats(stats: Option[String]): Option[String] =
+    stats.map { s =>
+      try {
+        val node = new ObjectMapper().readTree(s)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("tightBounds", false)
+        node.toString
+      } catch { case scala.util.control.NonFatal(_) => s }
+    }
+
   /** Commit a DV-writing DML: every file with rows in `hitRows` gets
     * those rows masked by a fresh vector (files whose mask would cover
     * EVERY physical row are removed outright, no add; touched files
@@ -960,6 +1251,7 @@ object DeltaTable {
           spark.sessionState.newHadoopConf(), log.tableRoot, maskedFiles.map(_._2))
         maskedFiles.zip(offsets).map { case ((f, blob, card), off) =>
           f.copy(modificationTime = now, dataChange = true,
+            stats = widenStats(f.stats),
             deletionVector = Some(
               DeletionVectorDescriptor("u", z85, Some(off), blob.length, card)))
         }
@@ -1015,7 +1307,9 @@ object DeltaTable {
     val changes = readFiles(spark, log, snap, touched)
       .where(coalesce(predicate, lit(false)))
       .withColumn("_change_type", lit("delete"))
-    val survivors = readFiles(spark, log, snap, touched)
+    // surviving rows MOVE to new files — preserve their row-tracking
+    // identity on enabled tables (plain read otherwise)
+    val survivors = readFilesPreservingRowIds(spark, log, snap, touched)
       .where(not(coalesce(predicate, lit(false))))
     commitRewrite(spark, log, snap, touched, survivors, "DELETE",
       Map("candidateFiles" -> candidates.size.toString),
@@ -1118,6 +1412,29 @@ object DeltaTable {
       val rest = props - DvProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
+    }
+    // delta.checkpointPolicy=v2 requires the v2Checkpoint reader feature
+    // (delta-spark couples them the same way): without it, a legacy
+    // reader meets a checkpoint layout it cannot parse. One commit:
+    // protocol upgrade + the property.
+    val CpPolicy = "delta.checkpointPolicy"
+    if (props.get(CpPolicy).contains("v2")) {
+      val snap0 = log.snapshot()
+      val p = snap0.protocol
+      if (!p.readerFeatures.exists(_.contains("v2Checkpoint"))) {
+        val readerF = legacyReaderFeatures(snap0) + "v2Checkpoint"
+        val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+          else legacyWriterFeatures(snap0)) + "v2Checkpoint"
+        log.commitDml(snap0.version, Seq(
+          Protocol(3, 7, Some(readerF), Some(writerF)),
+          snap0.metadata.copy(configuration =
+            snap0.metadata.configuration + (CpPolicy -> "v2")),
+          CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+            Map(CpPolicy -> "v2"))))
+        val rest = props - CpPolicy
+        if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+        return
+      }
     }
     val plain = props -- Seq(ProtoR, ProtoW)
     val upgrade: Seq[Action] =
@@ -1276,8 +1593,13 @@ object DeltaTable {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }.toSeq.sortBy(_._1)
+    // the column name is interpolated into SQL: backtick-quote it, or a
+    // name needing quoting (space, hyphen, dot) breaks every data-adding
+    // write to the table (the generation EXPRESSION is user-authored SQL
+    // and quotes itself)
     val gens = generatedFields(snap).map { case (f, g) =>
-      (s"generated column ${f.name}", s"${f.name} <=> CAST(($g) AS ${f.dataType.sql})")
+      val q = "`" + f.name.replace("`", "``") + "`"
+      (s"generated column ${f.name}", s"$q <=> CAST(($g) AS ${f.dataType.sql})")
     }
     val all = cs ++ gens
     if (all.isEmpty) return
@@ -1328,7 +1650,13 @@ object DeltaTable {
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val hit = coalesce(predicate, lit(false))
+    // row tracking (enabled tables): an UPDATE is the same logical row —
+    // its materialized identity rides through the projection, so the
+    // postimage keeps the preimage's row ID (the spec's preservation)
+    val matNames = materializedRowIdCols(log, snap)
+      .map(t => Seq(t._1, t._2)).getOrElse(Nil)
     def applied(df: DataFrame, onlyMatches: Boolean) = {
+      val extras = matNames.filter(df.columns.contains)
       val assigned = df.select(fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(e) =>
@@ -1336,7 +1664,7 @@ object DeltaTable {
             (if (onlyMatches) v else when(hit, v).otherwise(col(f.name))).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      } ++ extras.map(quoteCol): _*)
       // regenerate computed columns from the POST-assignment row (a SET
       // of a dependency must flow through; unchanged rows recompute to
       // their existing value, so this is safe on the full-rewrite path)
@@ -1351,13 +1679,17 @@ object DeltaTable {
       // bytes). ONE cached hit frame feeds the mask, the postimages,
       // and the cdc rows, so they cannot diverge and the touched files
       // scan once
-      val hitRows = readFilesWithMeta(spark, log, snap, touched)
+      val hitRows = readFilesWithMetaPreserving(spark, log, snap, touched)
         .where(hit).cache()
       try {
         val pre = hitRows.drop("__graft_path", "__graft_ri", "__graft_block")
         val post = applied(pre, onlyMatches = true)
-        val changes = pre.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+        // cdc rows carry the table schema + _change_type only — the
+        // materialized identity columns are file-internal
+        val changes = pre.drop(matNames: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.drop(matNames: _*)
+            .withColumn("_change_type", lit("update_postimage")))
         checkConstraints(log, snap, post)
         val staged = stageWrite(spark, log, post, snap.metadata.partitionColumns,
           maxRecordsPerFile = None, dataChange = true, Some(snap))
@@ -1368,9 +1700,10 @@ object DeltaTable {
           cdc = stageCdc(spark, log, changes, snap))
       } finally hitRows.unpersist()
     }
-    val base = readFiles(spark, log, snap, touched)
-    val changes = base.where(hit).withColumn("_change_type", lit("update_preimage"))
-      .unionByName(applied(base.where(hit), onlyMatches = true)
+    val base = readFilesPreservingRowIds(spark, log, snap, touched)
+    val changes = base.where(hit).drop(matNames: _*)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(applied(base.where(hit), onlyMatches = true).drop(matNames: _*)
         .withColumn("_change_type", lit("update_postimage")))
     commitRewrite(spark, log, snap, touched, applied(base, onlyMatches = false),
       "UPDATE", Map("matchedFiles" -> touched.size.toString,
@@ -1740,9 +2073,15 @@ object DeltaTable {
     // target row's (file, row index) through, so modified rows can be
     // masked in place instead of rewriting their file
     val dvMode = dvWriteEnabled(log, snap)
+    // row tracking (enabled tables): the base carries each row's
+    // materialized identity, so updated rows' postimages and moved
+    // survivors keep their row IDs; inserted rows get null identity
+    // (fresh IDs from the staged file's baseRowId)
+    val matNames = materializedRowIdCols(log, snap)
+      .map(t => Seq(t._1, t._2)).getOrElse(Nil)
     val base = withNewCols(
-      if (dvMode) readFilesWithMeta(spark, log, snap, touched)
-      else readFiles(spark, log, snap, touched))
+      if (dvMode) readFilesWithMetaPreserving(spark, log, snap, touched)
+      else readFilesPreservingRowIds(spark, log, snap, touched))
     val joined = base.withColumn("__graft_rid", monotonically_increasing_id())
       .join(src, condition, "left_outer").cache()
     try {
@@ -1828,7 +2167,8 @@ object DeltaTable {
             .where(col("__graft_rn") === 1).drop("__graft_rn")
         }
       val survivors = deduped.where(keep)
-        .select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
+        .select(fields.toSeq.map(f => outField(f).as(f.name)) ++
+          matNames.map(quoteCol): _*)
 
       // inserts: source rows matching NO target row, first applicable
       // clause; anti against the candidate files (a pruned file is
@@ -1858,15 +2198,18 @@ object DeltaTable {
       val inserts0 = srcOnly.withColumn("__graft_ins", insIdx)
         .where(col("__graft_ins") =!= -1)
         .select(fields.toSeq.map(f => insField(f).as(f.name)) :+ col("__graft_ins"): _*)
-      val inserts = gens.foldLeft(inserts0) { case (d, (f, g)) =>
-        val provided = insertX.zipWithIndex.collect {
-          case ((_, sets), i) if sets.contains(f.name) => i
-        }
-        val isProvided = provided.map(i => col("__graft_ins") === i)
-          .foldLeft(lit(false))(_ || _)
-        d.withColumn(f.name,
-          when(isProvided, col(f.name)).otherwise(expr(g).cast(f.dataType)))
-      }.drop("__graft_ins")
+      val inserts = matNames.foldLeft(
+        gens.foldLeft(inserts0) { case (d, (f, g)) =>
+          val provided = insertX.zipWithIndex.collect {
+            case ((_, sets), i) if sets.contains(f.name) => i
+          }
+          val isProvided = provided.map(i => col("__graft_ins") === i)
+            .foldLeft(lit(false))(_ || _)
+          d.withColumn(f.name,
+            when(isProvided, col(f.name)).otherwise(expr(g).cast(f.dataType)))
+        })((d, n) =>
+          d.withColumn(n, lit(null).cast(org.apache.spark.sql.types.LongType)))
+        .drop("__graft_ins")
 
       // change feed: pre/post images for updates, deletes, inserts
       val updated = joined.where(
@@ -1881,7 +2224,8 @@ object DeltaTable {
         .select(fields.toSeq.map(f => col(f.name)): _*)
         .withColumn("_change_type", lit("delete"))
       val changes = pre.unionByName(post).unionByName(deleted)
-        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        .unionByName(inserts.drop(matNames: _*)
+          .withColumn("_change_type", lit("insert")))
 
       val params = Map("matchedFiles" -> touched.size.toString,
         "candidateFiles" -> candidates.size.toString,
@@ -1896,7 +2240,8 @@ object DeltaTable {
         // conservative by-source discovery) is left entirely alone.
         val postimages = deduped.where(
           updateIdxs.map(i => applied === i).foldLeft(lit(false))(_ || _))
-          .select(fields.toSeq.map(f => outField(f).as(f.name)): _*)
+          .select(fields.toSeq.map(f => outField(f).as(f.name)) ++
+            matNames.map(quoteCol): _*)
         val newData = postimages.unionByName(inserts)
         checkConstraints(log, effSnap, newData)
         val staged = stageWrite(spark, log, newData, snap.metadata.partitionColumns,

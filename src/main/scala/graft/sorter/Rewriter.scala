@@ -83,7 +83,9 @@ object Rewriter {
   def rewritePartition(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       group: RewriteGroup, cfg: SortConfig): PartitionMetrics = {
     val t0 = System.nanoTime()
-    val df = DeltaTable.readFiles(spark, log, snap, group.files)
+    // row-tracking-ENABLED tables: the read carries materialized row-id
+    // columns so the moved rows keep their IDs (spec stability contract)
+    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, group.files)
     val rows = if (cfg.targetFileSizeBytes.isDefined) footerRows(spark, log, group.files) else 0L
     val (sortedDf, maxRecords) = sorted(df, cfg, group.estimatedBytes, rows)
 
@@ -119,7 +121,7 @@ object Rewriter {
   def binPackPartition(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       group: RewriteGroup, targetBytes: Long): PartitionMetrics = {
     val t0 = System.nanoTime()
-    val df = DeltaTable.readFiles(spark, log, snap, group.files)
+    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, group.files)
     val bytes = group.estimatedBytes
     val rows = footerRows(spark, log, group.files)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -153,7 +155,7 @@ object Rewriter {
       cfg: SortConfig): PartitionMetrics = {
     val t0 = System.nanoTime()
     Validator.validateSortColumns(snap.schema, cfg.sortColumns)
-    val df = DeltaTable.readFiles(spark, log, snap, snap.files)
+    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, snap.files)
     val bytesIn = snap.files.map(_.size).sum
     val rows = if (cfg.targetFileSizeBytes.isDefined) footerRows(spark, log, snap.files) else 0L
     val (sortedDf, maxRecords) = sorted(df, cfg, bytesIn, rows)
@@ -189,7 +191,7 @@ object Rewriter {
       targetFileSizeBytes: Option[Long]): PartitionMetrics = {
     val t0 = System.nanoTime()
     Validator.validateSortColumns(snap.schema, zCols)
-    val df = DeltaTable.readFiles(spark, log, snap, snap.files)
+    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, snap.files)
     val bytesIn = snap.files.map(_.size).sum
     val rows = if (targetFileSizeBytes.isDefined) footerRows(spark, log, snap.files) else 0L
     val zcfg = SortConfig(Seq("_graft_z"), targetFileSizeBytes = targetFileSizeBytes)

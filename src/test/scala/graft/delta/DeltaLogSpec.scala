@@ -347,7 +347,8 @@ class DeltaLogSpec extends AnyFunSuite {
         |"stats":"{\"numRecords\":2}","tags":{"x":"y"},
         |"clusteringProvider":"liquid","baseRowId":7}}""".stripMargin))
     assert(add.contains(AddFile("p.parquet", Map.empty, 10L, 5L,
-      dataChange = true, stats = Some("""{"numRecords":2}"""))))
+      dataChange = true, stats = Some("""{"numRecords":2}"""),
+      baseRowId = Some(7L)))) // rowTracking fields parse (round 13)
     // EXCEPT deletionVector, which is semantic now: a present-but-
     // truncated descriptor fails loudly instead of resurrecting rows
     val e = intercept[IllegalArgumentException](Action.fromJson(mapper.readTree(
@@ -355,9 +356,11 @@ class DeltaLogSpec extends AnyFunSuite {
         |"modificationTime":5,"dataChange":true,
         |"deletionVector":{"storageType":"u"}}}""".stripMargin)))
     assert(e.getMessage.contains("malformed deletionVector"))
-    // unknown top-level action kinds replay as no-ops
+    // domainMetadata parses (round 13 — preserved, not dropped);
+    // genuinely unknown top-level action kinds still replay as no-ops
     assert(Action.fromJson(mapper.readTree(
-      """{"domainMetadata":{"domain":"d","configuration":"{}"}}""")).isEmpty)
+      """{"domainMetadata":{"domain":"d","configuration":"{}"}}"""))
+      .contains(DomainMetadata("d", "{}")))
     assert(Action.fromJson(mapper.readTree("""{"somethingNew":{}}""")).isEmpty)
   }
 

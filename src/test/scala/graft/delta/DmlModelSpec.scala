@@ -42,7 +42,26 @@ class DmlModelSpec extends AnyFunSuite {
     runRandomOpModel(TestSpark.tmpDir("dml-model-dv"), rndSeed = 987, dv = true)
   }
 
-  private def runRandomOpModel(dir: String, rndSeed: Int, dv: Boolean): Unit = {
+  test("random op sequences keep table == model under v2 CHECKPOINT policy") {
+    // same model + DV op set, but every checkpoint lands in the V2
+    // layout (uuid manifest + _delta_log/_sidecars) — replay, time
+    // travel, pruned reads, and vacuum must behave identically
+    runRandomOpModel(TestSpark.tmpDir("dml-model-v2cp"), rndSeed = 555,
+      dv = true, v2Checkpoints = true)
+  }
+
+  test("random op sequences keep ROW IDs stable wherever the spec demands") {
+    // row tracking ENABLED: at every step row IDs stay unique, and any
+    // key not replaced by an upsert since its ID was learned keeps that
+    // exact ID through deletes, updates, compacts, checkpoints, vacuum
+    runRandomOpModel(TestSpark.tmpDir("dml-model-rt"), rndSeed = 246,
+      dv = false, rowTracking = true)
+    runRandomOpModel(TestSpark.tmpDir("dml-model-rt-dv"), rndSeed = 135,
+      dv = true, rowTracking = true)
+  }
+
+  private def runRandomOpModel(dir: String, rndSeed: Int, dv: Boolean,
+      v2Checkpoints: Boolean = false, rowTracking: Boolean = false): Unit = {
     val rnd = new Random(rndSeed)
     val model = mutable.Map[Long, Long]()
 
@@ -51,7 +70,18 @@ class DmlModelSpec extends AnyFunSuite {
     seed.foreach { case (k, v) => model(k) = v }
     DeltaTable.create(spark, seed.toDF("k", "v").repartition(2), dir)
     if (dv) DeltaTable.enableDeletionVectors(spark, dir)
+    if (v2Checkpoints)
+      DeltaTable.setTblProperties(spark, dir, Map("delta.checkpointPolicy" -> "v2"))
+    if (rowTracking) DeltaTable.enableRowTracking(spark, dir)
     val log = DeltaLog.forTable(spark, dir)
+
+    def currentIds(): Map[Long, Long] =
+      DeltaTable.readWithRowIds(spark, dir)
+        .select(col("k"), col("_row_id")).as[(Long, Long)].collect().toMap
+    // key -> known row ID; None = replaced by an upsert since last
+    // learned (fresh ID legal), re-learned right after each step
+    val idModel = mutable.Map[Long, Option[Long]]()
+    if (rowTracking) currentIds().foreach { case (k, id) => idModel(k) = Some(id) }
 
     // committed version -> expected table contents at that version
     val history = mutable.Map[Long, Map[Long, Long]](0L -> model.toMap)
@@ -70,11 +100,15 @@ class DmlModelSpec extends AnyFunSuite {
             .distinctBy(_._1)
           DeltaTable.upsert(spark, dir, batch.toDF("k", "v"), Seq("k"))
           batch.foreach { case (k, v) => model(k) = v }
+          // upsert replaces matched rows n->1 and inserts the rest:
+          // both get fresh row IDs (re-learned below)
+          batch.foreach { case (k, _) => idModel(k) = None }
         case 2 => // delete a random key range
           val lo = rnd.nextLong().abs % Keys
           val hi = lo + rnd.nextInt(4)
           DeltaTable.delete(spark, dir, col("k").between(lo, hi))
           model.filterInPlace((k, _) => k < lo || k > hi)
+          idModel.filterInPlace((k, _) => k < lo || k > hi)
         case 3 => // maintenance compact: moves rows, changes none
           graft.sorter.DeltaSorter(spark, dir)
             .compact(graft.sorter.SortConfig(Seq("k")))
@@ -103,6 +137,18 @@ class DmlModelSpec extends AnyFunSuite {
       assert(tableState(dir) == model.toMap, s"state diverged at step $step")
       assert(log.snapshot().metadata.configuration.filter(_._1.startsWith("graft.")) ==
         propsModel.toMap, s"properties diverged at step $step")
+      if (rowTracking) {
+        val ids = currentIds()
+        assert(ids.keySet == model.keySet, s"row-id read diverged at step $step")
+        assert(ids.values.toSeq.distinct.size == ids.size,
+          s"row IDs must stay UNIQUE, step $step: $ids")
+        idModel.foreach {
+          case (k, Some(id)) => assert(ids(k) == id,
+            s"row ID of key $k changed ${id} -> ${ids(k)} at step $step " +
+              "(no upsert replaced it — the spec forbids this)")
+          case (k, None) => idModel(k) = Some(ids(k)) // learn the fresh ID
+        }
+      }
       // stats-pruned reads agree with the model under every interleaving
       val probe = rnd.nextLong().abs % Keys
       val pruned = DeltaTable.readWhere(spark, dir, s"k = $probe")

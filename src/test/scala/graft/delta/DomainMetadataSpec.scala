@@ -1,0 +1,97 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Domain Metadata (the protocol's `domainMetadata` action + writer
+  * feature): named system domains carrying a configuration string —
+  * delta-spark records clustering columns in one, row tracking keeps
+  * its high-water mark in `delta.rowTracking`. The engine's contract:
+  * replay latest-per-domain with removed tombstones, carry every live
+  * domain in the snapshot, re-emit them in checkpoints, and never drop
+  * a foreign domain on commit — silently losing one corrupts the
+  * owning writer's state for every other engine. */
+class DomainMetadataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeCommit(dir: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("replay: latest per domain wins, removed tombstones drop") {
+    val dir = TestSpark.tmpDir("domain-replay")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    log.commitLatest(Seq(
+      DomainMetadata("delta.clustering", """{"clusteringColumns":[["id"]]}"""),
+      DomainMetadata("vendor.custom", "v1")))
+    log.commitLatest(Seq(DomainMetadata("vendor.custom", "v2")))
+    val s1 = log.snapshot()
+    assert(s1.domains("vendor.custom").configuration == "v2",
+      "latest action per domain wins")
+    assert(s1.domains("delta.clustering").configuration.contains("clusteringColumns"))
+    log.commitLatest(Seq(DomainMetadata("vendor.custom", "", removed = true)))
+    val s2 = log.snapshot()
+    assert(!s2.domains.contains("vendor.custom"), "removed tombstone drops the domain")
+    assert(s2.domains.contains("delta.clustering"), "other domains unaffected")
+  }
+
+  test("foreign domains survive a checkpoint round-trip and our commits") {
+    val dir = TestSpark.tmpDir("domain-cp")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    log.commitLatest(Seq(DomainMetadata("vendor.custom", """{"k":"v"}""")))
+    // several engine commits, then a checkpoint, then more commits
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    log.checkpoint()
+    DeltaTable.append(spark, dir, Seq((3L, "c")).toDF("id", "name"))
+    // cold replay from the checkpoint (memoized incremental state dropped)
+    DeltaLog.invalidate(dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.domains.get("vendor.custom").exists(_.configuration == """{"k":"v"}"""),
+      s"domain must survive checkpoint + commits, got ${snap.domains}")
+    assert(DeltaTable.read(spark, dir).count() == 3)
+  }
+
+  test("a v7 table requiring domainMetadata is writable and preserves the domain") {
+    val dir = TestSpark.tmpDir("domain-v7")
+    val tmp = TestSpark.tmpDir("domain-v7-part")
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("name", org.apache.spark.sql.types.StringType)
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["domainMetadata","invariants"]}}""",
+      s"""{"metaData":{"id":"domain-v7","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"vendor.owner","configuration":"theirs","removed":false}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.domains.get("vendor.owner").exists(_.configuration == "theirs"))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
+  test("domainMetadata JSON round-trips through the parser") {
+    val d = DomainMetadata("delta.rowTracking", """{"rowIdHighWaterMark":41}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(Action.fromJson(mapper.readTree(d.json)).contains(d))
+    val t = DomainMetadata("x", "", removed = true)
+    assert(Action.fromJson(mapper.readTree(t.json)).contains(t))
+  }
+}

@@ -106,6 +106,43 @@ class DvCreationSpec extends AnyFunSuite {
     assert(deleted.exists(_.endsWith(".bin")))
   }
 
+  test("a masked add carries tightBounds=false stats; compact restores tight") {
+    // the protocol's DV writer requirement: once a vector masks rows the
+    // file's min/max may be attained only by deleted rows — engines that
+    // answer metadata-only MIN/MAX from tight stats must see the flag
+    val dir = mkTable("dv-create-tight")
+    DeltaTable.delete(spark, dir, col("id") < 3L)
+    val masked = DeltaLog.forTable(spark, dir).snapshot().files.head
+    assert(masked.deletionVector.nonEmpty)
+    assert(masked.stats.exists(_.contains("\"tightBounds\":false")),
+      s"masked add must widen its stats, got ${masked.stats}")
+    // numRecords stays PHYSICAL (the spec): 100 rows in the file
+    assert(masked.stats.exists(_.contains("\"numRecords\":100")))
+    // a rewrite that drops the vector gets fresh tight footer stats
+    graft.sorter.DeltaSorter(spark, dir).binPack()
+    val rewritten = DeltaLog.forTable(spark, dir).snapshot().files
+    assert(rewritten.forall(_.deletionVector.isEmpty))
+    assert(rewritten.forall(_.stats.exists(!_.contains("tightBounds"))),
+      "compacted files carry fresh tight stats")
+  }
+
+  test("change feed spanning a DV-purging compaction passes (dataChange=false)") {
+    val dir = mkTable("dv-create-feedspan")
+    DeltaTable.delete(spark, dir, col("id") < 5L)
+    graft.sorter.DeltaSorter(spark, dir).binPack() // purges the mask, dataChange=false
+    DeltaTable.append(spark, dir, Seq((1000L, "new")).toDF("id", "name"))
+    val v = DeltaLog.forTable(spark, dir).snapshot().version
+    // the range spans the compaction commit, whose dataChange=false
+    // removes carry DV descriptors and no cdc files — it changes no data
+    // and must NOT trip the DV guard
+    val feed = DeltaTable.changesBetween(spark, dir, 1, v)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet == (0L until 5L).toSet)
+    assert(feed.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet == Set(1000L),
+      "the compaction's moved rows must not appear as inserts")
+  }
+
   test("a DELETE covering a whole file removes it outright, no empty mask") {
     val dir = TestSpark.tmpDir("dv-create-gone")
     DeltaTable.create(spark,

@@ -388,22 +388,22 @@ class ForeignLogSpec extends AnyFunSuite {
   }
 
   test("writer protocol gate: unsupported writer features refuse commits by name") {
-    // a v7 table demanding rowTracking on write: appending blind would
-    // break the row-id/commit-version bookkeeping other writers maintain
-    // (deletionVectors moved OFF this list round 11: the engine now
-    // writes DV tables by resolving the vectors — DvMaintenanceSpec)
+    // a v7 table demanding icebergCompatV2 on write: appending blind
+    // would break the Iceberg-compat bookkeeping other writers maintain
+    // (deletionVectors moved OFF the refused list round 11, rowTracking
+    // round 13 — both are implemented now, RowTrackingSpec pins them)
     val dir = TestSpark.tmpDir("foreign-w7")
     val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
     writeCommit(dir, 0L, Seq(
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        s""""writerFeatures":["rowTracking","appendOnly"]}}""",
+        s""""writerFeatures":["icebergCompatV2","appendOnly"]}}""",
       metaJson,
       s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaTable.read(spark, dir).count() == 1, "reading stays fine")
     val e = intercept[IllegalStateException] {
       DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
     }
-    assert(e.getMessage.contains("unsupported writer feature rowTracking"))
+    assert(e.getMessage.contains("unsupported writer feature icebergCompatV2"))
 
     // all-supported feature list: writes flow
     val ok = TestSpark.tmpDir("foreign-w7-ok")

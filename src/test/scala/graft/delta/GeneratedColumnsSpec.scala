@@ -84,6 +84,37 @@ class GeneratedColumnsSpec extends AnyFunSuite {
       Set((100L, 200L), (2L, 4L)), "id2 must follow the new id")
   }
 
+  test("a generated column whose name needs quoting still verifies") {
+    // the verification SQL interpolates the column name — unquoted, a
+    // hyphenated name breaks every data-adding write to the table
+    val dir = TestSpark.tmpDir("gen-quoted")
+    val tmp = TestSpark.tmpDir("gen-quoted-part")
+    val oddSchema = new StructType()
+      .add("id", LongType)
+      .add("id-x 2", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.generationExpression", "id * 2").build())
+    Seq((1L, 2L)).toDF("id", "id-x 2").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"gen-quoted","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(oddSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    DeltaTable.append(spark, dir, Seq(5L).toDF("id")) // computes the odd column
+    assert(DeltaTable.read(spark, dir).select(col("id"), col("`id-x 2`"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L), (5L, 10L)))
+    // wrong provided values are still refused (verification ran)
+    val e = intercept[ConstraintViolationException] {
+      DeltaTable.append(spark, dir, Seq((9L, 5L)).toDF("id", "id-x 2"))
+    }
+    assert(e.getMessage.contains("generated column"))
+  }
+
   test("a v7 feature table listing generatedColumns is writable") {
     val dir = TestSpark.tmpDir("gen-v7")
     val tmp = TestSpark.tmpDir("gen-v7-part")

@@ -1,0 +1,84 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** In-Commit Timestamps (writer feature `inCommitTimestamp`,
+  * `delta.enableInCommitTimestamps`): once enabled, every commit's
+  * authoritative time is `commitInfo.inCommitTimestamp` — stamped
+  * monotonic at the commit chokepoint, recorded as the FIRST action, and
+  * preferred by history and timestamp time travel. The enablement
+  * version/timestamp properties pin exactly where ICTs begin. */
+class InCommitTimestampSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("enable stamps every later commit; commitInfo is first; monotonic") {
+    val dir = TestSpark.tmpDir("ict-basic")
+    DeltaTable.create(spark,
+      Seq((1L, "a")).toDF("id", "name"), dir)
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val enableV = log.snapshot().version
+    val conf = log.snapshot().metadata.configuration
+    assert(conf("delta.inCommitTimestampEnablementVersion") == enableV.toString)
+    // the enablement timestamp equals the enabling commit's own ICT
+    val enableIct = log.actionsAt(enableV)
+      .collectFirst { case c: CommitInfo => c.inCommitTimestamp }.flatten
+    assert(enableIct.map(_.toString) ==
+      Some(conf("delta.inCommitTimestampEnablementTimestamp")))
+
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    DeltaTable.delete(spark, dir, col("id") === 1L)
+    ((enableV + 1) to log.snapshot().version).foreach { v =>
+      val actions = log.actionsAt(v)
+      val info = actions.collectFirst { case c: CommitInfo => c }.get
+      assert(info.inCommitTimestamp.nonEmpty, s"version $v must carry an ICT")
+      assert(actions.head.isInstanceOf[CommitInfo],
+        s"version $v: commitInfo must be the FIRST action (spec)")
+    }
+    val icts = (enableV to log.snapshot().version).map(v =>
+      log.actionsAt(v).collectFirst { case c: CommitInfo => c.effectiveTimestamp }.get)
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"ICTs must be strictly monotonic, got $icts")
+  }
+
+  test("TIMESTAMP AS OF resolves from the stamped values") {
+    val dir = TestSpark.tmpDir("ict-tt")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    val log = DeltaLog.forTable(spark, dir)
+    val v = log.snapshot().version
+    val ictAtV = log.actionsAt(v)
+      .collectFirst { case c: CommitInfo => c.effectiveTimestamp }.get
+    assert(log.versionAtTimestamp(ictAtV) == v)
+    assert(log.versionAtTimestamp(ictAtV - 1) == v - 1,
+      "a timestamp just below the ICT resolves to the previous version")
+    // history reports the ICT, not the wall-clock field
+    val histTs = DeltaTable.history(spark, dir)
+      .where(col("version") === v).select("timestamp").as[Long].collect()(0)
+    assert(histTs == ictAtV)
+  }
+
+  test("a foreign ICT table accepts our DML and stays monotonic past a skewed clock") {
+    // fixture: enablement done, last commit's ICT is FAR IN THE FUTURE
+    // (a writer with a skewed clock) — our next commit must still stamp
+    // strictly greater, not jump back to our wall-clock
+    val dir = TestSpark.tmpDir("ict-skew")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val future = System.currentTimeMillis() + 3600_000L
+    log.commitLatest(Seq(CommitInfo(future, "WRITE", Map.empty,
+      inCommitTimestamp = Some(future))))
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    val v = log.snapshot().version
+    val ict = log.actionsAt(v)
+      .collectFirst { case c: CommitInfo => c.inCommitTimestamp }.flatten.get
+    assert(ict == future + 1,
+      s"monotonicity: next ICT must be prev+1 under clock skew, got $ict")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Row Tracking (the protocol's `rowTracking` writer feature, backed by
+  * `domainMetadata`): every AddFile carries a fresh-row-ID block
+  * (`baseRowId`, `defaultRowCommitVersion`) assigned at the commit
+  * chokepoint from the `delta.rowTracking` domain's high-water mark; a
+  * row's ID is the materialized column value when its file carries one,
+  * else baseRowId + physical index. On ENABLED tables every row-moving
+  * operation must PRESERVE IDs — this spec pins append + DELETE +
+  * compact round-tripping with stable IDs, the high-water mark
+  * advancing, remove-side preservation, and checkpoint carry. */
+class RowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hwm(dir: String): Long = {
+    val d = DeltaLog.forTable(spark, dir).snapshot()
+      .domains(DeltaLog.RowTrackingDomain).configuration
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(d).get("rowIdHighWaterMark").asLong()
+  }
+
+  private def idsByName(dir: String): Map[String, Long] =
+    DeltaTable.readWithRowIds(spark, dir)
+      .select(col("name"), col("_row_id")).as[(String, Long)]
+      .collect().toMap
+
+  test("enable + append assigns contiguous fresh IDs and advances the mark") {
+    val dir = TestSpark.tmpDir("rt-append")
+    DeltaTable.create(spark,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    val snap0 = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap0.files.forall(_.baseRowId.nonEmpty),
+      "enablement must backfill base row IDs onto existing files")
+    assert(hwm(dir) == 9, s"10 rows -> high-water mark 9, got ${hwm(dir)}")
+    val ids0 = DeltaTable.readWithRowIds(spark, dir)
+      .select("_row_id").as[Long].collect().toSet
+    assert(ids0 == (0L until 10L).toSet, s"fresh IDs 0..9, got $ids0")
+
+    DeltaTable.append(spark, dir,
+      (10 until 15).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    assert(hwm(dir) == 14)
+    val withV = DeltaTable.readWithRowIds(spark, dir)
+      .select(col("_row_id"), col("_row_commit_version")).as[(Long, Long)].collect()
+    assert(withV.map(_._1).toSet == (0L until 15L).toSet, "IDs stay unique")
+    val appendV = DeltaLog.forTable(spark, dir).snapshot().version
+    assert(withV.filter(_._1 >= 10).forall(_._2 == appendV),
+      "appended rows carry the appending commit's version")
+  }
+
+  test("append + DELETE + compact keep row IDs stable (the spec's contract)") {
+    val dir = TestSpark.tmpDir("rt-stable")
+    DeltaTable.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    DeltaTable.append(spark, dir,
+      (20 until 30).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    val before = idsByName(dir)
+    assert(before.size == 30 && before.values.toSet.size == 30)
+
+    // DELETE (survivor rewrite — rows MOVE): survivors keep their IDs
+    DeltaTable.delete(spark, dir, col("id") >= 5L && col("id") < 10L)
+    val afterDelete = idsByName(dir)
+    assert(afterDelete.size == 25)
+    afterDelete.foreach { case (n, rid) =>
+      assert(before(n) == rid, s"row $n changed ID across DELETE: ${before(n)} -> $rid")
+    }
+
+    // compact (pure move): IDs must survive the rewrite too
+    graft.sorter.DeltaSorter(spark, dir).binPack()
+    val afterCompact = idsByName(dir)
+    assert(afterCompact.size == 25)
+    afterCompact.foreach { case (n, rid) =>
+      assert(before(n) == rid, s"row $n changed ID across compact: ${before(n)} -> $rid")
+    }
+
+    // and a full sorted overwrite (every row moves)
+    graft.sorter.DeltaSorter(spark, dir).compact(
+      graft.sorter.SortConfig(Seq("name"), repartitionBySortKey = true))
+    val afterSort = idsByName(dir)
+    afterSort.foreach { case (n, rid) =>
+      assert(before(n) == rid, s"row $n changed ID across sort: ${before(n)} -> $rid")
+    }
+  }
+
+  test("DV-mode DELETE and UPDATE keep IDs without materialization cost") {
+    val dir = TestSpark.tmpDir("rt-dv")
+    DeltaTable.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    val before = idsByName(dir)
+    DeltaTable.delete(spark, dir, col("id") < 3L) // masks rows in place
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.exists(_.deletionVector.nonEmpty))
+    idsByName(dir).foreach { case (n, rid) => assert(before(n) == rid) }
+    // UPDATE: postimage staged with the preimage's materialized identity
+    DeltaTable.update(spark, dir, col("id") === 15L,
+      Map("name" -> org.apache.spark.sql.functions.lit("renamed")))
+    val after = idsByName(dir)
+    assert(after("renamed") == before("r15"),
+      "an UPDATE is the same logical row — its ID must survive")
+  }
+
+  test("removes preserve the row-ID block; checkpoint carries it") {
+    val dir = TestSpark.tmpDir("rt-remove")
+    DeltaTable.create(spark,
+      (0 until 4).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.append(spark, dir,
+      (4 until 8).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    DeltaTable.enableRowTracking(spark, dir)
+    val baseByPath = DeltaLog.forTable(spark, dir).snapshot()
+      .files.map(f => f.path -> f.baseRowId).toMap
+    graft.sorter.DeltaSorter(spark, dir).binPack() // packs 2 files into 1
+    val log = DeltaLog.forTable(spark, dir)
+    val v = log.snapshot().version
+    val removes = log.actionsAt(v).collect { case r: RemoveFile => r }
+    assert(removes.nonEmpty && removes.forall(r => r.baseRowId == baseByPath(r.path)),
+      s"the remove must carry the removed file's row-ID block, got $removes")
+    // checkpoint round-trip: base row IDs and the domain survive
+    log.checkpoint()
+    DeltaLog.invalidate(dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.forall(_.baseRowId.nonEmpty))
+    assert(snap.domains.contains(DeltaLog.RowTrackingDomain))
+    assert(DeltaTable.readWithRowIds(spark, dir)
+      .select("_row_id").as[Long].collect().toSet == (0L until 8L).toSet)
+  }
+
+  test("a foreign rowTracking table (explicit baseRowIds) reads and accepts DML") {
+    // fixture shaped like a managed-runtime table: v3/v7 protocol with
+    // rowTracking+domainMetadata, adds carrying explicit row-ID blocks
+    val dir = TestSpark.tmpDir("rt-foreign")
+    val tmp = TestSpark.tmpDir("rt-foreign-part")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("name", org.apache.spark.sql.types.StringType)
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["rowTracking","domainMetadata","invariants"]}}""",
+      s"""{"metaData":{"id":"rt-foreign","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":""" +
+        """"{\"rowIdHighWaterMark\":41}","removed":false}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true,"baseRowId":40,""" +
+        s""""defaultRowCommitVersion":0}}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    assert(DeltaTable.readWithRowIds(spark, dir)
+      .select(col("name"), col("_row_id")).as[(String, Long)].collect().toMap ==
+      Map("a" -> 40L, "b" -> 41L))
+    // our append continues PAST the foreign high-water mark
+    DeltaTable.append(spark, dir, Seq((3L, "c")).toDF("id", "name"))
+    val ids = DeltaTable.readWithRowIds(spark, dir)
+      .select(col("name"), col("_row_id")).as[(String, Long)].collect().toMap
+    assert(ids("c") == 42L, s"fresh IDs continue from the foreign mark, got $ids")
+    assert(hwm(dir) == 42L)
+  }
+}
