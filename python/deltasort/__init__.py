@@ -172,6 +172,28 @@ class SortOptimizer:
         baseRowId + physical row index)."""
         return self._wrap(self._j.readWithRowIdsDf())
 
+    def enable_clustering(self, cols: list[str]) -> None:
+        """Declare clustering columns (the liquid-clustering analog):
+        protocol upgrade carrying ``clustering`` + ``domainMetadata``
+        and the ``delta.clustering`` domain. Layout is advisory until
+        the next ``clustered_compact``."""
+        self._j.enableClustering(self._jlist(list(cols)))
+
+    def clustered_compact(self, target_file_size_bytes: Optional[int] = None) -> dict:
+        """OPTIMIZE a clustered table by its recorded clustering columns
+        (z-order for several, range sort for one)."""
+        tfs = None
+        if target_file_size_bytes is not None:
+            tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
+        return json.loads(self._j.clusteredCompact(tfs))
+
+    def cleanup_expired_logs(self) -> list:
+        """Delete expired pre-checkpoint transaction-log files
+        (``delta.logRetentionDuration``, default 30 days); returns the
+        deleted names. The log directory stays O(retention window)
+        instead of one file per commit forever."""
+        return json.loads(self._j.cleanupExpiredLogs())
+
     def restore(self, version: int) -> dict:
         """Roll the table back to ``version`` as a NEW commit (history is
         preserved; a second restore can undo the first). Metadata-only at

@@ -48,6 +48,18 @@ def test_in_commit_timestamps_drive_history(spark, tmp_table):
     assert "delta.inCommitTimestampEnablementVersion" in props
 
 
+def test_clustering_and_log_cleanup(spark, tmp_table):
+    write_table(spark, tmp_table, [(i, f"r{i}") for i in range(50)], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_clustering(["k"])
+    summary = opt.clustered_compact(target_file_size_bytes=1 << 20)
+    assert summary["files_in"] >= 1 and summary["files_out"] >= 1
+    domains = opt.detail()["domains"]
+    assert '"k"' in domains["delta.clustering"]
+    # cleanup is a no-op on a young log (30-day default retention)
+    assert opt.cleanup_expired_logs() == []
+
+
 def test_describe_columns_exposes_identity_and_generation(spark, tmp_path):
     # author a v6-style foreign fixture: identity + generated column
     # metadata in the schema, the delta-spark field-metadata convention

@@ -94,6 +94,20 @@ object Bench {
       foreignJvmsMax = math.max(foreignJvmsMax, foreignJvms())
       load1mMax = math.max(load1mMax, loadAvg().headOption.getOrElse(0.0))
     }
+    // TEST HARNESS ONLY (the driver never sets it): inject synthetic
+    // slowness into a query's executions by per-call pattern —
+    // "q_x:1500:ssfs" makes q_x's calls 1,2,4 sleep 1.5s and call 3 run
+    // clean (calls past the pattern run clean). The deterministic
+    // stand-in for external load when validating the salvage pass; real
+    // CPU burners can't reliably contend on a 32-core box.
+    val chaos: Map[String, (Long, String)] = sys.env.get("SPARK_GRAFT_BENCH_CHAOS")
+      .map(_.split(",").flatMap { spec =>
+        spec.split(":") match {
+          case Array(q, ms, pattern) => Some(q -> ((ms.toLong, pattern)))
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    val chaosCall = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     // One timed execution of a query (shared by the main loop and the
     // salvage pass): noop sink materializes every output column
     // (count() would let Spark prune the projections of map-only
@@ -103,6 +117,11 @@ object Bench {
         : Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
+        chaos.get(name).foreach { case (ms, pattern) =>
+          val i = chaosCall(name)
+          chaosCall(name) = i + 1
+          if (i < pattern.length && pattern.charAt(i) == 's') Thread.sleep(ms)
+        }
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {

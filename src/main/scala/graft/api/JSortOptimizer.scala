@@ -186,6 +186,28 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def readWithRowIdsDf(): org.apache.spark.sql.DataFrame =
     graft.delta.DeltaTable.readWithRowIds(spark, tableUri)
 
+  /** Declare clustering columns (liquid-clustering analog): protocol
+    * upgrade + the `delta.clustering` domain. */
+  def enableClustering(cols: java.util.List[String]): Unit =
+    graft.delta.DeltaTable.enableClustering(spark, tableUri, cols.asScala.toSeq)
+
+  /** OPTIMIZE a clustered table by its recorded clustering columns. */
+  def clusteredCompact(targetFileSizeBytes: java.lang.Long): String = {
+    val summary = sorter.clusteredCompact(
+      Option(targetFileSizeBytes).map(_.longValue()))
+    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
+      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
+      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
+      s""""duration_ms":${summary.durationMs}}"""
+  }
+
+  /** Delete expired pre-checkpoint log files
+    * (`delta.logRetentionDuration`); returns the deleted names. */
+  def cleanupExpiredLogs(): String = {
+    val deleted = graft.delta.DeltaLog.forTable(spark, tableUri).cleanupExpiredLogs()
+    deleted.map(js).mkString("[", ",", "]")
+  }
+
   /** VACUUM: delete unreferenced data files older than the retention
     * window. `force = false` enforces the table's
     * delta.deletedFileRetentionDuration floor (default 7 days) —

@@ -521,6 +521,75 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     deleted.toSeq
   }
 
+  /** Delete EXPIRED transaction-log files — commit JSON and superseded
+    * checkpoints strictly BELOW the newest complete checkpoint whose
+    * modification time is older than the retention window
+    * (`delta.logRetentionDuration`, default 30 days — delta-spark's
+    * metadata-cleanup analog). On a 100 TB table fed by a streaming
+    * sink the log grows by one JSON file per commit forever; without
+    * cleanup a million-commit table pays a million-entry directory
+    * listing on every snapshot.
+    *
+    * Safety: everything at or above the newest complete checkpoint is
+    * kept unconditionally (replay needs it), the `_last_checkpoint`
+    * pointer is untouched, and v2 sidecar files are deleted only when
+    * no RETAINED manifest references them (foreign writers may share
+    * sidecars across checkpoints). Time travel below the checkpoint was
+    * already impossible after ordinary vacuuming of the data files; the
+    * existing "missing JSON commits" error covers the metadata side.
+    * Returns the deleted file names. */
+  def cleanupExpiredLogs(retentionMsOverride: Option[Long] = None): Seq[String] = {
+    val cp = listCheckpointVersions().lastOption.getOrElse(return Nil)
+    val retentionMs = retentionMsOverride.getOrElse(
+      DeltaLog.intervalMs(
+        snapshot().metadata.configuration.get("delta.logRetentionDuration"),
+        30L * 24 * 3600 * 1000))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val statuses = fs.listStatus(logPath).toSeq
+    val names = statuses.map(_.getPath.getName)
+    // sidecars referenced by any RETAINED v2 manifest must survive
+    val retainedManifests = names.filter(n =>
+      Checkpoints.v2ManifestVersion(n).exists(_ >= cp.version))
+    val referenced: Set[String] =
+      if (retainedManifests.isEmpty) Set.empty
+      else (sparkOpt, scala.util.Try(retainedManifests.flatMap(n =>
+        Checkpoints.readActions(sparkOpt.orNull, Seq(new Path(logPath, n)))
+          .collect { case s: SidecarFile => s.path }))) match {
+        case (Some(_), scala.util.Success(refs)) => refs.toSet
+        // cannot inspect the retained manifests — refuse to guess which
+        // sidecars are live rather than risk deleting one
+        case _ => return Nil
+      }
+    def version(n: String): Option[Long] =
+      if (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+        Some(n.stripSuffix(".json").toLong)
+      else if (n.matches("""\d{20}\.checkpoint(\.\d{10}\.\d{10})?\.parquet"""))
+        Some(n.take(20).toLong)
+      else Checkpoints.v2ManifestVersion(n)
+    val deleted = Seq.newBuilder[String]
+    statuses.foreach { st =>
+      val n = st.getPath.getName
+      version(n) match {
+        case Some(v) if v < cp.version && st.getModificationTime < cutoff =>
+          if (fs.delete(st.getPath, false)) deleted += n
+        case _ => ()
+      }
+    }
+    // orphaned, expired sidecars (their manifests are gone or retained
+    // manifests don't name them)
+    val sidecarDir = new Path(logPath, "_sidecars")
+    if (fs.exists(sidecarDir)) fs.listStatus(sidecarDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet") && !referenced.contains(n) &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += s"_sidecars/$n"
+      }
+    }
+    val out = deleted.result()
+    if (out.exists(_.endsWith(".json"))) cachedSnapshot = None // replay shape changed
+    out
+  }
+
   /** Writer protocol gate, enforced at the commit chokepoint (the
     * mirror of replay's reader gate): committing to a table whose
     * protocol demands writer capabilities we don't implement would
@@ -733,8 +802,17 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   private def maybeCheckpoint(version: Long): Unit =
     if (sparkOpt.nonEmpty && checkpointInterval > 0 &&
         version > 0 && version % checkpointInterval == 0) {
-      try checkpoint()
-      catch {
+      try {
+        checkpoint()
+        // metadata cleanup rides checkpoint time (the delta-spark
+        // convention): expired pre-checkpoint log files age out so the
+        // log directory stays O(retention window), not O(table
+        // lifetime). Opt out with delta.enableExpiredLogCleanup=false;
+        // the 30-day default retention makes it a no-op on young logs.
+        if (!snapshot().metadata.configuration
+            .get("delta.enableExpiredLogCleanup").exists(_.toBoolean == false))
+          cleanupExpiredLogs()
+      } catch {
         case e: Exception =>
           System.err.println(s"[delta] checkpoint at $version failed (commit is safe): $e")
       }
@@ -899,16 +977,22 @@ object DeltaLog {
     *    — the schemaString's `variant` columns parse, and the parquet
     *    readers decode the binary (metadata, value) pair; variant
     *    columns carry no stats, so skipping makes no claim on them
-    *    (VariantReadSpec pins read + to_json + variant_get).
-    *    `variantShredding-preview` stays refused: the shredded physical
-    *    layout (typed_value subcolumns) is a different contract;
+    *    (VariantReadSpec pins read + to_json + variant_get);
+    *  - `variantShredding` (+ preview name): the shredded physical
+    *    layout (typed_value subcolumns under the VARIANT group) is
+    *    reassembled natively by Spark 4's parquet row converter
+    *    (`spark.sql.variant.allowReadingShredded`, on by default) —
+    *    the same explicit-schema scan reads shredded and unshredded
+    *    files identically (VariantReadSpec pins a shredded fixture
+    *    against its unshredded twin);
     *  - `columnMapping` is accepted conditionally (mode=name only —
     *    replay adds it to the allowed set after checking the mode).
     * Everything else — unknown names — changes value encoding in ways
     * we cannot decode and must fail loudly. */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint",
-      "typeWidening", "typeWidening-preview", "variantType", "variantType-preview")
+      "typeWidening", "typeWidening-preview", "variantType", "variantType-preview",
+      "variantShredding", "variantShredding-preview")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /
@@ -957,7 +1041,13 @@ object DeltaLog {
     // v2Checkpoint (reader-writer feature): reads expand the UUID-named
     // manifest + sidecars (Checkpoints.read); writes honor
     // delta.checkpointPolicy=v2 with the same layout (Checkpoints.writeV2)
-    "v2Checkpoint")
+    "v2Checkpoint",
+    // clustering (Clustered Table): the clustering columns live in the
+    // delta.clustering domain, which every commit and checkpoint now
+    // preserves; clustering itself is an advisory LAYOUT property, so
+    // ordinary writes are protocol-safe, and clusteredCompact
+    // re-clusters by the domain's columns (z-order)
+    "clustering")
 
   /** The domain name Row Tracking keeps its row-ID high-water mark in. */
   val RowTrackingDomain = "delta.rowTracking"
@@ -967,9 +1057,15 @@ object DeltaLog {
     * weeks|days|hours|minutes|seconds`, delta's convention), default
     * 7 days. Unparseable values fall back to the default — a typo must
     * not silently drop the floor to zero. */
-  private[delta] def retentionFloorMs(configuration: Map[String, String]): Long = {
-    val Default = 7L * 24 * 3600 * 1000
-    configuration.get("delta.deletedFileRetentionDuration").map { v =>
+  private[delta] def retentionFloorMs(configuration: Map[String, String]): Long =
+    intervalMs(configuration.get("delta.deletedFileRetentionDuration"),
+      7L * 24 * 3600 * 1000)
+
+  /** Parse a delta `interval N weeks|days|hours|minutes|seconds`
+    * property value; unparseable values fall back to the default — a
+    * typo must not silently drop a retention window to zero. */
+  private[delta] def intervalMs(value: Option[String], defaultMs: Long): Long =
+    value.map { v =>
       val Interval = """(?i)\s*interval\s+(\d+)\s+(week|day|hour|minute|second)s?\s*""".r
       v match {
         case Interval(n, unit) =>
@@ -981,10 +1077,9 @@ object DeltaLog {
             case "second" => 1000L
           }
           n.toLong * ms
-        case _ => Default
+        case _ => defaultMs
       }
-    }.getOrElse(Default)
-  }
+    }.getOrElse(defaultMs)
 
   /** Memoized [[DeltaLog]] instances per table path (access-order LRU,
     * bounded). Reusing the instance is what makes the incremental

@@ -1041,6 +1041,68 @@ object DeltaTable {
     ()
   }
 
+  // ---- clustered tables -----------------------------------------------
+
+  /** The domain liquid clustering keeps its column list in. */
+  val ClusteringDomain = "delta.clustering"
+
+  /** A clustered table's clustering columns from the `delta.clustering`
+    * domain (`{"clusteringColumns":[["c1"],["nested","leaf"]]}`), outer
+    * list = columns, inner = name path. Empty when the table is not
+    * clustered (or the domain was cleared — a legal declustering). */
+  def clusteringColumns(snap: Snapshot): Seq[Seq[String]] =
+    snap.domains.get(ClusteringDomain).toSeq.flatMap { d =>
+      try {
+        val node = new ObjectMapper().readTree(d.configuration).get("clusteringColumns")
+        if (node == null) Nil
+        else {
+          val it = node.elements()
+          val out = Seq.newBuilder[Seq[String]]
+          while (it.hasNext) {
+            val path = it.next().elements()
+            val segs = Seq.newBuilder[String]
+            while (path.hasNext) segs += path.next().asText()
+            out += segs.result()
+          }
+          out.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
+  /** Declare (or change) a table's clustering columns: upgrades the
+    * protocol to carry `clustering` + its prerequisite `domainMetadata`
+    * and writes the `delta.clustering` domain — the shape delta-spark's
+    * CLUSTER BY produces. Layout is advisory: data is re-clustered by
+    * the next [[graft.sorter.DeltaSorter.clusteredCompact]], not by this
+    * commit. Clustered tables cannot also be hive-partitioned. */
+  def enableClustering(spark: SparkSession, tableUri: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "clustering requires at least one column")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    require(snap.metadata.partitionColumns.isEmpty,
+      s"cannot cluster $tableUri: clustered tables cannot be hive-partitioned " +
+        s"(partitioned by ${snap.metadata.partitionColumns.mkString(", ")})")
+    cols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"clustering column $c not in table schema"))
+    val p = snap.protocol
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else legacyWriterFeatures(snap)) ++ Set("clustering", "domainMetadata")
+    val readerF = legacyReaderFeatures(snap)
+    val domainJson = cols.map(c =>
+      "[" + Action.jstr(c) + "]").mkString("""{"clusteringColumns":[""", ",", "]}")
+    log.commitDml(snap.version, Seq(
+      Protocol(
+        if (readerF.nonEmpty) 3 else p.minReaderVersion, 7,
+        if (readerF.nonEmpty) Some(readerF)
+        else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
+        Some(writerF)),
+      DomainMetadata(ClusteringDomain, domainJson),
+      CommitInfo(System.currentTimeMillis(), "CLUSTER BY",
+        Map("clusteringColumns" -> cols.mkString(",")))))
+    ()
+  }
+
   /** Opt a table into In-Commit Timestamps (`delta.enableInCommitTimestamps`
     * + the `inCommitTimestamp` writer feature): from the enablement
     * commit on, every commit's authoritative time is the monotonic
@@ -1410,6 +1472,24 @@ object DeltaTable {
     if (props.get(DvProp).exists(_.toBoolean)) {
       enableDeletionVectors(spark, tableUri)
       val rest = props - DvProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
+    // likewise, these enablement properties imply a protocol upgrade
+    // (and, for row tracking, the base-row-ID backfill) — a bare
+    // property would leave a half-enabled table that silently behaves
+    // as disabled
+    val RtProp = "delta.enableRowTracking"
+    if (props.get(RtProp).exists(_.toBoolean)) {
+      enableRowTracking(spark, tableUri)
+      val rest = props - RtProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
+    val IctProp = "delta.enableInCommitTimestamps"
+    if (props.get(IctProp).exists(_.toBoolean)) {
+      enableInCommitTimestamps(spark, tableUri)
+      val rest = props - IctProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
     }

@@ -228,6 +228,32 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     summarize(Seq(m), t0)
   }
 
+  /** OPTIMIZE on a CLUSTERED table (liquid clustering): re-cluster the
+    * data by the columns recorded in the table's `delta.clustering`
+    * domain — multi-column via the z-order interleave, single-column via
+    * a plain range sort (strictly better locality than a degenerate
+    * z-curve). Errors if the table has no clustering domain; use
+    * [[graft.delta.DeltaTable.enableClustering]] first. The commit is
+    * dataChange=false like every maintenance rewrite. */
+  def clusteredCompact(targetFileSizeBytes: Option[Long] = None): RunSummary = {
+    val snap = deltaLog.snapshot()
+    val paths = graft.delta.DeltaTable.clusteringColumns(snap)
+    require(paths.nonEmpty,
+      s"$tableUri has no delta.clustering domain — not a clustered table " +
+        "(DeltaTable.enableClustering declares one)")
+    require(paths.forall(_.size == 1),
+      s"nested clustering columns are not supported yet: " +
+        paths.filter(_.size > 1).map(_.mkString(".")).mkString(", "))
+    val cols = paths.map(_.head)
+    if (cols.size == 1) {
+      val t0 = System.nanoTime()
+      val m = Rewriter.rewritePartition(spark, deltaLog, snap,
+        RewriteGroup(None, snap.files, snap.files.map(_.size).sum),
+        SortConfig(cols, targetFileSizeBytes = targetFileSizeBytes))
+      summarize(Seq(m), t0)
+    } else zorderCompact(cols, targetFileSizeBytes = targetFileSizeBytes)
+  }
+
   private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
 
   private def summarize(metrics: Seq[PartitionMetrics], t0: Long): RunSummary = {

@@ -1,0 +1,113 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Clustered tables (liquid clustering — the `clustering` writer
+  * feature + the `delta.clustering` domain): managed runtimes create
+  * these BY DEFAULT now, so refusing writes made every new foreign
+  * table read-only. Clustering is an advisory LAYOUT property; with
+  * domain metadata preserved on every commit/checkpoint, ordinary
+  * writes are protocol-safe, and `clusteredCompact` re-clusters by the
+  * domain's columns. */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("enableClustering declares the domain; clusteredCompact clusters by it") {
+    val dir = TestSpark.tmpDir("cluster-basic")
+    DeltaTable.create(spark,
+      (0 until 4000).map(i => ((i * 37 % 4000).toLong, (i * 91 % 4000).toLong, s"r$i"))
+        .toDF("a", "b", "v").repartition(4), dir)
+    DeltaTable.enableClustering(spark, dir, Seq("a", "b"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DeltaTable.clusteringColumns(snap) == Seq(Seq("a"), Seq("b")))
+    assert(snap.protocol.writerFeatures.exists(f =>
+      f.contains("clustering") && f.contains("domainMetadata")))
+
+    val summary = graft.sorter.DeltaSorter(spark, dir)
+      .clusteredCompact(targetFileSizeBytes = Some(8L * 1024))
+    assert(summary.filesOut > 1, s"expected several clustered files, got $summary")
+    // clustered layout: a selective range on EITHER column prunes files
+    val after = DeltaLog.forTable(spark, dir).snapshot()
+    def prunedCount(pred: String): Int =
+      DataSkipping.prune(after.files, after.schema,
+        spark.sessionState.sqlParser.parseExpression(pred)).size
+    assert(prunedCount("a >= 0 and a < 100") < after.files.size,
+      "range on column a must prune clustered files")
+    assert(prunedCount("b >= 0 and b < 100") < after.files.size,
+      "range on column b must prune clustered files")
+    // rows intact
+    assert(DeltaTable.read(spark, dir).count() == 4000)
+    // maintenance commit was dataChange=false: invisible to the feed
+    val v = after.version
+    val adds = DeltaLog.forTable(spark, dir).actionsAt(v)
+      .collect { case a: AddFile => a }
+    assert(adds.nonEmpty && adds.forall(!_.dataChange))
+  }
+
+  test("a foreign clustered table accepts DML and keeps its domain") {
+    // fixture shaped like a managed-runtime clustered table: v7 with
+    // clustering+domainMetadata, columns recorded in delta.clustering
+    val dir = TestSpark.tmpDir("cluster-foreign")
+    val tmp = TestSpark.tmpDir("cluster-foreign-part")
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("name", org.apache.spark.sql.types.StringType)
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["clustering","domainMetadata","invariants"]}}""",
+      s"""{"metaData":{"id":"cluster-foreign","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      """{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    // was read-only before round 13; now DML flows
+    DeltaTable.append(spark, dir, Seq((1000L, "new")).toDF("id", "name"))
+    DeltaTable.delete(spark, dir, col("id") < 10L)
+    assert(DeltaTable.read(spark, dir).count() == 91)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(DeltaTable.clusteringColumns(snap) == Seq(Seq("id")),
+      "the clustering domain must survive our commits")
+    // and our clustered maintenance honors the foreign column choice
+    graft.sorter.DeltaSorter(spark, dir).clusteredCompact()
+    assert(DeltaTable.read(spark, dir).count() == 91)
+    assert(DeltaTable.clusteringColumns(
+      DeltaLog.forTable(spark, dir).snapshot()) == Seq(Seq("id")))
+  }
+
+  test("guards: partitioned tables refuse, unknown columns refuse, non-clustered compact refuses") {
+    val part = TestSpark.tmpDir("cluster-guard-part")
+    DeltaTable.create(spark,
+      Seq((1L, "a", "x")).toDF("id", "name", "p"), part, partitionColumns = Seq("p"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.enableClustering(spark, part, Seq("id")))
+    assert(e1.getMessage.contains("hive-partitioned"))
+
+    val plain = TestSpark.tmpDir("cluster-guard-plain")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), plain)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTable.enableClustering(spark, plain, Seq("nope")))
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.sorter.DeltaSorter(spark, plain).clusteredCompact())
+    assert(e3.getMessage.contains("delta.clustering"))
+  }
+}

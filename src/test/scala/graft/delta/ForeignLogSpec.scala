@@ -171,11 +171,12 @@ class ForeignLogSpec extends AnyFunSuite {
     // no descriptors so nothing filters
     val dv = mkTable("\"deletionVectors\",\"timestampNtz\"")
     assert(DeltaTable.read(spark, dv).count() == 1)
-    // variantShredding-preview (shredded physical layout we don't implement): fails
-    // naming the feature
-    val v2 = mkTable("\"variantShredding-preview\",\"timestampNtz\"")
+    // a genuinely unknown reader feature: fails naming the feature
+    // (variantShredding-preview moved OFF this list round 13 — Spark 4
+    // reassembles the shredded layout natively, VariantReadSpec pins it)
+    val v2 = mkTable("\"futureEncoding-preview\",\"timestampNtz\"")
     val e1 = intercept[IllegalStateException](DeltaLog.forTable(spark, v2).snapshot())
-    assert(e1.getMessage.contains("unsupported reader feature variantShredding-preview"),
+    assert(e1.getMessage.contains("unsupported reader feature futureEncoding-preview"),
       s"only the unsupported feature is named (got: ${e1.getMessage})")
     // column mapping: fails naming the feature
     val cm = mkTable("\"columnMapping\"")
@@ -214,7 +215,7 @@ class ForeignLogSpec extends AnyFunSuite {
     val cpType = new StructType()
       .add("protocol", protoType).add("metaData", metaType).add("add", addType)
     val rows = Seq(
-      Row(Row(3, 7, Seq("variantShredding-preview"), Seq("variantShredding-preview")), null, null),
+      Row(Row(3, 7, Seq("futureEncoding-preview"), Seq("futureEncoding-preview")), null, null),
       Row(null, Row("fixture", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
       Row(null, null, Row(f0, Map.empty[String, String], s0, 1L, false)))
     val tmp = TestSpark.tmpDir("foreign-v3-cp-tmp")
@@ -227,7 +228,7 @@ class ForeignLogSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
-    assert(e.getMessage.contains("variantShredding-preview"))
+    assert(e.getMessage.contains("futureEncoding-preview"))
   }
 
   test("v2 checkpoint: uuid-named parquet manifest with sidecar files replays") {

@@ -1,0 +1,101 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Expired log cleanup (`delta.logRetentionDuration`, delta-spark's
+  * metadata-retention analog): commit JSON and superseded checkpoints
+  * strictly below the newest complete checkpoint age out, so the log
+  * directory stays O(retention window) instead of growing one file per
+  * commit forever — on a streaming-fed 100 TB table that's the
+  * difference between listing thousands and millions of entries per
+  * snapshot. */
+class LogCleanupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def logFiles(dir: String): Set[String] =
+    new java.io.File(dir, "_delta_log").listFiles()
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+
+  test("expired pre-checkpoint JSON ages out; replay and history survive") {
+    val dir = TestSpark.tmpDir("logclean-basic")
+    DeltaTable.create(spark, Seq((0L, "r0")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    (1 to 6).foreach(i => DeltaTable.append(spark, dir,
+      Seq((i.toLong, s"r$i")).toDF("id", "name")))
+    log.checkpoint() // checkpoint at v6
+    DeltaTable.append(spark, dir, Seq((7L, "r7")).toDF("id", "name"))
+
+    // nothing is old enough yet: zero-retention override proves the
+    // version bound alone (everything below the checkpoint goes)
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(0L))
+    assert(deleted.toSet == (0L until 6L).map(v => f"$v%020d.json").toSet,
+      s"exactly the pre-checkpoint JSON must go, got $deleted")
+    assert(logFiles(dir).contains(f"${6L}%020d.json"),
+      "the checkpoint version's own JSON is retained")
+    assert(logFiles(dir).contains(f"${7L}%020d.json"))
+
+    // the table still reads fully, incl. the post-checkpoint commit
+    DeltaLog.invalidate(dir)
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (0L to 7L).toSet)
+    // history silently starts at the surviving JSON
+    val hist = DeltaTable.history(spark, dir).select("version").as[Long].collect()
+    assert(hist.min == 6L && hist.max == 7L)
+    // time travel below the checkpoint errors with the missing-commit story
+    val e = intercept[IllegalArgumentException](log.snapshotAt(3L))
+    assert(e.getMessage.contains("missing JSON commits"))
+    // at/above the checkpoint still works
+    assert(DeltaTable.readAt(spark, dir, 6L).count() == 7)
+  }
+
+  test("default retention keeps young logs; superseded checkpoints age out") {
+    val dir = TestSpark.tmpDir("logclean-young")
+    DeltaTable.create(spark, Seq((0L, "a")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    (1 to 3).foreach(i => DeltaTable.append(spark, dir,
+      Seq((i.toLong, s"r$i")).toDF("id", "name")))
+    log.checkpoint() // v3
+    val before = logFiles(dir)
+    // default 30-day retention: freshly written files never qualify
+    assert(log.cleanupExpiredLogs() == Nil)
+    assert(logFiles(dir) == before)
+
+    // another round of commits + a NEWER checkpoint: the old checkpoint
+    // file itself becomes an expired candidate under zero retention
+    (4 to 6).foreach(i => DeltaTable.append(spark, dir,
+      Seq((i.toLong, s"r$i")).toDF("id", "name")))
+    log.checkpoint() // v6
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(0L)).toSet
+    assert(deleted.contains(f"${3L}%020d.checkpoint.parquet"),
+      s"the superseded checkpoint must age out, got $deleted")
+    DeltaLog.invalidate(dir)
+    assert(DeltaTable.read(spark, dir).count() == 7)
+  }
+
+  test("v2 layout: sidecars referenced by the retained manifest survive") {
+    val dir = TestSpark.tmpDir("logclean-v2")
+    DeltaTable.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(2), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.checkpointPolicy" -> "v2"))
+    val log = DeltaLog.forTable(spark, dir)
+    DeltaTable.append(spark, dir, Seq((100L, "x")).toDF("id", "name"))
+    log.checkpoint() // first v2 checkpoint (old)
+    DeltaTable.delete(spark, dir, col("id") === 0L)
+    log.checkpoint() // second v2 checkpoint (newest)
+    val sidecarsBefore = new java.io.File(dir, "_delta_log/_sidecars").listFiles().length
+    assert(sidecarsBefore >= 2)
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(0L))
+    assert(deleted.exists(_.startsWith("_sidecars/")),
+      s"the superseded checkpoint's sidecar must age out, got $deleted")
+    assert(deleted.exists(n => Checkpoints.v2ManifestVersion(n).nonEmpty),
+      "the superseded v2 manifest must age out")
+    // the retained manifest still replays — cold, with pre-checkpoint
+    // JSON gone
+    DeltaLog.invalidate(dir)
+    assert(DeltaTable.read(spark, dir).count() == 20) // 20 seed - 1 del + 1 append
+  }
+}

@@ -136,6 +136,67 @@ class RowTrackingSpec extends AnyFunSuite {
       .select("_row_id").as[Long].collect().toSet == (0L until 8L).toSet)
   }
 
+  test("row tracking composes with column mapping (mode=name)") {
+    // mapped table (physical names on disk) + row tracking enabled: the
+    // materialized identity columns ride the physical-name projection
+    // untouched, and IDs stay stable through DELETE + compact
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructType}
+    val dir = TestSpark.tmpDir("rt-mapped")
+    val tmp = TestSpark.tmpDir("rt-mapped-part")
+    (0 until 10).map(i => (i.toLong, s"r$i")).toDF("col-k1", "col-v1").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val cmSchema = new StructType()
+      .add("k", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-k1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("name", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-v1")
+          .putLong("delta.columnMapping.id", 2).build())
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"rt-mapped","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    DeltaTable.enableRowTracking(spark, dir)
+    val before = idsByName(dir)
+    assert(before.size == 10 && before.values.toSet == (0L until 10L).toSet)
+    DeltaTable.delete(spark, dir, col("k") >= 7L) // survivor rewrite moves rows
+    val afterDelete = idsByName(dir)
+    assert(afterDelete.size == 7)
+    afterDelete.foreach { case (n, rid) => assert(before(n) == rid,
+      s"mapped-table row $n changed ID across DELETE") }
+    graft.sorter.DeltaSorter(spark, dir).binPack()
+    idsByName(dir).foreach { case (n, rid) => assert(before(n) == rid,
+      s"mapped-table row $n changed ID across compact") }
+    assert(DeltaTable.read(spark, dir).select("k").as[Long].collect().toSet ==
+      (0L until 7L).toSet)
+  }
+
+  test("SET TBLPROPERTIES delta.enableRowTracking routes through the full enable") {
+    val dir = TestSpark.tmpDir("rt-props")
+    DeltaTable.create(spark,
+      (0 until 5).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.enableRowTracking" -> "true"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.protocol.writerFeatures.exists(f =>
+      f.contains("rowTracking") && f.contains("domainMetadata")),
+      s"bare property must upgrade the protocol, got ${snap.protocol}")
+    assert(snap.files.forall(_.baseRowId.nonEmpty), "backfill must run")
+    assert(DeltaTable.readWithRowIds(spark, dir)
+      .select("_row_id").as[Long].collect().toSet == (0L until 5L).toSet)
+  }
+
   test("a foreign rowTracking table (explicit baseRowIds) reads and accepts DML") {
     // fixture shaped like a managed-runtime table: v3/v7 protocol with
     // rowTracking+domainMetadata, adds carrying explicit row-ID blocks

@@ -7,14 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** The `variantType` reader feature: tables whose schema carries
-  * VARIANT columns (semi-structured values as a binary
-  * (metadata, value) pair). Spark 4 has native VariantType — the
+/** The `variantType` (and `variantShredding`) reader features: tables
+  * whose schema carries VARIANT columns (semi-structured values as a
+  * binary (metadata, value) pair). Spark 4 has native VariantType — the
   * schemaString's `variant` entries parse and the parquet readers
   * decode the pair — so these tables read through the ordinary
-  * explicit-schema scan. The shredded layout
-  * (`variantShredding-preview`, typed_value subcolumns) is a different
-  * physical contract and stays refused by name (ForeignLogSpec).
+  * explicit-schema scan. The SHREDDED layout (typed_value subcolumns
+  * under the VARIANT group, what newest delta-spark preview channels
+  * write by default) is reassembled by the same scan: Spark's parquet
+  * row converter rebuilds the variant from the typed subcolumns
+  * (`spark.sql.variant.allowReadingShredded`, default on), pinned here
+  * by a shredded fixture reading equal to its unshredded twin.
   */
 class VariantReadSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -73,5 +76,71 @@ class VariantReadSpec extends AnyFunSuite {
       DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("id = 0"))
     }
     assert(e.getMessage.contains("variantType"))
+  }
+
+  test("a SHREDDED variant table reads equal to its unshredded twin") {
+    // the same logical rows, written twice by a foreign-writer stand-in:
+    // once plain (metadata+value binaries) and once SHREDDED
+    // (typed_value subcolumns — Spark's own shredding writer produces
+    // the parquet variant shredding spec layout, the same physical
+    // contract delta-spark preview channels write)
+    val rowsSql =
+      """select id, parse_json(case id
+        |  when 0 then '{"kind":"doc","score":1.5}'
+        |  when 1 then '{"kind":"img","score":2.5,"tags":["a","b"]}'
+        |  else '{"kind":"doc","score":9.0}' end) as payload
+        |from range(3)""".stripMargin
+    def mkVariantTable(prefix: String, writer: org.apache.spark.sql.SparkSession,
+        features: String): String = {
+      val dir = TestSpark.tmpDir(prefix)
+      val tmp = TestSpark.tmpDir(s"$prefix-part")
+      writer.sql(rowsSql).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      Files.createDirectories(Paths.get(dir))
+      Files.copy(part.toPath, Paths.get(dir, part.getName))
+      val schemaJson = spark.sql("select 1L as id, parse_json('{}') as payload").schema.json
+      val logDir = Paths.get(dir, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"),
+        (Seq(
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":[$features],"writerFeatures":[$features]}}""",
+          s"""{"metaData":{"id":"$prefix","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+            s""""configuration":{},"createdTime":0}}""",
+          s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+            s""""modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+      dir
+    }
+    val shreddingWriter = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
+      Map("spark.sql.variant.writeShredding.enabled" -> "true",
+        "spark.sql.variant.inferShreddingSchema" -> "true"))
+    val plainDir = mkVariantTable("variant-plain", spark, "\"variantType\"")
+    val shredDir = mkVariantTable("variant-shred", shreddingWriter,
+      "\"variantType\",\"variantShredding-preview\"")
+    // prove the shredded fixture IS shredded (typed_value in the footer)
+    val shredPart = new java.io.File(shredDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(shredPart.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    val footerSchema = try reader.getFooter.getFileMetaData.getSchema.toString
+      finally reader.close()
+    assert(footerSchema.contains("typed_value"),
+      s"fixture must be physically shredded, footer:\n$footerSchema")
+    def contents(dir: String): Map[Long, String] =
+      DeltaTable.read(spark, dir).selectExpr("id", "to_json(payload) as j")
+        .as[(Long, String)].collect().toMap
+    val plain = contents(plainDir)
+    val shred = contents(shredDir)
+    assert(plain == shred, s"shredded table must read equal to its twin:\n$plain\n$shred")
+    assert(shred(1L).contains("\"tags\":[\"a\",\"b\"]"))
+    // typed extraction reassembles through the shredded columns too
+    assert(DeltaTable.read(spark, shredDir)
+      .selectExpr("variant_get(payload, '$.score', 'double') as s")
+      .as[Double].collect().sorted.toSeq == Seq(1.5, 2.5, 9.0))
   }
 }
