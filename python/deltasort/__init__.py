@@ -179,13 +179,17 @@ class SortOptimizer:
         the next ``clustered_compact``."""
         self._j.enableClustering(self._jlist(list(cols)))
 
-    def clustered_compact(self, target_file_size_bytes: Optional[int] = None) -> dict:
+    def clustered_compact(
+        self, target_file_size_bytes: Optional[int] = None, full: bool = False
+    ) -> dict:
         """OPTIMIZE a clustered table by its recorded clustering columns
-        (z-order for several, range sort for one)."""
+        (z-order for several, range sort for one). Incremental by
+        default — files clustered by a previous run are left alone;
+        ``full=True`` re-clusters the whole table into one cube."""
         tfs = None
         if target_file_size_bytes is not None:
             tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
-        return json.loads(self._j.clusteredCompact(tfs))
+        return json.loads(self._j.clusteredCompact(tfs, bool(full)))
 
     def cleanup_expired_logs(self) -> list:
         """Delete expired pre-checkpoint transaction-log files

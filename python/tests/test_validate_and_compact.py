@@ -50,6 +50,22 @@ def test_compact_and_validate_pass(spark, tmp_table: str):
     _read_and_validate(spark, tmp_table)
 
 
+def test_compact_returns_structured_metrics(spark, tmp_table: str):
+    # Structured metrics (the reference's roadmap item, README.md:181):
+    # compact() returns the run summary INCLUDING per-partition metrics.
+    write_table(spark, tmp_table, _UNSORTED, _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    summary = opt.compact(["objectId", "dateTime"], concurrency=2)
+    assert summary["partitions_rewritten"] == 1
+    assert summary["files_in"] >= 1
+    assert summary["files_out"] >= 1
+    assert summary["duration_ms"] >= 0
+    per = summary["per_partition"]
+    assert isinstance(per, list) and len(per) == 1
+    assert per[0]["partition"] == "__nopart__"
+    assert per[0]["files_in"] == summary["files_in"]
+
+
 def test_python_wrapper_repartition_full_overwrite(spark, tmp_table: str):
     # Full-table sorted-overwrite path from the Python wrapper — passes
     # here (upstream xfail, their issue #17).

@@ -46,10 +46,7 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       concurrency = concurrency,
       dryRun = dryRun,
       repartitionBySortKey = repartitionBySortKey))
-    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
-      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
-      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
-      s""""duration_ms":${summary.durationMs}}"""
+    summary.json
   }
 
   /** Engine extension: OPTIMIZE bin-packing (order-free small-file
@@ -58,10 +55,7 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     val summary = sorter.binPack(
       Option(targetFileSizeBytes).map(_.longValue()).getOrElse(128L * 1024 * 1024),
       concurrency)
-    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
-      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
-      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
-      s""""duration_ms":${summary.durationMs}}"""
+    summary.json
   }
 
   /** Engine extension: zero-IO stats audit (proven violations only —
@@ -77,10 +71,7 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   /** Engine extension beyond the reference binding: OPTIMIZE ZORDER. */
   def zorderCompact(zorderColumns: java.util.List[String], bits: Int): String = {
     val summary = sorter.zorderCompact(zorderColumns.asScala.toSeq, bits)
-    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
-      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
-      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
-      s""""duration_ms":${summary.durationMs}}"""
+    summary.json
   }
 
   private def dmlJson(st: graft.delta.DeltaTable.DmlStats): String =
@@ -191,14 +182,13 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def enableClustering(cols: java.util.List[String]): Unit =
     graft.delta.DeltaTable.enableClustering(spark, tableUri, cols.asScala.toSeq)
 
-  /** OPTIMIZE a clustered table by its recorded clustering columns. */
-  def clusteredCompact(targetFileSizeBytes: java.lang.Long): String = {
+  /** OPTIMIZE a clustered table by its recorded clustering columns —
+    * incremental (new files only) unless `full`. */
+  def clusteredCompact(targetFileSizeBytes: java.lang.Long,
+      full: Boolean = false): String = {
     val summary = sorter.clusteredCompact(
-      Option(targetFileSizeBytes).map(_.longValue()))
-    s"""{"partitions_rewritten":${summary.partitionsRewritten},""" +
-      s""""files_in":${summary.filesIn},"files_out":${summary.filesOut},""" +
-      s""""bytes_in":${summary.bytesIn},"bytes_out":${summary.bytesOut},""" +
-      s""""duration_ms":${summary.durationMs}}"""
+      Option(targetFileSizeBytes).map(_.longValue()), full)
+    summary.json
   }
 
   /** Delete expired pre-checkpoint log files

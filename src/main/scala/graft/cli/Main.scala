@@ -11,7 +11,7 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * graft.cli.Main --table URI --sort-columns a,b [--nulls first|last]
   *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
   *   [--validate-only] [--validate-quick] [--repartition-by-sort-key]
-  *   [--log-level LEVEL]
+  *   [--log-level LEVEL] [--metrics-json PATH]
   *   [--zorder] [--zorder-bits N]
   * }}}
   *
@@ -31,6 +31,19 @@ import graft.sorter.{DeltaSorter, SortConfig}
 object Main {
 
   private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
+
+  /** `--metrics-json PATH`: structured metrics output (the reference's
+    * own roadmap item, README.md:181) — the run summary + per-partition
+    * metrics as one JSON object, written after any rewriting mode
+    * (compact / bin-pack / zorder). */
+  private def writeMetrics(opts: Map[String, String],
+      summary: graft.sorter.RunSummary): Unit =
+    opts.get("metrics-json").foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(path,
+        summary.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
   private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -83,6 +96,7 @@ object Main {
         concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8))
       println(s"bin-pack complete: ${summary.partitionsRewritten} partition(s), " +
         s"files ${summary.filesIn}->${summary.filesOut} in ${summary.durationMs}ms")
+      writeMetrics(opts, summary)
       return 0
     }
     val (sortColumns, descColumns) = SortConfig.parseColumns(
@@ -123,6 +137,7 @@ object Main {
         targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong))
       println(s"zorder complete: files ${summary.filesIn}->${summary.filesOut} " +
         s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
+      writeMetrics(opts, summary)
       0
     } else {
       val cfg = SortConfig(
@@ -137,6 +152,7 @@ object Main {
       println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
         s"files ${summary.filesIn}->${summary.filesOut} " +
         s"bytes ${summary.bytesIn}->${summary.bytesOut} in ${summary.durationMs}ms")
+      writeMetrics(opts, summary)
       0
     }
   }

@@ -32,7 +32,7 @@ object Action {
     b.toString
   }
 
-  private[delta] def jstr(s: String): String = "\"" + esc(s) + "\""
+  private[graft] def jstr(s: String): String = "\"" + esc(s) + "\""
 
   private[delta] def jmap(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -78,7 +78,8 @@ object Action {
           Some(a.get("stats").asText()) else None,
         deletionVector = dvOf(a),
         baseRowId = optLong(a, "baseRowId"),
-        defaultRowCommitVersion = optLong(a, "defaultRowCommitVersion")))
+        defaultRowCommitVersion = optLong(a, "defaultRowCommitVersion"),
+        tags = if (a.hasNonNull("tags")) Some(strMap(a.get("tags"))) else None))
     } else if (node.has("remove")) {
       val r = node.get("remove")
       Some(RemoveFile(
@@ -186,7 +187,13 @@ case class AddFile(
     baseRowId: Option[Long] = None,
     /** The commit version stamped on this file's rows as their default
       * row commit version (fresh value; materialized column overrides). */
-    defaultRowCommitVersion: Option[Long] = None) extends Action {
+    defaultRowCommitVersion: Option[Long] = None,
+    /** The spec's optional per-file metadata map — preserved verbatim on
+      * replay/checkpoint so foreign writers' tags (delta-spark's
+      * OPTIMIZE ZCUBE ids, clustering providers) survive our commits;
+      * [[graft.sorter.DeltaSorter.clusteredCompact]] records its own
+      * clustering generation here. */
+    tags: Option[Map[String, String]] = None) extends Action {
   /** Log-reconciliation key: (path, DV unique id) per the protocol. */
   def reconcileKey: String = path + deletionVector.fold("")("::" + _.uniqueId)
   def json: String =
@@ -196,6 +203,7 @@ case class AddFile(
       deletionVector.map(d => s""","deletionVector":${d.json}""").getOrElse("") +
       baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
       defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""").getOrElse("") +
+      tags.map(t => s""","tags":${jmap(t)}""").getOrElse("") +
       "}}"
 }
 

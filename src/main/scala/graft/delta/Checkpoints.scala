@@ -182,7 +182,9 @@ object Checkpoints {
             .orElse(opt[Row](a, "stats_parsed").map(statsJsonOfParsed)),
           deletionVector = dvOf(a),
           baseRowId = opt[Long](a, "baseRowId"),
-          defaultRowCommitVersion = opt[Long](a, "defaultRowCommitVersion")): Action
+          defaultRowCommitVersion = opt[Long](a, "defaultRowCommitVersion"),
+          tags = opt[scala.collection.Map[String, String]](a, "tags")
+            .map(_.toMap)): Action
       }).orElse(struct("remove").map { r =>
         RemoveFile(
           path = r.getAs[String]("path"),
@@ -310,7 +312,8 @@ object Checkpoints {
         deletionVector = a.deletionVector.map(d =>
           CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
         baseRowId = a.baseRowId,
-        defaultRowCommitVersion = a.defaultRowCommitVersion)
+        defaultRowCommitVersion = a.defaultRowCommitVersion,
+        tags = a.tags)
     val sidecarsDir = new Path(logPath, "_sidecars")
     fs.mkdirs(sidecarsDir)
     val wantedParts = math.max(1,
@@ -362,7 +365,12 @@ object Checkpoints {
       if (!fs.rename(part, target)) sys.error(s"failed to publish v2 manifest $target")
     } finally fs.delete(tmp2, true)
 
-    val pointer = s"""{"version":${snap.version},"size":${manifestRows.size + snap.files.size}}"""
+    // size = ACTION count only (protocol + metaData + txns + domains +
+    // file actions) — the checkpointMetadata stamp and sidecar-reference
+    // rows are manifest bookkeeping, not actions; foreign readers
+    // sanity-check size against action count.
+    val actionCount = 2 + snap.txns.size + snap.domains.size + snap.files.size
+    val pointer = s"""{"version":${snap.version},"size":$actionCount}"""
     val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
     val out = fs.create(ptrTmp, false)
     try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -422,7 +430,8 @@ object Checkpoints {
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean, stats: Option[String],
       deletionVector: Option[CpDv],
-      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None)
+      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None,
+      tags: Option[Map[String, String]] = None)
   private[delta] case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   private[delta] case class CpDomain(domain: String, configuration: String, removed: Boolean)
   private[delta] case class CpRow(protocol: Option[CpProtocol], metaData: Option[CpMeta],
@@ -500,7 +509,8 @@ object Checkpoints {
           // row-tracking block: a checkpoint that dropped it would hand
           // every row a DIFFERENT id on the next replay
           baseRowId = a.baseRowId,
-          defaultRowCommitVersion = a.defaultRowCommitVersion)),
+          defaultRowCommitVersion = a.defaultRowCommitVersion,
+          tags = a.tags)),
           None)))
     val wantedParts = math.max(1,
       math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)

@@ -368,7 +368,9 @@ object DataSkipping {
     files.filter { f =>
       // no parseable stats -> empty view: only partition values can prune
       val view = f.stats.flatMap(parseStats(mapper, _)).getOrElse(empty)
-      cs.forall(c => mayMatch(c, view, f.partitionValues, schema))
+      // a zero-row file matches no predicate at all
+      !view.numRecords.contains(0L) &&
+        cs.forall(c => mayMatch(c, view, f.partitionValues, schema))
     }
   }
 }

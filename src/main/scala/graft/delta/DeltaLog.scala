@@ -221,6 +221,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * (disjoint DML, appends, other partitions) retry fine. */
   def commitDml(readVersion: Long, actions: Seq[Action], maxAttempts: Int = 50): Long = {
     val myRemoves = actions.collect { case r: RemoveFile => r.path }.toSet
+    val myAdds = actions.collect { case a: AddFile => a.path }.toSet
     val myMetadata = actions.exists(_.isInstanceOf[Metadata])
     var attempt = 0
     while (true) {
@@ -232,6 +233,16 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         .distinct
       if (clashing.nonEmpty)
         throw new ConcurrentDeleteException(tableUri, clashing)
+      // symmetric hazard for RE-ADDS of existing paths (row-tracking
+      // backfill, RESTORE): if a winner removed a path this commit adds
+      // back, blindly committing would resurrect its rows / undo the
+      // winner's compaction. Ordinary DML stages fresh UUID paths, so
+      // this never fires on the normal path.
+      val resurrecting = intervening
+        .collect { case r: RemoveFile if myAdds.contains(r.path) => r.path }
+        .distinct
+      if (resurrecting.nonEmpty)
+        throw new ConcurrentDeleteException(tableUri, resurrecting)
       // a metadata-carrying commit (schema-evolving MERGE) must not
       // retry past ANOTHER metadata change: my schema was derived from
       // readVersion, so blindly committing it would silently undo the
@@ -540,21 +551,39 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * Returns the deleted file names. */
   def cleanupExpiredLogs(retentionMsOverride: Option[Long] = None): Seq[String] = {
     val cp = listCheckpointVersions().lastOption.getOrElse(return Nil)
+    // checkpointProtection: log files below
+    // delta.requireCheckpointProtectionBeforeVersion may only go when
+    // the cleanup retains a checkpoint AT/AFTER that bound (this pass
+    // retains `cp`, so cp.version >= bound satisfies the contract);
+    // otherwise the whole cleanup is refused — partial deletion below
+    // the protected boundary could strand a historical protocol
+    // downgrade that readers of old versions still need
+    val protectBefore = snapshot().metadata.configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+    if (cp.version < protectBefore) return Nil
     val retentionMs = retentionMsOverride.getOrElse(
       DeltaLog.intervalMs(
         snapshot().metadata.configuration.get("delta.logRetentionDuration"),
         30L * 24 * 3600 * 1000))
     val cutoff = System.currentTimeMillis() - retentionMs
     val statuses = fs.listStatus(logPath).toSeq
-    val names = statuses.map(_.getPath.getName)
-    // sidecars referenced by any RETAINED v2 manifest must survive
-    val retainedManifests = names.filter(n =>
-      Checkpoints.v2ManifestVersion(n).exists(_ >= cp.version))
+    // sidecars referenced by any SURVIVING v2 manifest must survive.
+    // Surviving = every manifest this pass will NOT delete: at/above the
+    // newest checkpoint OR younger than the cutoff (foreign writers may
+    // share sidecars across checkpoints, and a young manifest below
+    // cp.version still replays its sidecars). References are normalized
+    // to bare file names — the spec allows absolute sidecar paths.
+    val retainedManifests = statuses.collect {
+      case st if Checkpoints.v2ManifestVersion(st.getPath.getName).exists(v =>
+          v >= cp.version || st.getModificationTime >= cutoff) =>
+        st.getPath.getName
+    }
     val referenced: Set[String] =
       if (retainedManifests.isEmpty) Set.empty
       else (sparkOpt, scala.util.Try(retainedManifests.flatMap(n =>
         Checkpoints.readActions(sparkOpt.orNull, Seq(new Path(logPath, n)))
-          .collect { case s: SidecarFile => s.path }))) match {
+          .collect { case s: SidecarFile => new Path(s.path).getName }))) match {
         case (Some(_), scala.util.Success(refs)) => refs.toSet
         // cannot inspect the retained manifests — refuse to guess which
         // sidecars are live rather than risk deleting one
@@ -637,11 +666,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // expression in the same aggregate pass as CHECK constraints
     // (DeltaTable.checkConstraints) — so no commit can break the
     // column's contract for other readers.
-    // DV-bearing tables are writable by RESOLVING vectors only: this
-    // engine never creates deletion vectors — its rewrites read through
-    // the mask ([[DeltaTable.readFiles]]) and stage survivor-only files
-    // — so the one invariant to enforce at the chokepoint is that any
-    // remove of a DV-bearing active file carries that exact descriptor.
+    // DV-bearing tables: rewrites read through the mask
+    // ([[DeltaTable.readFiles]]) and stage survivor-only files, and
+    // since round 12 DELETE/UPDATE/MERGE may also CREATE vectors
+    // ([[DeltaTable.commitVectorMask]], which stages the masked add +
+    // descriptor-carrying remove pair itself) — either way the one
+    // invariant to enforce at the chokepoint is that any remove of a
+    // DV-bearing active file carries that exact descriptor.
     // Replay reconciles by (path, DV id): a bare-path remove would
     // leave the masked add live and the commit would DUPLICATE its
     // surviving rows. (Adds carrying a DV descriptor are legal too —
@@ -693,12 +724,35 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       snapOpt.flatMap(_.domains.get(DeltaLog.RowTrackingDomain))
         .flatMap(d => hwmOf(d.configuration)).getOrElse(-1L))
     // physical row count: footer stats first; stats-less adds (rare —
-    // stats collection is best-effort) fall back to a ~KB footer read
-    def physRows(a: AddFile): Long =
+    // stats collection is best-effort) fall back to a ~KB footer read.
+    // A handful reads serially on the driver; a MASS import of foreign
+    // stats-less files (CONVERT-style, thousands of adds in one commit)
+    // batches every footer read into one Spark job — row-ID stamping
+    // must not serialize O(files) driver-side IO at that scale.
+    def parsedRows(a: AddFile): Option[Long] =
       a.stats.flatMap { s =>
         try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
         catch { case scala.util.control.NonFatal(_) => None }
-      }.getOrElse {
+      }
+    val statsless = actions.collect {
+      case a: AddFile if a.baseRowId.isEmpty && parsedRows(a).isEmpty => a.path
+    }
+    val batchedRows: Map[String, Long] = sparkOpt match {
+      case Some(spark) if statsless.size > 8 =>
+        val confSer = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+        val rootStr = tableRoot.toString
+        spark.sparkContext
+          .parallelize(statsless, math.min(statsless.size, 64))
+          .map { rel =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(rootStr, rel), confSer.value))
+            try (rel, rd.getRecordCount) finally rd.close()
+          }.collect().toMap
+      case _ => Map.empty
+    }
+    def physRows(a: AddFile): Long =
+      parsedRows(a).orElse(batchedRows.get(a.path)).getOrElse {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new Path(tableRoot, a.path), hadoopConf))
@@ -839,7 +893,15 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       configuration: Map[String, String] = Map.empty): Long = {
     require(!tableExists, s"table already exists: $tableUri")
     val meta = Metadata(UUID.randomUUID().toString, org.apache.spark.sql.graft.GraftShims.asNullable(schema).json, partitionColumns, configuration)
-    commit(0L, Seq(Protocol(), meta) ++ adds :+
+    // a schema carrying feature-gated types (TIMESTAMP_NTZ, VARIANT)
+    // must stamp the feature from version 0 — foreign readers gate on
+    // the names, and a legacy protocol would have them misread the
+    // encoding (delta-spark stamps the same way on CREATE)
+    val needed = DeltaTable.schemaFeatures(schema)
+    val proto =
+      if (needed.isEmpty) Protocol()
+      else Protocol(3, 7, Some(needed), Some(needed))
+    commit(0L, Seq(proto, meta) ++ adds :+
       CommitInfo(System.currentTimeMillis(), operation, Map("partitionBy" -> partitionColumns.mkString(","))))
   }
 }
@@ -1047,7 +1109,32 @@ object DeltaLog {
     // preserves; clustering itself is an advisory LAYOUT property, so
     // ordinary writes are protocol-safe, and clusteredCompact
     // re-clusters by the domain's columns (z-order)
-    "clustering")
+    "clustering",
+    // typeWidening: the whole write-side contract is "write at the
+    // CURRENT (widened) schema", which stageWrite always does — it
+    // projects every staged file to the snapshot schema; append even
+    // upcasts a narrower input column when the promotion is in the
+    // widening matrix (DeltaTable.isWidening). ALTER COLUMN TYPE
+    // performs the widening itself as a metadata-only commit recording
+    // delta.typeChanges per spec (DeltaTable.alterColumnType)
+    "typeWidening", "typeWidening-preview",
+    // variantType: Spark 4 stages VARIANT columns natively (the binary
+    // (metadata, value) group); statsFromFooter's top-level-leaf filter
+    // means variant columns make NO skipping claim, as the spec demands
+    // (numRecords still recorded). CREATE/evolution stamp the feature
+    // with the schema (DeltaTable.schemaFeatures/featureUpgrade)
+    "variantType", "variantType-preview",
+    // variantShredding: shredding is OPTIONAL per file — writes staging
+    // unshredded variant files into a shredded table are spec-legal,
+    // and reads reassemble shredded files natively (VariantReadSpec)
+    "variantShredding", "variantShredding-preview",
+    // checkpointProtection (newest delta-spark stamps it on tables whose
+    // history straddles protocol downgrades): ordinary commits are
+    // unaffected; the one obligation is on METADATA CLEANUP — never
+    // remove log files below delta.requireCheckpointProtectionBeforeVersion
+    // unless cleaning up to a checkpoint at/after that bound in one pass,
+    // which cleanupExpiredLogs enforces
+    "checkpointProtection")
 
   /** The domain name Row Tracking keeps its row-ID high-water mark in. */
   val RowTrackingDomain = "delta.rowTracking"

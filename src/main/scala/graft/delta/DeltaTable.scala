@@ -423,6 +423,42 @@ object DeltaTable {
     * without this an evolved column would "map" through its logical
     * name, breaking the mapping invariant for every other engine that
     * reads the table. */
+  /** Reader-writer features a type tree REQUIRES the protocol to carry
+    * (`timestampNtz`, `variantType`): foreign readers gate on these
+    * names, so introducing such a column without stamping the feature
+    * would hand other engines a table they misread or refuse. */
+  private[graft] def schemaFeatures(dt: org.apache.spark.sql.types.DataType): Set[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        st.fields.toSet[StructField].flatMap(f => schemaFeatures(f.dataType))
+      case ArrayType(et, _) => schemaFeatures(et)
+      case MapType(kt, vt, _) => schemaFeatures(kt) ++ schemaFeatures(vt)
+      case TimestampNTZType => Set("timestampNtz")
+      case _: VariantType => Set("variantType")
+      case _ => Set.empty
+    }
+  }
+
+  /** The protocol upgrade (if any) a schema change introducing
+    * `introduced` needs before the new metadata lands — committed in the
+    * SAME transaction as the schema change, so no version of the table
+    * ever carries a feature-requiring column without its feature. */
+  private[graft] def featureUpgrade(snap: Snapshot,
+      introduced: org.apache.spark.sql.types.DataType): Option[Protocol] = {
+    val needed = schemaFeatures(introduced)
+    if (needed.isEmpty) return None
+    val p = snap.protocol
+    val haveR = if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
+      else Set.empty[String]
+    val haveW = if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else Set.empty[String]
+    if (needed.subsetOf(haveR) && needed.subsetOf(haveW)) None
+    else Some(Protocol(3, 7,
+      Some(legacyReaderFeatures(snap) ++ haveR ++ needed),
+      Some((if (p.minWriterVersion >= 7) haveW else legacyWriterFeatures(snap)) ++ needed)))
+  }
+
   private[graft] def evolveMetadata(snap: Snapshot,
       newCols: Seq[org.apache.spark.sql.types.StructField]): Metadata = {
     import org.apache.spark.sql.types.{MetadataBuilder, StructType}
@@ -503,7 +539,18 @@ object DeltaTable {
     }
     // identity columns (writer v6): values assigned from the sequence,
     // high-water mark advanced in the same commit
-    val (dfIn, idMarks) = assignIdentity(spark, snap, dfGen)
+    val (dfId, idMarks) = assignIdentity(spark, snap, dfGen)
+    // a batch carrying a NARROWER type than the table is upcast in
+    // place when the promotion is in the typeWidening matrix (lossless
+    // by construction): after ALTER COLUMN TYPE widened a column,
+    // producers still emitting the old type keep working
+    val dfIn = snap.schema.fields.foldLeft(dfId) { (d, f) =>
+      d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(in) if in.dataType != f.dataType && isWidening(in.dataType, f.dataType) =>
+          d.withColumn(f.name, col("`" + f.name.replace("`", "``") + "`").cast(f.dataType))
+        case _ => d
+      }
+    }
     val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val got = dfIn.schema.fields.map(f => f.name -> f.dataType).toMap
     val newCols = dfIn.schema.fields.filter(f => !want.contains(f.name))
@@ -516,10 +563,13 @@ object DeltaTable {
         s"${got.toSeq.sortBy(_._1).mkString(", ")}" +
         (if (!mergeSchema && newCols.nonEmpty) " (pass mergeSchema=true to add columns)" else ""))
     checkConstraints(log, snap, dfIn)
-    val evolution =
+    val evolution: Seq[Action] =
       if (newCols.isEmpty) Nil
-      else Seq(evolveMetadata(snap, newCols.toSeq))
-    val effSnap = evolution.headOption.map(withMeta(snap, _)).getOrElse(snap)
+      else featureUpgrade(snap,
+        org.apache.spark.sql.types.StructType(newCols)).toSeq :+
+        evolveMetadata(snap, newCols.toSeq)
+    val effSnap = evolution.collectFirst { case m: Metadata => m }
+      .map(withMeta(snap, _)).getOrElse(snap)
     val adds = stageWrite(spark, log, dfIn, snap.metadata.partitionColumns,
       maxRecordsPerFile = None, dataChange = true, Some(effSnap))
     // identity high-water marks tighten to the exact extreme the staged
@@ -565,7 +615,11 @@ object DeltaTable {
         }
       }
     val metaActions: Seq[Action] =
-      advanceIdentityMarks(effSnap, tightMarks).map(Seq[Action](_)).getOrElse(evolution)
+      // an identity-mark metadata subsumes the evolution's (effSnap
+      // already carries the evolved schema) but must keep its Protocol
+      advanceIdentityMarks(effSnap, tightMarks)
+        .map(m => evolution.filterNot(_.isInstanceOf[Metadata]) :+ (m: Action))
+        .getOrElse(evolution)
     log.commit(snap.version + 1, metaActions ++ adds :+
       CommitInfo(System.currentTimeMillis(), "WRITE",
         Map("mode" -> "Append") ++
@@ -1440,10 +1494,140 @@ object DeltaTable {
     val clash = cols.map(_.name).filter(n => existing.contains(lc(n)))
     require(clash.isEmpty,
       s"column(s) already exist on $tableUri: ${clash.mkString(", ")}")
+    log.commitDml(snap.version,
+      featureUpgrade(snap, org.apache.spark.sql.types.StructType(cols.toArray)).toSeq ++ Seq(
+        evolveMetadata(snap, cols),
+        CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+          Map("columns" -> cols.map(_.name).mkString(",")))))
+  }
+
+  // ---- type widening ----------------------------------------------------
+
+  /** StructField-metadata key the `typeWidening` feature records type-
+    * change history under: an array of `{"fromType": …, "toType": …}`
+    * entries on the widened field, so foreign readers know which files
+    * may carry the narrow physical type (Delta PROTOCOL.md, Type
+    * Widening). */
+  val TypeChangesKey = "delta.typeChanges"
+
+  /** The typeWidening feature's legal promotions — exactly the matrix
+    * Spark 4's parquet readers promote natively (TypeWideningSpec pins
+    * every pair), which is what makes the widening METADATA-ONLY: the
+    * pre-widening files keep their narrow physical types and every scan
+    * reads them under the widened snapshot schema with no rewrite.
+    *  - byte → short → int → long; float → double
+    *  - byte/short/int → double; date → timestamp_ntz
+    *  - decimal(p,s) → decimal(p',s') with p'−s' ≥ p−s and s' ≥ s
+    *  - byte/short/int → decimal(p,s) with p−s ≥ 10
+    *  - long → decimal(p,s) with p−s ≥ 20 */
+  private[graft] def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (ByteType | ShortType | IntegerType, t: DecimalType) =>
+        t.precision - t.scale >= 10
+      case (LongType, t: DecimalType) => t.precision - t.scale >= 20
+      case _ => false
+    }
+  }
+
+  /** Opt a table into type widening: `delta.enableTypeWidening=true`
+    * plus the reader-writer `typeWidening` feature on BOTH protocol
+    * sides — the prerequisite [[alterColumnType]] checks (delta-spark
+    * gates its ALTER the same way). One conflict-checked commit. */
+  def enableTypeWidening(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val p = snap.protocol
+    if (snap.metadata.configuration.get("delta.enableTypeWidening").exists(_.toBoolean) &&
+        p.writerFeatures.exists(f =>
+          f.contains("typeWidening") || f.contains("typeWidening-preview"))) return
+    val readerF = legacyReaderFeatures(snap) + "typeWidening"
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else legacyWriterFeatures(snap)) + "typeWidening"
     log.commitDml(snap.version, Seq(
-      evolveMetadata(snap, cols),
-      CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
-        Map("columns" -> cols.map(_.name).mkString(",")))))
+      Protocol(3, 7, Some(readerF), Some(writerF)),
+      snap.metadata.copy(configuration =
+        snap.metadata.configuration + ("delta.enableTypeWidening" -> "true")),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        Map("delta.enableTypeWidening" -> "true"))))
+    ()
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN col TYPE newType` — a METADATA-ONLY
+    * widening: no file is rewritten; pre-widening files keep their
+    * narrow physical types and every scan promotes them natively (the
+    * typeWidening read contract this engine has honored since r9,
+    * TypeWideningSpec). Appends the change to the field's
+    * `delta.typeChanges` metadata per spec. Dotted paths reach nested
+    * struct fields. Requires `delta.enableTypeWidening=true`
+    * ([[enableTypeWidening]]); narrowings, no-ops, and unrelated
+    * conversions are refused loudly. Partition columns are refused:
+    * their values live as path strings parsed by the schema type, and a
+    * date→timestamp_ntz widening would silently break that parse. */
+  def alterColumnType(spark: SparkSession, tableUri: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.{Metadata => SqlMetadata, MetadataBuilder, StructType}
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    require(snap.metadata.configuration.get("delta.enableTypeWidening").exists(_.toBoolean),
+      s"type widening is not enabled on $tableUri — " +
+        "SET TBLPROPERTIES ('delta.enableTypeWidening'='true') first")
+    val path = column.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(!snap.metadata.partitionColumns.exists(p => lc(p) == lc(path.head)),
+      s"cannot widen partition column ${path.head} of $tableUri: partition " +
+        "values are stored as strings parsed by the schema type")
+    var fromType: org.apache.spark.sql.types.DataType = null
+    def replace(st: StructType, at: Seq[String]): StructType = {
+      val idx = st.fields.indexWhere(f => lc(f.name) == lc(at.head))
+      require(idx >= 0, s"no such column ${path.mkString(".")} on $tableUri")
+      val f = st.fields(idx)
+      val nf =
+        if (at.size > 1) f.dataType match {
+          case nested: StructType => f.copy(dataType = replace(nested, at.tail))
+          case other => throw new IllegalArgumentException(
+            s"${at.head} is not a struct (got ${other.simpleString}) — " +
+              s"cannot descend to ${at.tail.mkString(".")}")
+        } else {
+          fromType = f.dataType
+          require(f.dataType != newType,
+            s"column $column already has type ${newType.simpleString}")
+          require(isWidening(f.dataType, newType),
+            s"cannot change column $column from ${f.dataType.simpleString} to " +
+              s"${newType.simpleString}: not a supported widening " +
+              "(byte→short→int→long, float→double, int→double, " +
+              "date→timestamp_ntz, decimal growth, int/long→decimal)")
+          val prior: Seq[SqlMetadata] =
+            if (f.metadata.contains(TypeChangesKey))
+              f.metadata.getMetadataArray(TypeChangesKey).toSeq
+            else Seq.empty
+          val entry = new MetadataBuilder()
+            .putString("fromType", f.dataType.typeName)
+            .putString("toType", newType.typeName).build()
+          f.copy(dataType = newType,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putMetadataArray(TypeChangesKey, (prior :+ entry).toArray).build())
+        }
+      StructType(st.fields.updated(idx, nf))
+    }
+    val newSchema = replace(snap.schema, path)
+    // date → timestamp_ntz introduces a feature-gated type of its own
+    log.commitDml(snap.version, featureUpgrade(snap, newType).toSeq ++ Seq(
+      snap.metadata.copy(schemaString = newSchema.json),
+      CommitInfo(System.currentTimeMillis(), "ALTER COLUMN",
+        Map("column" -> path.mkString("."), "from" -> fromType.simpleString,
+          "to" -> newType.simpleString))))
+    ()
   }
 
   /** `ALTER TABLE SET TBLPROPERTIES`: merge properties into
@@ -1490,6 +1674,13 @@ object DeltaTable {
     if (props.get(IctProp).exists(_.toBoolean)) {
       enableInCommitTimestamps(spark, tableUri)
       val rest = props - IctProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
+    val TwProp = "delta.enableTypeWidening"
+    if (props.get(TwProp).exists(_.toBoolean)) {
+      enableTypeWidening(spark, tableUri)
+      val rest = props - TwProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
     }
@@ -2020,13 +2211,16 @@ object DeltaTable {
         .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
         .map(_.copy(nullable = true))
     val fields = snap.schema.fields ++ newCols
-    val evolvedMeta =
+    val evolvedMeta: Seq[Action] =
       if (newCols.isEmpty) Nil
-      else Seq(evolveMetadata(snap, newCols.toSeq))
+      else featureUpgrade(snap,
+        org.apache.spark.sql.types.StructType(newCols)).toSeq :+
+        evolveMetadata(snap, newCols.toSeq)
     // the effective snapshot (evolved schema applied) is what the
     // rewrite stages against — on a mapped table the new columns must
     // project through their freshly assigned physical names
-    val effSnap = evolvedMeta.headOption.map(withMeta(snap, _)).getOrElse(snap)
+    val effSnap = evolvedMeta.collectFirst { case m: Metadata => m }
+      .map(withMeta(snap, _)).getOrElse(snap)
     require(!fields.exists(_.name.startsWith(MergeSourcePrefix)),
       s"merge: target columns may not start with $MergeSourcePrefix")
     matched.foreach {

@@ -97,6 +97,21 @@ object Connector {
       uri
     })
 
+  /** An events copy whose `props` JSON is stored as a VARIANT column in
+    * a graft-Delta table (the `variantType` writer feature end-to-end:
+    * CREATE stamps the protocol, the parquet writer stages the binary
+    * pair); built once per JVM. The oracle extracts the same props from
+    * the raw JSON strings, so a green row proves the variant
+    * write→read round-trip losslessly preserved every value. */
+  private def eventsVariant(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir + "#variant", _ => {
+      val uri = java.nio.file.Files.createTempDirectory("graft-conn-variant").toString
+      DeltaTable.create(s, table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("payload")), uri)
+      uri
+    })
+
   val queries: Map[String, Q] = Map(
     // selective range + aggregate THROUGH the data source API: Catalyst
     // pushes the l_orderkey range into the relation, which file-prunes
@@ -121,6 +136,22 @@ object Connector {
           col("n_extra"))
     }),
 
+    // aggregate over a VARIANT column persisted through the delta
+    // writer: variant_get is a codegen'd scalar over the binary pair,
+    // the aggregate is the only shuffle — same plan shape as
+    // q_json_props but the values round-tripped through the
+    // variantType write path first
+    "q_variant_props" -> ((s, dir) => {
+      val uri = eventsVariant(s, dir)
+      s.read.format("graftdelta").load(uri)
+        .select(col("event_type"),
+          expr("variant_get(payload, '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
     // row-level CDF through the SQL table_changes TVF (parse-time
     // rewrite → changesBetween): from v1 INCLUSIVE, so the v0 creation
     // inserts are excluded and exactly the DELETE's and UPDATE's
@@ -133,6 +164,13 @@ object Connector {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_variant_props" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_scan_delta_pushdown" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -234,8 +234,20 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * a plain range sort (strictly better locality than a degenerate
     * z-curve). Errors if the table has no clustering domain; use
     * [[graft.delta.DeltaTable.enableClustering]] first. The commit is
-    * dataChange=false like every maintenance rewrite. */
-  def clusteredCompact(targetFileSizeBytes: Option[Long] = None): RunSummary = {
+    * dataChange=false like every maintenance rewrite.
+    *
+    * INCREMENTAL by default, delta-spark's liquid-clustering shape
+    * (ZCube stability): files this operation clustered before carry a
+    * [[DeltaSorter.ClusteredGenTag]] generation tag and are LEFT ALONE;
+    * only new files (appends, DML outputs) and DV-bearing files (their
+    * masks must purge) re-cluster, into a fresh internally-disjoint
+    * cube. On a 100 TB table fed by a streaming sink that's the
+    * difference between re-sorting 100 TB per OPTIMIZE and re-sorting
+    * the day's arrivals. `full = true` forces a whole-table re-cluster
+    * (one global cube — use after changing the clustering columns). */
+  def clusteredCompact(targetFileSizeBytes: Option[Long] = None,
+      full: Boolean = false): RunSummary = {
+    val t0 = System.nanoTime()
     val snap = deltaLog.snapshot()
     val paths = graft.delta.DeltaTable.clusteringColumns(snap)
     require(paths.nonEmpty,
@@ -245,13 +257,25 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
       s"nested clustering columns are not supported yet: " +
         paths.filter(_.size > 1).map(_.mkString(".")).mkString(", "))
     val cols = paths.map(_.head)
+    val selection =
+      if (full) snap.files
+      else snap.files.filter(f => f.deletionVector.nonEmpty ||
+        !f.tags.exists(_.contains(DeltaSorter.ClusteredGenTag)))
+    if (selection.isEmpty) return summarize(Nil, t0)
+    val tags = Map(DeltaSorter.ClusteredGenTag ->
+      java.util.UUID.randomUUID().toString)
     if (cols.size == 1) {
-      val t0 = System.nanoTime()
       val m = Rewriter.rewritePartition(spark, deltaLog, snap,
-        RewriteGroup(None, snap.files, snap.files.map(_.size).sum),
-        SortConfig(cols, targetFileSizeBytes = targetFileSizeBytes))
+        RewriteGroup(None, selection, selection.map(_.size).sum),
+        SortConfig(cols, targetFileSizeBytes = targetFileSizeBytes),
+        outputTags = tags)
       summarize(Seq(m), t0)
-    } else zorderCompact(cols, targetFileSizeBytes = targetFileSizeBytes)
+    } else {
+      val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, snap, cols,
+        ZOrder.maxBits(cols.size), targetFileSizeBytes,
+        filesOverride = Some(selection), outputTags = tags)
+      summarize(Seq(m), t0)
+    }
   }
 
   private def elapsedMs(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
@@ -274,4 +298,12 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
 object DeltaSorter {
   def apply(spark: SparkSession, tableUri: String): DeltaSorter =
     new DeltaSorter(spark, tableUri)
+
+  /** AddFile tag marking a file as the output of one [[DeltaSorter!.clusteredCompact]]
+    * run (the generation UUID): files tagged with ANY generation form an
+    * internally z-disjoint cube and are skipped by the next incremental
+    * run — the liquid-clustering ZCube-stability idea, carried in the
+    * spec's optional `tags` map so it survives checkpoints and foreign
+    * rewrites that preserve tags. */
+  val ClusteredGenTag = "graftClusteringGeneration"
 }

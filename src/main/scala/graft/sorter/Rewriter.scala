@@ -81,7 +81,8 @@ object Rewriter {
     * predicate recorded; new adds are dataChange=false (lib.rs:818-828,
     * 870-874). */
   def rewritePartition(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-      group: RewriteGroup, cfg: SortConfig): PartitionMetrics = {
+      group: RewriteGroup, cfg: SortConfig,
+      outputTags: Map[String, String] = Map.empty): PartitionMetrics = {
     val t0 = System.nanoTime()
     // row-tracking-ENABLED tables: the read carries materialized row-id
     // columns so the moved rows keep their IDs (spec stability contract)
@@ -91,6 +92,8 @@ object Rewriter {
 
     val adds = DeltaTable.stageWrite(spark, log, sortedDf,
       snap.metadata.partitionColumns, maxRecords, dataChange = false, Some(snap))
+      .map(a => if (outputTags.isEmpty) a
+        else a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ outputTags)))
     val now = System.currentTimeMillis()
     // the remove must carry the file's DV descriptor: snapshot replay
     // keys files by (path, DV id), so a bare-path remove would leave the
@@ -188,20 +191,25 @@ object Rewriter {
     * min/max stats prune range predicates on EVERY z column. */
   def fullZOrderOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
       zCols: Seq[String], bits: Int,
-      targetFileSizeBytes: Option[Long]): PartitionMetrics = {
+      targetFileSizeBytes: Option[Long],
+      filesOverride: Option[Seq[AddFile]] = None,
+      outputTags: Map[String, String] = Map.empty): PartitionMetrics = {
     val t0 = System.nanoTime()
     Validator.validateSortColumns(snap.schema, zCols)
-    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, snap.files)
-    val bytesIn = snap.files.map(_.size).sum
-    val rows = if (targetFileSizeBytes.isDefined) footerRows(spark, log, snap.files) else 0L
+    val files = filesOverride.getOrElse(snap.files)
+    val df = DeltaTable.readFilesPreservingRowIds(spark, log, snap, files)
+    val bytesIn = files.map(_.size).sum
+    val rows = if (targetFileSizeBytes.isDefined) footerRows(spark, log, files) else 0L
     val zcfg = SortConfig(Seq("_graft_z"), targetFileSizeBytes = targetFileSizeBytes)
     val withZ = df.withColumn("_graft_z", ZOrder.zValue(df, zCols, bits))
     val (sortedDf, maxRecords) = sorted(withZ, zcfg, bytesIn, rows)
     // the projection drops the helper key but never reorders rows
     val adds = DeltaTable.stageWrite(spark, log, sortedDf.drop("_graft_z"),
       snap.metadata.partitionColumns, maxRecords, dataChange = false, Some(snap))
+      .map(a => if (outputTags.isEmpty) a
+        else a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ outputTags)))
     val now = System.currentTimeMillis()
-    val removes = snap.files.map(f =>
+    val removes = files.map(f =>
       RemoveFile(f.path, now, dataChange = false, f.partitionValues, f.size,
         f.deletionVector))
     log.commitDml(snap.version, (removes ++ adds) :+ CommitInfo(now, "OPTIMIZE",
@@ -209,7 +217,7 @@ object Rewriter {
 
     PartitionMetrics(
       partition = "__full_table__",
-      filesIn = snap.files.size,
+      filesIn = files.size,
       filesOut = adds.size,
       bytesIn = bytesIn,
       bytesOut = adds.map(_.size).sum,

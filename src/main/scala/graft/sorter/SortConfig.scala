@@ -72,7 +72,13 @@ case class PartitionMetrics(
     filesOut: Long,
     bytesIn: Long,
     bytesOut: Long,
-    durationMs: Long)
+    durationMs: Long) {
+  def json: String =
+    s"""{"partition":${graft.delta.Action.jstr(partition)},""" +
+      s""""files_in":$filesIn,"files_out":$filesOut,""" +
+      s""""bytes_in":$bytesIn,"bytes_out":$bytesOut,""" +
+      s""""duration_ms":$durationMs}"""
+}
 
 /** Whole-run totals (logged by the reference at lib.rs:226-243). */
 case class RunSummary(
@@ -82,4 +88,15 @@ case class RunSummary(
     bytesIn: Long,
     bytesOut: Long,
     durationMs: Long,
-    perPartition: Seq[PartitionMetrics])
+    perPartition: Seq[PartitionMetrics]) {
+  /** Structured metrics output (the reference's own roadmap item,
+    * README.md:181 "Structured metrics output (e.g., JSON)"): the whole
+    * run summary plus per-partition metrics, the shape `--metrics-json`
+    * writes and the Python binding returns. */
+  def json: String =
+    s"""{"partitions_rewritten":$partitionsRewritten,""" +
+      s""""files_in":$filesIn,"files_out":$filesOut,""" +
+      s""""bytes_in":$bytesIn,"bytes_out":$bytesOut,""" +
+      s""""duration_ms":$durationMs,""" +
+      s""""per_partition":[${perPartition.map(_.json).mkString(",")}]}"""
+}

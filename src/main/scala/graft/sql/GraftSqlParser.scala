@@ -79,6 +79,11 @@ object GraftSqlParser {
   // the session catalog, not the delta log (the source of truth here)
   private val AlterAddCols: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+))\\s*;?\\s*""".r
+  // ALTER TABLE t ALTER|CHANGE COLUMN c TYPE <type> — the typeWidening
+  // metadata-only widening (DeltaTable.alterColumnType); intercepted for
+  // the same reason as ADD COLUMNS (the delta log is the schema's truth)
+  private val AlterColType: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
   private val AlterSetProps: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val AlterUnsetProps: Regex =
@@ -101,6 +106,8 @@ object GraftSqlParser {
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
     case AlterAddCols(ref, parens, bare) =>
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
+    case AlterColType(ref, colName, typeDdl) =>
+      Some(GraftAlterColumnTypeCommand(ref, colName, typeDdl))
     case AlterSetProps(ref, pairs) =>
       Some(GraftAlterPropertiesCommand(ref, parseProps(pairs), Nil, ifExists = false))
     case AlterUnsetProps(ref, ifExists, keys) =>
@@ -268,6 +275,22 @@ case class GraftAlterAddColumnsCommand(tableRef: String, colsDdl: String)
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val schema = session.sessionState.sqlParser.parseTableSchema(colsDdl)
     DeltaTable.addColumns(session, path, schema.fields.toSeq)
+    session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <type>` ->
+  * [[DeltaTable.alterColumnType]] — the typeWidening feature's
+  * metadata-only widening (no file rewrites; narrow files read
+  * promoted). */
+case class GraftAlterColumnTypeCommand(tableRef: String, colName: String,
+    typeDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val dt = session.sessionState.sqlParser.parseDataType(typeDdl)
+    DeltaTable.alterColumnType(session, path, colName, dt)
     session.catalog.refreshByPath(path)
     Seq.empty
   }

@@ -65,4 +65,24 @@ class ArgsSpec extends AnyFunSuite {
     assert(Main.run(spark, Map(
       "table" -> good, "sort-columns" -> "v", "validate-only" -> "true")) == 0)
   }
+
+  test("--metrics-json writes the run summary + per-partition metrics") {
+    val dir = TestSpark.tmpDir("cli-metrics")
+    DeltaTable.create(spark, Seq(5, 1).toDF("v").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(4, 2).toDF("v").coalesce(1))
+    val out = TestSpark.tmpDir("cli-metrics-out") + "/metrics.json"
+    assert(Main.run(spark, Map(
+      "table" -> dir, "sort-columns" -> "v", "metrics-json" -> out)) == 0)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("partitions_rewritten").asLong == 1L)
+    assert(node.get("files_in").asLong == 2L)
+    assert(node.get("files_out").asLong >= 1L)
+    assert(node.get("duration_ms").asLong >= 0L)
+    val pp = node.get("per_partition")
+    assert(pp.isArray && pp.size == 1)
+    assert(pp.get(0).get("partition").asText == "__nopart__")
+    assert(pp.get(0).get("files_in").asLong == 2L)
+  }
 }

@@ -93,6 +93,54 @@ class ClusteringSpec extends AnyFunSuite {
       DeltaLog.forTable(spark, dir).snapshot()) == Seq(Seq("id")))
   }
 
+  test("incremental: a second clusteredCompact rewrites only the new files") {
+    val dir = TestSpark.tmpDir("cluster-incr")
+    DeltaTable.create(spark,
+      (0 until 2000).map(i => ((i * 37 % 2000).toLong, (i * 91 % 2000).toLong, s"r$i"))
+        .toDF("a", "b", "v").repartition(4), dir)
+    DeltaTable.enableClustering(spark, dir, Seq("a", "b"))
+    val sorter = graft.sorter.DeltaSorter(spark, dir)
+    val s1 = sorter.clusteredCompact(targetFileSizeBytes = Some(8L * 1024))
+    assert(s1.filesIn >= 4, s"first run clusters everything, got $s1")
+    val clustered = DeltaLog.forTable(spark, dir).snapshot().files
+    assert(clustered.forall(_.tags.exists(_.contains(
+      graft.sorter.DeltaSorter.ClusteredGenTag))),
+      "clustered outputs must carry the generation tag")
+
+    // nothing new -> the next run is a no-op (ZCube stability)
+    val s0 = sorter.clusteredCompact(targetFileSizeBytes = Some(8L * 1024))
+    assert(s0.filesIn == 0 && s0.filesOut == 0,
+      s"an already-clustered table must not rewrite, got $s0")
+
+    // small append -> ONLY the appended files rewrite
+    DeltaTable.append(spark, dir,
+      (2000 until 2100).map(i => (i.toLong, i.toLong, s"n$i"))
+        .toDF("a", "b", "v").coalesce(1))
+    val appended = DeltaLog.forTable(spark, dir).snapshot().files
+      .filterNot(f => clustered.map(_.path).contains(f.path))
+    assert(appended.size == 1)
+    val s2 = sorter.clusteredCompact(targetFileSizeBytes = Some(8L * 1024))
+    assert(s2.filesIn == 1,
+      s"incremental run must rewrite only the appended file, got $s2")
+    // the first cube's files are untouched on disk and in the log
+    val after = DeltaLog.forTable(spark, dir).snapshot().files
+    assert(clustered.map(_.path).toSet.subsetOf(after.map(_.path).toSet),
+      "previously clustered files must survive the incremental run")
+    assert(DeltaTable.read(spark, dir).count() == 2100)
+
+    // the generation tag survives a checkpoint round-trip
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpoint()
+    DeltaLog.invalidate(dir)
+    val cold = DeltaLog.forTable(spark, dir).snapshot().files
+    assert(cold.forall(_.tags.exists(_.contains(
+      graft.sorter.DeltaSorter.ClusteredGenTag))),
+      "tags must survive the checkpoint")
+    // full=true forces the single global cube back
+    val s3 = sorter.clusteredCompact(targetFileSizeBytes = Some(8L * 1024), full = true)
+    assert(s3.filesIn == cold.size)
+  }
+
   test("guards: partitioned tables refuse, unknown columns refuse, non-clustered compact refuses") {
     val part = TestSpark.tmpDir("cluster-guard-part")
     DeltaTable.create(spark,

@@ -82,4 +82,32 @@ class ConcurrentDmlSpec extends AnyFunSuite {
     // through (metadata strictness must not break ordinary DML)
     log.commitDml(snap.version, Seq(CommitInfo(3L, "DELETE", Map.empty)))
   }
+
+  test("re-ADDING a concurrently removed path is rejected (backfill resurrection)") {
+    // row-tracking backfill / RESTORE re-add EXISTING paths; if a winner
+    // removed one of them after our readVersion, blindly committing the
+    // stale add would resurrect its deleted rows or undo a compaction
+    val (_, log) = mkTable("dml-readd")
+    val snap = log.snapshot()
+    val Seq(f1, f2) = snap.files.toSeq
+
+    // winner deletes f1 after our snapshot
+    log.commitDml(snap.version, Seq(
+      RemoveFile(f1.path, 1L, dataChange = true, f1.partitionValues, f1.size),
+      CommitInfo(1L, "DELETE", Map.empty)))
+
+    // loser (planned against the stale snapshot) re-adds f1 -> conflict
+    val err = intercept[ConcurrentDeleteException] {
+      log.commitDml(snap.version, Seq(
+        f1.copy(dataChange = false),
+        CommitInfo(2L, "BACKFILL", Map.empty)))
+    }
+    assert(err.getMessage.contains(f1.path))
+
+    // a re-add of an UNTOUCHED path from the same stale version retries
+    log.commitDml(snap.version, Seq(
+      f2.copy(dataChange = false),
+      CommitInfo(3L, "BACKFILL", Map.empty)))
+    assert(log.snapshot().files.map(_.path).toSeq == Seq(f2.path))
+  }
 }

@@ -348,7 +348,8 @@ class DeltaLogSpec extends AnyFunSuite {
         |"clusteringProvider":"liquid","baseRowId":7}}""".stripMargin))
     assert(add.contains(AddFile("p.parquet", Map.empty, 10L, 5L,
       dataChange = true, stats = Some("""{"numRecords":2}"""),
-      baseRowId = Some(7L)))) // rowTracking fields parse (round 13)
+      baseRowId = Some(7L), // rowTracking fields parse (round 13)
+      tags = Some(Map("x" -> "y"))))) // tags preserved verbatim (round 14)
     // EXCEPT deletionVector, which is semantic now: a present-but-
     // truncated descriptor fails loudly instead of resurrecting rows
     val e = intercept[IllegalArgumentException](Action.fromJson(mapper.readTree(

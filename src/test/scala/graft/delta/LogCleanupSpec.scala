@@ -98,4 +98,109 @@ class LogCleanupSpec extends AnyFunSuite {
     DeltaLog.invalidate(dir)
     assert(DeltaTable.read(spark, dir).count() == 20) // 20 seed - 1 del + 1 append
   }
+
+  test("v2 layout: ABSOLUTE sidecar paths in the retained manifest still protect") {
+    // spec-legal: foreign writers may reference sidecars by absolute
+    // path; cleanup must normalize to the bare name before matching or
+    // it deletes a LIVE sidecar and corrupts the newest checkpoint
+    val dir = TestSpark.tmpDir("logclean-v2-abs")
+    DeltaTable.create(spark,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "name"), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.checkpointPolicy" -> "v2"))
+    val log = DeltaLog.forTable(spark, dir)
+    DeltaTable.append(spark, dir, Seq((100L, "x")).toDF("id", "name"))
+    log.checkpoint()
+    val logDir = new java.io.File(dir, "_delta_log")
+    val manifest = logDir.listFiles()
+      .find(f => Checkpoints.v2ManifestVersion(f.getName).nonEmpty).get
+    val absDir = new java.io.File(dir, "_delta_log/_sidecars").getAbsolutePath
+    // rewrite the manifest's sidecar refs to absolute paths
+    val df = spark.read.parquet(manifest.getAbsolutePath)
+    import org.apache.spark.sql.functions.{concat, lit, struct, when}
+    val rewritten = df.withColumn("sidecar",
+      when(col("sidecar").isNotNull, struct(
+        concat(lit(absDir + "/"), col("sidecar.path")).as("path"),
+        col("sidecar.sizeInBytes").as("sizeInBytes"),
+        col("sidecar.modificationTime").as("modificationTime"))))
+    val tmp = TestSpark.tmpDir("logclean-v2-abs-tmp")
+    rewritten.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.copy(part.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale Hadoop-local checksum shadow of the old manifest
+    new java.io.File(logDir, s".${manifest.getName}.crc").delete()
+    // backdate the sidecars so they are expiry candidates
+    new java.io.File(dir, "_delta_log/_sidecars").listFiles()
+      .foreach(_.setLastModified(System.currentTimeMillis() - 40L * 24 * 3600 * 1000))
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(0L))
+    assert(!deleted.exists(_.startsWith("_sidecars/")),
+      s"live sidecars (absolute refs) must survive, got $deleted")
+    DeltaLog.invalidate(dir)
+    assert(DeltaTable.read(spark, dir).count() == 11)
+  }
+
+  test("v2 layout: a YOUNG manifest below the newest checkpoint protects its sidecars") {
+    // a manifest the pass will NOT delete (young) still replays its
+    // sidecars — version alone must not decide liveness
+    val dir = TestSpark.tmpDir("logclean-v2-young")
+    DeltaTable.create(spark,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "name"), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.checkpointPolicy" -> "v2"))
+    val log = DeltaLog.forTable(spark, dir)
+    DeltaTable.append(spark, dir, Seq((100L, "x")).toDF("id", "name"))
+    log.checkpoint() // older checkpoint: manifest M1 + sidecars S1
+    val s1 = new java.io.File(dir, "_delta_log/_sidecars").listFiles().map(_.getName).toSet
+    DeltaTable.append(spark, dir, Seq((101L, "y")).toDF("id", "name"))
+    log.checkpoint() // newest checkpoint: manifest M2 + sidecars S2
+    // S1 is referenced ONLY by M1 (below cp.version). Backdate S1 past
+    // the window; M1 itself stays young so this pass keeps it.
+    new java.io.File(dir, "_delta_log/_sidecars").listFiles()
+      .filter(f => s1.contains(f.getName))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 40L * 24 * 3600 * 1000))
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(24L * 3600 * 1000))
+    assert(!deleted.exists(_.startsWith("_sidecars/")),
+      s"sidecars of a surviving young manifest must survive, got $deleted")
+    // M1 still replays in full
+    assert(s1.forall(n => new java.io.File(dir, s"_delta_log/_sidecars/$n").exists()))
+  }
+
+  test("checkpointProtection: cleanup refuses below the protected boundary") {
+    val dir = TestSpark.tmpDir("logclean-protect")
+    DeltaTable.create(spark, Seq((0L, "r0")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    (1 to 4).foreach(i => DeltaTable.append(spark, dir,
+      Seq((i.toLong, s"r$i")).toDF("id", "name")))
+    log.checkpoint() // checkpoint at v4
+    // protect the history up to a version BEYOND the newest checkpoint:
+    // this pass cannot retain a checkpoint at/after the bound, so it
+    // must delete NOTHING (the writer-feature contract)
+    DeltaTable.setTblProperties(spark, dir, Map(
+      "delta.requireCheckpointProtectionBeforeVersion" -> "100"))
+    assert(log.cleanupExpiredLogs(retentionMsOverride = Some(0L)) == Nil,
+      "no log file below the protected boundary may be deleted")
+    // with the bound at/below the retained checkpoint, cleanup proceeds
+    DeltaTable.setTblProperties(spark, dir, Map(
+      "delta.requireCheckpointProtectionBeforeVersion" -> "3"))
+    log.checkpoint() // fresh checkpoint at the property commits
+    val deleted = log.cleanupExpiredLogs(retentionMsOverride = Some(0L))
+    assert(deleted.nonEmpty, "bound satisfied by the retained checkpoint -> cleanup runs")
+    DeltaLog.invalidate(dir)
+    assert(DeltaTable.read(spark, dir).count() == 5)
+  }
+
+  test("a foreign checkpointProtection table accepts ordinary DML") {
+    val dir = TestSpark.tmpDir("logclean-protect-dml")
+    DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    // foreign writer stamped the feature (the newest delta-spark does on
+    // protocol downgrades); ordinary commits must keep working
+    log.commitDml(snap.version, Seq(
+      Protocol(1, 7, None, Some(Set("checkpointProtection", "invariants", "appendOnly")))))
+    DeltaTable.append(spark, dir, Seq((3L, "c")).toDF("id", "name"))
+    DeltaTable.delete(spark, dir, col("id") === 1L)
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
 }

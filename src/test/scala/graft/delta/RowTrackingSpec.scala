@@ -235,4 +235,40 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ids("c") == 42L, s"fresh IDs continue from the foreign mark, got $ids")
     assert(hwm(dir) == 42L)
   }
+
+  test("a mass import of STATS-LESS adds stamps row counts in one batched pass") {
+    // CONVERT-style shape: one commit carrying many foreign AddFiles
+    // with no stats — the chokepoint must read every footer through one
+    // Spark job (executor-side), not a serial driver loop, and still
+    // assign contiguous blocks sized by the TRUE record counts
+    val dir = TestSpark.tmpDir("rt-statsless")
+    DeltaTable.create(spark, Seq((0L, "seed")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    val hwm0 = hwm(dir)
+    val log = DeltaLog.forTable(spark, dir)
+    // 12 parquet files with varying row counts, registered stats-less
+    val adds = (0 until 12).map { i =>
+      val tmp = TestSpark.tmpDir(s"rt-statsless-$i")
+      (0 to i).map(j => (100L * i + j, s"f$i-$j")).toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val name = s"import-$i.parquet"
+      Files.copy(part.toPath, Paths.get(dir, name))
+      AddFile(name, Map.empty, part.length(), 1L, dataChange = true, stats = None)
+    }
+    log.commitDml(log.snapshot().version,
+      adds :+ CommitInfo(1L, "CONVERT", Map.empty))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val stamped = snap.files.filter(_.path.startsWith("import-"))
+    assert(stamped.size == 12 && stamped.forall(_.baseRowId.nonEmpty),
+      "every stats-less add must be stamped")
+    // blocks are disjoint and sized by the true counts (1..12 rows)
+    val totalRows = (1 to 12).sum
+    assert(hwm(dir) == hwm0 + totalRows,
+      s"mark must advance by the TRUE imported row count $totalRows")
+    val allIds = DeltaTable.readWithRowIds(spark, dir)
+      .select("_row_id").as[Long].collect()
+    assert(allIds.length == allIds.distinct.length, "row IDs must be unique")
+  }
 }

@@ -85,4 +85,99 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(DataSkipping.prune(snap.files, snap.schema,
       spark.sessionState.sqlParser.parseExpression("i >= 1")).nonEmpty)
   }
+
+  test("a foreign typeWidening table accepts append and DML (writer feature)") {
+    val dir = TestSpark.tmpDir("widen-write")
+    val tmp = TestSpark.tmpDir("widen-write-part")
+    spark.range(3).selectExpr("cast(id as int) as i", "cast(id as string) as s")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(part.toPath, Paths.get(dir, part.getName))
+    val wide = new StructType().add("i", LongType).add("s", StringType)
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"widen-w","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(wide.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+
+    // append at the widened schema — the whole write-side contract
+    DeltaTable.append(spark, dir, Seq((100L, "x")).toDF("i", "s"))
+    // a producer still emitting the PRE-widening type upcasts in place
+    DeltaTable.append(spark, dir,
+      spark.range(1).selectExpr("cast(200 as int) as i", "'y' as s"))
+    assert(DeltaTable.read(spark, dir).schema("i").dataType == LongType)
+    assert(DeltaTable.read(spark, dir).select("i").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 100L, 200L))
+    // DML: delete reads narrow files promoted and rewrites at the wide type
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.col("i") === 1L)
+    assert(DeltaTable.read(spark, dir).select("i").as[Long].collect().toSet ==
+      Set(0L, 2L, 100L, 200L))
+  }
+
+  test("ALTER COLUMN TYPE widens metadata-only and records delta.typeChanges") {
+    val dir = TestSpark.tmpDir("widen-alter")
+    DeltaTable.create(spark,
+      spark.range(5).selectExpr("cast(id as int) as i", "cast(id as string) as s"), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val filesBefore = log.snapshot().files.map(_.path).toSet
+
+    // gate: refused before the property is set
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTable.alterColumnType(spark, dir, "i", LongType))
+    assert(e0.getMessage.contains("delta.enableTypeWidening"))
+
+    DeltaTable.setTblProperties(spark, dir, Map("delta.enableTypeWidening" -> "true"))
+    val p = log.snapshot().protocol
+    assert(p.readerFeatures.exists(_.contains("typeWidening")), s"protocol $p")
+    assert(p.writerFeatures.exists(_.contains("typeWidening")), s"protocol $p")
+
+    DeltaTable.alterColumnType(spark, dir, "i", LongType)
+    val snap = log.snapshot()
+    // metadata-only: not one file rewritten
+    assert(snap.files.map(_.path).toSet == filesBefore, "widening must not rewrite files")
+    assert(snap.schema("i").dataType == LongType)
+    // the spec's type-change history on the field
+    val changes = snap.schema("i").metadata.getMetadataArray("delta.typeChanges")
+    assert(changes.length == 1)
+    assert(changes(0).getString("fromType") == "integer")
+    assert(changes(0).getString("toType") == "long")
+    // pre-widening files read promoted
+    assert(DeltaTable.read(spark, dir).select("i").as[Long].collect().toSet ==
+      (0L until 5L).toSet)
+
+    // a second widening APPENDS to the history
+    DeltaTable.alterColumnType(spark, dir, "i", DecimalType(22, 0))
+    val ch2 = log.snapshot().schema("i").metadata.getMetadataArray("delta.typeChanges")
+    assert(ch2.length == 2 && ch2(1).getString("fromType") == "long" &&
+      ch2(1).getString("toType") == "decimal(22,0)")
+    assert(DeltaTable.read(spark, dir).select("i").collect().length == 5)
+
+    // refusals: narrowing, no-op, unknown column
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.alterColumnType(spark, dir, "s", IntegerType))
+    assert(e1.getMessage.contains("not a supported widening"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTable.alterColumnType(spark, dir, "i", DecimalType(22, 0)))
+    assert(e2.getMessage.contains("already has type"))
+    intercept[IllegalArgumentException](
+      DeltaTable.alterColumnType(spark, dir, "nope", LongType))
+  }
+
+  test("SQL: ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT routes to the widening") {
+    val dir = TestSpark.tmpDir("widen-sql")
+    DeltaTable.create(spark,
+      spark.range(3).selectExpr("cast(id as int) as i", "cast(id as string) as s"), dir)
+    spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES ('delta.enableTypeWidening'='true')")
+    spark.sql(s"ALTER TABLE '$dir' ALTER COLUMN i TYPE BIGINT")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.schema("i").dataType == LongType)
+    assert(snap.schema("i").metadata.contains("delta.typeChanges"))
+    assert(DeltaTable.read(spark, dir).select("i").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L))
+  }
 }

@@ -43,6 +43,18 @@ class V2CheckpointWriteSpec extends AnyFunSuite {
     val sidecars = new java.io.File(dir, "_delta_log/_sidecars").listFiles()
     assert(sidecars != null && sidecars.nonEmpty, "sidecar shard expected")
 
+    // pointer `size` = ACTION count only (protocol + metaData + txns +
+    // domains + file actions) — the checkpointMetadata stamp and
+    // sidecar-reference rows are manifest bookkeeping, not actions, and
+    // foreign readers sanity-check size against action count
+    val snapAtCp = log.snapshot()
+    val ptrJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint")), "UTF-8")
+    val sizeField = """"size":(\d+)""".r.findFirstMatchIn(ptrJson).get.group(1).toLong
+    assert(sizeField ==
+      2 + snapAtCp.txns.size + snapAtCp.domains.size + snapAtCp.files.size,
+      s"pointer size must count actions only, got $ptrJson")
+
     // cold replay: delete ALL commit JSON at/below the checkpoint and
     // the pointer — state must come back from the v2 layout alone
     val cpV = log.snapshot().version

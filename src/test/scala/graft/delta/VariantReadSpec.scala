@@ -71,11 +71,13 @@ class VariantReadSpec extends AnyFunSuite {
     val snap = DeltaLog.forTable(spark, dir).snapshot()
     assert(DataSkipping.prune(snap.files, snap.schema,
       spark.sessionState.sqlParser.parseExpression("id > 5")).isEmpty)
-    // writes refused: variantType is not a supported WRITER feature
-    val e = intercept[IllegalStateException] {
-      DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("id = 0"))
-    }
-    assert(e.getMessage.contains("variantType"))
+    // writes ACCEPTED since r14 (variantType is a supported writer
+    // feature): DML reads the pair, rewrites survivors at the same type
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("id = 0"))
+    val after = DeltaTable.read(spark, dir).selectExpr("id", "to_json(payload) as j")
+      .as[(Long, String)].collect().toMap
+    assert(after.keySet == Set(1L, 2L))
+    assert(after(1L) == "[1,2,3]")
   }
 
   test("a SHREDDED variant table reads equal to its unshredded twin") {

@@ -1,0 +1,91 @@
+package graft.delta
+
+import org.apache.spark.sql.types.VariantType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The `variantType` WRITER feature: VARIANT columns stage natively
+  * through Spark 4's parquet writer (the binary (metadata, value)
+  * group). CREATE and schema evolution stamp the feature with the
+  * schema ([[DeltaTable.schemaFeatures]]/[[DeltaTable.featureUpgrade]])
+  * so no version of the table ever carries a variant column a foreign
+  * reader can't gate on; variant columns make NO skipping claim
+  * (statsFromFooter's top-level-leaf filter), as the spec demands. */
+class VariantWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def variantRows = spark.sql(
+    """select id,
+      |  parse_json(case id
+      |    when 0 then '{"kind":"doc","score":1.5}'
+      |    when 1 then '[1,2,3]'
+      |    else '"plain-string"' end) as payload
+      |from range(3)""".stripMargin)
+
+  test("CREATE with a variant column stamps the feature and round-trips") {
+    val dir = TestSpark.tmpDir("varw-create")
+    DeltaTable.create(spark, variantRows, dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // protocol carries variantType on BOTH sides from version 0
+    val p = snap.protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7, s"protocol $p")
+    assert(p.readerFeatures.exists(_.contains("variantType")), s"protocol $p")
+    assert(p.writerFeatures.exists(_.contains("variantType")), s"protocol $p")
+    assert(snap.schema("payload").dataType == VariantType)
+    // write-then-read equal through to_json / variant_get
+    val byId = DeltaTable.read(spark, dir)
+      .selectExpr("id", "to_json(payload) as j").as[(Long, String)].collect().toMap
+    assert(byId(0L) == """{"kind":"doc","score":1.5}""")
+    assert(byId(1L) == "[1,2,3]")
+    assert(byId(2L) == "\"plain-string\"")
+    assert(DeltaTable.read(spark, dir)
+      .selectExpr("variant_get(payload, '$.score', 'double') as s")
+      .where("s is not null").as[Double].collect().toSeq == Seq(1.5))
+    // stats: numRecords recorded, variant column claims nothing
+    val stats = snap.files.flatMap(_.stats)
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.contains("\"numRecords\"")))
+    assert(!stats.exists(_.contains("\"payload\"")),
+      s"variant columns must make no skipping claim, got $stats")
+    // id stats still prune around the variant column
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("id > 5")).isEmpty)
+  }
+
+  test("append + UPDATE + checkpoint round-trip variants") {
+    val dir = TestSpark.tmpDir("varw-dml")
+    DeltaTable.create(spark, variantRows, dir)
+    DeltaTable.append(spark, dir,
+      spark.sql("select 100L as id, parse_json('{\"extra\":true}') as payload"))
+    DeltaTable.update(spark, dir,
+      org.apache.spark.sql.functions.expr("id = 1"),
+      Map("payload" -> org.apache.spark.sql.functions.expr("parse_json('{\"replaced\":1}')")))
+    val log = DeltaLog.forTable(spark, dir)
+    log.checkpoint()
+    DeltaLog.invalidate(dir)
+    val byId = DeltaTable.read(spark, dir)
+      .selectExpr("id", "to_json(payload) as j").as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(0L, 1L, 2L, 100L))
+    assert(byId(1L) == """{"replaced":1}""")
+    assert(byId(100L) == """{"extra":true}""")
+  }
+
+  test("mergeSchema evolution adding a variant column upgrades the protocol") {
+    val dir = TestSpark.tmpDir("varw-evolve")
+    DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    assert(DeltaLog.forTable(spark, dir).snapshot().protocol.minReaderVersion == 1)
+    DeltaTable.append(spark, dir,
+      spark.sql("select 3L as id, 'c' as s, parse_json('{\"v\":1}') as payload"),
+      mergeSchema = true)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val p = snap.protocol
+    assert(p.minReaderVersion == 3 && p.readerFeatures.exists(_.contains("variantType")),
+      s"evolution introducing VARIANT must upgrade the protocol in the same commit, got $p")
+    assert(snap.schema("payload").dataType == VariantType)
+    // pre-evolution rows read the new column as NULL
+    val nulls = DeltaTable.read(spark, dir).where("payload is null").count()
+    assert(nulls == 2)
+  }
+}
