@@ -306,6 +306,24 @@ object Bench {
       val (dvStats, tDvDelete) = timed(graft.delta.DeltaTable.delete(
         spark, tableDir, org.apache.spark.sql.functions.expr(dvPred)))
       val (_, tDvCompact) = timed(sorter.compact(cfg))
+      // Row tracking at scale: enablement backfills base row IDs over
+      // every active file (one metadata+re-add commit), and the next
+      // compact must MATERIALIZE row-id columns into every staged file —
+      // the write-side overhead the feature charges a rewrite.
+      val (_, tRtEnable) = timed(
+        graft.delta.DeltaTable.enableRowTracking(spark, tableDir))
+      // strict overwrite, not compact: the table is already sorted here,
+      // so compact would plan zero groups and measure nothing — strict
+      // mode always rewrites, so the delta vs `strict_overwrite` above
+      // IS the row-id materialization overhead
+      val (_, tRtCompact) = timed(
+        sorter.compact(cfg.copy(repartitionBySortKey = true)))
+      // v2 checkpoint write: UUID manifest + sidecars sharded one task
+      // per shard — the checkpoint shape a million-file table needs.
+      graft.delta.DeltaTable.setTblProperties(spark, tableDir,
+        Map("delta.checkpointPolicy" -> "v2"))
+      val (_, tCkptV2) = timed(
+        graft.delta.DeltaLog.forTable(spark, tableDir).checkpoint())
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tableDir), true)
       def render(fmt: Double => String, withBytes: Boolean) =
@@ -316,6 +334,8 @@ object Bench {
           s""""delete_selective":${fmt(tDelete)},"delete_files_rewritten":${delStats.filesRemoved},""" +
           s""""dv_delete":${fmt(tDvDelete)},"dv_files_masked":${dvStats.filesAdded},""" +
           s""""dv_compact":${fmt(tDvCompact)},""" +
+          s""""rt_enable":${fmt(tRtEnable)},"rt_compact":${fmt(tRtCompact)},""" +
+          s""""checkpoint_v2":${fmt(tCkptV2)},""" +
           s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
           (if (withBytes) s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" else "") +
           s""""violations_before":${v1.boundaryViolations},"ok_after":${v2.ok}},"""

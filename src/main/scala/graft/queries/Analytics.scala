@@ -209,7 +209,7 @@ object Analytics {
       graft.functions.GraftFunctions.register(s)
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(1L << 21))
+        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(1L << 24))
           .as("n_distinct_parts"),
           count(lit(1)).as("n_rows"))
     }),

@@ -26,6 +26,14 @@ object ScaleUp {
   /** Key offset between replicas — far above any base key. */
   val Offset = 100000000L
 
+  /** DENSE offset for the part-id domain: part keys are a bounded dense
+    * entity domain (the contract `q_bitmap_distinct`'s exact bitmap
+    * relies on — state is O(max key), so keys must stay dense as the
+    * corpus scales, exactly as real entity ids do). 2^20 clears the
+    * sf0.1 part count (20k) with room, and 10 replicas stay under the
+    * query's 2^24 bitmap bound. */
+  val PartOffset = 1L << 20
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
@@ -58,13 +66,13 @@ object ScaleUp {
       "supplier" -> (() => replicate(read("supplier"), 4)((d, r) =>
         d.withColumn("s_suppkey", off("s_suppkey", r)))),
       "part" -> (() => replicate(read("part"), 8)((d, r) =>
-        d.withColumn("p_partkey", off("p_partkey", r)))),
+        d.withColumn("p_partkey", col("p_partkey") + lit(r * PartOffset)))),
       "orders" -> (() => replicate(read("orders"), 16)((d, r) =>
         d.withColumn("o_orderkey", off("o_orderkey", r))
           .withColumn("o_custkey", off("o_custkey", r)))),
       "lineitem" -> (() => replicate(read("lineitem"), 32)((d, r) =>
         d.withColumn("l_orderkey", off("l_orderkey", r))
-          .withColumn("l_partkey", off("l_partkey", r))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * PartOffset))
           .withColumn("l_suppkey", off("l_suppkey", r)))),
       "events" -> (() => replicate(read("events"), 32)((d, r) =>
         d.withColumn("event_id", off("event_id", r))
