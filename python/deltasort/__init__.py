@@ -191,6 +191,42 @@ class SortOptimizer:
             tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
         return json.loads(self._j.clusteredCompact(tfs, bool(full)))
 
+    def convert_to_delta(self, partition_columns: Optional[list[str]] = None) -> None:
+        """CONVERT TO DELTA: register this plain-parquet directory as a
+        Delta table in place — no file moves or rewrites; per-file
+        footer stats are collected in one Spark job. For a
+        hive-partitioned directory pass the partition column names."""
+        self._j.convertToDelta(self._jlist(list(partition_columns or [])))
+
+    def enable_column_mapping(self) -> None:
+        """none->name column-mapping upgrade (metadata-only): physical
+        names pin to the current logical names so every existing file
+        keeps resolving; unlocks ``rename_column``/``drop_columns``."""
+        self._j.enableColumnMapping()
+
+    def rename_column(self, from_name: str, to_name: str) -> None:
+        """Metadata-only logical rename on a column-mapped table (the
+        physical name and column id never change)."""
+        self._j.renameColumn(from_name, to_name)
+
+    def drop_columns(self, cols: list[str]) -> None:
+        """Metadata-only column drop on a column-mapped table; a later
+        re-add of the same name gets a FRESH physical column (old rows
+        read NULL)."""
+        self._j.dropColumns(self._jlist(list(cols)))
+
+    def enable_type_widening(self) -> None:
+        """Opt into type widening (``delta.enableTypeWidening`` + the
+        ``typeWidening`` reader-writer feature)."""
+        self._j.enableTypeWidening()
+
+    def alter_column_type(self, column: str, type_ddl: str) -> None:
+        """Metadata-only widening: ``type_ddl`` is a Spark SQL type
+        ("bigint", "double", "decimal(22,0)", "timestamp_ntz"). No file
+        is rewritten; pre-widening files read promoted, and the change
+        is recorded in ``delta.typeChanges`` per spec."""
+        self._j.alterColumnType(column, type_ddl)
+
     def cleanup_expired_logs(self) -> list:
         """Delete expired pre-checkpoint transaction-log files
         (``delta.logRetentionDuration``, default 30 days); returns the

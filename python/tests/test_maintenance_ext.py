@@ -144,3 +144,36 @@ def test_enable_deletion_vectors_masks_deletes(spark, tmp_table):
     # compact resolves the masks; the data survives
     opt.bin_pack()
     assert len(read_pandas(spark, tmp_table)) == 90
+
+
+def test_schema_ddl_surface(spark, tmp_table):
+    # column-mapping upgrade -> rename/drop are metadata-only; type
+    # widening promotes in place (all round-14 DDL surface)
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_column_mapping()
+    opt.rename_column("v", "label")
+    pdf = read_pandas(spark, tmp_table)
+    assert list(sorted(pdf.columns)) == ["k", "label"]
+    assert set(pdf["label"]) == {"a", "b"}
+    opt.drop_columns(["label"])
+    assert list(read_pandas(spark, tmp_table).columns) == ["k"]
+    # widening: k long -> decimal(22,0), values preserved
+    opt.enable_type_widening()
+    opt.alter_column_type("k", "decimal(22,0)")
+    pdf2 = read_pandas(spark, tmp_table)
+    assert sorted(int(x) for x in pdf2["k"]) == [1, 2]
+
+
+def test_convert_to_delta(spark, tmp_path):
+    # register an existing parquet directory in place, then use it as delta
+    d = str(tmp_path / "plainpq")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], _SCHEMA) \
+        .coalesce(2).write.mode("overwrite").parquet(d)
+    opt = SortOptimizer(d, spark=spark)
+    opt.convert_to_delta()
+    pdf = read_pandas(spark, d)
+    assert len(pdf) == 3 and set(pdf["v"]) == {"a", "b", "c"}
+    # it is a real delta table now: DML flows
+    opt.delete_where("k = 2")
+    assert len(read_pandas(spark, d)) == 2

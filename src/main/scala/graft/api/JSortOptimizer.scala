@@ -182,6 +182,37 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def enableClustering(cols: java.util.List[String]): Unit =
     graft.delta.DeltaTable.enableClustering(spark, tableUri, cols.asScala.toSeq)
 
+  /** none->name column-mapping upgrade (metadata-only; unlocks
+    * RENAME/DROP COLUMN). */
+  def enableColumnMapping(): Unit =
+    graft.delta.DeltaTable.enableColumnMapping(spark, tableUri)
+
+  /** CONVERT TO DELTA: register this (plain parquet) directory as a
+    * Delta table in place — files never move; stats from one Spark job. */
+  def convertToDelta(partitionColumns: java.util.List[String]): Unit = {
+    graft.delta.DeltaTable.convertToDelta(spark, tableUri,
+      partitionColumns.asScala.toSeq)
+    ()
+  }
+
+  /** Metadata-only logical rename on a column-mapped table. */
+  def renameColumn(from: String, to: String): Unit =
+    graft.delta.DeltaTable.renameColumn(spark, tableUri, from, to)
+
+  /** Metadata-only column drop on a column-mapped table. */
+  def dropColumns(cols: java.util.List[String]): Unit =
+    graft.delta.DeltaTable.dropColumns(spark, tableUri, cols.asScala.toSeq)
+
+  /** Opt into type widening (delta.enableTypeWidening + the feature). */
+  def enableTypeWidening(): Unit =
+    graft.delta.DeltaTable.enableTypeWidening(spark, tableUri)
+
+  /** Metadata-only type widening: `typeDdl` is a Spark SQL type string
+    * ("bigint", "decimal(22,0)", ...). */
+  def alterColumnType(column: String, typeDdl: String): Unit =
+    graft.delta.DeltaTable.alterColumnType(spark, tableUri, column,
+      spark.sessionState.sqlParser.parseDataType(typeDdl))
+
   /** OPTIMIZE a clustered table by its recorded clustering columns —
     * incremental (new files only) unless `full`. */
   def clusteredCompact(targetFileSizeBytes: java.lang.Long,

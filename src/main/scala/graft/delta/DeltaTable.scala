@@ -406,6 +406,79 @@ object DeltaTable {
     }
   }
 
+  /** CONVERT TO DELTA: register an existing parquet directory (flat or
+    * hive-partitioned) as a graft-Delta table IN PLACE — no data file
+    * moves or rewrites; the version-0 commit lists every parquet file
+    * as an AddFile with footer-derived stats. The delta-spark analog of
+    * `CONVERT TO DELTA parquet.`/path``.
+    *
+    * Scale: file discovery is a recursive listing, and the per-file
+    * footer stats are collected in ONE Spark job (a million-file lake
+    * directory must not serialize a million ~KB footer reads on the
+    * driver). Schema comes from Spark's parquet inference over the
+    * directory (partition columns typed from the paths, exactly what a
+    * reader of the unconverted directory saw). `partitionColumns`
+    * must name the hive partition directories when present — the
+    * commit refuses a mismatch rather than guessing. */
+  def convertToDelta(spark: SparkSession, tableUri: String,
+      partitionColumns: Seq[String] = Nil): DeltaLog = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    require(!log.tableExists,
+      s"$tableUri already has a _delta_log — it is a Delta table; " +
+        "CONVERT is for plain parquet directories")
+    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(log.tableRoot), s"no such directory: $tableUri")
+    // discover data files (recursive; skip _delta_log/_SUCCESS/hidden)
+    val files = {
+      val out = mutable.ArrayBuffer.empty[(String, Long, Long)] // (rel, size, mtime)
+      val it = fs.listFiles(log.tableRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        val rel = log.tableRoot.toUri.relativize(st.getPath.toUri).getPath
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+            !name.startsWith(".") && !rel.startsWith("_delta_log"))
+          out += ((rel, st.getLen, st.getModificationTime))
+      }
+      out.toSeq.sortBy(_._1)
+    }
+    require(files.nonEmpty, s"no parquet files under $tableUri")
+    // the directory's own inferred schema (partition cols typed from paths)
+    val inferred = spark.read.parquet(tableUri).schema
+    val lcParts = partitionColumns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    files.foreach { case (rel, _, _) =>
+      val dirs = parsePartitionValues(
+        rel.split('/').dropRight(1).mkString("/"))
+      val got = dirs.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+      require(got == lcParts,
+        s"partition mismatch under $tableUri: file $rel has partition dirs " +
+          s"${got.toSeq.sorted.mkString(",")} but partitionColumns = " +
+          s"${partitionColumns.mkString(",")}")
+    }
+    partitionColumns.foreach(p => require(
+      inferred.fieldNames.exists(_.equalsIgnoreCase(p)),
+      s"partition column $p not found in the inferred schema of $tableUri"))
+    // footer stats: one Spark job over all files, never a driver loop
+    val statsByRel: Map[String, String] = {
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val rootStr = log.tableRoot.toString
+      spark.sparkContext
+        .parallelize(files.map(_._1), math.max(1, math.min(files.size, 64)))
+        .flatMap { rel =>
+          try Some(rel -> DataSkipping.statsFromFooter(confSer.value,
+            new org.apache.hadoop.fs.Path(rootStr, rel)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.collect().toMap
+    }
+    val adds = files.map { case (rel, size, mtime) =>
+      AddFile(rel, parsePartitionValues(rel.split('/').dropRight(1).mkString("/")),
+        size, mtime, dataChange = true, stats = statsByRel.get(rel))
+    }
+    log.create(inferred, partitionColumns, adds, operation = "CONVERT")
+    log
+  }
+
   /** `a=1/b=true` -> Map(a->1, b->true); hive null dir -> null value. */
   def parsePartitionValues(relDir: String): Map[String, String] =
     if (relDir == null || relDir.isEmpty) Map.empty
@@ -1630,6 +1703,189 @@ object DeltaTable {
     ()
   }
 
+  // ---- column mapping upgrade + RENAME/DROP COLUMN ----------------------
+
+  /** Upgrade an unmapped table to column mapping mode=name — the
+    * prerequisite for RENAME/DROP COLUMN. The none→name migration per
+    * spec: every field's physical name becomes its CURRENT logical name
+    * (so every existing parquet file, footer-stats key, and partition
+    * directory keeps resolving unchanged — zero rewrites), ids are
+    * assigned depth-first, `maxColumnId` records the high mark, and the
+    * protocol gains column mapping (legacy reader 2 / writer 5, or the
+    * `columnMapping` feature on a v7 table). Idempotent on mode=name;
+    * other mode changes are refused (name↔id would re-key every file). */
+  def enableColumnMapping(spark: SparkSession, tableUri: String): Unit = {
+    import org.apache.spark.sql.types._
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val mode = snap.columnMappingMode
+    if (mode == "name") return
+    require(mode == "none",
+      s"cannot change column mapping mode '$mode' of $tableUri: only the " +
+        "none->name upgrade is a metadata-only migration")
+    var nextId = snap.metadata.configuration
+      .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+    def mapType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong("delta.columnMapping.id", nextId).build()
+        f.copy(dataType = mapType(f.dataType), metadata = md)
+      })
+      case ArrayType(et, n) => ArrayType(mapType(et), n)
+      case MapType(kt, vt, n) => MapType(mapType(kt), mapType(vt), n)
+      case other => other
+    }
+    val mapped = mapType(snap.schema).asInstanceOf[StructType]
+    val p = snap.protocol
+    val proto: Option[Protocol] =
+      if (p.minWriterVersion == 7) {
+        val wf = p.writerFeatures.getOrElse(Set.empty) + "columnMapping"
+        val rf =
+          if (p.minReaderVersion >= 3) p.readerFeatures.map(_ + "columnMapping")
+          else p.readerFeatures
+        Some(p.copy(minReaderVersion = math.max(2, p.minReaderVersion),
+          readerFeatures = rf, writerFeatures = Some(wf)))
+      } else if (p.minReaderVersion >= 2 && p.minWriterVersion >= 5) None
+      else Some(p.copy(minReaderVersion = math.max(2, p.minReaderVersion),
+        minWriterVersion = math.max(5, p.minWriterVersion)))
+    log.commitDml(snap.version, proto.toSeq ++ Seq(
+      snap.metadata.copy(schemaString = mapped.json,
+        configuration = snap.metadata.configuration ++ Map(
+          "delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> nextId.toString)),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        Map("delta.columnMapping.mode" -> "name"))))
+    ()
+  }
+
+  /** Refuse a RENAME/DROP of a column some registered expression still
+    * references — a CHECK constraint or generation expression naming a
+    * gone/renamed column would poison every later write. */
+  private def guardReferences(spark: SparkSession, tableUri: String,
+      snap: Snapshot, colName: String, op: String): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def refs(e: String): Set[String] =
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          lc(a.nameParts.head)
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+    snap.metadata.configuration.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix) && refs(v).contains(lc(colName)))
+        throw new IllegalArgumentException(
+          s"cannot $op column $colName of $tableUri: CHECK constraint " +
+            s"${k.stripPrefix(ConstraintPrefix)} references it ($v) — drop " +
+            "the constraint first")
+    }
+    snap.schema.fields.foreach { f =>
+      if (f.metadata.contains(GenerationExpressionKey) &&
+          refs(f.metadata.getString(GenerationExpressionKey)).contains(lc(colName)))
+        throw new IllegalArgumentException(
+          s"cannot $op column $colName of $tableUri: generated column " +
+            s"${f.name} is computed from it")
+    }
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — METADATA-ONLY on a
+    * column-mapped table: the logical name changes, the physical name
+    * and column id stay, so no parquet file / stats key / partition
+    * directory moves (the entire point of column mapping). Dotted paths
+    * reach nested struct fields; renaming a partition column updates
+    * `partitionColumns` in the same commit. Unmapped tables are refused
+    * with the [[enableColumnMapping]] pointer. */
+  def renameColumn(spark: SparkSession, tableUri: String, column: String,
+      newName: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    require(snap.columnMappingMode != "none",
+      s"RENAME COLUMN requires column mapping on $tableUri — SET " +
+        "TBLPROPERTIES ('delta.columnMapping.mode'='name') first (a " +
+        "metadata-only upgrade); the rename is then metadata-only too")
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val path = column.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    val clean = newName.stripPrefix("`").stripSuffix("`")
+    require(!clean.contains("."), s"new name must be a bare identifier, got $newName")
+    guardReferences(spark, tableUri, snap, path.head, "RENAME")
+    def replace(st: StructType, at: Seq[String]): StructType = {
+      val idx = st.fields.indexWhere(f => lc(f.name) == lc(at.head))
+      require(idx >= 0, s"no such column ${path.mkString(".")} on $tableUri")
+      val f = st.fields(idx)
+      val nf =
+        if (at.size > 1) f.dataType match {
+          case nested: StructType => f.copy(dataType = replace(nested, at.tail))
+          case other => throw new IllegalArgumentException(
+            s"${at.head} is not a struct (got ${other.simpleString}) — " +
+              s"cannot descend to ${at.tail.mkString(".")}")
+        } else {
+          require(!st.fields.zipWithIndex.exists { case (g, i) =>
+            i != idx && lc(g.name) == lc(clean) },
+            s"column $clean already exists on $tableUri")
+          f.copy(name = clean)
+        }
+      StructType(st.fields.updated(idx, nf))
+    }
+    val newSchema = replace(snap.schema, path)
+    val newParts = snap.metadata.partitionColumns.map(p =>
+      if (path.size == 1 && lc(p) == lc(path.head)) clean else p)
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(schemaString = newSchema.json, partitionColumns = newParts),
+      CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+        Map("from" -> path.mkString("."), "to" -> clean))))
+    ()
+  }
+
+  /** `ALTER TABLE … DROP COLUMN(S)` — METADATA-ONLY on a column-mapped
+    * table: the field leaves the schema; the physical column stays in
+    * the files, unreferenced (VACUUM of rewritten files reclaims it over
+    * time, as in delta-spark). Partition columns, the last column, and
+    * columns referenced by constraints / generation expressions are
+    * refused. Dotted paths drop nested struct fields. */
+  def dropColumns(spark: SparkSession, tableUri: String,
+      columns: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.StructType
+    require(columns.nonEmpty, "DROP COLUMNS requires at least one column")
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    require(snap.columnMappingMode != "none",
+      s"DROP COLUMN requires column mapping on $tableUri — SET " +
+        "TBLPROPERTIES ('delta.columnMapping.mode'='name') first (a " +
+        "metadata-only upgrade); the drop is then metadata-only too")
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val paths = columns.map(_.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`")))
+    paths.foreach { path =>
+      require(!snap.metadata.partitionColumns.exists(p =>
+        path.size == 1 && lc(p) == lc(path.head)),
+        s"cannot drop partition column ${path.head} of $tableUri")
+      guardReferences(spark, tableUri, snap, path.head, "DROP")
+    }
+    def remove(st: StructType, at: Seq[String]): StructType = {
+      val idx = st.fields.indexWhere(f => lc(f.name) == lc(at.head))
+      require(idx >= 0, s"no such column ${at.mkString(".")} on $tableUri")
+      if (at.size > 1) st.fields(idx).dataType match {
+        case nested: StructType =>
+          val inner = remove(nested, at.tail)
+          require(inner.fields.nonEmpty,
+            s"cannot drop the last field of struct ${at.head}")
+          StructType(st.fields.updated(idx,
+            st.fields(idx).copy(dataType = inner)))
+        case other => throw new IllegalArgumentException(
+          s"${at.head} is not a struct (got ${other.simpleString}) — " +
+            s"cannot descend to ${at.tail.mkString(".")}")
+      } else StructType(st.fields.patch(idx, Nil, 1))
+    }
+    val newSchema = paths.foldLeft(snap.schema)(remove)
+    require(newSchema.fields.nonEmpty,
+      s"cannot drop every column of $tableUri")
+    log.commitDml(snap.version, Seq(
+      snap.metadata.copy(schemaString = newSchema.json),
+      CommitInfo(System.currentTimeMillis(), "DROP COLUMNS",
+        Map("columns" -> columns.mkString(",")))))
+    ()
+  }
+
   /** `ALTER TABLE SET TBLPROPERTIES`: merge properties into
     * [[Metadata.configuration]] (the Delta convention — properties ride
     * the metaData action, replay through checkpoints, and survive
@@ -1681,6 +1937,19 @@ object DeltaTable {
     if (props.get(TwProp).exists(_.toBoolean)) {
       enableTypeWidening(spark, tableUri)
       val rest = props - TwProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
+    // delta.columnMapping.mode=name routes through the full upgrade
+    // (physical-name assignment + protocol) — a bare property would
+    // leave fields without physicalName metadata and break every read
+    val CmProp = "delta.columnMapping.mode"
+    if (props.contains(CmProp)) {
+      require(props(CmProp) == "name",
+        s"only column mapping mode 'name' can be set (got '${props(CmProp)}'); " +
+          "mode 'id' is a create-time foreign layout, and downgrades re-key files")
+      enableColumnMapping(spark, tableUri)
+      val rest = props - CmProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
     }

@@ -102,22 +102,20 @@ class GraftCatalog extends DelegatingCatalogExtension {
     * the DELTA LOG (the source of truth every read resolves against) —
     * the supported verbs (ADD COLUMNS, SET/UNSET TBLPROPERTIES) are
     * intercepted by [[GraftSqlParser]] before they reach the catalog.
-    * Anything landing HERE (DROP/RENAME COLUMN, ALTER COLUMN TYPE, SET
-    * LOCATION, ...) would update only the session catalog's copy while
-    * reads keep resolving from the log: a silent no-op at best, silent
-    * divergence at worst. Fail loudly instead, naming what IS
-    * supported. DROP/RENAME in particular require column mapping,
-    * which this engine rejects by design (reader-feature gate). */
+    * Anything landing HERE (SET LOCATION, unrecognized shapes, ...)
+    * would update only the session catalog's copy while reads keep
+    * resolving from the log: a silent no-op at best, silent divergence
+    * at worst. Fail loudly instead, naming what IS supported. */
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
     val t = super.loadTable(ident)
     if (graftUri(t).isDefined) throw new UnsupportedOperationException(
       s"ALTER TABLE on graftdelta table $ident: this change would update " +
-        "only the session catalog, not the table's delta log. Supported: " +
-        "ALTER TABLE ... ADD COLUMN(S), SET TBLPROPERTIES, UNSET " +
-        "TBLPROPERTIES [IF EXISTS] (all commit through the log); " +
-        "DROP/RENAME COLUMN require column mapping, which this engine " +
-        "does not support")
+        "only the session catalog, not the table's delta log. Supported " +
+        "(all commit through the log): ALTER TABLE ... ADD COLUMN(S), " +
+        "ALTER COLUMN ... TYPE (type widening), RENAME COLUMN ... TO, " +
+        "DROP COLUMN(S) (both on column-mapped tables), SET TBLPROPERTIES, " +
+        "UNSET TBLPROPERTIES [IF EXISTS]")
     super.alterTable(ident, changes: _*)
   }
 

@@ -84,6 +84,16 @@ object GraftSqlParser {
   // the same reason as ADD COLUMNS (the delta log is the schema's truth)
   private val AlterColType: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
+  // RENAME/DROP COLUMN — metadata-only on column-mapped tables
+  // (DeltaTable.renameColumn/dropColumns); intercepted like the rest
+  private val AlterRenameCol: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+([`\\w.]+)\\s+TO\\s+([`\\w]+)\\s*;?\\s*""".r
+  private val AlterDropCols: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+?))\\s*;?\\s*""".r
+  // CONVERT TO DELTA parquet.`/path` | '/path' [PARTITIONED BY (col type,…)]
+  // — register an existing parquet directory in place (delta-spark's verb)
+  private val ConvertToDelta: Regex =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+DELTA\\s+(?:parquet\\s*\\.\\s*)?(`[^`]+`|'[^']+')(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val AlterSetProps: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val AlterUnsetProps: Regex =
@@ -108,6 +118,17 @@ object GraftSqlParser {
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
     case AlterColType(ref, colName, typeDdl) =>
       Some(GraftAlterColumnTypeCommand(ref, colName, typeDdl))
+    case ConvertToDelta(pathLit, partDdl) =>
+      Some(GraftConvertToDeltaCommand(
+        pathLit.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("'").stripSuffix("'"),
+        Option(partDdl).map(_.trim).filter(_.nonEmpty)))
+    case AlterRenameCol(ref, from, to) =>
+      Some(GraftAlterRenameColumnCommand(ref, from, to))
+    case AlterDropCols(ref, parens, bare) =>
+      Some(GraftAlterDropColumnsCommand(ref,
+        Option(parens).getOrElse(bare).split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq))
     case AlterSetProps(ref, pairs) =>
       Some(GraftAlterPropertiesCommand(ref, parseProps(pairs), Nil, ifExists = false))
     case AlterUnsetProps(ref, ifExists, keys) =>
@@ -291,6 +312,47 @@ case class GraftAlterColumnTypeCommand(tableRef: String, colName: String,
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val dt = session.sessionState.sqlParser.parseDataType(typeDdl)
     DeltaTable.alterColumnType(session, path, colName, dt)
+    session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `CONVERT TO DELTA parquet.`/path`` -> [[DeltaTable.convertToDelta]]:
+  * register the parquet directory in place (files never move; footer
+  * stats collected in one Spark job). */
+case class GraftConvertToDeltaCommand(path: String, partDdl: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val parts = partDdl
+      .map(d => session.sessionState.sqlParser.parseTableSchema(d)
+        .fieldNames.toSeq)
+      .getOrElse(Nil)
+    DeltaTable.convertToDelta(session, path, parts)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` -> [[DeltaTable.renameColumn]]
+  * (metadata-only on a column-mapped table — physical names never move). */
+case class GraftAlterRenameColumnCommand(tableRef: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    DeltaTable.renameColumn(session, path, from, to)
+    session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN(S) ...` -> [[DeltaTable.dropColumns]]. */
+case class GraftAlterDropColumnsCommand(tableRef: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    DeltaTable.dropColumns(session, path, cols)
     session.catalog.refreshByPath(path)
     Seq.empty
   }

@@ -1,0 +1,130 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Column-mapping DDL: the none→name UPGRADE (physical names pinned to
+  * the current logical names so every existing file keeps resolving —
+  * zero rewrites) and the two verbs it unlocks, RENAME COLUMN and DROP
+  * COLUMN, both metadata-only. Re-adding a dropped name gets a FRESH
+  * physical column, so old rows read NULL — the mapping invariant that
+  * makes drop safe. */
+class ColumnMappingDdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def filePaths(dir: String): Set[String] =
+    DeltaLog.forTable(spark, dir).snapshot().files.map(_.path).toSet
+
+  test("none->name upgrade is metadata-only and keeps every read resolving") {
+    val dir = TestSpark.tmpDir("cmddl-upgrade")
+    DeltaTable.create(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "p"), dir)
+    val before = filePaths(dir)
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.columnMapping.mode" -> "name"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.columnMappingMode == "name")
+    assert(snap.files.map(_.path).toSet == before, "upgrade must not rewrite files")
+    // migration contract: physical name = the pre-upgrade logical name
+    assert(snap.schema.fields.forall(f => Snapshot.physicalName(f) == f.name))
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId").toLong == 3L)
+    val p = snap.protocol
+    assert(p.minReaderVersion >= 2 && p.minWriterVersion >= 5, s"protocol $p")
+    // reads and writes still flow
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    DeltaTable.append(spark, dir, Seq((3L, "c", "z")).toDF("id", "name", "p"))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+    // idempotent; mode changes beyond none->name refuse
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.columnMapping.mode" -> "name"))
+    val e = intercept[IllegalArgumentException](DeltaTable.setTblProperties(
+      spark, dir, Map("delta.columnMapping.mode" -> "id")))
+    assert(e.getMessage.contains("'name'"))
+  }
+
+  test("RENAME COLUMN is metadata-only; physical data never moves") {
+    val dir = TestSpark.tmpDir("cmddl-rename")
+    DeltaTable.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    // unmapped tables refuse with the upgrade pointer
+    val e0 = intercept[IllegalArgumentException](
+      DeltaTable.renameColumn(spark, dir, "name", "label"))
+    assert(e0.getMessage.contains("delta.columnMapping.mode"))
+    DeltaTable.enableColumnMapping(spark, dir)
+    val before = filePaths(dir)
+    DeltaTable.renameColumn(spark, dir, "name", "label")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.map(_.path).toSet == before, "rename must not rewrite files")
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "label"))
+    // the physical name is STILL the original — that's the whole point
+    assert(Snapshot.physicalName(snap.schema("label")) == "name")
+    assert(DeltaTable.read(spark, dir).select("label").as[String].collect().toSet ==
+      Set("a", "b"))
+    // appends keep working through the physical projection
+    DeltaTable.append(spark, dir, Seq((3L, "c")).toDF("id", "label"))
+    assert(DeltaTable.read(spark, dir).where(col("label") === "c").count() == 1)
+    // clash + missing-column refusals
+    intercept[IllegalArgumentException](
+      DeltaTable.renameColumn(spark, dir, "label", "id"))
+    intercept[IllegalArgumentException](
+      DeltaTable.renameColumn(spark, dir, "nope", "x"))
+  }
+
+  test("renaming a partition column updates partitionColumns in the same commit") {
+    val dir = TestSpark.tmpDir("cmddl-rename-part")
+    DeltaTable.create(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("id", "p"), dir, partitionColumns = Seq("p"))
+    DeltaTable.enableColumnMapping(spark, dir)
+    DeltaTable.renameColumn(spark, dir, "p", "bucket")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.metadata.partitionColumns == Seq("bucket"))
+    assert(DeltaTable.read(spark, dir).where(col("bucket") === "x")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("DROP COLUMN removes the field; a re-added name reads NULL for old rows") {
+    val dir = TestSpark.tmpDir("cmddl-drop")
+    DeltaTable.create(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "score"), dir)
+    DeltaTable.enableColumnMapping(spark, dir)
+    val before = filePaths(dir)
+    DeltaTable.dropColumns(spark, dir, Seq("score"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.map(_.path).toSet == before, "drop must not rewrite files")
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(DeltaTable.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // re-add the same NAME: fresh physical column -> old rows are NULL,
+    // never the old physical data resurrected
+    DeltaTable.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    val scores = DeltaTable.read(spark, dir).select("score").collect()
+    assert(scores.forall(_.isNullAt(0)),
+      "old rows must read the re-added column as NULL (fresh physical name)")
+    // refusals: partition columns, referenced columns, last column
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.dropColumns(spark, dir, Seq("nope")))
+    assert(e1.getMessage.contains("no such column"))
+    DeltaTable.addConstraint(spark, dir, "name_nonempty", "length(name) > 0")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTable.dropColumns(spark, dir, Seq("name")))
+    assert(e2.getMessage.contains("name_nonempty"))
+  }
+
+  test("SQL: RENAME/DROP COLUMN route through the log on mapped tables") {
+    val dir = TestSpark.tmpDir("cmddl-sql")
+    DeltaTable.create(spark,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v"), dir)
+    spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES ('delta.columnMapping.mode'='name')")
+    spark.sql(s"ALTER TABLE '$dir' RENAME COLUMN name TO label")
+    spark.sql(s"ALTER TABLE '$dir' DROP COLUMN v")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(DeltaTable.read(spark, dir).select("label").as[String].collect().toSet ==
+      Set("a", "b"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CONVERT TO DELTA (delta-spark's verb): an existing parquet directory
+  * — flat or hive-partitioned — becomes a graft-Delta table IN PLACE.
+  * No data file moves; the v0 commit lists every file with
+  * footer-derived stats (collected in one Spark job, the million-file
+  * scale path), and every Delta capability (skipping, DML, time travel)
+  * works from that point on. */
+class ConvertToDeltaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("flat parquet directory converts in place; stats prune; DML flows") {
+    val dir = TestSpark.tmpDir("convert-flat")
+    (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val partsBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(partsBefore.size == 4)
+
+    DeltaTable.convertToDelta(spark, dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // in place: the adds ARE the original files, relative paths
+    assert(snap.files.map(_.path).toSet == partsBefore)
+    assert(snap.files.forall(_.stats.nonEmpty), "footer stats must be collected")
+    assert(DeltaTable.read(spark, dir).count() == 1000)
+    // the range layout prunes through the converted stats
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("k < 10")).size < 4)
+    // a delta table now: append + DELETE + time travel all work
+    DeltaTable.append(spark, dir, Seq((5000L, "new")).toDF("k", "v"))
+    DeltaTable.delete(spark, dir, col("k") < 10L)
+    assert(DeltaTable.read(spark, dir).count() == 991)
+    assert(DeltaTable.readAt(spark, dir, 0L).count() == 1000)
+    // double-convert refuses
+    val e = intercept[IllegalArgumentException](DeltaTable.convertToDelta(spark, dir))
+    assert(e.getMessage.contains("_delta_log"))
+  }
+
+  test("hive-partitioned directory converts with typed partition values") {
+    val dir = TestSpark.tmpDir("convert-part")
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "name", "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+    // declared partition columns must match the directory layout
+    val e = intercept[IllegalArgumentException](DeltaTable.convertToDelta(spark, dir))
+    assert(e.getMessage.contains("partition"))
+
+    DeltaTable.convertToDelta(spark, dir, partitionColumns = Seq("bucket"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.metadata.partitionColumns == Seq("bucket"))
+    assert(snap.files.forall(_.partitionValues.keySet == Set("bucket")))
+    assert(DeltaTable.read(spark, dir).where(col("bucket") === 1)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // partition pruning: only bucket=1 files survive the predicate
+    val pruned = DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("bucket = 1"))
+    assert(pruned.forall(_.partitionValues("bucket") == "1"))
+    assert(pruned.size < snap.files.size)
+  }
+
+  test("SQL: CONVERT TO DELTA parquet.`path` [PARTITIONED BY ...] routes through") {
+    val flat = TestSpark.tmpDir("convert-sql-flat")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(flat)
+    spark.sql(s"CONVERT TO DELTA parquet.`$flat`")
+    assert(DeltaLog.forTable(spark, flat).tableExists)
+    assert(DeltaTable.read(spark, flat).count() == 2)
+
+    val part = TestSpark.tmpDir("convert-sql-part")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    spark.sql(s"CONVERT TO DELTA '$part' PARTITIONED BY (p string)")
+    assert(DeltaLog.forTable(spark, part).snapshot()
+      .metadata.partitionColumns == Seq("p"))
+  }
+}

@@ -372,7 +372,9 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_cp3")
   }
 
-  test("unsupported ALTERs (RENAME/DROP COLUMN) fail loudly, never silently diverge") {
+  test("RENAME/DROP COLUMN on an UNMAPPED table fail loudly with the upgrade pointer") {
+    // (on column-mapped tables both verbs work — ColumnMappingDdlSpec;
+    // unmapped they must still refuse rather than silently diverge)
     val dir = TestSpark.tmpDir("sqldml-altguard")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
     withTable(dir) { t =>
@@ -380,7 +382,8 @@ class GraftSqlDmlSpec extends AnyFunSuite {
           s"ALTER TABLE $t RENAME COLUMN v TO w",
           s"ALTER TABLE $t DROP COLUMN v")) {
         val e = intercept[Exception] { spark.sql(stmt) }
-        assert(e.getMessage != null, s"$stmt must error")
+        assert(e.getMessage.contains("delta.columnMapping.mode"),
+          s"$stmt must point at the mapping upgrade, got ${e.getMessage}")
       }
       // the log schema is untouched
       assert(DeltaLog.forTable(spark, dir).snapshot().schema.fieldNames.toSeq ==
