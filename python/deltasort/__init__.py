@@ -97,14 +97,19 @@ class SortOptimizer:
         )
 
     def bin_pack(
-        self, target_file_size_bytes: Optional[int] = None, concurrency: int = 8
+        self,
+        target_file_size_bytes: Optional[int] = None,
+        concurrency: int = 8,
+        where: Optional[str] = None,
     ) -> dict:
         """Engine extension: OPTIMIZE bin-packing — coalesce small files
-        per partition to ~target size without imposing an order."""
+        per partition to ~target size without imposing an order.
+        ``where`` (partition columns only) scopes the pass to matching
+        partitions, delta's ``OPTIMIZE ... WHERE``."""
         tfs = None
         if target_file_size_bytes is not None:
             tfs = self._spark._jvm.java.lang.Long(int(target_file_size_bytes))
-        return json.loads(self._j.binPack(tfs, int(concurrency)))
+        return json.loads(self._j.binPack(tfs, int(concurrency), where))
 
     def delete_where(self, predicate: str) -> dict:
         """Engine extension: DELETE rows matching a Spark-SQL predicate.
@@ -197,6 +202,15 @@ class SortOptimizer:
         footer stats are collected in one Spark job. For a
         hive-partitioned directory pass the partition column names."""
         self._j.convertToDelta(self._jlist(list(partition_columns or [])))
+
+    def clone_shallow(self, target_uri: str, version: Optional[int] = None) -> None:
+        """SHALLOW CLONE this table to ``target_uri``: a metadata-only
+        snapshot referencing the source's files by absolute path — zero
+        data copies. ``version`` pins a historical snapshot."""
+        v = None
+        if version is not None:
+            v = self._spark._jvm.java.lang.Long(int(version))
+        self._j.cloneShallow(target_uri, v)
 
     def enable_column_mapping(self) -> None:
         """none->name column-mapping upgrade (metadata-only): physical

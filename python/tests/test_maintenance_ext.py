@@ -177,3 +177,18 @@ def test_convert_to_delta(spark, tmp_path):
     # it is a real delta table now: DML flows
     opt.delete_where("k = 2")
     assert len(read_pandas(spark, d)) == 2
+
+
+def test_clone_shallow_and_scoped_bin_pack(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_table(spark, src, [(1, "a"), (2, "b"), (3, "c")], _SCHEMA)
+    opt = SortOptimizer(src, spark=spark)
+    tgt = str(tmp_path / "tgt")
+    opt.clone_shallow(tgt)
+    # metadata-only: the clone reads the source's rows, zero local files
+    assert len(read_pandas(spark, tgt)) == 3
+    # bin_pack where= on an unpartitioned table with no partition cols
+    # refuses a column predicate
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        opt.bin_pack(where="k > 1")

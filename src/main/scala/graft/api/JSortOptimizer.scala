@@ -51,10 +51,15 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
 
   /** Engine extension: OPTIMIZE bin-packing (order-free small-file
     * coalesce). `targetFileSizeBytes` may be null (128 MiB default). */
-  def binPack(targetFileSizeBytes: java.lang.Long, concurrency: Int): String = {
+  def binPack(targetFileSizeBytes: java.lang.Long, concurrency: Int): String =
+    binPack(targetFileSizeBytes, concurrency, null)
+
+  /** With `where` (nullable): partition-scoped OPTIMIZE. */
+  def binPack(targetFileSizeBytes: java.lang.Long, concurrency: Int,
+      where: String): String = {
     val summary = sorter.binPack(
       Option(targetFileSizeBytes).map(_.longValue()).getOrElse(128L * 1024 * 1024),
-      concurrency)
+      concurrency, Option(where))
     summary.json
   }
 
@@ -192,6 +197,14 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def convertToDelta(partitionColumns: java.util.List[String]): Unit = {
     graft.delta.DeltaTable.convertToDelta(spark, tableUri,
       partitionColumns.asScala.toSeq)
+    ()
+  }
+
+  /** SHALLOW CLONE this table to `targetUri` (metadata-only snapshot;
+    * `version` may be null for the latest). */
+  def cloneShallow(targetUri: String, version: java.lang.Long): Unit = {
+    graft.delta.DeltaTable.cloneShallow(spark, tableUri, targetUri,
+      Option(version).map(_.longValue()))
     ()
   }
 

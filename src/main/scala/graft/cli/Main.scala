@@ -93,7 +93,8 @@ object Main {
       val summary = DeltaSorter(spark, table).binPack(
         targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong)
           .getOrElse(128L * 1024 * 1024),
-        concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8))
+        concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
+        where = opts.get("where")) // partition-scoped OPTIMIZE
       println(s"bin-pack complete: ${summary.partitionsRewritten} partition(s), " +
         s"files ${summary.filesIn}->${summary.filesOut} in ${summary.durationMs}ms")
       writeMetrics(opts, summary)

@@ -489,7 +489,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * REFUSED — an over-eager vacuum silently breaks concurrent readers
     * and time travel; the caller must opt out explicitly. */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
-      enforceRetentionDuration: Boolean = true): Seq[String] = {
+      enforceRetentionDuration: Boolean = true,
+      distributed: Option[Boolean] = None): Seq[String] = {
     val snap = snapshot()
     if (enforceRetentionDuration) {
       val floor = DeltaLog.retentionFloorMs(snap.metadata.configuration)
@@ -511,25 +512,95 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       .filter(d => d.storageType == "u" || d.storageType == "p")
       .map(d => fs.makeQualified(DeletionVectors.sidecarPath(root, d)).toUri).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val deleted = mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val rel = root.toUri.relativize(fs.makeQualified(p).toUri).getPath
+    // a candidate: parquet data file or DV sidecar, outside _delta_log
+    // and hidden/underscore top-level dirs, expired
+    def eligible(rel: String, name: String): Boolean = {
       val topSeg = rel.split('/').head
       val isDvSidecar =
-        p.getName.startsWith("deletion_vector_") && p.getName.endsWith(".bin")
-      if (st.isFile && (rel.endsWith(".parquet") || isDvSidecar) &&
-          !rel.startsWith("_delta_log/") && !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
-          !p.getName.startsWith(".") && (!p.getName.startsWith("_") || isDvSidecar) &&
-          !active.contains(fs.makeQualified(p).toUri) &&
-          !activeDvs.contains(fs.makeQualified(p).toUri) &&
-          st.getModificationTime < cutoff) {
-        if (fs.delete(p, false)) deleted += rel
-      }
+        name.startsWith("deletion_vector_") && name.endsWith(".bin")
+      (rel.endsWith(".parquet") || isDvSidecar) &&
+        !rel.startsWith("_delta_log/") &&
+        !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
+        !name.startsWith(".") && (!name.startsWith("_") || isDvSidecar)
     }
-    deleted.toSeq
+    val useDistributed = distributed.getOrElse(
+      snap.files.size >= DeltaLog.DistributedVacuumThreshold) && sparkOpt.nonEmpty
+    if (!useDistributed) {
+      val deleted = mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        val rel = root.toUri.relativize(fs.makeQualified(p).toUri).getPath
+        if (st.isFile && eligible(rel, p.getName) &&
+            !active.contains(fs.makeQualified(p).toUri) &&
+            !activeDvs.contains(fs.makeQualified(p).toUri) &&
+            st.getModificationTime < cutoff) {
+          if (fs.delete(p, false)) deleted += rel
+        }
+      }
+      deleted.toSeq
+    } else {
+      // DISTRIBUTED: on a million-file table the serial loop above
+      // would pay O(files) driver-side listing + deletes. Fan the
+      // recursive listing out one task per top-level entry, anti-join
+      // the candidates against the active set (a join, not a broadcast
+      // set — the active list is itself O(files)), and delete in the
+      // executors. Same predicate, same result, executor wall-clock.
+      val spark = sparkOpt.get
+      import spark.implicits._
+      val confSer = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+      // join key: path WITHOUT scheme/authority — "file:/x" vs
+      // "file:///x" render differently depending on how a Path was
+      // constructed, and a string mismatch here would delete LIVE files
+      def bare(p: Path): String = Path.getPathWithoutSchemeAndAuthority(p).toString
+      val rootBare = bare(fs.makeQualified(root)).stripSuffix("/") + "/"
+      val seeds = fs.listStatus(root).toSeq
+        .filter(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+      if (seeds.isEmpty) return Nil
+      val listed = spark.createDataset(seeds)
+        .repartition(math.min(seeds.size, 64))
+        .mapPartitions { it =>
+          val conf = confSer.value
+          it.flatMap { s =>
+            val p = new Path(s)
+            val f = p.getFileSystem(conf)
+            val out = mutable.ArrayBuffer.empty[(String, String)] // (bare, rel)
+            val iter = f.listFiles(p, true)
+            while (iter.hasNext) {
+              val st = iter.next()
+              val pathBare = Path.getPathWithoutSchemeAndAuthority(
+                f.makeQualified(st.getPath)).toString
+              val rel = pathBare.stripPrefix(rootBare)
+              val name = st.getPath.getName
+              if (st.isFile && st.getModificationTime < cutoff && {
+                val topSeg = rel.split('/').head
+                val isDv = name.startsWith("deletion_vector_") && name.endsWith(".bin")
+                (rel.endsWith(".parquet") || isDv) &&
+                  !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
+                  !name.startsWith(".") && (!name.startsWith("_") || isDv)
+              }) out += ((pathBare, rel))
+            }
+            out.iterator
+          }
+        }.toDF("path", "rel")
+      val activeDf = spark.createDataset(
+        (active ++ activeDvs).toSeq.map(u => bare(new Path(u)))).toDF("path")
+      val rootStr = fs.makeQualified(root).toString
+      val deleted = listed.join(activeDf, Seq("path"), "left_anti")
+        .as[(String, String)]
+        .mapPartitions { it =>
+          val conf = confSer.value
+          it.flatMap { case (_, rel) =>
+            val p = new Path(rootStr, rel)
+            val f = p.getFileSystem(conf)
+            if (f.delete(p, false)) Some(rel) else None
+          }
+        }.collect().toSeq
+      deleted
+    }
   }
 
   /** Delete EXPIRED transaction-log files — commit JSON and superseded
@@ -850,12 +921,18 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     expectedVersion
   }
 
-  /** Auto-checkpoint policy: every [[checkpointInterval]] commits, when
-    * a SparkSession is attached. Failure to checkpoint never fails the
-    * commit — the JSON log remains the source of truth. */
-  private def maybeCheckpoint(version: Long): Unit =
-    if (sparkOpt.nonEmpty && checkpointInterval > 0 &&
-        version > 0 && version % checkpointInterval == 0) {
+  /** Auto-checkpoint policy: every [[checkpointInterval]] commits (the
+    * table's own `delta.checkpointInterval` property wins when set —
+    * delta-spark's knob), when a SparkSession is attached. Failure to
+    * checkpoint never fails the commit — the JSON log remains the
+    * source of truth. */
+  private def maybeCheckpoint(version: Long): Unit = {
+    val interval = cachedSnapshot
+      .flatMap(_.metadata.configuration.get("delta.checkpointInterval"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(checkpointInterval)
+    if (sparkOpt.nonEmpty && interval > 0 &&
+        version > 0 && version % interval == 0) {
       try {
         checkpoint()
         // metadata cleanup rides checkpoint time (the delta-spark
@@ -871,6 +948,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
           System.err.println(s"[delta] checkpoint at $version failed (commit is safe): $e")
       }
     }
+  }
 
   /** Write a checkpoint of the current snapshot and repoint
     * `_last_checkpoint`. */
@@ -1138,6 +1216,10 @@ object DeltaLog {
 
   /** The domain name Row Tracking keeps its row-ID high-water mark in. */
   val RowTrackingDomain = "delta.rowTracking"
+
+  /** Active-file count past which [[DeltaLog.vacuum]] fans listing +
+    * deletion out to executors instead of a serial driver loop. */
+  private[delta] val DistributedVacuumThreshold = 1000
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

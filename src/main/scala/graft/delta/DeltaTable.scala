@@ -479,6 +479,47 @@ object DeltaTable {
     log
   }
 
+  /** SHALLOW CLONE (delta-spark's verb): a new table whose version-0
+    * commit references the source's CURRENT (or historical) data files
+    * by ABSOLUTE path — a metadata-only snapshot of a 100 TB table in
+    * O(files) log writes and zero data copies. "u"-sidecar DV
+    * descriptors absolutize to "p" so the clone's scans resolve them
+    * against the SOURCE directory. From v0 on the clone is independent:
+    * DML stages fresh files under the clone root, and vacuum of the
+    * clone lists only the clone root so source data is never touched.
+    * (Vacuuming the SOURCE can still orphan files a clone references —
+    * the documented shallow-clone hazard.) The source's protocol,
+    * configuration, and live domains carry over (rowTracking high-water
+    * mark included, so clone appends mint fresh row IDs past it); the
+    * table id is new, as the spec requires of distinct tables. */
+  def cloneShallow(spark: SparkSession, sourceUri: String, targetUri: String,
+      version: Option[Long] = None): DeltaLog = {
+    val src = DeltaLog.forTable(spark, sourceUri)
+    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot())
+    val dst = DeltaLog.forTable(spark, targetUri)
+    require(!dst.tableExists, s"table already exists: $targetUri")
+    val srcFs = src.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val srcRootQ = srcFs.makeQualified(src.tableRoot)
+    val adds = snap.files.map { f =>
+      val abs = srcFs.makeQualified(new Path(srcRootQ, f.path)).toString
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "u")
+          d.copy(storageType = "p",
+            pathOrInlineDv = srcFs.makeQualified(
+              DeletionVectors.sidecarPath(srcRootQ, d)).toString)
+        else d
+      }
+      f.copy(path = abs, deletionVector = dv)
+    }
+    val meta = snap.metadata.copy(id = UUID.randomUUID().toString)
+    val now = System.currentTimeMillis()
+    dst.commit(0L, Seq(snap.protocol, meta) ++
+      snap.domains.values.toSeq.sortBy(_.domain) ++ adds :+
+      CommitInfo(now, "CLONE", Map("source" -> sourceUri,
+        "sourceVersion" -> snap.version.toString)))
+    dst
+  }
+
   /** `a=1/b=true` -> Map(a->1, b->true); hive null dir -> null value. */
   def parsePartitionValues(relDir: String): Map[String, String] =
     if (relDir == null || relDir.isEmpty) Map.empty

@@ -169,10 +169,11 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * and [[compact]] when it does. Same bounded-concurrency, first-
     * error-after-batch orchestration as [[compact]]. */
   def binPack(targetFileSizeBytes: Long = 128L * 1024 * 1024,
-      concurrency: Int = 8): RunSummary = {
+      concurrency: Int = 8, where: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
     val snap = deltaLog.snapshot()
-    val groups = snap.files
+    val scoped = scopeFiles(snap, where)
+    val groups = scoped
       // DV-bearing files are always eligible regardless of size: packing
       // them materializes the deletion mask and drops the descriptor —
       // the only way dead rows ever leave the disk
@@ -220,12 +221,39 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * on ANY of the columns prune files, not just the leading sort key.
     * `bits` defaults to the widest interleave that fits a long. */
   def zorderCompact(zorderColumns: Seq[String], bits: Int = 0,
-      targetFileSizeBytes: Option[Long] = None): RunSummary = {
+      targetFileSizeBytes: Option[Long] = None,
+      where: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
     val b = if (bits > 0) bits else ZOrder.maxBits(zorderColumns.size)
-    val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, deltaLog.snapshot(),
-      zorderColumns, b, targetFileSizeBytes)
+    val snap = deltaLog.snapshot()
+    val scoped = scopeFiles(snap, where)
+    if (scoped.isEmpty) return summarize(Nil, t0)
+    val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, snap,
+      zorderColumns, b, targetFileSizeBytes,
+      filesOverride = if (where.isEmpty) None else Some(scoped))
     summarize(Seq(m), t0)
+  }
+
+  /** `OPTIMIZE … WHERE`: restrict a maintenance pass to the files of
+    * matching PARTITIONS (delta's contract — the predicate may only
+    * reference partition columns, so selection is exact, never
+    * row-splitting). */
+  private def scopeFiles(snap: graft.delta.Snapshot,
+      where: Option[String]): Seq[graft.delta.AddFile] = where match {
+    case None => snap.files
+    case Some(w) =>
+      val pred = spark.sessionState.sqlParser.parseExpression(w)
+      val parts = snap.metadata.partitionColumns
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val bad = pred.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if !parts.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+      }.distinct
+      require(bad.isEmpty,
+        s"OPTIMIZE WHERE may reference partition columns only " +
+          s"(${snap.metadata.partitionColumns.mkString(", ")}); " +
+          s"got: ${bad.mkString(", ")}")
+      graft.delta.DataSkipping.prune(snap.files, snap.schema, pred)
   }
 
   /** OPTIMIZE on a CLUSTERED table (liquid clustering): re-cluster the

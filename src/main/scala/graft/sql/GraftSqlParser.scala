@@ -63,7 +63,7 @@ object GraftSqlParser {
   // `t` = identifier chain or single-quoted path
   private val Ref = """((?:`[^`]+`|[\w.]+)|'[^']+')"""
   private val Optimize: Regex =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val Vacuum: Regex =
     s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*""".r
   private val History: Regex =
@@ -90,6 +90,10 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+([`\\w.]+)\\s+TO\\s+([`\\w]+)\\s*;?\\s*""".r
   private val AlterDropCols: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+?))\\s*;?\\s*""".r
+  // CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] — metadata-only
+  // snapshot referencing the source's files by absolute path
+  private val ShallowClone: Regex =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
   // CONVERT TO DELTA parquet.`/path` | '/path' [PARTITIONED BY (col type,…)]
   // — register an existing parquet directory in place (delta-spark's verb)
   private val ConvertToDelta: Regex =
@@ -105,9 +109,10 @@ object GraftSqlParser {
     """(?s)\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
-    case Optimize(ref, zorder) => Some(GraftOptimizeCommand(ref,
+    case Optimize(ref, where, zorder) => Some(GraftOptimizeCommand(ref,
       Option(zorder).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      Option(where).map(_.trim).filter(_.nonEmpty)))
     case Vacuum(ref, hours) =>
       Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble)))
     case History(ref) => Some(GraftHistoryCommand(ref))
@@ -118,6 +123,8 @@ object GraftSqlParser {
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
     case AlterColType(ref, colName, typeDdl) =>
       Some(GraftAlterColumnTypeCommand(ref, colName, typeDdl))
+    case ShallowClone(tgt, src, v) =>
+      Some(GraftShallowCloneCommand(tgt, src, Option(v).map(_.toLong)))
     case ConvertToDelta(pathLit, partDdl) =>
       Some(GraftConvertToDeltaCommand(
         pathLit.stripPrefix("`").stripSuffix("`")
@@ -189,15 +196,16 @@ object GraftSqlParser {
 }
 
 /** `OPTIMIZE t [ZORDER BY (...)]` -> bin-pack / z-order compaction. */
-case class GraftOptimizeCommand(tableRef: String, zorderBy: Seq[String])
-    extends LeafRunnableCommand {
+case class GraftOptimizeCommand(tableRef: String, zorderBy: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrs(
     "partitions_rewritten" -> LongType, "files_in" -> LongType,
     "files_out" -> LongType, "bytes_in" -> LongType, "bytes_out" -> LongType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val sorter = DeltaSorter(session, path)
-    val s = if (zorderBy.nonEmpty) sorter.zorderCompact(zorderBy) else sorter.binPack()
+    val s = if (zorderBy.nonEmpty) sorter.zorderCompact(zorderBy, where = where)
+      else sorter.binPack(where = where)
     session.catalog.refreshByPath(path)
     Seq(Row(s.partitionsRewritten.toLong, s.filesIn.toLong, s.filesOut.toLong,
       s.bytesIn, s.bytesOut))
@@ -313,6 +321,30 @@ case class GraftAlterColumnTypeCommand(tableRef: String, colName: String,
     val dt = session.sessionState.sqlParser.parseDataType(typeDdl)
     DeltaTable.alterColumnType(session, path, colName, dt)
     session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` ->
+  * [[DeltaTable.cloneShallow]]. A quoted-path target clones straight to
+  * that directory; an identifier target derives the warehouse location
+  * and registers the catalog table over the fresh clone. */
+case class GraftShallowCloneCommand(targetRef: String, sourceRef: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolvePath(session, sourceRef)
+    if (targetRef.startsWith("'")) {
+      DeltaTable.cloneShallow(session, srcPath,
+        targetRef.stripPrefix("'").stripSuffix("'"), version)
+    } else {
+      val ident = session.sessionState.sqlParser.parseTableIdentifier(
+        targetRef.stripPrefix("`").stripSuffix("`"))
+      val tgtPath = session.sessionState.catalog.defaultTablePath(ident).toString
+      DeltaTable.cloneShallow(session, srcPath, tgtPath, version)
+      session.sql(s"CREATE TABLE ${ident.quotedString} USING graftdelta " +
+        s"OPTIONS (path '$tgtPath')")
+    }
     Seq.empty
   }
 }

@@ -1,0 +1,85 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SHALLOW CLONE: a metadata-only table snapshot referencing the
+  * source's data files by absolute path — zero data copies, O(files)
+  * log writes, then full independence (clone DML stages fresh local
+  * files; source evolution is invisible to the clone and vice versa). */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clone references source files absolutely; both sides stay independent") {
+    val src = TestSpark.tmpDir("clone-src")
+    DeltaTable.create(spark,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(2), src)
+    val tgt = TestSpark.tmpDir("clone-tgt") + "/t"
+    DeltaTable.cloneShallow(spark, src, tgt)
+
+    val cSnap = DeltaLog.forTable(spark, tgt).snapshot()
+    assert(cSnap.files.forall(_.path.startsWith("file:")),
+      s"clone adds must be absolute, got ${cSnap.files.map(_.path)}")
+    // zero data files under the clone root
+    assert(!new java.io.File(tgt).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(DeltaTable.read(spark, tgt).count() == 100)
+    // fresh table id, same schema
+    val sSnap = DeltaLog.forTable(spark, src).snapshot()
+    assert(cSnap.metadata.id != sSnap.metadata.id)
+    assert(cSnap.schema == sSnap.schema)
+
+    // independence: DML on the clone stages files under the CLONE root
+    DeltaTable.delete(spark, tgt, col("id") < 10L)
+    DeltaTable.append(spark, tgt, Seq((1000L, "new")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, tgt).count() == 91)
+    assert(DeltaTable.read(spark, src).count() == 100, "source untouched")
+    // and appends to the SOURCE are invisible to the clone
+    DeltaTable.append(spark, src, Seq((2000L, "src-only")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, tgt).where(col("id") === 2000L).count() == 0)
+
+    // vacuum of the clone must never delete source data (it only lists
+    // the clone root); the rewritten-away absolute files survive
+    val deleted = DeltaLog.forTable(spark, tgt)
+      .vacuum(retentionMs = 0L, enforceRetentionDuration = false)
+    assert(DeltaTable.read(spark, src).count() == 101,
+      s"source files must survive clone vacuum (deleted: $deleted)")
+  }
+
+  test("clone of a historical version pins that snapshot") {
+    val src = TestSpark.tmpDir("clone-hist-src")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), src) // v0
+    DeltaTable.append(spark, src, Seq((2L, "b")).toDF("id", "name")) // v1
+    val tgt = TestSpark.tmpDir("clone-hist-tgt") + "/t"
+    DeltaTable.cloneShallow(spark, src, tgt, version = Some(0L))
+    assert(DeltaTable.read(spark, tgt).select("id").as[Long].collect().toSeq ==
+      Seq(1L))
+  }
+
+  test("DV-masked source files clone with absolutized descriptors") {
+    val src = TestSpark.tmpDir("clone-dv-src")
+    DeltaTable.create(spark,
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), src)
+    DeltaTable.enableDeletionVectors(spark, src)
+    DeltaTable.delete(spark, src, col("id") < 5L)
+    assert(DeltaLog.forTable(spark, src).snapshot().files
+      .exists(_.deletionVector.nonEmpty), "source must carry a DV")
+    val tgt = TestSpark.tmpDir("clone-dv-tgt") + "/t"
+    DeltaTable.cloneShallow(spark, src, tgt)
+    val cloned = DeltaLog.forTable(spark, tgt).snapshot().files
+    assert(cloned.flatMap(_.deletionVector).forall(_.storageType == "p"),
+      "cloned DV descriptors must be absolute ('p')")
+    // the mask applies through the clone's scan
+    assert(DeltaTable.read(spark, tgt).count() == 15)
+  }
+
+  test("SQL: CREATE TABLE t SHALLOW CLONE s routes through") {
+    val src = TestSpark.tmpDir("clone-sql-src")
+    DeltaTable.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"), src)
+    val tgt = TestSpark.tmpDir("clone-sql-tgt") + "/t"
+    spark.sql(s"CREATE TABLE '$tgt' SHALLOW CLONE '$src'")
+    assert(DeltaTable.read(spark, tgt).count() == 2)
+  }
+}

@@ -325,6 +325,32 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false).isEmpty)
   }
 
+  test("DISTRIBUTED vacuum (the million-file path) agrees with the serial loop") {
+    // same predicate, executor-side listing + anti-join + deletes; on a
+    // partitioned layout with a live DV sidecar to prove the carve-outs
+    val dir = TestSpark.tmpDir("log-vacuum-dist")
+    DeltaTable.create(spark,
+      (1 to 8).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("v", "p")
+        .coalesce(1), dir, partitionColumns = Seq("p"))
+    val log = DeltaLog.forTable(spark, dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 2"))
+    val masked = log.snapshot().files.filter(_.deletionVector.nonEmpty)
+    assert(masked.nonEmpty, "DV delete must mask a file")
+    val victim = log.snapshot().files.filterNot(_.deletionVector.nonEmpty).head
+    log.commitLatest(Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    val deleted = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      distributed = Some(true))
+    assert(deleted == Seq(victim.path), s"got $deleted")
+    assert(!new java.io.File(dir, victim.path).exists())
+    // live files, partition dirs, and the live DV sidecar all survive
+    assert(DeltaTable.read(spark, dir).count() == 3) // 8 - 1 del - 4 removed file
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      distributed = Some(true)).isEmpty)
+  }
+
   test("a table requiring a newer reader protocol is rejected, not misread") {
     val dir = graft.TestSpark.tmpDir("protocol-gate")
     import spark.implicits._

@@ -165,6 +165,17 @@ class LogCleanupSpec extends AnyFunSuite {
     assert(s1.forall(n => new java.io.File(dir, s"_delta_log/_sidecars/$n").exists()))
   }
 
+  test("delta.checkpointInterval property drives the auto-checkpoint cadence") {
+    val dir = TestSpark.tmpDir("logclean-interval")
+    DeltaTable.create(spark, Seq((0L, "r0")).toDF("id", "name"), dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.checkpointInterval" -> "3"))
+    (2 to 3).foreach(i => DeltaTable.append(spark, dir,
+      Seq((i.toLong, s"r$i")).toDF("id", "name"))) // v2, v3
+    assert(logFiles(dir).exists(_.startsWith(f"${3L}%020d.checkpoint")),
+      s"v3 (a multiple of the table's interval 3) must auto-checkpoint, " +
+        s"got ${logFiles(dir)}")
+  }
+
   test("checkpointProtection: cleanup refuses below the protected boundary") {
     val dir = TestSpark.tmpDir("logclean-protect")
     DeltaTable.create(spark, Seq((0L, "r0")).toDF("id", "name"), dir)

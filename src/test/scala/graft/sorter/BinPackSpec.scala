@@ -54,4 +54,41 @@ class BinPackSpec extends AnyFunSuite {
     val again = DeltaSorter(spark, dir).binPack(targetFileSizeBytes = 1L << 20)
     assert(again.partitionsRewritten == 0)
   }
+
+  test("OPTIMIZE ... WHERE scopes the pass to matching partitions only") {
+    val dir = TestSpark.tmpDir("binpack-where")
+    val mk = (p: String, k: Int) => Seq((p, k)).toDF("p", "k").coalesce(1)
+    DeltaTable.create(spark, mk("a", 1), dir, partitionColumns = Seq("p"))
+    for ((p, k) <- Seq(("a", 2), ("a", 3), ("b", 4), ("b", 5)))
+      DeltaTable.append(spark, dir, mk(p, k))
+    val bBefore = DeltaLog.forTable(spark, dir).snapshot().files
+      .filter(_.partitionValues("p") == "b").map(_.path).toSet
+    val summary = DeltaSorter(spark, dir).binPack(
+      targetFileSizeBytes = 1L << 20, where = Some("p = 'a'"))
+    assert(summary.partitionsRewritten == 1, summary)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // partition a packed to one file; partition b untouched
+    assert(snap.files.count(_.partitionValues("p") == "a") == 1)
+    assert(snap.files.filter(_.partitionValues("p") == "b").map(_.path).toSet ==
+      bBefore)
+    assert(DeltaTable.read(spark, dir).count() == 5)
+    // a NON-partition column in the predicate is refused loudly — file
+    // selection by data predicate would split rows, not partitions
+    val e = intercept[IllegalArgumentException](DeltaSorter(spark, dir)
+      .binPack(targetFileSizeBytes = 1L << 20, where = Some("k > 2")))
+    assert(e.getMessage.contains("partition columns only"))
+  }
+
+  test("SQL: OPTIMIZE t WHERE partition-predicate routes through") {
+    val dir = TestSpark.tmpDir("binpack-where-sql")
+    val mk = (p: String, k: Int) => Seq((p, k)).toDF("p", "k").coalesce(1)
+    DeltaTable.create(spark, mk("a", 1), dir, partitionColumns = Seq("p"))
+    for ((p, k) <- Seq(("a", 2), ("b", 3), ("b", 4)))
+      DeltaTable.append(spark, dir, mk(p, k))
+    val row = spark.sql(s"OPTIMIZE '$dir' WHERE p = 'b'").collect()(0)
+    assert(row.getAs[Long]("partitions_rewritten") == 1L)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.count(_.partitionValues("p") == "b") == 1)
+    assert(snap.files.count(_.partitionValues("p") == "a") == 2)
+  }
 }
