@@ -1,0 +1,73 @@
+"""
+Table-lifecycle example — the engine-EXTENSION DDL surface added in
+round 14, end to end on one table:
+
+  convert_to_delta  -> register an existing parquet directory in place
+  enable_column_mapping / rename_column / drop_columns  -> metadata-only
+  enable_type_widening / alter_column_type  -> promote without rewrites
+  clone_shallow  -> metadata-only table snapshot
+  bin_pack(where=...)  -> partition-scoped OPTIMIZE
+
+Run (from the repo root):
+  PYTHONPATH=python python3 examples/python/table_lifecycle.py /tmp/delta_lifecycle
+"""
+import shutil
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from deltasort import SortOptimizer
+
+
+def main(base: str) -> None:
+    if Path(base).exists():
+        shutil.rmtree(base)
+    src = f"{base}/events"
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltasort-lifecycle")
+        .config("spark.driver.extraClassPath", "target/scala-2.13/classes")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. A plain parquet directory, as an upstream job might leave it.
+    spark.range(1000).selectExpr(
+        "id as event_id", "cast(id % 100 as int) as score", "concat('u', id % 7) as user"
+    ).coalesce(2).write.parquet(src)
+
+    # 2. Register it as a Delta table IN PLACE — no file moves.
+    opt = SortOptimizer(src, spark=spark)
+    opt.convert_to_delta()
+    print("converted:", spark.read.format("graftdelta").load(src).count(), "rows")
+
+    # 3. Metadata-only schema surgery: mapping upgrade, rename, widen.
+    opt.enable_column_mapping()
+    opt.rename_column("user", "user_id")
+    opt.enable_type_widening()
+    opt.alter_column_type("score", "bigint")
+    print("schema:", spark.read.format("graftdelta").load(src).schema.simpleString())
+
+    # 4. A zero-copy snapshot for experimentation, then mutate it freely.
+    clone = f"{base}/events_sandbox"
+    opt.clone_shallow(clone)
+    sandbox = SortOptimizer(clone, spark=spark)
+    sandbox.delete_where("score < 10")
+    print(
+        "sandbox rows:", spark.read.format("graftdelta").load(clone).count(),
+        "| source rows:", spark.read.format("graftdelta").load(src).count(),
+    )
+
+    # 5. Maintenance with structured metrics.
+    summary = sandbox.bin_pack(target_file_size_bytes=1 << 20)
+    print("bin-pack metrics:", summary)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/delta_lifecycle")

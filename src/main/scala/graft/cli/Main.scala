@@ -27,7 +27,11 @@ import graft.sorter.{DeltaSorter, SortConfig}
   * the retention window (`--vacuum-force` waives the 7-day
   * retention-floor check); `--bin-pack` coalesces small files per
   * partition to `--target-file-size-bytes` without imposing an order
-  * (OPTIMIZE analog). */
+  * (OPTIMIZE analog; `--where` scopes it to matching partitions);
+  * `--convert-to-delta [--partition-columns a,b]` registers a plain
+  * parquet directory in place; `--clone-to TARGET [--clone-version N]`
+  * shallow-clones the table; `--clustered-compact [--full]` re-clusters
+  * a clustered table incrementally. */
 object Main {
 
   private[cli] val LogLevels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
@@ -52,7 +56,8 @@ object Main {
       args(i) match {
         case flag @ ("--dry-run" | "--validate-only" | "--validate-quick" |
             "--repartition-by-sort-key" | "--zorder" | "--bin-pack" |
-            "--vacuum-force") =>
+            "--vacuum-force" | "--convert-to-delta" | "--clustered-compact" |
+            "--full") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -78,6 +83,28 @@ object Main {
       val stats = graft.delta.DeltaTable.restore(spark, table, v)
       println(s"restore to version $v complete: files " +
         s"-${stats.filesRemoved}/+${stats.filesAdded}")
+      return 0
+    }
+    if (opts.contains("convert-to-delta")) {
+      val parts = opts.get("partition-columns").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      graft.delta.DeltaTable.convertToDelta(spark, table, parts)
+      println(s"convert complete: $table is a Delta table")
+      return 0
+    }
+    if (opts.contains("clone-to")) {
+      graft.delta.DeltaTable.cloneShallow(spark, table, opts("clone-to"),
+        opts.get("clone-version").map(_.toLong))
+      println(s"shallow clone complete: ${opts("clone-to")}")
+      return 0
+    }
+    if (opts.contains("clustered-compact")) {
+      val summary = DeltaSorter(spark, table).clusteredCompact(
+        targetFileSizeBytes = opts.get("target-file-size-bytes").map(_.toLong),
+        full = opts.contains("full"))
+      println(s"clustered compact complete: files " +
+        s"${summary.filesIn}->${summary.filesOut} in ${summary.durationMs}ms")
+      writeMetrics(opts, summary)
       return 0
     }
     if (opts.contains("vacuum")) {

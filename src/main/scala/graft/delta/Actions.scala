@@ -136,7 +136,9 @@ object Action {
         operation = if (c.has("operation")) c.get("operation").asText() else "",
         operationParameters = strMap(c.get("operationParameters")),
         inCommitTimestamp = if (c.hasNonNull("inCommitTimestamp"))
-          Some(c.get("inCommitTimestamp").asLong()) else None))
+          Some(c.get("inCommitTimestamp").asLong()) else None,
+        operationMetrics = if (c.hasNonNull("operationMetrics"))
+          strMap(c.get("operationMetrics")) else Map.empty))
     } else None // unknown action kinds (checkpointMetadata, ...) are ignored on replay
   }
 }
@@ -320,11 +322,16 @@ case class CommitInfo(
     timestamp: Long,
     operation: String,
     operationParameters: Map[String, String],
-    inCommitTimestamp: Option[Long] = None) extends Action {
+    inCommitTimestamp: Option[Long] = None,
+    /** delta-spark's observability map (numFiles / numOutputRows /
+      * numRemovedFiles, …) — surfaced by DESCRIBE HISTORY. */
+    operationMetrics: Map[String, String] = Map.empty) extends Action {
   /** The commit's effective wall-clock: the ICT when recorded. */
   def effectiveTimestamp: Long = inCommitTimestamp.getOrElse(timestamp)
   def json: String =
     s"""{"commitInfo":{"timestamp":$timestamp,"operation":${jstr(operation)},""" +
       s""""operationParameters":${jmap(operationParameters)}""" +
-      inCommitTimestamp.map(t => s""","inCommitTimestamp":$t""").getOrElse("") + "}}"
+      inCommitTimestamp.map(t => s""","inCommitTimestamp":$t""").getOrElse("") +
+      (if (operationMetrics.isEmpty) ""
+       else s""","operationMetrics":${jmap(operationMetrics)}""") + "}}"
 }

@@ -904,7 +904,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       else None
     if (expectedVersion > 0) checkWritable(actions, snapOpt)
     val stamped = stampIct(snapOpt, expectedVersion,
-      stampRowTracking(snapOpt, expectedVersion, actions))
+      stampRowTracking(snapOpt, expectedVersion, stampMetrics(actions)))
     fs.mkdirs(logPath)
     val target = versionFile(expectedVersion)
     val content = stamped.map(_.json).mkString("", "\n", "\n")
@@ -919,6 +919,33 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     maybeCheckpoint(expectedVersion)
     expectedVersion
+  }
+
+  /** Operation metrics at the commit chokepoint (DESCRIBE HISTORY's
+    * `operationMetrics`, delta-spark's observability map): derived from
+    * the commit's OWN file actions, so every writer path gets them
+    * without knowing — numFiles / numRemovedFiles / numOutputBytes,
+    * plus numOutputRows when every add carries parseable stats. A
+    * caller-provided map wins untouched. */
+  private def stampMetrics(actions: Seq[Action]): Seq[Action] = {
+    val idx = actions.indexWhere(_.isInstanceOf[CommitInfo])
+    if (idx < 0) return actions
+    val info = actions(idx).asInstanceOf[CommitInfo]
+    if (info.operationMetrics.nonEmpty) return actions
+    val adds = actions.collect { case a: AddFile => a }
+    val removes = actions.collect { case r: RemoveFile => r }
+    if (adds.isEmpty && removes.isEmpty) return actions
+    val rows = adds.flatMap(a => a.stats.flatMap { s =>
+      try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    })
+    val m = Map(
+      "numFiles" -> adds.size.toString,
+      "numRemovedFiles" -> removes.size.toString,
+      "numOutputBytes" -> adds.map(_.size).sum.toString) ++
+      (if (adds.nonEmpty && rows.size == adds.size)
+        Map("numOutputRows" -> rows.sum.toString) else Map.empty)
+    actions.updated(idx, info.copy(operationMetrics = m))
   }
 
   /** Auto-checkpoint policy: every [[checkpointInterval]] commits (the
@@ -1206,6 +1233,11 @@ object DeltaLog {
     // unshredded variant files into a shredded table are spec-legal,
     // and reads reassemble shredded files natively (VariantReadSpec)
     "variantShredding", "variantShredding-preview",
+    // allowColumnDefaults (Default Columns): appends that omit a column
+    // carrying CURRENT_DEFAULT field metadata fill it from the recorded
+    // expression (DeltaTable.defaultFields / append), the whole
+    // write-side contract; SET/DROP DEFAULT via alterColumnDefault
+    "allowColumnDefaults",
     // checkpointProtection (newest delta-spark stamps it on tables whose
     // history straddles protocol downgrades): ordinary commits are
     // unaffected; the one obligation is on METADATA CLEANUP — never

@@ -651,9 +651,17 @@ object DeltaTable {
       if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
       else d.withColumn(f.name, expr(g).cast(f.dataType))
     }
+    // DEFAULT columns (writer feature allowColumnDefaults): a column the
+    // batch omits but whose field records CURRENT_DEFAULT fills from the
+    // default expression — the delta-spark INSERT behavior; explicit
+    // values always win (no fill when the column is provided)
+    val dfDef = defaultFields(snap).foldLeft(dfGen) { case (d, (f, dflt)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else d.withColumn(f.name, expr(dflt).cast(f.dataType))
+    }
     // identity columns (writer v6): values assigned from the sequence,
     // high-water mark advanced in the same commit
-    val (dfId, idMarks) = assignIdentity(spark, snap, dfGen)
+    val (dfId, idMarks) = assignIdentity(spark, snap, dfDef)
     // a batch carrying a NARROWER type than the table is upcast in
     // place when the promotion is in the typeWidening matrix (lossless
     // by construction): after ALTER COLUMN TYPE widened a column,
@@ -794,9 +802,11 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     log.availableVersions().sorted(Ordering[Long].reverse).flatMap { v =>
       log.actionsAt(v).collectFirst {
-        case c: CommitInfo => (v, c.effectiveTimestamp, c.operation, c.operationParameters)
-      }.orElse(Some((v, 0L, "", Map.empty[String, String])))
-    }.toDF("version", "timestamp", "operation", "operationParameters")
+        case c: CommitInfo => (v, c.effectiveTimestamp, c.operation,
+          c.operationParameters, c.operationMetrics)
+      }.orElse(Some((v, 0L, "", Map.empty[String, String], Map.empty[String, String])))
+    }.toDF("version", "timestamp", "operation", "operationParameters",
+      "operationMetrics")
   }
 
   /** Incremental change feed: the rows INSERTED in versions
@@ -2066,6 +2076,10 @@ object DeltaTable {
     * metadata (the Delta convention). */
   val GenerationExpressionKey = "delta.generationExpression"
 
+  /** Field-metadata key the Default Columns feature
+    * (`allowColumnDefaults`) records the INSERT default under. */
+  val DefaultValueKey = "CURRENT_DEFAULT"
+
   /** Identity-column field-metadata keys (writer protocol v6, the
     * delta-spark convention: start/step define the sequence,
     * highWaterMark tracks the largest value ever generated,
@@ -2160,6 +2174,67 @@ object DeltaTable {
       case f if f.metadata.contains(GenerationExpressionKey) =>
         f -> f.metadata.getString(GenerationExpressionKey)
     }
+
+  /** Fields carrying a DEFAULT (the `allowColumnDefaults` writer
+    * feature's `CURRENT_DEFAULT` field-metadata key): appends that omit
+    * the column fill it from the expression. */
+  private[graft] def defaultFields(snap: Snapshot)
+      : Seq[(org.apache.spark.sql.types.StructField, String)] =
+    snap.schema.fields.toSeq.collect {
+      case f if f.metadata.contains(DefaultValueKey) =>
+        f -> f.metadata.getString(DefaultValueKey)
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` — records the
+    * expression in the field's `CURRENT_DEFAULT` metadata (the Default
+    * Columns spec) and upgrades the protocol with
+    * `allowColumnDefaults`; from then on appends that omit the column
+    * fill it from the expression (explicit values win). `DROP DEFAULT`
+    * passes `None`. The expression must be constant-foldable enough to
+    * evaluate per-row at write time — validated by evaluating it once
+    * here, so a typo fails the ALTER, not every later append. */
+  def alterColumnDefault(spark: SparkSession, tableUri: String, column: String,
+      default: Option[String]): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val idx = snap.schema.fields.indexWhere(f => lc(f.name) == lc(column))
+    require(idx >= 0, s"no such column $column on $tableUri")
+    val f = snap.schema.fields(idx)
+    default.foreach { d =>
+      // evaluate once against an empty row so a broken expression fails
+      // loudly NOW; also pins that the default casts to the column type
+      spark.range(1).select(expr(d).cast(f.dataType)).collect()
+    }
+    require(default.nonEmpty || f.metadata.contains(DefaultValueKey),
+      s"column $column of $tableUri has no default to drop")
+    val md = default match {
+      case Some(d) => new MetadataBuilder().withMetadata(f.metadata)
+        .putString(DefaultValueKey, d).build()
+      case None => // MetadataBuilder has no remove — rebuild via JSON
+        val o = new ObjectMapper().readTree(f.metadata.json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        o.remove(DefaultValueKey)
+        org.apache.spark.sql.types.Metadata.fromJson(o.toString)
+    }
+    val newSchema = StructType(snap.schema.fields.updated(idx, f.copy(metadata = md)))
+    val p = snap.protocol
+    val upgrade: Seq[Action] =
+      if (default.isEmpty ||
+          (p.minWriterVersion >= 7 &&
+            p.writerFeatures.exists(_.contains("allowColumnDefaults")))) Nil
+      else Seq(Protocol(p.minReaderVersion, 7,
+        if (p.minReaderVersion >= 3) p.readerFeatures else None,
+        Some((if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+          else legacyWriterFeatures(snap)) + "allowColumnDefaults")))
+    log.commitDml(snap.version, upgrade ++ Seq(
+      snap.metadata.copy(schemaString = newSchema.json),
+      CommitInfo(System.currentTimeMillis(),
+        if (default.nonEmpty) "SET DEFAULT" else "DROP DEFAULT",
+        Map("column" -> column) ++ default.map("default" -> _))))
+    ()
+  }
 
   /** Enforce the snapshot's CHECK constraints — and generated-column
     * expressions — over a batch about to be written: ONE aggregate pass

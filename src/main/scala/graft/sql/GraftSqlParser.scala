@@ -84,6 +84,9 @@ object GraftSqlParser {
   // the same reason as ADD COLUMNS (the delta log is the schema's truth)
   private val AlterColType: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
+  // ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT — Default Columns
+  private val AlterColDefault: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+(?:SET\\s+DEFAULT\\s+(.+?)|DROP\\s+DEFAULT)\\s*;?\\s*""".r
   // RENAME/DROP COLUMN — metadata-only on column-mapped tables
   // (DeltaTable.renameColumn/dropColumns); intercepted like the rest
   private val AlterRenameCol: Regex =
@@ -121,6 +124,8 @@ object GraftSqlParser {
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
     case AlterAddCols(ref, parens, bare) =>
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
+    case AlterColDefault(ref, colName, defaultExpr) =>
+      Some(GraftAlterColumnDefaultCommand(ref, colName, Option(defaultExpr)))
     case AlterColType(ref, colName, typeDdl) =>
       Some(GraftAlterColumnTypeCommand(ref, colName, typeDdl))
     case ShallowClone(tgt, src, v) =>
@@ -237,7 +242,8 @@ case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrs(
     "version" -> LongType, "timestamp" -> LongType,
     "operation" -> StringType,
-    "operationParameters" -> MapType(StringType, StringType))
+    "operationParameters" -> MapType(StringType, StringType),
+    "operationMetrics" -> MapType(StringType, StringType))
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
     // bounded by the commit count (metadata scale)
@@ -304,6 +310,20 @@ case class GraftAlterAddColumnsCommand(tableRef: String, colsDdl: String)
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val schema = session.sessionState.sqlParser.parseTableSchema(colsDdl)
     DeltaTable.addColumns(session, path, schema.fields.toSeq)
+    session.catalog.refreshByPath(path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT` ->
+  * [[DeltaTable.alterColumnDefault]] (the `allowColumnDefaults`
+  * feature: appends that omit the column fill it from the default). */
+case class GraftAlterColumnDefaultCommand(tableRef: String, colName: String,
+    defaultExpr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    DeltaTable.alterColumnDefault(session, path, colName, defaultExpr)
     session.catalog.refreshByPath(path)
     Seq.empty
   }

@@ -66,6 +66,16 @@ class ArgsSpec extends AnyFunSuite {
       "table" -> good, "sort-columns" -> "v", "validate-only" -> "true")) == 0)
   }
 
+  test("--convert-to-delta and --clone-to dispatch without sort columns") {
+    val pq = TestSpark.tmpDir("cli-convert")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(pq)
+    assert(Main.run(spark, Map("table" -> pq, "convert-to-delta" -> "true")) == 0)
+    assert(DeltaTable.read(spark, pq).count() == 2)
+    val tgt = TestSpark.tmpDir("cli-clone") + "/t"
+    assert(Main.run(spark, Map("table" -> pq, "clone-to" -> tgt)) == 0)
+    assert(DeltaTable.read(spark, tgt).count() == 2)
+  }
+
   test("--metrics-json writes the run summary + per-partition metrics") {
     val dir = TestSpark.tmpDir("cli-metrics")
     DeltaTable.create(spark, Seq(5, 1).toDF("v").coalesce(1), dir)

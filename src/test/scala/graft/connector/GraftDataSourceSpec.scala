@@ -218,6 +218,15 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val h = DeltaTable.history(spark, dir)
       .select("version", "operation").as[(Long, String)].collect().toSeq
     assert(h == Seq((2L, "DELETE"), (1L, "WRITE"), (0L, "CREATE TABLE")))
+    // operationMetrics (stamped at the commit chokepoint from the
+    // commit's own file actions — delta-spark's observability map)
+    val metrics = DeltaTable.history(spark, dir)
+      .select("version", "operationMetrics")
+      .as[(Long, Map[String, String])].collect().toMap
+    assert(metrics(1L)("numFiles").toLong >= 1, s"append metrics: $metrics")
+    assert(metrics(1L)("numOutputRows") == "1")
+    assert(metrics(2L)("numRemovedFiles").toLong >= 1, s"delete metrics: $metrics")
+    assert(metrics(0L)("numFiles").toLong >= 1)
   }
 
   test("SQL surface: CREATE TABLE ... USING graftdelta reads the table") {

@@ -1,0 +1,86 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Default Columns (`allowColumnDefaults` writer feature): a field
+  * carrying `CURRENT_DEFAULT` metadata fills from the expression when an
+  * append omits it; explicit values always win; the feature stamps the
+  * protocol with the first SET DEFAULT. */
+class ColumnDefaultsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SET DEFAULT fills omitted columns on append; explicit values win") {
+    val dir = TestSpark.tmpDir("defaults")
+    DeltaTable.create(spark, Seq((1L, "a", 10L)).toDF("id", "name", "score"), dir)
+    DeltaTable.alterColumnDefault(spark, dir, "score", Some("42"))
+    val p = DeltaLog.forTable(spark, dir).snapshot().protocol
+    assert(p.minWriterVersion == 7 &&
+      p.writerFeatures.exists(_.contains("allowColumnDefaults")), s"protocol $p")
+
+    // omitted -> default
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    // provided -> explicit value
+    DeltaTable.append(spark, dir, Seq((3L, "c", 7L)).toDF("id", "name", "score"))
+    val rows = DeltaTable.read(spark, dir)
+      .select("id", "score").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 10L, 2L -> 42L, 3L -> 7L), s"got $rows")
+
+    // a non-constant default expression evaluates per write
+    DeltaTable.alterColumnDefault(spark, dir, "score", Some("2 + 3"))
+    DeltaTable.append(spark, dir, Seq((4L, "d")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, dir).where(col("id") === 4L)
+      .select("score").as[Long].head() == 5L)
+
+    // DROP DEFAULT: omitting the column refuses again (schema mismatch)
+    DeltaTable.alterColumnDefault(spark, dir, "score", None)
+    intercept[IllegalArgumentException] {
+      DeltaTable.append(spark, dir, Seq((5L, "e")).toDF("id", "name"))
+    }
+    // dropping a default that is not there errors
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.alterColumnDefault(spark, dir, "score", None))
+    assert(e.getMessage.contains("no default"))
+    // a broken default expression fails the ALTER, not later appends
+    intercept[Exception](
+      DeltaTable.alterColumnDefault(spark, dir, "score", Some("no_such_fn(")))
+  }
+
+  test("SQL: ALTER COLUMN SET DEFAULT / DROP DEFAULT route through") {
+    val dir = TestSpark.tmpDir("defaults-sql")
+    DeltaTable.create(spark, Seq((1L, 1L)).toDF("id", "n"), dir)
+    spark.sql(s"ALTER TABLE '$dir' ALTER COLUMN n SET DEFAULT 99")
+    DeltaTable.append(spark, dir, Seq(Tuple1(2L)).toDF("id"))
+    assert(DeltaTable.read(spark, dir).where(col("id") === 2L)
+      .select("n").as[Long].head() == 99L)
+    spark.sql(s"ALTER TABLE '$dir' ALTER COLUMN n DROP DEFAULT")
+    intercept[IllegalArgumentException] {
+      DeltaTable.append(spark, dir, Seq(Tuple1(3L)).toDF("id"))
+    }
+  }
+
+  test("a foreign allowColumnDefaults table accepts writes and honors the default") {
+    val dir = TestSpark.tmpDir("defaults-foreign")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("flag", org.apache.spark.sql.types.LongType,
+        nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata
+          .fromJson("""{"CURRENT_DEFAULT":"1"}"""))
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["allowColumnDefaults","invariants"]}}""",
+      s"""{"metaData":{"id":"def-foreign","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""")
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    DeltaTable.append(spark, dir, Seq(Tuple1(7L)).toDF("id"))
+    assert(DeltaTable.read(spark, dir).select("id", "flag")
+      .as[(Long, Long)].collect().toSeq == Seq((7L, 1L)))
+  }
+}

@@ -202,6 +202,136 @@ class DmlModelSpec extends AnyFunSuite {
     }
   }
 
+  test("random DDL (rename/add/drop) interleaved with DML keeps table == model") {
+    // the round-14 schema verbs as first-class random ops on a MAPPED
+    // table: logical renames of both columns, an extra column added and
+    // dropped repeatedly (each re-add = fresh physical column, so prior
+    // values must NEVER resurrect), DML addressed by the CURRENT names,
+    // and checkpoints/vacuum/compaction interleaved throughout; at the
+    // end, historical versions time-travel back with their OWN
+    // column names of the time
+    val rnd = new Random(7777)
+    val dir = TestSpark.tmpDir("ddl-model")
+    val model = mutable.Map[Long, Long]()
+    val seed = Seq.tabulate(6)(i => (i.toLong, rnd.nextLong() & 0xffffL))
+    seed.foreach { case (k, v) => model(k) = v }
+    DeltaTable.create(spark, seed.toDF("k", "v").repartition(2), dir)
+    DeltaTable.enableColumnMapping(spark, dir)
+    val log = DeltaLog.forTable(spark, dir)
+
+    var kName = "k"
+    var vName = "v"
+    var extraName: Option[String] = None
+    var renameGen = 0
+    var extraGen = 0
+    // values of the extra column written SINCE its current add
+    val extraVals = mutable.Map[Long, Long]()
+    // version -> (expected rows, column names at that version)
+    val history = mutable.Map[Long, (Map[Long, Long], Seq[String])]()
+
+    def readState(): (Map[Long, Long], Map[Long, Option[Long]]) = {
+      val base = DeltaTable.read(spark, dir)
+      val kv = base.select(col(kName), col(vName)).as[(Long, Long)].collect().toMap
+      val ex = extraName match {
+        case None => Map.empty[Long, Option[Long]]
+        case Some(e) => base.select(col(kName), col(e))
+          .as[(Long, Option[Long])].collect().toMap
+      }
+      (kv, ex)
+    }
+
+    for (step <- 1 to 30) {
+      val before = log.latestVersion()
+      rnd.nextInt(10) match {
+        case 0 | 1 => // upsert through the CURRENT names (+ extra values)
+          val batch = Seq.fill(rnd.nextInt(4) + 1)(
+            (rnd.nextLong().abs % Keys, rnd.nextLong() & 0xffffL))
+            .distinctBy(_._1)
+          extraName match {
+            case None =>
+              DeltaTable.upsert(spark, dir,
+                batch.toDF(kName, vName), Seq(kName))
+            case Some(e) =>
+              DeltaTable.upsert(spark, dir,
+                batch.map { case (k, v) => (k, v, k * 10 + extraGen) }
+                  .toDF(kName, vName, e), Seq(kName))
+              batch.foreach { case (k, _) => extraVals(k) = k * 10 + extraGen }
+          }
+          batch.foreach { case (k, v) => model(k) = v }
+        case 2 => // delete a key range
+          val lo = rnd.nextLong().abs % Keys
+          val hi = lo + rnd.nextInt(4)
+          DeltaTable.delete(spark, dir, col(kName).between(lo, hi))
+          model.filterInPlace((k, _) => k < lo || k > hi)
+          extraVals.filterInPlace((k, _) => k < lo || k > hi)
+        case 3 =>
+          graft.sorter.DeltaSorter(spark, dir)
+            .compact(graft.sorter.SortConfig(Seq(kName)))
+        case 4 => log.checkpoint()
+        case 5 => log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
+        case 6 => // rename the VALUE column
+          renameGen += 1
+          val to = s"v_$renameGen"
+          DeltaTable.renameColumn(spark, dir, vName, to)
+          vName = to
+        case 7 => // update through the current names
+          val lo = rnd.nextLong().abs % Keys
+          val hi = lo + rnd.nextInt(4)
+          val delta = rnd.nextInt(1000).toLong
+          DeltaTable.update(spark, dir, col(kName).between(lo, hi),
+            Map(vName -> (col(vName) + delta)))
+          model.mapValuesInPlace((k, v) => if (k >= lo && k <= hi) v + delta else v)
+        case 8 => // toggle the extra column: add <-> drop
+          extraName match {
+            case None =>
+              extraGen += 1
+              val e = s"extra_$extraGen"
+              DeltaTable.addColumns(spark, dir, Seq(
+                org.apache.spark.sql.types.StructField("" + e,
+                  org.apache.spark.sql.types.LongType)))
+              extraName = Some(e)
+              extraVals.clear() // fresh physical column: everything NULL
+            case Some(e) =>
+              DeltaTable.dropColumns(spark, dir, Seq(e))
+              extraName = None
+              extraVals.clear()
+          }
+        case 9 => // rename the KEY column
+          renameGen += 1
+          val to = s"k_$renameGen"
+          DeltaTable.renameColumn(spark, dir, kName, to)
+          kName = to
+      }
+      val (kv, ex) = readState()
+      assert(kv == model.toMap, s"state diverged at step $step ($kName/$vName)")
+      extraName.foreach { _ =>
+        val want = model.keySet.map(k => k -> extraVals.get(k)).toMap
+        assert(ex == want,
+          s"extra column diverged at step $step (gen $extraGen): $ex vs $want")
+      }
+      val after = log.latestVersion()
+      if (after != before)
+        history(after) = (model.toMap, Seq(kName, vName) ++ extraName)
+      assert(after >= before)
+    }
+
+    // historical versions read back with their OWN column names
+    val fsDir = new java.io.File(dir)
+    val checked = history.keys.toSeq.sorted.filter { v =>
+      log.snapshotAt(v).files.forall(a => new java.io.File(fsDir, a.path).exists())
+    }
+    assert(checked.nonEmpty)
+    checked.foreach { v =>
+      val (wantRows, wantCols) = history(v)
+      val df = DeltaTable.readAt(spark, dir, v)
+      assert(df.columns.toSeq == wantCols,
+        s"v$v must keep its own column names (got ${df.columns.toSeq}, want $wantCols)")
+      val got = df.select(col(wantCols.head), col(wantCols(1)))
+        .as[(Long, Long)].collect().toMap
+      assert(got == wantRows, s"time travel to v$v diverged")
+    }
+  }
+
   test("random general-merge clause chains keep table == model at every step") {
     // Seeded random MERGEs with random clause chains — matched
     // update/delete, not-matched insert, not-matched-by-source
