@@ -203,6 +203,16 @@ class SortOptimizer:
         hive-partitioned directory pass the partition column names."""
         self._j.convertToDelta(self._jlist(list(partition_columns or [])))
 
+    def repair_table(self, dry_run: bool = False) -> list:
+        """FSCK REPAIR TABLE: drop snapshot references to data files
+        gone from storage; returns the repaired paths."""
+        return json.loads(self._j.repairTable(bool(dry_run)))
+
+    def recompute_stats(self) -> int:
+        """Recompute per-file footer stats (metadata-only re-adds) so
+        data skipping lights up on converted / stats-less tables."""
+        return int(self._j.recomputeStats())
+
     def clone_shallow(self, target_uri: str, version: Optional[int] = None) -> None:
         """SHALLOW CLONE this table to ``target_uri``: a metadata-only
         snapshot referencing the source's files by absolute path — zero

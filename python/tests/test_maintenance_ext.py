@@ -192,3 +192,16 @@ def test_clone_shallow_and_scoped_bin_pack(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         opt.bin_pack(where="k > 1")
+
+
+def test_repair_and_recompute_stats(spark, tmp_path):
+    d = str(tmp_path / "reptab")
+    write_table(spark, d, [(1, "a"), (2, "b")], _SCHEMA)
+    opt = SortOptimizer(d, spark=spark)
+    # recompute is a no-op gain on a table that already has stats, but
+    # must round-trip (dataChange=false re-adds)
+    assert opt.recompute_stats() >= 1
+    assert len(read_pandas(spark, d)) == 2
+    # nothing missing -> nothing repaired
+    assert opt.repair_table(dry_run=True) == []
+    assert opt.repair_table() == []

@@ -200,6 +200,17 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     ()
   }
 
+  /** FSCK REPAIR TABLE: drop references to missing data files;
+    * returns the repaired path list as JSON. */
+  def repairTable(dryRun: Boolean): String =
+    graft.delta.DeltaTable.repairTable(spark, tableUri, dryRun)
+      .map(js).mkString("[", ",", "]")
+
+  /** Recompute per-file footer stats (dataChange=false re-adds);
+    * returns the restamped file count. */
+  def recomputeStats(): Long =
+    graft.delta.DeltaTable.recomputeStats(spark, tableUri)
+
   /** SHALLOW CLONE this table to `targetUri` (metadata-only snapshot;
     * `version` may be null for the latest). */
   def cloneShallow(targetUri: String, version: java.lang.Long): Unit = {

@@ -49,7 +49,16 @@ object DataSkipping {
 
   /** Build the protocol's stats JSON for one parquet file from its
     * footer. Nested columns are skipped (top-level leaf paths only). */
-  def statsFromFooter(conf: Configuration, file: Path): String = {
+  def statsFromFooter(conf: Configuration, file: Path): String =
+    statsFromFooter(conf, file, None)
+
+  /** With `indexedCols`: only the named (physical) columns make
+    * min/max/nullCount claims — the `delta.dataSkippingNumIndexedCols`
+    * contract for wide schemas, where per-file stats JSON over hundreds
+    * of columns would bloat the log for predicates that never come.
+    * `numRecords` is always recorded. */
+  def statsFromFooter(conf: Configuration, file: Path,
+      indexedCols: Option[Set[String]]): String = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
@@ -63,7 +72,8 @@ object DataSkipping {
       val statsValid = collection.mutable.LinkedHashMap.empty[String, Boolean]
       for (block <- footer.getBlocks.asScala) {
         numRecords += block.getRowCount
-        for (col <- block.getColumns.asScala if col.getPath.size == 1) {
+        for (col <- block.getColumns.asScala if col.getPath.size == 1 &&
+            indexedCols.forall(_.contains(col.getPath.toDotString))) {
           val name = col.getPath.toDotString
           val st = col.getStatistics
           val prim = schema.getType(Seq(name): _*).asPrimitiveType()
@@ -258,6 +268,152 @@ object DataSkipping {
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
+  }
+
+  /** GENERATED-PARTITION pruning (the delta-spark idea): when a
+    * partition column is generated from a data column — the timeseries
+    * staple `p DATE GENERATED ALWAYS AS (CAST(ts AS DATE))` — a
+    * predicate on the DATA column implies one on the PARTITION column,
+    * so whole partitions prune without touching per-file stats. Returns
+    * `predicate AND derived…` (the original is always kept; derivation
+    * only ever narrows).
+    *
+    * Monotonic generation shapes map ranges (`ts >= T` → `p >= g(T)`,
+    * strict forms widened to non-strict — conservative): CAST AS DATE /
+    * date() / to_date(), year(), date_trunc(unit, col), trunc(col, fmt),
+    * date_format(col, 'yyyy'|'yyyy-MM'|'yyyy-MM-dd') (string order =
+    * time order for those formats). Non-monotonic shapes (month, day,
+    * hour — they wrap) map EQUALITY only. `g(T)` is evaluated by
+    * substituting the literal into the generation expression and
+    * running it on a one-row local plan — driver-only, no cluster job.
+    * Any unrecognized/broken shape derives nothing (never wrong, just
+    * unpruned). */
+  def withDerivedPartitionPredicates(schema: StructType,
+      partitionColumns: Seq[String], predicate: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val MonoFormats = Set("yyyy", "yyyy-MM", "yyyy-MM-dd")
+    // (partitionCol, sourceDataCol, genKind, extra, monotonic?)
+    val gens: Seq[(String, String, String, String, Boolean)] =
+      partitionColumns.flatMap { p =>
+        schema.fields.find(_.name.equalsIgnoreCase(p))
+          .filter(_.metadata.contains(DeltaTable.GenerationExpressionKey))
+          .flatMap { f =>
+            val g = try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(f.metadata.getString(DeltaTable.GenerationExpressionKey))
+            catch { case scala.util.control.NonFatal(_) => null }
+            def src(e: Expression): Option[String] = attrName(e)
+            val classified: Option[(String, String, String, Boolean)] = g match {
+              case null => None
+              case c: Cast if c.dataType == DateType =>
+                src(c.child).map(s => ("date", s, "", true))
+              case fn: UnresolvedFunction =>
+                val name = lc(fn.nameParts.last)
+                val args = fn.arguments
+                def lit(e: Expression): Option[String] = e match {
+                  case Literal(s: UTF8String, StringType) => Some(s.toString)
+                  case _ => None
+                }
+                name match {
+                  case "date" | "to_date" if args.size == 1 =>
+                    src(args.head).map(s => ("date", s, "", true))
+                  case "year" if args.size == 1 =>
+                    src(args.head).map(s => ("year", s, "", true))
+                  case "date_trunc" if args.size == 2 =>
+                    for (u <- lit(args.head); s <- src(args(1)))
+                      yield ("date_trunc", s, u.toUpperCase(java.util.Locale.ROOT), true)
+                  case "trunc" if args.size == 2 =>
+                    for (u <- lit(args(1)); s <- src(args.head))
+                      yield ("trunc", s, u.toUpperCase(java.util.Locale.ROOT), true)
+                  case "date_format" if args.size == 2 =>
+                    for (fmt <- lit(args(1)); s <- src(args.head))
+                      yield ("date_format", s, fmt, MonoFormats.contains(fmt))
+                  case "month" | "day" | "dayofmonth" | "hour" if args.size == 1 =>
+                    src(args.head).map(s => (name, s, "", false))
+                  case _ => None
+                }
+              case _ => None
+            }
+            classified.map { case (k, s, x, m) => (f.name, s, k, x, m) }
+          }
+      }
+    if (gens.isEmpty) return predicate
+    // the engine's temporal domain is pinned UTC (session TZ everywhere)
+    val UTC = ZoneOffset.UTC
+    def toDateTime(l: Literal): Option[java.time.LocalDateTime] = l match {
+      case Literal(micros: java.lang.Long, TimestampType | TimestampNTZType) =>
+        Some(java.time.LocalDateTime.ofInstant(
+          Instant.EPOCH.plusSeconds(micros / 1000000L)
+            .plusNanos((micros % 1000000L) * 1000L), UTC))
+      case Literal(days: java.lang.Integer, DateType) =>
+        Some(LocalDate.ofEpochDay(days.toLong).atStartOfDay())
+      case _ => None
+    }
+    def applyGen(kind: String, extra: String, l: Literal): Option[Literal] =
+      toDateTime(l).flatMap { dt =>
+        def dateLit(d: LocalDate) = Literal(d.toEpochDay.toInt, DateType)
+        def tsLit(x: java.time.LocalDateTime) = Literal(
+          x.toEpochSecond(UTC) * 1000000L + x.getNano / 1000L, TimestampType)
+        kind match {
+          case "date" => Some(dateLit(dt.toLocalDate))
+          case "year" => Some(Literal(dt.getYear, IntegerType))
+          case "month" => Some(Literal(dt.getMonthValue, IntegerType))
+          case "day" | "dayofmonth" => Some(Literal(dt.getDayOfMonth, IntegerType))
+          case "hour" => Some(Literal(dt.getHour, IntegerType))
+          case "date_trunc" => extra match {
+            case "YEAR" | "YYYY" | "YY" =>
+              Some(tsLit(dt.toLocalDate.withDayOfYear(1).atStartOfDay()))
+            case "MONTH" | "MON" | "MM" =>
+              Some(tsLit(dt.toLocalDate.withDayOfMonth(1).atStartOfDay()))
+            case "DAY" | "DD" => Some(tsLit(dt.toLocalDate.atStartOfDay()))
+            case "HOUR" => Some(tsLit(dt.withMinute(0).withSecond(0).withNano(0)))
+            case _ => None
+          }
+          case "trunc" => extra match {
+            case "YEAR" | "YYYY" | "YY" => Some(dateLit(dt.toLocalDate.withDayOfYear(1)))
+            case "MONTH" | "MON" | "MM" => Some(dateLit(dt.toLocalDate.withDayOfMonth(1)))
+            case _ => None
+          }
+          case "date_format" =>
+            try Some(Literal(UTF8String.fromString(
+              dt.format(DateTimeFormatter.ofPattern(extra))), StringType))
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }
+      }
+    val derived = conjuncts(predicate).flatMap { c =>
+      // normalize literal-on-left forms to (attr op lit)
+      val norm: Option[(String, Literal, String)] = c match {
+        case EqualTo(a, l: Literal) => attrName(a).map((_, l, "eq"))
+        case EqualTo(l: Literal, a) => attrName(a).map((_, l, "eq"))
+        case GreaterThan(a, l: Literal) => attrName(a).map((_, l, "ge"))
+        case GreaterThanOrEqual(a, l: Literal) => attrName(a).map((_, l, "ge"))
+        case LessThan(a, l: Literal) => attrName(a).map((_, l, "le"))
+        case LessThanOrEqual(a, l: Literal) => attrName(a).map((_, l, "le"))
+        case GreaterThan(l: Literal, a) => attrName(a).map((_, l, "le"))
+        case GreaterThanOrEqual(l: Literal, a) => attrName(a).map((_, l, "le"))
+        case LessThan(l: Literal, a) => attrName(a).map((_, l, "ge"))
+        case LessThanOrEqual(l: Literal, a) => attrName(a).map((_, l, "ge"))
+        case _ => None
+      }
+      norm.toSeq.flatMap { case (srcName, litVal, op) =>
+        gens.flatMap {
+          case (pCol, src, kind, extra, mono)
+              if lc(src) == lc(srcName) && (op == "eq" || mono) =>
+            applyGen(kind, extra, litVal).map { gv =>
+              val pAttr = UnresolvedAttribute(pCol)
+              op match {
+                case "eq" => EqualTo(pAttr, gv)
+                case "ge" => GreaterThanOrEqual(pAttr, gv)
+                case "le" => LessThanOrEqual(pAttr, gv)
+              }
+            }
+          case _ => None
+        }
+      }
+    }
+    derived.foldLeft(predicate)(And(_, _))
   }
 
   private def attrName(e: Expression): Option[String] = e match {

@@ -490,7 +490,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * and time travel; the caller must opt out explicitly. */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
       enforceRetentionDuration: Boolean = true,
-      distributed: Option[Boolean] = None): Seq[String] = {
+      distributed: Option[Boolean] = None,
+      dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot()
     if (enforceRetentionDuration) {
       val floor = DeltaLog.retentionFloorMs(snap.metadata.configuration)
@@ -536,7 +537,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
             !active.contains(fs.makeQualified(p).toUri) &&
             !activeDvs.contains(fs.makeQualified(p).toUri) &&
             st.getModificationTime < cutoff) {
-          if (fs.delete(p, false)) deleted += rel
+          if (dryRun) deleted += rel
+          else if (fs.delete(p, false)) deleted += rel
         }
       }
       deleted.toSeq
@@ -589,9 +591,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       val activeDf = spark.createDataset(
         (active ++ activeDvs).toSeq.map(u => bare(new Path(u)))).toDF("path")
       val rootStr = fs.makeQualified(root).toString
-      val deleted = listed.join(activeDf, Seq("path"), "left_anti")
+      val candidates = listed.join(activeDf, Seq("path"), "left_anti")
         .as[(String, String)]
-        .mapPartitions { it =>
+      val deleted =
+        if (dryRun) candidates.map(_._2).collect().toSeq
+        else candidates.mapPartitions { it =>
           val conf = confSer.value
           it.flatMap { case (_, rel) =>
             val p = new Path(rootStr, rel)

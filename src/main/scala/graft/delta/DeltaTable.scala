@@ -243,7 +243,14 @@ object DeltaTable {
     * stats key would ever match and skipping would silently degrade to
     * keep-everything (conservative but defeating the point). */
   private[graft] def pruneFiles(snap: Snapshot, files: Seq[AddFile],
-      predicate: org.apache.spark.sql.catalyst.expressions.Expression): Seq[AddFile] = {
+      predicate0: org.apache.spark.sql.catalyst.expressions.Expression): Seq[AddFile] = {
+    // generated-partition pruning: a predicate on the data column a
+    // partition column is GENERATED from implies one on the partition
+    // column (p = DATE(ts): `ts >= T` prunes whole date partitions) —
+    // session-free derivation, so it runs identically on the driver and
+    // inside the distributed checkpoint scan
+    val predicate = DataSkipping.withDerivedPartitionPredicates(
+      snap.schema, snap.metadata.partitionColumns, predicate0)
     if (snap.columnMappingMode == "none")
       return DataSkipping.prune(files, snap.schema, predicate)
     val m = snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
@@ -392,9 +399,23 @@ object DeltaTable {
       // fails the write (stats are an optimization input).
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sessionState.newHadoopConf())
+      // delta.dataSkippingNumIndexedCols: stats claims limited to the
+      // schema's first N columns (physical names on a mapped table) —
+      // a wide-schema table must not pay per-file stats JSON over
+      // hundreds of columns. Absent property = index everything (we
+      // never degrade pruning silently; delta's own default is 32).
+      val indexedCols: Option[Set[String]] = snap
+        .flatMap(_.metadata.configuration.get("delta.dataSkippingNumIndexedCols"))
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .map { n =>
+          val s = snap.get
+          s.schema.fields.take(math.max(0, n)).map(f =>
+            if (s.columnMappingMode == "none") f.name
+            else Snapshot.physicalName(f)).toSet
+        }
       val statsByPath: Map[String, String] = placed.par
         .flatMap { case (_, relPath, dst, _) =>
-          try Some(relPath -> DataSkipping.statsFromFooter(conf, dst))
+          try Some(relPath -> DataSkipping.statsFromFooter(conf, dst, indexedCols))
           catch { case scala.util.control.NonFatal(_) => None }
         }.seq.toMap
       placed.map { case (rel, relPath, _, size) =>
@@ -518,6 +539,76 @@ object DeltaTable {
       CommitInfo(now, "CLONE", Map("source" -> sourceUri,
         "sourceVersion" -> snap.version.toString)))
     dst
+  }
+
+  /** FSCK REPAIR TABLE (delta-spark's verb): drop snapshot references
+    * to data files that are GONE from storage (out-of-band deletion,
+    * partial restores, a vacuumed shallow-clone source) so scans stop
+    * dying on a missing-file task error. Existence checks fan out to
+    * executors past 1000 files. The removes are `dataChange = true` —
+    * rows really disappeared. Returns the repaired paths; `dryRun`
+    * reports without committing. */
+  def repairTable(spark: SparkSession, tableUri: String,
+      dryRun: Boolean = false): Seq[String] = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val conf = spark.sessionState.newHadoopConf()
+    val rootStr = log.tableRoot.toString
+    val missing: Seq[String] =
+      if (snap.files.size < 1000) {
+        val fs = log.tableRoot.getFileSystem(conf)
+        snap.files.map(_.path).filterNot(p => fs.exists(new Path(rootStr, p)))
+      } else {
+        val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
+        spark.sparkContext
+          .parallelize(snap.files.map(_.path), 64)
+          .filter { p =>
+            val path = new Path(rootStr, p)
+            !path.getFileSystem(confSer.value).exists(path)
+          }.collect().toSeq
+      }
+    if (missing.isEmpty || dryRun) return missing
+    val byPath = snap.files.map(f => f.path -> f).toMap
+    val now = System.currentTimeMillis()
+    log.commitDml(snap.version, missing.map { p =>
+      val f = byPath(p)
+      RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+        f.deletionVector, f.baseRowId, f.defaultRowCommitVersion): Action
+    } :+ CommitInfo(now, "FSCK", Map("numRemovedFiles" -> missing.size.toString)))
+    missing
+  }
+
+  /** Recompute per-file stats from the parquet footers and re-commit
+    * the AddFiles with them — `dataChange = false`, no data moves. The
+    * delta-spark `StatisticsCollection.recompute` analog: the skipping
+    * path for a CONVERT-ed or foreign stats-less table lights up after
+    * one metadata commit. Footer reads run in ONE Spark job. DV-masked
+    * files are left alone (their stats carry the widened
+    * tightBounds=false form the spec demands). Returns the number of
+    * files restamped. */
+  def recomputeStats(spark: SparkSession, tableUri: String): Long = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val targets = snap.files.filter(_.deletionVector.isEmpty)
+    if (targets.isEmpty) return 0L
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rootStr = log.tableRoot.toString
+    val statsByPath: Map[String, String] = spark.sparkContext
+      .parallelize(targets.map(_.path), math.max(1, math.min(targets.size, 64)))
+      .flatMap { rel =>
+        try Some(rel -> DataSkipping.statsFromFooter(confSer.value,
+          new Path(rootStr, rel)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.collect().toMap
+    val now = System.currentTimeMillis()
+    val readds = targets.flatMap(f => statsByPath.get(f.path).map(s =>
+      f.copy(stats = Some(s), modificationTime = now, dataChange = false)))
+    if (readds.isEmpty) return 0L
+    log.commitDml(snap.version, readds :+
+      CommitInfo(now, "COMPUTE STATS",
+        Map("numFiles" -> readds.size.toString)))
+    readds.size.toLong
   }
 
   /** `a=1/b=true` -> Map(a->1, b->true); hive null dir -> null value. */

@@ -65,7 +65,9 @@ object GraftSqlParser {
   private val Optimize: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val Vacuum: Regex =
-    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val Fsck: Regex =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val History: Regex =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val Detail: Regex =
@@ -116,8 +118,10 @@ object GraftSqlParser {
       Option(zorder).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil),
       Option(where).map(_.trim).filter(_.nonEmpty)))
-    case Vacuum(ref, hours) =>
-      Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble)))
+    case Vacuum(ref, hours, dry) =>
+      Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble), dry != null))
+    case Fsck(ref, dry) =>
+      Some(GraftFsckCommand(ref, dry != null))
     case History(ref) => Some(GraftHistoryCommand(ref))
     case Detail(ref) => Some(GraftDetailCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
@@ -218,10 +222,11 @@ case class GraftOptimizeCommand(tableRef: String, zorderBy: Seq[String],
 }
 
 /** `VACUUM t [RETAIN n HOURS]` -> [[DeltaLog.vacuum]]. */
-case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double])
-    extends LeafRunnableCommand {
+case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    GraftSqlParser.attrs("files_deleted" -> LongType)
+    if (dryRun) GraftSqlParser.attrs("path" -> StringType)
+    else GraftSqlParser.attrs("files_deleted" -> LongType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
     val retentionMs = retainHours
@@ -232,8 +237,22 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double])
     val enforce = session.conf
       .get("spark.graft.delta.retentionDurationCheck.enabled", "true").toBoolean
     val deleted = DeltaLog.forTable(session, path)
-      .vacuum(retentionMs, enforceRetentionDuration = enforce)
-    Seq(Row(deleted.size.toLong))
+      .vacuum(retentionMs, enforceRetentionDuration = enforce, dryRun = dryRun)
+    if (dryRun) deleted.sorted.map(Row(_)) else Seq(Row(deleted.size.toLong))
+  }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` -> [[DeltaTable.repairTable]]: drop
+  * references to data files gone from storage. */
+case class GraftFsckCommand(tableRef: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSqlParser.attrs("path" -> StringType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val repaired = DeltaTable.repairTable(session, path, dryRun)
+    session.catalog.refreshByPath(path)
+    repaired.sorted.map(Row(_))
   }
 }
 

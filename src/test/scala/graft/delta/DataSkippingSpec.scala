@@ -3,6 +3,7 @@ package graft.delta
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+// (see also the delta.dataSkippingNumIndexedCols write-limit test below)
 
 /** Per-file stats + log-only data skipping: stats JSON written on every
   * AddFile (footer-derived), carried through checkpoints, and used by
@@ -312,5 +313,30 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(prunedCount(dir, "d = date'2021-02-15'") == 1)
     assertSameRows(dir, "ts >= timestamp'2021-01-04 20:00:00'")
     assertSameRows(dir, "d = date'2021-02-15'")
+  }
+
+  test("delta.dataSkippingNumIndexedCols limits stats claims to the first N columns") {
+    val dir = TestSpark.tmpDir("skip-ncols")
+    DeltaTable.create(spark,
+      (0 until 100).map(i => (i.toLong, i.toLong, s"r$i")).toDF("a", "b", "c"), dir)
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    DeltaTable.append(spark, dir,
+      (100 until 200).map(i => (i.toLong, i.toLong, s"r$i")).toDF("a", "b", "c")
+        .coalesce(1))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val newStats = snap.files.filter(_.modificationTime > 0)
+      .flatMap(_.stats).filter(_.contains("\"a\""))
+    val appendStats = snap.files.flatMap(_.stats).filter(s =>
+      s.contains(""""a":100""") || s.contains(""""a": 100"""))
+    assert(appendStats.nonEmpty, s"the appended file must claim column a")
+    assert(!appendStats.exists(_.contains("\"b\"")),
+      s"columns past the index limit must make NO claim, got $appendStats")
+    assert(appendStats.forall(_.contains("\"numRecords\"")))
+    // claims on the indexed column still prune; the others just don't
+    assert(DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("a >= 150")).size <
+      snap.files.size)
+    assert(DeltaTable.readWhere(spark, dir, "b = 150").count() == 1)
   }
 }

@@ -135,4 +135,51 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).as[(Long, Long)].collect().toSet ==
       Set((1L, 2L), (7L, 14L)))
   }
+
+  test("GENERATED partition columns prune from data-column predicates") {
+    // the timeseries staple: partitioned by d = CAST(ts AS DATE); a
+    // predicate on ts must prune whole DATE partitions even though ts
+    // itself is not a partition column (delta-spark's generated-column
+    // partition pruning)
+    val dir = TestSpark.tmpDir("gen-part-prune")
+    val schema = new StructType()
+      .add("ts", TimestampType)
+      .add("v", LongType)
+      .add("d", DateType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(ts AS DATE)").build())
+    // three single-day files authored directly (partitioned layout)
+    writeCommit(dir, 0L,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""" +:
+      (s"""{"metaData":{"id":"gen-prune","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":["d"],""" +
+        s""""configuration":{},"createdTime":0}}""") +:
+      Seq("2024-01-01", "2024-01-02", "2024-01-03").zipWithIndex.map { case (day, i) =>
+        val tmp = TestSpark.tmpDir(s"gen-prune-$i")
+        spark.sql(s"select timestamp'$day 12:00:00' as ts, ${i}L as v")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        val rel = s"d=$day/${part.getName}"
+        Files.createDirectories(Paths.get(dir, s"d=$day"))
+        Files.copy(part.toPath, Paths.get(dir, rel))
+        s"""{"add":{"path":"$rel","partitionValues":{"d":"$day"},""" +
+          s""""size":${part.length()},"modificationTime":1,"dataChange":true}}"""
+      })
+    val log = DeltaLog.forTable(spark, dir)
+    val snap = log.snapshot()
+    def pruned(pred: String): Int = DeltaTable.pruneFiles(snap, snap.files,
+      spark.sessionState.sqlParser.parseExpression(pred)).size
+    // equality on ts -> exactly the one date partition
+    assert(pruned("ts = timestamp'2024-01-02 12:00:00'") == 1)
+    // range on ts -> the covering date partitions only
+    assert(pruned("ts >= timestamp'2024-01-02 00:00:00'") == 2)
+    assert(pruned("ts < timestamp'2024-01-02 00:00:00'") == 2,
+      "widened to d <= 2024-01-02 (strict forms stay conservative)")
+    // results stay correct through the pruned read path
+    assert(DeltaTable.readWhere(spark, dir,
+      "ts >= timestamp'2024-01-02 00:00:00'").count() == 2)
+    assert(DeltaTable.readWhere(spark, dir,
+      "ts = timestamp'2024-01-03 12:00:00'").count() == 1)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Operational verbs: FSCK REPAIR TABLE (drop references to data files
+  * gone from storage), VACUUM DRY RUN (report without deleting), and
+  * stats recompute (metadata-only re-adds lighting up data skipping on
+  * stats-less tables). */
+class RepairSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FSCK drops references to missing files; scans work again") {
+    val dir = TestSpark.tmpDir("fsck")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name").coalesce(1))
+    val victim = DeltaLog.forTable(spark, dir).snapshotAt(0L).files.head // (1L, "a")
+    assert(new java.io.File(dir, victim.path).delete(), "out-of-band delete")
+    // scans would die on the missing file; DRY RUN names it without fixing
+    val dry = DeltaTable.repairTable(spark, dir, dryRun = true)
+    assert(dry == Seq(victim.path))
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.size == 2,
+      "dry run must not commit")
+    // real repair: the reference drops, the survivors scan clean
+    val repaired = DeltaTable.repairTable(spark, dir)
+    assert(repaired == Seq(victim.path))
+    assert(DeltaLog.forTable(spark, dir).snapshot().files.size == 1)
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSeq ==
+      Seq(2L))
+    // idempotent
+    assert(DeltaTable.repairTable(spark, dir).isEmpty)
+  }
+
+  test("VACUUM DRY RUN reports the candidates without deleting") {
+    val dir = TestSpark.tmpDir("vacuum-dry")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v").repartition(2), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val victim = log.snapshot().files.head
+    log.commitLatest(Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    val dry = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      dryRun = true)
+    assert(dry == Seq(victim.path))
+    assert(new java.io.File(dir, victim.path).exists(), "dry run must not delete")
+    // distributed dry run agrees
+    val dryDist = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      distributed = Some(true), dryRun = true)
+    assert(dryDist == Seq(victim.path))
+    assert(new java.io.File(dir, victim.path).exists())
+    // and the real pass then deletes exactly that
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false) ==
+      Seq(victim.path))
+  }
+
+  test("SQL: VACUUM ... DRY RUN and FSCK REPAIR TABLE route through") {
+    val dir = TestSpark.tmpDir("repair-sql")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name").coalesce(1))
+    val victim = DeltaLog.forTable(spark, dir).snapshotAt(0L).files.head
+    assert(new java.io.File(dir, victim.path).delete())
+    val fsckDry = spark.sql(s"FSCK REPAIR TABLE '$dir' DRY RUN").collect()
+    assert(fsckDry.map(_.getString(0)).toSeq == Seq(victim.path))
+    spark.sql(s"FSCK REPAIR TABLE '$dir'")
+    assert(DeltaTable.read(spark, dir).select("id").as[Long].collect().toSeq ==
+      Seq(2L))
+    // the repaired-away file left a tombstone; no files qualify for
+    // vacuum (the data file is already gone) — DRY RUN returns nothing
+    spark.conf.set("spark.graft.delta.retentionDurationCheck.enabled", "false")
+    try {
+      val rows = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS DRY RUN").collect()
+      assert(rows.isEmpty, s"got ${rows.toSeq}")
+    } finally spark.conf.unset("spark.graft.delta.retentionDurationCheck.enabled")
+  }
+
+  test("recomputeStats lights up skipping on a stats-less table") {
+    val dir = TestSpark.tmpDir("recompute")
+    // author a foreign-style table whose adds carry NO stats
+    val tmpA = TestSpark.tmpDir("recompute-a")
+    val tmpB = TestSpark.tmpDir("recompute-b")
+    (0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmpA)
+    (100 until 150).map(i => (i.toLong, s"r$i")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmpB)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType)
+    val parts = Seq(tmpA, tmpB).zipWithIndex.map { case (t, i) =>
+      val p = new java.io.File(t).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val name = s"part-$i.parquet"
+      java.nio.file.Files.copy(p.toPath, java.nio.file.Paths.get(dir, name))
+      name -> p.length()
+    }
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"recompute","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""") ++
+      parts.map { case (n, sz) =>
+        s"""{"add":{"path":"$n","partitionValues":{},"size":$sz,""" +
+          s""""modificationTime":1,"dataChange":true}}"""
+      }).mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val snap0 = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap0.files.forall(_.stats.isEmpty))
+    // no stats -> nothing prunes
+    assert(DataSkipping.prune(snap0.files, snap0.schema,
+      spark.sessionState.sqlParser.parseExpression("k >= 100")).size == 2)
+
+    assert(DeltaTable.recomputeStats(spark, dir) == 2L)
+    val snap1 = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap1.files.forall(_.stats.nonEmpty))
+    assert(DataSkipping.prune(snap1.files, snap1.schema,
+      spark.sessionState.sqlParser.parseExpression("k >= 100")).size == 1,
+      "footer stats must now prune the low-range file")
+    // dataChange=false: invisible to incremental consumers
+    val acts = DeltaLog.forTable(spark, dir).actionsAt(snap1.version)
+    assert(acts.collect { case a: AddFile => a.dataChange }.forall(_ == false))
+    assert(DeltaTable.read(spark, dir).count() == 100)
+  }
+}
