@@ -804,13 +804,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // stats-less files (CONVERT-style, thousands of adds in one commit)
     // batches every footer read into one Spark job — row-ID stamping
     // must not serialize O(files) driver-side IO at that scale.
-    def parsedRows(a: AddFile): Option[Long] =
-      a.stats.flatMap { s =>
-        try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
     val statsless = actions.collect {
-      case a: AddFile if a.baseRowId.isEmpty && parsedRows(a).isEmpty => a.path
+      case a: AddFile if a.baseRowId.isEmpty && numRecordsOf(a).isEmpty => a.path
     }
     val batchedRows: Map[String, Long] = sparkOpt match {
       case Some(spark) if statsless.size > 8 =>
@@ -827,7 +822,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       case _ => Map.empty
     }
     def physRows(a: AddFile): Long =
-      parsedRows(a).orElse(batchedRows.get(a.path)).getOrElse {
+      numRecordsOf(a).orElse(batchedRows.get(a.path)).getOrElse {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new Path(tableRoot, a.path), hadoopConf))
@@ -925,6 +920,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     expectedVersion
   }
 
+  /** An AddFile's recorded row count from its stats JSON (None when
+    * stats are absent or unparseable — callers decide the fallback). */
+  private def numRecordsOf(a: AddFile): Option[Long] =
+    a.stats.flatMap { s =>
+      try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Operation metrics at the commit chokepoint (DESCRIBE HISTORY's
     * `operationMetrics`, delta-spark's observability map): derived from
     * the commit's OWN file actions, so every writer path gets them
@@ -939,10 +942,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val adds = actions.collect { case a: AddFile => a }
     val removes = actions.collect { case r: RemoveFile => r }
     if (adds.isEmpty && removes.isEmpty) return actions
-    val rows = adds.flatMap(a => a.stats.flatMap { s =>
-      try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
-      catch { case scala.util.control.NonFatal(_) => None }
-    })
+    val rows = adds.flatMap(numRecordsOf)
     val m = Map(
       "numFiles" -> adds.size.toString,
       "numRemovedFiles" -> removes.size.toString,

@@ -150,8 +150,23 @@ object DeltaTable {
     def rawRead(fs: Seq[AddFile]): DataFrame = {
       val paths = fs.map(f => new Path(log.tableRoot, f.path).toString)
       if (partCols.isEmpty) readSession.read.schema(physReadSchema).parquet(paths: _*)
-      else readSession.read.schema(physReadSchema)
-        .option("basePath", log.tableRoot.toString).parquet(paths: _*)
+      else {
+        // partition values come from the hive dirs under each file's
+        // OWN root: a shallow clone's absolute paths live under the
+        // SOURCE root while its post-DML rewrites live under the clone
+        // root, and Spark accepts exactly one basePath per read — so
+        // group by root (the path partCols.size + 1 levels up) and
+        // union. A plain table collapses to the single-root read.
+        def rootOf(p: String): String = {
+          var cur = new Path(p)
+          (0 to partCols.size).foreach(_ => cur = cur.getParent)
+          cur.toString
+        }
+        paths.groupBy(rootOf).toSeq.sortBy(_._1).map { case (base, ps) =>
+          readSession.read.schema(physReadSchema)
+            .option("basePath", base).parquet(ps: _*)
+        }.reduce(_.unionByName(_))
+      }
     }
     // deletion vectors: files carrying one get their flagged row indexes
     // dropped. Only the DV-bearing files pay the filter — they scan with

@@ -253,7 +253,19 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
         s"OPTIMIZE WHERE may reference partition columns only " +
           s"(${snap.metadata.partitionColumns.mkString(", ")}); " +
           s"got: ${bad.mkString(", ")}")
-      graft.delta.DataSkipping.prune(snap.files, snap.schema, pred)
+      // normalize attribute case to the schema's spelling (SQL resolves
+      // case-insensitively; the pruning key domain does not)
+      val canon = pred.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          snap.metadata.partitionColumns.find(_.equalsIgnoreCase(a.name))
+            .map(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(_))
+            .getOrElse(a)
+      }
+      // pruneFiles, not raw DataSkipping.prune: a column-mapped table
+      // keys partitionValues by PHYSICAL names — the raw prune would
+      // match nothing, conservatively keep EVERY file, and silently
+      // turn a one-partition OPTIMIZE into a whole-table rewrite
+      graft.delta.DeltaTable.pruneFiles(snap, snap.files, canon)
   }
 
   /** OPTIMIZE on a CLUSTERED table (liquid clustering): re-cluster the

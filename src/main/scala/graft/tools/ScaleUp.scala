@@ -37,6 +37,11 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the dense part-key domain must stay under q_bitmap_distinct's
+    // 2^24 exact-bitmap bound: factor * PartOffset + base keys < 2^24
+    require(factor >= 1 && factor <= 15,
+      s"factor must be in [1, 15] (got $factor): replica part keys are " +
+        s"offset by 2^20 and the exact-bitmap query bounds keys at 2^24")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -48,6 +48,30 @@ class CloneSpec extends AnyFunSuite {
       s"source files must survive clone vacuum (deleted: $deleted)")
   }
 
+  test("a PARTITIONED table clones; reads mix source-rooted and clone-rooted files") {
+    val src = TestSpark.tmpDir("clone-part-src")
+    DeltaTable.create(spark,
+      (0 until 40).map(i => (i.toLong, s"r$i", s"b${i % 4}")).toDF("id", "name", "p"),
+      src, partitionColumns = Seq("p"))
+    val tgt = TestSpark.tmpDir("clone-part-tgt") + "/t"
+    DeltaTable.cloneShallow(spark, src, tgt)
+    // the partitioned read resolves hive dirs under the SOURCE root
+    assert(DeltaTable.read(spark, tgt).count() == 40)
+    assert(DeltaTable.read(spark, tgt).where(col("p") === "b1").count() == 10)
+    // DML: rewrites stage under the CLONE root; later reads mix roots
+    DeltaTable.delete(spark, tgt, col("p") === "b0")
+    DeltaTable.append(spark, tgt,
+      Seq((100L, "new", "b9")).toDF("id", "name", "p"))
+    val got = DeltaTable.read(spark, tgt)
+      .groupBy("p").count().as[(String, Long)].collect().toMap
+    assert(got == Map("b1" -> 10L, "b2" -> 10L, "b3" -> 10L, "b9" -> 1L), s"got $got")
+    assert(DeltaTable.read(spark, src).count() == 40, "source untouched")
+    // partition-scoped UPDATE through the mixed-root read path
+    DeltaTable.update(spark, tgt, col("p") === "b9",
+      Map("name" -> org.apache.spark.sql.functions.lit("renamed")))
+    assert(DeltaTable.read(spark, tgt).where(col("name") === "renamed").count() == 1)
+  }
+
   test("clone of a historical version pins that snapshot") {
     val src = TestSpark.tmpDir("clone-hist-src")
     DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), src) // v0
