@@ -86,6 +86,15 @@ object GraftSqlParser {
   // the same reason as ADD COLUMNS (the delta log is the schema's truth)
   private val AlterColType: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
+  // ADD/DROP CONSTRAINT — CHECK invariants through the log (the ADD
+  // verifies existing rows first, DeltaTable.addConstraint)
+  private val AddConstraint: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val DropConstraint: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  // SHOW PARTITIONS — the distinct partition tuples from the snapshot
+  private val ShowPartitions: Regex =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
   // ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT — Default Columns
   private val AlterColDefault: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+(?:SET\\s+DEFAULT\\s+(.+?)|DROP\\s+DEFAULT)\\s*;?\\s*""".r
@@ -128,6 +137,17 @@ object GraftSqlParser {
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
     case AlterAddCols(ref, parens, bare) =>
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
+    case AddConstraint(ref, name, expr) =>
+      Some(GraftConstraintCommand(ref, name, Some(expr.trim)))
+    case DropConstraint(ref, name) =>
+      Some(GraftConstraintCommand(ref, name, None))
+    // only intercept graft tables (quoted paths, or catalog names that
+    // resolve to the graftdelta provider) — SHOW PARTITIONS on ordinary
+    // tables must keep flowing to Spark's own command
+    case ShowPartitions(ref) if ref.startsWith("'") ||
+        scala.util.Try(SparkSession.active).toOption
+          .exists(s => scala.util.Try(resolvePath(s, ref)).isSuccess) =>
+      Some(GraftShowPartitionsCommand(ref))
     case AlterColDefault(ref, colName, defaultExpr) =>
       Some(GraftAlterColumnDefaultCommand(ref, colName, Option(defaultExpr)))
     case AlterColType(ref, colName, typeDdl) =>
@@ -331,6 +351,41 @@ case class GraftAlterAddColumnsCommand(tableRef: String, colsDdl: String)
     DeltaTable.addColumns(session, path, schema.fields.toSeq)
     session.catalog.refreshByPath(path)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT name` -> [[DeltaTable.addConstraint]] (which
+  * verifies EXISTING rows first, so a registered constraint is a real
+  * invariant) / [[DeltaTable.dropConstraint]]. */
+case class GraftConstraintCommand(tableRef: String, name: String,
+    checkExpr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    checkExpr match {
+      case Some(e) => DeltaTable.addConstraint(session, path, name, e)
+      case None => DeltaTable.dropConstraint(session, path, name)
+    }
+    Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS t` -> the DISTINCT partition tuples of the current
+  * snapshot, straight from the log's partitionValues — zero data IO. */
+case class GraftShowPartitionsCommand(tableRef: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSqlParser.attrs("partition" -> StringType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val snap = DeltaLog.forTable(session, path).snapshot()
+    require(snap.metadata.partitionColumns.nonEmpty,
+      s"$tableRef is not a partitioned table")
+    snap.files
+      .map(f => snap.metadata.partitionColumns
+        .map(c => s"$c=${f.partitionValues.getOrElse(c, "null")}").mkString("/"))
+      .distinct.sorted.map(Row(_))
   }
 }
 

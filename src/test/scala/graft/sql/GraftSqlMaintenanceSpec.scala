@@ -122,6 +122,34 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("ADD/DROP CONSTRAINT and SHOW PARTITIONS route through the log") {
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("sql-constraint")
+    DeltaTable.create(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "p"), dir,
+      partitionColumns = Seq("p"))
+    spark.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT id_pos CHECK (id > 0)")
+    // the invariant holds for future writes
+    intercept[Exception] {
+      DeltaTable.append(spark, dir, Seq((-5L, "bad", "z")).toDF("id", "name", "p"))
+    }
+    // ADD verifies EXISTING rows: an impossible constraint refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT nope CHECK (id > 100)")
+    }
+    spark.sql(s"ALTER TABLE '$dir' DROP CONSTRAINT id_pos")
+    DeltaTable.append(spark, dir, Seq((-5L, "ok", "z")).toDF("id", "name", "p"))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+
+    val parts = spark.sql(s"SHOW PARTITIONS '$dir'")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("p=x", "p=y", "p=z"), s"got $parts")
+    // non-graft tables keep Spark's native SHOW PARTITIONS
+    spark.sql("CREATE TABLE graft_maint_showp (v LONG) USING parquet PARTITIONED BY (p STRING)")
+    try spark.sql("SHOW PARTITIONS graft_maint_showp").collect()
+    finally spark.sql("DROP TABLE graft_maint_showp")
+  }
+
   test("ordinary SQL still parses through Spark's parser") {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed -> Spark's error
