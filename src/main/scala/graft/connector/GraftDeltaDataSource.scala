@@ -72,7 +72,10 @@ final class GraftDeltaDataSource extends RelationProvider
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
-    val partCols = partitioning.toSeq.map { t =>
+    // CLUSTER BY rides the transforms too — it is an advisory layout
+    // (GraftCatalog declares the clustering domain), not partitioning
+    val partCols = org.apache.spark.sql.graft.GraftShims
+      .withoutClusterBy(partitioning.toSeq).map { t =>
       if (t.name != "identity" || t.references.length != 1)
         sys.error(s"graftdelta supports identity partitioning only, got $t")
       t.references.head.fieldNames.mkString(".")

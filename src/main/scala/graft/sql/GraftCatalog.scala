@@ -75,18 +75,24 @@ class GraftCatalog extends DelegatingCatalogExtension {
       "path", "transient_lastDdlTime")
     val userProps = properties.asScala.toMap
       .filterNot { case (k, _) => Reserved.contains(k) || k.startsWith("option.") }
-    if (userProps.isEmpty) return created
+    // CREATE TABLE ... CLUSTER BY (liquid clustering): the clusterBy
+    // transform rides `partitions`; declare the clustering domain on
+    // the fresh log (managed runtimes emit this shape by default)
+    import org.apache.spark.sql.graft.GraftShims
+    val clusterCols = GraftShims.clusterByColumns(partitions.toSeq)
+    if (userProps.isEmpty && clusterCols.isEmpty) return created
     // NOTE: the session catalog's createTable returns null by contract —
     // resolve the table uri by re-loading the just-created entry
     val spark = SparkSession.active
     val uri = graftUri(super.loadTable(ident)).getOrElse(return created)
     val log = graft.delta.DeltaLog.forTable(spark, uri)
     if (log.tableExists) {
-      graft.delta.DeltaTable.setTblProperties(spark, uri, userProps)
+      if (userProps.nonEmpty)
+        graft.delta.DeltaTable.setTblProperties(spark, uri, userProps)
     } else if (columns.nonEmpty) {
-      import org.apache.spark.sql.graft.GraftShims
       log.create(GraftShims.v2ColumnsToStructType(columns),
-        GraftShims.identityPartitionNames(partitions.toSeq), Nil,
+        GraftShims.identityPartitionNames(
+          GraftShims.withoutClusterBy(partitions.toSeq)), Nil,
         configuration = userProps)
     } else {
       throw new UnsupportedOperationException(
@@ -95,6 +101,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
           "log, which does not exist yet) — declare columns, or create " +
           "plain and use ALTER TABLE ... SET TBLPROPERTIES after the first write")
     }
+    clusterCols.foreach(cols =>
+      graft.delta.DeltaTable.enableClustering(spark, uri, cols))
     created
   }
 

@@ -47,6 +47,24 @@ object GraftShims {
         s"graftdelta supports identity partitioning only, got $other")
     }
 
+  /** The CLUSTER BY column names when `transforms` carries Spark's
+    * ClusterByTransform (one entry, by the v2 contract); None otherwise. */
+  def clusterByColumns(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Option[Seq[String]] =
+    transforms.collectFirst {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }
+
+  /** `transforms` minus any ClusterByTransform (what identity
+    * partitioning should see). */
+  def withoutClusterBy(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[org.apache.spark.sql.connector.expressions.Transform] =
+    transforms.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+
   /** Column -> its Catalyst Expression (inverse of [[column]]). */
   def expressionOf(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =

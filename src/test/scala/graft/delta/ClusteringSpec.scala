@@ -141,6 +141,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(s3.filesIn == cold.size)
   }
 
+  test("SQL: CREATE TABLE ... CLUSTER BY declares the clustering domain") {
+    val dir = TestSpark.tmpDir("cluster-create-sql")
+    spark.sql(s"CREATE TABLE graft_cluster_sql (a BIGINT, b BIGINT, v STRING) " +
+      s"USING graftdelta CLUSTER BY (a, b) OPTIONS (path '$dir')")
+    try {
+      val snap = DeltaLog.forTable(spark, dir).snapshot()
+      assert(DeltaTable.clusteringColumns(snap) == Seq(Seq("a"), Seq("b")),
+        s"domain: ${snap.domains}")
+      assert(snap.protocol.writerFeatures.exists(_.contains("clustering")))
+      // the table accepts writes and the next clusteredCompact clusters
+      spark.sql("INSERT INTO graft_cluster_sql SELECT id % 13, id % 7, " +
+        "concat('r', id) FROM range(2000)")
+      val s = graft.sorter.DeltaSorter(spark, dir)
+        .clusteredCompact(targetFileSizeBytes = Some(8L * 1024))
+      assert(s.filesOut >= 1)
+      assert(spark.sql("SELECT count(*) FROM graft_cluster_sql")
+        .head().getLong(0) == 2000L)
+    } finally spark.sql("DROP TABLE graft_cluster_sql")
+  }
+
   test("guards: partitioned tables refuse, unknown columns refuse, non-clustered compact refuses") {
     val part = TestSpark.tmpDir("cluster-guard-part")
     DeltaTable.create(spark,
