@@ -1163,7 +1163,13 @@ object DeltaLog {
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint",
       "typeWidening", "typeWidening-preview", "variantType", "variantType-preview",
-      "variantShredding", "variantShredding-preview")
+      "variantShredding", "variantShredding-preview",
+      // collations: the schemaString's __COLLATIONS field metadata
+      // parses natively (Spark 4 collated StringType); value encoding
+      // is unchanged, and the skipping layer's DEFAULT-StringType
+      // patterns mean collated columns make no (binary-ordered,
+      // therefore wrong) pruning claim
+      "collations", "collations-preview")
 
   /** Highest Delta writer protocol version this engine implements —
     * 2 adds appendOnly + invariants (enforced: [[checkWritable]] /
@@ -1237,6 +1243,12 @@ object DeltaLog {
     // unshredded variant files into a shredded table are spec-legal,
     // and reads reassemble shredded files natively (VariantReadSpec)
     "variantShredding", "variantShredding-preview",
+    // collations: parquet string encoding is collation-independent (the
+    // collation is comparison semantics carried in schema metadata), so
+    // writes stage normally; stageWrite excludes collated columns from
+    // stats claims — binary-ordered min/max would wrongly prune for any
+    // reader honoring the collation
+    "collations", "collations-preview",
     // allowColumnDefaults (Default Columns): appends that omit a column
     // carrying CURRENT_DEFAULT field metadata fill it from the recorded
     // expression (DeltaTable.defaultFields / append), the whole

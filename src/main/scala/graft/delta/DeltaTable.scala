@@ -419,7 +419,7 @@ object DeltaTable {
       // a wide-schema table must not pay per-file stats JSON over
       // hundreds of columns. Absent property = index everything (we
       // never degrade pruning silently; delta's own default is 32).
-      val indexedCols: Option[Set[String]] = snap
+      val limited: Option[Set[String]] = snap
         .flatMap(_.metadata.configuration.get("delta.dataSkippingNumIndexedCols"))
         .flatMap(v => scala.util.Try(v.toInt).toOption)
         .map { n =>
@@ -428,6 +428,23 @@ object DeltaTable {
             if (s.columnMappingMode == "none") f.name
             else Snapshot.physicalName(f)).toSet
         }
+      // NON-DEFAULT-collated string columns never make min/max claims:
+      // footer stats are BINARY-ordered, and a foreign reader trusting
+      // them as collation-ordered would wrongly prune (under UTF8_LCASE,
+      // 'A' = 'a' but 65 < 97) — the collations feature's stats contract
+      val effSchema = snap.map(_.schema).getOrElse(df.schema)
+      def physName(f: org.apache.spark.sql.types.StructField): String =
+        if (snap.exists(_.columnMappingMode != "none")) Snapshot.physicalName(f)
+        else f.name
+      val collated: Set[String] = effSchema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+            f.dataType != org.apache.spark.sql.types.StringType => physName(f)
+      }.toSet
+      val indexedCols: Option[Set[String]] = (limited, collated) match {
+        case (None, c) if c.isEmpty => None
+        case (None, c) => Some(effSchema.fields.map(physName).toSet -- c)
+        case (Some(l), c) => Some(l -- c)
+      }
       val statsByPath: Map[String, String] = placed.par
         .flatMap { case (_, relPath, dst, _) =>
           try Some(relPath -> DataSkipping.statsFromFooter(conf, dst, indexedCols))

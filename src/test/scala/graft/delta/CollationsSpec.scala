@@ -1,0 +1,74 @@
+package graft.delta
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The `collations(-preview)` feature: string columns whose COMPARISON
+  * semantics follow a named collation, carried as `__COLLATIONS` field
+  * metadata in the schemaString. Value encoding is unchanged (parquet
+  * strings are collation-independent), so reads and writes flow; the
+  * one hazard is stats — binary-ordered min/max on a collated column
+  * would wrongly prune (under UTF8_LCASE, 'A' = 'a' but 65 < 97) — so
+  * neither side of the engine ever claims or consumes them. */
+class CollationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a collated table round-trips; collated columns make no stats claim") {
+    val dir = TestSpark.tmpDir("collations")
+    DeltaTable.create(spark, spark.sql(
+      """select id, cast(elt(cast(id % 3 as int) + 1, 'Apple', 'banana', 'APPLE')
+        |  as string collate UTF8_LCASE) as name
+        |from range(30)""".stripMargin), dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // the feature stamps with the schema? collations ride metadata, not
+    // the protocol, in the preview convention — what matters is the
+    // schema round-trips with the collation intact
+    assert(snap.schema("name").dataType.sql.contains("UTF8_LCASE"),
+      s"collation must survive the log round-trip, got ${snap.schema("name").dataType.sql}")
+    // comparison semantics honored: case-insensitive equality
+    assert(DeltaTable.read(spark, dir).where(col("name") === "apple").count() == 20)
+    // id claims stats; the collated column claims NOTHING
+    val stats = snap.files.flatMap(_.stats)
+    assert(stats.nonEmpty && stats.forall(_.contains("\"id\"")))
+    assert(!stats.exists(_.contains("\"name\"")),
+      s"collated columns must make no binary-ordered claim, got $stats")
+    // DML addressed through the collated comparator
+    DeltaTable.delete(spark, dir, col("name") === "BANANA")
+    assert(DeltaTable.read(spark, dir).count() == 20)
+  }
+
+  test("a foreign collations-feature table reads and accepts writes") {
+    val dir = TestSpark.tmpDir("collations-foreign")
+    val tmp = TestSpark.tmpDir("collations-part")
+    spark.sql("select 1L as id, 'Mixed' as name").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dir, part.getName))
+    val schemaJson = spark.sql(
+      "select 1L as id, cast('x' as string collate UTF8_LCASE) as name").schema.json
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["collations-preview"],""" +
+        """"writerFeatures":["collations-preview"]}}""",
+      s"""{"metaData":{"id":"collations-foreign","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
+        s""""modificationTime":1,"dataChange":true}}""")
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // reads gate the feature by name and resolve the collated schema
+    assert(DeltaTable.read(spark, dir)
+      .where(col("name") === "mixed").count() == 1)
+    // writes flow (value encoding is collation-independent)
+    DeltaTable.append(spark, dir,
+      spark.sql("select 2L as id, cast('other' as string collate UTF8_LCASE) as name"))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+}
