@@ -60,8 +60,9 @@ class SortOptimizer:
     ) -> dict:
         """Sort-compact the table; returns the run summary dict.
 
-        ``predicate`` is accepted for signature parity but ignored, as in
-        the reference (reserved-but-unused upstream, lib.rs:97,106).
+        ``predicate`` (reserved-but-unused upstream, lib.rs:97,106) is
+        HONORED here: it scopes the pass to matching partitions —
+        partition columns only, the ``OPTIMIZE ... WHERE`` contract.
         """
         if nulls not in ("first", "last"):
             raise ValueError("nulls must be 'first' or 'last'")
@@ -75,6 +76,7 @@ class SortOptimizer:
             bool(dry_run),
             bool(repartition_by_sort_key),
             nulls,
+            predicate,
         )
         return json.loads(out)
 

@@ -33,10 +33,19 @@ def test_nulls_argument_is_validated(spark, tmp_table):
         opt.compact(["k"], nulls="sideways")
 
 
-def test_predicate_is_accepted_but_ignored(spark, tmp_table):
+def test_predicate_scopes_the_pass(spark, tmp_table):
+    # upstream reserves predicate unused (lib.rs:97,106); we honor it as
+    # partition scoping. On an UNPARTITIONED table a column predicate is
+    # a loud error (partition columns only - the OPTIMIZE WHERE contract),
+    # not a silent ignore.
     opt = _opt(spark, tmp_table)
-    summary = opt.compact(["k"], predicate="k > 3")
-    # ignored → the whole table was compacted, not just k > 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as e:
+        opt.compact(["k"], predicate="k > 3")
+    assert "partition columns only" in str(e.value)
+    # without a predicate the pass is unscoped, as before
+    summary = opt.compact(["k"])
     assert summary["files_in"] >= 1
     assert list(read_pandas(spark, tmp_table)["k"]) == [1, 2, 4, 5]
     opt.validate(["k"])

@@ -36,7 +36,16 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     * summary as JSON. `targetFileSizeBytes` may be null (advisory off). */
   def compact(sortColumns: java.util.List[String],
       targetFileSizeBytes: java.lang.Long, concurrency: Int, dryRun: Boolean,
-      repartitionBySortKey: Boolean, nulls: String): String = {
+      repartitionBySortKey: Boolean, nulls: String): String =
+    compact(sortColumns, targetFileSizeBytes, concurrency, dryRun,
+      repartitionBySortKey, nulls, null)
+
+  /** With `predicate` (nullable): partition-scoped compaction —
+    * upstream reserves the field unused (lib.rs:97,106); we honor it
+    * through the OPTIMIZE WHERE partition-scoping machinery. */
+  def compact(sortColumns: java.util.List[String],
+      targetFileSizeBytes: java.lang.Long, concurrency: Int, dryRun: Boolean,
+      repartitionBySortKey: Boolean, nulls: String, predicate: String): String = {
     val (cols, desc) = SortConfig.parseColumns(sortColumns.asScala.toSeq)
     val summary = sorter.compact(SortConfig(
       sortColumns = cols,
@@ -45,7 +54,8 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
       targetFileSizeBytes = Option(targetFileSizeBytes).map(_.longValue()),
       concurrency = concurrency,
       dryRun = dryRun,
-      repartitionBySortKey = repartitionBySortKey))
+      repartitionBySortKey = repartitionBySortKey,
+      predicate = Option(predicate).map(_.trim).filter(_.nonEmpty)))
     summary.json
   }
 
@@ -259,9 +269,9 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     * delta-spark's retentionDurationCheck. Returns
     * `{"files_deleted":N}`. */
   def vacuum(retentionMs: Long, force: Boolean): String = {
-    val deleted = graft.delta.DeltaLog.forTable(spark, tableUri)
+    val result = graft.delta.DeltaLog.forTable(spark, tableUri)
       .vacuum(retentionMs, enforceRetentionDuration = !force)
-    s"""{"files_deleted":${deleted.size}}"""
+    s"""{"files_deleted":${result.filesDeleted}}"""
   }
 
   /** ALTER TABLE ADD COLUMNS: append nullable columns from a DDL string

@@ -12,8 +12,12 @@ import graft.sorter.{DeltaSorter, SortConfig}
   *   [--target-file-size-bytes N] [--concurrency K] [--dry-run]
   *   [--validate-only] [--validate-quick] [--repartition-by-sort-key]
   *   [--log-level LEVEL] [--metrics-json PATH]
-  *   [--zorder] [--zorder-bits N]
+  *   [--zorder] [--zorder-bits N] [--predicate 'p = 1']
   * }}}
+  *
+  * `--predicate` maps to SortConfig.predicate — reserved-but-unused
+  * upstream (lib.rs:97,106), honored here as partition scoping for the
+  * compaction pass (the OPTIMIZE WHERE machinery).
   *
   * `--validate-only` prints the report and exits non-zero when
   * violations exist (main.rs:84-86); `--log-level` sets the Spark log
@@ -110,10 +114,10 @@ object Main {
     if (opts.contains("vacuum")) {
       // --vacuum-force waives the retention-floor check (delta-spark's
       // retentionDurationCheck analog) for deliberate short windows
-      val deleted = graft.delta.DeltaLog.forTable(spark, table)
+      val result = graft.delta.DeltaLog.forTable(spark, table)
         .vacuum(retentionMs = opts("vacuum").toLong,
           enforceRetentionDuration = !opts.contains("vacuum-force"))
-      println(s"vacuum complete: ${deleted.size} file(s) deleted")
+      println(s"vacuum complete: ${result.filesDeleted} file(s) deleted")
       return 0
     }
     if (opts.contains("bin-pack")) { // order-free: no sort columns needed
@@ -175,7 +179,10 @@ object Main {
         concurrency = opts.get("concurrency").map(_.toInt).getOrElse(8),
         dryRun = opts.contains("dry-run"),
         repartitionBySortKey = opts.contains("repartition-by-sort-key"),
-        descColumns = descColumns)
+        descColumns = descColumns,
+        // reserved-but-unused upstream (lib.rs:97,106); honored here as
+        // partition scoping (the OPTIMIZE WHERE machinery)
+        predicate = opts.get("predicate"))
       val summary = sorter.compact(cfg)
       println(s"compaction complete: partitions=${summary.partitionsRewritten} " +
         s"files ${summary.filesIn}->${summary.filesOut} " +

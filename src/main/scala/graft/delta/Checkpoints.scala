@@ -226,25 +226,18 @@ object Checkpoints {
       })
   }
 
-  /** Distributed scan-planning read of a checkpoint: the `add` rows are
-    * parsed AND stats-pruned INSIDE the executors, so the driver only
-    * materializes the pruned survivors — on a 100 TB table whose
-    * checkpoint holds millions of files, planning a selective scan no
-    * longer costs O(active files) driver memory (the watch item on
-    * [[readActions]]'s collect). Non-add rows — protocol, metaData,
-    * txn; O(1) of them — are returned in full; `mkPrune` receives them
-    * first so the pruning closure can be built from the table's schema.
-    * Returns (non-add actions, pruned adds). */
-  def readPruned(spark: SparkSession, fs: FileSystem, logPath: Path,
-      cp: LastCheckpoint,
-      mkPrune: Seq[Action] => (Seq[AddFile] => Seq[AddFile])): (Seq[Action], Seq[AddFile]) = {
+  /** Checkpoint physical layout: the inline actions (empty for classic
+    * checkpoints; the manifest's non-sidecar actions for v2) plus the
+    * parquet files that (may) carry add rows — classic part files, or
+    * the v2 sidecars. Shared by every distributed checkpoint reader. */
+  private def layout(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint): (Seq[Action], Seq[Path]) = {
     val manifest = cp.v2Manifest.orElse {
       if (cp.parts.isEmpty && !fs.exists(paths(logPath, cp).head))
         findV2Manifest(fs, logPath, cp.version)
       else None
     }
-    // inline actions + the parquet files that (may) carry add rows
-    val (inline, addFiles): (Seq[Action], Seq[Path]) = manifest match {
+    manifest match {
       case None => (Nil, paths(logPath, cp))
       case Some(name) =>
         val p = new Path(logPath, name)
@@ -267,6 +260,49 @@ object Checkpoints {
           else new Path(new Path(logPath, "_sidecars"), s.path)
         })
     }
+  }
+
+  /** The checkpoint's non-add actions (collected — O(1) of them) plus
+    * its `add` rows as a DATASET parsed inside executors: the
+    * metadata-plane primitive for operations that need the whole active
+    * set as distributed data (vacuum's anti-join, FSCK existence
+    * checks, stats recompute) — the driver never materializes the
+    * checkpoint's file list. */
+  def addsDataset(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint): (Seq[Action], org.apache.spark.sql.Dataset[AddFile]) = {
+    implicit val enc: org.apache.spark.sql.Encoder[AddFile] =
+      org.apache.spark.sql.Encoders.product[AddFile]
+    val (inline, addFiles) = layout(spark, fs, logPath, cp)
+    val inlineNonAdd = inline.filterNot(_.isInstanceOf[AddFile])
+    val inlineAdds = inline.collect { case a: AddFile => a }
+    if (addFiles.isEmpty)
+      return (inlineNonAdd, spark.createDataset(inlineAdds))
+    val df = spark.read.parquet(addFiles.map(_.toString): _*)
+    val hasAdd = df.schema.fieldNames.contains("add")
+    val parquetNonAdd =
+      (if (hasAdd) df.where(org.apache.spark.sql.functions.col("add").isNull) else df)
+        .collect().toSeq.flatMap(parseRow)
+    val addsDs =
+      if (!hasAdd) spark.createDataset(Seq.empty[AddFile])
+      else df.where(org.apache.spark.sql.functions.col("add").isNotNull)
+        .mapPartitions(rows => rows.flatMap(parseRow).collect { case a: AddFile => a })
+    (inlineNonAdd ++ parquetNonAdd,
+      if (inlineAdds.isEmpty) addsDs else spark.createDataset(inlineAdds).union(addsDs))
+  }
+
+  /** Distributed scan-planning read of a checkpoint: the `add` rows are
+    * parsed AND stats-pruned INSIDE the executors, so the driver only
+    * materializes the pruned survivors — on a 100 TB table whose
+    * checkpoint holds millions of files, planning a selective scan no
+    * longer costs O(active files) driver memory (the watch item on
+    * [[readActions]]'s collect). Non-add rows — protocol, metaData,
+    * txn; O(1) of them — are returned in full; `mkPrune` receives them
+    * first so the pruning closure can be built from the table's schema.
+    * Returns (non-add actions, pruned adds). */
+  def readPruned(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint,
+      mkPrune: Seq[Action] => (Seq[AddFile] => Seq[AddFile])): (Seq[Action], Seq[AddFile]) = {
+    val (inline, addFiles) = layout(spark, fs, logPath, cp)
     val inlineNonAdd = inline.filterNot(_.isInstanceOf[AddFile])
     val inlineAdds = inline.collect { case a: AddFile => a }
     if (addFiles.isEmpty) {
@@ -365,11 +401,12 @@ object Checkpoints {
       if (!fs.rename(part, target)) sys.error(s"failed to publish v2 manifest $target")
     } finally fs.delete(tmp2, true)
 
-    // size = ACTION count only (protocol + metaData + txns + domains +
-    // file actions) — the checkpointMetadata stamp and sidecar-reference
-    // rows are manifest bookkeeping, not actions; foreign readers
-    // sanity-check size against action count.
-    val actionCount = 2 + snap.txns.size + snap.domains.size + snap.files.size
+    // size = TOTAL action count stored in the checkpoint. Per the spec
+    // checkpointMetadata and sidecarFile rows ARE actions (that's how
+    // delta-spark's LastCheckpointInfo counts a v2 checkpoint), so they
+    // are included alongside protocol + metaData + txns + domains + the
+    // sidecar-resident file actions.
+    val actionCount = manifestRows.size + snap.files.size
     val pointer = s"""{"version":${snap.version},"size":$actionCount}"""
     val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
     val out = fs.create(ptrTmp, false)

@@ -281,6 +281,12 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * races: a concurrent refresh at worst replays twice. */
   @volatile private var cachedSnapshot: Option[Snapshot] = None
 
+  /** Test probe: whether a materialized snapshot is cached — the
+    * metadata-plane specs assert that checkpoint-scale operations
+    * (predicate DML planning, vacuum, FSCK) complete WITHOUT ever
+    * materializing the full add list driver-side. */
+  private[delta] def hasCachedSnapshot: Boolean = cachedSnapshot.nonEmpty
+
   /** Replay `versions` over either a checkpoint (`cp`), a previously
     * materialized snapshot (`seed` — the incremental path; mutually
     * exclusive with `cp`), or nothing. */
@@ -379,8 +385,16 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
   }
 
+  /** [[scanSnapshot]] with the original un-staged shape — `prune` is
+    * invoked as `prune(probe, files)` per batch. Kept for callers whose
+    * pruning is fully session-free (stats pruning); anything that must
+    * touch the SparkSession to build its pruning (predicate analysis)
+    * uses the staged overload, whose outer stage runs on the driver. */
+  def scanSnapshot(prune: (Snapshot, Seq[AddFile]) => Seq[AddFile]): Snapshot =
+    scanSnapshotStaged(probe => files => prune(probe, files))
+
   /** Scan-planning snapshot: the same state as [[snapshot]] with
-    * `files` already pruned by `prune(probeSnapshot, files)` — and,
+    * `files` already pruned by `mkPrune(probeSnapshot)(files)` — and,
     * when the state seeds from a checkpoint with no materialized
     * snapshot cached, the pruning runs DISTRIBUTED over the checkpoint
     * parquet ([[Checkpoints.readPruned]]): the driver materializes only
@@ -395,7 +409,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * materialized path whenever a snapshot is already cached (pruning
     * a cached list is a driver-side filter, no IO at all) or the log
     * shape is unexpected. */
-  def scanSnapshot(prune: (Snapshot, Seq[AddFile]) => Seq[AddFile]): Snapshot = {
+  def scanSnapshotStaged(
+      mkPrune: Snapshot => (Seq[AddFile] => Seq[AddFile])): Snapshot = {
     val json = listVersions()
     val latestJson = json.lastOption.getOrElse(-1L)
     cachedSnapshot match {
@@ -406,7 +421,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         // re-scanning the whole checkpoint distributed on every call
         // would turn a poll loop into a per-call Spark job
         val s = snapshot()
-        return s.copy(files = prune(s, s.files))
+        return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
       case None => ()
     }
     val cp = lastCheckpoint().orElse {
@@ -418,7 +433,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val contiguous = cp.isEmpty || tail == ((cp.get.version + 1) to latestJson)
     if (cp.isEmpty || spark == null || !contiguous) {
       val s = snapshot()
-      return s.copy(files = prune(s, s.files))
+      return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
     }
     val tailActions = tail.flatMap(actionsAt)
     val (nonAdd, cpAdds) = Checkpoints.readPruned(spark, fs, logPath, cp.get,
@@ -430,7 +445,10 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         checkReadable(meta, Some(proto))
         val probe = Snapshot(cp.get.version, meta,
           DataType.fromJson(meta.schemaString).asInstanceOf[StructType], Nil, proto)
-        files => prune(probe, files)
+        // the OUTER stage runs HERE, on the driver — predicate analysis
+        // and anything else session-bound happens once; only the
+        // returned Seq=>Seq closure ships to executors
+        mkPrune(probe)
       })
     // replay the JSON tail over the pruned base: removes reconcile by
     // (path, DV id) exactly like full replay — a remove of a file the
@@ -472,7 +490,95 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       txns = txns.toMap,
       domains = domains.toMap)
     val (fromTail, fromCp) = adds.values.toSeq.partition(f => tailKeys(f.reconcileKey))
-    bare.copy(files = fromCp ++ prune(bare, fromTail))
+    bare.copy(files = fromCp ++ mkPrune(bare)(fromTail))
+  }
+
+  /** The current snapshot's active AddFiles as a DATASET plus the
+    * file-free snapshot state (metadata/protocol/version/txns/domains):
+    * the metadata-plane primitive for operations that consume the WHOLE
+    * active set as distributed data — vacuum's anti-join, FSCK
+    * existence checks, stats recompute. When the state seeds from a
+    * checkpoint with no cached snapshot, the checkpoint add rows are
+    * parsed inside executors ([[Checkpoints.addsDataset]]) and the JSON
+    * tail reconciles as a serialized key-set filter plus a union of the
+    * tail's own adds (both O(recent commits)) — the driver never
+    * materializes the active file list. Falls back to a dataset over
+    * the materialized snapshot whenever one is already cached (free) or
+    * the log shape is unexpected; `knownCount` carries the size there
+    * so callers can skip a count() job. */
+  def activeAdds(): ActiveAdds = {
+    val spark = sparkOpt.getOrElse(throw new IllegalStateException(
+      s"activeAdds requires a SparkSession for $tableUri"))
+    implicit val enc: org.apache.spark.sql.Encoder[AddFile] =
+      org.apache.spark.sql.Encoders.product[AddFile]
+    def materialized(): ActiveAdds = {
+      val s = snapshot()
+      ActiveAdds(s.copy(files = Nil), spark.createDataset(s.files), Some(s.files))
+    }
+    val json = listVersions()
+    val latestJson = json.lastOption.getOrElse(-1L)
+    if (cachedSnapshot.nonEmpty) return materialized()
+    val cp = lastCheckpoint().orElse {
+      if (json.headOption.contains(0L)) None
+      else listCheckpointVersions().lastOption
+    }
+    val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
+    val contiguous = cp.nonEmpty && tail == ((cp.get.version + 1) to latestJson)
+    if (cp.isEmpty || !contiguous) return materialized()
+    // small checkpoints (pointer size hint below the distributed
+    // threshold): materializing is cheaper than per-op Spark jobs and
+    // seeds the snapshot cache for everything after; unknown size (-1)
+    // is treated as big — memory safety wins
+    if (cp.get.size >= 0 && cp.get.size < DeltaLog.DistributedVacuumThreshold)
+      return materialized()
+    val (nonAdd, cpAdds) = Checkpoints.addsDataset(spark, fs, logPath, cp.get)
+    val tailActions = tail.flatMap(actionsAt)
+    var metadata = nonAdd.collect { case m: Metadata => m }.lastOption
+    var protocol = nonAdd.collect { case p: Protocol => p }.lastOption
+    val txns = mutable.Map.empty[String, Long]
+    val domains = mutable.Map.empty[String, DomainMetadata]
+    nonAdd.foreach {
+      case t: SetTransaction =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
+      case _ => ()
+    }
+    // replay the tail over ITSELF on the driver; its effect on the
+    // checkpoint base is a shadowed-key set (removes + re-adds — tail
+    // state wins over the checkpoint's row for the same key)
+    val tailAdds = mutable.LinkedHashMap.empty[String, AddFile]
+    val removed = mutable.Set.empty[String]
+    tailActions.foreach {
+      case a: AddFile => tailAdds(a.reconcileKey) = a; removed -= a.reconcileKey
+      case r: RemoveFile => tailAdds.remove(r.reconcileKey); removed += r.reconcileKey
+      case m: Metadata => metadata = Some(m)
+      case p: Protocol => protocol = Some(p)
+      case t: SetTransaction =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
+      case _ => ()
+    }
+    val meta = metadata.getOrElse(sys.error(s"no metaData action in log of $tableUri"))
+    val proto = protocol.getOrElse(Protocol())
+    checkReadable(meta, Some(proto))
+    val bare = Snapshot(
+      version = math.max(cp.get.version, latestJson),
+      metadata = meta,
+      schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
+      files = Nil,
+      protocol = proto,
+      txns = txns.toMap,
+      domains = domains.toMap)
+    val shadowed: Set[String] = (removed ++ tailAdds.keySet).toSet
+    val cpLive =
+      if (shadowed.isEmpty) cpAdds
+      else cpAdds.filter(f => !shadowed.contains(f.reconcileKey))
+    val ds =
+      if (tailAdds.isEmpty) cpLive
+      else cpLive.union(spark.createDataset(tailAdds.values.toSeq))
+    ActiveAdds(bare, ds, None)
   }
 
   /** Delete data files that are no longer referenced by the CURRENT
@@ -481,7 +587,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * of recent historical snapshots and concurrently staged writes —
     * after a vacuum, [[snapshotAt]] versions whose files were dropped
     * can no longer be materialized (their metadata still replays).
-    * Returns the table-relative paths deleted.
+    * Returns a [[VacuumResult]]: the DELETED-file count (candidates, on
+    * a dry run) plus a sample of at most
+    * [[DeltaLog.VacuumSampleCap]] table-relative paths — the
+    * validator's 20-detail convention; a million-file vacuum must not
+    * ship a million path strings to the driver purely for reporting.
     *
     * With `enforceRetentionDuration` (the default, mirroring
     * delta-spark's retentionDurationCheck), a window below the table's
@@ -491,10 +601,17 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
       enforceRetentionDuration: Boolean = true,
       distributed: Option[Boolean] = None,
-      dryRun: Boolean = false): Seq[String] = {
-    val snap = snapshot()
+      dryRun: Boolean = false): VacuumResult = {
+    // file-free state: on a checkpoint-seeded uncached log the active
+    // set stays a DATASET (activeAdds) — vacuum of a million-file table
+    // must not materialize a million AddFiles on the driver just to
+    // build its anti-join side
+    val acts: ActiveAdds = sparkOpt match {
+      case Some(_) => activeAdds()
+      case None => val s = snapshot(); ActiveAdds(s.copy(files = Nil), null, Some(s.files))
+    }
     if (enforceRetentionDuration) {
-      val floor = DeltaLog.retentionFloorMs(snap.metadata.configuration)
+      val floor = DeltaLog.retentionFloorMs(acts.bare.metadata.configuration)
       require(retentionMs >= floor,
         f"vacuum retention ${retentionMs / 3600000.0}%.1fh is below the table's " +
           f"deleted-file retention floor ${floor / 3600000.0}%.1fh " +
@@ -504,14 +621,6 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
           "enforceRetentionDuration=false to override")
     }
     val root = tableRoot
-    val active = snap.files.map(f => fs.makeQualified(new Path(root, f.path)).toUri).toSet
-    // deletion-vector sidecars referenced by the active snapshot are
-    // live data too; ones no descriptor names (left behind when a
-    // compaction materialized the mask) are garbage like any orphaned
-    // parquet file and age out under the same retention window
-    val activeDvs = snap.files.flatMap(_.deletionVector)
-      .filter(d => d.storageType == "u" || d.storageType == "p")
-      .map(d => fs.makeQualified(DeletionVectors.sidecarPath(root, d)).toUri).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     // a candidate: parquet data file or DV sidecar, outside _delta_log
     // and hidden/underscore top-level dirs, expired
@@ -525,9 +634,23 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         !name.startsWith(".") && (!name.startsWith("_") || isDvSidecar)
     }
     val useDistributed = distributed.getOrElse(
-      snap.files.size >= DeltaLog.DistributedVacuumThreshold) && sparkOpt.nonEmpty
+      acts.knownCount.getOrElse(acts.ds.count()) >=
+        DeltaLog.DistributedVacuumThreshold) && sparkOpt.nonEmpty
     if (!useDistributed) {
-      val deleted = mutable.ArrayBuffer.empty[String]
+      // the serial path holds the active set driver-side — it only runs
+      // below the threshold (or when explicitly forced)
+      val snapFiles = acts.materialized.getOrElse(acts.ds.collect().toSeq)
+      val active = snapFiles
+        .map(f => fs.makeQualified(new Path(root, f.path)).toUri).toSet
+      // deletion-vector sidecars referenced by the active snapshot are
+      // live data too; ones no descriptor names (left behind when a
+      // compaction materialized the mask) are garbage like any orphaned
+      // parquet file and age out under the same retention window
+      val activeDvs = snapFiles.flatMap(_.deletionVector)
+        .filter(d => d.storageType == "u" || d.storageType == "p")
+        .map(d => fs.makeQualified(DeletionVectors.sidecarPath(root, d)).toUri).toSet
+      var count = 0L
+      val sample = mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
@@ -537,11 +660,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
             !active.contains(fs.makeQualified(p).toUri) &&
             !activeDvs.contains(fs.makeQualified(p).toUri) &&
             st.getModificationTime < cutoff) {
-          if (dryRun) deleted += rel
-          else if (fs.delete(p, false)) deleted += rel
+          if (dryRun || fs.delete(p, false)) {
+            count += 1
+            if (sample.size < DeltaLog.VacuumSampleCap) sample += rel
+          }
         }
       }
-      deleted.toSeq
+      VacuumResult(count, sample.toSeq)
     } else {
       // DISTRIBUTED: on a million-file table the serial loop above
       // would pay O(files) driver-side listing + deletes. Fan the
@@ -561,7 +686,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         .filter(st => !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
-      if (seeds.isEmpty) return Nil
+      if (seeds.isEmpty) return VacuumResult(0L, Nil)
       val listed = spark.createDataset(seeds)
         .repartition(math.min(seeds.size, 64))
         .mapPartitions { it =>
@@ -588,22 +713,50 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
             out.iterator
           }
         }.toDF("path", "rel")
-      val activeDf = spark.createDataset(
-        (active ++ activeDvs).toSeq.map(u => bare(new Path(u)))).toDF("path")
+      // the anti-join's active side is computed IN EXECUTORS from the
+      // adds dataset (checkpoint parquet + tail union): each add emits
+      // its data file's bare path plus its DV sidecar's, qualified the
+      // same way the listing side qualifies — never a driver list
       val rootStr = fs.makeQualified(root).toString
+      val activeDf = acts.ds.mapPartitions { it =>
+        it.flatMap { f =>
+          val rootP = new Path(rootStr)
+          val dataBare = Path.getPathWithoutSchemeAndAuthority(
+            new Path(rootP, f.path)).toString
+          val dvBare = f.deletionVector
+            .filter(d => d.storageType == "u" || d.storageType == "p")
+            .map(d => Path.getPathWithoutSchemeAndAuthority(
+              DeletionVectors.sidecarPath(rootP, d)).toString)
+          Iterator(dataBare) ++ dvBare.iterator
+        }
+      }.toDF("path")
       val candidates = listed.join(activeDf, Seq("path"), "left_anti")
         .as[(String, String)]
-      val deleted =
-        if (dryRun) candidates.map(_._2).collect().toSeq
-        else candidates.mapPartitions { it =>
-          val conf = confSer.value
-          it.flatMap { case (_, rel) =>
+      // one pass: delete (unless dry) and fold each partition to a
+      // (count, ≤cap sample) pair — O(partitions) driver strings, never
+      // O(deleted). A deleted candidate whose fs.delete returns false
+      // because the file is ALREADY gone (task retry, speculative twin)
+      // still counts: the candidate was garbage and is now absent, and
+      // reporting only the second attempt's successes would under-count.
+      val cap = DeltaLog.VacuumSampleCap
+      val perPart = candidates.mapPartitions { it =>
+        val conf = confSer.value
+        var n = 0L
+        val sample = mutable.ArrayBuffer.empty[String]
+        it.foreach { case (_, rel) =>
+          val done = dryRun || {
             val p = new Path(rootStr, rel)
             val f = p.getFileSystem(conf)
-            if (f.delete(p, false)) Some(rel) else None
+            f.delete(p, false) || !f.exists(p)
           }
-        }.collect().toSeq
-      deleted
+          if (done) {
+            n += 1
+            if (sample.size < cap) sample += rel
+          }
+        }
+        Iterator.single((n, sample.toSeq))
+      }.collect()
+      VacuumResult(perPart.map(_._1).sum, perPart.flatMap(_._2).take(cap).toSeq)
     }
   }
 
@@ -897,9 +1050,42 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * knowing about them, and a retried commit re-stamps against the
     * refreshed snapshot (fresh high-water mark, fresh version number,
     * fresh monotonic clock). */
+  /** Commit-chokepoint state: the snapshot with `files` RESTRICTED to
+    * the active AddFiles this commit removes — everything the
+    * chokepoint ever looks up per-file (checkWritable's DV-descriptor
+    * invariant, stampRowTracking's preservation on removes) keys by the
+    * commit's own remove paths, so the restriction is semantically
+    * identical and O(commit) instead of O(table). On a cached or small
+    * log this is a driver filter over the materialized snapshot
+    * (keeping the cache-seeding behavior that makes repeated commits
+    * cheap); past [[DeltaLog.DistributedVacuumThreshold]] checkpoint
+    * actions on an uncached log, the lookup runs as a distributed
+    * filtered read of the checkpoint — a DML commit on a million-file
+    * table never materializes the full add list driver-side. */
+  private def commitProbe(removePaths: Set[String]): Snapshot = {
+    def restrict(s: Snapshot): Snapshot =
+      s.copy(files = s.files.filter(f => removePaths.contains(f.path)))
+    val big = sparkOpt.nonEmpty && cachedSnapshot.isEmpty &&
+      lastCheckpoint().exists(c =>
+        c.size < 0 || c.size >= DeltaLog.DistributedVacuumThreshold)
+    if (!big) return restrict(snapshot())
+    val aa = activeAdds()
+    aa.materialized match {
+      case Some(files) =>
+        aa.bare.copy(files = files.filter(f => removePaths.contains(f.path)))
+      case None =>
+        val sel =
+          if (removePaths.isEmpty) Nil
+          else aa.ds.filter(f => removePaths.contains(f.path)).collect().toSeq
+        aa.bare.copy(files = sel)
+    }
+  }
+
   def commit(expectedVersion: Long, actions: Seq[Action]): Long = {
+    val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
     val snapOpt =
-      if (expectedVersion > 0) try Some(snapshot()) catch { case _: Exception => None }
+      if (expectedVersion > 0)
+        try Some(commitProbe(removePaths)) catch { case _: Exception => None }
       else None
     if (expectedVersion > 0) checkWritable(actions, snapOpt)
     val stamped = stampIct(snapOpt, expectedVersion,
@@ -1068,6 +1254,26 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
     * replay. */
   def columnMappingMode: String =
     metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
+}
+
+/** [[DeltaLog.vacuum]]'s bounded report: how many files were deleted
+  * (or would be, on a dry run) and a sample of at most
+  * [[DeltaLog.VacuumSampleCap]] table-relative paths. Bounded so a
+  * million-file vacuum ships O(1) strings to the driver, not O(deleted). */
+case class VacuumResult(filesDeleted: Long, sample: Seq[String]) {
+  def isEmpty: Boolean = filesDeleted == 0L
+  def nonEmpty: Boolean = filesDeleted != 0L
+}
+
+/** [[DeltaLog.activeAdds]]'s result: the file-free snapshot state, the
+  * active AddFiles as a dataset (parsed in executors on the
+  * checkpoint-seeded path), and the driver-side list when the fallback
+  * path already materialized it (None = not materialized; consuming it
+  * driver-side needs an explicit collect). */
+case class ActiveAdds(bare: Snapshot,
+    ds: org.apache.spark.sql.Dataset[AddFile],
+    materialized: Option[Seq[AddFile]]) {
+  def knownCount: Option[Long] = materialized.map(_.size.toLong)
 }
 
 object Snapshot {
@@ -1268,6 +1474,16 @@ object DeltaLog {
   /** Active-file count past which [[DeltaLog.vacuum]] fans listing +
     * deletion out to executors instead of a serial driver loop. */
   private[delta] val DistributedVacuumThreshold = 1000
+
+  /** Top-level partition-directory count past which
+    * [[DeltaTable.convertToDelta]] fans the recursive file listing out
+    * to executors (one task per directory, the vacuum seed pattern). */
+  private[delta] val DistributedConvertSeedThreshold = 16
+
+  /** Max table-relative paths a [[DeltaLog.vacuum]] report carries —
+    * the validator's 20-detail convention (full lists are O(deleted)
+    * driver strings purely for display). */
+  val VacuumSampleCap = 20
 
   /** The table's deleted-file retention floor in ms: the
     * `delta.deletedFileRetentionDuration` property (`interval N

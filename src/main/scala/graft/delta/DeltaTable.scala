@@ -465,35 +465,89 @@ object DeltaTable {
     * as an AddFile with footer-derived stats. The delta-spark analog of
     * `CONVERT TO DELTA parquet.`/path``.
     *
-    * Scale: file discovery is a recursive listing, and the per-file
-    * footer stats are collected in ONE Spark job (a million-file lake
-    * directory must not serialize a million ~KB footer reads on the
-    * driver). Schema comes from Spark's parquet inference over the
+    * Scale: past [[DeltaLog.DistributedConvertSeedThreshold]] top-level
+    * partition directories the recursive file discovery fans out one
+    * executor task per directory (the same seed pattern as distributed
+    * vacuum) — a million-file object-store listing must not serialize
+    * on the driver; below it a serial listing avoids the job overhead.
+    * The per-file footer stats are collected in ONE Spark job either
+    * way. Schema comes from Spark's parquet inference over the
     * directory (partition columns typed from the paths, exactly what a
     * reader of the unconverted directory saw). `partitionColumns`
     * must name the hive partition directories when present — the
     * commit refuses a mismatch rather than guessing. */
   def convertToDelta(spark: SparkSession, tableUri: String,
-      partitionColumns: Seq[String] = Nil): DeltaLog = {
+      partitionColumns: Seq[String] = Nil,
+      distributed: Option[Boolean] = None): DeltaLog = {
+    import spark.implicits._
     val log = DeltaLog.forTable(spark, tableUri)
     require(!log.tableExists,
       s"$tableUri already has a _delta_log — it is a Delta table; " +
         "CONVERT is for plain parquet directories")
-    val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fs = log.tableRoot.getFileSystem(hadoopConf)
     require(fs.exists(log.tableRoot), s"no such directory: $tableUri")
+    def eligibleName(name: String): Boolean =
+      name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
     // discover data files (recursive; skip _delta_log/_SUCCESS/hidden)
-    val files = {
-      val out = mutable.ArrayBuffer.empty[(String, Long, Long)] // (rel, size, mtime)
-      val it = fs.listFiles(log.tableRoot, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        val rel = log.tableRoot.toUri.relativize(st.getPath.toUri).getPath
-        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
-            !name.startsWith(".") && !rel.startsWith("_delta_log"))
-          out += ((rel, st.getLen, st.getModificationTime))
-      }
-      out.toSeq.sortBy(_._1)
+    val topEntries = fs.listStatus(log.tableRoot).toSeq
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val dirSeeds = topEntries.filter(_.isDirectory).map(_.getPath.toString)
+    val useDistributed = distributed.getOrElse(
+      dirSeeds.size >= DeltaLog.DistributedConvertSeedThreshold)
+    val files: Seq[(String, Long, Long)] = { // (rel, size, mtime)
+      val topFiles = topEntries
+        .filter(st => st.isFile && eligibleName(st.getPath.getName))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      val nested: Seq[(String, Long, Long)] =
+        if (dirSeeds.isEmpty) Nil
+        else if (!useDistributed) {
+          val out = mutable.ArrayBuffer.empty[(String, Long, Long)]
+          dirSeeds.foreach { seed =>
+            val it = fs.listFiles(new Path(seed), true)
+            while (it.hasNext) {
+              val st = it.next()
+              val rel = log.tableRoot.toUri
+                .relativize(fs.makeQualified(st.getPath).toUri).getPath
+              if (st.isFile && eligibleName(st.getPath.getName))
+                out += ((rel, st.getLen, st.getModificationTime))
+            }
+          }
+          out.toSeq
+        } else {
+          // one recursive-listing task per top-level partition dir —
+          // the distributed-vacuum seed pattern (DeltaLog.vacuum).
+          // Join key trick too: rel paths computed WITHOUT
+          // scheme/authority, since "file:/x" vs "file:///x" render
+          // differently depending on Path construction
+          val confSer = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+          val rootBare = Path.getPathWithoutSchemeAndAuthority(
+            fs.makeQualified(log.tableRoot)).toString.stripSuffix("/") + "/"
+          spark.createDataset(dirSeeds)
+            .repartition(math.min(dirSeeds.size, 64))
+            .mapPartitions { it =>
+              val conf = confSer.value
+              it.flatMap { s =>
+                val p = new Path(s)
+                val f = p.getFileSystem(conf)
+                val out = mutable.ArrayBuffer.empty[(String, Long, Long)]
+                val iter = f.listFiles(p, true)
+                while (iter.hasNext) {
+                  val st = iter.next()
+                  val name = st.getPath.getName
+                  if (st.isFile && name.endsWith(".parquet") &&
+                      !name.startsWith("_") && !name.startsWith(".")) {
+                    val rel = Path.getPathWithoutSchemeAndAuthority(
+                      f.makeQualified(st.getPath)).toString.stripPrefix(rootBare)
+                    out += ((rel, st.getLen, st.getModificationTime))
+                  }
+                }
+                out.iterator
+              }
+            }.collect().toSeq
+        }
+      (topFiles ++ nested).sortBy(_._1)
     }
     require(files.nonEmpty, s"no parquet files under $tableUri")
     // the directory's own inferred schema (partition cols typed from paths)
@@ -524,11 +578,28 @@ object DeltaTable {
           catch { case scala.util.control.NonFatal(_) => None }
         }.collect().toMap
     }
+    // On a case mismatch between the caller's partitionColumns spelling
+    // and the directory spelling, metadata.partitionColumns, the schema
+    // field names (inferred from the dirs), and AddFile.partitionValues
+    // keys MUST still agree — log-keyed lookups (partition pruning,
+    // SHOW PARTITIONS, dataSchema) resolve by exact name, and a
+    // `Region=1` dir under declared `[region]` would otherwise silently
+    // degrade them to keep-everything/null. Canonicalize the declared
+    // names to the inferred-schema spelling (= directory spelling) and
+    // key the parsed values by the same canonical names.
+    val canonicalParts = partitionColumns.map(p =>
+      inferred.fieldNames.find(_.equalsIgnoreCase(p)).getOrElse(p))
+    val canonicalByLc = canonicalParts
+      .map(p => p.toLowerCase(java.util.Locale.ROOT) -> p).toMap
     val adds = files.map { case (rel, size, mtime) =>
-      AddFile(rel, parsePartitionValues(rel.split('/').dropRight(1).mkString("/")),
-        size, mtime, dataChange = true, stats = statsByRel.get(rel))
+      val dirVals = parsePartitionValues(rel.split('/').dropRight(1).mkString("/"))
+      val rekeyed = dirVals.map { case (k, v) =>
+        canonicalByLc.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k) -> v
+      }
+      AddFile(rel, rekeyed, size, mtime, dataChange = true,
+        stats = statsByRel.get(rel))
     }
-    log.create(inferred, partitionColumns, adds, operation = "CONVERT")
+    log.create(inferred, canonicalParts, adds, operation = "CONVERT")
     log
   }
 
@@ -583,31 +654,31 @@ object DeltaTable {
   def repairTable(spark: SparkSession, tableUri: String,
       dryRun: Boolean = false): Seq[String] = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
     val conf = spark.sessionState.newHadoopConf()
     val rootStr = log.tableRoot.toString
-    val missing: Seq[String] =
-      if (snap.files.size < 1000) {
+    // active set as a dataset: on a checkpoint-seeded uncached log the
+    // existence probes run over executor-parsed checkpoint rows — the
+    // driver materializes only the MISSING files (the repair payload,
+    // bounded by the damage, not the table)
+    val acts = log.activeAdds()
+    val missing: Seq[AddFile] = acts.materialized match {
+      case Some(files) if files.size < 1000 =>
         val fs = log.tableRoot.getFileSystem(conf)
-        snap.files.map(_.path).filterNot(p => fs.exists(new Path(rootStr, p)))
-      } else {
+        files.filterNot(f => fs.exists(new Path(rootStr, f.path)))
+      case _ =>
         val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
-        spark.sparkContext
-          .parallelize(snap.files.map(_.path), 64)
-          .filter { p =>
-            val path = new Path(rootStr, p)
-            !path.getFileSystem(confSer.value).exists(path)
-          }.collect().toSeq
-      }
-    if (missing.isEmpty || dryRun) return missing
-    val byPath = snap.files.map(f => f.path -> f).toMap
+        acts.ds.filter { f =>
+          val path = new Path(rootStr, f.path)
+          !path.getFileSystem(confSer.value).exists(path)
+        }.collect().toSeq
+    }
+    if (missing.isEmpty || dryRun) return missing.map(_.path)
     val now = System.currentTimeMillis()
-    log.commitDml(snap.version, missing.map { p =>
-      val f = byPath(p)
+    log.commitDml(acts.bare.version, missing.map { f =>
       RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
         f.deletionVector, f.baseRowId, f.defaultRowCommitVersion): Action
     } :+ CommitInfo(now, "FSCK", Map("numRemovedFiles" -> missing.size.toString)))
-    missing
+    missing.map(_.path)
   }
 
   /** Recompute per-file stats from the parquet footers and re-commit
@@ -619,25 +690,30 @@ object DeltaTable {
     * tightBounds=false form the spec demands). Returns the number of
     * files restamped. */
   def recomputeStats(spark: SparkSession, tableUri: String): Long = {
+    implicit val enc: org.apache.spark.sql.Encoder[AddFile] =
+      org.apache.spark.sql.Encoders.product[AddFile]
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
-    val targets = snap.files.filter(_.deletionVector.isEmpty)
-    if (targets.isEmpty) return 0L
+    // one job: footer read AND re-add construction run in executors
+    // over the adds dataset — the driver materializes only the restamp
+    // payload (which the commit write is O(files) in regardless)
+    val acts = log.activeAdds()
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val rootStr = log.tableRoot.toString
-    val statsByPath: Map[String, String] = spark.sparkContext
-      .parallelize(targets.map(_.path), math.max(1, math.min(targets.size, 64)))
-      .flatMap { rel =>
-        try Some(rel -> DataSkipping.statsFromFooter(confSer.value,
-          new Path(rootStr, rel)))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }.collect().toMap
     val now = System.currentTimeMillis()
-    val readds = targets.flatMap(f => statsByPath.get(f.path).map(s =>
-      f.copy(stats = Some(s), modificationTime = now, dataChange = false)))
+    val readds: Seq[AddFile] = acts.ds
+      .filter(_.deletionVector.isEmpty)
+      .mapPartitions { it =>
+        val conf = confSer.value
+        it.flatMap { f =>
+          try Some(f.copy(
+            stats = Some(DataSkipping.statsFromFooter(conf, new Path(rootStr, f.path))),
+            modificationTime = now, dataChange = false))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.collect().toSeq
     if (readds.isEmpty) return 0L
-    log.commitDml(snap.version, readds :+
+    log.commitDml(acts.bare.version, readds :+
       CommitInfo(now, "COMPUTE STATS",
         Map("numFiles" -> readds.size.toString)))
     readds.size.toLong
@@ -1647,8 +1723,10 @@ object DeltaTable {
     * rewrite. */
   def delete(spark: SparkSession, tableUri: String, predicate: Column): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
-    val candidates = candidateFiles(spark, snap, predicate)
+    // candidates arrive pre-pruned (distributed over the checkpoint on
+    // an uncached log) — snap.files IS the candidate set here
+    val snap = dmlScanSnapshot(spark, log, predicate)
+    val candidates = snap.files
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     if (dvWriteEnabled(log, snap)) {
@@ -2413,7 +2491,9 @@ object DeltaTable {
       assignments: Map[String, Column]): DmlStats = {
     require(assignments.nonEmpty, "update requires at least one SET assignment")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // candidates arrive pre-pruned (distributed over the checkpoint on
+    // an uncached log) — snap.files IS the candidate set here
+    val snap = dmlScanSnapshot(spark, log, predicate)
     val fields = snap.schema.fields
     assignments.keys.foreach(k => require(fields.exists(_.name == k),
       s"SET column $k not in table schema (${fields.map(_.name).mkString(", ")})"))
@@ -2425,7 +2505,7 @@ object DeltaTable {
     assignments.keys.foreach(k => require(!identityFields(snap).exists(_._1.name == k),
       s"cannot SET identity column $k — identity values are engine-assigned"))
 
-    val candidates = candidateFiles(spark, snap, predicate)
+    val candidates = snap.files
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     if (touched.isEmpty) return DmlStats(0, 0) // no row matched anywhere
     val hit = coalesce(predicate, lit(false))
@@ -2567,6 +2647,26 @@ object DeltaTable {
       case None => snap.files
     }
 
+  /** The snapshot a predicate DML plans against: state identical to
+    * `log.snapshot()` but with `files` already stats-pruned to the
+    * predicate's candidates — and, on a checkpoint-seeded uncached log,
+    * the pruning runs DISTRIBUTED over the checkpoint parquet
+    * ([[DeltaLog.scanSnapshotStaged]]): a selective DELETE/UPDATE on a
+    * million-file table materializes only candidate AddFiles
+    * driver-side, never the whole active set. The predicate is analyzed
+    * ONCE on the driver (the staged outer function — [[predicateExpr]]
+    * needs the SparkSession); only the session-free pruning closure
+    * ships to executors. Conservative like [[candidateFiles]]: a file
+    * is dropped only when its stats PROVE no row matches. */
+  private def dmlScanSnapshot(spark: SparkSession, log: DeltaLog,
+      predicate: Column): Snapshot =
+    log.scanSnapshotStaged { probe =>
+      predicateExpr(spark, probe, predicate) match {
+        case Some(cond) => files => pruneFiles(probe, files, cond)
+        case None => files => files
+      }
+    }
+
   /** Active files (within `candidates`) containing at least one row
     * selected by `hit` (compared by URI path — `input_file_name` and
     * `makeQualified` differ in slash count for the same file). */
@@ -2580,7 +2680,10 @@ object DeltaTable {
     val touchedPaths = hit(withFile)
       .select(col("_graft_file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-    val byAbs = snap.files
+    // map back within the CANDIDATES (touched ⊆ cand by construction —
+    // the scan read only cand), so this stays O(candidates) even when
+    // the snapshot's full list was never materialized
+    val byAbs = cand
       .map(f => new Path(log.tableRoot, f.path).toUri.getPath -> f)
     byAbs.collect { case (abs, f) if touchedPaths.contains(abs) => f }
   }

@@ -97,7 +97,10 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   /** O7: plan which partitions need a rewrite (lib.rs:251-319). */
   def plan(cfg: SortConfig): RewritePlan = {
     val snap = deltaLog.snapshot()
-    Planner.plan(spark, deltaLog, snap, cfg)
+    // cfg.predicate (upstream reserves it unused, lib.rs:97,106): scope
+    // the plan to matching PARTITIONS — the OPTIMIZE WHERE machinery
+    Planner.plan(spark, deltaLog,
+      snap.copy(files = scopeFiles(snap, cfg.predicate)), cfg)
   }
 
   /** O10: mode dispatch + bounded-concurrency execution
@@ -110,6 +113,10 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   def compact(cfg: SortConfig): RunSummary = {
     val t0 = System.nanoTime()
 
+    require(cfg.predicate.isEmpty || !cfg.repartitionBySortKey,
+      "predicate cannot scope a strict full-table sorted overwrite " +
+        "(repartitionBySortKey) — a partial global sort is meaningless; " +
+        "drop the predicate or use the default partition-wise mode")
     if (cfg.repartitionBySortKey) {
       if (cfg.dryRun) {
         logInfo(s"dry-run: would fully sort $tableUri by ${cfg.sortColumns.mkString(",")}")

@@ -6,8 +6,12 @@ import graft.delta.AddFile
   * SortConfig (crates/sorter-core/src/lib.rs:102-125; CLI flags
   * crates/sorter-cli/src/main.rs:12-52): ascending-only sort, nulls
   * first by default, rewrite concurrency 8, advisory file-size target.
-  * `predicate` is reserved-but-unused upstream (lib.rs:97,106) and
-  * deliberately not carried over. */
+  * `predicate` is reserved-but-unused upstream ("Reserved for future
+  * filtering support", lib.rs:97,106); we HONOR it as partition
+  * scoping — the compaction pass plans and rewrites only partitions
+  * matching the predicate (partition columns only, exactly the
+  * `OPTIMIZE … WHERE` contract), refusing it on strict full-table
+  * overwrites where a partial global sort would be meaningless. */
 case class SortConfig(
     sortColumns: Seq[String],
     nullsFirst: Boolean = true,
@@ -15,7 +19,8 @@ case class SortConfig(
     concurrency: Int = 8,
     dryRun: Boolean = false,
     repartitionBySortKey: Boolean = false,
-    descColumns: Set[String] = Set.empty) {
+    descColumns: Set[String] = Set.empty,
+    predicate: Option[String] = None) {
   /** Per-sort-column descending flags, aligned with `sortColumns`. */
   def descFlags: Seq[Boolean] = sortColumns.map(descColumns.contains)
 }

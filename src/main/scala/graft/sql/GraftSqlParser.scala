@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 
-import graft.delta.{DeltaLog, DeltaTable}
+import graft.delta.{DeltaLog, DeltaTable, Snapshot}
 import graft.sorter.DeltaSorter
 
 /** Delta-style SQL maintenance statements for graftdelta tables:
@@ -95,6 +95,10 @@ object GraftSqlParser {
   // SHOW PARTITIONS — the distinct partition tuples from the snapshot
   private val ShowPartitions: Regex =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
+  // SHOW TBLPROPERTIES t [('key')] — the snapshot's configuration map
+  // (zero data IO); with a key, just that property
+  private val ShowTblProps: Regex =
+    s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref(?:\\s*\\(\\s*'([^']+)'\\s*\\))?\\s*;?\\s*""".r
   // ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT — Default Columns
   private val AlterColDefault: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([`\\w.]+)\\s+(?:SET\\s+DEFAULT\\s+(.+?)|DROP\\s+DEFAULT)\\s*;?\\s*""".r
@@ -122,6 +126,15 @@ object GraftSqlParser {
   private val PropKey: Regex =
     """(?s)\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
 
+  /** True when `ref` is a quoted path (always ours) or a catalog name
+    * that resolves to the graftdelta provider. ALTER/SHOW shapes also
+    * exist in Spark's own grammar, so interceptions of them must only
+    * fire for our tables — anything else falls through to the delegate
+    * parser (and from there to Spark's catalog/other providers). */
+  private def isGraftRef(ref: String): Boolean =
+    ref.startsWith("'") || scala.util.Try(SparkSession.active).toOption
+      .exists(s => scala.util.Try(resolvePath(s, ref)).isSuccess)
+
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case Optimize(ref, where, zorder) => Some(GraftOptimizeCommand(ref,
       Option(zorder).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -135,22 +148,19 @@ object GraftSqlParser {
     case Detail(ref) => Some(GraftDetailCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
-    case AlterAddCols(ref, parens, bare) =>
+    case AlterAddCols(ref, parens, bare) if isGraftRef(ref) =>
       Some(GraftAlterAddColumnsCommand(ref, Option(parens).getOrElse(bare).trim))
-    case AddConstraint(ref, name, expr) =>
+    case AddConstraint(ref, name, expr) if isGraftRef(ref) =>
       Some(GraftConstraintCommand(ref, name, Some(expr.trim)))
-    case DropConstraint(ref, name) =>
+    case DropConstraint(ref, name) if isGraftRef(ref) =>
       Some(GraftConstraintCommand(ref, name, None))
-    // only intercept graft tables (quoted paths, or catalog names that
-    // resolve to the graftdelta provider) — SHOW PARTITIONS on ordinary
-    // tables must keep flowing to Spark's own command
-    case ShowPartitions(ref) if ref.startsWith("'") ||
-        scala.util.Try(SparkSession.active).toOption
-          .exists(s => scala.util.Try(resolvePath(s, ref)).isSuccess) =>
+    case ShowPartitions(ref) if isGraftRef(ref) =>
       Some(GraftShowPartitionsCommand(ref))
-    case AlterColDefault(ref, colName, defaultExpr) =>
+    case ShowTblProps(ref, key) if isGraftRef(ref) =>
+      Some(GraftShowTblPropertiesCommand(ref, Option(key)))
+    case AlterColDefault(ref, colName, defaultExpr) if isGraftRef(ref) =>
       Some(GraftAlterColumnDefaultCommand(ref, colName, Option(defaultExpr)))
-    case AlterColType(ref, colName, typeDdl) =>
+    case AlterColType(ref, colName, typeDdl) if isGraftRef(ref) =>
       Some(GraftAlterColumnTypeCommand(ref, colName, typeDdl))
     case ShallowClone(tgt, src, v) =>
       Some(GraftShallowCloneCommand(tgt, src, Option(v).map(_.toLong)))
@@ -159,15 +169,15 @@ object GraftSqlParser {
         pathLit.stripPrefix("`").stripSuffix("`")
           .stripPrefix("'").stripSuffix("'"),
         Option(partDdl).map(_.trim).filter(_.nonEmpty)))
-    case AlterRenameCol(ref, from, to) =>
+    case AlterRenameCol(ref, from, to) if isGraftRef(ref) =>
       Some(GraftAlterRenameColumnCommand(ref, from, to))
-    case AlterDropCols(ref, parens, bare) =>
+    case AlterDropCols(ref, parens, bare) if isGraftRef(ref) =>
       Some(GraftAlterDropColumnsCommand(ref,
         Option(parens).getOrElse(bare).split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq))
-    case AlterSetProps(ref, pairs) =>
+    case AlterSetProps(ref, pairs) if isGraftRef(ref) =>
       Some(GraftAlterPropertiesCommand(ref, parseProps(pairs), Nil, ifExists = false))
-    case AlterUnsetProps(ref, ifExists, keys) =>
+    case AlterUnsetProps(ref, ifExists, keys) if isGraftRef(ref) =>
       Some(GraftAlterPropertiesCommand(ref, Map.empty, parseKeys(keys),
         ifExists = ifExists != null))
     case _ => None
@@ -256,9 +266,12 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
     // table's floor errors unless the session conf waives the check
     val enforce = session.conf
       .get("spark.graft.delta.retentionDurationCheck.enabled", "true").toBoolean
-    val deleted = DeltaLog.forTable(session, path)
+    val result = DeltaLog.forTable(session, path)
       .vacuum(retentionMs, enforceRetentionDuration = enforce, dryRun = dryRun)
-    if (dryRun) deleted.sorted.map(Row(_)) else Seq(Row(deleted.size.toLong))
+    // DRY RUN rows are the bounded sample (VacuumSampleCap) — a
+    // million-candidate dry run must not become a million result rows
+    if (dryRun) result.sample.sorted.map(Row(_))
+    else Seq(Row(result.filesDeleted))
   }
 }
 
@@ -382,10 +395,36 @@ case class GraftShowPartitionsCommand(tableRef: String)
     val snap = DeltaLog.forTable(session, path).snapshot()
     require(snap.metadata.partitionColumns.nonEmpty,
       s"$tableRef is not a partitioned table")
+    // partitionValues are keyed by PHYSICAL column names on a
+    // column-mapped table (same contract pruneFiles honors); display
+    // stays logical
+    val toPhysical: Map[String, String] =
+      if (snap.columnMappingMode == "none") Map.empty
+      else snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
     snap.files
       .map(f => snap.metadata.partitionColumns
-        .map(c => s"$c=${f.partitionValues.getOrElse(c, "null")}").mkString("/"))
+        .map(c => s"$c=${f.partitionValues.getOrElse(toPhysical.getOrElse(c, c), "null")}")
+        .mkString("/"))
       .distinct.sorted.map(Row(_))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` -> the snapshot's configuration,
+  * straight from the log's metaData — zero data IO (Spark's own
+  * statement shape: key/value rows, or the one requested key with a
+  * not-found message when absent). */
+case class GraftShowTblPropertiesCommand(tableRef: String, key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSqlParser.attrs("key" -> StringType, "value" -> StringType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val cfg = DeltaLog.forTable(session, path).snapshot().metadata.configuration
+    key match {
+      case Some(k) => Seq(Row(k, cfg.getOrElse(k,
+        s"Table ${tableRef.stripPrefix("'").stripSuffix("'")} does not have property: $k")))
+      case None => cfg.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

@@ -22,6 +22,31 @@ class ArgsSpec extends AnyFunSuite {
     assert(opts("validate-only") == "true")
     assert(opts("log-level") == "debug")
     assert(opts("concurrency") == "4")
+    // --predicate (SortConfig.predicate — reserved upstream, honored
+    // here as partition scoping) parses as an ordinary value flag
+    val p = Main.parseArgs(Array("--table", "/t", "--sort-columns", "k",
+      "--predicate", "p = 'a'"))
+    assert(p("predicate") == "p = 'a'")
+  }
+
+  test("--predicate scopes the CLI compaction to matching partitions") {
+    val dir = TestSpark.tmpDir("cli-predicate")
+    // overlapping per-file k ranges so both partitions are provably
+    // unsorted — only the predicate explains partition b surviving
+    val mk = (p: String, ks: Seq[Int]) =>
+      ks.map(k => (p, k)).toDF("p", "k").coalesce(1)
+    DeltaTable.create(spark, mk("a", Seq(2, 7)), dir, partitionColumns = Seq("p"))
+    for ((p, ks) <- Seq(("a", Seq(1, 6)), ("b", Seq(9, 3)), ("b", Seq(4, 8))))
+      DeltaTable.append(spark, dir, mk(p, ks))
+    val bBefore = graft.delta.DeltaLog.forTable(spark, dir).snapshot().files
+      .filter(_.partitionValues("p") == "b").map(_.path).toSet
+    val rc = Main.run(spark, Map("table" -> dir, "sort-columns" -> "k",
+      "predicate" -> "p = 'a'"))
+    assert(rc == 0)
+    val snap = graft.delta.DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.files.count(_.partitionValues("p") == "a") == 1)
+    assert(snap.files.filter(_.partitionValues("p") == "b").map(_.path).toSet ==
+      bBefore, "unmatched partitions must be untouched")
   }
 
   test("parseArgs rejects unknown log levels and stray arguments") {

@@ -79,6 +79,66 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(snap.version == 1L)
   }
 
+  test("predicate DELETE on a 100k-file checkpoint never materializes the add set") {
+    val dir = fixture()
+    // the one candidate file must really exist — DELETE reads it
+    import spark.implicits._
+    val staging = TestSpark.tmpDir("cp-scan-onefile")
+    (123450L to 123459L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "part-012345.parquet"))
+
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val stats = DeltaTable.delete(spark, dir,
+      org.apache.spark.sql.functions.expr("id = 123456"))
+    // discovery pruned 100k candidates to the ONE covering file, the
+    // rewrite touched only it, and at no point did the full checkpoint
+    // add list land on the driver
+    assert(stats.filesRemoved == 1 && stats.filesAdded == 1, s"got $stats")
+    assert(!log.hasCachedSnapshot,
+      "predicate DELETE must plan through scanSnapshot, not snapshot()")
+    // result parity with the materialized path: the fabricated adds are
+    // part-NNNNNN.parquet; anything else is the survivor rewrite
+    val after = log.snapshot()
+    assert(after.files.size == N) // 100k-1 untouched + 1 rewritten
+    val rewritten = after.files
+      .filterNot(_.path.matches("""part-\d{6}\.parquet"""))
+    assert(rewritten.size == 1, s"got ${rewritten.map(_.path)}")
+    assert(!after.files.exists(_.path == "part-012345.parquet"))
+    assert(DeltaTable.readFiles(spark, log, after, rewritten)
+      .where("id >= 123450 and id <= 123459").count() == 9)
+  }
+
+  test("vacuum (dry run + real) over a checkpoint-seeded log stays distributed") {
+    val dir = fixture()
+    // five expired orphans on disk; every checkpoint add is active
+    (1 to 5).foreach { i =>
+      val f = new java.io.File(dir, s"orphan-$i.parquet")
+      Files.write(f.toPath, Array[Byte](1, 2, 3))
+      f.setLastModified(1000L)
+    }
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val dry = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      dryRun = true) // 100k adds >= threshold -> distributed by default
+    assert(dry.filesDeleted == 5L, s"got $dry")
+    assert(dry.sample.sorted == (1 to 5).map(i => s"orphan-$i.parquet"))
+    assert(!log.hasCachedSnapshot,
+      "vacuum must build its active set from the checkpoint dataset, " +
+        "not a materialized snapshot")
+    // the real pass agrees and deletes exactly the orphans
+    val real = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
+    assert(real.filesDeleted == 5L)
+    assert((1 to 5).forall(i => !new java.io.File(dir, s"orphan-$i.parquet").exists()))
+    assert(!log.hasCachedSnapshot)
+    // parity: the serial (forced-materialized) path finds nothing more
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      distributed = Some(false)).isEmpty)
+  }
+
   test("scanSnapshot equals materialized prune on a cached snapshot") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)

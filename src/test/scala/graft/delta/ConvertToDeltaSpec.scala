@@ -80,4 +80,56 @@ class ConvertToDeltaSpec extends AnyFunSuite {
     assert(DeltaLog.forTable(spark, part).snapshot()
       .metadata.partitionColumns == Seq("p"))
   }
+
+  test("DISTRIBUTED listing (the million-file path) agrees with the serial loop") {
+    // 20 partition dirs > DistributedConvertSeedThreshold, so the
+    // default path fans one recursive-listing task per dir; a twin
+    // directory converted with the serial loop must yield the same adds
+    def writeTwin(tag: String): String = {
+      val d = TestSpark.tmpDir(s"convert-dist-$tag")
+      (0 until 200).map(i => (i.toLong, s"r$i", i % 20)).toDF("id", "name", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(d)
+      d
+    }
+    val distDir = writeTwin("a")
+    val serialDir = writeTwin("b")
+    DeltaTable.convertToDelta(spark, distDir, partitionColumns = Seq("part"))
+    DeltaTable.convertToDelta(spark, serialDir, partitionColumns = Seq("part"),
+      distributed = Some(false))
+    def addsOf(d: String) = DeltaLog.forTable(spark, d).snapshot().files
+      .map(f => (f.path, f.partitionValues, f.size, f.stats.nonEmpty)).sortBy(_._1)
+    val (dist, serial) = (addsOf(distDir), addsOf(serialDir))
+    assert(dist.size == serial.size && dist.size >= 20)
+    // same rel layout, same partitionValues, same sizes, stats both ways
+    // (file NAMES differ between the two writes, so compare shapes)
+    assert(dist.map(_._2).toSet == serial.map(_._2).toSet)
+    assert(dist.forall(_._4) && serial.forall(_._4))
+    assert(dist.map(f => f._1.split('/').head).sorted ==
+      serial.map(f => f._1.split('/').head).sorted)
+    assert(DeltaTable.read(spark, distDir).count() == 200)
+    assert(DeltaTable.read(spark, distDir)
+      .where(col("part") === 3).count() == 10)
+  }
+
+  test("partition-dir case mismatch canonicalizes; pruning still keys") {
+    // dirs spell `Bucket=…`; the caller declares `bucket`. Metadata,
+    // schema field names, and partitionValues keys must all agree on
+    // ONE spelling (the inferred/dir one) or log-keyed pruning silently
+    // degrades to keep-everything
+    val dir = TestSpark.tmpDir("convert-case")
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "name", "Bucket")
+      .write.partitionBy("Bucket").mode("overwrite").parquet(dir)
+    DeltaTable.convertToDelta(spark, dir, partitionColumns = Seq("bucket"))
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.metadata.partitionColumns == Seq("Bucket"))
+    assert(snap.files.forall(_.partitionValues.keySet == Set("Bucket")))
+    assert(snap.schema.fieldNames.contains("Bucket"))
+    // partition pruning resolves through the one canonical spelling
+    val pruned = DataSkipping.prune(snap.files, snap.schema,
+      spark.sessionState.sqlParser.parseExpression("Bucket = 1"))
+    assert(pruned.size < snap.files.size)
+    assert(pruned.forall(_.partitionValues("Bucket") == "1"))
+    assert(DeltaTable.read(spark, dir).where(col("Bucket") === 1).count() == 2)
+  }
 }

@@ -319,7 +319,7 @@ class DeltaLogSpec extends AnyFunSuite {
       RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
       CommitInfo(0L, "DELETE", Map.empty)))
     val deleted = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
-    assert(deleted == Seq(victim.path))
+    assert(deleted.filesDeleted == 1L && deleted.sample == Seq(victim.path))
     assert(!new java.io.File(dir, victim.path).exists())
     assert(DeltaTable.read(spark, dir).count() == 2)
     assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false).isEmpty)
@@ -343,7 +343,8 @@ class DeltaLogSpec extends AnyFunSuite {
       CommitInfo(0L, "DELETE", Map.empty)))
     val deleted = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
       distributed = Some(true))
-    assert(deleted == Seq(victim.path), s"got $deleted")
+    assert(deleted.filesDeleted == 1L && deleted.sample == Seq(victim.path),
+      s"got $deleted")
     assert(!new java.io.File(dir, victim.path).exists())
     // live files, partition dirs, and the live DV sidecar all survive
     assert(DeltaTable.read(spark, dir).count() == 3) // 8 - 1 del - 4 removed file

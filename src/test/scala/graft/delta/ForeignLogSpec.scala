@@ -193,6 +193,27 @@ class ForeignLogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("reader version 3"))
   }
 
+  test("catalogOwned-preview tables fail by name, not misread (decision: SURVEY §2.4)") {
+    // coordinated-commits/catalog-owned tables route commits through a
+    // commit COORDINATOR: the filesystem _delta_log may lag the true
+    // table state, so a log-only reader that "tolerated" the feature
+    // could silently serve stale state as current. Without a
+    // coordinator client the only correct behavior is the loud
+    // fail-by-name below — pinned here so the decision stays visible.
+    val dir = TestSpark.tmpDir("foreign-catalog-owned")
+    val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
+    writeCommit(dir, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":["catalogOwned-preview"],""" +
+        s""""writerFeatures":["catalogOwned-preview"]}}""",
+      metaJson,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,""" +
+        s""""modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalStateException](DeltaLog.forTable(spark, dir).snapshot())
+    assert(e.getMessage.contains("unsupported reader feature catalogOwned-preview"),
+      s"must fail naming the feature (got: ${e.getMessage})")
+  }
+
   test("v3 feature gate applies through CHECKPOINT protocol rows too") {
     // protocol arrives via checkpoint parquet, not JSON — same gating
     val dir = TestSpark.tmpDir("foreign-v3-cp")

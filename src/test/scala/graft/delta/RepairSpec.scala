@@ -44,16 +44,16 @@ class RepairSpec extends AnyFunSuite {
       CommitInfo(0L, "DELETE", Map.empty)))
     val dry = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
       dryRun = true)
-    assert(dry == Seq(victim.path))
+    assert(dry.filesDeleted == 1L && dry.sample == Seq(victim.path))
     assert(new java.io.File(dir, victim.path).exists(), "dry run must not delete")
     // distributed dry run agrees
     val dryDist = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
       distributed = Some(true), dryRun = true)
-    assert(dryDist == Seq(victim.path))
+    assert(dryDist.filesDeleted == 1L && dryDist.sample == Seq(victim.path))
     assert(new java.io.File(dir, victim.path).exists())
     // and the real pass then deletes exactly that
-    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false) ==
-      Seq(victim.path))
+    val real = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false)
+    assert(real.filesDeleted == 1L && real.sample == Seq(victim.path))
   }
 
   test("SQL: VACUUM ... DRY RUN and FSCK REPAIR TABLE route through") {

@@ -43,17 +43,21 @@ class V2CheckpointWriteSpec extends AnyFunSuite {
     val sidecars = new java.io.File(dir, "_delta_log/_sidecars").listFiles()
     assert(sidecars != null && sidecars.nonEmpty, "sidecar shard expected")
 
-    // pointer `size` = ACTION count only (protocol + metaData + txns +
-    // domains + file actions) — the checkpointMetadata stamp and
-    // sidecar-reference rows are manifest bookkeeping, not actions, and
-    // foreign readers sanity-check size against action count
+    // pointer `size` = TOTAL action count stored in the checkpoint.
+    // checkpointMetadata and sidecarFile manifest rows ARE actions per
+    // the spec (delta-spark's LastCheckpointInfo counts them), so size =
+    // 1 (checkpointMetadata) + 2 (protocol+metaData) + txns + domains +
+    // sidecar refs + file actions in sidecars
     val snapAtCp = log.snapshot()
+    val sidecarCount = new java.io.File(dir, "_delta_log/_sidecars")
+      .listFiles().count(_.getName.endsWith(".parquet"))
     val ptrJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint")), "UTF-8")
     val sizeField = """"size":(\d+)""".r.findFirstMatchIn(ptrJson).get.group(1).toLong
     assert(sizeField ==
-      2 + snapAtCp.txns.size + snapAtCp.domains.size + snapAtCp.files.size,
-      s"pointer size must count actions only, got $ptrJson")
+      3 + snapAtCp.txns.size + snapAtCp.domains.size + sidecarCount +
+        snapAtCp.files.size,
+      s"pointer size must count ALL checkpoint actions, got $ptrJson")
 
     // cold replay: delete ALL commit JSON at/below the checkpoint and
     // the pointer — state must come back from the v2 layout alone

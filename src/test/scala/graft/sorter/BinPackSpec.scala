@@ -79,6 +79,40 @@ class BinPackSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition columns only"))
   }
 
+  test("SortConfig.predicate scopes sort-compaction to matching partitions") {
+    // upstream reserves the field unused (lib.rs:97,106); we honor it
+    // through the same partition-scoping machinery as OPTIMIZE WHERE
+    val dir = TestSpark.tmpDir("compact-predicate")
+    // overlapping per-file k ranges in BOTH partitions — both provably
+    // unsorted, so only the predicate can explain a partition surviving
+    val mk = (p: String, ks: Seq[Int]) =>
+      ks.map(k => (p, k)).toDF("p", "k").coalesce(1)
+    DeltaTable.create(spark, mk("a", Seq(1, 5)), dir, partitionColumns = Seq("p"))
+    for ((p, ks) <- Seq(("a", Seq(2, 6)), ("b", Seq(9, 3)), ("b", Seq(4, 8))))
+      DeltaTable.append(spark, dir, mk(p, ks))
+    val bBefore = DeltaLog.forTable(spark, dir).snapshot().files
+      .filter(_.partitionValues("p") == "b").map(_.path).toSet
+    val summary = DeltaSorter(spark, dir).compact(SortConfig(
+      sortColumns = Seq("k"), predicate = Some("p = 'a'")))
+    assert(summary.partitionsRewritten == 1, summary)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    // partition a rewritten sorted; partition b byte-identical
+    assert(snap.files.count(_.partitionValues("p") == "a") == 1)
+    assert(snap.files.filter(_.partitionValues("p") == "b").map(_.path).toSet ==
+      bBefore)
+    assert(DeltaTable.read(spark, dir).where("p = 'a'")
+      .select("k").as[Int].collect().toSeq == Seq(1, 2, 5, 6))
+    // non-partition column -> loud refusal (the OPTIMIZE WHERE contract)
+    val e = intercept[IllegalArgumentException](DeltaSorter(spark, dir)
+      .compact(SortConfig(sortColumns = Seq("k"), predicate = Some("k > 2"))))
+    assert(e.getMessage.contains("partition columns only"))
+    // strict full-table overwrite + predicate is contradictory: refused
+    val e2 = intercept[IllegalArgumentException](DeltaSorter(spark, dir)
+      .compact(SortConfig(sortColumns = Seq("k"), predicate = Some("p = 'a'"),
+        repartitionBySortKey = true)))
+    assert(e2.getMessage.contains("strict full-table"))
+  }
+
   test("SQL: OPTIMIZE t WHERE partition-predicate routes through") {
     val dir = TestSpark.tmpDir("binpack-where-sql")
     val mk = (p: String, k: Int) => Seq((p, k)).toDF("p", "k").coalesce(1)

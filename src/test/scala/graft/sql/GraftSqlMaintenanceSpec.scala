@@ -150,6 +150,69 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     finally spark.sql("DROP TABLE graft_maint_showp")
   }
 
+  test("SHOW PARTITIONS on a column-mapped table resolves physical keys") {
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("sql-showp-mapped")
+    DeltaTable.create(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("id", "p"), dir,
+      partitionColumns = Seq("p"))
+    // upgrade to column mapping, then RENAME the partition column: the
+    // logical name moves, but partitionValues stay keyed by the
+    // PHYSICAL name ("p") — SHOW PARTITIONS must translate through the
+    // schema metadata, not render every partition as cat=null
+    DeltaTable.enableColumnMapping(spark, dir)
+    spark.sql(s"ALTER TABLE '$dir' RENAME COLUMN p TO cat")
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    assert(snap.metadata.partitionColumns == Seq("cat"))
+    assert(snap.files.forall(_.partitionValues.keySet == Set("p")),
+      "physical keys must be untouched by the rename")
+    val parts = spark.sql(s"SHOW PARTITIONS '$dir'")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("cat=x", "cat=y"), s"got $parts")
+  }
+
+  test("SHOW TBLPROPERTIES reads the snapshot configuration; non-graft falls through") {
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("sql-show-props")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), dir)
+    spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES ('delta.appendOnly'='false', 'team'='graft')")
+    val all = spark.sql(s"SHOW TBLPROPERTIES '$dir'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all.get("team").contains("graft") &&
+      all.get("delta.appendOnly").contains("false"), s"got $all")
+    // single-key form, and the Spark-style not-found row
+    val one = spark.sql(s"SHOW TBLPROPERTIES '$dir' ('team')").collect()
+    assert(one.length == 1 && one(0).getString(1) == "graft")
+    val miss = spark.sql(s"SHOW TBLPROPERTIES '$dir' ('nope')").collect()
+    assert(miss(0).getString(1).contains("does not have property"))
+    // non-graft tables keep Spark's native statement
+    spark.sql("CREATE TABLE graft_maint_props (v LONG) USING parquet TBLPROPERTIES ('x'='1')")
+    try {
+      val native = spark.sql("SHOW TBLPROPERTIES graft_maint_props")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(native.get("x").contains("1"), s"got $native")
+    } finally spark.sql("DROP TABLE graft_maint_props")
+  }
+
+  test("ALTER verbs on non-graft tables fall through to Spark") {
+    // the regex interceptions (ADD COLUMNS, RENAME/DROP COLUMN,
+    // constraints, defaults, TYPE, TBLPROPERTIES) are guarded by
+    // provider — a parquet table must reach Spark's own ALTER handling,
+    // not die in resolvePath with "not a graftdelta table"
+    spark.sql("CREATE TABLE graft_maint_alter (v LONG) USING parquet")
+    try {
+      spark.sql("ALTER TABLE graft_maint_alter ADD COLUMNS (w STRING)")
+      assert(spark.table("graft_maint_alter").schema.fieldNames
+        .contains("w"))
+      spark.sql("ALTER TABLE graft_maint_alter SET TBLPROPERTIES ('k'='v')")
+      // verbs parquet tables don't support surface SPARK's error (the
+      // statement routed to Spark, not our resolvePath failure)
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE graft_maint_alter RENAME COLUMN v TO q"))
+      assert(!e.getMessage.contains("not a graftdelta table"), e.getMessage)
+    } finally spark.sql("DROP TABLE graft_maint_alter")
+  }
+
   test("ordinary SQL still parses through Spark's parser") {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed -> Spark's error
