@@ -339,7 +339,8 @@ object Checkpoints {
     * manifest by name pattern, exactly how foreign v2 checkpoints are
     * discovered on read ([[findV2Manifest]]). */
   private def writeV2(spark: SparkSession, fs: FileSystem, logPath: Path,
-      snap: Snapshot, maxActionsPerPart: Int): Unit = {
+      snap: Snapshot, maxActionsPerPart: Int,
+      addsDs: Option[(org.apache.spark.sql.Dataset[AddFile], Long)] = None): Unit = {
     import spark.implicits._
     val meta = snap.metadata
     def cpAdd(a: AddFile): CpAdd =
@@ -352,11 +353,17 @@ object Checkpoints {
         tags = a.tags)
     val sidecarsDir = new Path(logPath, "_sidecars")
     fs.mkdirs(sidecarsDir)
+    val addCount: Long = addsDs.map(_._2).getOrElse(snap.files.size.toLong)
+    val sidecarRows: org.apache.spark.sql.Dataset[CpSidecarFileRow] = addsDs match {
+      case Some((ds, _)) => ds.map(a => CpSidecarFileRow(Some(cpAdd(a)), None))
+      case None =>
+        spark.createDataset(snap.files.map(a => CpSidecarFileRow(Some(cpAdd(a)), None)))
+    }
     val wantedParts = math.max(1,
-      math.ceil(snap.files.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
+      math.ceil(addCount.toDouble / math.max(1, maxActionsPerPart)).toInt)
     val tmp = new Path(logPath, s".cp-v2-tmp-${UUID.randomUUID()}")
     val sidecarRefs = try {
-      spark.createDataset(snap.files.map(a => CpSidecarFileRow(Some(cpAdd(a)), None)))
+      sidecarRows
         .repartition(wantedParts)
         .write.mode("overwrite").parquet(tmp.toString)
       val partFiles = fs.listStatus(tmp).map(_.getPath)
@@ -406,7 +413,7 @@ object Checkpoints {
     // delta-spark's LastCheckpointInfo counts a v2 checkpoint), so they
     // are included alongside protocol + metaData + txns + domains + the
     // sidecar-resident file actions.
-    val actionCount = manifestRows.size + snap.files.size
+    val actionCount = manifestRows.size + addCount
     val pointer = s"""{"version":${snap.version},"size":$actionCount}"""
     val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
     val out = fs.create(ptrTmp, false)
@@ -504,19 +511,40 @@ object Checkpoints {
     * hotspot, whereas parts load in parallel. Part membership is
     * round-robin: checkpoint replay is order-insensitive (adds only, no
     * tombstones), so any row→part assignment is valid per the spec. */
+  /** Write a checkpoint. `addsDs` (adds dataset + count) is the
+    * metadata-plane form: the add rows stream from executors (sourced
+    * from the PREVIOUS checkpoint's parquet plus the JSON tail,
+    * [[graft.delta.DeltaLog.activeAdds]]) and `snap` carries only the
+    * file-free state — a million-file checkpoint write never
+    * materializes its add list on the driver. Without it, `snap.files`
+    * is the source as before. */
   def write(spark: SparkSession, fs: FileSystem, logPath: Path, snap: Snapshot,
-      maxActionsPerPart: Int = 1000000): Unit = {
+      maxActionsPerPart: Int = 1000000,
+      addsDs: Option[(org.apache.spark.sql.Dataset[AddFile], Long)] = None): Unit = {
     import spark.implicits._
     // `delta.checkpointPolicy=v2` tables get the V2 Checkpoint layout
     // (UUID-named manifest + `_delta_log/_sidecars/` shards) — a table
     // whose policy requires v2 can now be maintained END-TO-END by this
     // engine, not just read. Everything else keeps the classic form.
     if (snap.metadata.configuration.get("delta.checkpointPolicy").contains("v2")) {
-      writeV2(spark, fs, logPath, snap, maxActionsPerPart)
+      writeV2(spark, fs, logPath, snap, maxActionsPerPart, addsDs)
       return
     }
     val meta = snap.metadata
-    val rows =
+    def cpRowOf(a: AddFile): CpRow =
+      // the DV descriptor rides along — a checkpoint that dropped it
+      // would resurrect the masked rows for every future reader
+      CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
+        dataChange = false, stats = a.stats,
+        deletionVector = a.deletionVector.map(d =>
+          CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+        // row-tracking block: a checkpoint that dropped it would hand
+        // every row a DIFFERENT id on the next replay
+        baseRowId = a.baseRowId,
+        defaultRowCommitVersion = a.defaultRowCommitVersion,
+        tags = a.tags)),
+        None)
+    val nonAddRows =
       // feature lists round-trip: a benign-featured foreign table must
       // not lose its protocol detail in OUR checkpoint (a version-only
       // CpProtocol would turn it unreadable on the next checkpoint replay)
@@ -535,26 +563,19 @@ object Checkpoints {
       snap.domains.toSeq.sortBy(_._1).map { case (_, d) =>
         CpRow(None, None, None, None,
           Some(CpDomain(d.domain, d.configuration, d.removed)))
-      } ++
-      snap.files.map(a =>
-        // the DV descriptor rides along — a checkpoint that dropped it
-        // would resurrect the masked rows for every future reader
-        CpRow(None, None, Some(CpAdd(a.path, a.partitionValues, a.size, a.modificationTime,
-          dataChange = false, stats = a.stats,
-          deletionVector = a.deletionVector.map(d =>
-            CpDv(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
-          // row-tracking block: a checkpoint that dropped it would hand
-          // every row a DIFFERENT id on the next replay
-          baseRowId = a.baseRowId,
-          defaultRowCommitVersion = a.defaultRowCommitVersion,
-          tags = a.tags)),
-          None)))
+      })
+    val addCount: Long = addsDs.map(_._2).getOrElse(snap.files.size.toLong)
+    val addRows: org.apache.spark.sql.Dataset[CpRow] = addsDs match {
+      case Some((ds, _)) => ds.map(cpRowOf)
+      case None => spark.createDataset(snap.files.map(cpRowOf))
+    }
+    val totalRows = nonAddRows.size + addCount
     val wantedParts = math.max(1,
-      math.ceil(rows.size.toDouble / math.max(1, maxActionsPerPart)).toInt)
+      math.ceil(totalRows.toDouble / math.max(1, maxActionsPerPart)).toInt)
     val tmp = new Path(logPath, s".cp-tmp-${UUID.randomUUID()}")
     var writtenParts = 1
     try {
-      spark.createDataset(rows).repartition(wantedParts)
+      spark.createDataset(nonAddRows).union(addRows).repartition(wantedParts)
         .write.mode("overwrite").parquet(tmp.toString)
       // Empty shuffle partitions may emit no file — number whatever
       // materialized (sorted for determinism) and record THAT count.
@@ -584,8 +605,8 @@ object Checkpoints {
     // stores without atomic rename the advisory-read fallback above
     // still keeps readers correct.
     val pointer =
-      if (wantedParts == 1) s"""{"version":${snap.version},"size":${rows.size}}"""
-      else s"""{"version":${snap.version},"size":${rows.size},"parts":$writtenParts}"""
+      if (wantedParts == 1) s"""{"version":${snap.version},"size":$totalRows}"""
+      else s"""{"version":${snap.version},"size":$totalRows,"parts":$writtenParts}"""
     val ptrTmp = new Path(logPath, s"._last_checkpoint.tmp-${UUID.randomUUID()}")
     val out = fs.create(ptrTmp, false)
     try out.write(pointer.getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -1143,9 +1143,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * delta-spark's knob), when a SparkSession is attached. Failure to
     * checkpoint never fails the commit — the JSON log remains the
     * source of truth. */
-  private def maybeCheckpoint(version: Long): Unit = {
-    val interval = cachedSnapshot
-      .flatMap(_.metadata.configuration.get("delta.checkpointInterval"))
+  private def maybeCheckpoint(version: Long,
+      metaOpt: Option[Metadata] = None): Unit = {
+    // config from the committing transaction's own view (the commit
+    // probe's metadata, or the commit's Metadata action) — never a
+    // snapshot() materialization just to read an interval property
+    val cfg = metaOpt.orElse(cachedSnapshot.map(_.metadata)).map(_.configuration)
+    val interval = cfg
+      .flatMap(_.get("delta.checkpointInterval"))
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .getOrElse(checkpointInterval)
     if (sparkOpt.nonEmpty && interval > 0 &&
@@ -1157,7 +1162,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         // log directory stays O(retention window), not O(table
         // lifetime). Opt out with delta.enableExpiredLogCleanup=false;
         // the 30-day default retention makes it a no-op on young logs.
-        if (!snapshot().metadata.configuration
+        if (!cfg.orElse(Some(snapshot().metadata.configuration)).get
             .get("delta.enableExpiredLogCleanup").exists(_.toBoolean == false))
           cleanupExpiredLogs()
       } catch {
@@ -1172,9 +1177,20 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   def checkpoint(): Long = {
     val s = sparkOpt.getOrElse(sys.error(
       s"writing a checkpoint for $tableUri requires DeltaLog.forTable(spark, uri)"))
-    val snap = snapshot()
-    Checkpoints.write(s, fs, logPath, snap, checkpointPartSize)
-    snap.version
+    // checkpoint-seeded uncached logs WRITE the next checkpoint from the
+    // previous one's parquet + the JSON tail, streamed through executors
+    // (activeAdds) — the full metadata plane (plan, DML, vacuum, FSCK,
+    // commit probe, AND checkpointing) never materializes a
+    // million-file add list driver-side
+    val aa = activeAdds()
+    aa.materialized match {
+      case Some(files) =>
+        Checkpoints.write(s, fs, logPath, aa.bare.copy(files = files), checkpointPartSize)
+      case None =>
+        Checkpoints.write(s, fs, logPath, aa.bare, checkpointPartSize,
+          addsDs = Some((aa.ds, aa.ds.count())))
+    }
+    aa.bare.version
   }
 
   /** Version-0 commit for a fresh table. The schema is persisted

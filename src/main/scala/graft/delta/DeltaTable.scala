@@ -51,18 +51,27 @@ object DeltaTable {
       }
     }
 
-  /** The write-side twin of [[idReadSession]]: mapped staging writes
-    * run against a clone carrying the field-id WRITE flag, so the
-    * caller's session conf is never mutated (a set+restore would race
-    * concurrent writes on the same session). Same weak-value discipline. */
-  private val fieldIdWriteSessions =
-    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[SparkSession]]()
-  private def fieldIdWriteSession(spark: SparkSession): SparkSession =
-    fieldIdWriteSessions.synchronized {
-      Option(fieldIdWriteSessions.get(spark)).flatMap(r => Option(r.get)).getOrElse {
-        val s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark,
-          Map("spark.sql.parquet.fieldId.write.enabled" -> "true"))
-        fieldIdWriteSessions.put(spark, new java.lang.ref.WeakReference(s))
+  /** The write-side twin of [[idReadSession]]: staging writes that need
+    * a session-level SQL conf (the field-id WRITE flag on mapped
+    * tables, the variant-shredding writer flags) run against a clone
+    * carrying exactly those confs, so the caller's session conf is
+    * never mutated (a set+restore would race concurrent writes on the
+    * same session). Memoized per (session, conf set), weak-value
+    * discipline as [[idReadSession]]. */
+  private val writeSessions = new java.util.WeakHashMap[SparkSession,
+    java.util.HashMap[Map[String, String], java.lang.ref.WeakReference[SparkSession]]]()
+  private def writeSession(spark: SparkSession,
+      confs: Map[String, String]): SparkSession =
+    writeSessions.synchronized {
+      val byConf = Option(writeSessions.get(spark)).getOrElse {
+        val m = new java.util.HashMap[Map[String, String],
+          java.lang.ref.WeakReference[SparkSession]]()
+        writeSessions.put(spark, m)
+        m
+      }
+      Option(byConf.get(confs)).flatMap(r => Option(r.get)).getOrElse {
+        val s = org.apache.spark.sql.graft.GraftShims.cloneSessionWithConf(spark, confs)
+        byConf.put(confs, new java.lang.ref.WeakReference(s))
         s
       }
     }
@@ -372,11 +381,32 @@ object DeltaTable {
     try {
       // mapped writes must stamp parquet.field.id into the footers: run
       // the write against the field-id-write clone (the resolved plan is
-      // re-bound to it), never by mutating the caller's session conf
+      // re-bound to it), never by mutating the caller's session conf.
+      // VARIANT columns pick their physical layout the same scoped way,
+      // and in BOTH directions: Spark 4 shreds variant by default, but a
+      // physically-shredded file in a table whose protocol does NOT
+      // carry `variantShredding` is a spec violation (readers opt into
+      // the typed_value layout by feature), so writes to a non-shredding
+      // table force writeShredding OFF; `delta.enableVariantShredding`
+      // tables force it ON (typed_value subcolumns per the spec — what
+      // delta-spark preview channels write).
+      val hasVariant =
+        wdf.schema.fields.exists(f => schemaFeatures(f.dataType).contains("variantType"))
+      val wantShred = hasVariant && snap.exists(_.metadata.configuration
+        .get("delta.enableVariantShredding").exists(_.toBoolean))
+      val writeConfs: Map[String, String] =
+        (if (mapped) Map("spark.sql.parquet.fieldId.write.enabled" -> "true")
+         else Map.empty[String, String]) ++
+        (if (wantShred) Map(
+          "spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.inferShreddingSchema" -> "true")
+         else if (hasVariant) Map(
+          "spark.sql.variant.writeShredding.enabled" -> "false")
+         else Map.empty[String, String])
       val toWrite =
-        if (!mapped) wdf
+        if (writeConfs.isEmpty) wdf
         else org.apache.spark.sql.graft.GraftShims.ofRows(
-          fieldIdWriteSession(spark), wdf.queryExecution.analyzed)
+          writeSession(spark, writeConfs), wdf.queryExecution.analyzed)
       var w = toWrite.write.mode("overwrite")
       maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
       if (wparts.nonEmpty) w = w.partitionBy(wparts: _*)
@@ -1888,6 +1918,36 @@ object DeltaTable {
     ()
   }
 
+  /** Enable variant shredding (`delta.enableVariantShredding=true` +
+    * the `variantShredding-preview` reader-writer feature, the name
+    * delta-spark preview channels stamp; `variantType` co-stamped —
+    * shredding without variant columns is meaningless): from then on,
+    * staged writes of VARIANT columns produce `typed_value` subcolumns
+    * per the variantShredding spec ([[stageWrite]]'s shredding rebind).
+    * Shredding is OPTIONAL per file, so pre-enable unshredded files
+    * stay legal, exactly as the spec allows. Idempotent. */
+  def enableVariantShredding(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val p = snap.protocol
+    if (snap.metadata.configuration.get("delta.enableVariantShredding")
+        .exists(_.toBoolean) &&
+        p.writerFeatures.exists(_.exists(_.startsWith("variantShredding")))) return
+    val add = Set("variantType", "variantShredding-preview")
+    val readerF = legacyReaderFeatures(snap) ++
+      (if (p.minReaderVersion >= 3) p.readerFeatures.getOrElse(Set.empty)
+       else Set.empty[String]) ++ add
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else legacyWriterFeatures(snap)) ++ add
+    log.commitDml(snap.version, Seq(
+      Protocol(3, 7, Some(readerF), Some(writerF)),
+      snap.metadata.copy(configuration =
+        snap.metadata.configuration + ("delta.enableVariantShredding" -> "true")),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        Map("delta.enableVariantShredding" -> "true"))))
+    ()
+  }
+
   /** `ALTER TABLE … ALTER COLUMN col TYPE newType` — a METADATA-ONLY
     * widening: no file is rewritten; pre-widening files keep their
     * narrow physical types and every scan promotes them natively (the
@@ -2189,6 +2249,13 @@ object DeltaTable {
     if (props.get(TwProp).exists(_.toBoolean)) {
       enableTypeWidening(spark, tableUri)
       val rest = props - TwProp
+      if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+      return
+    }
+    val VsProp = "delta.enableVariantShredding"
+    if (props.get(VsProp).exists(_.toBoolean)) {
+      enableVariantShredding(spark, tableUri)
+      val rest = props - VsProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
     }
