@@ -279,15 +279,51 @@ object Checkpoints {
       return (inlineNonAdd, spark.createDataset(inlineAdds))
     val df = spark.read.parquet(addFiles.map(_.toString): _*)
     val hasAdd = df.schema.fieldNames.contains("add")
-    val parquetNonAdd =
-      (if (hasAdd) df.where(org.apache.spark.sql.functions.col("add").isNull) else df)
-        .collect().toSeq.flatMap(parseRow)
+    val parquetNonAdd = collectNonFileRows(df)
     val addsDs =
       if (!hasAdd) spark.createDataset(Seq.empty[AddFile])
       else df.where(org.apache.spark.sql.functions.col("add").isNotNull)
         .mapPartitions(rows => rows.flatMap(parseRow).collect { case a: AddFile => a })
     (inlineNonAdd ++ parquetNonAdd,
       if (inlineAdds.isEmpty) addsDs else spark.createDataset(inlineAdds).union(addsDs))
+  }
+
+  /** Top-level checkpoint columns that carry non-FILE state. `add` and
+    * `remove` are deliberately absent: remove rows in a checkpoint are
+    * pure vacuum-grace tombstones (the checkpoint's add set is already
+    * the complete active state), and on a high-churn foreign table they
+    * are O(churn) — collecting them driver-side would quietly degrade
+    * the "driver never materializes the checkpoint's file list"
+    * guarantee to O(tombstones). */
+  private val NonFileCols = Seq("protocol", "metaData", "txn", "domainMetadata")
+
+  /** Collect a checkpoint dataframe's non-FILE rows driver-side with
+    * the file-action columns pruned at the parquet reader and the
+    * remove tombstones filtered in executors — the collect ships only
+    * the O(1) protocol/metaData/txn/domainMetadata rows. */
+  private def collectNonFileRows(df: org.apache.spark.sql.DataFrame): Seq[Action] = {
+    import org.apache.spark.sql.functions.col
+    val cols = NonFileCols.filter(df.schema.fieldNames.contains)
+    if (cols.isEmpty) Nil
+    else df.select(cols.map(col): _*)
+      .where(cols.map(c => col(c).isNotNull).reduce(_ || _))
+      .collect().toSeq.flatMap(parseRow)
+  }
+
+  /** The checkpoint's non-FILE actions ONLY, as cheaply as the layout
+    * allows: a v2 checkpoint reads just the manifest (the spec keeps
+    * all non-file actions there — no sidecar is opened), and a v1
+    * checkpoint reads the parquet with the `add`/`remove` columns
+    * pruned away. The primitive behind the commit chokepoint's
+    * pure-append path — stamping writer features onto an append to a
+    * million-file table must not touch the million add rows at all. */
+  def nonAddActions(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint): Seq[Action] = {
+    val (inline, addFiles) = layout(spark, fs, logPath, cp)
+    val inlineNonAdd = inline.filterNot(a =>
+      a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
+    if (inline.nonEmpty || addFiles.isEmpty) return inlineNonAdd
+    collectNonFileRows(spark.read.parquet(addFiles.map(_.toString): _*))
   }
 
   /** Distributed scan-planning read of a checkpoint: the `add` rows are
@@ -311,9 +347,7 @@ object Checkpoints {
     }
     val df = spark.read.parquet(addFiles.map(_.toString): _*)
     val hasAdd = df.schema.fieldNames.contains("add")
-    val parquetNonAdd =
-      (if (hasAdd) df.where(org.apache.spark.sql.functions.col("add").isNull) else df)
-        .collect().toSeq.flatMap(parseRow)
+    val parquetNonAdd = collectNonFileRows(df)
     val nonAdd = inlineNonAdd ++ parquetNonAdd
     val prune = mkPrune(nonAdd)
     val prunedAdds: Seq[AddFile] =

@@ -533,6 +533,26 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       return materialized()
     val (nonAdd, cpAdds) = Checkpoints.addsDataset(spark, fs, logPath, cp.get)
     val tailActions = tail.flatMap(actionsAt)
+    val (bare, tailAddSeq, shadowed) =
+      replayBare(cp.get.version, latestJson, nonAdd, tailActions)
+    val cpLive =
+      if (shadowed.isEmpty) cpAdds
+      else cpAdds.filter(f => !shadowed.contains(f.reconcileKey))
+    val ds =
+      if (tailAddSeq.isEmpty) cpLive
+      else cpLive.union(spark.createDataset(tailAddSeq))
+    ActiveAdds(bare, ds, None)
+  }
+
+  /** Replay the non-FILE state (metadata/protocol/txns/domains) plus
+    * the JSON tail's own file effects over a checkpoint's non-add
+    * actions — the O(recent commits) driver-side piece shared by
+    * [[activeAdds]] and the pure-append commit probe ([[bareState]]).
+    * Returns (file-free snapshot, the tail's surviving adds, the
+    * shadowed reconcile-key set the tail imposes on the checkpoint
+    * base — removes + re-adds, tail state wins). */
+  private def replayBare(cpVersion: Long, latestJson: Long, nonAdd: Seq[Action],
+      tailActions: Seq[Action]): (Snapshot, Seq[AddFile], Set[String]) = {
     var metadata = nonAdd.collect { case m: Metadata => m }.lastOption
     var protocol = nonAdd.collect { case p: Protocol => p }.lastOption
     val txns = mutable.Map.empty[String, Long]
@@ -544,9 +564,6 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         if (d.removed) domains.remove(d.domain) else domains(d.domain) = d
       case _ => ()
     }
-    // replay the tail over ITSELF on the driver; its effect on the
-    // checkpoint base is a shadowed-key set (removes + re-adds — tail
-    // state wins over the checkpoint's row for the same key)
     val tailAdds = mutable.LinkedHashMap.empty[String, AddFile]
     val removed = mutable.Set.empty[String]
     tailActions.foreach {
@@ -564,21 +581,49 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val proto = protocol.getOrElse(Protocol())
     checkReadable(meta, Some(proto))
     val bare = Snapshot(
-      version = math.max(cp.get.version, latestJson),
+      version = math.max(cpVersion, latestJson),
       metadata = meta,
       schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType],
       files = Nil,
       protocol = proto,
       txns = txns.toMap,
       domains = domains.toMap)
-    val shadowed: Set[String] = (removed ++ tailAdds.keySet).toSet
-    val cpLive =
-      if (shadowed.isEmpty) cpAdds
-      else cpAdds.filter(f => !shadowed.contains(f.reconcileKey))
-    val ds =
-      if (tailAdds.isEmpty) cpLive
-      else cpLive.union(spark.createDataset(tailAdds.values.toSeq))
-    ActiveAdds(bare, ds, None)
+    (bare, tailAdds.values.toSeq, (removed ++ tailAdds.keySet).toSet)
+  }
+
+  /** Memoized non-file actions of checkpoint version N — keyed by the
+    * checkpoint version, so writing a NEW checkpoint self-invalidates:
+    * a run of commits against a big uncached log pays the checkpoint's
+    * non-file read once and then replays only the JSON tail. */
+  private var cachedCpNonAdd: Option[(Long, Seq[Action])] = None
+
+  /** The current FILE-FREE snapshot state (metadata, protocol, version,
+    * txns, domains; `files = Nil`) without ever touching the add rows:
+    * a v2 checkpoint reads only its manifest, a v1 checkpoint reads
+    * only the non-file parquet columns
+    * ([[Checkpoints.nonAddActions]]), both memoized per checkpoint
+    * version. Falls back to a snapshot() materialization only on log
+    * shapes where [[activeAdds]] would materialize anyway. */
+  private def bareState(): Snapshot = {
+    val spark = sparkOpt.getOrElse(return snapshot().copy(files = Nil))
+    val json = listVersions()
+    val latestJson = json.lastOption.getOrElse(-1L)
+    if (cachedSnapshot.nonEmpty) return snapshot().copy(files = Nil)
+    val cp = lastCheckpoint().orElse {
+      if (json.headOption.contains(0L)) None
+      else listCheckpointVersions().lastOption
+    }
+    val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
+    val contiguous = cp.nonEmpty && tail == ((cp.get.version + 1) to latestJson)
+    if (cp.isEmpty || !contiguous) return snapshot().copy(files = Nil)
+    val nonAdd = cachedCpNonAdd match {
+      case Some((v, acts)) if v == cp.get.version => acts
+      case _ =>
+        val acts = Checkpoints.nonAddActions(spark, fs, logPath, cp.get)
+        cachedCpNonAdd = Some((cp.get.version, acts))
+        acts
+    }
+    replayBare(cp.get.version, latestJson, nonAdd, tail.flatMap(actionsAt))._1
   }
 
   /** Delete data files that are no longer referenced by the CURRENT
@@ -633,9 +678,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         !topSeg.startsWith("_") && !topSeg.startsWith(".") &&
         !name.startsWith(".") && (!name.startsWith("_") || isDvSidecar)
     }
+    // knownCount None means activeAdds ALREADY chose the dataset path
+    // because the checkpoint pointer says the table is big (or size is
+    // unknown) — default straight to distributed rather than paying a
+    // full count() scan just to pick the branch the threshold already
+    // picked
     val useDistributed = distributed.getOrElse(
-      acts.knownCount.getOrElse(acts.ds.count()) >=
-        DeltaLog.DistributedVacuumThreshold) && sparkOpt.nonEmpty
+      acts.knownCount.forall(_ >= DeltaLog.DistributedVacuumThreshold)) &&
+      sparkOpt.nonEmpty
     if (!useDistributed) {
       // the serial path holds the active set driver-side — it only runs
       // below the threshold (or when explicitly forced)
@@ -1069,15 +1119,20 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       lastCheckpoint().exists(c =>
         c.size < 0 || c.size >= DeltaLog.DistributedVacuumThreshold)
     if (!big) return restrict(snapshot())
+    // pure append: everything the chokepoint keys by file (the DV
+    // invariant, row-ID preservation) keys by the commit's OWN remove
+    // paths — empty here — so the bare state suffices. No checkpoint
+    // add row is read, and the non-file state is memoized per
+    // checkpoint version: a run of appends costs zero Spark jobs after
+    // the first.
+    if (removePaths.isEmpty) return bareState()
     val aa = activeAdds()
     aa.materialized match {
       case Some(files) =>
         aa.bare.copy(files = files.filter(f => removePaths.contains(f.path)))
       case None =>
-        val sel =
-          if (removePaths.isEmpty) Nil
-          else aa.ds.filter(f => removePaths.contains(f.path)).collect().toSeq
-        aa.bare.copy(files = sel)
+        aa.bare.copy(files =
+          aa.ds.filter(f => removePaths.contains(f.path)).collect().toSeq)
     }
   }
 
@@ -1102,7 +1157,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     } finally {
       fs.delete(tmp, false)
     }
-    maybeCheckpoint(expectedVersion)
+    // hand the committed view's metadata down so the checkpoint policy
+    // (interval property, expired-log-cleanup opt-out) never needs a
+    // snapshot() materialization just to read a config value — on a big
+    // uncached log that would re-introduce the O(table) driver
+    // materialization the commit probe above avoids
+    maybeCheckpoint(expectedVersion,
+      actions.collectFirst { case m: Metadata => m }
+        .orElse(snapOpt.map(_.metadata)))
     expectedVersion
   }
 

@@ -129,8 +129,13 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     val thePlan: RewritePlan =
       try plan(cfg)
       catch {
+        // user-error rejections must survive the dry-run tolerance — a
+        // dry run should PREDICT the real run's refusal (missing sort
+        // columns, a predicate over non-partition columns), not mask it
+        // as nothing-to-do
         case e: IllegalArgumentException if e.getMessage != null &&
-            e.getMessage.startsWith("missing sort columns") => throw e
+            (e.getMessage.startsWith("missing sort columns") ||
+             e.getMessage.contains("partition columns only")) => throw e
         case e: Exception if cfg.dryRun =>
           logWarning(s"dry-run: planning failed, tolerated: ${e.getMessage}")
           return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)

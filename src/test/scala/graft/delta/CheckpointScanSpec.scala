@@ -20,19 +20,37 @@ class CheckpointScanSpec extends AnyFunSuite {
 
   /** A table whose checkpoint carries N fabricated adds, each claiming
     * a disjoint id range [i*10, i*10+9] in its stats. Planning never
-    * opens data files, so none need to exist. The seeding JSON commit
-    * is deleted after checkpointing to force checkpoint-based replay. */
+    * opens data files, so none need to exist. The checkpoint parquet is
+    * FABRICATED with a distributed write (the add rows are generated
+    * inside executors from a `spark.range`, exactly how a foreign
+    * writer at this scale would have produced it) — routing the adds
+    * through `create()` + `checkpoint()` would ship the whole list in
+    * driver task closures and bury the suite in "task of very large
+    * size" warnings that could mask a real product-side closure leak. */
   private def fixture(): String = {
     val dir = TestSpark.tmpDir("cp-scan")
-    val adds = (0 until N).map { i =>
-      AddFile(f"part-$i%06d.parquet", Map.empty, 100L, 1L, dataChange = true,
-        stats = Some(s"""{"numRecords":10,"minValues":{"id":${i * 10L}},""" +
-          s""""maxValues":{"id":${i * 10L + 9}},"nullCount":{"id":0}}"""))
-    }
-    val log = DeltaLog.forTable(spark, dir)
-    log.create(schema, Nil, adds)
-    log.checkpoint()
-    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    import spark.implicits._
+    val metaRow = CheckpointScanSpec.CpRow(None,
+      Some(CheckpointScanSpec.CpMeta("cp-scan-fixture", schema.json, Nil, Map.empty)),
+      None)
+    val protoRow = CheckpointScanSpec.CpRow(None, None,
+      Some(CheckpointScanSpec.CpProto(1, 2)))
+    val rows = spark.range(N).map(i =>
+        CheckpointScanSpec.CpRow(Some(CheckpointScanSpec.CpAdd(
+          f"part-$i%06d.parquet", Map.empty[String, String], 100L, 1L, true,
+          s"""{"numRecords":10,"minValues":{"id":${i * 10L}},""" +
+            s""""maxValues":{"id":${i * 10L + 9}},"nullCount":{"id":0}}""")),
+          None, None))
+      .union(Seq(metaRow, protoRow).toDS())
+    val logDir = Paths.get(dir, "_delta_log")
+    val staging = TestSpark.tmpDir("cp-scan-staging")
+    rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(logDir)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":0,"size":${N + 2}}""".getBytes("UTF-8"))
     DeltaLog.invalidate(dir)
     dir
   }
@@ -139,6 +157,22 @@ class CheckpointScanSpec extends AnyFunSuite {
       distributed = Some(false)).isEmpty)
   }
 
+  test("a pure append commits against the bare state: no materialization") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    log.commit(1L, Seq(
+      AddFile("appended.parquet", Map.empty, 100L, 5L, dataChange = true,
+        stats = Some("""{"numRecords":1,"minValues":{"id":-1},""" +
+          """"maxValues":{"id":-1},"nullCount":{"id":0}}""")),
+      CommitInfo(5L, "WRITE", Map.empty)))
+    assert(!log.hasCachedSnapshot,
+      "an append to a big uncached log must stamp from the bare state, " +
+        "never a materialized snapshot")
+    val snap = log.snapshot()
+    assert(snap.version == 1L && snap.files.size == N + 1)
+  }
+
   test("scanSnapshot equals materialized prune on a cached snapshot") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
@@ -149,4 +183,17 @@ class CheckpointScanSpec extends AnyFunSuite {
     val viaFull = DeltaTable.pruneFiles(full, full.files, parsed).map(_.path)
     assert(viaScan == viaFull && viaScan == Seq("part-077777.parquet"))
   }
+}
+
+/** Fabricated-checkpoint row shapes (top-level `add`/`metaData`/
+  * `protocol` columns, the v1 checkpoint layout) — top-level so Spark
+  * can derive Encoders without an outer-instance reference. */
+object CheckpointScanSpec {
+  case class CpAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean, stats: String)
+  case class CpMeta(id: String, schemaString: String,
+      partitionColumns: Seq[String], configuration: Map[String, String])
+  case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+  case class CpRow(add: Option[CpAdd], metaData: Option[CpMeta],
+      protocol: Option[CpProto])
 }

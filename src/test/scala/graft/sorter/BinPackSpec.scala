@@ -111,6 +111,13 @@ class BinPackSpec extends AnyFunSuite {
       .compact(SortConfig(sortColumns = Seq("k"), predicate = Some("p = 'a'"),
         repartitionBySortKey = true)))
     assert(e2.getMessage.contains("strict full-table"))
+    // dry-run must PREDICT the real run's refusal, not swallow it into
+    // a silent nothing-to-do (the blanket dry-run planning tolerance
+    // exempts user-error rejections)
+    val e3 = intercept[IllegalArgumentException](DeltaSorter(spark, dir)
+      .compact(SortConfig(sortColumns = Seq("k"), predicate = Some("k > 2"),
+        dryRun = true)))
+    assert(e3.getMessage.contains("partition columns only"))
   }
 
   test("SQL: OPTIMIZE t WHERE partition-predicate routes through") {
