@@ -213,7 +213,10 @@ final class GraftDeltaDataSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val opts = lower(parameters)
-    val table = DeltaLog.forTable(sqlContext.sparkSession, path(opts)).snapshot().schema
+    // schema needs no file list — stay on the file-free state so a
+    // stream over a big checkpoint-seeded table starts in O(1)
+    val table = DeltaLog.forTable(sqlContext.sparkSession, path(opts))
+      .fileFreeSnapshot().schema
     (shortName(), GraftDeltaSource.streamSchema(table,
       opts.get("readchangefeed").exists(_.toBoolean)))
   }
@@ -251,13 +254,24 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
   private[graft] def isTimeTravel: Boolean = versionAsOf.isDefined
 
   private val log = DeltaLog.forTable(spark, tableUri)
+  /** Big uncached logs stay UNMATERIALIZED at plan time: schema,
+    * protocol and version come from the file-free state
+    * ([[DeltaLog.fileFreeSnapshot]]) and the add list is enumerated
+    * per-scan, distributed and pruned by the PUSHED filters
+    * ([[DeltaLog.scanSnapshotStaged]]) — a `format("graftdelta")` read
+    * of a million-file checkpoint-seeded table plans in O(survivors)
+    * driver memory, like the library DML paths. Everything else pins a
+    * materialized snapshot at relation-construction time (all scans of
+    * one query see one version; repeated scans are a free driver-side
+    * filter). */
+  private val deferred = versionAsOf.isEmpty && log.isBigUncached
   private val snap = versionAsOf.map { v =>
     val s = log.snapshotAt(v)
     // fail at planning time with the clear "vacuumed" error, not a
     // FileNotFoundException deep inside a scan task
     graft.delta.DeltaTable.verifyNotVacuumed(spark, log, s, v)
     s
-  }.getOrElse(log.snapshot())
+  }.getOrElse(if (deferred) log.fileFreeSnapshot() else log.snapshot())
 
   override def sqlContext: SQLContext = spark.sqlContext
   // asNullable: pre-existing tables may have recorded nullable=false
@@ -268,7 +282,13 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     * scan's `toRdd` — no per-row external conversion. */
   override def needConversion: Boolean = false
 
-  override def sizeInBytes: Long = snap.files.map(_.size).sum
+  /** Deferred relations never enumerated the add list, so the honest
+    * answer is "big" (the session's default) — never 0, which would
+    * invite a broadcast of a table we specifically refused to
+    * materialize because it is huge. */
+  override def sizeInBytes: Long =
+    if (deferred) spark.sessionState.conf.defaultSizeInBytes
+    else snap.files.map(_.size).sum
 
   /** Every translatable filter is fully applied inside [[buildScan]]
     * (file pruning + inner scan), so only untranslatable ones need
@@ -279,16 +299,28 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val translated = filters.toSeq.flatMap(GraftDeltaRelation.toColumn)
+    val pushed = translated.reduceOption(_ && _)
     // file-list pruning: analyze the pushed conjunction against the
-    // table schema, then drop files whose stats PROVE no row matches
-    val kept = translated.reduceOption(_ && _)
-      .flatMap(p => DeltaTable.predicateExpr(spark, snap, p)) match {
-        // pruneFiles: column-mapped tables key stats by physical name
-        case Some(cond) => DeltaTable.pruneFiles(snap, snap.files, cond)
-        case None => snap.files
+    // table schema ONCE on the driver, then drop files whose stats
+    // PROVE no row matches. On a deferred (big uncached) relation the
+    // session-free pruning closure runs INSIDE executors over the
+    // checkpoint parquet and only survivors reach the driver.
+    val scanSnap =
+      if (deferred) log.scanSnapshotStaged { probe =>
+        pushed.flatMap(p => DeltaTable.predicateExpr(spark, probe, p)) match {
+          // pruneFiles: column-mapped tables key stats by physical name
+          case Some(cond) => files => DeltaTable.pruneFiles(probe, files, cond)
+          case None => files => files
+        }
       }
-    GraftDeltaRelation.lastScan = Some((snap.files.size, kept.size))
-    var df = DeltaTable.readFiles(spark, log, snap, kept)
+      else snap.copy(files =
+        pushed.flatMap(p => DeltaTable.predicateExpr(spark, snap, p)) match {
+          case Some(cond) => DeltaTable.pruneFiles(snap, snap.files, cond)
+          case None => snap.files
+        })
+    GraftDeltaRelation.lastScan =
+      Some((if (deferred) -1 else snap.files.size, scanSnap.files.size))
+    var df = DeltaTable.readFiles(spark, log, scanSnap, scanSnap.files)
     translated.foreach(c => df = df.where(c))
     val projected = df.select(requiredColumns.toSeq.map(col): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]

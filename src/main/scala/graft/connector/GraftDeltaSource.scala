@@ -75,7 +75,10 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     options: Map[String, String]) extends Source {
 
   private val log = DeltaLog.forTable(spark, tableUri)
-  private val schemaSnap = log.snapshot()
+  // file-free: the stream needs the table's schema/metadata/protocol at
+  // construction, never its add list — starting a stream on a big
+  // checkpoint-seeded table must not materialize a million AddFiles
+  private val schemaSnap = log.fileFreeSnapshot()
 
   private val maxFiles: Long =
     options.get("maxfilespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
@@ -88,66 +91,122 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   /** Furthest position handed out (getOffset) or replayed (getBatch). */
   private var cursor: Option[GraftDeltaOffset] = None
 
-  /** Memoized per-(version, mode) file lists — getOffset and getBatch
-    * both walk them; entries are small (one commit's adds) except the
-    * single initial-snapshot list. */
+  /** Memoized per-version tail file lists — getOffset and getBatch
+    * both walk them; entries are small (one commit's adds). */
   private val listCache =
-    new java.util.LinkedHashMap[(Long, Boolean), Seq[AddFile]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[Long, Seq[AddFile]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Boolean), Seq[AddFile]]): Boolean = size > 64
+          e: java.util.Map.Entry[Long, Seq[AddFile]]): Boolean = size > 64
     }
 
   override def schema: StructType =
     GraftDeltaSource.streamSchema(schemaSnap.schema, readChangeFeed)
 
-  private def fileList(version: Long, isInitial: Boolean): Seq[AddFile] = {
-    val key = (version, isInitial)
-    val cached = listCache.synchronized(listCache.get(key))
+  private def fileList(version: Long): Seq[AddFile] = {
+    val cached = listCache.synchronized(listCache.get(version))
     if (cached != null) return cached
-    val computed =
-      if (isInitial) log.snapshotAt(version).files.sortBy(_.path)
-      else {
-        val actions = log.actionsAt(version)
-        val adds = actions.collect { case a: AddFile if a.dataChange => a }
-        val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-        if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges)
-          throw new IllegalStateException(
-            s"graftdelta stream on $tableUri: version $version rewrites existing rows " +
-              "(UPDATE/MERGE); set ignoreChanges=true to re-emit the rewritten files")
-        if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"graftdelta stream on $tableUri: version $version deletes rows; " +
-              "set ignoreDeletes=true to skip delete-only commits")
-        adds
-      }
-    listCache.synchronized(listCache.put(key, computed))
-    computed
+    val actions = log.actionsAt(version)
+    val adds = actions.collect { case a: AddFile if a.dataChange => a }
+    val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+    if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graftdelta stream on $tableUri: version $version rewrites existing rows " +
+          "(UPDATE/MERGE); set ignoreChanges=true to re-emit the rewritten files")
+    if (removes.nonEmpty && adds.isEmpty && !ignoreDeletes)
+      throw new IllegalStateException(
+        s"graftdelta stream on $tableUri: version $version deletes rows; " +
+          "set ignoreDeletes=true to skip delete-only commits")
+    listCache.synchronized(listCache.put(version, adds))
+    adds
+  }
+
+  /** The initial snapshot's PATH-SORTED file list, as a count plus
+    * positional slices — the shape the offset walk needs. On a big
+    * uncached checkpoint-seeded log the list is NEVER materialized
+    * driver-side: the count and each batch's slice run as distributed
+    * jobs over the checkpoint parquet ([[DeltaLog.activeAdds]]), and
+    * only the batch's own files — bounded by `maxFilesPerTrigger` —
+    * reach the driver. Paths are unique within a snapshot, so the sort
+    * is a total order and a checkpointed offset replays identically. */
+  private sealed trait InitialList {
+    def size: Long
+    /** Files at positions `[from, to]` (inclusive, 0-based, path order). */
+    def slice(from: Long, to: Long): Seq[AddFile]
+  }
+  private final class SmallList(files: Seq[AddFile]) extends InitialList {
+    val size: Long = files.size.toLong
+    def slice(from: Long, to: Long): Seq[AddFile] =
+      files.slice(from.toInt, to.toInt + 1)
+  }
+  private final class BigList(ds: org.apache.spark.sql.Dataset[AddFile],
+      val size: Long) extends InitialList {
+    // sorted + position-indexed once, persisted across the initial
+    // batches (metadata rows only — spills to executor disk, never the
+    // driver); dropped with the source when the stream moves on
+    private lazy val indexed = ds.rdd.map(a => (a.path, a)).sortByKey()
+      .zipWithIndex().map { case ((_, a), i) => (i, a) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def slice(from: Long, to: Long): Seq[AddFile] =
+      indexed.filter { case (i, _) => i >= from && i <= to }
+        .collect().sortBy(_._1).map(_._2).toSeq
+  }
+  private var initialCache: Option[(Long, InitialList)] = None
+  private def initialList(version: Long): InitialList = {
+    initialCache match {
+      case Some((v, l)) if v == version => return l
+      case _ => ()
+    }
+    val big: Option[InitialList] =
+      if (log.isBigUncached) {
+        val aa = log.activeAdds()
+        // the distributed set reflects the CURRENT version; a racing
+        // commit between startPosition() and here falls back to the
+        // historical replay below
+        if (aa.bare.version == version) aa.materialized match {
+          case Some(files) => Some(new SmallList(files.sortBy(_.path)))
+          case None => Some(new BigList(aa.ds, aa.ds.count()))
+        } else None
+      } else None
+    val l = big.getOrElse(
+      new SmallList(log.snapshotAt(version).files.sortBy(_.path)))
+    initialCache = Some((version, l))
+    l
   }
 
   /** Where a brand-new stream starts (nothing consumed yet). */
   private def startPosition(): GraftDeltaOffset = startingVersion match {
     case Some(sv) => GraftDeltaOffset(sv, -1, isInitial = false)
-    case None => GraftDeltaOffset(log.snapshot().version, -1, isInitial = true)
+    case None => GraftDeltaOffset(log.latestVersion(), -1, isInitial = true)
   }
 
   /** Walk the log from `start` (exclusive) through at most `maxVersion`,
-    * collecting up to `cap` files, stopping exactly at `stop` when given.
-    * Returns the files and the position reached. */
+    * admitting up to `cap` files, stopping exactly at `stop` when given.
+    * Returns the files (empty when `want = false` — getOffset only needs
+    * the position, and fetching would run distributed slice jobs on the
+    * big path) and the position reached. */
   private def filesAfter(start: GraftDeltaOffset, maxVersion: Long, cap: Long,
-      stop: Option[GraftDeltaOffset]): (Seq[AddFile], GraftDeltaOffset) = {
+      stop: Option[GraftDeltaOffset], want: Boolean = true)
+      : (Seq[AddFile], GraftDeltaOffset) = {
     val out = mutable.ArrayBuffer.empty[AddFile]
+    var taken = 0L
     var v = start.version
     var initial = start.isInitial
     var idx = start.index
     var end = start
     var done = false
     while (!done && v <= maxVersion) {
-      val list = fileList(v, initial)
+      lazy val tailList = fileList(v)
+      val listSize: Long = if (initial) initialList(v).size else tailList.size.toLong
       val stopHere = stop.exists(s => s.version == v && s.isInitial == initial)
-      val hi: Long = if (stopHere) stop.get.index else list.size - 1L
-      while (idx < hi && out.size < cap) {
-        idx += 1
-        out += list(idx.toInt)
+      val hi: Long = if (stopHere) stop.get.index else listSize - 1L
+      val take = math.max(0L, math.min(hi - idx, cap - taken))
+      if (take > 0) {
+        if (want) {
+          if (initial) out ++= initialList(v).slice(idx + 1, idx + take)
+          else out ++= tailList.slice((idx + 1).toInt, (idx + take).toInt + 1)
+        }
+        idx += take
+        taken += take
       }
       end = GraftDeltaOffset(v, idx, initial)
       if (stopHere) done = true
@@ -156,7 +215,7 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
       // may be a delete/rewrite whose ignoreDeletes/ignoreChanges failure
       // must not swallow the batch already admitted under the cap; it
       // surfaces on the following trigger instead
-      else if (out.size >= cap) done = true
+      else if (taken >= cap) done = true
       else if (v == maxVersion) done = true
       else { v += 1; initial = false; idx = -1L }
     }
@@ -189,7 +248,7 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     val maxV =
       if (cursor.isEmpty && startingVersion.isEmpty) start.version
       else log.latestVersion()
-    val (_, end) = filesAfter(start, maxV, maxFiles, stop = None)
+    val (_, end) = filesAfter(start, maxV, maxFiles, stop = None, want = false)
     cursor = Some(end)
     Some(end)
   }

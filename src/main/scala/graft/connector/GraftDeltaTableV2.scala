@@ -76,9 +76,12 @@ final class GraftDeltaTableV2(
     else if (readChangeFeed)
       GraftDeltaSource.streamSchema(
         log.snapshotAt(options.get("endingversion").map(_.toLong)
-          .getOrElse(log.snapshot().version)).schema, changeFeed = true)
+          .getOrElse(log.latestVersion())).schema, changeFeed = true)
     else versionAsOf.map(v => log.snapshotAt(v).schema)
-      .getOrElse(log.snapshot().schema)) match {
+      // file-free: schema/partitioning/properties need the log's
+      // metadata, never its add list — DESCRIBE on a big
+      // checkpoint-seeded table must stay O(1) on the driver
+      .getOrElse(log.fileFreeSnapshot().schema)) match {
       case s => org.apache.spark.sql.graft.GraftShims.asNullable(s) // see DeltaLog.create
     }
 
@@ -86,7 +89,7 @@ final class GraftDeltaTableV2(
 
   override def partitioning(): Array[Transform] = {
     val cols =
-      if (log.tableExists) log.snapshot().metadata.partitionColumns
+      if (log.tableExists) log.fileFreeSnapshot().metadata.partitionColumns
       else userPartitioning
     cols.map(Expressions.identity).toArray
   }
@@ -99,7 +102,7 @@ final class GraftDeltaTableV2(
     * (they configured this very instance). */
   override def properties(): JMap[String, String] = {
     val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    if (log.tableExists) props ++= log.snapshot().metadata.configuration
+    if (log.tableExists) props ++= log.fileFreeSnapshot().metadata.configuration
     props ++= options
     props.asJava
   }
@@ -216,7 +219,7 @@ final class GraftWriteBuilder(
           val aligned =
             if (!log.tableExists) data
             else {
-              val tbl = log.snapshot().schema
+              val tbl = log.fileFreeSnapshot().schema
               val known = data.columns.forall(n =>
                 tbl.fieldNames.exists(_.equalsIgnoreCase(n)))
               val synthetic = data.columns.zipWithIndex.forall {

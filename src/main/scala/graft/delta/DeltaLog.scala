@@ -547,7 +547,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   /** Replay the non-FILE state (metadata/protocol/txns/domains) plus
     * the JSON tail's own file effects over a checkpoint's non-add
     * actions — the O(recent commits) driver-side piece shared by
-    * [[activeAdds]] and the pure-append commit probe ([[bareState]]).
+    * [[activeAdds]] and the pure-append commit probe
+    * ([[fileFreeSnapshot]]).
     * Returns (file-free snapshot, the tail's surviving adds, the
     * shadowed reconcile-key set the tail imposes on the checkpoint
     * base — removes + re-adds, tail state wins). */
@@ -604,7 +605,18 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * ([[Checkpoints.nonAddActions]]), both memoized per checkpoint
     * version. Falls back to a snapshot() materialization only on log
     * shapes where [[activeAdds]] would materialize anyway. */
-  private def bareState(): Snapshot = {
+  /** True when planning against this log should stay OFF the
+    * materialized path: no snapshot is cached and the checkpoint
+    * pointer says the add list is big (or its size is unknown).
+    * Consumers — connector scan planning, the streaming initial
+    * snapshot, the commit chokepoint — route through
+    * [[scanSnapshotStaged]] / [[activeAdds]] / [[fileFreeSnapshot]]
+    * instead of [[snapshot]]. */
+  def isBigUncached: Boolean = sparkOpt.nonEmpty && cachedSnapshot.isEmpty &&
+    lastCheckpoint().exists(c =>
+      c.size < 0 || c.size >= DeltaLog.DistributedVacuumThreshold)
+
+  def fileFreeSnapshot(): Snapshot = {
     val spark = sparkOpt.getOrElse(return snapshot().copy(files = Nil))
     val json = listVersions()
     val latestJson = json.lastOption.getOrElse(-1L)
@@ -1115,17 +1127,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   private def commitProbe(removePaths: Set[String]): Snapshot = {
     def restrict(s: Snapshot): Snapshot =
       s.copy(files = s.files.filter(f => removePaths.contains(f.path)))
-    val big = sparkOpt.nonEmpty && cachedSnapshot.isEmpty &&
-      lastCheckpoint().exists(c =>
-        c.size < 0 || c.size >= DeltaLog.DistributedVacuumThreshold)
-    if (!big) return restrict(snapshot())
+    if (!isBigUncached) return restrict(snapshot())
     // pure append: everything the chokepoint keys by file (the DV
     // invariant, row-ID preservation) keys by the commit's OWN remove
     // paths — empty here — so the bare state suffices. No checkpoint
     // add row is read, and the non-file state is memoized per
     // checkpoint version: a run of appends costs zero Spark jobs after
     // the first.
-    if (removePaths.isEmpty) return bareState()
+    if (removePaths.isEmpty) return fileFreeSnapshot()
     val aa = activeAdds()
     aa.materialized match {
       case Some(files) =>

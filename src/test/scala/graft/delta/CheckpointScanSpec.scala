@@ -173,6 +173,56 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(snap.version == 1L && snap.files.size == N + 1)
   }
 
+  test("connector batch read with a pushed filter plans distributed") {
+    val dir = fixture()
+    // the one surviving file must really exist — the scan reads it
+    import spark.implicits._
+    val staging = TestSpark.tmpDir("cp-scan-connfile")
+    (123450L to 123459L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "part-012345.parquet"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    graft.connector.GraftDeltaRelation.lastScan = None
+    val rows = spark.read.format("graftdelta").load(dir)
+      .where("id = 123456").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(123456L))
+    // pruning ran over the checkpoint parquet: one survivor, and the
+    // total was never enumerated (-1 = deferred), snapshot not cached
+    assert(graft.connector.GraftDeltaRelation.lastScan.contains((-1, 1)))
+    assert(!log.hasCachedSnapshot,
+      "a pushed-filter connector read must plan through scanSnapshotStaged")
+    // parity with the materialized path
+    val cached = log.snapshot()
+    assert(cached.files.size == N)
+    val again = spark.read.format("graftdelta").load(dir)
+      .where("id = 123456").collect()
+    assert(again.map(_.getLong(0)).toSeq == Seq(123456L))
+  }
+
+  test("stream start enumerates the initial snapshot without materializing") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val src = new graft.connector.GraftDeltaSource(spark, dir,
+      Map("maxfilespertrigger" -> "5"))
+    val off1 = src.getOffset.map(graft.connector.GraftDeltaOffset.convert).get
+    assert(off1 == graft.connector.GraftDeltaOffset(0L, 4L, isInitial = true))
+    val batch1 = src.filesForBatch(None, off1).map(_.path)
+    assert(batch1 == (0 until 5).map(i => f"part-$i%06d.parquet"))
+    val off2 = src.getOffset.map(graft.connector.GraftDeltaOffset.convert).get
+    val batch2 = src.filesForBatch(Some(off1), off2).map(_.path)
+    assert(batch2 == (5 until 10).map(i => f"part-$i%06d.parquet"))
+    assert(!log.hasCachedSnapshot,
+      "the streaming initial snapshot must enumerate via activeAdds, " +
+        "never a materialized snapshot")
+    // parity: the materialized path slices identically
+    val matFiles = log.snapshot().files.sortBy(_.path).map(_.path)
+    assert(matFiles.take(10) == batch1 ++ batch2)
+  }
+
   test("scanSnapshot equals materialized prune on a cached snapshot") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
