@@ -272,7 +272,9 @@ class SortOptimizer:
         window. Refuses a window below the table's
         delta.deletedFileRetentionDuration floor (default 7 days) unless
         ``force`` — an over-eager vacuum breaks concurrent readers and
-        time travel. Returns {'files_deleted': N}."""
+        time travel. Returns {'files_deleted': N, 'sample': [...]} where
+        ``sample`` holds at most 20 table-relative deleted paths (the
+        report stays bounded no matter how many files a vacuum drops)."""
         return json.loads(self._j.vacuum(int(retention_ms), bool(force)))
 
     def add_columns(self, cols_ddl: str) -> None:

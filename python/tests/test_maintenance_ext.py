@@ -98,11 +98,29 @@ def test_vacuum_enforces_retention_floor(spark, tmp_table):
     # sub-floor retention refused by default (delta's retentionDurationCheck)
     with pytest.raises(Exception, match="retention floor"):
         opt.vacuum(retention_ms=0)
-    assert opt.vacuum(retention_ms=0, force=True) == {"files_deleted": 1}
+    result = opt.vacuum(retention_ms=0, force=True)
+    assert result["files_deleted"] == 1
+    # the report carries a bounded sample of the deleted paths (<= 20)
+    assert len(result["sample"]) == 1
+    assert result["sample"][0].endswith(".parquet")
     # current state unaffected; the vacuumed version reads with a clear error
     assert len(read_pandas(spark, tmp_table)) == 1
     with pytest.raises(Exception, match="vacuumed"):
         opt.read_version(0).count()
+
+
+def test_vacuum_sample_is_bounded_on_multi_delete(spark, tmp_table):
+    # many unreferenced files -> the count is exact, the sample capped
+    import pyspark.sql.functions as F
+
+    df = spark.range(50).withColumn("k", F.col("id").cast("int")).select("k")
+    df.repartition(25).write.format("graftdelta").save(tmp_table)  # v0, 25 files
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.delete_where("k >= 0")  # v1: all of v0's files unreferenced
+    result = opt.vacuum(retention_ms=0, force=True)
+    assert result["files_deleted"] == 25
+    assert len(result["sample"]) == 20  # the 20-detail reporting cap
+    assert all(p.endswith(".parquet") for p in result["sample"])
 
 
 def test_add_columns_and_tbl_properties(spark, tmp_table):

@@ -267,12 +267,13 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     * window. `force = false` enforces the table's
     * delta.deletedFileRetentionDuration floor (default 7 days) —
     * delta-spark's retentionDurationCheck. Returns
-    * `{"files_deleted":N}`. */
-  def vacuum(retentionMs: Long, force: Boolean): String = {
-    val result = graft.delta.DeltaLog.forTable(spark, tableUri)
-      .vacuum(retentionMs, enforceRetentionDuration = !force)
-    s"""{"files_deleted":${result.filesDeleted}}"""
-  }
+    * `{"files_deleted":N,"sample":[...]}` — the sample is at most
+    * [[graft.delta.DeltaLog.VacuumSampleCap]] table-relative paths (the
+    * validator's 20-detail convention; a million-file vacuum must not
+    * ship a million path strings just for reporting). */
+  def vacuum(retentionMs: Long, force: Boolean): String =
+    graft.delta.DeltaLog.forTable(spark, tableUri)
+      .vacuum(retentionMs, enforceRetentionDuration = !force).json
 
   /** ALTER TABLE ADD COLUMNS: append nullable columns from a DDL string
     * (`"score DOUBLE, tag STRING"`) as a pure metadata commit. */

@@ -118,6 +118,14 @@ object Main {
         .vacuum(retentionMs = opts("vacuum").toLong,
           enforceRetentionDuration = !opts.contains("vacuum-force"))
       println(s"vacuum complete: ${result.filesDeleted} file(s) deleted")
+      // --metrics-json parity with the rewriting modes: count + the
+      // ≤20-path sample (never the full list — reporting stays bounded)
+      opts.get("metrics-json").foreach { p =>
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path,
+          result.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       return 0
     }
     if (opts.contains("bin-pack")) { // order-free: no sort columns needed

@@ -360,7 +360,8 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
     extends BaseRelation with TableScan {
 
   private val log = DeltaLog.forTable(spark, tableUri)
-  private val endVersion = endingVersion.getOrElse(log.snapshot().version)
+  // version only — never materialize the add list just to bound a range
+  private val endVersion = endingVersion.getOrElse(log.latestVersion())
 
   override def sqlContext: SQLContext = spark.sqlContext
   /** Schema AS OF `endingVersion`, not the latest snapshot: a bounded
@@ -498,7 +499,8 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
       legacyWatermarkValue =
         if (!log.tableExists) None
         else {
-          val txns = log.snapshot().txns
+          // file-free: the txn watermark map rides the bare state
+          val txns = log.fileFreeSnapshot().txns
           if (txns.contains(appId)) None // new keying already active
           else options.get("checkpointlocation")
             .map(c => s"graftdelta-sink-$c").flatMap(txns.get)

@@ -628,6 +628,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
     val contiguous = cp.nonEmpty && tail == ((cp.get.version + 1) to latestJson)
     if (cp.isEmpty || !contiguous) return snapshot().copy(files = Nil)
+    // small checkpoints: materializing seeds the snapshot cache for
+    // everything after (the activeAdds heuristic) — cheaper overall
+    // than a per-call pruned read
+    if (cp.get.size >= 0 && cp.get.size < DeltaLog.DistributedVacuumThreshold)
+      return snapshot().copy(files = Nil)
     val nonAdd = cachedCpNonAdd match {
       case Some((v, acts)) if v == cp.get.version => acts
       case _ =>
@@ -972,6 +977,40 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // remove carrying a stale/spurious descriptor for a vector-free
     // active file — either way the reconcileKey would miss during
     // replay, silently no-op, and leave the add live (duplicate rows).
+    // icebergCompat invariants (see SupportedWriterFeatures): enforced
+    // only while the enablement property is ON — a table carrying the
+    // feature with the property off writes normally, per the spec's
+    // enablement gate. The commit's own Metadata action wins (it IS the
+    // post-commit truth the invariants protect).
+    val effMeta = actions.collectFirst { case m: Metadata => m }
+      .getOrElse(snap.metadata)
+    val icebergV1 = effMeta.configuration
+      .get("delta.enableIcebergCompatV1").exists(_.toBoolean)
+    val icebergV2 = effMeta.configuration
+      .get("delta.enableIcebergCompatV2").exists(_.toBoolean)
+    if (icebergV1 || icebergV2) {
+      actions.foreach {
+        case a: AddFile if a.deletionVector.nonEmpty =>
+          throw new IllegalStateException(
+            s"cannot write to $tableUri: icebergCompat forbids adding " +
+              s"deletion-vector-masked files (${a.path}) — Iceberg readers " +
+              "cannot apply Delta deletion vectors; rewrite the survivors " +
+              "instead (compact/OPTIMIZE resolves existing masks)")
+        case a: AddFile if icebergV2 && numRecordsOf(a).isEmpty =>
+          throw new IllegalStateException(
+            s"cannot write to $tableUri: icebergCompatV2 requires numRecords " +
+              s"stats on every added file (${a.path} carries none) — Iceberg " +
+              "manifests record per-file row counts")
+        case _ => ()
+      }
+      val mappingMode = effMeta.configuration
+        .getOrElse("delta.columnMapping.mode", "none")
+      if (icebergV2 && mappingMode == "none")
+        throw new IllegalStateException(
+          s"cannot write to $tableUri: icebergCompatV2 requires column " +
+            "mapping (delta.columnMapping.mode=name or id) — field-id " +
+            "mapping is what makes the parquet Iceberg-readable")
+    }
     val activeDv: Map[String, Option[String]] =
       snap.files.map(f => f.path -> f.deletionVector.map(_.uniqueId)).toMap
     actions.foreach {
@@ -1156,10 +1195,18 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       stampRowTracking(snapOpt, expectedVersion, stampMetrics(actions)))
     fs.mkdirs(logPath)
     val target = versionFile(expectedVersion)
-    val content = stamped.map(_.json).mkString("", "\n", "\n")
     val tmp = new Path(logPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // stream action-by-action: a full overwrite or CONVERT commit can
+    // carry O(table) actions, and building the whole JSON as one string
+    // would double-buffer it driver-side
+    try {
+      val w = new java.io.BufferedOutputStream(out, 1 << 16)
+      stamped.foreach { a =>
+        w.write(a.json.getBytes(StandardCharsets.UTF_8)); w.write('\n')
+      }
+      w.flush()
+    } finally out.close()
     try {
       if (!store.putIfAbsent(tmp, target))
         throw new VersionConflictException(tableUri, expectedVersion)
@@ -1350,6 +1397,19 @@ case class Snapshot(version: Long, metadata: Metadata, schema: StructType, files
 case class VacuumResult(filesDeleted: Long, sample: Seq[String]) {
   def isEmpty: Boolean = filesDeleted == 0L
   def nonEmpty: Boolean = filesDeleted != 0L
+  /** `{"files_deleted":N,"sample":[...]}` — the shape the Python
+    * binding and `--metrics-json` both report. */
+  def json: String = {
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    s"""{"files_deleted":$filesDeleted,""" +
+      s""""sample":${sample.map(js).mkString("[", ",", "]")}}"""
+  }
 }
 
 /** [[DeltaLog.activeAdds]]'s result: the file-free snapshot state, the
@@ -1553,7 +1613,17 @@ object DeltaLog {
     // remove log files below delta.requireCheckpointProtectionBeforeVersion
     // unless cleaning up to a checkpoint at/after that bound in one pass,
     // which cleanupExpiredLogs enforces
-    "checkpointProtection")
+    "checkpointProtection",
+    // icebergCompat (UniForm): the WRITER obligation is the compat
+    // INVARIANTS, not Iceberg metadata generation — conversion is
+    // asynchronous by design (the spec lets Iceberg metadata lag the
+    // Delta log), so a log-only writer that enforces the invariants is
+    // spec-legal. checkWritable refuses, on enabled tables: new
+    // deletion vectors (Iceberg readers cannot apply them; V1+V2),
+    // adds without numRecords stats (V2 manifests need row counts),
+    // and V2 tables without column mapping (field-id mapping is what
+    // makes the parquet Iceberg-readable)
+    "icebergCompatV1", "icebergCompatV2")
 
   /** The domain name Row Tracking keeps its row-ID high-water mark in. */
   val RowTrackingDomain = "delta.rowTracking"

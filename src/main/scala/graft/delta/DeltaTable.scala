@@ -872,7 +872,12 @@ object DeltaTable {
   def append(spark: SparkSession, tableUri: String, df: DataFrame,
       mergeSchema: Boolean = false): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // file-free: everything below is metadata/schema/version-level
+    // (generated/default/identity fields, constraint SQL, stageWrite's
+    // column mapping, the commit version) — appending to a million-file
+    // table must not materialize its add list, and the commit
+    // chokepoint's pure-append path doesn't either
+    val snap = log.fileFreeSnapshot()
     // generated columns the batch does not provide are COMPUTED from
     // their expressions (the delta-spark writer behavior); provided
     // values are verified against the expression in checkConstraints
@@ -991,7 +996,8 @@ object DeltaTable {
   def appendIfNew(spark: SparkSession, tableUri: String, df: DataFrame,
       appId: String, txnVersion: Long): Boolean = {
     val log = DeltaLog.forTable(spark, tableUri)
-    var snap = log.snapshot()
+    // file-free (see append): txn watermarks ride the bare state
+    var snap = log.fileFreeSnapshot()
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return false
     checkConstraints(log, snap, df)
     val adds = stageWrite(spark, log, df, snap.metadata.partitionColumns,
@@ -1006,7 +1012,7 @@ object DeltaTable {
         return true
       } catch {
         case _: VersionConflictException =>
-          snap = log.snapshot()
+          snap = log.fileFreeSnapshot()
           if (snap.txns.get(appId).exists(_ >= txnVersion)) {
             // a racing writer landed this very batch: ours must not double in
             adds.foreach(a => fs.delete(new Path(log.tableRoot, a.path), false))

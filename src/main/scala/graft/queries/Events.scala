@@ -33,12 +33,25 @@ object Events {
     }),
 
     // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    // Tumbling-merge rewrite: aggregate ONCE into 30-minute tumbling
+    // buckets — one row per event through the big hash aggregate,
+    // instead of `window(ts, 1h, 30m)`'s 2× pre-aggregation row
+    // amplification — then fan each (bounded, post-agg) bucket out to
+    // the two hour windows containing it and merge with a second, tiny
+    // aggregate. Identical result (a 1h/30m window's starts are
+    // floor30(ts) and floor30(ts) - 30min), half the per-event work.
     "q_events_sliding" -> ((s, dir) => {
       table(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .groupBy(window(col("ts"), "30 minutes").as("w30"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
         .select(
-          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          explode(array(col("w30.start"),
+            col("w30.start") - expr("INTERVAL 30 MINUTES"))).as("wstart"),
+          col("event_type"), col("n"), col("value_cents"))
+        .groupBy(col("wstart"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
+        .select(
+          date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("value_cents"))
     }),
 

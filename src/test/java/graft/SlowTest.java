@@ -1,0 +1,21 @@
+package graft;
+
+import java.lang.annotation.ElementType;
+import java.lang.annotation.Retention;
+import java.lang.annotation.RetentionPolicy;
+import java.lang.annotation.Target;
+
+import org.scalatest.TagAnnotation;
+
+/**
+ * Suite-level tag for the heavyweight distributed specs (the synthetic
+ * 100k-file checkpoint fixtures, the LogStore race harness). The full
+ * {@code sbt test} still runs everything; the fast local loop excludes
+ * them with:
+ *
+ * <pre>  sbt "testOnly * -- -l graft.SlowTest"</pre>
+ */
+@TagAnnotation
+@Retention(RetentionPolicy.RUNTIME)
+@Target({ElementType.METHOD, ElementType.TYPE})
+public @interface SlowTest {}

@@ -11,6 +11,7 @@ import graft.TestSpark
   * rows are parsed and stats-pruned inside the executors, and only the
   * pruned survivors reach the driver — a 100k-file checkpoint plans a
   * point read without materializing 100k AddFiles driver-side. */
+@graft.SlowTest
 class CheckpointScanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 

@@ -409,43 +409,84 @@ class ForeignLogSpec extends AnyFunSuite {
       "unrecognized serialization must make no claim")
   }
 
-  test("writer protocol gate: unsupported writer features refuse commits by name") {
-    // a v7 table demanding icebergCompatV2 on write: appending blind
-    // would break the Iceberg-compat bookkeeping other writers maintain
-    // (deletionVectors moved OFF the refused list round 11, rowTracking
-    // round 13 — both are implemented now, RowTrackingSpec pins them)
-    val dir = TestSpark.tmpDir("foreign-w7")
+  test("icebergCompat: tolerated on write, compat invariants enforced") {
+    // Round-16 DECISION (SURVEY §2.4): the writer obligation of
+    // icebergCompatV1/V2 is the compat INVARIANTS, not Iceberg metadata
+    // generation — conversion is asynchronous by design (the spec lets
+    // Iceberg metadata lag the Delta log), so a log-only writer that
+    // enforces the invariants is spec-legal. Feature present with the
+    // enablement property OFF = ordinary writes (the disable-then-purge
+    // flow depends on exactly that).
+    val dir = TestSpark.tmpDir("foreign-iceberg-off")
     val (f0, s0) = writeDataFile(dir, Seq((1L, "a")))
     writeCommit(dir, 0L, Seq(
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        s""""writerFeatures":["icebergCompatV2","appendOnly"]}}""",
+        s""""writerFeatures":["icebergCompatV2"]}}""",
       metaJson,
       s"""{"add":{"path":"$f0","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaTable.read(spark, dir).count() == 1, "reading stays fine")
+    DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, dir).count() == 2,
+      "feature-present-property-off writes flow")
+
+    // V2 ENABLED without column mapping: refused loudly (field-id
+    // mapping is what makes the parquet Iceberg-readable)
+    val v2 = TestSpark.tmpDir("foreign-iceberg-v2")
+    val (f2, s2) = writeDataFile(v2, Seq((1L, "a")))
+    writeCommit(v2, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["icebergCompatV2"]}}""",
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableIcebergCompatV2":"true"},"createdTime":0}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
     val e = intercept[IllegalStateException] {
-      DeltaTable.append(spark, dir, Seq((2L, "b")).toDF("id", "name"))
+      DeltaTable.append(spark, v2, Seq((2L, "b")).toDF("id", "name"))
     }
-    assert(e.getMessage.contains("unsupported writer feature icebergCompatV2"))
+    assert(e.getMessage.contains("column mapping"))
+
+    // V1 ENABLED: appends flow (no mapping requirement), but a commit
+    // adding a deletion-vector-masked file is refused — Iceberg readers
+    // cannot apply Delta deletion vectors
+    val v1 = TestSpark.tmpDir("foreign-iceberg-v1")
+    val (f1, s1) = writeDataFile(v1, Seq((1L, "a")))
+    writeCommit(v1, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["icebergCompatV1","deletionVectors"]}}""",
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableIcebergCompatV1":"true"},"createdTime":0}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaTable.append(spark, v1, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, v1).count() == 2)
+    val log1 = DeltaLog.forTable(spark, v1)
+    val dvAdd = AddFile("masked.parquet", Map.empty, 10L, 1L, dataChange = true,
+      deletionVector = Some(DeletionVectorDescriptor("u", "ab", Some(1), 24, 2)))
+    val eDv = intercept[IllegalStateException] {
+      log1.commit(log1.latestVersion() + 1,
+        Seq(dvAdd, CommitInfo(1L, "WRITE", Map.empty)))
+    }
+    assert(eDv.getMessage.contains("deletion-vector"))
 
     // all-supported feature list: writes flow
     val ok = TestSpark.tmpDir("foreign-w7-ok")
-    val (f1, s1) = writeDataFile(ok, Seq((1L, "a")))
+    val (fOk, sOk) = writeDataFile(ok, Seq((1L, "a")))
     writeCommit(ok, 0L, Seq(
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         s""""writerFeatures":["invariants","changeDataFeed"]}}""",
       metaJson,
-      s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$fOk","partitionValues":{},"size":$sOk,"modificationTime":1,"dataChange":true}}"""))
     DeltaTable.append(spark, ok, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, ok).count() == 2)
 
     // bare v5 (column mapping; mode=none on this fixture): writes flow
     // now that the engine implements writer version 5 end-to-end
     val v5 = TestSpark.tmpDir("foreign-w5")
-    val (f2, s2) = writeDataFile(v5, Seq((1L, "a")))
+    val (f5, s5) = writeDataFile(v5, Seq((1L, "a")))
     writeCommit(v5, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
       metaJson,
-      s"""{"add":{"path":"$f2","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f5","partitionValues":{},"size":$s5,"modificationTime":1,"dataChange":true}}"""))
     DeltaTable.append(spark, v5, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, v5).count() == 2)
 

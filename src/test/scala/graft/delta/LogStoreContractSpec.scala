@@ -37,6 +37,7 @@ class FakeSchemeFileSystem extends RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("fake:///")
 }
 
+@graft.SlowTest
 class LogStoreContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- fake S3 ----------------------------------------------------------
