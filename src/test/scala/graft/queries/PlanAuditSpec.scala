@@ -94,6 +94,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles("q_seq_pack") <= 2)
   }
 
+  test("q_events_sliding: tumbling-merge keeps the big aggregate 1-row-per-event") {
+    // the rewrite's whole point: the per-event hash aggregate groups by
+    // ONE 30-min tumbling bucket (no `window(ts, 1h, 30m)` 2× Explode
+    // before the first aggregate); the fan-out to the two covering hour
+    // windows happens AFTER aggregation, on bounded rows
+    val plan = formatted("q_events_sliding")
+    val explodeIdx = plan.indexOf("Generate")
+    assert(explodeIdx >= 0, plan)
+    // formatted trees print top-down, so "below the Generate in the
+    // tree" = "after it in the text": the per-event aggregate must be a
+    // CHILD of the fan-out, i.e. run before it
+    assert(plan.indexOf("HashAggregate", explodeIdx) >= 0,
+      "the per-event aggregate must sit BELOW the window fan-out\n" + plan)
+    // two aggregates (big tumbling + tiny merge), each two-phase -> 2 shuffles
+    assert(shuffles("q_events_sliding") <= 2)
+  }
+
   test("q_scan_delta_pushdown: filters handled by the relation, files pruned") {
     graft.connector.GraftDeltaRelation.lastScan = None
     val exec = SparkEntry.queries("q_scan_delta_pushdown")(spark, dir)
