@@ -366,9 +366,12 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
   override def sqlContext: SQLContext = spark.sqlContext
   /** Schema AS OF `endingVersion`, not the latest snapshot: a bounded
     * range read must not fail (or invent columns) because a later
-    * commit evolved the schema past the range being read. */
+    * commit evolved the schema past the range being read. Metadata-only
+    * replay — the range's file list is never needed for the schema. */
   override val schema: StructType = GraftDeltaSource.streamSchema(
-    log.snapshotAt(endVersion).schema, changeFeed = true)
+    org.apache.spark.sql.types.DataType.fromJson(
+      log.metadataAt(endVersion).schemaString)
+      .asInstanceOf[StructType], changeFeed = true)
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] = scanRdd(schema.fieldNames.toSeq)

@@ -75,8 +75,10 @@ final class GraftDeltaTableV2(
     (if (!log.tableExists) userSchema.getOrElse(new StructType())
     else if (readChangeFeed)
       GraftDeltaSource.streamSchema(
-        log.snapshotAt(options.get("endingversion").map(_.toLong)
-          .getOrElse(log.latestVersion())).schema, changeFeed = true)
+        org.apache.spark.sql.types.DataType.fromJson(
+          log.metadataAt(options.get("endingversion").map(_.toLong)
+            .getOrElse(log.latestVersion())).schemaString)
+          .asInstanceOf[StructType], changeFeed = true)
     else versionAsOf.map(v => log.snapshotAt(v).schema)
       // file-free: schema/partitioning/properties need the log's
       // metadata, never its add list — DESCRIBE on a big

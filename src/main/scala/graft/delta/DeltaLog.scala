@@ -186,6 +186,59 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     replay(cp, versions)
   }
 
+  /** The table METADATA as of `version`, without materializing that
+    * version's file list: the JSON tail after the nearest checkpoint is
+    * replayed for Metadata actions only (O(commits in range), driver
+    * JSON reads); when none of the tail carries one, the checkpoint's
+    * non-file actions are read ([[Checkpoints.nonAddActions]] — v2:
+    * manifest only, v1: add/remove columns pruned). The schema/property
+    * surface for bounded historical reads (a CDF range's AS-OF schema)
+    * on big tables — full [[snapshotAt]] replay is the fallback only
+    * for log shapes it cannot serve. */
+  def metadataAt(version: Long): Metadata = {
+    cachedSnapshot.filter(_.version == version).foreach(s => return s.metadata)
+    try {
+      val cp = listCheckpointVersions().filter(_.version <= version)
+        .sortBy(_.version).lastOption
+      val start = cp.map(_.version).getOrElse(-1L)
+      val versions = listVersions().filter(v => v > start && v <= version)
+      require(versions == ((start + 1) to version).toSeq)
+      val fromTail = versions.flatMap(actionsAt)
+        .collect { case m: Metadata => m }.lastOption
+      fromTail.orElse(cp.flatMap { c =>
+        sparkOpt.flatMap(s => Checkpoints.nonAddActions(s, fs, logPath, c)
+          .collect { case m: Metadata => m }.lastOption)
+      }).getOrElse(snapshotAt(version).metadata)
+    } catch {
+      case scala.util.control.NonFatal(_) => snapshotAt(version).metadata
+    }
+  }
+
+  /** The FILE-FREE snapshot state as of `version` (metadata, protocol,
+    * txns, domains; `files = Nil`, readability gates still enforced):
+    * checkpoint non-file actions + the JSON tail replayed for non-file
+    * state — a bounded historical read (a CDF range) on a big table
+    * never materializes that version's add list. Falls back to
+    * [[snapshotAt]] only on log shapes this cannot serve. */
+  def bareSnapshotAt(version: Long): Snapshot = {
+    cachedSnapshot.filter(_.version == version)
+      .foreach(s => return s.copy(files = Nil))
+    try {
+      val cp = listCheckpointVersions().filter(_.version <= version)
+        .sortBy(_.version).lastOption
+      if (cp.nonEmpty && sparkOpt.isEmpty)
+        return snapshotAt(version).copy(files = Nil)
+      val start = cp.map(_.version).getOrElse(-1L)
+      val versions = listVersions().filter(v => v > start && v <= version)
+      require(versions == ((start + 1) to version).toSeq)
+      val nonAdd = cp.toSeq.flatMap(c =>
+        Checkpoints.nonAddActions(sparkOpt.get, fs, logPath, c))
+      replayBare(start, version, nonAdd, versions.flatMap(actionsAt))._1
+    } catch {
+      case scala.util.control.NonFatal(_) => snapshotAt(version).copy(files = Nil)
+    }
+  }
+
   /** Complete checkpoints on disk (single-part, or multi-part with every
     * part present), ascending by version. */
   private def listCheckpointVersions(): Seq[Checkpoints.LastCheckpoint] = {

@@ -1063,7 +1063,11 @@ object DeltaTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshotAt(toVersion)
+    // file-free AS-OF state: the range's reads need metadata/schema/
+    // column-mapping only — a bounded CDF read of a million-file table
+    // must not materialize that version's add list (the readability
+    // gates still run inside the historical replay)
+    val snap = log.bareSnapshotAt(toVersion)
     val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = log.actionsAt(v)
       val cdcs = actions.collect { case c: AddCDCFile => c }
@@ -1135,7 +1139,8 @@ object DeltaTable {
     * shape, with offsets durable in the table log itself. */
   def pollChanges(spark: SparkSession, tableUri: String,
       appId: String): (DataFrame, Long) = {
-    val snap = DeltaLog.forTable(spark, tableUri).snapshot()
+    // file-free: the poll needs only the txn watermark + version
+    val snap = DeltaLog.forTable(spark, tableUri).fileFreeSnapshot()
     val from = snap.txns.getOrElse(appId, -1L)
     (changesBetween(spark, tableUri, from, snap.version), snap.version)
   }

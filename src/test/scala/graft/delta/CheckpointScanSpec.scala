@@ -224,6 +224,19 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(matFiles.take(10) == batch1 ++ batch2)
   }
 
+  test("metadataAt/bareSnapshotAt replay non-file state only") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val m = log.metadataAt(0L)
+    assert(m.schemaString.contains("\"id\""))
+    val bare = log.bareSnapshotAt(0L)
+    assert(bare.version == 0L && bare.files.isEmpty)
+    assert(bare.schema.fieldNames.toSeq == Seq("id"))
+    assert(!log.hasCachedSnapshot,
+      "historical metadata lookups must not materialize the add list")
+  }
+
   test("scanSnapshot equals materialized prune on a cached snapshot") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
