@@ -321,16 +321,30 @@ case class GraftDetailCommand(tableRef: String) extends LeafRunnableCommand {
     "version" -> LongType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
-    val snap = DeltaLog.forTable(session, path).snapshot()
+    // file-level aggregates (numFiles/sizeInBytes/numDeletionVectors)
+    // run over the active-set DATASET on a big uncached log — DESCRIBE
+    // DETAIL of a million-file table is an executor-side aggregate, not
+    // a driver materialization
+    val acts = DeltaLog.forTable(session, path).activeAdds()
+    val snap = acts.bare
+    val (nFiles, totalBytes, nDvs) = acts.materialized match {
+      case Some(files) => (files.size.toLong, files.map(_.size).sum,
+        files.count(_.deletionVector.isDefined).toLong)
+      case None =>
+        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+        val r = acts.ds.toDF().agg(count(lit(1)),
+          coalesce(sum("size"), lit(0L)), count("deletionVector")).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     val features = (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
       snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted
     Seq(Row("graftdelta", snap.metadata.id, path,
       snap.metadata.partitionColumns,
-      snap.files.size.toLong, snap.files.map(_.size).sum,
+      nFiles, totalBytes,
       snap.metadata.configuration,
       snap.protocol.minReaderVersion.toLong, snap.protocol.minWriterVersion.toLong,
       features,
-      snap.files.count(_.deletionVector.isDefined).toLong,
+      nDvs,
       snap.version))
   }
 }
@@ -392,20 +406,34 @@ case class GraftShowPartitionsCommand(tableRef: String)
     GraftSqlParser.attrs("partition" -> StringType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
-    val snap = DeltaLog.forTable(session, path).snapshot()
+    val acts = DeltaLog.forTable(session, path).activeAdds()
+    val snap = acts.bare
     require(snap.metadata.partitionColumns.nonEmpty,
       s"$tableRef is not a partitioned table")
     // partitionValues are keyed by PHYSICAL column names on a
     // column-mapped table (same contract pruneFiles honors); display
-    // stays logical
-    val toPhysical: Map[String, String] =
-      if (snap.columnMappingMode == "none") Map.empty
-      else snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
-    snap.files
-      .map(f => snap.metadata.partitionColumns
-        .map(c => s"$c=${f.partitionValues.getOrElse(toPhysical.getOrElse(c, c), "null")}")
-        .mkString("/"))
-      .distinct.sorted.map(Row(_))
+    // stays logical — (logical, physical) key pairs are precomputed
+    // driver-side so the render closure ships session-free
+    val keys: Seq[(String, String)] =
+      if (snap.columnMappingMode == "none")
+        snap.metadata.partitionColumns.map(c => (c, c))
+      else {
+        val phys = snap.schema.fields.map(f => f.name -> Snapshot.physicalName(f)).toMap
+        snap.metadata.partitionColumns.map(c => (c, phys.getOrElse(c, c)))
+      }
+    def render(f: graft.delta.AddFile): String =
+      keys.map { case (c, p) => s"$c=${f.partitionValues.getOrElse(p, "null")}" }
+        .mkString("/")
+    // distinct runs DISTRIBUTED on a big uncached log — the collect is
+    // bounded by the partition count, never the file count
+    val parts = acts.materialized match {
+      case Some(files) => files.map(render).distinct
+      case None =>
+        implicit val enc: org.apache.spark.sql.Encoder[String] =
+          org.apache.spark.sql.Encoders.STRING
+        acts.ds.map(render _).distinct().collect().toSeq
+    }
+    parts.sorted.map(Row(_))
   }
 }
 
@@ -419,7 +447,9 @@ case class GraftShowTblPropertiesCommand(tableRef: String, key: Option[String])
     GraftSqlParser.attrs("key" -> StringType, "value" -> StringType)
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
-    val cfg = DeltaLog.forTable(session, path).snapshot().metadata.configuration
+    // metadata-only: never materialize an add list to read a property
+    val cfg = DeltaLog.forTable(session, path)
+      .fileFreeSnapshot().metadata.configuration
     key match {
       case Some(k) => Seq(Row(k, cfg.getOrElse(k,
         s"Table ${tableRef.stripPrefix("'").stripSuffix("'")} does not have property: $k")))

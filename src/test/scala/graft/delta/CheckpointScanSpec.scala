@@ -224,6 +224,19 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(matFiles.take(10) == batch1 ++ batch2)
   }
 
+  test("DESCRIBE DETAIL aggregates the active set in executors") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val row = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head
+    assert(row.getAs[Long]("numFiles") == N.toLong)
+    assert(row.getAs[Long]("sizeInBytes") == 100L * N)
+    assert(row.getAs[Long]("numDeletionVectors") == 0L)
+    assert(row.getAs[Long]("version") == 0L)
+    assert(!log.hasCachedSnapshot,
+      "DESCRIBE DETAIL must aggregate the dataset, not materialize")
+  }
+
   test("metadataAt/bareSnapshotAt replay non-file state only") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
