@@ -128,21 +128,33 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def restore(version: Long): String =
     dmlJson(graft.delta.DeltaTable.restore(spark, tableUri, version))
 
-  /** DESCRIBE DETAIL: one JSON object of snapshot facts, zero data IO. */
+  /** DESCRIBE DETAIL: one JSON object of snapshot facts, zero data IO.
+    * File aggregates run over the active-set dataset on a big uncached
+    * log (the SQL GraftDetailCommand contract). */
   def detail(): String = {
-    val snap = graft.delta.DeltaLog.forTable(spark, tableUri).snapshot()
+    val acts = graft.delta.DeltaLog.forTable(spark, tableUri).activeAdds()
+    val snap = acts.bare
+    val (nFiles, totalBytes, nDvs) = acts.materialized match {
+      case Some(files) => (files.size.toLong, files.map(_.size).sum,
+        files.count(_.deletionVector.isDefined).toLong)
+      case None =>
+        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+        val r = acts.ds.toDF().agg(count(lit(1)),
+          coalesce(sum("size"), lit(0L)), count("deletionVector")).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     js(new java.util.LinkedHashMap[String, Any] {
       put("format", "graftdelta"); put("id", snap.metadata.id)
       put("location", tableUri); put("version", snap.version)
-      put("num_files", snap.files.size.toLong)
-      put("size_in_bytes", snap.files.map(_.size).sum)
+      put("num_files", nFiles)
+      put("size_in_bytes", totalBytes)
       put("partition_columns", snap.metadata.partitionColumns.asJava)
       put("properties", snap.metadata.configuration.asJava)
       put("min_reader_version", snap.protocol.minReaderVersion)
       put("min_writer_version", snap.protocol.minWriterVersion)
       put("table_features", (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
         snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted.asJava)
-      put("num_deletion_vectors", snap.files.count(_.deletionVector.isDefined).toLong)
+      put("num_deletion_vectors", nDvs)
       // live domain-metadata configurations (rowTracking high-water mark,
       // clustering columns, foreign domains) — metadata-only, like the rest
       put("domains", snap.domains.map { case (k, d) => k -> d.configuration }.asJava)
@@ -155,7 +167,8 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     * start/step/high-water-mark/allowExplicitInsert (writer v6). Zero
     * data IO (schema metadata only). */
   def describeColumns(): String = {
-    val snap = graft.delta.DeltaLog.forTable(spark, tableUri).snapshot()
+    // schema metadata only — never the add list
+    val snap = graft.delta.DeltaLog.forTable(spark, tableUri).fileFreeSnapshot()
     val gens = graft.delta.DeltaTable.generatedFields(snap)
       .map { case (f, g) => f.name -> g }.toMap
     val ids = graft.delta.DeltaTable.identityFields(snap)
