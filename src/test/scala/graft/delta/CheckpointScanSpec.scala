@@ -237,6 +237,22 @@ class CheckpointScanSpec extends AnyFunSuite {
       "DESCRIBE DETAIL must aggregate the dataset, not materialize")
   }
 
+  test("appendIfNew on a big uncached log stays file-free and idempotent") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    import spark.implicits._
+    val df = Seq(-100L, -200L).toDF("id")
+    assert(graft.delta.DeltaTable.appendIfNew(spark, dir, df, "app", 1L))
+    assert(!log.hasCachedSnapshot,
+      "an idempotent append must stage + stamp from the file-free state")
+    // replayed epoch: skipped without staging anything
+    assert(!graft.delta.DeltaTable.appendIfNew(spark, dir, df, "app", 1L))
+    assert(!log.hasCachedSnapshot)
+    val snap = log.snapshot()
+    assert(snap.version == 1L && snap.txns.get("app").contains(1L))
+    assert(snap.files.size > N)
+  }
+
   test("metadataAt/bareSnapshotAt replay non-file state only") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
