@@ -37,6 +37,47 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("offset walk property: random caps cover every file exactly once, in order") {
+    // guards the filesAfter/InitialList slicing refactor: for random
+    // initial sizes, caps, and mid-walk appends, the concatenation of
+    // batches must be the path-sorted initial snapshot followed by each
+    // commit's adds in commit order — no gap, no repeat, cap respected
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val dir = TestSpark.tmpDir(s"gss-prop-$trial")
+      val nInit = 1 + rnd.nextInt(6)
+      DeltaTable.create(spark,
+        spark.range(nInit.toLong).toDF("v").repartition(nInit), dir)
+      val cap = 1 + rnd.nextInt(4)
+      val src = new GraftDeltaSource(spark, dir,
+        Map("maxfilespertrigger" -> cap.toString))
+      var prev: Option[GraftDeltaOffset] = None
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drainOnce(): Boolean = {
+        val end = src.getOffset.map(GraftDeltaOffset.convert)
+        if (end.isEmpty || end == prev) false
+        else {
+          val files = src.filesForBatch(prev, end.get)
+          assert(files.size <= cap, s"cap $cap violated: ${files.size}")
+          seen ++= files.map(_.path); prev = end; true
+        }
+      }
+      drainOnce() // pins the initial version before the tail lands
+      val tailSizes = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(3))
+      tailSizes.foreach(sz => DeltaTable.append(spark, dir,
+        spark.range(1000, 1000 + sz.toLong).toDF("v").repartition(sz)))
+      var guard = 0
+      while (drainOnce() && guard < 100) guard += 1
+      val log = graft.delta.DeltaLog.forTable(spark, dir)
+      val initialFiles = log.snapshotAt(0L).files.map(_.path).sorted
+      val tailFiles = (1L to log.latestVersion()).flatMap(v =>
+        log.actionsAt(v).collect {
+          case a: graft.delta.AddFile if a.dataChange => a.path })
+      assert(seen.toSeq == initialFiles ++ tailFiles,
+        s"trial $trial (init=$nInit cap=$cap tails=$tailSizes)")
+    }
+  }
+
   test("restart from checkpoint neither loses nor duplicates rows") {
     val dir = TestSpark.tmpDir("gss-restart")
     val dst = TestSpark.tmpDir("gss-restart-dst")
