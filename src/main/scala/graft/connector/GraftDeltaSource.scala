@@ -142,13 +142,18 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
       val size: Long) extends InitialList {
     // sorted + position-indexed once, persisted across the initial
     // batches (metadata rows only — spills to executor disk, never the
-    // driver); dropped with the source when the stream moves on
-    private lazy val indexed = ds.rdd.map(a => (a.path, a)).sortByKey()
-      .zipWithIndex().map { case ((_, a), i) => (i, a) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver); released on source stop() ([[release]])
+    private var materialized = false
+    private lazy val indexed = {
+      materialized = true
+      ds.rdd.map(a => (a.path, a)).sortByKey()
+        .zipWithIndex().map { case ((_, a), i) => (i, a) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     def slice(from: Long, to: Long): Seq[AddFile] =
       indexed.filter { case (i, _) => i >= from && i <= to }
         .collect().sortBy(_._1).map(_._2).toSeq
+    def release(): Unit = if (materialized) indexed.unpersist(blocking = false)
   }
   private var initialCache: Option[(Long, InitialList)] = None
   private def initialList(version: Long): InitialList = {
@@ -301,7 +306,10 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 
   override def commit(end: Offset): Unit = () // the log retains history
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = initialCache.foreach {
+    case (_, b: BigList) => b.release()
+    case _ => ()
+  }
 
   override def toString: String = s"GraftDeltaSource[$tableUri]"
 }
