@@ -187,7 +187,10 @@ object Bench {
           java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get("BENCH_DETAILS.json")))
         val qs = node.get("query_stats")
-        if (qs == null) Map.empty
+        // only medians from the SAME scale factor are a reference —
+        // an sf0.1 record would flag every query of an sf1 run
+        val sameSf = Option(node.get("sf")).exists(_.asText() == sfDir)
+        if (qs == null || !sameSf) Map.empty
         else {
           import scala.jdk.CollectionConverters._
           qs.fieldNames().asScala

@@ -134,15 +134,7 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def detail(): String = {
     val acts = graft.delta.DeltaLog.forTable(spark, tableUri).activeAdds()
     val snap = acts.bare
-    val (nFiles, totalBytes, nDvs) = acts.materialized match {
-      case Some(files) => (files.size.toLong, files.map(_.size).sum,
-        files.count(_.deletionVector.isDefined).toLong)
-      case None =>
-        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
-        val r = acts.ds.toDF().agg(count(lit(1)),
-          coalesce(sum("size"), lit(0L)), count("deletionVector")).collect()(0)
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    val (nFiles, totalBytes, nDvs) = acts.fileStats
     js(new java.util.LinkedHashMap[String, Any] {
       put("format", "graftdelta"); put("id", snap.metadata.id)
       put("location", tableUri); put("version", snap.version)

@@ -46,11 +46,14 @@ object Main {
     * (compact / bin-pack / zorder). */
   private def writeMetrics(opts: Map[String, String],
       summary: graft.sorter.RunSummary): Unit =
+    writeMetricsJson(opts, summary.json)
+
+  private def writeMetricsJson(opts: Map[String, String], json: String): Unit =
     opts.get("metrics-json").foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
-        summary.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
   private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
@@ -120,12 +123,7 @@ object Main {
       println(s"vacuum complete: ${result.filesDeleted} file(s) deleted")
       // --metrics-json parity with the rewriting modes: count + the
       // ≤20-path sample (never the full list — reporting stays bounded)
-      opts.get("metrics-json").foreach { p =>
-        val path = java.nio.file.Paths.get(p)
-        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.write(path,
-          result.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+      writeMetricsJson(opts, result.json)
       return 0
     }
     if (opts.contains("bin-pack")) { // order-free: no sort columns needed

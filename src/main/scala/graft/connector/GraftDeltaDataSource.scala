@@ -306,12 +306,28 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     // session-free pruning closure runs INSIDE executors over the
     // checkpoint parquet and only survivors reach the driver.
     val scanSnap =
-      if (deferred) log.scanSnapshotStaged { probe =>
-        pushed.flatMap(p => DeltaTable.predicateExpr(spark, probe, p)) match {
-          // pruneFiles: column-mapped tables key stats by physical name
-          case Some(cond) => files => DeltaTable.pruneFiles(probe, files, cond)
-          case None => files => files
+      if (deferred) {
+        val s = log.scanSnapshotStaged { probe =>
+          pushed.flatMap(p => DeltaTable.predicateExpr(spark, probe, p)) match {
+            // pruneFiles: column-mapped tables key stats by physical name
+            case Some(cond) => files => DeltaTable.pruneFiles(probe, files, cond)
+            case None => files => files
+          }
         }
+        // deferred scans re-resolve the log per scan (no pinned version
+        // — the price of never materializing; concurrent APPENDS may
+        // become visible between two scans of one query). Rows must
+        // still match the DECLARED schema: this relation promised it
+        // with needConversion=false, so a schema-evolving commit
+        // landing between plan and scan fails loudly instead of
+        // feeding mis-shaped rows upward.
+        require(
+          s.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"graftdelta: $tableUri evolved its schema between planning and " +
+            s"scan (planned ${snap.schema.simpleString}, " +
+            s"now ${s.schema.simpleString}); re-run the query")
+        s
       }
       else snap.copy(files =
         pushed.flatMap(p => DeltaTable.predicateExpr(spark, snap, p)) match {

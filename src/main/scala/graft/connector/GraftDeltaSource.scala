@@ -163,10 +163,9 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     }
     val big: Option[InitialList] =
       if (log.isBigUncached) {
-        val aa = log.activeAdds()
-        // the distributed set reflects the CURRENT version; a racing
-        // commit between startPosition() and here falls back to the
-        // historical replay below
+        // pinned AT the offset's version: a commit racing the walk can
+        // neither shift the set nor force a driver materialization
+        val aa = log.activeAdds(upTo = Some(version))
         if (aa.bare.version == version) aa.materialized match {
           case Some(files) => Some(new SmallList(files.sortBy(_.path)))
           case None => Some(new BigList(aa.ds, aa.ds.count()))

@@ -206,7 +206,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       val fromTail = versions.flatMap(actionsAt)
         .collect { case m: Metadata => m }.lastOption
       fromTail.orElse(cp.flatMap { c =>
-        sparkOpt.flatMap(s => Checkpoints.nonAddActions(s, fs, logPath, c)
+        sparkOpt.flatMap(s => cpNonAdd(s, c)
           .collect { case m: Metadata => m }.lastOption)
       }).getOrElse(snapshotAt(version).metadata)
     } catch {
@@ -231,8 +231,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       val start = cp.map(_.version).getOrElse(-1L)
       val versions = listVersions().filter(v => v > start && v <= version)
       require(versions == ((start + 1) to version).toSeq)
-      val nonAdd = cp.toSeq.flatMap(c =>
-        Checkpoints.nonAddActions(sparkOpt.get, fs, logPath, c))
+      val nonAdd = cp.toSeq.flatMap(c => cpNonAdd(sparkOpt.get, c))
       replayBare(start, version, nonAdd, versions.flatMap(actionsAt))._1
     } catch {
       case scala.util.control.NonFatal(_) => snapshotAt(version).copy(files = Nil)
@@ -559,21 +558,31 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * the materialized snapshot whenever one is already cached (free) or
     * the log shape is unexpected; `knownCount` carries the size there
     * so callers can skip a count() job. */
-  def activeAdds(): ActiveAdds = {
+  /** `upTo`: pin the active set AT that log version instead of the
+    * current one — the streaming initial snapshot pins its start
+    * version before walking, and a commit racing the walk must not
+    * shift the set (or force a driver materialization). */
+  def activeAdds(upTo: Option[Long] = None): ActiveAdds = {
     val spark = sparkOpt.getOrElse(throw new IllegalStateException(
       s"activeAdds requires a SparkSession for $tableUri"))
     implicit val enc: org.apache.spark.sql.Encoder[AddFile] =
       org.apache.spark.sql.Encoders.product[AddFile]
     def materialized(): ActiveAdds = {
-      val s = snapshot()
+      val s = upTo match {
+        case Some(v) if !cachedSnapshot.exists(_.version == v) => snapshotAt(v)
+        case _ => snapshot()
+      }
       ActiveAdds(s.copy(files = Nil), spark.createDataset(s.files), Some(s.files))
     }
-    val json = listVersions()
+    val json = listVersions().filter(v => upTo.forall(v <= _))
     val latestJson = json.lastOption.getOrElse(-1L)
-    if (cachedSnapshot.nonEmpty) return materialized()
-    val cp = lastCheckpoint().orElse {
+    if (cachedSnapshot.nonEmpty &&
+        upTo.forall(v => cachedSnapshot.exists(_.version == v)))
+      return materialized()
+    val cp = lastCheckpoint().filter(c => upTo.forall(c.version <= _)).orElse {
       if (json.headOption.contains(0L)) None
-      else listCheckpointVersions().lastOption
+      else listCheckpointVersions().filter(c => upTo.forall(c.version <= _))
+        .lastOption
     }
     val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
     val contiguous = cp.nonEmpty && tail == ((cp.get.version + 1) to latestJson)
@@ -651,13 +660,19 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * non-file read once and then replays only the JSON tail. */
   private var cachedCpNonAdd: Option[(Long, Seq[Action])] = None
 
-  /** The current FILE-FREE snapshot state (metadata, protocol, version,
-    * txns, domains; `files = Nil`) without ever touching the add rows:
-    * a v2 checkpoint reads only its manifest, a v1 checkpoint reads
-    * only the non-file parquet columns
-    * ([[Checkpoints.nonAddActions]]), both memoized per checkpoint
-    * version. Falls back to a snapshot() materialization only on log
-    * shapes where [[activeAdds]] would materialize anyway. */
+  /** Memoized accessor over [[cachedCpNonAdd]] — every non-file
+    * checkpoint read ([[fileFreeSnapshot]], [[metadataAt]],
+    * [[bareSnapshotAt]]) shares it, so a steady-state poll loop pays
+    * the read once per checkpoint version. */
+  private def cpNonAdd(spark: SparkSession,
+      cp: Checkpoints.LastCheckpoint): Seq[Action] = cachedCpNonAdd match {
+    case Some((v, acts)) if v == cp.version => acts
+    case _ =>
+      val acts = Checkpoints.nonAddActions(spark, fs, logPath, cp)
+      cachedCpNonAdd = Some((cp.version, acts))
+      acts
+  }
+
   /** True when planning against this log should stay OFF the
     * materialized path: no snapshot is cached and the checkpoint
     * pointer says the add list is big (or its size is unknown).
@@ -669,6 +684,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     lastCheckpoint().exists(c =>
       c.size < 0 || c.size >= DeltaLog.DistributedVacuumThreshold)
 
+  /** The current FILE-FREE snapshot state (metadata, protocol, version,
+    * txns, domains; `files = Nil`) without ever touching the add rows:
+    * a v2 checkpoint reads only its manifest, a v1 checkpoint reads
+    * only the non-file parquet columns
+    * ([[Checkpoints.nonAddActions]]), both memoized per checkpoint
+    * version. Falls back to a snapshot() materialization only on log
+    * shapes where [[activeAdds]] would materialize anyway. */
   def fileFreeSnapshot(): Snapshot = {
     val spark = sparkOpt.getOrElse(return snapshot().copy(files = Nil))
     val json = listVersions()
@@ -686,14 +708,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // than a per-call pruned read
     if (cp.get.size >= 0 && cp.get.size < DeltaLog.DistributedVacuumThreshold)
       return snapshot().copy(files = Nil)
-    val nonAdd = cachedCpNonAdd match {
-      case Some((v, acts)) if v == cp.get.version => acts
-      case _ =>
-        val acts = Checkpoints.nonAddActions(spark, fs, logPath, cp.get)
-        cachedCpNonAdd = Some((cp.get.version, acts))
-        acts
-    }
-    replayBare(cp.get.version, latestJson, nonAdd, tail.flatMap(actionsAt))._1
+    replayBare(cp.get.version, latestJson, cpNonAdd(spark, cp.get),
+      tail.flatMap(actionsAt))._1
   }
 
   /** Delete data files that are no longer referenced by the CURRENT
@@ -1474,6 +1490,19 @@ case class ActiveAdds(bare: Snapshot,
     ds: org.apache.spark.sql.Dataset[AddFile],
     materialized: Option[Seq[AddFile]]) {
   def knownCount: Option[Long] = materialized.map(_.size.toLong)
+
+  /** (numFiles, totalBytes, numDeletionVectors) — a driver fold on the
+    * materialized path, ONE executor-side aggregate otherwise. The
+    * shared shape behind DESCRIBE DETAIL (SQL and Python). */
+  def fileStats: (Long, Long, Long) = materialized match {
+    case Some(files) => (files.size.toLong, files.map(_.size).sum,
+      files.count(_.deletionVector.isDefined).toLong)
+    case None =>
+      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+      val r = ds.toDF().agg(count(lit(1)),
+        coalesce(sum("size"), lit(0L)), count("deletionVector")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
 }
 
 object Snapshot {

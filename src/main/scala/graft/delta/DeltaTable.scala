@@ -1429,6 +1429,51 @@ object DeltaTable {
     * (dataChange=false) so the commit chokepoint stamps base row IDs
     * onto them; enabled tables require ALL files to carry IDs. One
     * commit, conflict-checked (it carries Metadata). */
+  /** Opt a table into icebergCompatV1/V2 (UniForm): ONE commit carrying
+    * the protocol writer feature + the enablement property, so foreign
+    * writers — which key enforcement off the protocol — see the
+    * contract too. V2's preconditions are checked up front: column
+    * mapping in place and no active deletion-vector masks (the same
+    * invariants the commit chokepoint enforces on every later write —
+    * see [[DeltaLog.SupportedWriterFeatures]]). */
+  def enableIcebergCompat(spark: SparkSession, tableUri: String,
+      version: Int): Unit = {
+    require(version == 1 || version == 2,
+      s"icebergCompatV$version is not a Delta writer feature")
+    val feature = s"icebergCompatV$version"
+    val propKey = s"delta.enableIcebergCompatV$version"
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.snapshot()
+    val p = snap.protocol
+    if (snap.metadata.configuration.get(propKey).exists(_.toBoolean) &&
+        p.writerFeatures.exists(_.contains(feature))) return
+    if (version == 2) {
+      require(snap.columnMappingMode != "none",
+        "icebergCompatV2 requires column mapping " +
+          "(set delta.columnMapping.mode=name first) — field-id mapping is " +
+          "what makes the parquet Iceberg-readable")
+      require(!snap.files.exists(_.deletionVector.isDefined),
+        "icebergCompatV2 cannot be enabled while deletion vectors mask " +
+          "active files (Iceberg readers cannot apply them); " +
+          "compact/OPTIMIZE to purge the masks first")
+    }
+    val readerF = legacyReaderFeatures(snap)
+    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+      else legacyWriterFeatures(snap)) + feature
+    log.commitDml(snap.version, Seq(
+      Protocol(
+        math.max(p.minReaderVersion, if (readerF.nonEmpty) 3 else p.minReaderVersion),
+        7,
+        if (readerF.nonEmpty) Some(readerF)
+        else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
+        Some(writerF)),
+      snap.metadata.copy(configuration =
+        snap.metadata.configuration + (propKey -> "true")),
+      CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        Map(propKey -> "true"))))
+    ()
+  }
+
   def enableRowTracking(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     val snap = log.snapshot()
@@ -2269,6 +2314,20 @@ object DeltaTable {
       val rest = props - VsProp
       if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
       return
+    }
+    // icebergCompat: the invariants are enforced off the PROTOCOL
+    // feature (by this engine and by delta-spark alike), so the
+    // property must ride with the feature in one commit — a bare
+    // property would leave a half-enabled table foreign writers treat
+    // as disabled
+    for (v <- Seq(1, 2)) {
+      val key = s"delta.enableIcebergCompatV$v"
+      if (props.get(key).exists(_.toBoolean)) {
+        enableIcebergCompat(spark, tableUri, v)
+        val rest = props - key
+        if (rest.nonEmpty) setTblProperties(spark, tableUri, rest)
+        return
+      }
     }
     // delta.columnMapping.mode=name routes through the full upgrade
     // (physical-name assignment + protocol) — a bare property would

@@ -327,15 +327,7 @@ case class GraftDetailCommand(tableRef: String) extends LeafRunnableCommand {
     // a driver materialization
     val acts = DeltaLog.forTable(session, path).activeAdds()
     val snap = acts.bare
-    val (nFiles, totalBytes, nDvs) = acts.materialized match {
-      case Some(files) => (files.size.toLong, files.map(_.size).sum,
-        files.count(_.deletionVector.isDefined).toLong)
-      case None =>
-        import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
-        val r = acts.ds.toDF().agg(count(lit(1)),
-          coalesce(sum("size"), lit(0L)), count("deletionVector")).collect()(0)
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    val (nFiles, totalBytes, nDvs) = acts.fileStats
     val features = (snap.protocol.readerFeatures.getOrElse(Set.empty) ++
       snap.protocol.writerFeatures.getOrElse(Set.empty)).toSeq.sorted
     Seq(Row("graftdelta", snap.metadata.id, path,

@@ -468,6 +468,47 @@ class ForeignLogSpec extends AnyFunSuite {
     }
     assert(eDv.getMessage.contains("deletion-vector"))
 
+    // enablement routes through the protocol upgrade: property +
+    // feature land together (a bare property would be invisible to
+    // foreign writers, which key enforcement off the protocol)
+    val en = TestSpark.tmpDir("iceberg-enable")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), en)
+    DeltaTable.setTblProperties(spark, en,
+      Map("delta.enableIcebergCompatV1" -> "true"))
+    val snapEn = DeltaLog.forTable(spark, en).snapshot()
+    assert(snapEn.protocol.writerFeatures.exists(_.contains("icebergCompatV1")))
+    assert(snapEn.metadata.configuration
+      .get("delta.enableIcebergCompatV1").contains("true"))
+    // V2 without column mapping is refused up front...
+    val e2pre = intercept[IllegalArgumentException](
+      DeltaTable.setTblProperties(spark, en,
+        Map("delta.enableIcebergCompatV2" -> "true")))
+    assert(e2pre.getMessage.contains("column mapping"))
+    // ...and lands once mapping is in place; the next write flows
+    DeltaTable.enableColumnMapping(spark, en)
+    DeltaTable.setTblProperties(spark, en,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    assert(DeltaLog.forTable(spark, en).snapshot()
+      .protocol.writerFeatures.exists(_.contains("icebergCompatV2")))
+    DeltaTable.append(spark, en, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, en).count() == 2)
+
+    // the generic by-name refusal still guards genuinely unknown
+    // features — appending blind would break the bookkeeping that
+    // feature's other writers maintain
+    val unk = TestSpark.tmpDir("foreign-w7-unknown")
+    val (fu, su) = writeDataFile(unk, Seq((1L, "a")))
+    writeCommit(unk, 0L, Seq(
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        s""""writerFeatures":["futureFeature","appendOnly"]}}""",
+      metaJson,
+      s"""{"add":{"path":"$fu","partitionValues":{},"size":$su,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaTable.read(spark, unk).count() == 1, "reading stays fine")
+    val eUnk = intercept[IllegalStateException] {
+      DeltaTable.append(spark, unk, Seq((2L, "b")).toDF("id", "name"))
+    }
+    assert(eUnk.getMessage.contains("unsupported writer feature futureFeature"))
+
     // all-supported feature list: writes flow
     val ok = TestSpark.tmpDir("foreign-w7-ok")
     val (fOk, sOk) = writeDataFile(ok, Seq((1L, "a")))
