@@ -253,6 +253,47 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(snap.files.size > N)
   }
 
+  test("SHOW PARTITIONS distinct runs distributed on a big log") {
+    // partitioned variant of the fabricated checkpoint: 5k adds over 7
+    // partition values, still past the distributed threshold
+    val dir = TestSpark.tmpDir("cp-scan-parts")
+    import spark.implicits._
+    val pSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("p", org.apache.spark.sql.types.StringType)
+    val metaRow = CheckpointScanSpec.CpRow(None,
+      Some(CheckpointScanSpec.CpMeta("cp-scan-parts", pSchema.json, Seq("p"),
+        Map.empty)), None)
+    val protoRow = CheckpointScanSpec.CpRow(None, None,
+      Some(CheckpointScanSpec.CpProto(1, 2)))
+    val nP = 5000
+    val rows = spark.range(nP).map(i =>
+        CheckpointScanSpec.CpRow(Some(CheckpointScanSpec.CpAdd(
+          f"p=p${i % 7}/part-$i%06d.parquet", Map("p" -> s"p${i % 7}"),
+          100L, 1L, true,
+          s"""{"numRecords":1,"minValues":{"id":$i},""" +
+            s""""maxValues":{"id":$i},"nullCount":{"id":0}}""")),
+          None, None))
+      .union(Seq(metaRow, protoRow).toDS())
+    val logDir = Paths.get(dir, "_delta_log")
+    val staging = TestSpark.tmpDir("cp-scan-parts-staging")
+    rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(logDir)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":0,"size":${nP + 2}}""".getBytes("UTF-8"))
+    DeltaLog.invalidate(dir)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val parts = spark.sql(s"SHOW PARTITIONS '$dir'")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == (0 until 7).map(i => s"p=p$i"))
+    assert(!log.hasCachedSnapshot,
+      "SHOW PARTITIONS must run its distinct over the dataset")
+  }
+
   test("metadataAt/bareSnapshotAt replay non-file state only") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
