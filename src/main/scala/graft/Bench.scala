@@ -265,14 +265,17 @@ object Bench {
       // never satisfy the GLOBAL validator across partition dirs — same
       // semantics as the reference; the partitioned path is covered by
       // PartitionedSpec).
-      // The WHOLE sequence runs twice in separate temp tables: the ops
-      // are stateful (build → compact → delete mutate the table), so
-      // per-op repeats can't share a table — instead the first full pass
-      // is an UNTIMED warmup and only the second is reported. Without it
-      // the section ran once, cold, before anything else touched the
-      // Delta code paths, and r7 showed table_build/validate moving 3×
-      // on unchanged code purely from that cold start.
-      def engineOnce(): (String, String) = {
+      // The WHOLE sequence runs in separate temp tables per pass: the
+      // ops are stateful (build → compact → delete mutate the table),
+      // so per-op repeats can't share a table — instead the first full
+      // pass is an UNTIMED warmup (r7 showed table_build/validate
+      // moving 3× on unchanged code purely from the cold start) and
+      // THREE timed passes report per-op MEDIANS, the same discipline
+      // the query loop uses: single-shot engine ops swung rt_compact
+      // 0.7↔1.1 s run-to-run on identical code (r14-r16), minting
+      // phantom regressions the query section stopped producing the
+      // day it got median-of-3.
+      def engineOnce(): (Map[String, Double], Map[String, String]) = {
       val tableDir = java.nio.file.Files.createTempDirectory("graft-bench-delta").toString
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(32)
       val (_, tBuild) = timed(graft.delta.DeltaTable.create(spark, df, tableDir, Nil))
@@ -353,23 +356,46 @@ object Bench {
         graft.delta.DeltaLog.forTable(spark, tableDir).checkpoint())
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tableDir), true)
-      def render(fmt: Double => String, withBytes: Boolean) =
-        s""""engine":{"table_build":${fmt(tBuild)},"validate_unsorted":${fmt(tV1)},"plan":${fmt(tPlan)},""" +
-          s""""compact":${fmt(tCompact)},"validate_sorted":${fmt(tV2)},"strict_overwrite":${fmt(tStrict)},""" +
-          s""""skip_read":${fmt(tSkip)},"full_read":${fmt(tFull)},"skip_files_read":$prunedFiles,""" +
-          (if (withBytes) s""""connector_scan":${fmt(tConn)},""" else "") +
-          s""""delete_selective":${fmt(tDelete)},"delete_files_rewritten":${delStats.filesRemoved},""" +
-          s""""dv_delete":${fmt(tDvDelete)},"dv_files_masked":${dvStats.filesAdded},""" +
-          s""""dv_compact":${fmt(tDvCompact)},""" +
-          s""""rt_enable":${fmt(tRtEnable)},"rt_compact":${fmt(tRtCompact)},""" +
-          s""""checkpoint_v2":${fmt(tCkptV2)},""" +
-          s""""files_in":${sum0.filesIn},"files_out":${sum0.filesOut},""" +
-          (if (withBytes) s""""bytes_in":${sum0.bytesIn},"bytes_out":${sum0.bytesOut},""" else "") +
-          s""""violations_before":${v1.boundaryViolations},"ok_after":${v2.ok}},"""
-      (render(d2, withBytes = false), render(_.toString, withBytes = true))
+      val timings = Map(
+        "table_build" -> tBuild, "validate_unsorted" -> tV1, "plan" -> tPlan,
+        "compact" -> tCompact, "validate_sorted" -> tV2,
+        "strict_overwrite" -> tStrict, "skip_read" -> tSkip,
+        "full_read" -> tFull, "connector_scan" -> tConn,
+        "delete_selective" -> tDelete, "dv_delete" -> tDvDelete,
+        "dv_compact" -> tDvCompact, "rt_enable" -> tRtEnable,
+        "rt_compact" -> tRtCompact, "checkpoint_v2" -> tCkptV2)
+      val facts = Map(
+        "skip_files_read" -> prunedFiles.toString,
+        "delete_files_rewritten" -> delStats.filesRemoved.toString,
+        "dv_files_masked" -> dvStats.filesAdded.toString,
+        "files_in" -> sum0.filesIn.toString,
+        "files_out" -> sum0.filesOut.toString,
+        "bytes_in" -> sum0.bytesIn.toString,
+        "bytes_out" -> sum0.bytesOut.toString,
+        "violations_before" -> v1.boundaryViolations.toString,
+        "ok_after" -> v2.ok.toString)
+      (timings, facts)
       }
       engineOnce() // untimed warmup pass (separate temp table, discarded)
-      engineOnce()
+      val engineRuns = Seq.fill(3)(engineOnce())
+      def emed(k: String): Double = {
+        val ts = engineRuns.map(_._1(k)).sorted; ts(ts.size / 2)
+      }
+      val facts = engineRuns.last._2
+      def render(fmt: Double => String, withBytes: Boolean) =
+        s""""engine":{"table_build":${fmt(emed("table_build"))},"validate_unsorted":${fmt(emed("validate_unsorted"))},"plan":${fmt(emed("plan"))},""" +
+          s""""compact":${fmt(emed("compact"))},"validate_sorted":${fmt(emed("validate_sorted"))},"strict_overwrite":${fmt(emed("strict_overwrite"))},""" +
+          s""""skip_read":${fmt(emed("skip_read"))},"full_read":${fmt(emed("full_read"))},"skip_files_read":${facts("skip_files_read")},""" +
+          (if (withBytes) s""""connector_scan":${fmt(emed("connector_scan"))},""" else "") +
+          s""""delete_selective":${fmt(emed("delete_selective"))},"delete_files_rewritten":${facts("delete_files_rewritten")},""" +
+          s""""dv_delete":${fmt(emed("dv_delete"))},"dv_files_masked":${facts("dv_files_masked")},""" +
+          s""""dv_compact":${fmt(emed("dv_compact"))},""" +
+          s""""rt_enable":${fmt(emed("rt_enable"))},"rt_compact":${fmt(emed("rt_compact"))},""" +
+          s""""checkpoint_v2":${fmt(emed("checkpoint_v2"))},""" +
+          s""""files_in":${facts("files_in")},"files_out":${facts("files_out")},""" +
+          (if (withBytes) s""""bytes_in":${facts("bytes_in")},"bytes_out":${facts("bytes_out")},""" else "") +
+          s""""violations_before":${facts("violations_before")},"ok_after":${facts("ok_after")}},"""
+      (render(d2, withBytes = false), render(_.toString, withBytes = true))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] engine ops FAILED: $e")
