@@ -108,7 +108,16 @@ object ConnectorTour {
     spark.sql("SELECT count(*) AS at_v0 FROM tour VERSION AS OF 0").show()
     spark.sql("OPTIMIZE tour").show(truncate = false)
     spark.sql("DESCRIBE HISTORY tour").show(5, truncate = false)
+    // an over-eager retention is REFUSED by default (the floor protects
+    // concurrent readers and time travel); waive the check explicitly
+    // for this throwaway table — the delta-spark escape hatch
+    val refused =
+      try { spark.sql("VACUUM tour RETAIN 0 HOURS").show(); false }
+      catch { case e: IllegalArgumentException => true }
+    println(s"sub-floor vacuum refused by default: $refused")
+    spark.conf.set("spark.graft.delta.retentionDurationCheck.enabled", "false")
     spark.sql("VACUUM tour RETAIN 0 HOURS").show()
+    spark.conf.set("spark.graft.delta.retentionDurationCheck.enabled", "true")
 
     // 8. Catalog-table streaming: the same v1 exactly-once source/sink,
     //    addressed purely by table name (the V2TableWithV1Fallback seam).
