@@ -1255,9 +1255,22 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 
   def commit(expectedVersion: Long, actions: Seq[Action]): Long = {
     val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
+    // At expectedVersion > 0 the table exists, so the probe MUST
+    // succeed: swallowing a transient failure here (checkpoint parquet
+    // read hiccup, FS glitch) would hand checkWritable a None and
+    // silently disable the writer protocol gate, delta.appendOnly, the
+    // icebergCompat invariants, the DV-descriptor check, AND
+    // rowTracking/ICT stamping for this one commit — a storage blip
+    // must fail the commit loudly, never degrade it to unvalidated.
     val snapOpt =
       if (expectedVersion > 0)
-        try Some(commitProbe(removePaths)) catch { case _: Exception => None }
+        try Some(commitProbe(removePaths)) catch {
+          case e: Exception => throw new IllegalStateException(
+            s"cannot validate commit $expectedVersion to $tableUri: reading " +
+              "the current table state failed, and committing without " +
+              "validation would bypass the table's protocol invariants — " +
+              "retry once the log/checkpoint is readable", e)
+        }
       else None
     if (expectedVersion > 0) checkWritable(actions, snapOpt)
     val stamped = stampIct(snapOpt, expectedVersion,

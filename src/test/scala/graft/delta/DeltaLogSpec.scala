@@ -392,6 +392,42 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(Action.fromJson(mapper.readTree("""{"somethingNew":{}}""")).isEmpty)
   }
 
+  test("a probe failure on an EXISTING table fails the commit, never skips validation") {
+    // The chokepoint's state probe is what feeds the writer protocol
+    // gate, delta.appendOnly, the DV/icebergCompat invariants, and
+    // rowTracking/ICT stamping. A transient read failure (corrupt
+    // checkpoint, FS glitch) on an existing table must therefore FAIL
+    // the commit — silently committing without validation would let a
+    // storage blip land unstamped adds on a rowTracking table or a
+    // delete on an append-only one.
+    val dir = TestSpark.tmpDir("log-probe-fail")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v"), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    DeltaTable.setTblProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    val log = DeltaLog.forTable(spark, dir)
+    val preVersion = log.latestVersion()
+    log.checkpoint()
+    // corrupt the checkpoint parquet in place (and drop the LocalFS
+    // .crc shadow so the read hits the garbage, not a checksum error —
+    // either way an exception, but keep the failure mode deterministic)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val cp = logDir.listFiles().filter(_.getName.endsWith(".checkpoint.parquet")).head
+    java.nio.file.Files.write(cp.toPath, "not a parquet file".getBytes("UTF-8"))
+    logDir.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    DeltaLog.invalidate(dir)
+    val fresh = DeltaLog.forTable(spark, dir)
+    val ex = intercept[IllegalStateException] {
+      fresh.commit(preVersion + 1, Seq(
+        AddFile("unvalidated.parquet", Map.empty, 1L, 0L, dataChange = true),
+        CommitInfo(0L, "WRITE", Map.empty)))
+    }
+    assert(ex.getMessage.contains("cannot validate commit"),
+      s"expected the loud validation failure, got: ${ex.getMessage}")
+    // and nothing landed: the unvalidated commit was refused outright
+    assert(!new java.io.File(logDir, f"${preVersion + 1}%020d.json").exists(),
+      "the commit must not have been written")
+  }
+
   test("action JSON round-trips through the parser") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val add = AddFile("p=1/part-0.parquet", Map("p" -> "1", "q" -> null), 123L, 456L, dataChange = false)
