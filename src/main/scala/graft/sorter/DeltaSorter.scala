@@ -9,7 +9,7 @@ import scala.util.{Failure, Success, Try}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 
-import graft.delta.DeltaLog
+import graft.delta.{ActiveAdds, AddFile, DeltaLog, DeltaTable, Snapshot}
 
 /** Public engine API + orchestrator (reference O10,
   * crates/sorter-core/src/lib.rs:166-248; Python/CLI surface
@@ -24,12 +24,41 @@ import graft.delta.DeltaLog
 class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   private val deltaLog = DeltaLog.forTable(spark, tableUri)
 
+  // Every verb opens with `deltaLog.activeAdds()` instead of
+  // `snapshot()`: on a small or already-cached log that IS the
+  // materialized snapshot (same cache seeding, zero extra cost), but on
+  // a big uncached log (million-file checkpoint) file SELECTION runs in
+  // executors over the checkpoint dataset and only each verb's work set
+  // reaches the driver — the same distributed metadata plane every
+  // read/DML/vacuum path rides. The full-table rewrites (strict
+  // overwrite, z-order, full validate) still collect the whole add list
+  // because their output commit must REMOVE every active file and their
+  // scan must name every path — inherent to the operation, not to the
+  // planning; see [[graft.delta.DeltaLog.activeAdds]].
+
+  /** Collect only the files matching `p`: a driver filter on the
+    * materialized path, an executor-side filter + bounded collect on
+    * the staged one. `p` must capture no `this` reference. */
+  private def selectFiles(aa: ActiveAdds)(p: AddFile => Boolean): Seq[AddFile] =
+    aa.materialized match {
+      case Some(fs) => fs.filter(p)
+      case None => aa.ds.filter(p).collect().toSeq
+    }
+
+  /** The complete active add list — only for verbs whose semantics need
+    * every file (full-table rewrites, the scanning validator). Collects
+    * from the dataset on the staged path, so the snapshot cache is
+    * never seeded with a million-file state as a side effect. */
+  private def allFiles(aa: ActiveAdds): Seq[AddFile] =
+    aa.materialized.getOrElse(aa.ds.collect().toSeq)
+
   /** O5: validate global ordering over all active files
     * (lib.rs:484-524). */
   def validate(sortColumns: Seq[String], nullsFirst: Boolean = true,
       descColumns: Set[String] = Set.empty): ValidationReport = {
-    val snap = deltaLog.snapshot()
-    Validator.report(spark, deltaLog, snap, snap.files, sortColumns, nullsFirst, descColumns)
+    val aa = deltaLog.activeAdds()
+    Validator.report(spark, deltaLog, aa.bare, allFiles(aa), sortColumns,
+      nullsFirst, descColumns)
   }
 
   /** Zero-IO pre-flight audit from the log's per-file stats: the
@@ -47,33 +76,118 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * `detailsSample` and make no claim. */
   def validateQuick(sortColumns: Seq[String],
       descColumns: Set[String] = Set.empty): ValidationReport = {
-    val snap = deltaLog.snapshot()
+    val aa = deltaLog.activeAdds()
+    val snap = aa.bare
     Validator.validateSortColumns(snap.schema, sortColumns)
     val lead = sortColumns.head
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val ivs = snap.files.filter(_.size > 0).map(f => f -> f.stats.flatMap(
-      graft.delta.DataSkipping.columnInterval(mapper, _, lead, snap.schema)))
-    val missing = ivs.count(_._2.isEmpty).toLong
-    val usable = ivs.collect {
-      case (f, Some((mn, mx, nc))) if nc.contains(0L) => (f, mn, mx)
+    val leadAsc = !descColumns.contains(lead)
+    aa.materialized match {
+      case Some(files) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val ivs = files.filter(_.size > 0).map(f => f -> f.stats.flatMap(
+          graft.delta.DataSkipping.columnInterval(mapper, _, lead, snap.schema)))
+        val missing = ivs.count(_._2.isEmpty).toLong
+        val usable = ivs.collect {
+          case (f, Some((mn, mx, nc))) if nc.contains(0L) => (f, mn, mx)
+        }
+        var violations = 0L
+        val details = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (leadAsc && usable.size > 1) {
+          usable.sortWith((a, b) =>
+            graft.delta.DataSkipping.keyCompare(a._2, b._2).exists(_ < 0))
+            .sliding(2).foreach {
+              case Seq(a, b)
+                  if graft.delta.DataSkipping.keyCompare(a._3, b._2).exists(_ > 0) =>
+                violations += 1
+                if (details.size < 20)
+                  details += s"stats boundary violation: max(${a._1.path}) > min(${b._1.path}) on '$lead'"
+              case _ => ()
+            }
+        }
+        if (missing > 0 && details.size < 20)
+          details += s"$missing file(s) without usable '$lead' stats (no claim made)"
+        ValidationReport(usable.size.toLong, violations, details.toSeq)
+      case None => quickStaged(snap, aa, lead, leadAsc)
     }
-    var violations = 0L
-    val details = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!descColumns.contains(lead) && usable.size > 1) {
-      usable.sortWith((a, b) =>
-        graft.delta.DataSkipping.keyCompare(a._2, b._2).exists(_ < 0))
-        .sliding(2).foreach {
-          case Seq(a, b)
-              if graft.delta.DataSkipping.keyCompare(a._3, b._2).exists(_ > 0) =>
+  }
+
+  /** The staged (big-uncached-log) half of [[validateQuick]]: interval
+    * extraction runs in executors over the checkpoint dataset, the
+    * min-key sort is a distributed RDD range sort, adjacent-pair
+    * boundary checks run inside each sorted partition, and the driver
+    * sees one summary row PER SPARK PARTITION (stitching consecutive
+    * partitions at their seam) — a million-file table's zero-IO audit
+    * never materializes its add list. Semantics identical to the
+    * materialized path above. */
+  private def quickStaged(snap: Snapshot, aa: ActiveAdds, lead: String,
+      leadAsc: Boolean): ValidationReport = {
+    import graft.delta.DataSkipping
+    type Key = Either[String, BigDecimal]
+    val schema = snap.schema
+    val ivs = aa.ds.rdd.mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.collect { case f if f.size > 0 =>
+        (f.path, f.stats.flatMap(s =>
+          DataSkipping.columnInterval(mapper, s, lead, schema)))
+      }
+    }
+    ivs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (missing, usableCount) = ivs
+        .map {
+          case (_, None) => (1L, 0L)
+          case (_, Some((_, _, nc))) if nc.contains(0L) => (0L, 1L)
+          case _ => (0L, 0L)
+        }
+        .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+      var violations = 0L
+      val details = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (leadAsc && usableCount > 1) {
+        implicit val keyOrd: Ordering[Key] = DeltaSorter.StatsKeyOrdering
+        val sorted = ivs
+          .flatMap { case (p, iv) =>
+            iv.collect { case (mn, mx, nc) if nc.contains(0L) => (mn, (mx, p)) }
+          }
+          .sortByKey()
+        val parts = sorted.mapPartitionsWithIndex { (idx, it) =>
+          var n = 0L
+          var v = 0L
+          val det = scala.collection.mutable.ArrayBuffer.empty[String]
+          var first: (Key, (Key, String)) = null
+          var prev: (Key, (Key, String)) = null
+          it.foreach { e =>
+            if (prev == null) first = e
+            else if (DataSkipping.keyCompare(prev._2._1, e._1).exists(_ > 0)) {
+              v += 1
+              if (det.size < 20)
+                det += s"stats boundary violation: max(${prev._2._2}) > min(${e._2._2}) on '$lead'"
+            }
+            prev = e
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else Iterator((idx, v, det.toSeq, first._1, first._2,
+            prev._1, prev._2))
+        }.collect().sortBy(_._1)
+        parts.foreach { case (_, v, det, _, _, _, _) =>
+          violations += v
+          det.foreach(d => if (details.size < 20) details += d)
+        }
+        // seam check between consecutive non-empty partitions: last max
+        // of one vs first min of the next, same comparison as within
+        parts.sliding(2).foreach {
+          case Array((_, _, _, _, _, _, aLast), (_, _, _, bFirstMin, bFirst, _, _))
+              if DataSkipping.keyCompare(aLast._1, bFirstMin).exists(_ > 0) =>
             violations += 1
             if (details.size < 20)
-              details += s"stats boundary violation: max(${a._1.path}) > min(${b._1.path}) on '$lead'"
+              details += s"stats boundary violation: max(${aLast._2}) > min(${bFirst._2}) on '$lead'"
           case _ => ()
         }
-    }
-    if (missing > 0 && details.size < 20)
-      details += s"$missing file(s) without usable '$lead' stats (no claim made)"
-    ValidationReport(usable.size.toLong, violations, details.toSeq)
+      }
+      if (missing > 0 && details.size < 20)
+        details += s"$missing file(s) without usable '$lead' stats (no claim made)"
+      ValidationReport(usableCount, violations, details.toSeq)
+    } finally ivs.unpersist(blocking = false)
   }
 
   /** O6: ordering check restricted to one partition (lib.rs:526-555).
@@ -83,12 +197,12 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * check (lib.rs:553), `nullsFirst` is honored consistently. */
   def partitionIsSorted(partition: Seq[(String, String)], sortColumns: Seq[String],
       nullsFirst: Boolean = true): Boolean = {
-    val snap = deltaLog.snapshot()
+    val aa = deltaLog.activeAdds()
     val target = partition.toMap
-    val files = snap.files.filter(f => target.forall { case (k, v) =>
+    val files = selectFiles(aa)(f => target.forall { case (k, v) =>
       f.partitionValues.get(k).contains(v)
     })
-    Try(Validator.report(spark, deltaLog, snap, files, sortColumns, nullsFirst)) match {
+    Try(Validator.report(spark, deltaLog, aa.bare, files, sortColumns, nullsFirst)) match {
       case Success(r) => r.ok
       case Failure(_) => false // conservative: validation error => rewrite (lib.rs:306-310)
     }
@@ -96,11 +210,39 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
 
   /** O7: plan which partitions need a rewrite (lib.rs:251-319). */
   def plan(cfg: SortConfig): RewritePlan = {
-    val snap = deltaLog.snapshot()
+    val aa = deltaLog.activeAdds()
     // cfg.predicate (upstream reserves it unused, lib.rs:97,106): scope
     // the plan to matching PARTITIONS — the OPTIMIZE WHERE machinery
-    Planner.plan(spark, deltaLog,
-      snap.copy(files = scopeFiles(snap, cfg.predicate)), cfg)
+    aa.materialized match {
+      case Some(files) =>
+        val snap = aa.bare.copy(files = files)
+        Planner.plan(spark, deltaLog,
+          snap.copy(files = scopeFiles(snap, cfg.predicate)), cfg)
+      case None =>
+        // staged: scope by PARTITION before any file metadata reaches
+        // the driver — the distinct partition-value maps (O(#partitions)
+        // driver rows) are pruned with the exact same pruneFiles
+        // semantics as the materialized path, then ONE executor-side
+        // filter collects only the scoped groups' files. An unscoped
+        // plan still collects the whole add list: every group either
+        // joins the plan (its files ARE the rewrite work set) or must be
+        // stats-scanned to prove it can be dropped (the scan must name
+        // its paths) — but the snapshot cache is never seeded and the
+        // driver never replays the checkpoint.
+        val bare = aa.bare
+        Validator.validateSortColumns(bare.schema, cfg.sortColumns)
+        val files = cfg.predicate match {
+          case None => aa.ds.collect().toSeq
+          case Some(w) =>
+            val pred = canonicalPredicate(bare, w)
+            val keep = aa.ds.rdd.map(_.partitionValues).distinct().collect()
+              .filter(pv => DeltaTable.pruneFiles(bare,
+                Seq(AddFile("", pv, 0L, 0L, dataChange = false)), pred).nonEmpty)
+              .toSet
+            aa.ds.filter(f => keep.contains(f.partitionValues)).collect().toSeq
+        }
+        Planner.plan(spark, deltaLog, bare.copy(files = files), cfg)
+    }
   }
 
   /** O10: mode dispatch + bounded-concurrency execution
@@ -122,7 +264,12 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
         logInfo(s"dry-run: would fully sort $tableUri by ${cfg.sortColumns.mkString(",")}")
         return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
       }
-      val m = Rewriter.fullSortedOverwrite(spark, deltaLog, deltaLog.snapshot(), cfg)
+      // full-table sorted overwrite: the commit removes every active
+      // file, so the complete add list is inherent — collect it from
+      // the dataset (no snapshot cache seeding on a big log)
+      val aa = deltaLog.activeAdds()
+      val m = Rewriter.fullSortedOverwrite(spark, deltaLog,
+        aa.bare.copy(files = allFiles(aa)), cfg)
       return summarize(Seq(m), t0)
     }
 
@@ -151,7 +298,11 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
       return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
     }
 
-    val snap = deltaLog.snapshot()
+    // per-group rewrites need only the table's metadata/version (each
+    // group carries its own files) — the file-free state suffices, so a
+    // compact of three partitions of a million-file table never
+    // materializes the other 999,997 files driver-side
+    val snap = deltaLog.fileFreeSnapshot()
     val pool = Executors.newFixedThreadPool(math.max(1, cfg.concurrency))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
@@ -183,13 +334,21 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   def binPack(targetFileSizeBytes: Long = 128L * 1024 * 1024,
       concurrency: Int = 8, where: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
-    val snap = deltaLog.snapshot()
-    val scoped = scopeFiles(snap, where)
-    val groups = scoped
+    val aa = deltaLog.activeAdds()
+    val snap = aa.bare
+    // parse + validate the WHERE up front (user-error contract), then
+    // size/DV-select in EXECUTORS: only the pack-eligible files — the
+    // work set — reach the driver, where the exact partition scoping
+    // runs over them
+    val pred = where.map(canonicalPredicate(snap, _))
+    val target = targetFileSizeBytes
+    val eligible = selectFiles(aa)(f =>
       // DV-bearing files are always eligible regardless of size: packing
       // them materializes the deletion mask and drops the descriptor —
       // the only way dead rows ever leave the disk
-      .filter(f => f.size > 0 && (f.size < targetFileSizeBytes || f.deletionVector.isDefined))
+      f.size > 0 && (f.size < target || f.deletionVector.isDefined))
+    val scoped = pred.fold(eligible)(p => DeltaTable.pruneFiles(snap, eligible, p))
+    val groups = scoped
       .groupBy(_.partitionValues).values.toSeq
       // one small file per partition: nothing to pack — unless it
       // carries a DV worth purging
@@ -237,7 +396,11 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
       where: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
     val b = if (bits > 0) bits else ZOrder.maxBits(zorderColumns.size)
-    val snap = deltaLog.snapshot()
+    // the z-order overwrite removes every (scoped) active file — the
+    // full add list is inherent to the commit; collect it from the
+    // dataset so a big log's snapshot cache is never seeded
+    val aa = deltaLog.activeAdds()
+    val snap = aa.bare.copy(files = allFiles(aa))
     val scoped = scopeFiles(snap, where)
     if (scoped.isEmpty) return summarize(Nil, t0)
     val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, snap,
@@ -250,34 +413,40 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * matching PARTITIONS (delta's contract — the predicate may only
     * reference partition columns, so selection is exact, never
     * row-splitting). */
-  private def scopeFiles(snap: graft.delta.Snapshot,
-      where: Option[String]): Seq[graft.delta.AddFile] = where match {
+  private def scopeFiles(snap: Snapshot,
+      where: Option[String]): Seq[AddFile] = where match {
     case None => snap.files
     case Some(w) =>
-      val pred = spark.sessionState.sqlParser.parseExpression(w)
-      val parts = snap.metadata.partitionColumns
-        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      val bad = pred.collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if !parts.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
-      }.distinct
-      require(bad.isEmpty,
-        s"OPTIMIZE WHERE may reference partition columns only " +
-          s"(${snap.metadata.partitionColumns.mkString(", ")}); " +
-          s"got: ${bad.mkString(", ")}")
-      // normalize attribute case to the schema's spelling (SQL resolves
-      // case-insensitively; the pruning key domain does not)
-      val canon = pred.transform {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          snap.metadata.partitionColumns.find(_.equalsIgnoreCase(a.name))
-            .map(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(_))
-            .getOrElse(a)
-      }
       // pruneFiles, not raw DataSkipping.prune: a column-mapped table
       // keys partitionValues by PHYSICAL names — the raw prune would
       // match nothing, conservatively keep EVERY file, and silently
       // turn a one-partition OPTIMIZE into a whole-table rewrite
-      graft.delta.DeltaTable.pruneFiles(snap, snap.files, canon)
+      DeltaTable.pruneFiles(snap, snap.files, canonicalPredicate(snap, w))
+  }
+
+  /** Parse an OPTIMIZE WHERE predicate, enforce the partition-columns-
+    * only contract, and normalize attribute case to the schema's
+    * spelling (SQL resolves case-insensitively; the pruning key domain
+    * does not). */
+  private def canonicalPredicate(snap: Snapshot,
+      where: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val pred = spark.sessionState.sqlParser.parseExpression(where)
+    val parts = snap.metadata.partitionColumns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val bad = pred.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if !parts.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+    }.distinct
+    require(bad.isEmpty,
+      s"OPTIMIZE WHERE may reference partition columns only " +
+        s"(${snap.metadata.partitionColumns.mkString(", ")}); " +
+        s"got: ${bad.mkString(", ")}")
+    pred.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        snap.metadata.partitionColumns.find(_.equalsIgnoreCase(a.name))
+          .map(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(_))
+          .getOrElse(a)
+    }
   }
 
   /** OPTIMIZE on a CLUSTERED table (liquid clustering): re-cluster the
@@ -300,8 +469,14 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
   def clusteredCompact(targetFileSizeBytes: Option[Long] = None,
       full: Boolean = false): RunSummary = {
     val t0 = System.nanoTime()
-    val snap = deltaLog.snapshot()
-    val paths = graft.delta.DeltaTable.clusteringColumns(snap)
+    // the clustering domain lives in the file-free state; the
+    // INCREMENTAL selection (untagged or DV-bearing files — the day's
+    // arrivals, not the clustered bulk) filters in executors, so an
+    // incremental re-cluster of a million-file table collects only the
+    // new files driver-side
+    val aa = deltaLog.activeAdds()
+    val snap = aa.bare
+    val paths = DeltaTable.clusteringColumns(snap)
     require(paths.nonEmpty,
       s"$tableUri has no delta.clustering domain — not a clustered table " +
         "(DeltaTable.enableClustering declares one)")
@@ -309,10 +484,11 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
       s"nested clustering columns are not supported yet: " +
         paths.filter(_.size > 1).map(_.mkString(".")).mkString(", "))
     val cols = paths.map(_.head)
+    val genTag = DeltaSorter.ClusteredGenTag
     val selection =
-      if (full) snap.files
-      else snap.files.filter(f => f.deletionVector.nonEmpty ||
-        !f.tags.exists(_.contains(DeltaSorter.ClusteredGenTag)))
+      if (full) allFiles(aa)
+      else selectFiles(aa)(f => f.deletionVector.nonEmpty ||
+        !f.tags.exists(_.contains(genTag)))
     if (selection.isEmpty) return summarize(Nil, t0)
     val tags = Map(DeltaSorter.ClusteredGenTag ->
       java.util.UUID.randomUUID().toString)
@@ -358,4 +534,17 @@ object DeltaSorter {
     * spec's optional `tags` map so it survives checkpoints and foreign
     * rewrites that preserve tags. */
   val ClusteredGenTag = "graftClusteringGeneration"
+
+  /** Total order over per-file stats keys for the distributed quick
+    * validator's range sort; keys of one column share a domain
+    * (string vs numeric follows the column's type), so the mixed-domain
+    * tie only arises on corrupt stats and make-no-claim (= equal) is
+    * the conservative call. Top-level object: task closures must not
+    * drag a [[DeltaSorter]] (non-serializable) along. */
+  private[sorter] object StatsKeyOrdering
+      extends Ordering[Either[String, BigDecimal]] with Serializable {
+    def compare(a: Either[String, BigDecimal],
+        b: Either[String, BigDecimal]): Int =
+      graft.delta.DataSkipping.keyCompare(a, b).getOrElse(0)
+  }
 }

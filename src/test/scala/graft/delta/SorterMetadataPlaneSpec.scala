@@ -1,0 +1,209 @@
+package graft.delta
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sorter.{DeltaSorter, SortConfig}
+
+/** The sorter maintenance verbs on the distributed metadata plane:
+  * validateQuick / plan / partitionIsSorted / binPack on a
+  * checkpoint-seeded log past [[DeltaLog.DistributedVacuumThreshold]]
+  * select their files in EXECUTORS — `hasCachedSnapshot` stays false
+  * through each verb, and results equal the materialized path's. The
+  * fixtures fabricate the checkpoint the way CheckpointScanSpec does
+  * (adds generated from a `spark.range` inside executors); only files a
+  * verb actually READS exist on disk. */
+class SorterMetadataPlaneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val idSchema = new org.apache.spark.sql.types.StructType()
+    .add("id", org.apache.spark.sql.types.LongType)
+
+  /** Unpartitioned fixture: `n` fabricated adds whose leading-column
+    * stats come from `iv(i) = (min, max)`; `statless` indexes carry
+    * unusable stats JSON. Planning/stats audits never open data files,
+    * so none exist. */
+  private def statsFixture(name: String, n: Int, iv: Long => (Long, Long),
+      statless: Set[Int] = Set.empty): String = {
+    val dir = TestSpark.tmpDir(name)
+    import spark.implicits._
+    val metaRow = CheckpointScanSpec.CpRow(None,
+      Some(CheckpointScanSpec.CpMeta(name, idSchema.json, Nil, Map.empty)), None)
+    val protoRow = CheckpointScanSpec.CpRow(None, None,
+      Some(CheckpointScanSpec.CpProto(1, 2)))
+    val rows = spark.range(n).map { i =>
+      val (mn, mx) = iv(i)
+      val stats =
+        if (statless.contains(i.toInt)) "{}"
+        else s"""{"numRecords":10,"minValues":{"id":$mn},""" +
+          s""""maxValues":{"id":$mx},"nullCount":{"id":0}}"""
+      CheckpointScanSpec.CpRow(Some(CheckpointScanSpec.CpAdd(
+        f"part-$i%06d.parquet", Map.empty[String, String], 100L, 1L, true,
+        stats)), None, None)
+    }.union(Seq(metaRow, protoRow).toDS())
+    writeCheckpoint(dir, rows, n + 2)
+    dir
+  }
+
+  /** Partitioned fixture: `nFab` fabricated adds over partitions
+    * p0..p6 plus three REAL single-digit-id parquet files in partition
+    * p=real (the only partition any test reads or rewrites). */
+  private def partFixture(name: String, nFab: Int): String = {
+    val dir = TestSpark.tmpDir(name)
+    import spark.implicits._
+    val pSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("p", org.apache.spark.sql.types.StringType)
+    val metaRow = CheckpointScanSpec.CpRow(None,
+      Some(CheckpointScanSpec.CpMeta(name, pSchema.json, Seq("p"), Map.empty)),
+      None)
+    val protoRow = CheckpointScanSpec.CpRow(None, None,
+      Some(CheckpointScanSpec.CpProto(1, 2)))
+    // three real files, ids [0..9] / [10..19] / [20..29], each sorted
+    val realDir = Paths.get(dir, "p=real")
+    Files.createDirectories(realDir)
+    val realAdds = (0 until 3).map { k =>
+      val staging = TestSpark.tmpDir(s"$name-real-$k")
+      (k * 10L until k * 10L + 10).toDF("id").coalesce(1)
+        .sortWithinPartitions("id").write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = realDir.resolve(s"real-$k.parquet")
+      Files.copy(part.toPath, target)
+      CheckpointScanSpec.CpRow(Some(CheckpointScanSpec.CpAdd(
+        s"p=real/real-$k.parquet", Map("p" -> "real"),
+        Files.size(target), 1L, true,
+        s"""{"numRecords":10,"minValues":{"id":${k * 10}},""" +
+          s""""maxValues":{"id":${k * 10 + 9}},"nullCount":{"id":0}}""")),
+        None, None)
+    }
+    val rows = spark.range(nFab).map(i =>
+        CheckpointScanSpec.CpRow(Some(CheckpointScanSpec.CpAdd(
+          f"p=p${i % 7}/part-$i%06d.parquet", Map("p" -> s"p${i % 7}"),
+          100L, 1L, true,
+          s"""{"numRecords":1,"minValues":{"id":$i},""" +
+            s""""maxValues":{"id":$i},"nullCount":{"id":0}}""")),
+          None, None))
+      .union((realAdds :+ metaRow :+ protoRow).toDS())
+    writeCheckpoint(dir, rows, nFab + realAdds.size + 2)
+    dir
+  }
+
+  private def writeCheckpoint(dir: String,
+      rows: org.apache.spark.sql.Dataset[CheckpointScanSpec.CpRow],
+      size: Long): Unit = {
+    val logDir = Paths.get(dir, "_delta_log")
+    val staging = TestSpark.tmpDir("smp-staging")
+    rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(logDir)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":0,"size":$size}""".getBytes("UTF-8"))
+    DeltaLog.invalidate(dir)
+  }
+
+  test("validateQuick runs distributed and equals the materialized path") {
+    // mostly-disjoint intervals with two deliberate overlaps and two
+    // stat-less files; mins are distinct so both paths sort identically
+    val n = 3000
+    val overlap = Set(500, 1500) // file i overlaps file i+1
+    val dir = statsFixture("smp-quick", n,
+      i => (i * 10L, if (overlap.contains(i.toInt)) i * 10L + 15 else i * 10L + 9),
+      statless = Set(42, 43))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val staged = DeltaSorter(spark, dir).validateQuick(Seq("id"))
+    assert(!log.hasCachedSnapshot,
+      "validateQuick must audit the stats in executors, not materialize")
+    assert(staged.checkedFiles == (n - 2).toLong)
+    assert(staged.boundaryViolations == 2L)
+    // same answer once the snapshot IS materialized (driver path)
+    log.snapshot()
+    assert(log.hasCachedSnapshot)
+    val mat = DeltaSorter(spark, dir).validateQuick(Seq("id"))
+    assert(mat.checkedFiles == staged.checkedFiles)
+    assert(mat.boundaryViolations == staged.boundaryViolations)
+    assert(mat.detailsSample.toSet == staged.detailsSample.toSet,
+      s"details differ:\n staged=${staged.detailsSample}\n mat=${mat.detailsSample}")
+  }
+
+  test("plan proves unsortedness from stats without materializing the add list") {
+    // every adjacent interval pair overlaps: the whole (single-group)
+    // table is stats-proven unsorted — no data scan, no driver replay;
+    // the group's file list IS the rewrite work set
+    val n = 2000
+    val dir = statsFixture("smp-plan", n, i => (i * 2L, i * 2L + 3))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val plan = DeltaSorter(spark, dir).plan(SortConfig(Seq("id")))
+    assert(!log.hasCachedSnapshot,
+      "plan must group/decide over the dataset, not materialize the snapshot")
+    assert(plan.groups.size == 1)
+    assert(plan.groups.head.files.size == n)
+    assert(plan.groups.head.estimatedBytes == 100L * n)
+    // materialized path plans the same rewrite
+    log.snapshot()
+    val mat = DeltaSorter(spark, dir).plan(SortConfig(Seq("id")))
+    assert(mat.groups.map(_.files.map(_.path).toSet) ==
+      plan.groups.map(_.files.map(_.path).toSet))
+  }
+
+  test("a WHERE-scoped plan collects only the scoped partition's files") {
+    val dir = partFixture("smp-plan-scoped", 4900)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    // p=real is sorted and stats-disjoint, so the scoped plan must SCAN
+    // it (3 real files) and conclude nothing needs rewriting — the
+    // 4900 fabricated files never reach the driver
+    val plan = DeltaSorter(spark, dir)
+      .plan(SortConfig(Seq("id"), predicate = Some("p = 'real'")))
+    assert(!log.hasCachedSnapshot,
+      "scoping must prune partitions before any files reach the driver")
+    assert(plan.groups.isEmpty, s"p=real is sorted; got ${plan.groups}")
+    // and the user-error contract survives the staged path
+    val err = intercept[IllegalArgumentException] {
+      DeltaSorter(spark, dir)
+        .plan(SortConfig(Seq("id"), predicate = Some("id = 5")))
+    }
+    assert(err.getMessage.contains("partition columns only"))
+  }
+
+  test("partitionIsSorted reads one partition of a big log") {
+    val dir = partFixture("smp-part-sorted", 4900)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    assert(DeltaSorter(spark, dir)
+      .partitionIsSorted(Seq("p" -> "real"), Seq("id")))
+    assert(!log.hasCachedSnapshot,
+      "the partition's files must be selected executor-side")
+  }
+
+  test("scoped binPack rewrites one partition, file-free at the chokepoint") {
+    val dir = partFixture("smp-binpack", 4900)
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val summary = DeltaSorter(spark, dir)
+      .binPack(targetFileSizeBytes = 1L << 20, where = Some("p = 'real'"))
+    assert(summary.partitionsRewritten == 1)
+    assert(summary.filesIn == 3 && summary.filesOut == 1, s"got $summary")
+    assert(!log.hasCachedSnapshot,
+      "binPack + its commit must stay on the distributed metadata plane")
+    // the commit really landed: v1 removes the three real files, adds one
+    val v1 = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${1L}%020d.json")).toArray.mkString("\n")
+    (0 until 3).foreach(k => assert(v1.contains(s""""remove":{"path":"p=real/real-$k.parquet"""")))
+    assert("\"add\":".r.findAllIn(v1).size == 1)
+    // and the packed partition still reads back complete (materializing
+    // is fine now — the assertion above already pinned the staged path)
+    val snap = log.snapshot()
+    val packed = snap.files.filter(_.partitionValues.get("p").contains("real"))
+    assert(packed.size == 1)
+    val rows = DeltaTable.readFiles(spark, log, snap, packed)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L until 30L))
+  }
+}
