@@ -174,7 +174,10 @@ final class GraftDeltaDataSource extends RelationProvider
         DeltaTable.replaceWhere(spark, tableUri,
           org.apache.spark.sql.functions.expr(opts("replacewhere")), clustered)
       case SaveMode.Overwrite =>
-        val snap = log.snapshot()
+        // metadata-level pre-flight only: the remove set is derived and
+        // streamed inside commitOverwrite, so overwriting a big
+        // checkpoint-seeded table never materializes its add list
+        val snap = log.fileFreeSnapshot()
         DeltaTable.checkConstraints(log, snap, clustered)
         val parts = if (partitionBy.nonEmpty) partitionBy else snap.metadata.partitionColumns
         // schema/partitioning changes need an explicit overwriteSchema=true
@@ -197,15 +200,12 @@ final class GraftDeltaDataSource extends RelationProvider
         val adds = DeltaTable.stageWrite(spark, log, clustered, parts,
           maxRecordsPerFile = None, dataChange = true, Some(snap))
         val now = System.currentTimeMillis()
-        val removes = snap.files.map(f =>
-          RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
-            f.deletionVector))
         val meta =
-          if (sameShape) Nil
-          else Seq(snap.metadata.copy(schemaString = org.apache.spark.sql.graft.GraftShims.asNullable(data.schema).json,
+          if (sameShape) None
+          else Some(snap.metadata.copy(schemaString = org.apache.spark.sql.graft.GraftShims.asNullable(data.schema).json,
             partitionColumns = parts))
-        log.commitLatest(meta ++ removes ++ adds :+
-          CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")))
+        log.commitOverwrite(adds,
+          CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")), meta)
     }
     new GraftDeltaRelation(spark, tableUri, None)
   }
@@ -349,15 +349,13 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     val named = data.toDF(schema.fieldNames.toSeq: _*)
     if (overwrite) {
       val log = DeltaLog.forTable(spark, tableUri)
-      val snapNow = log.snapshot()
+      // metadata-level pre-flight; removes stream inside commitOverwrite
+      val snapNow = log.fileFreeSnapshot()
       DeltaTable.checkConstraints(log, snapNow, named)
       val adds = DeltaTable.stageWrite(spark, log, named,
         snapNow.metadata.partitionColumns, maxRecordsPerFile = None, dataChange = true, Some(snapNow))
       val now = System.currentTimeMillis()
-      val removes = snapNow.files.map(f =>
-        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
-          f.deletionVector))
-      log.commitLatest(removes ++ adds :+
+      log.commitOverwrite(adds,
         CommitInfo(now, "WRITE", Map("mode" -> "Overwrite")))
     } else DeltaTable.append(spark, tableUri, named)
   }

@@ -1275,16 +1275,34 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     if (expectedVersion > 0) checkWritable(actions, snapOpt)
     val stamped = stampIct(snapOpt, expectedVersion,
       stampRowTracking(snapOpt, expectedVersion, stampMetrics(actions)))
+    writeVersionFile(expectedVersion, stamped.iterator)
+    // hand the committed view's metadata down so the checkpoint policy
+    // (interval property, expired-log-cleanup opt-out) never needs a
+    // snapshot() materialization just to read a config value — on a big
+    // uncached log that would re-introduce the O(table) driver
+    // materialization the commit probe above avoids
+    maybeCheckpoint(expectedVersion,
+      actions.collectFirst { case m: Metadata => m }
+        .orElse(snapOpt.map(_.metadata)))
+    expectedVersion
+  }
+
+  /** Atomically publish `actions` as version file `expectedVersion`,
+    * streaming action-by-action: a full overwrite or CONVERT commit can
+    * carry O(table) actions, and building the whole JSON as one string
+    * would double-buffer it driver-side. The iterator is consumed
+    * exactly once, INTO the temp file — callers may feed it from a
+    * distributed dataset's local iterator so the full action list never
+    * exists in driver memory at all. */
+  private def writeVersionFile(expectedVersion: Long,
+      actions: Iterator[Action]): Unit = {
     fs.mkdirs(logPath)
     val target = versionFile(expectedVersion)
     val tmp = new Path(logPath, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    // stream action-by-action: a full overwrite or CONVERT commit can
-    // carry O(table) actions, and building the whole JSON as one string
-    // would double-buffer it driver-side
     try {
       val w = new java.io.BufferedOutputStream(out, 1 << 16)
-      stamped.foreach { a =>
+      actions.foreach { a =>
         w.write(a.json.getBytes(StandardCharsets.UTF_8)); w.write('\n')
       }
       w.flush()
@@ -1295,14 +1313,97 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     } finally {
       fs.delete(tmp, false)
     }
-    // hand the committed view's metadata down so the checkpoint policy
-    // (interval property, expired-log-cleanup opt-out) never needs a
-    // snapshot() materialization just to read a config value — on a big
-    // uncached log that would re-introduce the O(table) driver
-    // materialization the commit probe above avoids
+  }
+
+  /** Full-table OVERWRITE commit: replace the table's contents with
+    * `adds` (plus an optional replacement Metadata), removing EVERY
+    * currently-active file. On a small or cached log this is the
+    * ordinary [[commit]] chokepoint; on a big uncached log the removes
+    * are derived from the active-add DATASET and streamed straight into
+    * the commit JSON (`toLocalIterator` — one dataset partition in
+    * driver memory at a time), so overwriting a million-file table
+    * never holds its file list driver-side.
+    *
+    * Validation parity with the chokepoint, re-derived for the
+    * by-construction remove set on the staged path:
+    *  - writer protocol gate, icebergCompat invariants: [[checkWritable]]
+    *    over the driver-side actions against the file-free probe state;
+    *  - `delta.appendOnly`: the streamed removes are dataChange=true, so
+    *    the overwrite is refused whenever the table has an active file;
+    *  - DV-descriptor invariant: each remove carries its own active
+    *    add's descriptor — replay's reconcile key matches by
+    *    construction;
+    *  - rowTracking: removes carry their add's row-ID block (preserved
+    *    by construction); adds/ICT stamp through the normal helpers
+    *    against the file-free state; operationMetrics counts the
+    *    streamed removes via one executor-side aggregate.
+    * Conflict-retries like [[commitLatest]], recomputing the active set
+    * each attempt (the retried remove set tracks concurrent commits —
+    * stricter than replaying a stale remove list). */
+  def commitOverwrite(adds: Seq[Action], info: CommitInfo,
+      metaReplacement: Option[Metadata] = None, maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (true) {
+      val expectedVersion = latestVersion() + 1
+      try {
+        val aa = activeAdds()
+        aa.materialized match {
+          case Some(files) =>
+            val removes = files.map(f => RemoveFile(f.path, info.timestamp,
+              dataChange = true, f.partitionValues, f.size, f.deletionVector,
+              f.baseRowId, f.defaultRowCommitVersion))
+            return commit(expectedVersion,
+              metaReplacement.toSeq ++ removes ++ adds :+ info)
+          case None =>
+            return commitOverwriteStaged(expectedVersion, aa, adds, info,
+              metaReplacement)
+        }
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def commitOverwriteStaged(expectedVersion: Long, aa: ActiveAdds,
+      adds: Seq[Action], info: CommitInfo,
+      metaReplacement: Option[Metadata]): Long = {
+    val probe = aa.bare // files = Nil: per-file invariants hold by construction
+    // one executor-side aggregate covers both the appendOnly refusal and
+    // the operationMetrics remove counts
+    val (nActive, activeBytes, _) = aa.fileStats
+    if (nActive > 0 && probe.metadata.configuration
+        .get("delta.appendOnly").exists(_.toBoolean))
+      throw new IllegalStateException(
+        s"cannot delete or rewrite rows of $tableUri: the table is append-only " +
+          "(delta.appendOnly=true); only appends and dataChange=false " +
+          "maintenance rewrites are allowed")
+    val addFiles = adds.collect { case a: AddFile => a }
+    val rows = addFiles.flatMap(numRecordsOf)
+    val infoStamped =
+      if (info.operationMetrics.nonEmpty) info
+      else info.copy(operationMetrics = Map(
+        "numFiles" -> addFiles.size.toString,
+        "numRemovedFiles" -> nActive.toString,
+        "numOutputBytes" -> addFiles.map(_.size).sum.toString) ++
+        (if (addFiles.nonEmpty && rows.size == addFiles.size)
+          Map("numOutputRows" -> rows.sum.toString) else Map.empty))
+    val driverActions = metaReplacement.toSeq ++ adds :+ infoStamped
+    checkWritable(driverActions, Some(probe))
+    val stamped = stampIct(Some(probe), expectedVersion,
+      stampRowTracking(Some(probe), expectedVersion, driverActions))
+    val now = info.timestamp
+    val removeIt = {
+      import scala.jdk.CollectionConverters._
+      aa.ds.toLocalIterator().asScala.map(f =>
+        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+          f.deletionVector, f.baseRowId, f.defaultRowCommitVersion): Action)
+    }
+    writeVersionFile(expectedVersion, stamped.iterator ++ removeIt)
     maybeCheckpoint(expectedVersion,
-      actions.collectFirst { case m: Metadata => m }
-        .orElse(snapOpt.map(_.metadata)))
+      metaReplacement.orElse(Some(probe.metadata)))
     expectedVersion
   }
 

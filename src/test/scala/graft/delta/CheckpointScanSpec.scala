@@ -28,11 +28,11 @@ class CheckpointScanSpec extends AnyFunSuite {
     * through `create()` + `checkpoint()` would ship the whole list in
     * driver task closures and bury the suite in "task of very large
     * size" warnings that could mask a real product-side closure leak. */
-  private def fixture(): String = {
+  private def fixture(config: Map[String, String] = Map.empty): String = {
     val dir = TestSpark.tmpDir("cp-scan")
     import spark.implicits._
     val metaRow = CheckpointScanSpec.CpRow(None,
-      Some(CheckpointScanSpec.CpMeta("cp-scan-fixture", schema.json, Nil, Map.empty)),
+      Some(CheckpointScanSpec.CpMeta("cp-scan-fixture", schema.json, Nil, config)),
       None)
     val protoRow = CheckpointScanSpec.CpRow(None, None,
       Some(CheckpointScanSpec.CpProto(1, 2)))
@@ -292,6 +292,54 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(parts == (0 until 7).map(i => s"p=p$i"))
     assert(!log.hasCachedSnapshot,
       "SHOW PARTITIONS must run its distinct over the dataset")
+  }
+
+  test("SaveMode.Overwrite on a big uncached log streams its removes") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.format("graftdelta")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    assert(!log.hasCachedSnapshot,
+      "the overwrite must derive + stream its removes from the dataset, " +
+        "never holding the 100k-file list driver-side")
+    val lines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val it = lines.iterator()
+    var removes = 0L
+    var adds = 0L
+    var metrics = ""
+    while (it.hasNext) {
+      val l = it.next()
+      if (l.contains("\"remove\"")) removes += 1
+      if (l.contains("\"add\"")) adds += 1
+      if (l.contains("numRemovedFiles")) metrics = l
+    }
+    assert(removes == N.toLong, s"expected $N streamed removes, got $removes")
+    assert(adds == 1L)
+    assert(metrics.contains(s""""numRemovedFiles":"$N""""),
+      s"operationMetrics must count the streamed removes: $metrics")
+    // the overwritten table reads back (only the fresh files are live)
+    val snap = log.snapshot()
+    assert(snap.version == 1L && snap.files.size == 1)
+    assert(DeltaTable.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("Overwrite of a big append-only table is refused without materializing") {
+    val dir = fixture(config = Map("delta.appendOnly" -> "true"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(9L).toDF("id").write.format("graftdelta")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(!log.hasCachedSnapshot)
+    assert(!new java.io.File(dir, f"_delta_log/${1L}%020d.json").exists(),
+      "the refused overwrite must not land")
   }
 
   test("metadataAt/bareSnapshotAt replay non-file state only") {
