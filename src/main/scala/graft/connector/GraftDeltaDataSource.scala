@@ -246,7 +246,12 @@ final class GraftDeltaDataSource extends RelationProvider
   * insertable, so SQL `INSERT INTO` / `INSERT OVERWRITE` on a
   * `USING graftdelta` table commit through the log. */
 final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
-    versionAsOf: Option[Long]) extends BaseRelation
+    versionAsOf: Option[Long],
+    /** Pin for the DEFERRED path, handed down by [[GraftDeltaTableV2]]
+      * (which outlives the per-scan relations the v2 face builds):
+      * deferred scans resolve state AS OF this version, so every scan of
+      * one table instance sees one version. `None` → resolve here. */
+    pinnedDeferredVersion: Option[Long] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
   /** Table identity for the SQL DML rules ([[graft.sql.GraftDmlRule]]). */
@@ -260,18 +265,26 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     * per-scan, distributed and pruned by the PUSHED filters
     * ([[DeltaLog.scanSnapshotStaged]]) — a `format("graftdelta")` read
     * of a million-file checkpoint-seeded table plans in O(survivors)
-    * driver memory, like the library DML paths. Everything else pins a
-    * materialized snapshot at relation-construction time (all scans of
-    * one query see one version; repeated scans are a free driver-side
-    * filter). */
-  private val deferred = versionAsOf.isEmpty && log.isBigUncached
+    * driver memory, like the library DML paths. Each deferred scan is
+    * PINNED to the version resolved here at construction (`upTo`), so
+    * repeated scans of one relation see one table version — the same
+    * semantics as the materialized path, which pins a snapshot at
+    * relation-construction time (all scans of one query see one
+    * version; repeated scans are a free driver-side filter). */
+  private val deferred = versionAsOf.isEmpty &&
+    (pinnedDeferredVersion.nonEmpty || log.isBigUncached)
   private val snap = versionAsOf.map { v =>
     val s = log.snapshotAt(v)
     // fail at planning time with the clear "vacuumed" error, not a
     // FileNotFoundException deep inside a scan task
     graft.delta.DeltaTable.verifyNotVacuumed(spark, log, s, v)
     s
-  }.getOrElse(if (deferred) log.fileFreeSnapshot() else log.snapshot())
+  }.getOrElse(
+    if (deferred) pinnedDeferredVersion match {
+      case Some(v) => log.bareSnapshotAt(v) // schema/protocol AS OF the pin
+      case None => log.fileFreeSnapshot()
+    }
+    else log.snapshot())
 
   override def sqlContext: SQLContext = spark.sqlContext
   // asNullable: pre-existing tables may have recorded nullable=false
@@ -307,26 +320,27 @@ final class GraftDeltaRelation(spark: SparkSession, tableUri: String,
     // checkpoint parquet and only survivors reach the driver.
     val scanSnap =
       if (deferred) {
-        val s = log.scanSnapshotStaged { probe =>
+        // pinned to the version this relation resolved at construction:
+        // two scans of one query (self-join, union) see ONE file set
+        // even while concurrent commits land — the same
+        // snapshot-per-relation semantics as the materialized path
+        val s = log.scanSnapshotStaged({ probe =>
           pushed.flatMap(p => DeltaTable.predicateExpr(spark, probe, p)) match {
             // pruneFiles: column-mapped tables key stats by physical name
             case Some(cond) => files => DeltaTable.pruneFiles(probe, files, cond)
             case None => files => files
           }
-        }
-        // deferred scans re-resolve the log per scan (no pinned version
-        // — the price of never materializing; concurrent APPENDS may
-        // become visible between two scans of one query). Rows must
-        // still match the DECLARED schema: this relation promised it
-        // with needConversion=false, so a schema-evolving commit
-        // landing between plan and scan fails loudly instead of
-        // feeding mis-shaped rows upward.
+        }, upTo = Some(snap.version))
+        // belt-and-braces: the pin makes drift impossible, but this
+        // relation promised the declared schema with
+        // needConversion=false — fail loudly over feeding mis-shaped
+        // rows upward if the pinned replay ever disagrees
         require(
           s.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
             snap.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-          s"graftdelta: $tableUri evolved its schema between planning and " +
-            s"scan (planned ${snap.schema.simpleString}, " +
-            s"now ${s.schema.simpleString}); re-run the query")
+          s"graftdelta: $tableUri schema at pinned version ${snap.version} " +
+            s"does not match planning (planned ${snap.schema.simpleString}, " +
+            s"scan ${s.schema.simpleString})")
         s
       }
       else snap.copy(files =

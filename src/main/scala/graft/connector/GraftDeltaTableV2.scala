@@ -116,10 +116,23 @@ final class GraftDeltaTableV2(
     TableCapability.TRUNCATE,
     TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
+  /** Version pin for DEFERRED (big-uncached) scans, resolved once per
+    * table instance: the v2 execution path builds a fresh v1 relation
+    * per physical scan, so without this two scans of one query
+    * (self-join, union) could resolve different log versions under
+    * concurrent appends. Resolved lazily (no IO at table construction)
+    * and only on the deferred path — small/cached tables keep their
+    * existing per-scan materialized resolution. */
+  private lazy val pinnedDeferredVersion: Option[Long] =
+    if (versionAsOf.isEmpty && !readChangeFeed && log.tableExists &&
+        log.isBigUncached)
+      Some(log.fileFreeSnapshot().version)
+    else None
+
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(spark, tableUri, schema, versionAsOf, readChangeFeed,
-      options)
+      options, pinnedDeferredVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, tableUri,
@@ -137,7 +150,8 @@ final class GraftScanBuilder(
     fullSchema: StructType,
     versionAsOf: Option[Long],
     readChangeFeed: Boolean,
-    options: Map[String, String]) extends ScanBuilder
+    options: Map[String, String],
+    pinnedDeferredVersion: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -173,7 +187,8 @@ final class GraftScanBuilder(
               options.get("endingversion").map(_.toLong))
               .scanRdd(required.fieldNames.toSeq)
           else
-            new GraftDeltaRelation(spark, tableUri, versionAsOf)
+            new GraftDeltaRelation(spark, tableUri, versionAsOf,
+              pinnedDeferredVersion)
               .buildScan(required.fieldNames, pushed)
       }
       relation.asInstanceOf[T]

@@ -461,30 +461,46 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * materialized path whenever a snapshot is already cached (pruning
     * a cached list is a driver-side filter, no IO at all) or the log
     * shape is unexpected. */
+  /** `upTo`: pin the scan AT that log version instead of the current
+    * one — a batch relation resolves its version once at planning time
+    * and every scan it builds (self-joins, unions re-reading one
+    * relation) must see that same file set even while concurrent
+    * commits land. Falls back to a materialized [[snapshotAt]] replay
+    * only on log shapes the staged path cannot serve at that version. */
   def scanSnapshotStaged(
-      mkPrune: Snapshot => (Seq[AddFile] => Seq[AddFile])): Snapshot = {
-    val json = listVersions()
-    val latestJson = json.lastOption.getOrElse(-1L)
-    cachedSnapshot match {
-      case Some(_) =>
-        // ANY materialized snapshot (current or stale) makes the
-        // incremental path the winner: snapshot() replays O(new commits)
-        // over the cached seed and the prune is a driver-side filter —
-        // re-scanning the whole checkpoint distributed on every call
-        // would turn a poll loop into a per-call Spark job
-        val s = snapshot()
-        return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
-      case None => ()
+      mkPrune: Snapshot => (Seq[AddFile] => Seq[AddFile]),
+      upTo: Option[Long] = None): Snapshot = {
+    def materializedAt(): Snapshot = upTo match {
+      // a snapshot cached at exactly the pin IS version upTo's state,
+      // even when newer commits exist on disk — never replay past it
+      case Some(v) => cachedSnapshot.filter(_.version == v)
+        .getOrElse(snapshotAt(v))
+      case None => snapshot()
     }
-    val cp = lastCheckpoint().orElse {
+    val json = listVersions().filter(v => upTo.forall(v <= _))
+    val latestJson = json.lastOption.getOrElse(-1L)
+    if (cachedSnapshot.nonEmpty) {
+      // ANY materialized snapshot (current or stale) makes the
+      // materialized path the winner: replay is O(new commits) over the
+      // cached seed (or a driver replay to the pin) and the prune is a
+      // driver-side filter — re-scanning the whole checkpoint
+      // distributed on every call would turn a poll loop into a
+      // per-call Spark job
+      val s = materializedAt()
+      return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
+    }
+    val cp = lastCheckpoint().filter(c => upTo.forall(c.version <= _)).orElse {
       if (json.headOption.contains(0L)) None
-      else listCheckpointVersions().lastOption
+      else listCheckpointVersions().filter(c => upTo.forall(c.version <= _))
+        .lastOption
     }
     val spark = sparkOpt.orNull
     val tail = json.filter(_ > cp.map(_.version).getOrElse(-1L))
     val contiguous = cp.isEmpty || tail == ((cp.get.version + 1) to latestJson)
-    if (cp.isEmpty || spark == null || !contiguous) {
-      val s = snapshot()
+    val reachesPin = upTo.forall(math.max(
+      cp.map(_.version).getOrElse(-1L), latestJson) == _)
+    if (cp.isEmpty || spark == null || !contiguous || !reachesPin) {
+      val s = materializedAt()
       return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
     }
     val tailActions = tail.flatMap(actionsAt)
@@ -569,8 +585,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       org.apache.spark.sql.Encoders.product[AddFile]
     def materialized(): ActiveAdds = {
       val s = upTo match {
-        case Some(v) if !cachedSnapshot.exists(_.version == v) => snapshotAt(v)
-        case _ => snapshot()
+        // a snapshot cached at exactly v IS version v's state — use it
+        // directly even when newer commits exist on disk (snapshot()
+        // would replay FORWARD past the pin and silently violate the
+        // upTo contract)
+        case Some(v) => cachedSnapshot.filter(_.version == v)
+          .getOrElse(snapshotAt(v))
+        case None => snapshot()
       }
       ActiveAdds(s.copy(files = Nil), spark.createDataset(s.files), Some(s.files))
     }

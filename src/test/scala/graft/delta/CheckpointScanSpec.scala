@@ -294,6 +294,39 @@ class CheckpointScanSpec extends AnyFunSuite {
       "SHOW PARTITIONS must run its distinct over the dataset")
   }
 
+  test("a deferred relation pins its version: appends between scans are invisible") {
+    val dir = fixture()
+    // one REAL file carrying id = -1 (the fixture's fabricated stats
+    // cover [0, 10N) only, so an `id = -1` scan prunes to just it)
+    import spark.implicits._
+    val staging = TestSpark.tmpDir("cp-scan-pin")
+    Seq(-1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "late.parquet"))
+
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    val df = spark.read.format("graftdelta").load(dir).where("id = -1")
+    assert(df.count() == 0L) // resolves + pins the relation at version 0
+    // a concurrent append lands between two scans of the SAME relation
+    log.commit(1L, Seq(
+      AddFile("late.parquet", Map.empty, Files.size(part.toPath), 1L,
+        dataChange = true,
+        stats = Some("""{"numRecords":1,"minValues":{"id":-1},""" +
+          """"maxValues":{"id":-1},"nullCount":{"id":0}}""")),
+      CommitInfo(1L, "WRITE", Map.empty)))
+    assert(df.count() == 0L,
+      "the relation is pinned at its planning-time version: the append " +
+        "must stay invisible to its scans")
+    assert(!log.hasCachedSnapshot,
+      "the pinned re-scan must stay on the staged plane")
+    // a FRESH relation resolves the new version and sees the row
+    assert(spark.read.format("graftdelta").load(dir)
+      .where("id = -1").count() == 1L)
+    assert(!log.hasCachedSnapshot)
+  }
+
   test("SaveMode.Overwrite on a big uncached log streams its removes") {
     val dir = fixture()
     val log = DeltaLog.forTable(spark, dir)
