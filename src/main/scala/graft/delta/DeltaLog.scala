@@ -1009,16 +1009,21 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * protocol demands writer capabilities we don't implement would
     * silently break that table's invariants for every OTHER reader —
     * e.g. ignoring deletion vectors on write corrupts row visibility.
-    * Commits that CARRY a Protocol action are exempt (that is how
-    * upgrades/downgrades are written, and how fixtures author foreign
-    * tables). Also enforces `delta.appendOnly`: a data-changing
-    * RemoveFile on an append-only table is refused (maintenance
-    * rewrites with dataChange=false stay legal, as in delta-spark). */
+    * Commits that CARRY a Protocol action skip ONLY the
+    * writer-version/feature gate (that is how upgrades/downgrades are
+    * written, and how fixtures author foreign tables) — the
+    * appendOnly / DV-descriptor / icebergCompat invariant checks still
+    * run against the commit's effective protocol+metadata, so
+    * attaching a redundant Protocol action cannot launder an invariant
+    * violation past the chokepoint. Also enforces `delta.appendOnly`:
+    * a data-changing RemoveFile on an append-only table is refused
+    * (maintenance rewrites with dataChange=false stay legal, as in
+    * delta-spark). */
   private def checkWritable(actions: Seq[Action], snapOpt: Option[Snapshot]): Unit = {
-    if (actions.exists(_.isInstanceOf[Protocol])) return
     val snap = snapOpt.getOrElse(return) // new table
     val p = snap.protocol
-    if (p.minWriterVersion > DeltaLog.SupportedWriterVersion) {
+    if (!actions.exists(_.isInstanceOf[Protocol]) &&
+        p.minWriterVersion > DeltaLog.SupportedWriterVersion) {
       p.writerFeatures match {
         case Some(features) if p.minWriterVersion == 7 =>
           val unsupported = (features -- DeltaLog.SupportedWriterFeatures).toSeq.sorted
@@ -1078,7 +1083,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       .get("delta.enableIcebergCompatV1").exists(_.toBoolean)
     val icebergV2 = effMeta.configuration
       .get("delta.enableIcebergCompatV2").exists(_.toBoolean)
+    if (icebergV1 && icebergV2)
+      throw new IllegalStateException(
+        s"cannot write to $tableUri: icebergCompatV1 and icebergCompatV2 " +
+          "must not be enabled simultaneously — each version pins a " +
+          "different Iceberg metadata contract, and a converter cannot " +
+          "honor both at once")
     if (icebergV1 || icebergV2) {
+      val vLabel = if (icebergV2) "icebergCompatV2" else "icebergCompatV1"
       actions.foreach {
         case a: AddFile if a.deletionVector.nonEmpty =>
           throw new IllegalStateException(
@@ -1086,9 +1098,9 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
               s"deletion-vector-masked files (${a.path}) — Iceberg readers " +
               "cannot apply Delta deletion vectors; rewrite the survivors " +
               "instead (compact/OPTIMIZE resolves existing masks)")
-        case a: AddFile if icebergV2 && numRecordsOf(a).isEmpty =>
+        case a: AddFile if numRecordsOf(a).isEmpty =>
           throw new IllegalStateException(
-            s"cannot write to $tableUri: icebergCompatV2 requires numRecords " +
+            s"cannot write to $tableUri: $vLabel requires numRecords " +
               s"stats on every added file (${a.path} carries none) — Iceberg " +
               "manifests record per-file row counts")
         case _ => ()
@@ -1100,6 +1112,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
           s"cannot write to $tableUri: icebergCompatV2 requires column " +
             "mapping (delta.columnMapping.mode=name or id) — field-id " +
             "mapping is what makes the parquet Iceberg-readable")
+      // V1 is stricter than V2 here: the V1 conversion contract keys
+      // Iceberg field IDs off PHYSICAL NAMES, so only name mode works
+      if (icebergV1 && mappingMode != "name")
+        throw new IllegalStateException(
+          s"cannot write to $tableUri: icebergCompatV1 requires column " +
+            s"mapping name mode (delta.columnMapping.mode is '$mappingMode') " +
+            "— V1 converters derive Iceberg field IDs from physical names")
     }
     val activeDv: Map[String, Option[String]] =
       snap.files.map(f => f.path -> f.deletionVector.map(_.uniqueId)).toMap
@@ -1430,7 +1449,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
 
   /** An AddFile's recorded row count from its stats JSON (None when
     * stats are absent or unparseable — callers decide the fallback). */
-  private def numRecordsOf(a: AddFile): Option[Long] =
+  private[delta] def numRecordsOf(a: AddFile): Option[Long] =
     a.stats.flatMap { s =>
       try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
       catch { case scala.util.control.NonFatal(_) => None }

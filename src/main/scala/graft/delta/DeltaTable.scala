@@ -1447,15 +1447,35 @@ object DeltaTable {
     val p = snap.protocol
     if (snap.metadata.configuration.get(propKey).exists(_.toBoolean) &&
         p.writerFeatures.exists(_.contains(feature))) return
-    if (version == 2) {
+    val otherProp = s"delta.enableIcebergCompatV${if (version == 1) 2 else 1}"
+    require(!snap.metadata.configuration.get(otherProp).exists(_.toBoolean),
+      "icebergCompatV1 and icebergCompatV2 must not be enabled " +
+        s"simultaneously ($otherProp is already true) — each version pins " +
+        "a different Iceberg metadata contract")
+    if (version == 2)
       require(snap.columnMappingMode != "none",
         "icebergCompatV2 requires column mapping " +
           "(set delta.columnMapping.mode=name first) — field-id mapping is " +
           "what makes the parquet Iceberg-readable")
-      require(!snap.files.exists(_.deletionVector.isDefined),
-        "icebergCompatV2 cannot be enabled while deletion vectors mask " +
-          "active files (Iceberg readers cannot apply them); " +
-          "compact/OPTIMIZE to purge the masks first")
+    else
+      // V1 is stricter: its conversion contract derives Iceberg field
+      // IDs from physical NAMES, so only name mode satisfies it
+      require(snap.columnMappingMode == "name",
+        "icebergCompatV1 requires column mapping name mode " +
+          "(set delta.columnMapping.mode=name first) — V1 converters " +
+          "derive Iceberg field IDs from physical names")
+    require(!snap.files.exists(_.deletionVector.isDefined),
+      s"$feature cannot be enabled while deletion vectors mask " +
+        "active files (Iceberg readers cannot apply them); " +
+        "compact/OPTIMIZE to purge the masks first")
+    // the chokepoint requires numRecords on every FUTURE add while the
+    // compat is on; files already active must satisfy it too, or the
+    // converter has rows it cannot count
+    snap.files.find(f => log.numRecordsOf(f).isEmpty).foreach { f =>
+      throw new IllegalArgumentException(
+        s"requirement failed: $feature requires numRecords stats on every " +
+          s"active file, but ${f.path} carries none — rewrite it " +
+          "(compact/OPTIMIZE restores footer-derived stats) first")
     }
     val readerF = legacyReaderFeatures(snap)
     val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)

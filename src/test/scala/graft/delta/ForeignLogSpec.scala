@@ -445,9 +445,10 @@ class ForeignLogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("column mapping"))
 
-    // V1 ENABLED: appends flow (no mapping requirement), but a commit
-    // adding a deletion-vector-masked file is refused — Iceberg readers
-    // cannot apply Delta deletion vectors
+    // V1 ENABLED without name-mode mapping: refused — the V1 conversion
+    // contract derives Iceberg field IDs from physical names, so the
+    // spec requires delta.columnMapping.mode=name while V1 is on
+    // (stricter than V2, which also accepts id mode)
     val v1 = TestSpark.tmpDir("foreign-iceberg-v1")
     val (f1, s1) = writeDataFile(v1, Seq((1L, "a")))
     writeCommit(v1, 0L, Seq(
@@ -457,8 +458,12 @@ class ForeignLogSpec extends AnyFunSuite {
         s""""schemaString":${Action.jstr(schemaJson)},"partitionColumns":[],""" +
         s""""configuration":{"delta.enableIcebergCompatV1":"true"},"createdTime":0}}""",
       s"""{"add":{"path":"$f1","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
-    DeltaTable.append(spark, v1, Seq((2L, "b")).toDF("id", "name"))
-    assert(DeltaTable.read(spark, v1).count() == 2)
+    val eV1Map = intercept[IllegalStateException] {
+      DeltaTable.append(spark, v1, Seq((2L, "b")).toDF("id", "name"))
+    }
+    assert(eV1Map.getMessage.contains("name mode"))
+    // a DV-masked add is refused before the mapping check even runs —
+    // Iceberg readers cannot apply Delta deletion vectors
     val log1 = DeltaLog.forTable(spark, v1)
     val dvAdd = AddFile("masked.parquet", Map.empty, 10L, 1L, dataChange = true,
       deletionVector = Some(DeletionVectorDescriptor("u", "ab", Some(1), 24, 2)))
@@ -467,31 +472,64 @@ class ForeignLogSpec extends AnyFunSuite {
         Seq(dvAdd, CommitInfo(1L, "WRITE", Map.empty)))
     }
     assert(eDv.getMessage.contains("deletion-vector"))
+    // stats-free adds are refused under V1 too (Iceberg manifests
+    // record per-file row counts) — fabricate one on a name-mapped table
+    val v1s = TestSpark.tmpDir("foreign-iceberg-v1-stats")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), v1s)
+    DeltaTable.enableColumnMapping(spark, v1s)
+    DeltaTable.setTblProperties(spark, v1s,
+      Map("delta.enableIcebergCompatV1" -> "true"))
+    val log1s = DeltaLog.forTable(spark, v1s)
+    val eStats = intercept[IllegalStateException] {
+      log1s.commit(log1s.latestVersion() + 1,
+        Seq(AddFile("bare.parquet", Map.empty, 10L, 1L, dataChange = true),
+          CommitInfo(1L, "WRITE", Map.empty)))
+    }
+    assert(eStats.getMessage.contains("numRecords"))
 
     // enablement routes through the protocol upgrade: property +
     // feature land together (a bare property would be invisible to
-    // foreign writers, which key enforcement off the protocol)
+    // foreign writers, which key enforcement off the protocol).
+    // V1 without name mapping is refused up front...
     val en = TestSpark.tmpDir("iceberg-enable")
     DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), en)
+    val e1pre = intercept[IllegalArgumentException](
+      DeltaTable.setTblProperties(spark, en,
+        Map("delta.enableIcebergCompatV1" -> "true")))
+    assert(e1pre.getMessage.contains("name mode"))
+    // ...and lands once mapping is in place
+    DeltaTable.enableColumnMapping(spark, en)
     DeltaTable.setTblProperties(spark, en,
       Map("delta.enableIcebergCompatV1" -> "true"))
     val snapEn = DeltaLog.forTable(spark, en).snapshot()
     assert(snapEn.protocol.writerFeatures.exists(_.contains("icebergCompatV1")))
     assert(snapEn.metadata.configuration
       .get("delta.enableIcebergCompatV1").contains("true"))
-    // V2 without column mapping is refused up front...
-    val e2pre = intercept[IllegalArgumentException](
+    // enabling BOTH compat versions is refused — each version pins a
+    // different Iceberg metadata contract
+    val eBoth = intercept[IllegalArgumentException](
       DeltaTable.setTblProperties(spark, en,
         Map("delta.enableIcebergCompatV2" -> "true")))
-    assert(e2pre.getMessage.contains("column mapping"))
-    // ...and lands once mapping is in place; the next write flows
-    DeltaTable.enableColumnMapping(spark, en)
-    DeltaTable.setTblProperties(spark, en,
-      Map("delta.enableIcebergCompatV2" -> "true"))
-    assert(DeltaLog.forTable(spark, en).snapshot()
-      .protocol.writerFeatures.exists(_.contains("icebergCompatV2")))
+    assert(eBoth.getMessage.contains("simultaneously"))
+    // the V1 table keeps writing normally (stats + name mapping satisfied)
     DeltaTable.append(spark, en, Seq((2L, "b")).toDF("id", "name"))
     assert(DeltaTable.read(spark, en).count() == 2)
+
+    // V2 enablement on its own table: refused without mapping, lands
+    // with it, and the next write flows
+    val en2 = TestSpark.tmpDir("iceberg-enable-v2")
+    DeltaTable.create(spark, Seq((1L, "a")).toDF("id", "name"), en2)
+    val e2pre = intercept[IllegalArgumentException](
+      DeltaTable.setTblProperties(spark, en2,
+        Map("delta.enableIcebergCompatV2" -> "true")))
+    assert(e2pre.getMessage.contains("column mapping"))
+    DeltaTable.enableColumnMapping(spark, en2)
+    DeltaTable.setTblProperties(spark, en2,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    assert(DeltaLog.forTable(spark, en2).snapshot()
+      .protocol.writerFeatures.exists(_.contains("icebergCompatV2")))
+    DeltaTable.append(spark, en2, Seq((2L, "b")).toDF("id", "name"))
+    assert(DeltaTable.read(spark, en2).count() == 2)
 
     // the generic by-name refusal still guards genuinely unknown
     // features — appending blind would break the bookkeeping that
@@ -567,6 +605,21 @@ class ForeignLogSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("append-only"))
     assert(DeltaTable.read(spark, dir).count() == 3, "nothing was modified")
+    // attaching a redundant Protocol action must not launder the
+    // violation past the chokepoint — the writer-version/feature gate
+    // is ALL a protocol-carrying commit is exempt from
+    val logAo = DeltaLog.forTable(spark, dir)
+    val snapAo = logAo.snapshot()
+    val victim = snapAo.files.head
+    val eP = intercept[IllegalStateException] {
+      logAo.commit(logAo.latestVersion() + 1, Seq(
+        snapAo.protocol,
+        RemoveFile(victim.path, 1L, dataChange = true,
+          victim.partitionValues, victim.size),
+        CommitInfo(1L, "DELETE", Map.empty)))
+    }
+    assert(eP.getMessage.contains("append-only"))
+    assert(DeltaTable.read(spark, dir).count() == 3, "still nothing modified")
     // maintenance compaction moves rows without changing data: legal
     graft.sorter.DeltaSorter(spark, dir).binPack()
     assert(DeltaTable.read(spark, dir).count() == 3)
