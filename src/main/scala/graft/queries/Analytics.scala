@@ -244,7 +244,7 @@ object Analytics {
       // it.
       val docs = Dedup.shingleDocs(s, dir)
       val dfs = docs.select(explode(col("sh")).as("sh"))
-        .groupBy(col("sh")).agg(count(lit(1)).as("df")).cache()
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       def bucket(d: Int, c: Column) =
         pmod(conv(substring(md5(c), 1 + 8 * d, 8), 16, 10).cast("long"),
           lit(CmsWidth))
@@ -254,14 +254,22 @@ object Analytics {
         .groupBy(col("db.d").as("d"), col("db.b").as("b"))
         .agg(sum(col("df")).as("c"))
       val top = dfs.orderBy(col("df").desc, col("sh").asc).limit(TopNgrams)
-      val probed = (0 until CmsDepth).foldLeft(top) { (df, d) =>
-        df.join(broadcast(sketch.where(col("d") === d)
-          .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
-          bucket(d, col("sh")) === col(s"b$d"))
-          .drop(s"b$d")
-      }
-      probed.select(col("sh"), col("df"),
-        least((0 until CmsDepth).map(d => col(s"c$d")): _*).as("est_df"))
+      // ONE sketch build + ONE broadcast join (the previous shape
+      // rebuilt the whole sketch aggregation once per depth to feed
+      // per-depth broadcasts — 4× the heavy pass for a ≤1024-row
+      // sketch): explode each top row into its (d, bucket) probes, key
+      // into the full sketch, and take the min across depths — min over
+      // the matched counts IS least(c_0..c_D), each probe matches
+      // exactly one sketch row (the shingle contributed to its own
+      // bucket, so the row exists).
+      val probes = top.select(col("sh"), col("df"),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d.toLong).as("d"), bucket(d, col("sh")).as("b"))): _*)).as("db"))
+      probes.join(broadcast(sketch),
+          col("db.d") === col("d") && col("db.b") === col("b"))
+        .groupBy(col("sh"), col("df"))
+        .agg(min(col("c")).as("est_df"))
+        .select(col("sh"), col("df"), col("est_df"))
     }))
 
   val oracle: Map[String, String] = Map(
