@@ -1447,6 +1447,63 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     expectedVersion
   }
 
+  /** Row-tracking ENABLEMENT on a big uncached log: the backfill
+    * re-adds every active file lacking a base row ID (the feature's
+    * all-files-carry-IDs contract), which on a million-file table is an
+    * O(table) action list — this staged path streams the re-adds
+    * straight from [[activeAdds]]' dataset into the version file,
+    * stamping base row IDs inline from each add's recorded numRecords
+    * (footer-read fallback for stats-less files) and emitting the
+    * advanced high-water-mark domain AFTER the last add (iterator
+    * concatenation is lazy, so the domain sees the final mark). Driver
+    * memory stays O(1); the sequential stamping is inherent to row-ID
+    * assignment and runs while the JSON streams out. */
+  private[delta] def commitRowTrackingEnableStaged(aa: ActiveAdds,
+      proto: Protocol, meta: Metadata, info: CommitInfo): Long = {
+    val expectedVersion = latestVersion() + 1
+    val probe = aa.bare // files = Nil: the streamed re-adds are copies
+                        // of active files, per-file invariants hold by
+                        // construction (same argument as the staged
+                        // overwrite's removes)
+    val driverActions: Seq[Action] = Seq(proto, meta, info)
+    checkWritable(driverActions, Some(probe))
+    val stamped = stampIct(Some(probe), expectedVersion, driverActions)
+    def hwmOf(cfg: String): Option[Long] =
+      try Option(mapper.readTree(cfg).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    var hwm = probe.domains.get(DeltaLog.RowTrackingDomain)
+      .flatMap(d => hwmOf(d.configuration)).getOrElse(-1L)
+    val now = info.timestamp
+    import scala.jdk.CollectionConverters._
+    val addIt: Iterator[Action] = aa.ds.toLocalIterator().asScala
+      .filter(_.baseRowId.isEmpty)
+      .map { f =>
+        val rows = numRecordsOf(f).getOrElse {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(tableRoot, f.path), hadoopConf))
+          try reader.getRecordCount finally reader.close()
+        }
+        val b = hwm + 1
+        hwm += rows
+        f.copy(modificationTime = now, dataChange = false,
+          baseRowId = Some(b),
+          defaultRowCommitVersion = Some(expectedVersion)): Action
+      }
+    val domainIt: Iterator[Action] = new Iterator[Action] {
+      private var emitted = false
+      def hasNext: Boolean = !emitted
+      def next(): Action = {
+        emitted = true
+        DomainMetadata(DeltaLog.RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$hwm}""")
+      }
+    }
+    writeVersionFile(expectedVersion, stamped.iterator ++ addIt ++ domainIt)
+    maybeCheckpoint(expectedVersion, Some(meta))
+    expectedVersion
+  }
+
   /** An AddFile's recorded row count from its stats JSON (None when
     * stats are absent or unparseable — callers decide the fallback). */
   private[delta] def numRecordsOf(a: AddFile): Option[Long] =

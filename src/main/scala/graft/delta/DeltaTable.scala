@@ -1319,7 +1319,7 @@ object DeltaTable {
 
   def enableDeletionVectors(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val p = snap.protocol
     if (snap.metadata.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean) &&
         p.readerFeatures.exists(_.contains("deletionVectors"))) return
@@ -1443,7 +1443,8 @@ object DeltaTable {
     val feature = s"icebergCompatV$version"
     val propKey = s"delta.enableIcebergCompatV$version"
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val aa = log.activeAdds()
+    val snap = aa.bare
     val p = snap.protocol
     if (snap.metadata.configuration.get(propKey).exists(_.toBoolean) &&
         p.writerFeatures.exists(_.contains(feature))) return
@@ -1464,17 +1465,40 @@ object DeltaTable {
         "icebergCompatV1 requires column mapping name mode " +
           "(set delta.columnMapping.mode=name first) — V1 converters " +
           "derive Iceberg field IDs from physical names")
-    require(!snap.files.exists(_.deletionVector.isDefined),
-      s"$feature cannot be enabled while deletion vectors mask " +
-        "active files (Iceberg readers cannot apply them); " +
-        "compact/OPTIMIZE to purge the masks first")
-    // the chokepoint requires numRecords on every FUTURE add while the
-    // compat is on; files already active must satisfy it too, or the
-    // converter has rows it cannot count
-    snap.files.find(f => log.numRecordsOf(f).isEmpty).foreach { f =>
-      throw new IllegalArgumentException(
+    // Per-file preconditions — no active DV masks, numRecords stats on
+    // every active file (the chokepoint requires both on every FUTURE
+    // add; files already active must satisfy them too, or the converter
+    // has masks it cannot apply / rows it cannot count). Probed over
+    // the active-add DATASET on a big uncached log, so enabling UniForm
+    // on a million-file table never materializes the add list
+    // driver-side; only the first offender (if any) reaches the driver.
+    val offender: Option[(String, Boolean)] = aa.materialized match {
+      case Some(files) => files.collectFirst {
+        case f if f.deletionVector.isDefined => (f.path, true)
+        case f if log.numRecordsOf(f).isEmpty => (f.path, false)
+      }
+      case None =>
+        import spark.implicits._
+        aa.ds.mapPartitions { it =>
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          it.flatMap { f =>
+            if (f.deletionVector.isDefined) Some((f.path, true))
+            else if (f.stats.exists { s =>
+              try m.readTree(s).hasNonNull("numRecords")
+              catch { case scala.util.control.NonFatal(_) => false }
+            }) None
+            else Some((f.path, false))
+          }
+        }.take(1).headOption
+    }
+    offender.foreach { case (path, isDvMasked) =>
+      if (isDvMasked) throw new IllegalArgumentException(
+        s"requirement failed: $feature cannot be enabled while deletion " +
+          s"vectors mask active files ($path — Iceberg readers cannot " +
+          "apply them); compact/OPTIMIZE to purge the masks first")
+      else throw new IllegalArgumentException(
         s"requirement failed: $feature requires numRecords stats on every " +
-          s"active file, but ${f.path} carries none — rewrite it " +
+          s"active file, but $path carries none — rewrite it " +
           "(compact/OPTIMIZE restores footer-derived stats) first")
     }
     val readerF = legacyReaderFeatures(snap)
@@ -1496,32 +1520,54 @@ object DeltaTable {
 
   def enableRowTracking(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
-    if (rowTrackingEnabled(snap)) return
-    val p = snap.protocol
-    val readerF = legacyReaderFeatures(snap)
-    val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
-      else legacyWriterFeatures(snap)) ++ Set("rowTracking", "domainMetadata")
-    val conf = snap.metadata.configuration ++ Map(
-      "delta.enableRowTracking" -> "true",
-      RowIdColKey -> snap.metadata.configuration.getOrElse(RowIdColKey,
-        s"_row-id-col-${UUID.randomUUID()}"),
-      RowCommitColKey -> snap.metadata.configuration.getOrElse(RowCommitColKey,
-        s"_row-commit-version-col-${UUID.randomUUID()}"))
-    val now = System.currentTimeMillis()
-    // backfill: bare re-adds (same path, same DV, dataChange=false) that
-    // the chokepoint stamps — replay replaces each file by reconcileKey
-    val backfill = snap.files.filter(_.baseRowId.isEmpty)
-      .map(f => f.copy(modificationTime = now, dataChange = false))
-    log.commitDml(snap.version, Seq(
-      Protocol(math.max(p.minReaderVersion, if (readerF.nonEmpty) 3 else p.minReaderVersion),
+    var attempt = 0
+    while (true) {
+      val aa = log.activeAdds()
+      val snap = aa.bare
+      if (rowTrackingEnabled(snap)) return
+      val p = snap.protocol
+      val readerF = legacyReaderFeatures(snap)
+      val writerF = (if (p.minWriterVersion >= 7) p.writerFeatures.getOrElse(Set.empty)
+        else legacyWriterFeatures(snap)) ++ Set("rowTracking", "domainMetadata")
+      val conf = snap.metadata.configuration ++ Map(
+        "delta.enableRowTracking" -> "true",
+        RowIdColKey -> snap.metadata.configuration.getOrElse(RowIdColKey,
+          s"_row-id-col-${UUID.randomUUID()}"),
+        RowCommitColKey -> snap.metadata.configuration.getOrElse(RowCommitColKey,
+          s"_row-commit-version-col-${UUID.randomUUID()}"))
+      val now = System.currentTimeMillis()
+      val proto = Protocol(
+        math.max(p.minReaderVersion, if (readerF.nonEmpty) 3 else p.minReaderVersion),
         7,
-        if (readerF.nonEmpty) Some(readerF) else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
-        Some(writerF)),
-      snap.metadata.copy(configuration = conf)) ++ backfill :+
-      CommitInfo(now, "SET TBLPROPERTIES",
-        Map("delta.enableRowTracking" -> "true")))
-    ()
+        if (readerF.nonEmpty) Some(readerF)
+        else if (p.minReaderVersion >= 3) Some(Set.empty[String]) else None,
+        Some(writerF))
+      val metaUp = snap.metadata.copy(configuration = conf)
+      val info = CommitInfo(now, "SET TBLPROPERTIES",
+        Map("delta.enableRowTracking" -> "true"))
+      try {
+        aa.materialized match {
+          case Some(files) =>
+            // backfill: bare re-adds (same path, same DV,
+            // dataChange=false) that the chokepoint stamps — replay
+            // replaces each file by reconcileKey
+            val backfill = files.filter(_.baseRowId.isEmpty)
+              .map(f => f.copy(modificationTime = now, dataChange = false))
+            log.commitDml(snap.version,
+              Seq(proto, metaUp) ++ backfill :+ info)
+          case None =>
+            // big uncached log: stream the backfill from the dataset —
+            // enablement on a million-file table never materializes the
+            // add list driver-side
+            log.commitRowTrackingEnableStaged(aa, proto, metaUp, info)
+        }
+        return
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+      }
+    }
   }
 
   // ---- clustered tables -----------------------------------------------
@@ -1562,7 +1608,7 @@ object DeltaTable {
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "clustering requires at least one column")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     require(snap.metadata.partitionColumns.isEmpty,
       s"cannot cluster $tableUri: clustered tables cannot be hive-partitioned " +
         s"(partitioned by ${snap.metadata.partitionColumns.mkString(", ")})")
@@ -1599,7 +1645,7 @@ object DeltaTable {
     val log = DeltaLog.forTable(spark, tableUri)
     var attempt = 0
     while (true) {
-      val snap = log.snapshot()
+      val snap = log.fileFreeSnapshot()
       if (snap.metadata.configuration
         .get("delta.enableInCommitTimestamps").exists(_.toBoolean)) return
       val p = snap.protocol
@@ -1895,7 +1941,7 @@ object DeltaTable {
   /** Drop a CHECK constraint (no-op error if absent). */
   def dropConstraint(spark: SparkSession, tableUri: String, name: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val key = ConstraintPrefix + name
     require(snap.metadata.configuration.contains(key),
       s"no constraint named $name on $tableUri")
@@ -1917,7 +1963,7 @@ object DeltaTable {
       cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     require(cols.nonEmpty, "ADD COLUMNS requires at least one column")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val dupIn = cols.groupBy(f => lc(f.name)).collect { case (n, g) if g.size > 1 => n }
     require(dupIn.isEmpty, s"duplicate column name(s) in ADD COLUMNS: ${dupIn.mkString(", ")}")
@@ -1977,7 +2023,7 @@ object DeltaTable {
     * gates its ALTER the same way). One conflict-checked commit. */
   def enableTypeWidening(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val p = snap.protocol
     if (snap.metadata.configuration.get("delta.enableTypeWidening").exists(_.toBoolean) &&
         p.writerFeatures.exists(f =>
@@ -2004,7 +2050,7 @@ object DeltaTable {
     * stay legal, exactly as the spec allows. Idempotent. */
   def enableVariantShredding(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val p = snap.protocol
     if (snap.metadata.configuration.get("delta.enableVariantShredding")
         .exists(_.toBoolean) &&
@@ -2039,7 +2085,7 @@ object DeltaTable {
       newType: org.apache.spark.sql.types.DataType): Unit = {
     import org.apache.spark.sql.types.{Metadata => SqlMetadata, MetadataBuilder, StructType}
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     require(snap.metadata.configuration.get("delta.enableTypeWidening").exists(_.toBoolean),
       s"type widening is not enabled on $tableUri — " +
         "SET TBLPROPERTIES ('delta.enableTypeWidening'='true') first")
@@ -2105,7 +2151,7 @@ object DeltaTable {
   def enableColumnMapping(spark: SparkSession, tableUri: String): Unit = {
     import org.apache.spark.sql.types._
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val mode = snap.columnMappingMode
     if (mode == "name") return
     require(mode == "none",
@@ -2187,7 +2233,7 @@ object DeltaTable {
       newName: String): Unit = {
     import org.apache.spark.sql.types.StructType
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     require(snap.columnMappingMode != "none",
       s"RENAME COLUMN requires column mapping on $tableUri — SET " +
         "TBLPROPERTIES ('delta.columnMapping.mode'='name') first (a " +
@@ -2236,7 +2282,7 @@ object DeltaTable {
     import org.apache.spark.sql.types.StructType
     require(columns.nonEmpty, "DROP COLUMNS requires at least one column")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     require(snap.columnMappingMode != "none",
       s"DROP COLUMN requires column mapping on $tableUri — SET " +
         "TBLPROPERTIES ('delta.columnMapping.mode'='name') first (a " +
@@ -2286,7 +2332,7 @@ object DeltaTable {
       s"constraints are managed via ADD/DROP CONSTRAINT, not TBLPROPERTIES " +
         s"(got: ${props.keys.filter(_.startsWith(ConstraintPrefix)).mkString(", ")})")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     // delta.minReaderVersion / delta.minWriterVersion are delta's
     // property-spelled PROTOCOL UPGRADE, not configuration — storing
     // them inert would claim an upgrade that never happened. They ride
@@ -2368,7 +2414,7 @@ object DeltaTable {
     // protocol upgrade + the property.
     val CpPolicy = "delta.checkpointPolicy"
     if (props.get(CpPolicy).contains("v2")) {
-      val snap0 = log.snapshot()
+      val snap0 = log.fileFreeSnapshot()
       val p = snap0.protocol
       if (!p.readerFeatures.exists(_.contains("v2Checkpoint"))) {
         val readerF = legacyReaderFeatures(snap0) + "v2Checkpoint"
@@ -2419,7 +2465,7 @@ object DeltaTable {
     require(!keys.exists(_.startsWith(ConstraintPrefix)),
       "constraints are managed via ADD/DROP CONSTRAINT, not TBLPROPERTIES")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     val missing = keys.filterNot(snap.metadata.configuration.contains)
     if (!ifExists) require(missing.isEmpty,
       s"no such propert${if (missing.size == 1) "y" else "ies"} on $tableUri: " +
@@ -2555,7 +2601,7 @@ object DeltaTable {
       default: Option[String]): Unit = {
     import org.apache.spark.sql.types.{MetadataBuilder, StructType}
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    val snap = log.fileFreeSnapshot()
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val idx = snap.schema.fields.indexWhere(f => lc(f.name) == lc(column))
     require(idx >= 0, s"no such column $column on $tableUri")

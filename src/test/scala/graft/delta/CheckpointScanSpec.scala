@@ -28,11 +28,13 @@ class CheckpointScanSpec extends AnyFunSuite {
     * through `create()` + `checkpoint()` would ship the whole list in
     * driver task closures and bury the suite in "task of very large
     * size" warnings that could mask a real product-side closure leak. */
-  private def fixture(config: Map[String, String] = Map.empty): String = {
+  private def fixture(config: Map[String, String] = Map.empty,
+      schemaJson: Option[String] = None): String = {
     val dir = TestSpark.tmpDir("cp-scan")
     import spark.implicits._
     val metaRow = CheckpointScanSpec.CpRow(None,
-      Some(CheckpointScanSpec.CpMeta("cp-scan-fixture", schema.json, Nil, config)),
+      Some(CheckpointScanSpec.CpMeta("cp-scan-fixture",
+        schemaJson.getOrElse(schema.json), Nil, config)),
       None)
     val protoRow = CheckpointScanSpec.CpRow(None, None,
       Some(CheckpointScanSpec.CpProto(1, 2)))
@@ -386,6 +388,102 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(bare.schema.fieldNames.toSeq == Seq("id"))
     assert(!log.hasCachedSnapshot,
       "historical metadata lookups must not materialize the add list")
+  }
+
+  test("enableRowTracking on a big uncached log streams its backfill") {
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    DeltaTable.enableRowTracking(spark, dir)
+    assert(!log.hasCachedSnapshot,
+      "enablement must stream the backfill from the dataset, not snapshot()")
+    // the ONE commit carries the protocol upgrade, the enablement
+    // metadata, a stamped re-add per active file, and the advanced
+    // high-water mark AFTER the adds (the lazy-iterator contract)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json")).asScala
+    assert(lines.count(_.contains("\"add\":")) == N)
+    assert(lines.forall(l => !l.contains("\"add\":") || l.contains("\"baseRowId\":")),
+      "every streamed re-add must carry its stamped base row ID")
+    val domainLine = lines.filter(_.contains("rowIdHighWaterMark"))
+    assert(domainLine.size == 1 &&
+      domainLine.head.contains(s""""rowIdHighWaterMark\\":${N * 10L - 1}"""),
+      s"got $domainLine")
+    assert(lines.indexWhere(_.contains("rowIdHighWaterMark")) >
+      lines.lastIndexWhere(_.contains("\"add\":")))
+    // parity with the materialized path's semantics: every file carries
+    // a distinct 10-row block, the domain is replayed
+    val snap = log.snapshot()
+    assert(snap.files.forall(f => f.baseRowId.nonEmpty &&
+      f.defaultRowCommitVersion.contains(1L)))
+    assert(snap.files.map(_.baseRowId.get).sorted ==
+      (0 until N).map(_ * 10L))
+    assert(snap.domains.get(DeltaLog.RowTrackingDomain)
+      .exists(_.configuration.contains((N * 10L - 1).toString)))
+  }
+
+  test("icebergCompat enablement probes its preconditions distributed") {
+    import org.apache.spark.sql.types._
+    // name-mode mapped single-column schema (physical == logical so the
+    // fixture's stats keys stay consistent) — both compat versions'
+    // mapping precondition is satisfied up front
+    val mapped = new StructType().add(StructField("id", LongType, true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "id")
+        .putLong("delta.columnMapping.columnId", 1L).build()))
+    val dir = fixture(
+      config = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "1"),
+      schemaJson = Some(mapped.json))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    // every fabricated add carries numRecords and no DV: V1 lands, and
+    // the per-file precondition probe ran in executors
+    DeltaTable.enableIcebergCompat(spark, dir, 1)
+    assert(!log.hasCachedSnapshot,
+      "enablement preconditions must probe the dataset, not snapshot()")
+    assert(log.fileFreeSnapshot().protocol.writerFeatures
+      .exists(_.contains("icebergCompatV1")))
+    assert(!log.hasCachedSnapshot)
+    // a stats-less add in the JSON tail must refuse enablement (the
+    // converter has rows it cannot count) — still without materializing
+    val dir2 = fixture(
+      config = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "1"),
+      schemaJson = Some(mapped.json))
+    Files.write(Paths.get(dir2, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"add":{"path":"bare.parquet","partitionValues":{},"size":10,""" +
+        s""""modificationTime":1,"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    DeltaLog.invalidate(dir2)
+    val log2 = DeltaLog.forTable(spark, dir2)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.enableIcebergCompat(spark, dir2, 1)
+    }
+    assert(e.getMessage.contains("numRecords"), e.getMessage)
+    assert(!log2.hasCachedSnapshot)
+  }
+
+  test("metadata-only DDL on a big uncached log stays file-free") {
+    // representative of the whole admin surface (SET/UNSET TBLPROPERTIES,
+    // ADD/RENAME/DROP COLUMN, type widening, clustering, ICT, variant
+    // shredding, DV enablement): all open with fileFreeSnapshot()
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    DeltaTable.setTblProperties(spark, dir, Map("graft.custom" -> "x"))
+    DeltaTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    assert(!log.hasCachedSnapshot,
+      "metadata-only DDL must never materialize the add list")
+    val bare = log.fileFreeSnapshot()
+    assert(bare.metadata.configuration.get("graft.custom").contains("x"))
+    assert(bare.schema.fieldNames.contains("extra"))
+    assert(bare.metadata.configuration
+      .get("delta.enableInCommitTimestamps").contains("true"))
+    assert(!log.hasCachedSnapshot)
   }
 
   test("scanSnapshot equals materialized prune on a cached snapshot") {
