@@ -1177,11 +1177,65 @@ object DeltaTable {
     * The touched-file collect is bounded by the ACTIVE FILE COUNT
     * (metadata scale), never by row count.
     */
+  /** A conjunctive per-key-column range predicate bounding every row an
+    * upsert batch can match (each key column of a matching row equals
+    * some batch value, hence lies within the batch's min/max), or None
+    * when no column yields a safe bound. Conservative: only null-free
+    * bounds over range-safe types contribute — float/double (NaN
+    * ordering), non-binary-collated strings (stats order ≠ equality),
+    * and exotic types skip theirs; any analysis failure degrades to
+    * no-pruning, never to a dropped candidate. */
+  private def upsertKeyRangePred(spark: SparkSession, snap: Snapshot,
+      updates: DataFrame, keyCols: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.types._
+    def rangeSafe(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | BooleanType => true
+      case s: StringType => s == StringType // UTF8_BINARY only
+      case _: DecimalType => true
+      case _ => false
+    }
+    try {
+      val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      val updTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+      val usable = keyCols.filter(k => tableTypes.get(k).exists(rangeSafe) &&
+        updTypes.get(k) == tableTypes.get(k))
+      if (usable.isEmpty) return None
+      val aggs = usable.flatMap(k => Seq(
+        org.apache.spark.sql.functions.min(col(k)).as(s"__lo_$k"),
+        org.apache.spark.sql.functions.max(col(k)).as(s"__hi_$k")))
+      val row = updates.agg(aggs.head, aggs.tail: _*).head()
+      val conjuncts = usable.flatMap { k =>
+        val lo = row.getAs[Any](s"__lo_$k")
+        val hi = row.getAs[Any](s"__hi_$k")
+        if (lo == null || hi == null) None
+        else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+      }
+      conjuncts.reduceOption(_ && _)
+        .flatMap(c => predicateExpr(spark, snap, c))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def upsert(spark: SparkSession, tableUri: String, updates: DataFrame,
       keyCols: Seq[String]): DmlStats = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // Plan against a key-range-pruned snapshot: the candidates a
+    // key-equality merge can touch are bounded by the batch's per-key
+    // min/max, so discovery prunes by stats exactly like a predicate
+    // DML — an upsert of a handful of keys into a million-file table
+    // materializes only the covering candidate files (and even on a
+    // small cached table, touched-file discovery scans fewer files).
+    // The bounds agg is one tiny job over the update batch, run on the
+    // driver side of the staged scan; the pruning closure that ships to
+    // executors stays session-free.
+    val snap = log.scanSnapshotStaged { probe =>
+      upsertKeyRangePred(spark, probe, updates, keyCols) match {
+        case Some(cond) => files => pruneFiles(probe, files, cond)
+        case None => files => files
+      }
+    }
     val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val got = updates.schema.fields.map(f => f.name -> f.dataType).toMap
     require(want == got,
@@ -1258,7 +1312,10 @@ object DeltaTable {
   def replaceWhere(spark: SparkSession, tableUri: String, predicate: Column,
       data: DataFrame): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // candidates arrive pre-pruned (distributed over the checkpoint on
+    // an uncached log) — snap.files IS the candidate set here, same
+    // plane as DELETE/UPDATE
+    val snap = dmlScanSnapshot(spark, log, predicate)
     val pinned =
       if (data.queryExecution.analyzed.exists(_.expressions.exists(
           _.exists(!_.deterministic)))) data.localCheckpoint()
@@ -1266,7 +1323,7 @@ object DeltaTable {
     val outside = pinned.where(not(coalesce(predicate, lit(false)))).count()
     require(outside == 0,
       s"replaceWhere: $outside incoming row(s) do not satisfy the predicate")
-    val candidates = candidateFiles(spark, snap, predicate)
+    val candidates = snap.files
     val touched = touchedFiles(spark, log, snap, _.where(predicate), candidates)
     // survivors preserve their row IDs on enabled tables; the incoming
     // rows are new and get fresh ones (null materialized values)
@@ -3014,7 +3071,50 @@ object DeltaTable {
       schemaEvolution: Boolean = false): DmlStats = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // Plan against a pruned snapshot: the target-only half of the ON
+    // condition bounds every file the join (or the insert anti-join)
+    // can touch, and the by-source clause conditions bound the files a
+    // by-source rewrite can touch — pruning INSIDE snapshot resolution
+    // means a selective MERGE on a big uncached log materializes only
+    // its candidates. Mirrors the candidates/nmbsFiles computation
+    // below, which re-prunes the already-bounded list; whole-table
+    // components (no target-only conjunct, or an unconditioned
+    // by-source clause) keep everything — correctness first.
+    val snap = log.scanSnapshotStaged { probe =>
+      val tNames = probe.schema.fields.map(f => f.name.toLowerCase(
+        java.util.Locale.ROOT)).toSet
+      val joinSchema = org.apache.spark.sql.types.StructType(
+        probe.schema.fields ++ source.schema.fields.map(f =>
+          f.copy(name = MergeSourcePrefix + f.name)))
+      val tOnly = analyzedConjuncts(spark, joinSchema, condition).filter(e =>
+        e.references.nonEmpty && e.references.forall(a =>
+          tNames.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+      val joinPred = tOnly
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      val nmbsConds = notMatchedBySource.map {
+        case MergeUpdate(c, _) => c
+        case MergeDelete(c) => c
+      }
+      val nmbsPred: Option[Option[
+          org.apache.spark.sql.catalyst.expressions.Expression]] =
+        if (nmbsConds.isEmpty) None // no by-source clauses: no component
+        else if (nmbsConds.exists(_.isEmpty)) Some(None) // whole table
+        else {
+          val c = nmbsConds.flatten.reduce(_ || _)
+          Some(predicateExpr(spark, probe, c))
+        }
+      val pred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        (joinPred, nmbsPred) match {
+          case (Some(j), None) => Some(j)
+          case (Some(j), Some(Some(n))) =>
+            Some(org.apache.spark.sql.catalyst.expressions.Or(j, n))
+          case _ => None // a whole-table component: no pruning
+        }
+      pred match {
+        case Some(cond) => files => pruneFiles(probe, files, cond)
+        case None => files => files
+      }
+    }
     // schema evolution: new source columns append as nullable fields;
     // the metadata update rides in the SAME commit as the rewrite
     val newCols =
@@ -3122,14 +3222,21 @@ object DeltaTable {
             BigInt(autoBroadcast)) broadcast(srcProjected)
       else srcProjected
 
-    // file pruning from the target-only half of the ON condition
-    val targetNames = fields.map(_.name).toSet
-    val targetOnly = splitConjuncts(spark, condition).filter(e =>
-      e.references.forall(a => targetNames.contains(a.name)))
+    // file pruning from the target-only half of the ON condition —
+    // conjuncts split AFTER analysis against target ++ prefixed source
+    // columns (see [[analyzedConjuncts]]; the staged scan above already
+    // pruned the same way, this re-prune of the bounded list keeps the
+    // cached-snapshot path equally tight)
+    val targetNames = fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val joinSchema = org.apache.spark.sql.types.StructType(
+      fields ++ srcProjected.schema.fields)
+    val targetOnly = analyzedConjuncts(spark, joinSchema, condition).filter(e =>
+      e.references.nonEmpty && e.references.forall(a =>
+        targetNames.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
     val candidates = targetOnly
       .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-      .map(e => org.apache.spark.sql.graft.GraftShims.column(e))
-      .map(p => candidateFiles(spark, snap, p))
+      .map(e => pruneFiles(snap, snap.files, e))
       .getOrElse(snap.files)
 
     // by-source clauses must rewrite every file whose stats admit a row
@@ -3345,14 +3452,34 @@ object DeltaTable {
     } finally joined.unpersist()
   }
 
-  private def splitConjuncts(spark: SparkSession, c: Column)
+  /** The condition's conjuncts, ANALYZED against `schema` (an empty
+    * frame) and constant-folded. Spark 4's Column AST is an opaque
+    * wrapper node — splitting the UNRESOLVED form sees one conjunct
+    * with NO references, and a refs-subset filter then treats a mixed
+    * target/source condition as "target-only", silently nullifying
+    * file pruning (and worse: analysis of the source-referencing
+    * "target" predicate fails, so the pruner made no claim at all).
+    * The split therefore happens on the analyzer's And tree, where
+    * references carry resolved names. Analysis failure = no conjuncts
+    * = no pruning claim — conservative. */
+  private[delta] def analyzedConjuncts(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, cond: Column)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    split(org.apache.spark.sql.graft.GraftShims.expressionOf(c))
+    try {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .where(cond).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(f.condition).map(_.transformUp {
+              case e: Expression if e.foldable && !e.isInstanceOf[Literal] =>
+                Literal.create(e.eval(null), e.dataType)
+            })
+        }.getOrElse(Nil)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 }
 

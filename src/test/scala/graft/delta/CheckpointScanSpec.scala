@@ -464,6 +464,54 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(!log2.hasCachedSnapshot)
   }
 
+  test("upsert/replaceWhere/merge on a 100k-file log prune before materializing") {
+    val dir = fixture()
+    import spark.implicits._
+    // the one covering candidate must really exist — the rewrites read it
+    val staging = TestSpark.tmpDir("cp-scan-dmlfile")
+    (123450L to 123459L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "part-012345.parquet"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+
+    // upsert: the batch's key range [123450, 123455] prunes discovery
+    // to the ONE covering file
+    val s1 = DeltaTable.upsert(spark, dir,
+      (123450L to 123455L).toDF("id"), Seq("id"))
+    assert(s1.filesRemoved == 1, s"got $s1")
+    assert(!log.hasCachedSnapshot,
+      "upsert must plan through the key-range-pruned staged scan")
+
+    // replaceWhere: the predicate prunes candidates to the handful of
+    // in-range files the upsert just staged (never the 100k others)
+    val s2 = DeltaTable.replaceWhere(spark, dir,
+      org.apache.spark.sql.functions.expr("id >= 123450 and id <= 123459"),
+      (123450L to 123459L).toDF("id"))
+    assert(s2.filesRemoved >= 1 && s2.filesRemoved <= 8, s"got $s2")
+    assert(!log.hasCachedSnapshot,
+      "replaceWhere must plan through the staged scan")
+
+    // merge: the target-only conjuncts of the ON condition prune the
+    // join candidates the same way
+    val s3 = DeltaTable.merge(spark, dir,
+      (123450L to 123452L).toDF("id"),
+      condition = org.apache.spark.sql.functions.col("id") ===
+        org.apache.spark.sql.functions.col(DeltaTable.MergeSourcePrefix + "id") &&
+        org.apache.spark.sql.functions.col("id") >= 123450L &&
+        org.apache.spark.sql.functions.col("id") <= 123459L,
+      matched = Seq(MergeDelete(None)),
+      notMatched = Nil)
+    assert(s3.filesRemoved >= 1 && s3.filesRemoved <= 8, s"got $s3")
+    assert(!log.hasCachedSnapshot,
+      "merge must plan through the staged scan")
+    // the three rewrites only ever touched the one covering file's line:
+    // 100k-1 fabricated adds + the latest rewrite are active
+    assert(log.fileFreeSnapshot().version == 3L)
+  }
+
   test("metadata-only DDL on a big uncached log stays file-free") {
     // representative of the whole admin surface (SET/UNSET TBLPROPERTIES,
     // ADD/RENAME/DROP COLUMN, type widening, clustering, ICT, variant
