@@ -1504,6 +1504,26 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     expectedVersion
   }
 
+  /** Stream a commit whose FILE actions arrive from a distributed
+    * dataset's local iterator: driver actions are validated and
+    * ICT-stamped as usual, then the version file is written straight
+    * from the concatenated iterator — the streamed actions never exist
+    * as a driver-side collection. The streamed actions are COPIES of
+    * active files (RESTORE's diff, CLONE's absolutized adds), so the
+    * per-file chokepoint invariants (DV descriptors, row-ID
+    * preservation) hold by construction — the same argument as the
+    * staged overwrite's removes; metrics/row-tracking stamping of
+    * streamed actions is the CALLER's responsibility. */
+  private[delta] def commitStreamed(expectedVersion: Long,
+      probeOpt: Option[Snapshot], driverActions: Seq[Action],
+      streamed: Iterator[Action], metaForCheckpoint: Option[Metadata]): Long = {
+    if (expectedVersion > 0) checkWritable(driverActions, probeOpt)
+    val stamped = stampIct(probeOpt, expectedVersion, driverActions)
+    writeVersionFile(expectedVersion, stamped.iterator ++ streamed)
+    maybeCheckpoint(expectedVersion, metaForCheckpoint)
+    expectedVersion
+  }
+
   /** An AddFile's recorded row count from its stats JSON (None when
     * stats are absent or unparseable — callers decide the fallback). */
   private[delta] def numRecordsOf(a: AddFile): Option[Long] =

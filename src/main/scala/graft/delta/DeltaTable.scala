@@ -77,9 +77,15 @@ object DeltaTable {
     }
 
   /** Read the active snapshot as a DataFrame (partition columns
-    * reconstructed from hive-style paths and cast to the table schema). */
+    * reconstructed from hive-style paths and cast to the table schema).
+    * On a big uncached checkpoint-seeded log this serves the DEFERRED
+    * connector relation instead of materializing the add list up
+    * front: Catalyst pushes the query's own filters into the relation,
+    * so `read(uri).where(p)` enumerates only p's survivors driver-side
+    * — the same plane the `format("graftdelta")` path rides. */
   def read(spark: SparkSession, tableUri: String): DataFrame = {
     val log = DeltaLog.forTable(spark, tableUri)
+    if (log.isBigUncached) return spark.read.format("graftdelta").load(tableUri)
     val snap = log.snapshot()
     readFiles(spark, log, snap, snap.files)
   }
@@ -649,12 +655,11 @@ object DeltaTable {
   def cloneShallow(spark: SparkSession, sourceUri: String, targetUri: String,
       version: Option[Long] = None): DeltaLog = {
     val src = DeltaLog.forTable(spark, sourceUri)
-    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot())
     val dst = DeltaLog.forTable(spark, targetUri)
     require(!dst.tableExists, s"table already exists: $targetUri")
     val srcFs = src.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val srcRootQ = srcFs.makeQualified(src.tableRoot)
-    val adds = snap.files.map { f =>
+    def absolutize(f: AddFile): AddFile = {
       val abs = srcFs.makeQualified(new Path(srcRootQ, f.path)).toString
       val dv = f.deletionVector.map { d =>
         if (d.storageType == "u")
@@ -665,8 +670,31 @@ object DeltaTable {
       }
       f.copy(path = abs, deletionVector = dv)
     }
-    val meta = snap.metadata.copy(id = UUID.randomUUID().toString)
     val now = System.currentTimeMillis()
+    // CURRENT-version clone of a big uncached source: stream the
+    // absolutized adds from the active-add dataset into the clone's v0
+    // — a shallow clone of a million-file table never holds its file
+    // list in driver memory (historical clones keep the snapshotAt
+    // path; pre-checkpoint versions replay driver-side anyway)
+    val aaOpt = if (version.isEmpty) Some(src.activeAdds()) else None
+    if (aaOpt.exists(_.materialized.isEmpty)) {
+      val aa = aaOpt.get
+      val bare = aa.bare
+      val meta = bare.metadata.copy(id = UUID.randomUUID().toString)
+      import scala.jdk.CollectionConverters._
+      val addIt = aa.ds.toLocalIterator().asScala
+        .map(f => absolutize(f): Action)
+      dst.commitStreamed(0L, None,
+        Seq(bare.protocol, meta) ++
+          bare.domains.values.toSeq.sortBy(_.domain) :+
+          CommitInfo(now, "CLONE", Map("source" -> sourceUri,
+            "sourceVersion" -> bare.version.toString)),
+        addIt, Some(meta))
+      return dst
+    }
+    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot())
+    val adds = snap.files.map(absolutize)
+    val meta = snap.metadata.copy(id = UUID.randomUUID().toString)
     dst.commit(0L, Seq(snap.protocol, meta) ++
       snap.domains.values.toSeq.sortBy(_.domain) ++ adds :+
       CommitInfo(now, "CLONE", Map("source" -> sourceUri,
@@ -2838,6 +2866,91 @@ object DeltaTable {
     * Fails up front if vacuum has deleted any file the target needs. */
   def restore(spark: SparkSession, tableUri: String, version: Long): DmlStats = {
     val log = DeltaLog.forTable(spark, tableUri)
+    var attempt = 0
+    while (true) {
+      try {
+        val curAa = log.activeAdds()
+        return curAa.materialized match {
+          case Some(_) => restoreMaterialized(spark, log, version)
+          case None => restoreStaged(spark, log, curAa, version)
+        }
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+      }
+    }
+    DmlStats(0, 0) // unreachable
+  }
+
+  /** RESTORE on a big uncached log: the current and target active sets
+    * stay DATASETS end-to-end — the (path, DV id) reconciliation diff
+    * is a pair of anti-joins, the vanished-file probe fans out to
+    * executors, and the commit streams the diff straight into the
+    * version file ([[DeltaLog.commitStreamed]]). A restore across a
+    * full overwrite of a million-file table holds only counters and a
+    * missing-file sample in driver memory. Removes carry the current
+    * files' DV descriptors and row-ID blocks themselves (the staged
+    * path bypasses chokepoint stamping), preserving the same contract
+    * the materialized path gets from [[DeltaLog.commit]]. */
+  private def restoreStaged(spark: SparkSession, log: DeltaLog,
+      curAa: ActiveAdds, version: Long): DmlStats = {
+    import spark.implicits._
+    implicit val addEnc: org.apache.spark.sql.Encoder[AddFile] =
+      org.apache.spark.sql.Encoders.product[AddFile]
+    val cur = curAa.bare
+    val tgtAa = log.activeAdds(upTo = Some(version))
+    val tgt = tgtAa.bare
+    require(tgt.version == version,
+      s"cannot restore to version $version of ${log.tableUri}: that version " +
+        s"cannot be replayed (latest replayable is ${tgt.version})")
+    val curK = curAa.ds.map(f => (f.reconcileKey, f)).toDF("k", "f")
+    val tgtK = tgtAa.ds.map(f => (f.reconcileKey, f)).toDF("k", "f")
+    val toRemove = curK.join(tgtK.select("k"), Seq("k"), "left_anti")
+      .select("f.*").as[AddFile].persist()
+    val toAdd = tgtK.join(curK.select("k"), Seq("k"), "left_anti")
+      .select("f.*").as[AddFile].persist()
+    try {
+      val rootStr = log.tableRoot.toString
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val missing = toAdd.mapPartitions { it =>
+        val fs = new Path(rootStr).getFileSystem(confSer.value)
+        it.filterNot(f => fs.exists(new Path(rootStr, f.path))).map(_.path)
+      }.take(5)
+      require(missing.isEmpty,
+        s"cannot restore to version $version: data file(s) no longer " +
+          s"exist (vacuumed?), e.g. ${missing.headOption.getOrElse("")}")
+      val nRemove = toRemove.count()
+      val nAdd = toAdd.count()
+      val sameMeta = cur.metadata.schemaString == tgt.metadata.schemaString &&
+        cur.metadata.partitionColumns == tgt.metadata.partitionColumns
+      if (nRemove == 0 && nAdd == 0 && sameMeta) return DmlStats(0, 0)
+      val now = System.currentTimeMillis()
+      val driver = Seq.newBuilder[Action]
+      if (!sameMeta) driver += tgt.metadata
+      driver += CommitInfo(now, "RESTORE", Map("version" -> version.toString),
+        operationMetrics = Map(
+          "numRemovedFiles" -> nRemove.toString,
+          "numRestoredFiles" -> nAdd.toString))
+      import scala.jdk.CollectionConverters._
+      val removeIt = toRemove.toLocalIterator().asScala.map(f =>
+        RemoveFile(f.path, now, dataChange = true, f.partitionValues, f.size,
+          f.deletionVector, f.baseRowId, f.defaultRowCommitVersion): Action)
+      val addIt = toAdd.toLocalIterator().asScala.map(f =>
+        f.copy(modificationTime = now, dataChange = true): Action)
+      log.commitStreamed(cur.version + 1, Some(cur), driver.result(),
+        removeIt ++ addIt,
+        Some(if (!sameMeta) tgt.metadata else cur.metadata))
+      DmlStats(nRemove.toInt, nAdd.toInt)
+    } finally {
+      toRemove.unpersist()
+      toAdd.unpersist()
+    }
+  }
+
+  private def restoreMaterialized(spark: SparkSession, log: DeltaLog,
+      version: Long): DmlStats = {
     val cur = log.snapshot()
     val tgt = log.snapshotAt(version)
     // diff by the protocol's reconciliation key (path, DV id), not bare
@@ -3094,6 +3207,7 @@ object DeltaTable {
       val nmbsConds = notMatchedBySource.map {
         case MergeUpdate(c, _) => c
         case MergeDelete(c) => c
+        case _ => None // invalid clause shape: refused by validation below
       }
       val nmbsPred: Option[Option[
           org.apache.spark.sql.catalyst.expressions.Expression]] =

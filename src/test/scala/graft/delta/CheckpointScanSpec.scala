@@ -512,6 +512,60 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(log.fileFreeSnapshot().version == 3L)
   }
 
+  test("library read() on a big uncached log rides the deferred relation") {
+    val dir = fixture()
+    import spark.implicits._
+    val staging = TestSpark.tmpDir("cp-scan-readfile")
+    (123450L to 123459L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "part-012345.parquet"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    // the caller's own filter pushes into the deferred relation and
+    // prunes enumeration to the one covering (real) file
+    assert(DeltaTable.read(spark, dir).where("id = 123456").count() == 1)
+    assert(!log.hasCachedSnapshot,
+      "read() must serve the deferred relation on a big uncached log")
+  }
+
+  test("restore and shallow clone on a big uncached log stream their file actions") {
+    val dir = fixture()
+    import spark.implicits._
+    val log = DeltaLog.forTable(spark, dir)
+    assert(!log.hasCachedSnapshot)
+    // clone BEFORE mutating: the clone's v0 carries all 100k adds,
+    // absolutized, streamed from the dataset
+    val dst = TestSpark.tmpDir("cp-scan-clone")
+    new java.io.File(dst).delete()
+    DeltaTable.cloneShallow(spark, dir, dst)
+    assert(!log.hasCachedSnapshot,
+      "clone must stream the source's adds, not snapshot()")
+    import scala.jdk.CollectionConverters._
+    val cloneLines = Files.readAllLines(
+      Paths.get(dst, "_delta_log", f"${0L}%020d.json")).asScala
+    assert(cloneLines.count(_.contains("\"add\":")) == N)
+    assert(cloneLines.filter(_.contains("\"add\":"))
+      .forall(_.contains("file:")), "clone adds must be absolutized")
+
+    // append, then restore to v0: the diff is the appended files only —
+    // the vanished-file probe (toAdd side) has nothing to check, the
+    // removes stream from the dataset
+    DeltaTable.append(spark, dir, Seq(777777777L).toDF("id"))
+    assert(!log.hasCachedSnapshot)
+    val s1 = DeltaTable.restore(spark, dir, 0L)
+    assert(s1.filesRemoved >= 1 && s1.filesAdded == 0, s"got $s1")
+    assert(!log.hasCachedSnapshot,
+      "restore must diff the active sets as datasets, not snapshot()")
+    // restore FORWARD to v1: the appended files come back (they exist
+    // on disk, so the distributed existence probe passes)
+    val s2 = DeltaTable.restore(spark, dir, 1L)
+    assert(s2.filesRemoved == 0 && s2.filesAdded == s1.filesRemoved, s"got $s2")
+    assert(!log.hasCachedSnapshot)
+    assert(log.fileFreeSnapshot().version == 3L)
+  }
+
   test("metadata-only DDL on a big uncached log stays file-free") {
     // representative of the whole admin surface (SET/UNSET TBLPROPERTIES,
     // ADD/RENAME/DROP COLUMN, type widening, clustering, ICT, variant
