@@ -122,7 +122,17 @@ final class GraftDeltaTableV2(
     * (self-join, union) could resolve different log versions under
     * concurrent appends. Resolved lazily (no IO at table construction)
     * and only on the deferred path — small/cached tables keep their
-    * existing per-scan materialized resolution. */
+    * existing per-scan materialized resolution.
+    *
+    * DECISION: the pin lives for the table INSTANCE. SQL/catalog reads
+    * resolve a fresh instance per query, so they always see the
+    * latest version; a long-lived `spark.read.format("graftdelta")
+    * .load(uri)` handle keeps serving its first-resolved version on
+    * re-execution — per-DataFrame snapshot semantics, the price of
+    * guaranteed intra-query consistency (a per-scan pin could not
+    * protect a self-join, whose two scan builds are separate calls).
+    * Re-`load()` for fresh data, exactly as with delta-spark's cached
+    * DataFrame handles. */
   private lazy val pinnedDeferredVersion: Option[Long] =
     if (versionAsOf.isEmpty && !readChangeFeed && log.tableExists &&
         log.isBigUncached)

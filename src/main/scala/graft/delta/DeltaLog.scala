@@ -504,6 +504,11 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       return s.copy(files = mkPrune(s.copy(files = Nil))(s.files))
     }
     val tailActions = tail.flatMap(actionsAt)
+    // the outer stage's closure is kept for the tail-adds prune below —
+    // the outer stage may be expensive (upsert's key-range derivation
+    // runs a Spark aggregation over the update batch), so it must run
+    // ONCE per staged scan, not once per consumer
+    var pruneFn: Option[Seq[AddFile] => Seq[AddFile]] = None
     val (nonAdd, cpAdds) = Checkpoints.readPruned(spark, fs, logPath, cp.get,
       mkPrune = { nonAddActions =>
         val meta = (nonAddActions ++ tailActions).collect { case m: Metadata => m }
@@ -516,7 +521,9 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         // the OUTER stage runs HERE, on the driver — predicate analysis
         // and anything else session-bound happens once; only the
         // returned Seq=>Seq closure ships to executors
-        mkPrune(probe)
+        val f = mkPrune(probe)
+        pruneFn = Some(f)
+        f
       })
     // replay the JSON tail over the pruned base: removes reconcile by
     // (path, DV id) exactly like full replay — a remove of a file the
@@ -558,7 +565,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       txns = txns.toMap,
       domains = domains.toMap)
     val (fromTail, fromCp) = adds.values.toSeq.partition(f => tailKeys(f.reconcileKey))
-    bare.copy(files = fromCp ++ mkPrune(bare)(fromTail))
+    bare.copy(files = fromCp ++ pruneFn.getOrElse(mkPrune(bare))(fromTail))
   }
 
   /** The current snapshot's active AddFiles as a DATASET plus the
@@ -1460,66 +1467,92 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     * assignment and runs while the JSON streams out. */
   private[delta] def commitRowTrackingEnableStaged(aa: ActiveAdds,
       proto: Protocol, meta: Metadata, info: CommitInfo): Long = {
-    val expectedVersion = latestVersion() + 1
-    val probe = aa.bare // files = Nil: the streamed re-adds are copies
-                        // of active files, per-file invariants hold by
-                        // construction (same argument as the staged
-                        // overwrite's removes)
-    val driverActions: Seq[Action] = Seq(proto, meta, info)
-    checkWritable(driverActions, Some(probe))
-    val stamped = stampIct(Some(probe), expectedVersion, driverActions)
-    def hwmOf(cfg: String): Option[Long] =
-      try Option(mapper.readTree(cfg).get("rowIdHighWaterMark")).map(_.asLong())
-      catch { case scala.util.control.NonFatal(_) => None }
-    var hwm = probe.domains.get(DeltaLog.RowTrackingDomain)
-      .flatMap(d => hwmOf(d.configuration)).getOrElse(-1L)
+    // backfill: bare re-adds (same path, same DV, dataChange=false)
+    // streamed from the dataset — [[commitStreamed]] stamps their base
+    // row IDs and emits the advanced high-water mark after the last add
     val now = info.timestamp
     import scala.jdk.CollectionConverters._
     val addIt: Iterator[Action] = aa.ds.toLocalIterator().asScala
       .filter(_.baseRowId.isEmpty)
-      .map { f =>
-        val rows = numRecordsOf(f).getOrElse {
+      .map(f => f.copy(modificationTime = now, dataChange = false): Action)
+    commitStreamed(aa.bare.version + 1, Some(aa.bare),
+      Seq(proto, meta, info), addIt, Some(meta))
+  }
+
+  /** Stream a commit whose FILE actions arrive from a distributed
+    * dataset's local iterator: driver actions are validated and
+    * ICT-stamped as usual, the streamed actions never exist as a
+    * driver-side collection, and the chokepoint contracts the Seq path
+    * provides are RE-DERIVED for the stream —
+    *  - `delta.appendOnly`: a data-changing streamed remove fails the
+    *    commit (thrown while streaming into the TEMP file, so nothing
+    *    publishes);
+    *  - row tracking: streamed adds lacking a baseRowId are stamped
+    *    inline (running high-water mark seeded from the probe's
+    *    domain, recorded numRecords with a footer-read fallback) and
+    *    the advanced domain is emitted AFTER the last streamed action
+    *    (iterator concatenation is lazy, so it sees the final mark);
+    *  - DV descriptors ride the streamed copies themselves (the
+    *    streamed actions are copies of active files, the same argument
+    *    as the staged overwrite's removes).
+    * `expectedVersion` must be derived from the SAME captured state
+    * the stream was built from (`aa.bare.version + 1`) — a concurrent
+    * commit then fails the putIfAbsent publish with
+    * [[VersionConflictException]] and the caller re-derives, instead
+    * of silently committing over state it did not stream. Metrics
+    * stamping stays the caller's responsibility. */
+  private[delta] def commitStreamed(expectedVersion: Long,
+      probeOpt: Option[Snapshot], driverActions: Seq[Action],
+      streamed: Iterator[Action], metaForCheckpoint: Option[Metadata]): Long = {
+    if (expectedVersion > 0) checkWritable(driverActions, probeOpt)
+    val stamped = stampIct(probeOpt, expectedVersion, driverActions)
+    val effMeta = driverActions.collectFirst { case m: Metadata => m }
+      .orElse(probeOpt.map(_.metadata))
+    val appendOnly = effMeta.exists(_.configuration
+      .get("delta.appendOnly").exists(_.toBoolean))
+    val proto = driverActions.collectFirst { case p: Protocol => p }
+      .orElse(probeOpt.map(_.protocol))
+    val rt = proto.exists(_.writerFeatures.exists(_.contains("rowTracking")))
+    def hwmOf(cfg: String): Option[Long] =
+      try Option(mapper.readTree(cfg).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case scala.util.control.NonFatal(_) => None }
+    var hwm = probeOpt.flatMap(_.domains.get(DeltaLog.RowTrackingDomain))
+      .flatMap(d => hwmOf(d.configuration)).getOrElse(-1L)
+    var assigned = false
+    val guarded: Iterator[Action] = streamed.map {
+      case r: RemoveFile if appendOnly && r.dataChange =>
+        throw new IllegalStateException(
+          s"cannot delete or rewrite rows of $tableUri: the table is " +
+            "append-only (delta.appendOnly=true); only appends and " +
+            "dataChange=false maintenance rewrites are allowed")
+      case a: AddFile if rt && a.baseRowId.isEmpty =>
+        val rows = numRecordsOf(a).getOrElse {
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new Path(tableRoot, f.path), hadoopConf))
+              new Path(tableRoot, a.path), hadoopConf))
           try reader.getRecordCount finally reader.close()
         }
+        assigned = true
         val b = hwm + 1
         hwm += rows
-        f.copy(modificationTime = now, dataChange = false,
-          baseRowId = Some(b),
-          defaultRowCommitVersion = Some(expectedVersion)): Action
-      }
+        val wb = a.copy(baseRowId = Some(b))
+        (if (wb.defaultRowCommitVersion.isEmpty)
+          wb.copy(defaultRowCommitVersion = Some(expectedVersion))
+        else wb): Action
+      case a: AddFile if rt && a.defaultRowCommitVersion.isEmpty =>
+        a.copy(defaultRowCommitVersion = Some(expectedVersion)): Action
+      case other => other
+    }
     val domainIt: Iterator[Action] = new Iterator[Action] {
       private var emitted = false
-      def hasNext: Boolean = !emitted
+      def hasNext: Boolean = !emitted && assigned
       def next(): Action = {
         emitted = true
         DomainMetadata(DeltaLog.RowTrackingDomain,
           s"""{"rowIdHighWaterMark":$hwm}""")
       }
     }
-    writeVersionFile(expectedVersion, stamped.iterator ++ addIt ++ domainIt)
-    maybeCheckpoint(expectedVersion, Some(meta))
-    expectedVersion
-  }
-
-  /** Stream a commit whose FILE actions arrive from a distributed
-    * dataset's local iterator: driver actions are validated and
-    * ICT-stamped as usual, then the version file is written straight
-    * from the concatenated iterator — the streamed actions never exist
-    * as a driver-side collection. The streamed actions are COPIES of
-    * active files (RESTORE's diff, CLONE's absolutized adds), so the
-    * per-file chokepoint invariants (DV descriptors, row-ID
-    * preservation) hold by construction — the same argument as the
-    * staged overwrite's removes; metrics/row-tracking stamping of
-    * streamed actions is the CALLER's responsibility. */
-  private[delta] def commitStreamed(expectedVersion: Long,
-      probeOpt: Option[Snapshot], driverActions: Seq[Action],
-      streamed: Iterator[Action], metaForCheckpoint: Option[Metadata]): Long = {
-    if (expectedVersion > 0) checkWritable(driverActions, probeOpt)
-    val stamped = stampIct(probeOpt, expectedVersion, driverActions)
-    writeVersionFile(expectedVersion, stamped.iterator ++ streamed)
+    writeVersionFile(expectedVersion, stamped.iterator ++ guarded ++ domainIt)
     maybeCheckpoint(expectedVersion, metaForCheckpoint)
     expectedVersion
   }

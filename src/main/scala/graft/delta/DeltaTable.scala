@@ -2010,7 +2010,9 @@ object DeltaTable {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
     val log = DeltaLog.forTable(spark, tableUri)
-    val snap = log.snapshot()
+    // metadata-only state + the (inherent) existing-rows verification
+    // scan through read(), which defers on a big uncached log
+    val snap = log.fileFreeSnapshot()
     val key = ConstraintPrefix + name
     require(!snap.metadata.configuration.contains(key),
       s"constraint $name already exists on $tableUri")
@@ -2926,6 +2928,15 @@ object DeltaTable {
       val sameMeta = cur.metadata.schemaString == tgt.metadata.schemaString &&
         cur.metadata.partitionColumns == tgt.metadata.partitionColumns
       if (nRemove == 0 && nAdd == 0 && sameMeta) return DmlStats(0, 0)
+      // same refusal the materialized path gets from checkWritable —
+      // checked up front from the already-computed count
+      // (commitStreamed guards the stream too, as defense in depth)
+      if (nRemove > 0 && cur.metadata.configuration
+          .get("delta.appendOnly").exists(_.toBoolean))
+        throw new IllegalStateException(
+          s"cannot delete or rewrite rows of ${log.tableUri}: the table is " +
+            "append-only (delta.appendOnly=true); only appends and " +
+            "dataChange=false maintenance rewrites are allowed")
       val now = System.currentTimeMillis()
       val driver = Seq.newBuilder[Action]
       if (!sameMeta) driver += tgt.metadata

@@ -239,9 +239,11 @@ object Analytics {
       // |occurrences| × depth; (b) ONE md5 per shingle serves all
       // CmsDepth rows — the 128-bit digest splits into four independent
       // 32-bit words (row d = hex digits [1+8d, 8+8d]), the standard
-      // several-hashes-from-one-digest CMS construction. The df frame is
-      // cached because the sketch build and the probe side both consume
-      // it.
+      // several-hashes-from-one-digest CMS construction. The df frame
+      // is deliberately NOT cached: the sketch build and the top-k
+      // probe each re-run the codegen'd explode+groupBy, which measured
+      // FASTER than paying the cache materialization (0.81s vs 0.86s
+      // isolated at sf0.1, r17).
       val docs = Dedup.shingleDocs(s, dir)
       val dfs = docs.select(explode(col("sh")).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))

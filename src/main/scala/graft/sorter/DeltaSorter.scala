@@ -396,13 +396,22 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
       where: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
     val b = if (bits > 0) bits else ZOrder.maxBits(zorderColumns.size)
-    // the z-order overwrite removes every (scoped) active file — the
-    // full add list is inherent to the commit; collect it from the
-    // dataset so a big log's snapshot cache is never seeded
     val aa = deltaLog.activeAdds()
-    val snap = aa.bare.copy(files = allFiles(aa))
-    val scoped = scopeFiles(snap, where)
+    // UNSCOPED: the overwrite removes every active file, so the full
+    // list is inherent to the commit — collect from the dataset so a
+    // big log's snapshot cache is never seeded. SCOPED: partition-prune
+    // in the EXECUTORS so only the scoped partitions' files ever land
+    // on the driver (a one-partition z-order of a million-file table
+    // must not collect the other 999k paths just to drop them).
+    val scoped = where match {
+      case None => allFiles(aa)
+      case Some(w) =>
+        val bare = aa.bare
+        val pred = canonicalPredicate(bare, w)
+        selectFiles(aa)(f => DeltaTable.pruneFiles(bare, Seq(f), pred).nonEmpty)
+    }
     if (scoped.isEmpty) return summarize(Nil, t0)
+    val snap = aa.bare.copy(files = scoped)
     val m = Rewriter.fullZOrderOverwrite(spark, deltaLog, snap,
       zorderColumns, b, targetFileSizeBytes,
       filesOverride = if (where.isEmpty) None else Some(scoped))

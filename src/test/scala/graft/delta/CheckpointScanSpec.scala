@@ -566,6 +566,73 @@ class CheckpointScanSpec extends AnyFunSuite {
     assert(log.fileFreeSnapshot().version == 3L)
   }
 
+  test("staged restore stamps row IDs and refuses on append-only") {
+    import spark.implicits._
+    // rowTracking stamping through commitStreamed: make part-000001
+    // real (its fabricated stats claim ids [10,19]), remove it in a
+    // foreign v1 commit, enable row tracking (v2 backfills the OTHER
+    // actives), then restore to v0 — the re-add arrives baseRowId-less
+    // on an rt-enabled table and MUST be stamped inline, with the
+    // advanced high-water mark after it
+    val dir = fixture()
+    val staging = TestSpark.tmpDir("cp-scan-rtfile")
+    (10L to 19L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, "part-000001.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
+      (s"""{"remove":{"path":"part-000001.parquet","deletionTimestamp":1,""" +
+        s""""dataChange":true,"partitionValues":{},"size":100}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaLog.invalidate(dir)
+    val log = DeltaLog.forTable(spark, dir)
+    DeltaTable.enableRowTracking(spark, dir) // v2
+    assert(!log.hasCachedSnapshot)
+    val s = DeltaTable.restore(spark, dir, 0L) // v3 re-adds part-000001
+    assert(s.filesAdded == 1 && s.filesRemoved == 0, s"got $s")
+    assert(!log.hasCachedSnapshot)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${3L}%020d.json")).asScala
+    val addLine = lines.filter(_.contains("part-000001"))
+    assert(addLine.size == 1 && addLine.head.contains("\"baseRowId\":"),
+      s"restored add must be stamped: $addLine")
+    assert(lines.indexWhere(_.contains("rowIdHighWaterMark")) >
+      lines.indexWhere(_.contains("part-000001")),
+      "the advanced high-water mark must follow the stamped add")
+
+    // append-only: a staged restore that would remove files is refused
+    // up front, nothing lands
+    val ao = fixture(config = Map("delta.appendOnly" -> "true"))
+    DeltaTable.append(spark, ao, Seq(5L).toDF("id")) // appends stay legal
+    val logAo = DeltaLog.forTable(spark, ao)
+    assert(!logAo.hasCachedSnapshot)
+    val e = intercept[IllegalStateException] {
+      DeltaTable.restore(spark, ao, 0L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(!new java.io.File(ao, f"_delta_log/${2L}%020d.json").exists(),
+      "the refused restore must not land")
+  }
+
+  test("staged row-tracking enablement fails loudly on a concurrent commit") {
+    import spark.implicits._
+    val dir = fixture()
+    val log = DeltaLog.forTable(spark, dir)
+    val aa = log.activeAdds() // captured at version 0
+    // a concurrent writer lands version 1 AFTER the capture: the staged
+    // enablement must fail the publish (and the public entry point
+    // retries from fresh state), never commit over unseen state — its
+    // backfill would resurrect concurrently-removed files
+    DeltaTable.append(spark, dir, Seq(5L).toDF("id"))
+    val p = Protocol(1, 7, None,
+      Some(Set("rowTracking", "domainMetadata", "appendOnly", "invariants")))
+    intercept[VersionConflictException] {
+      log.commitRowTrackingEnableStaged(aa, p, aa.bare.metadata,
+        CommitInfo(1L, "SET TBLPROPERTIES", Map.empty))
+    }
+  }
+
   test("metadata-only DDL on a big uncached log stays file-free") {
     // representative of the whole admin surface (SET/UNSET TBLPROPERTIES,
     // ADD/RENAME/DROP COLUMN, type widening, clustering, ICT, variant
