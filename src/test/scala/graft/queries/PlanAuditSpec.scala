@@ -130,6 +130,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles("q_scan_delta_pushdown") <= 1)
   }
 
+  test("q_countmin: ONE broadcast of ONE sketch aggregate, no per-depth rebuilds") {
+    // the r16→r17 fix: the probe used to rebuild the whole sketch
+    // aggregation once per depth to feed per-depth broadcasts (4× the
+    // heavy pass); the rewrite explodes the top-k rows into (depth,
+    // bucket) probes and joins the ≤D×W-row sketch once
+    val exec = SparkEntry.queries("q_countmin")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val broadcasts = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
+    }.size
+    assert(broadcasts == 1, s"expected 1 broadcast, got $broadcasts:\n$exec")
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+  }
+
   test("no query in the inventory has an unpartitioned window") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val windows = fn(spark, dir).queryExecution.optimizedPlan.collect {
