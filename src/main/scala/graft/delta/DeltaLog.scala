@@ -950,13 +950,13 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     // otherwise the whole cleanup is refused — partial deletion below
     // the protected boundary could strand a historical protocol
     // downgrade that readers of old versions still need
-    val protectBefore = snapshot().metadata.configuration
+    val protectBefore = fileFreeSnapshot().metadata.configuration
       .get("delta.requireCheckpointProtectionBeforeVersion")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
     if (cp.version < protectBefore) return Nil
     val retentionMs = retentionMsOverride.getOrElse(
       DeltaLog.intervalMs(
-        snapshot().metadata.configuration.get("delta.logRetentionDuration"),
+        fileFreeSnapshot().metadata.configuration.get("delta.logRetentionDuration"),
         30L * 24 * 3600 * 1000))
     val cutoff = System.currentTimeMillis() - retentionMs
     val statuses = fs.listStatus(logPath).toSeq
@@ -1613,7 +1613,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         // log directory stays O(retention window), not O(table
         // lifetime). Opt out with delta.enableExpiredLogCleanup=false;
         // the 30-day default retention makes it a no-op on young logs.
-        if (!cfg.orElse(Some(snapshot().metadata.configuration)).get
+        if (!cfg.orElse(Some(fileFreeSnapshot().metadata.configuration)).get
             .get("delta.enableExpiredLogCleanup").exists(_.toBoolean == false))
           cleanupExpiredLogs()
       } catch {

@@ -36,6 +36,62 @@ class DeltaDmlSpec extends AnyFunSuite {
       (5, "e"), (6, "f"), (9, "i")))
   }
 
+  test("upsert key-range pruning is exact across typed keys") {
+    // the r17 staged scan derives a per-key min/max range predicate
+    // from the update batch — correctness must hold for every
+    // range-safe key type (and the unsafe ones must simply not prune)
+    import java.sql.{Date, Timestamp}
+    // DATE keys across two files
+    val dDir = TestSpark.tmpDir("dml-upsert-date")
+    def d(s: String) = Date.valueOf(s)
+    DeltaTable.create(spark,
+      Seq((d("2024-01-01"), "a"), (d("2024-01-02"), "b"))
+        .toDF("k", "v").coalesce(1), dDir)
+    DeltaTable.append(spark, dDir,
+      Seq((d("2024-06-01"), "c"), (d("2024-06-02"), "d"))
+        .toDF("k", "v").coalesce(1))
+    val sD = DeltaTable.upsert(spark, dDir,
+      Seq((d("2024-06-01"), "C!")).toDF("k", "v"), Seq("k"))
+    assert(sD.filesRemoved == 1, s"got $sD") // June file only
+    assert(DeltaTable.read(spark, dDir).where("v = 'C!'").count() == 1)
+    assert(DeltaTable.read(spark, dDir).count() == 4)
+
+    // TIMESTAMP keys
+    val tDir = TestSpark.tmpDir("dml-upsert-ts")
+    def t(s: String) = Timestamp.valueOf(s)
+    DeltaTable.create(spark,
+      Seq((t("2024-01-01 00:00:00"), 1L)).toDF("k", "n").coalesce(1), tDir)
+    DeltaTable.append(spark, tDir,
+      Seq((t("2024-06-01 12:00:00"), 2L)).toDF("k", "n").coalesce(1))
+    val sT = DeltaTable.upsert(spark, tDir,
+      Seq((t("2024-01-01 00:00:00"), 10L)).toDF("k", "n"), Seq("k"))
+    assert(sT.filesRemoved == 1, s"got $sT")
+    assert(DeltaTable.read(spark, tDir).as[(Timestamp, Long)].collect()
+      .map(_._2).sorted.toSeq == Seq(2L, 10L))
+
+    // DECIMAL keys (range-safe) — values land correctly
+    val decDir = TestSpark.tmpDir("dml-upsert-dec")
+    val dec = Seq((BigDecimal("10.50"), "a"), (BigDecimal("99.99"), "b"))
+      .toDF("k", "v")
+    DeltaTable.create(spark, dec.coalesce(1), decDir)
+    val sDec = DeltaTable.upsert(spark, decDir,
+      Seq((BigDecimal("10.50"), "A!"), (BigDecimal("1.00"), "new"))
+        .toDF("k", "v"), Seq("k"))
+    assert(DeltaTable.read(spark, decDir).count() == 3)
+    assert(DeltaTable.read(spark, decDir).where("v = 'A!'").count() == 1)
+
+    // DOUBLE keys are NOT range-safe (NaN ordering): no pruning, but
+    // the merge itself stays correct
+    val fDir = TestSpark.tmpDir("dml-upsert-double")
+    DeltaTable.create(spark,
+      Seq((1.5d, "a"), (Double.NaN, "b")).toDF("k", "v").coalesce(1), fDir)
+    val sF = DeltaTable.upsert(spark, fDir,
+      Seq((1.5d, "A!")).toDF("k", "v"), Seq("k"))
+    assert(sF.filesRemoved == 1)
+    assert(DeltaTable.read(spark, fDir).where("v = 'A!'").count() == 1)
+    assert(DeltaTable.read(spark, fDir).count() == 2)
+  }
+
   test("upsert with only-new keys is a pure append (zero files rewritten)") {
     val dir = TestSpark.tmpDir("dml-upsert-insert")
     DeltaTable.create(spark, Seq((1, "a")).toDF("k", "v"), dir)
