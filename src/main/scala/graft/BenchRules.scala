@@ -1,0 +1,61 @@
+package graft
+
+/** The pure decision rules of [[Bench]]'s contamination defenses,
+  * factored out so ScalaTest can pin them without a bench run (the
+  * end-to-end behavior is additionally validated by deterministic
+  * chaos runs — `SPARK_GRAFT_BENCH_CHAOS` — recorded per round).
+  *
+  * Rule history, because every threshold here was bought with a
+  * phantom regression: median > 3× own min is the INTRA-run external-
+  * load fingerprint (r8); median > 1.5× the previous round's recorded
+  * median with a 0.3 s absolute floor is the CROSS-round fingerprint
+  * (r15's q_join_multiway shipped 0.7 → 3.8 s under load with
+  * intra-run spread below 3×; the multiplier was 2× until r18 — all
+  * four of r17's load-inflated queries, q_join_multiway's SECOND
+  * escape included, sat in the 1.3×–2× band it never saw); a
+  * post-salvage total > 1.15× the previous same-sf total catches the
+  * broad +0.1–0.3 s-per-query tail no per-query rule sees (r17's 19%
+  * phantom total). Every re-measurement keeps the fresh result only
+  * when FASTER, so a real regression — consistently slow on a drained
+  * machine — always keeps its number.
+  */
+object BenchRules {
+  /** (median, min, max, runs) of one query's timed executions. */
+  type Stat = (Double, Double, Double, Int)
+
+  /** Intra-run suspect: the median itself is 3× the best run. */
+  def ownSuspect(v: Stat): Boolean = v._2 > 0 && v._1 > 3 * v._2
+
+  /** Cross-round suspect: 1.5× the previous recorded median, with a
+    * 0.3 s absolute floor so sub-100ms noise can't trigger re-runs. */
+  def crossSuspect(prevMedian: Option[Double], median: Double): Boolean =
+    prevMedian.exists(p => p > 0 && median > 1.5 * p && median - p > 0.3)
+
+  /** Whole-run re-run trigger: post-salvage total vs the previous
+    * same-sf total over the same query set. The 0.5 s floor keeps a
+    * near-empty BENCH_ONLY subset from re-running on millisecond
+    * jitter. */
+  def wholeRunRerun(prevTotal: Option[Double], total: Double): Boolean =
+    prevTotal.exists(pt => pt > 0.5 && total > 1.15 * pt)
+
+  /** Environment-suspect stamp: sustained load with NO foreign JVM to
+    * indict. Weaker than `contaminated` (our own worker threads push
+    * load too) — it marks the artifact "deserves an idle recheck", it
+    * doesn't invalidate it. Only stamped when the run isn't already
+    * contaminated outright. */
+  def environmentSuspect(contaminated: Boolean, load1mMax: Double,
+      ncpu: Int, foreignJvmsMax: Int): Boolean =
+    !contaminated && load1mMax > ncpu / 4.0 && foreignJvmsMax <= 1
+
+  /** Median of a non-empty sample (upper median on even sizes, the
+    * convention every bench aggregation here uses). */
+  def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted; s(s.size / 2)
+  }
+
+  /** Stdout-line degrade ladder: first candidate inside the driver's
+    * tail budget, else the last (shortest) one — a parseable line
+    * beats a complete one. */
+  def pickLine(candidates: Seq[String], budget: Int = 1900): String =
+    candidates.find(_.length <= budget).getOrElse(candidates.last)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[BenchRules]] — the pure decision rules behind the bench's
+  * contamination defenses. Each threshold here was bought with a
+  * specific phantom regression (see the object's scaladoc); these
+  * tests pin the exact boundaries so a future retune is a deliberate
+  * edit, not drift. End-to-end behavior (drain waits, splice-only-
+  * when-faster, artifact fields) is validated by deterministic chaos
+  * runs (`SPARK_GRAFT_BENCH_CHAOS`) recorded in the round logs.
+  */
+class BenchRulesSpec extends AnyFunSuite {
+
+  test("ownSuspect: median > 3x own min, zero-guarded") {
+    assert(BenchRules.ownSuspect((3.1, 1.0, 4.0, 3)))
+    assert(!BenchRules.ownSuspect((3.0, 1.0, 4.0, 3))) // boundary: not strict
+    assert(!BenchRules.ownSuspect((2.9, 1.0, 4.0, 3)))
+    assert(!BenchRules.ownSuspect((5.0, 0.0, 5.0, 3))) // min 0: can't judge
+  }
+
+  test("crossSuspect catches the r17 blind band (1.5x-2x the record)") {
+    // q_join_multiway's r17 shape: prev 0.67, measured 1.20 — 1.8x,
+    // which the old 2x rule never saw. The r18 rule fires.
+    assert(BenchRules.crossSuspect(Some(0.67), 1.20))
+    // All four r17 misses, same band:
+    assert(BenchRules.crossSuspect(Some(0.85), 1.60)) // funnel-ish 1.9x
+    assert(BenchRules.crossSuspect(Some(0.80), 1.21)) // boundary 1.5x+
+  }
+
+  test("crossSuspect floors: 0.3s absolute, no-prev, zero-prev") {
+    // sub-100ms noise on tiny queries can't trigger re-runs even at
+    // huge ratios...
+    assert(!BenchRules.crossSuspect(Some(0.10), 0.35))
+    // ...until the absolute delta clears the floor too
+    assert(BenchRules.crossSuspect(Some(0.10), 0.45))
+    assert(!BenchRules.crossSuspect(None, 99.0))
+    assert(!BenchRules.crossSuspect(Some(0.0), 99.0))
+    // below 1.5x stays quiet no matter the delta
+    assert(!BenchRules.crossSuspect(Some(10.0), 14.9))
+  }
+
+  test("wholeRunRerun: 1.15x the previous same-sf total, 0.5s floor") {
+    // r17's shape: 31.3 -> 37.4 (1.19x) on untouched code — the broad
+    // tail no per-query rule saw. Must fire.
+    assert(BenchRules.wholeRunRerun(Some(31.3), 37.4))
+    assert(!BenchRules.wholeRunRerun(Some(31.3), 35.9)) // within 1.15x
+    assert(!BenchRules.wholeRunRerun(None, 99.0))
+    // near-empty BENCH_ONLY subsets don't re-run on jitter
+    assert(!BenchRules.wholeRunRerun(Some(0.4), 1.0))
+  }
+
+  test("environmentSuspect: high load with no JVM to indict") {
+    // r17's shape: load1m 5.42 on 32 cpus, zero foreign JVMs —
+    // shipped as "clean"; now stamped.
+    assert(BenchRules.environmentSuspect(contaminated = false,
+      load1mMax = 8.1, ncpu = 32, foreignJvmsMax = 0))
+    assert(!BenchRules.environmentSuspect(contaminated = false,
+      load1mMax = 7.9, ncpu = 32, foreignJvmsMax = 0))
+    // a foreign-JVM indictment is the stronger signal — no weak stamp
+    assert(!BenchRules.environmentSuspect(contaminated = false,
+      load1mMax = 20.0, ncpu = 32, foreignJvmsMax = 2))
+    // already contaminated: the strong verdict carries the news
+    assert(!BenchRules.environmentSuspect(contaminated = true,
+      load1mMax = 20.0, ncpu = 32, foreignJvmsMax = 0))
+  }
+
+  test("median: upper median on even sizes (bench convention)") {
+    assert(BenchRules.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(BenchRules.median(Seq(4.0, 1.0, 2.0, 3.0)) == 3.0)
+    assert(BenchRules.median(Seq(5.0)) == 5.0)
+  }
+
+  test("pickLine: first candidate inside the budget, else the last") {
+    val a = "x" * 2000; val b = "y" * 1800; val c = "z" * 100
+    assert(BenchRules.pickLine(Seq(a, b, c)) == b)
+    assert(BenchRules.pickLine(Seq(a, a)) == a) // nothing fits: last
+    assert(BenchRules.pickLine(Seq(c, b)) == c)
+  }
+}
