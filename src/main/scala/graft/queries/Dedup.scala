@@ -184,7 +184,8 @@ object Dedup {
     }
 
   /** Candidate-pair common-shingle counts `(d1 < d2, n1, n2, n_common)`
-    * — the per-shingle self-join of [[invertedIndex]], grouped, KEPT
+    * — [[invertedIndex]] grouped into bounded per-shingle posting
+    * lists whose pairs are emitted combinatorially, then counted; KEPT
     * only where some consumer's final threshold can pass: Jaccard ≥ 0.5
     * (q_dedup_jaccard, and through it clusters/retained/funnel) or
     * n_common ≥ ContamMinCommon (the funnel's contamination stage —
@@ -201,12 +202,30 @@ object Dedup {
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private[queries] def pairCounts(s: SparkSession, dir: String): DataFrame =
     memoized(pairCountsMemo, s, dir) {
-      val ci = invertedIndex(s, dir)
-      ci.as("x").hint("shuffle_hash")
-        .join(ci.as("y").hint("shuffle_hash"), Seq("shingle"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.n_sh").as("n1"), col("y.n_sh").as("n2"))
+      import s.implicits._
+      // Grouped-postings pair generation (r18): ONE groupBy of the
+      // cached index — which the df-cap join already hash-partitioned
+      // by shingle, so the exchange is usually elided — replaces the
+      // former self-join's TWO shuffles of the exploded index plus its
+      // join materialization. The per-shingle list is bounded by the
+      // df cap (≤ DfCap entries, ≤ DfCap·(DfCap−1)/2 emitted pairs),
+      // so the combinatorial flatMap buffers nothing corpus-scale; the
+      // pair set and its shared-shingle counts are identical to the
+      // self-join formulation (each shared shingle contributes exactly
+      // one occurrence of its (d1 < d2) pair).
+      invertedIndex(s, dir)
+        .groupBy(col("shingle"))
+        .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2")))
+          .as("ps"))
+        .select(col("ps")).as[Seq[(Long, Long)]]
+        .flatMap { ps =>
+          val p = ps.sortBy(_._1).toIndexedSeq
+          for {
+            i <- p.indices.iterator
+            j <- Iterator.range(i + 1, p.size)
+          } yield (p(i)._1, p(j)._1, p(i)._2, p(j)._2)
+        }
+        .toDF("d1", "d2", "n1", "n2")
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("n_common"))
         .where(
@@ -468,8 +487,8 @@ object Dedup {
     }),
 
     // N-gram Jaccard near-dup via the inverted shingle index, pruned to
-    // 2 ≤ df ≤ DfCap before the per-shingle self-join: a df-k shingle
-    // contributes O(k²) pair rows, so the cap bounds the join blowup
+    // 2 ≤ df ≤ DfCap before any pair is generated: a df-k shingle
+    // contributes O(k²) pair rows, so the cap bounds the pair blowup
     // that boilerplate shingles cause at scale (round-1's worst query at
     // 28% of the bench), while df-1 shingles cannot produce a pair at
     // all. n_common is then one aggregate over the pair rows — EXACT for
@@ -541,11 +560,23 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") <= DfCap)
         .select(col("h"))
-      val ci = wins.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("h"))
-      ci.as("x").hint("shuffle_hash")
-        .join(ci.as("y").hint("shuffle_hash"), Seq("h"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // Grouped-postings pair generation, same shape as [[pairCounts]]
+      // (r18): group the df-capped index once and emit each posting
+      // list's pairs combinatorially instead of self-joining the
+      // exploded index — the list is ≤ DfCap ids, the pair set and
+      // shared-window counts are identical.
+      wins.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("h"))
+        .groupBy(col("h"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids =>
+          val p = ids.sorted.toIndexedSeq
+          for {
+            i <- p.indices.iterator
+            j <- Iterator.range(i + 1, p.size)
+          } yield (p(i), p(j))
+        }
+        .toDF("d1", "d2")
         .groupBy("d1", "d2")
         .agg(count(lit(1)).as("n_windows"))
     }),

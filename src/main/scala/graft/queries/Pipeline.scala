@@ -239,20 +239,28 @@ object Pipeline {
     // blowup bound to q_dedup_jaccard, and the same shuffle-hash joins
     // (the exploded index is never a broadcast candidate).
     "q_contamination" -> ((s, dir) => {
+      import s.implicits._
       // the memoized df-capped index is the same one q_dedup_jaccard
-      // probes; the eval×train join generates only the cross-split pair
-      // rows (~2·p·(1-p) of the full self-join's output), which is the
-      // cheapest plan when contamination runs ALONE. The funnel, which
-      // pays the full self-join for its cluster stage anyway, uses
+      // probes; grouped-postings pair generation (the Dedup.pairCounts
+      // r18 shape — ONE groupBy of the index, lists bounded by the df
+      // cap) emits only the cross-split eval×train pairs (~2·p·(1-p)
+      // of the full pair space), which is the cheapest plan when
+      // contamination runs ALONE. The funnel, which pays the full pair
+      // generation for its cluster stage anyway, uses
       // [[contamFromPairCounts]] — the identical pairs sliced from the
       // shared candidate-pair table (PipelineOpsSpec pins the
       // equivalence).
-      val ci = Dedup.invertedIndex(s, dir)
-      val eval_ = ci.where(pmod(col("doc_id"), lit(10L)) === 0)
-        .select(col("shingle"), col("doc_id").as("eval_id"), col("n_sh").as("n_eval"))
-      val train = ci.where(pmod(col("doc_id"), lit(10L)) =!= 0)
-        .select(col("shingle"), col("doc_id").as("train_id"))
-      eval_.hint("shuffle_hash").join(train.hint("shuffle_hash"), Seq("shingle"))
+      Dedup.invertedIndex(s, dir)
+        .groupBy(col("shingle"))
+        .agg(collect_list(struct(col("doc_id").as("_1"), col("n_sh").as("_2")))
+          .as("ps"))
+        .select(col("ps")).as[Seq[(Long, Long)]]
+        .flatMap { ps =>
+          val (ev, tr) = ps.partition(_._1 % 10 == 0)
+          for { e <- ev.iterator; t <- tr.iterator }
+            yield (e._1, t._1, e._2)
+        }
+        .toDF("eval_id", "train_id", "n_eval")
         .groupBy(col("eval_id"), col("train_id"), col("n_eval"))
         .agg(count(lit(1)).as("n_common"))
         .where(col("n_common") >= ContamMinCommon)
