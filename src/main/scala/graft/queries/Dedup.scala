@@ -594,12 +594,16 @@ object Dedup {
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       // no edge-level cache: the jaccard pairs are a filter over the
-      // already-cached duplicate-bounded pairCounts table, so the
-      // count() and the collect() both read the same materialization
+      // already-cached duplicate-bounded pairCounts table. ONE take of
+      // cap+1 rows both sizes the edge set and delivers it (two
+      // separate count()+collect() actions paid an extra pass over the
+      // cached pairs); the cap bounds driver memory at ~16 MB of longs
+      // either way, and an overflowing take routes to the distributed
+      // path having shipped only cap+1 rows.
       val edges = queries("q_dedup_jaccard")(s, dir)
         .select(col("d1"), col("d2"))
-      if (edges.count() <= ClusterEdgeCap) {
-        val pairs = edges.as[(Long, Long)].collect()
+      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
+      if (pairs.length <= ClusterEdgeCap) {
         s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
       } else {
         labelPropagation(edges)
