@@ -108,6 +108,19 @@ object Bench {
         }
       }.toMap).getOrElse(Map.empty)
     val chaosCall = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // BENCH_DETAILS.json is the CROSS-ROUND baseline (salvage + rerun
+    // rules compare against it) — any non-representative run must not
+    // overwrite it: partial query sets, chaos-injected runs, and runs
+    // with the engine section skipped all divert to the PARTIAL file.
+    // SPARK_GRAFT_BENCH_DETAILS overrides the path outright (e.g. sf1
+    // scale runs keep their own baseline file), and the cross-round
+    // reads below use the SAME path, so a redirected series still gets
+    // the full defense suite against its own history.
+    val skipEngine = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_ENGINE")
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
+      if (only.isDefined || chaos.nonEmpty || skipEngine)
+        "BENCH_DETAILS_PARTIAL.json"
+      else "BENCH_DETAILS.json")
     // One timed execution of a query (shared by the main loop and the
     // salvage pass): noop sink materializes every output column
     // (count() would let Spark prune the projections of map-only
@@ -158,8 +171,8 @@ object Bench {
       // (consistently slow) keeps its median.
       var extras = 0
       def spread(rs: Seq[Either[String, Double]]): Boolean = {
-        val ts = rs.collect { case Right(t) => t }.sorted
-        ts.nonEmpty && ts(ts.size / 2) > 3 * ts.head
+        val ts = rs.collect { case Right(t) => t }
+        ts.nonEmpty && BenchRules.median(ts) > 3 * ts.min
       }
       while (runs.forall(_.isRight) && extras < 4 && spread(runs)) {
         runs = runs ++ Seq.fill(2)(once()); extras += 2
@@ -169,8 +182,8 @@ object Bench {
         math.max(loadBefore, loadAvg().headOption.getOrElse(-1.0))
       sampleMachine()
       name -> firstErr.toLeft {
-        val ts = runs.collect { case Right(t) => t }.sorted
-        (ts(ts.size / 2), ts.head, ts.last, ts.size)
+        val ts = runs.collect { case Right(t) => t }
+        (BenchRules.median(ts), ts.min, ts.max, ts.size)
       }
     }
     // SALVAGE PASS (r12 ask): six straight rounds the driver bench ran
@@ -195,7 +208,7 @@ object Bench {
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("BENCH_DETAILS.json")))
+            java.nio.file.Paths.get(detailsPath)))
         val qs = node.get("query_stats")
         // only medians from the SAME scale factor are a reference —
         // an sf0.1 record would flag every query of an sf1 run
@@ -243,14 +256,22 @@ object Bench {
         } else results.map {
           case (name, Right((med, mn, mx, n))) if salvageTargets(name) =>
             val fn = benchQueries.find(_._1 == name).get._2
+            val l0 = loadAvg().headOption.getOrElse(-1.0)
             runOnce(name, fn) // untimed warmup, same as the main loop
             val fresh = Seq.fill(Runs)(runOnce(name, fn))
               .collect { case Right(t) => t }.sorted
+            val salvageLoad = math.max(l0, loadAvg().headOption.getOrElse(-1.0))
             sampleMachine()
-            if (fresh.nonEmpty && fresh(fresh.size / 2) < med) {
+            if (fresh.nonEmpty && BenchRules.median(fresh) < med) {
               salvaged ::= name
-              System.err.println(s"[bench] salvage: $name $med -> ${fresh(fresh.size / 2)}")
-              name -> Right((fresh(fresh.size / 2),
+              System.err.println(s"[bench] salvage: $name $med -> ${BenchRules.median(fresh)}")
+              // the load stamp must describe the window the SHIPPED
+              // median was measured in — a spliced drained-machine
+              // median stamped with the contaminated main-loop load
+              // would invert the evidence for exactly the repaired
+              // queries
+              queryLoads(name) = salvageLoad
+              name -> Right((BenchRules.median(fresh),
                 math.min(mn, fresh.head), math.max(mx, fresh.last), n + fresh.size))
             } else name -> Right((med, mn, mx, n))
           case other => other
@@ -287,34 +308,59 @@ object Bench {
             System.err.println("[bench] whole-run rerun: waiting 20s for load to drain")
             Thread.sleep(20000); waits += 1
           }
+          if (machineBusy()) {
+            // same contract as the per-query and engine salvages: a
+            // re-measurement under known load proves nothing and would
+            // burn the whole loop's wall-clock — keep the originals.
+            rerunKept = "machine_busy"
+            System.err.println("[bench] whole-run rerun: machine still busy, keeping originals")
+            resultsFinal
+          } else {
+          // Rerun loads tracked SEPARATELY and applied only if the
+          // fresh results ship: a load stamp must describe the window
+          // the SHIPPED median was measured in, not the max over both.
+          val rerunLoads = scala.collection.mutable.Map[String, Double]()
           val fresh = benchQueries.map { case (name, fn) =>
+            val l0 = loadAvg().headOption.getOrElse(-1.0)
             runOnce(name, fn) // untimed warmup, same as the main loop
-            val ts = Seq.fill(Runs)(runOnce(name, fn))
-              .collect { case Right(t) => t }.sorted
-            queryLoads(name) = math.max(queryLoads.getOrElse(name, -1.0),
-              loadAvg().headOption.getOrElse(-1.0))
-            name -> (if (ts.isEmpty) Left("rerun failed"): Either[String, (Double, Double, Double, Int)]
-                     else Right((ts(ts.size / 2), ts.head, ts.last, ts.size)))
+            val rs = Seq.fill(Runs)(runOnce(name, fn))
+            rerunLoads(name) =
+              math.max(l0, loadAvg().headOption.getOrElse(-1.0))
+            // ANY failed run fails the query, same contract as the main
+            // loop — a median over the surviving runs would silently
+            // mask a flaky query inside the "faster total".
+            val err = rs.collectFirst { case Left(e) => e }
+            name -> err.toLeft {
+              val ts = rs.collect { case Right(t) => t }
+              (BenchRules.median(ts), ts.min, ts.max, ts.size)
+            }
           }
           sampleMachine()
           if (fresh.forall(_._2.isRight) && totalOf(fresh) < totalOf(resultsFinal)) {
             rerunKept = "fresh"
             System.err.println(s"[bench] whole-run rerun kept: " +
               s"${d2(totalOf(resultsFinal))} -> ${d2(totalOf(fresh))}")
+            // fresh stats ship WHOLESALE (median, min, max all from the
+            // drained rerun): merging mins across the two windows let a
+            // contaminated original min pair with a fresh median and
+            // mint spurious med > 3x min "suspects" on the repaired
+            // artifact. runs counts both loops for the record.
+            rerunLoads.foreach { case (k, l) => queryLoads(k) = l }
             fresh.map {
-              case (k, Right((m, mn, mx, n))) => resultsFinal.get(k) match {
-                case Some(Right((_, omn, omx, on))) =>
-                  k -> (Right((m, math.min(mn, omn), math.max(mx, omx), n + on))
-                    : Either[String, (Double, Double, Double, Int)])
-                case _ => k -> (Right((m, mn, mx, n))
+              case (k, Right((m, mn, mx, n))) =>
+                val on = resultsFinal.get(k) match {
+                  case Some(Right((_, _, _, o))) => o
+                  case _ => 0
+                }
+                k -> (Right((m, mn, mx, n + on))
                   : Either[String, (Double, Double, Double, Int)])
-              }
               case other => other
             }
           } else {
             rerunKept = "original"
             System.err.println("[bench] whole-run rerun not faster; keeping originals")
             resultsFinal
+          }
           }
         case _ => resultsFinal
       }
@@ -348,7 +394,7 @@ object Bench {
     // TEST HARNESS ONLY (the driver never sets it): skip the ~100s
     // engine section when iterating on the QUERY-loop harness logic
     // (chaos validation of salvage/rerun rules doesn't touch it).
-    val engineJson = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_ENGINE"))
+    val engineJson = if (skipEngine)
       (""""engine":{"skipped":true},""", """"engine":{"skipped":true},""",
         """"engine":{"skipped":true},""")
     else try {
@@ -490,15 +536,13 @@ object Bench {
       engineOnceLoaded() // untimed warmup pass (separate temp table, discarded)
       val engineRuns = Seq.fill(3)(engineOnceLoaded())
       def medOf(runs: Seq[(Map[String, Double], Map[String, String])],
-          k: String): Double = {
-        val ts = runs.map(_._1(k)).sorted; ts(ts.size / 2)
-      }
+          k: String): Double = BenchRules.median(runs.map(_._1(k)))
       val timingKeys = engineRuns.head._1.keys.toSeq
       val prevEngine: Map[String, Double] =
         try {
           val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
             java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get("BENCH_DETAILS.json")))
+              java.nio.file.Paths.get(detailsPath)))
           val en = node.get("engine")
           val sameSf = Option(node.get("sf")).exists(_.asText() == sfDir)
           if (en == null || !sameSf) Map.empty
@@ -623,13 +667,6 @@ object Bench {
         s""""runs_per_query":$Runs,""" +
         s""""aggregation":"median","queries":${qJson(_.toString)},""" +
         s""""query_stats":$stats,"failed":$fs,$loadJson$engineFull"sf":"$sfDir"}"""
-    // BENCH_DETAILS.json is the CROSS-ROUND salvage baseline — a
-    // partial (BENCH_ONLY) local iteration must not overwrite it with
-    // a subset record the next round would compare against. Partial
-    // runs land in BENCH_DETAILS_PARTIAL.json; SPARK_GRAFT_BENCH_DETAILS
-    // overrides the path outright (e.g. sf1 scale runs).
-    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
-      if (only.isDefined) "BENCH_DETAILS_PARTIAL.json" else "BENCH_DETAILS.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailsPath),
       details.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact load sentinel for the driver-captured stdout line (the

@@ -40,7 +40,7 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(!BenchRules.crossSuspect(Some(10.0), 14.9))
   }
 
-  test("wholeRunRerun: 1.15x the previous same-sf total, 0.5s floor") {
+  test("wholeRunRerun: 1.15x the previous same-sf total, both floors") {
     // r17's shape: 31.3 -> 37.4 (1.19x) on untouched code — the broad
     // tail no per-query rule saw. Must fire.
     assert(BenchRules.wholeRunRerun(Some(31.3), 37.4))
@@ -48,11 +48,17 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(!BenchRules.wholeRunRerun(None, 99.0))
     // near-empty BENCH_ONLY subsets don't re-run on jitter
     assert(!BenchRules.wholeRunRerun(Some(0.4), 1.0))
+    // 1 s absolute-delta floor: a small subset 1.2x over its previous
+    // sum is ordinary noise spread over fast queries, not a tail
+    assert(!BenchRules.wholeRunRerun(Some(2.0), 2.4))
+    assert(BenchRules.wholeRunRerun(Some(8.0), 9.3))
   }
 
   test("environmentSuspect: high load with no JVM to indict") {
-    // r17's shape: load1m 5.42 on 32 cpus, zero foreign JVMs —
-    // shipped as "clean"; now stamped.
+    // Threshold sits above the bench's own sf0.1 load (~4.5 on 32
+    // cpus): a stamp means load the queries can't explain. Moderate
+    // external load (r17's 5.4) deliberately stays below it — the
+    // per-query load1m stamps cover that band.
     assert(BenchRules.environmentSuspect(contaminated = false,
       load1mMax = 8.1, ncpu = 32, foreignJvmsMax = 0))
     assert(!BenchRules.environmentSuspect(contaminated = false,
