@@ -3,6 +3,7 @@ package graft.connector
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.graft.GraftShims
 import org.apache.spark.sql.types.StructType
@@ -72,7 +73,8 @@ object GraftDeltaOffset {
   * the same [[DeltaTable.readFiles]] path batch reads use.
   */
 final class GraftDeltaSource(spark: SparkSession, tableUri: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val log = DeltaLog.forTable(spark, tableUri)
   // file-free: the stream needs the table's schema/metadata/protocol at
@@ -177,10 +179,23 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     l
   }
 
-  /** Where a brand-new stream starts (nothing consumed yet). */
+  /** `Trigger.AvailableNow` version fence: the log version at query
+    * start, set by [[prepareForTriggerAvailableNow]]. Batches never
+    * cross it, so the run drains exactly the data that existed when it
+    * started — in rate-limited batches — and then terminates (the
+    * engine stops when latestOffset returns no progress). A commit is
+    * atomic in the log, so the version boundary is the right cut. */
+  private var availableNowVersion: Option[Long] = None
+
+  /** Where a brand-new stream starts (nothing consumed yet). Under an
+    * AvailableNow fence the initial snapshot pins to the fence version
+    * (the latest may have advanced between prepare and first batch —
+    * an initial version past the fence could never make progress). */
   private def startPosition(): GraftDeltaOffset = startingVersion match {
     case Some(sv) => GraftDeltaOffset(sv, -1, isInitial = false)
-    case None => GraftDeltaOffset(log.latestVersion(), -1, isInitial = true)
+    case None => GraftDeltaOffset(
+      availableNowVersion.fold(log.latestVersion())(math.min(log.latestVersion(), _)),
+      -1, isInitial = true)
   }
 
   /** Walk the log from `start` (exclusive) through at most `maxVersion`,
@@ -231,30 +246,77 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   private def cdfStart: GraftDeltaOffset =
     GraftDeltaOffset(startingVersion.getOrElse(0L) - 1, 0, isInitial = false)
 
-  override def getOffset: Option[Offset] = synchronized {
+  /** One admission step from `startOpt` under `cap`, clamped to the
+    * AvailableNow fence when set — shared by the legacy v1 getOffset
+    * and the admission-control latestOffset paths. */
+  private def nextEnd(startOpt: Option[GraftDeltaOffset], cap: Long)
+      : GraftDeltaOffset = {
     if (readChangeFeed) {
       // change-feed granularity is the COMMIT: one offset unit per log
       // version (row-level changes of one version are indivisible);
       // maxFilesPerTrigger caps versions per micro-batch here
-      val start = cursor.getOrElse(cdfStart)
-      val latest = log.latestVersion()
+      val start = startOpt.getOrElse(cdfStart)
+      val latest = availableNowVersion
+        .fold(log.latestVersion())(math.min(log.latestVersion(), _))
       val endV =
-        if (maxFiles == Long.MaxValue) latest
-        else math.min(latest, start.version + maxFiles)
-      val end = GraftDeltaOffset(math.max(endV, start.version), 0, isInitial = false)
-      cursor = Some(end)
-      return Some(end)
+        if (cap == Long.MaxValue) latest
+        else math.min(latest, start.version + cap)
+      GraftDeltaOffset(math.max(endV, start.version), 0, isInitial = false)
+    } else {
+      val start = startOpt.getOrElse(startPosition())
+      // batch 0 of snapshot mode is the only batch replayed with
+      // start=None whose start the offset itself must encode — keep it
+      // inside the initial version so `end.isInitial` pins the replay
+      val maxV0 =
+        if (startOpt.isEmpty && startingVersion.isEmpty) start.version
+        else log.latestVersion()
+      val maxV = availableNowVersion.fold(maxV0)(math.min(maxV0, _))
+      filesAfter(start, maxV, cap, stop = None, want = false)._2
     }
-    val start = cursor.getOrElse(startPosition())
-    // batch 0 of snapshot mode is the only batch replayed with
-    // start=None whose start the offset itself must encode — keep it
-    // inside the initial version so `end.isInitial` pins the replay
-    val maxV =
-      if (cursor.isEmpty && startingVersion.isEmpty) start.version
-      else log.latestVersion()
-    val (_, end) = filesAfter(start, maxV, maxFiles, stop = None, want = false)
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    val end = nextEnd(cursor, maxFiles)
     cursor = Some(end)
     Some(end)
+  }
+
+  // --- Admission control (Spark drives per-batch limits through
+  // latestOffset instead of reading a cap baked into getOffset). This
+  // is what makes Trigger.AvailableNow correct with maxFilesPerTrigger:
+  // without it Spark wraps a v1 source in a snapshot-once wrapper that
+  // captures the CAPPED getOffset and terminates after one micro-batch,
+  // silently dropping the rest of the backlog (pinned by
+  // AvailableNowSpec before this fix).
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFiles == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(math.min(maxFiles, Int.MaxValue.toLong).toInt)
+
+  private def capOf(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxFiles => m.maxFiles().toLong
+    case _: ReadAllAvailable => Long.MaxValue
+    case _ => Long.MaxValue // row-based limits don't map to a file cap
+  }
+
+  private def convertV2(o: OffsetV2): GraftDeltaOffset = o match {
+    case g: GraftDeltaOffset => g
+    case other => GraftDeltaOffset.fromJson(other.json())
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    synchronized {
+      val end = nextEnd(Option(startOffset).map(convertV2), capOf(limit))
+      cursor = Some(cursor.fold(end)(GraftDeltaOffset.max(_, end)))
+      end
+    }
+
+  override def reportLatestOffset(): OffsetV2 = synchronized {
+    nextEnd(cursor, Long.MaxValue)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowVersion = Some(log.latestVersion())
   }
 
   /** The exact files of the batch (start, end] — `start = None` is the
