@@ -23,7 +23,7 @@ Usage::
 from __future__ import annotations
 
 import json
-from typing import Optional
+from typing import Optional, Union
 
 
 class SortOptimizer:
@@ -428,20 +428,38 @@ class SortOptimizer:
 
     def read_stream(
         self,
-        starting_version: Optional[int] = None,
+        starting_version: Optional[Union[int, str]] = None,
         max_files_per_trigger: Optional[int] = None,
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
+        starting_timestamp: Optional[str] = None,
+        max_bytes_per_trigger: Optional[int] = None,
     ):
         """Structured-Streaming source over this table: the current
         snapshot once, then each commit's new files exactly once
         (maintenance rewrites are invisible). Returns a streaming
-        pyspark DataFrame."""
+        pyspark DataFrame.
+
+        starting_version accepts a version number or "latest" (only
+        commits made after the stream starts); starting_timestamp (epoch
+        millis, ISO instant, or "yyyy-MM-dd HH:mm:ss" at UTC) starts at
+        the earliest version at-or-after the time — the two are mutually
+        exclusive. max_bytes_per_trigger is a soft cap (the crossing
+        file is admitted; never zero files per batch)."""
         r = self._spark.readStream.format("graftdelta")
         if starting_version is not None:
-            r = r.option("startingVersion", int(starting_version))
+            r = r.option(
+                "startingVersion",
+                starting_version
+                if starting_version == "latest"
+                else int(starting_version),
+            )
+        if starting_timestamp is not None:
+            r = r.option("startingTimestamp", starting_timestamp)
         if max_files_per_trigger is not None:
             r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        if max_bytes_per_trigger is not None:
+            r = r.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
         if ignore_deletes:
             r = r.option("ignoreDeletes", "true")
         if ignore_changes:

@@ -3,7 +3,7 @@ package graft.connector
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.graft.GraftShims
 import org.apache.spark.sql.types.StructType
@@ -84,11 +84,50 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 
   private val maxFiles: Long =
     options.get("maxfilespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
+  /** Soft byte cap per micro-batch (delta's `maxBytesPerTrigger`): files
+    * are admitted while the batch's cumulative size is below the cap,
+    * so the file that crosses it is still included and every batch
+    * admits at least one file. Version-granular CDF batches ignore it
+    * (a commit's row-level changes are indivisible). */
+  private val maxBytes: Long =
+    options.get("maxbytespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes =
     ignoreChanges || options.get("ignoredeletes").exists(_.toBoolean)
-  private val startingVersion = options.get("startingversion").map(_.toLong)
   private val readChangeFeed = options.get("readchangefeed").exists(_.toBoolean)
+  /** Stream start: `startingVersion` (a number, or `latest` = only
+    * commits made after the stream starts) or `startingTimestamp` (the
+    * earliest version whose monotonized commit timestamp is at or after
+    * the given time; beyond the last commit = future commits only) —
+    * mutually exclusive, both skip the initial snapshot. */
+  private val startingVersion: Option[Long] = {
+    val sv = options.get("startingversion")
+    val st = options.get("startingtimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      s"graftdelta stream on $tableUri: set either startingVersion or " +
+        "startingTimestamp, not both")
+    sv.map {
+      case "latest" => log.latestVersion() + 1
+      case n => n.toLong
+    }.orElse(st.map(t => versionAtOrAfter(GraftDeltaSource.parseTimestamp(t))))
+  }
+
+  /** Earliest version whose adjusted commit timestamp is >= `ts`
+    * (delta's startingTimestamp rule): versionAtTimestamp gives the
+    * GREATEST version <= ts; its own timestamp equals ts exactly when
+    * ts-1 resolves strictly lower — include it then, else start after
+    * it. A ts before every commit starts at the log's beginning; a ts
+    * beyond the last commit yields latest+1 (future commits only). */
+  private def versionAtOrAfter(ts: Long): Long =
+    try {
+      val v = log.versionAtTimestamp(ts)
+      val exact =
+        try log.versionAtTimestamp(ts - 1) != v
+        catch { case _: IllegalArgumentException => true } // v is earliest, ts(v) == ts
+      if (exact) v else v + 1
+    } catch {
+      case _: IllegalArgumentException => 0L // ts predates the earliest commit
+    }
 
   /** Furthest position handed out (getOffset) or replayed (getBatch). */
   private var cursor: Option[GraftDeltaOffset] = None
@@ -134,11 +173,16 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     def size: Long
     /** Files at positions `[from, to]` (inclusive, 0-based, path order). */
     def slice(from: Long, to: Long): Seq[AddFile]
+    /** File SIZES at positions `[from, to]` — the byte-cap admission
+      * walk needs sizes without the files. */
+    def sliceSizes(from: Long, to: Long): Seq[Long]
   }
   private final class SmallList(files: Seq[AddFile]) extends InitialList {
     val size: Long = files.size.toLong
     def slice(from: Long, to: Long): Seq[AddFile] =
       files.slice(from.toInt, to.toInt + 1)
+    def sliceSizes(from: Long, to: Long): Seq[Long] =
+      slice(from, to).map(_.size)
   }
   private final class BigList(ds: org.apache.spark.sql.Dataset[AddFile],
       val size: Long) extends InitialList {
@@ -154,6 +198,13 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     }
     def slice(from: Long, to: Long): Seq[AddFile] =
       indexed.filter { case (i, _) => i >= from && i <= to }
+        .collect().sortBy(_._1).map(_._2).toSeq
+    // sizes-only collect: 8 bytes per candidate position, so even a
+    // byte-cap walk over a whole million-file snapshot ships megabytes,
+    // not AddFiles
+    def sliceSizes(from: Long, to: Long): Seq[Long] =
+      indexed.filter { case (i, _) => i >= from && i <= to }
+        .map { case (i, a) => (i, a.size) }
         .collect().sortBy(_._1).map(_._2).toSeq
     def release(): Unit = if (materialized) indexed.unpersist(blocking = false)
   }
@@ -199,15 +250,19 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   }
 
   /** Walk the log from `start` (exclusive) through at most `maxVersion`,
-    * admitting up to `cap` files, stopping exactly at `stop` when given.
-    * Returns the files (empty when `want = false` — getOffset only needs
-    * the position, and fetching would run distributed slice jobs on the
-    * big path) and the position reached. */
+    * admitting up to `cap` files and (softly) up to `capBytes` bytes —
+    * the file that crosses the byte cap is still admitted and every
+    * batch admits at least one file — stopping exactly at `stop` when
+    * given. Returns the files (empty when `want = false` — getOffset
+    * only needs the position, and fetching would run distributed slice
+    * jobs on the big path) and the position reached. */
   private def filesAfter(start: GraftDeltaOffset, maxVersion: Long, cap: Long,
-      stop: Option[GraftDeltaOffset], want: Boolean = true)
+      stop: Option[GraftDeltaOffset], want: Boolean = true,
+      capBytes: Long = Long.MaxValue)
       : (Seq[AddFile], GraftDeltaOffset) = {
     val out = mutable.ArrayBuffer.empty[AddFile]
     var taken = 0L
+    var bytes = 0L
     var v = start.version
     var initial = start.isInitial
     var idx = start.index
@@ -215,10 +270,31 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     var done = false
     while (!done && v <= maxVersion) {
       lazy val tailList = fileList(v)
-      val listSize: Long = if (initial) initialList(v).size else tailList.size.toLong
+      // lazy: when the walk is already AT its stop position (e.g. a
+      // startingVersion=latest stream whose first version doesn't exist
+      // yet), neither list may be fetched — fileList of a future
+      // version reads a commit JSON that isn't there
+      lazy val listSize: Long =
+        if (initial) initialList(v).size else tailList.size.toLong
       val stopHere = stop.exists(s => s.version == v && s.isInitial == initial)
       val hi: Long = if (stopHere) stop.get.index else listSize - 1L
-      val take = math.max(0L, math.min(hi - idx, cap - taken))
+      val fileCapped = math.max(0L, math.min(hi - idx, cap - taken))
+      val take =
+        if (capBytes == Long.MaxValue || fileCapped == 0) fileCapped
+        else {
+          // soft byte cap: admit while the running total is below the
+          // cap (the crossing file is included), never zero files for
+          // the whole batch
+          val sizes =
+            if (initial) initialList(v).sliceSizes(idx + 1, idx + fileCapped)
+            else tailList.slice((idx + 1).toInt, (idx + fileCapped).toInt + 1)
+              .map(_.size)
+          var n = 0
+          while (n < sizes.size && (bytes < capBytes || taken + n == 0)) {
+            bytes += sizes(n); n += 1
+          }
+          n.toLong
+        }
       if (take > 0) {
         if (want) {
           if (initial) out ++= initialList(v).slice(idx + 1, idx + take)
@@ -234,7 +310,7 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
       // may be a delete/rewrite whose ignoreDeletes/ignoreChanges failure
       // must not swallow the batch already admitted under the cap; it
       // surfaces on the following trigger instead
-      else if (taken >= cap) done = true
+      else if (taken >= cap || bytes >= capBytes) done = true
       else if (v == maxVersion) done = true
       else { v += 1; initial = false; idx = -1L }
     }
@@ -246,15 +322,16 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   private def cdfStart: GraftDeltaOffset =
     GraftDeltaOffset(startingVersion.getOrElse(0L) - 1, 0, isInitial = false)
 
-  /** One admission step from `startOpt` under `cap`, clamped to the
-    * AvailableNow fence when set — shared by the legacy v1 getOffset
-    * and the admission-control latestOffset paths. */
-  private def nextEnd(startOpt: Option[GraftDeltaOffset], cap: Long)
-      : GraftDeltaOffset = {
+  /** One admission step from `startOpt` under the file/byte caps,
+    * clamped to the AvailableNow fence when set — shared by the legacy
+    * v1 getOffset and the admission-control latestOffset paths. */
+  private def nextEnd(startOpt: Option[GraftDeltaOffset], cap: Long,
+      capBytes: Long): GraftDeltaOffset = {
     if (readChangeFeed) {
       // change-feed granularity is the COMMIT: one offset unit per log
       // version (row-level changes of one version are indivisible);
-      // maxFilesPerTrigger caps versions per micro-batch here
+      // maxFilesPerTrigger caps versions per micro-batch here (the
+      // byte cap doesn't apply — a commit's changes are indivisible)
       val start = startOpt.getOrElse(cdfStart)
       val latest = availableNowVersion
         .fold(log.latestVersion())(math.min(log.latestVersion(), _))
@@ -271,12 +348,13 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
         if (startOpt.isEmpty && startingVersion.isEmpty) start.version
         else log.latestVersion()
       val maxV = availableNowVersion.fold(maxV0)(math.min(maxV0, _))
-      filesAfter(start, maxV, cap, stop = None, want = false)._2
+      filesAfter(start, maxV, cap, stop = None, want = false,
+        capBytes = capBytes)._2
     }
   }
 
   override def getOffset: Option[Offset] = synchronized {
-    val end = nextEnd(cursor, maxFiles)
+    val end = nextEnd(cursor, maxFiles, maxBytes)
     cursor = Some(end)
     Some(end)
   }
@@ -289,14 +367,28 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   // silently dropping the rest of the backlog (pinned by
   // AvailableNowSpec before this fix).
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFiles == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(math.min(maxFiles, Int.MaxValue.toLong).toInt)
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option.when(maxFiles != Long.MaxValue)(
+        ReadLimit.maxFiles(math.min(maxFiles, Int.MaxValue.toLong).toInt)),
+      Option.when(maxBytes != Long.MaxValue)(ReadLimit.maxBytes(maxBytes))
+    ).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
-  private def capOf(limit: ReadLimit): Long = limit match {
-    case m: ReadMaxFiles => m.maxFiles().toLong
-    case _: ReadAllAvailable => Long.MaxValue
-    case _ => Long.MaxValue // row-based limits don't map to a file cap
+  /** (file cap, byte cap) expressed by a ReadLimit. */
+  private def capsOf(limit: ReadLimit): (Long, Long) = limit match {
+    case m: ReadMaxFiles => (m.maxFiles().toLong, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+    case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf)
+        .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Long.MaxValue, Long.MaxValue) // row-based limits don't map
   }
 
   private def convertV2(o: OffsetV2): GraftDeltaOffset = o match {
@@ -306,13 +398,14 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
     synchronized {
-      val end = nextEnd(Option(startOffset).map(convertV2), capOf(limit))
+      val (cap, capBytes) = capsOf(limit)
+      val end = nextEnd(Option(startOffset).map(convertV2), cap, capBytes)
       cursor = Some(cursor.fold(end)(GraftDeltaOffset.max(_, end)))
       end
     }
 
   override def reportLatestOffset(): OffsetV2 = synchronized {
-    nextEnd(cursor, Long.MaxValue)
+    nextEnd(cursor, Long.MaxValue, Long.MaxValue)
   }
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
@@ -376,6 +469,21 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 }
 
 object GraftDeltaSource {
+  /** `startingTimestamp` accepts epoch millis, an ISO-8601 instant, or
+    * the SQL timestamp shape `yyyy-MM-dd HH:mm:ss[.f…]` (interpreted
+    * at UTC, the engine's pinned session zone). */
+  private[graft] def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    }
+  }
+
   /** The stream's output schema: the table schema, plus CDF's
     * `_change_type` / `_commit_version` columns in change-feed mode. */
   private[graft] def streamSchema(table: StructType, changeFeed: Boolean): StructType =

@@ -1,0 +1,122 @@
+package graft.connector
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{CommitInfo, DeltaLog, DeltaTable}
+
+/** The delta-parity stream-start and rate-limit options:
+  * `maxBytesPerTrigger` (soft byte cap — the crossing file is admitted,
+  * never zero files), `startingVersion=latest` (future commits only),
+  * and `startingTimestamp` (earliest version at-or-after the time). */
+class StreamOptionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Drain a source offset-by-offset, returning each batch's files. */
+  private def walk(src: GraftDeltaSource): Seq[Seq[graft.delta.AddFile]] = {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[graft.delta.AddFile]]
+    var prev: Option[GraftDeltaOffset] = None
+    var advanced = true
+    while (advanced) {
+      val end = src.getOffset.map(GraftDeltaOffset.convert)
+      if (end.isEmpty || end == prev) advanced = false
+      else {
+        batches += src.filesForBatch(prev, end.get)
+        prev = end
+      }
+    }
+    batches.toSeq
+  }
+
+  test("maxBytesPerTrigger: soft cap, at least one file, full coverage") {
+    val dir = TestSpark.tmpDir("so-bytes")
+    // 6 single-file commits of a few hundred bytes each
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    for (i <- 2 to 6) DeltaTable.append(spark, dir, Seq(i.toLong).toDF("v"))
+    val all = walk(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0"))).flatten
+    assert(all.nonEmpty)
+    val oneFile = all.head.size // bytes of one parquet file
+    // cap below one file: soft cap still admits exactly one per batch
+    val tiny = walk(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0", "maxbytespertrigger" -> (oneFile / 2).toString)))
+    assert(tiny.forall(_.size == 1))
+    assert(tiny.flatten.map(_.path) == all.map(_.path))
+    // cap of ~2.5 files: batches admit the crossing file then stop
+    val mid = walk(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0",
+        "maxbytespertrigger" -> (oneFile * 5 / 2).toString)))
+    assert(mid.size < tiny.size) // actually batches up
+    assert(mid.flatten.map(_.path) == all.map(_.path))
+    mid.foreach { b =>
+      // soft contract: all but the last admitted file fit under the cap
+      assert(b.init.map(_.size).sum < oneFile * 5 / 2)
+    }
+  }
+
+  test("maxBytesPerTrigger composes with maxFilesPerTrigger (min wins)") {
+    val dir = TestSpark.tmpDir("so-bytes-files")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    for (i <- 2 to 4) DeltaTable.append(spark, dir, Seq(i.toLong).toDF("v"))
+    val batches = walk(new GraftDeltaSource(spark, dir, Map(
+      "startingversion" -> "0",
+      "maxfilespertrigger" -> "1",
+      "maxbytespertrigger" -> Long.MaxValue.toString)))
+    assert(batches.forall(_.size == 1) && batches.flatten.size == 4)
+  }
+
+  test("startingVersion=latest delivers only commits made after start") {
+    val dir = TestSpark.tmpDir("so-latest")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
+    val name = "so_latest_sink"
+    val q = spark.readStream.format("graftdelta")
+      .option("startingVersion", "latest").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("so-latest-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty) // nothing pre-existing
+      DeltaTable.append(spark, dir, Seq(4L, 5L).toDF("v"))
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+    } finally q.stop()
+  }
+
+  test("startingTimestamp resolves to the earliest version at or after it") {
+    val dir = TestSpark.tmpDir("so-ts")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // v2
+    val log = DeltaLog.forTable(spark, dir)
+    // adjusted (monotonized) commit timestamps, the versionAtTimestamp rule
+    val adjusted = (0L to 2L).scanLeft(Long.MinValue) { (prev, v) =>
+      val t = log.actionsAt(v)
+        .collectFirst { case c: CommitInfo => c.effectiveTimestamp }.getOrElse(0L)
+      if (prev == Long.MinValue) t else math.max(prev + 1, t)
+    }.drop(1).toSeq
+    def rowsFrom(ts: Long): Seq[Long] =
+      walk(new GraftDeltaSource(spark, dir,
+        Map("startingtimestamp" -> ts.toString)))
+        .flatten.flatMap(f =>
+          spark.read.parquet(s"$dir/${f.path}").as[Long].collect())
+    // exactly v1's timestamp: v1 included
+    assert(rowsFrom(adjusted(1)).sorted == Seq(2L, 3L))
+    // before everything: the whole log from v0
+    assert(rowsFrom(adjusted(0) - 10).sorted == Seq(1L, 2L, 3L))
+    // beyond the last commit: future commits only
+    assert(rowsFrom(adjusted(2) + 10000).isEmpty)
+  }
+
+  test("startingVersion and startingTimestamp together are refused") {
+    val dir = TestSpark.tmpDir("so-both")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      new GraftDeltaSource(spark, dir,
+        Map("startingversion" -> "0", "startingtimestamp" -> "0"))
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+}
