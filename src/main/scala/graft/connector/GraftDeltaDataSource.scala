@@ -99,11 +99,12 @@ final class GraftDeltaDataSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val opts = lower(parameters)
-    if (opts.get("readchangefeed").exists(_.toBoolean))
+    if (opts.get("readchangefeed").exists(_.toBoolean)) {
+      val (startV, endV) = GraftDeltaDataSource.cdfBounds(
+        sqlContext.sparkSession, path(opts), opts)
       new GraftDeltaChangeRelation(sqlContext.sparkSession, path(opts),
-        opts.get("startingversion").map(_.toLong).getOrElse(0L),
-        opts.get("endingversion").map(_.toLong))
-    else
+        startV, endV)
+    } else
       new GraftDeltaRelation(sqlContext.sparkSession, path(opts),
         GraftDeltaDataSource.timeTravelVersion(
           sqlContext.sparkSession, path(opts), opts))
@@ -422,6 +423,31 @@ final class GraftDeltaChangeRelation(spark: SparkSession, tableUri: String,
 }
 
 object GraftDeltaDataSource {
+  /** Batch change-feed bounds from (lowercased) options: starting /
+    * ending version, with the TIMESTAMP variants resolved through the
+    * monotonized commit clock — lower bound = earliest version
+    * at-or-after the time, upper bound = greatest version at-or-before.
+    * Version and timestamp forms are each exclusive per end (delta's
+    * CDF option contract). */
+  private[connector] def cdfBounds(spark: SparkSession, uri: String,
+      opts: Map[String, String]): (Long, Option[Long]) = {
+    require(opts.get("startingversion").isEmpty ||
+      opts.get("startingtimestamp").isEmpty,
+      "readChangeFeed: set either startingVersion or startingTimestamp, not both")
+    require(opts.get("endingversion").isEmpty ||
+      opts.get("endingtimestamp").isEmpty,
+      "readChangeFeed: set either endingVersion or endingTimestamp, not both")
+    lazy val log = DeltaLog.forTable(spark, uri)
+    val startV = opts.get("startingversion").map(_.toLong)
+      .orElse(opts.get("startingtimestamp").map(t =>
+        log.versionAtOrAfterTimestamp(GraftDeltaSource.parseTimestamp(t))))
+      .getOrElse(0L)
+    val endV = opts.get("endingversion").map(_.toLong)
+      .orElse(opts.get("endingtimestamp").map(t =>
+        log.versionAtTimestamp(GraftDeltaSource.parseTimestamp(t))))
+    (startV, endV)
+  }
+
   /** `versionAsOf` / `timestampAsOf` -> the pinned version (both set is
     * an error). Timestamps accept epoch millis, `yyyy-MM-dd HH:mm:ss`,
     * ISO instants, or a bare date — resolved against commit times via

@@ -94,6 +94,12 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes =
     ignoreChanges || options.get("ignoredeletes").exists(_.toBoolean)
+  /** delta's modern successor of ignoreChanges/ignoreDeletes: SKIP any
+    * commit that deletes or rewrites existing rows entirely (emit
+    * nothing for it) instead of failing or re-emitting rewritten
+    * files. Takes precedence over both ignore flags. */
+  private val skipChangeCommits =
+    options.get("skipchangecommits").exists(_.toBoolean)
   private val readChangeFeed = options.get("readchangefeed").exists(_.toBoolean)
   /** Stream start: `startingVersion` (a number, or `latest` = only
     * commits made after the stream starts) or `startingTimestamp` (the
@@ -109,25 +115,9 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     sv.map {
       case "latest" => log.latestVersion() + 1
       case n => n.toLong
-    }.orElse(st.map(t => versionAtOrAfter(GraftDeltaSource.parseTimestamp(t))))
+    }.orElse(st.map(t =>
+      log.versionAtOrAfterTimestamp(GraftDeltaSource.parseTimestamp(t))))
   }
-
-  /** Earliest version whose adjusted commit timestamp is >= `ts`
-    * (delta's startingTimestamp rule): versionAtTimestamp gives the
-    * GREATEST version <= ts; its own timestamp equals ts exactly when
-    * ts-1 resolves strictly lower — include it then, else start after
-    * it. A ts before every commit starts at the log's beginning; a ts
-    * beyond the last commit yields latest+1 (future commits only). */
-  private def versionAtOrAfter(ts: Long): Long =
-    try {
-      val v = log.versionAtTimestamp(ts)
-      val exact =
-        try log.versionAtTimestamp(ts - 1) != v
-        catch { case _: IllegalArgumentException => true } // v is earliest, ts(v) == ts
-      if (exact) v else v + 1
-    } catch {
-      case _: IllegalArgumentException => 0L // ts predates the earliest commit
-    }
 
   /** Furthest position handed out (getOffset) or replayed (getBatch). */
   private var cursor: Option[GraftDeltaOffset] = None
@@ -149,6 +139,10 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     val actions = log.actionsAt(version)
     val adds = actions.collect { case a: AddFile if a.dataChange => a }
     val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
+    if (skipChangeCommits && removes.nonEmpty) {
+      listCache.synchronized(listCache.put(version, Seq.empty))
+      return Seq.empty
+    }
     if (removes.nonEmpty && adds.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"graftdelta stream on $tableUri: version $version rewrites existing rows " +

@@ -76,7 +76,8 @@ final class GraftDeltaTableV2(
     else if (readChangeFeed)
       GraftDeltaSource.streamSchema(
         org.apache.spark.sql.types.DataType.fromJson(
-          log.metadataAt(options.get("endingversion").map(_.toLong)
+          log.metadataAt(GraftDeltaDataSource
+            .cdfBounds(spark, tableUri, options)._2
             .getOrElse(log.latestVersion())).schemaString)
           .asInstanceOf[StructType], changeFeed = true)
     else versionAsOf.map(v => log.snapshotAt(v).schema)
@@ -191,11 +192,12 @@ final class GraftScanBuilder(
         override def schema: StructType = required
         override def needConversion: Boolean = false
         override def buildScan(): RDD[Row] =
-          if (readChangeFeed)
-            new GraftDeltaChangeRelation(spark, tableUri,
-              options.get("startingversion").map(_.toLong).getOrElse(0L),
-              options.get("endingversion").map(_.toLong))
+          if (readChangeFeed) {
+            val (startV, endV) =
+              GraftDeltaDataSource.cdfBounds(spark, tableUri, options)
+            new GraftDeltaChangeRelation(spark, tableUri, startV, endV)
               .scanRdd(required.fieldNames.toSeq)
+          }
           else
             new GraftDeltaRelation(spark, tableUri, versionAsOf,
               pinnedDeferredVersion)

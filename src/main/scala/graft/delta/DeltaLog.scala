@@ -110,6 +110,24 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     answer
   }
 
+  /** Earliest version whose adjusted commit timestamp is `>= ts` — the
+    * streaming `startingTimestamp` / change-feed lower-bound rule
+    * (complement of [[versionAtTimestamp]]): a ts before every commit
+    * resolves to the log's first version, a ts beyond the last commit
+    * to latest+1 (future commits only). */
+  def versionAtOrAfterTimestamp(ts: Long): Long =
+    try {
+      val v = versionAtTimestamp(ts)
+      // v's own adjusted timestamp equals ts exactly iff ts-1 resolves
+      // strictly lower (or not at all when v is the earliest commit)
+      val exact =
+        try versionAtTimestamp(ts - 1) != v
+        catch { case _: IllegalArgumentException => true }
+      if (exact) v else v + 1
+    } catch {
+      case _: IllegalArgumentException => availableVersions().headOption.getOrElse(0L)
+    }
+
   /** Optimistic-concurrency commit: try at latest+1, on conflict refresh
     * and retry. The reference's per-partition rewrites commit
     * concurrently through delta-rs' equivalent retry (lib.rs:862-885 via

@@ -110,6 +110,59 @@ class StreamOptionsSpec extends AnyFunSuite {
     assert(rowsFrom(adjusted(2) + 10000).isEmpty)
   }
 
+  test("skipChangeCommits skips delete and rewrite commits entirely") {
+    val dir = TestSpark.tmpDir("so-skipchange")
+    DeltaTable.create(spark, Seq(1L, 2L, 3L).toDF("v"), dir)
+    val name = "so_skip_sink"
+    val q = spark.readStream.format("graftdelta")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("so-skipchange-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a delete and an update (rewrite) would fail or re-emit under
+      // the legacy flags; with skipChangeCommits both vanish, appends
+      // still flow
+      DeltaTable.delete(spark, dir,
+        org.apache.spark.sql.functions.expr("v = 1"))
+      DeltaTable.update(spark, dir,
+        org.apache.spark.sql.functions.expr("v = 2"),
+        Map("v" -> org.apache.spark.sql.functions.lit(20L)))
+      DeltaTable.append(spark, dir, Seq(4L).toDF("v"))
+      q.processAllAvailable()
+      assert(spark.table(name).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("batch change feed accepts timestamp bounds") {
+    val dir = TestSpark.tmpDir("so-cdf-ts")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // v2
+    val log = DeltaLog.forTable(spark, dir)
+    val adjusted = (0L to 2L).scanLeft(Long.MinValue) { (prev, v) =>
+      val t = log.actionsAt(v)
+        .collectFirst { case c: CommitInfo => c.effectiveTimestamp }.getOrElse(0L)
+      if (prev == Long.MinValue) t else math.max(prev + 1, t)
+    }.drop(1).toSeq
+    val rows = spark.read.format("graftdelta")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", adjusted(1).toString)
+      .option("endingTimestamp", adjusted(1).toString)
+      .load(dir)
+    assert(rows.select("v").as[Long].collect().toSeq == Seq(2L))
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "0")
+        .load(dir)
+    }
+    assert(both.getMessage.contains("not both"))
+  }
+
   test("startingVersion and startingTimestamp together are refused") {
     val dir = TestSpark.tmpDir("so-both")
     DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
