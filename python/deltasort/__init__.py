@@ -267,15 +267,20 @@ class SortOptimizer:
         return json.loads(self._j.restore(int(version)))
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000,
-               force: bool = False) -> dict:
+               force: bool = False, lite: bool = False) -> dict:
         """Delete unreferenced data files older than the retention
         window. Refuses a window below the table's
         delta.deletedFileRetentionDuration floor (default 7 days) unless
         ``force`` — an over-eager vacuum breaks concurrent readers and
-        time travel. Returns {'files_deleted': N, 'sample': [...]} where
+        time travel. ``lite`` derives candidates from the retained log's
+        remove tombstones instead of a directory listing (delta's VACUUM
+        LITE; orphans from crashed writes still need a periodic full
+        pass). Returns {'files_deleted': N, 'sample': [...]} where
         ``sample`` holds at most 20 table-relative deleted paths (the
         report stays bounded no matter how many files a vacuum drops)."""
-        return json.loads(self._j.vacuum(int(retention_ms), bool(force)))
+        return json.loads(
+            self._j.vacuum(int(retention_ms), bool(force), bool(lite))
+        )
 
     def add_columns(self, cols_ddl: str) -> None:
         """ALTER TABLE ADD COLUMNS from a DDL string, e.g.

@@ -109,6 +109,21 @@ def test_vacuum_enforces_retention_floor(spark, tmp_table):
         opt.read_version(0).count()
 
 
+def test_vacuum_lite_uses_log_tombstones(spark, tmp_table):
+    # LITE derives candidates from the retained log's remove tombstones
+    # (no directory listing); a repeat run counts 0 even though the
+    # tombstones are still in the log
+    write_table(spark, tmp_table, [(1, "a"), (2, "b")], _SCHEMA)  # v0
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.delete_where("k = 1")  # v1: v0's file is now unreferenced
+    result = opt.vacuum(retention_ms=0, force=True, lite=True)
+    assert result["files_deleted"] == 1
+    assert result["sample"][0].endswith(".parquet")
+    assert len(read_pandas(spark, tmp_table)) == 1
+    again = opt.vacuum(retention_ms=0, force=True, lite=True)
+    assert again["files_deleted"] == 0
+
+
 def test_vacuum_sample_is_bounded_on_multi_delete(spark, tmp_table):
     # many unreferenced files -> the count is exact, the sample capped
     import pyspark.sql.functions as F

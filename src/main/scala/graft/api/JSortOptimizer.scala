@@ -277,8 +277,15 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     * validator's 20-detail convention; a million-file vacuum must not
     * ship a million path strings just for reporting). */
   def vacuum(retentionMs: Long, force: Boolean): String =
+    vacuum(retentionMs, force, lite = false)
+
+  /** VACUUM with mode: `lite = true` derives candidates from the
+    * retained log's remove tombstones instead of a directory listing
+    * (delta 3.3's VACUUM LITE — orphans from crashed writes need a
+    * periodic full pass). */
+  def vacuum(retentionMs: Long, force: Boolean, lite: Boolean): String =
     graft.delta.DeltaLog.forTable(spark, tableUri)
-      .vacuum(retentionMs, enforceRetentionDuration = !force).json
+      .vacuum(retentionMs, enforceRetentionDuration = !force, lite = lite).json
 
   /** ALTER TABLE ADD COLUMNS: append nullable columns from a DDL string
     * (`"score DOUBLE, tag STRING"`) as a pure metadata commit. */

@@ -63,8 +63,8 @@ object Main {
       args(i) match {
         case flag @ ("--dry-run" | "--validate-only" | "--validate-quick" |
             "--repartition-by-sort-key" | "--zorder" | "--bin-pack" |
-            "--vacuum-force" | "--convert-to-delta" | "--clustered-compact" |
-            "--full") =>
+            "--vacuum-force" | "--vacuum-lite" | "--convert-to-delta" |
+            "--clustered-compact" | "--full") =>
           m(flag.stripPrefix("--")) = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
@@ -116,10 +116,13 @@ object Main {
     }
     if (opts.contains("vacuum")) {
       // --vacuum-force waives the retention-floor check (delta-spark's
-      // retentionDurationCheck analog) for deliberate short windows
+      // retentionDurationCheck analog) for deliberate short windows;
+      // --vacuum-lite derives candidates from the retained log's
+      // tombstones instead of a directory listing (VACUUM LITE)
       val result = graft.delta.DeltaLog.forTable(spark, table)
         .vacuum(retentionMs = opts("vacuum").toLong,
-          enforceRetentionDuration = !opts.contains("vacuum-force"))
+          enforceRetentionDuration = !opts.contains("vacuum-force"),
+          lite = opts.contains("vacuum-lite"))
       println(s"vacuum complete: ${result.filesDeleted} file(s) deleted")
       // --metrics-json parity with the rewriting modes: count + the
       // ≤20-path sample (never the full list — reporting stays bounded)

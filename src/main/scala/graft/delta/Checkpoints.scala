@@ -288,6 +288,27 @@ object Checkpoints {
       if (inlineAdds.isEmpty) addsDs else spark.createDataset(inlineAdds).union(addsDs))
   }
 
+  /** The checkpoint's `remove` tombstones as a DATASET parsed inside
+    * executors — the VACUUM LITE primitive: log-derived candidates on a
+    * high-churn table are O(churn), which must never be a driver
+    * materialization for the same reason the add list never is. */
+  def removesDataset(spark: SparkSession, fs: FileSystem, logPath: Path,
+      cp: LastCheckpoint): org.apache.spark.sql.Dataset[RemoveFile] = {
+    implicit val enc: org.apache.spark.sql.Encoder[RemoveFile] =
+      org.apache.spark.sql.Encoders.product[RemoveFile]
+    val (inline, addFiles) = layout(spark, fs, logPath, cp)
+    val inlineRemoves = inline.collect { case r: RemoveFile => r }
+    if (addFiles.isEmpty) return spark.createDataset(inlineRemoves)
+    val df = spark.read.parquet(addFiles.map(_.toString): _*)
+    val ds =
+      if (!df.schema.fieldNames.contains("remove"))
+        spark.createDataset(Seq.empty[RemoveFile])
+      else df.where(org.apache.spark.sql.functions.col("remove").isNotNull)
+        .mapPartitions(rows => rows.flatMap(parseRow).collect { case r: RemoveFile => r })
+    if (inlineRemoves.isEmpty) ds
+    else spark.createDataset(inlineRemoves).union(ds)
+  }
+
   /** Top-level checkpoint columns that carry non-FILE state. `add` and
     * `remove` are deliberately absent: remove rows in a checkpoint are
     * pure vacuum-grace tombstones (the checkpoint's add set is already

@@ -778,7 +778,8 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
       enforceRetentionDuration: Boolean = true,
       distributed: Option[Boolean] = None,
-      dryRun: Boolean = false): VacuumResult = {
+      dryRun: Boolean = false,
+      lite: Boolean = false): VacuumResult = {
     // file-free state: on a checkpoint-seeded uncached log the active
     // set stays a DATASET (activeAdds) — vacuum of a million-file table
     // must not materialize a million AddFiles on the driver just to
@@ -799,6 +800,7 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     val root = tableRoot
     val cutoff = System.currentTimeMillis() - retentionMs
+    if (lite) return vacuumLite(acts, cutoff, dryRun)
     // a candidate: parquet data file or DV sidecar, outside _delta_log
     // and hidden/underscore top-level dirs, expired
     def eligible(rel: String, name: String): Boolean = {
@@ -940,6 +942,104 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
       }.collect()
       VacuumResult(perPart.map(_._1).sum, perPart.flatMap(_._2).take(cap).toSeq)
     }
+  }
+
+  /** VACUUM LITE (delta 3.3's verb): candidates come from the RETAINED
+    * log's remove tombstones — the commit JSONs still on disk plus the
+    * checkpoint's tombstone rows (foreign writers carry them; ours
+    * checkpoint active state only) — instead of a recursive directory
+    * listing. On a million-file table the full vacuum's dominant cost
+    * IS the listing; LITE replaces it with O(retained-churn) log reads,
+    * checkpoint tombstones parsed in executors. The documented
+    * trade-off matches delta's: only files the retained log can PROVE
+    * removed are deleted — orphans from crashed writes, and removes
+    * whose commits aged out of the log, need a periodic full vacuum.
+    *
+    * Retention uses the log's own `deletionTimestamp` (no per-file
+    * stat); the current active set anti-joins the candidates so a
+    * RESTORE-resurrected file can never be deleted; candidates outside
+    * the table root (a shallow clone's absolute source references) are
+    * never touched; a candidate already absent on disk (vacuumed by an
+    * earlier pass whose tombstone the log still retains) is NOT counted
+    * — unlike the listing-driven path, absence here is the common
+    * repeat-vacuum case, not a task-retry echo. */
+  private def vacuumLite(acts: ActiveAdds, cutoff: Long,
+      dryRun: Boolean): VacuumResult = {
+    val spark = sparkOpt.getOrElse(throw new UnsupportedOperationException(
+      "VACUUM LITE requires a SparkSession: log-derived candidates are " +
+        "computed as a distributed dataset"))
+    import spark.implicits._
+    val confSer = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val root = tableRoot
+    val rootStr = fs.makeQualified(root).toString
+    val rootBare = Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(root))
+      .toString.stripSuffix("/") + "/"
+    // tombstones from every retained commit JSON (driver walk —
+    // O(retained versions), the cost history/metadata ops already pay)
+    val jsonRemoves = availableVersions().flatMap(v =>
+      actionsAt(v).collect { case r: RemoveFile => r })
+    // + checkpoint tombstones, parsed in executors (foreign high-churn
+    // tables can carry O(churn) of them)
+    val cpRemoves = lastCheckpoint() match {
+      case Some(cp) => Checkpoints.removesDataset(spark, fs, logPath, cp)
+      case None => spark.emptyDataset[RemoveFile]
+    }
+    val removes = cpRemoves.union(spark.createDataset(jsonRemoves))
+    // candidate = expired tombstone's data file (+ its DV sidecar),
+    // as a scheme/authority-stripped absolute path UNDER the root
+    val candidates = removes
+      .filter(_.deletionTimestamp < cutoff)
+      .mapPartitions { it =>
+        val rootP = new Path(rootStr)
+        it.flatMap { r =>
+          val dataP = {
+            val p = new Path(r.path)
+            if (p.isAbsolute) p else new Path(rootP, r.path)
+          }
+          val dv = r.deletionVector
+            .filter(d => d.storageType == "u" || d.storageType == "p")
+            .map(d => DeletionVectors.sidecarPath(rootP, d))
+          (Iterator(dataP) ++ dv.iterator)
+            .map(p => Path.getPathWithoutSchemeAndAuthority(p).toString)
+        }
+      }
+      .filter(_.startsWith(rootBare))
+      .distinct()
+      .toDF("path")
+    // resurrection guard: anything in the CURRENT active set (data file
+    // or referenced DV sidecar) is live regardless of old tombstones
+    val activeDf = acts.ds.mapPartitions { it =>
+      it.flatMap { f =>
+        val rootP = new Path(rootStr)
+        val dataBare = Path.getPathWithoutSchemeAndAuthority(
+          new Path(rootP, f.path)).toString
+        val dvBare = f.deletionVector
+          .filter(d => d.storageType == "u" || d.storageType == "p")
+          .map(d => Path.getPathWithoutSchemeAndAuthority(
+            DeletionVectors.sidecarPath(rootP, d)).toString)
+        Iterator(dataBare) ++ dvBare.iterator
+      }
+    }.toDF("path")
+    val cap = DeltaLog.VacuumSampleCap
+    val perPart = candidates.join(activeDf, Seq("path"), "left_anti")
+      .as[String]
+      .mapPartitions { it =>
+        val conf = confSer.value
+        var n = 0L
+        val sample = mutable.ArrayBuffer.empty[String]
+        it.foreach { bareAbs =>
+          val rel = bareAbs.stripPrefix(rootBare)
+          val p = new Path(rootStr, rel)
+          val f = p.getFileSystem(conf)
+          val done = if (dryRun) f.exists(p) else f.delete(p, false)
+          if (done) {
+            n += 1
+            if (sample.size < cap) sample += rel
+          }
+        }
+        Iterator.single((n, sample.toSeq))
+      }.collect()
+    VacuumResult(perPart.map(_._1).sum, perPart.flatMap(_._2).take(cap).toSeq)
   }
 
   /** Delete EXPIRED transaction-log files — commit JSON and superseded

@@ -16,7 +16,7 @@ import graft.sorter.DeltaSorter
 /** Delta-style SQL maintenance statements for graftdelta tables:
   *
   * {{{ OPTIMIZE t [ZORDER BY (a, b)]
-  *     VACUUM t [RETAIN n HOURS]
+  *     VACUUM t [LITE|FULL] [RETAIN n HOURS] [DRY RUN]
   *     DESCRIBE HISTORY t
   *     RESTORE [TABLE] t TO VERSION AS OF n
   *     RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts' }}}
@@ -65,7 +65,7 @@ object GraftSqlParser {
   private val Optimize: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val Vacuum: Regex =
-    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref(\\s+LITE|\\s+FULL)?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val Fsck: Regex =
     s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val History: Regex =
@@ -140,8 +140,9 @@ object GraftSqlParser {
       Option(zorder).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil),
       Option(where).map(_.trim).filter(_.nonEmpty)))
-    case Vacuum(ref, hours, dry) =>
-      Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble), dry != null))
+    case Vacuum(ref, mode, hours, dry) =>
+      Some(GraftVacuumCommand(ref, Option(hours).map(_.toDouble), dry != null,
+        lite = Option(mode).exists(_.trim.equalsIgnoreCase("LITE"))))
     case Fsck(ref, dry) =>
       Some(GraftFsckCommand(ref, dry != null))
     case History(ref) => Some(GraftHistoryCommand(ref))
@@ -251,9 +252,12 @@ case class GraftOptimizeCommand(tableRef: String, zorderBy: Seq[String],
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` -> [[DeltaLog.vacuum]]. */
+/** `VACUUM t [LITE|FULL] [RETAIN n HOURS] [DRY RUN]` ->
+  * [[DeltaLog.vacuum]] (LITE = log-derived candidates, no directory
+  * listing; FULL = the default listing-driven pass). */
 case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false, lite: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) GraftSqlParser.attrs("path" -> StringType)
     else GraftSqlParser.attrs("files_deleted" -> LongType)
@@ -267,7 +271,8 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
     val enforce = session.conf
       .get("spark.graft.delta.retentionDurationCheck.enabled", "true").toBoolean
     val result = DeltaLog.forTable(session, path)
-      .vacuum(retentionMs, enforceRetentionDuration = enforce, dryRun = dryRun)
+      .vacuum(retentionMs, enforceRetentionDuration = enforce, dryRun = dryRun,
+        lite = lite)
     // DRY RUN rows are the bounded sample (VacuumSampleCap) — a
     // million-candidate dry run must not become a million result rows
     if (dryRun) result.sample.sorted.map(Row(_))

@@ -1,0 +1,116 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** VACUUM LITE — log-derived candidates (retained commit JSONs' remove
+  * tombstones + checkpoint tombstones) instead of a directory listing:
+  * the vacuum shape a million-file table wants, with delta's documented
+  * trade-off (orphans from crashed writes need a periodic full pass).
+  * Cites the reference's maintenance contract (lib.rs:831-856 builds
+  * Remove actions the log later proves deletable). */
+class VacuumLiteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lite deletes exactly the log-proven removes; repeat run counts 0") {
+    val dir = TestSpark.tmpDir("vl-basic")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val victim = log.snapshot().files.head
+    log.commitLatest(Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    // dry run first: reports the candidate without deleting
+    val dry = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      dryRun = true, lite = true)
+    assert(dry.filesDeleted == 1L && dry.sample == Seq(victim.path))
+    assert(new java.io.File(dir, victim.path).exists())
+    val deleted = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true)
+    assert(deleted.filesDeleted == 1L && deleted.sample == Seq(victim.path))
+    assert(!new java.io.File(dir, victim.path).exists())
+    assert(DeltaTable.read(spark, dir).count() == 2)
+    // the tombstone is still in the log, but the file is gone — a
+    // repeat lite vacuum must not re-count it
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true).isEmpty)
+    // and the full (listing) vacuum agrees nothing is left
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false).isEmpty)
+  }
+
+  test("a RESTORE-resurrected file survives old tombstones") {
+    val dir = TestSpark.tmpDir("vl-restore")
+    DeltaTable.create(spark, Seq(1, 2).toDF("v").repartition(2), dir) // v0
+    val log = DeltaLog.forTable(spark, dir)
+    val v0Files = log.snapshot().files.map(_.path).toSet
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 1")) // v1: removes a v0 file, adds a rewrite
+    val v1Added = log.snapshot().files.map(_.path).toSet -- v0Files
+    DeltaTable.restore(spark, dir, 0L) // v2: re-adds the v0 file, removes v1's rewrite
+    val res = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true)
+    // v1's rewrite output is genuinely orphaned by the restore and goes;
+    // the RESURRECTED v0 file — tombstoned at v1 but re-added at v2 —
+    // is protected by the active-set anti-join
+    assert(res.sample.toSet == v1Added, s"got $res")
+    v0Files.foreach(p => assert(new java.io.File(dir, p).exists(),
+      s"resurrected/active v0 file $p must survive"))
+    assert(DeltaTable.read(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("a shallow clone's absolute-path tombstones never touch the source") {
+    val src = TestSpark.tmpDir("vl-clone-src")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), src)
+    val clone = TestSpark.tmpDir("vl-clone-dst")
+    DeltaTable.cloneShallow(spark, src, clone)
+    // delete on the CLONE: its removes reference the source's files by
+    // absolute path — outside the clone root, lite must skip them
+    DeltaTable.delete(spark, clone, org.apache.spark.sql.functions.expr("v = 1"))
+    val res = DeltaLog.forTable(spark, clone)
+      .vacuum(retentionMs = 0L, enforceRetentionDuration = false, lite = true)
+    assert(res.isEmpty, s"source files are outside the clone root, got $res")
+    assert(DeltaTable.read(spark, src).count() == 3) // source untouched
+    assert(DeltaTable.read(spark, clone).count() == 2)
+  }
+
+  test("DV maintenance garbage: resolved masks' parquet + sidecar age out") {
+    val dir = TestSpark.tmpDir("vl-dv")
+    DeltaTable.create(spark, (1 to 8).toDF("v").coalesce(1), dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 2"))
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().files.exists(_.deletionVector.nonEmpty))
+    // compact resolves the mask: removes the (path, DV) pair, stages a
+    // vector-free file — the old parquet AND its sidecar become garbage
+    graft.sorter.DeltaSorter(spark, dir)
+      .compact(graft.sorter.SortConfig(Seq("v")))
+    val res = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true)
+    assert(res.filesDeleted >= 2, s"expected old parquet + DV sidecar, got $res")
+    assert(res.sample.exists(_.startsWith("deletion_vector_")), s"got $res")
+    assert(DeltaTable.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      Seq(1, 3, 4, 5, 6, 7, 8))
+    assert(log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true).isEmpty)
+  }
+
+  test("SQL: VACUUM t LITE [RETAIN/DRY RUN] routes to the lite pass") {
+    val dir = TestSpark.tmpDir("vl-sql")
+    DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), dir)
+    val log = DeltaLog.forTable(spark, dir)
+    val victim = log.snapshot().files.head
+    log.commitLatest(Seq(
+      RemoveFile(victim.path, 0L, dataChange = true, victim.partitionValues, victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    spark.conf.set("spark.graft.delta.retentionDurationCheck.enabled", "false")
+    try {
+      val rows = spark.sql(s"VACUUM '$dir' LITE RETAIN 0 HOURS DRY RUN").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq(victim.path))
+      assert(new java.io.File(dir, victim.path).exists()) // dry run
+      val n = spark.sql(s"VACUUM '$dir' LITE RETAIN 0 HOURS").collect()
+      assert(n.head.getLong(0) == 1L)
+      assert(!new java.io.File(dir, victim.path).exists())
+    } finally spark.conf.unset("spark.graft.delta.retentionDurationCheck.enabled")
+  }
+}
