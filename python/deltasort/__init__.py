@@ -136,6 +136,14 @@ class SortOptimizer:
         the predicate. Returns {'files_removed': N, 'files_added': N}."""
         return json.loads(self._j.replaceWhere(predicate, data._jdf))
 
+    def reorg_purge(self, where: Optional[str] = None) -> dict:
+        """REORG TABLE ... APPLY (PURGE): rewrite exactly the
+        deletion-vector-masked files, materializing their masks so
+        soft-deleted rows leave the disk (GDPR erasure / pre-vacuum
+        hygiene); ``where`` (partition columns only) scopes the pass.
+        Returns the run-summary dict."""
+        return json.loads(self._j.reorgPurge(where))
+
     def add_constraint(self, name: str, check_expr: str) -> None:
         """Engine extension: register a CHECK constraint (Spark-SQL
         boolean expression; NULL passes). Verifies existing rows first;

@@ -179,6 +179,19 @@ def test_enable_deletion_vectors_masks_deletes(spark, tmp_table):
     assert len(read_pandas(spark, tmp_table)) == 90
 
 
+def test_reorg_purge_materializes_masks(spark, tmp_table):
+    rows = [(i, f"r{i}") for i in range(50)]
+    write_table(spark, tmp_table, rows, _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_deletion_vectors()
+    opt.delete_where("k < 5")
+    s = opt.reorg_purge()
+    assert s["files_in"] >= 1
+    assert len(read_pandas(spark, tmp_table)) == 45
+    # nothing left to purge on a second pass
+    assert opt.reorg_purge()["files_in"] == 0
+
+
 def test_schema_ddl_surface(spark, tmp_table):
     # column-mapping upgrade -> rename/drop are metadata-only; type
     # widening promotes in place (all round-14 DDL surface)

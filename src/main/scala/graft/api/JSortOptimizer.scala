@@ -268,6 +268,14 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     deleted.map(js).mkString("[", ",", "]")
   }
 
+  /** REORG TABLE … APPLY (PURGE): rewrite exactly the deletion-vector-
+    * masked files, materializing their masks (soft-deleted rows leave
+    * the disk); `where` scopes to partitions. Returns the run-summary
+    * JSON. */
+  def reorgPurge(where: String): String =
+    graft.sorter.DeltaSorter(spark, tableUri)
+      .reorgPurge(where = Option(where).map(_.trim).filter(_.nonEmpty)).json
+
   /** VACUUM: delete unreferenced data files older than the retention
     * window. `force = false` enforces the table's
     * delta.deletedFileRetentionDuration floor (default 7 days) —

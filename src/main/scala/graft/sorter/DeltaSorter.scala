@@ -387,6 +387,61 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     }
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (delta's verb): rewrite EXACTLY the
+    * deletion-vector-masked files, materializing their masks into
+    * vector-free files and dropping the descriptors — the surgical way
+    * to get soft-deleted rows off disk (GDPR erasure, pre-vacuum
+    * hygiene, icebergCompat enablement prep) without touching the rest
+    * of the table the way a full compact would. dataChange=false (no
+    * rows change logically), row IDs preserved, `where` scopes to
+    * partitions like every maintenance verb. On a million-file table
+    * the DV-bearing set is selected in executors; only it reaches the
+    * driver. */
+  def reorgPurge(concurrency: Int = 8,
+      where: Option[String] = None): RunSummary = {
+    val t0 = System.nanoTime()
+    val aa = deltaLog.activeAdds()
+    val snap = aa.bare
+    val pred = where.map(canonicalPredicate(snap, _))
+    val eligible = selectFiles(aa)(_.deletionVector.isDefined)
+    val scoped = pred.fold(eligible)(p => DeltaTable.pruneFiles(snap, eligible, p))
+    val groups = scoped
+      .groupBy(_.partitionValues).values.toSeq
+      .map { files =>
+        val part = snap.metadata.partitionColumns
+          .flatMap(c => files.head.partitionValues.get(c).map(c -> _))
+        RewriteGroup(
+          partition = if (part.isEmpty) None else Some(part),
+          files = files,
+          estimatedBytes = files.map(_.size).sum)
+      }
+      .sortBy(-_.estimatedBytes)
+    if (groups.isEmpty) {
+      logInfo("nothing to purge: no active file carries a deletion vector")
+      return RunSummary(0, 0, 0, 0, 0, elapsedMs(t0), Nil)
+    }
+    val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = groups.map { g =>
+        Future(Try {
+          val m = Rewriter.binPackPartition(spark, deltaLog, snap, g,
+            128L * 1024 * 1024)
+          logInfo(s"purged ${m.partition}: files ${m.filesIn}->${m.filesOut}, " +
+            s"bytes ${m.bytesIn}->${m.bytesOut}, ${m.durationMs}ms")
+          m
+        })
+      }
+      val results = futures.map(f => Await.result(f, Duration.Inf))
+      val failures = results.collect { case Failure(e) => e }
+      failures.foreach(e => logError(s"purge failed: ${e.getMessage}"))
+      failures.headOption.foreach(throw _)
+      summarize(results.collect { case Success(m) => m }, t0)
+    } finally {
+      pool.shutdown()
+    }
+  }
+
   /** OPTIMIZE ZORDER analog: rewrite the whole table clustered by the
     * Morton interleave of `zorderColumns` ([[ZOrder]]) so range queries
     * on ANY of the columns prune files, not just the leading sort key.

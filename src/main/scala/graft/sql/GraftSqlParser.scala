@@ -68,6 +68,8 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$Ref(\\s+LITE|\\s+FULL)?(?:\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val Fsck: Regex =
     s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val Reorg: Regex =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private val History: Regex =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val Detail: Regex =
@@ -145,6 +147,8 @@ object GraftSqlParser {
         lite = Option(mode).exists(_.trim.equalsIgnoreCase("LITE"))))
     case Fsck(ref, dry) =>
       Some(GraftFsckCommand(ref, dry != null))
+    case Reorg(ref, where) =>
+      Some(GraftReorgPurgeCommand(ref, Option(where).map(_.trim).filter(_.nonEmpty)))
     case History(ref) => Some(GraftHistoryCommand(ref))
     case Detail(ref) => Some(GraftDetailCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
@@ -277,6 +281,21 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
     // million-candidate dry run must not become a million result rows
     if (dryRun) result.sample.sorted.map(Row(_))
     else Seq(Row(result.filesDeleted))
+  }
+}
+
+/** `REORG TABLE t [WHERE pred] APPLY (PURGE)` ->
+  * [[graft.sorter.DeltaSorter.reorgPurge]]: rewrite exactly the
+  * DV-masked files, materializing their deletion masks. */
+case class GraftReorgPurgeCommand(tableRef: String, where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.attrs(
+    "files_removed" -> LongType, "files_added" -> LongType)
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    val s = graft.sorter.DeltaSorter(session, path).reorgPurge(where = where)
+    session.catalog.refreshByPath(path)
+    Seq(Row(s.filesIn.toLong, s.filesOut.toLong))
   }
 }
 

@@ -1,0 +1,73 @@
+package graft.sorter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.{DeltaLog, DeltaTable}
+
+/** `REORG TABLE … APPLY (PURGE)` — rewrite exactly the DV-masked files
+  * (materialize the masks, drop the descriptors), leaving every
+  * unmasked file untouched; the surgical soft-delete eraser. */
+class ReorgPurgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("purge rewrites only the masked files; unmasked files untouched") {
+    val dir = TestSpark.tmpDir("reorg-basic")
+    DeltaTable.create(spark, (1 to 8).toDF("v").repartition(4), dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 3"))
+    val log = DeltaLog.forTable(spark, dir)
+    val before = log.snapshot().files
+    val masked = before.filter(_.deletionVector.isDefined).map(_.path)
+    val clean = before.filterNot(_.deletionVector.isDefined).map(_.path)
+    assert(masked.nonEmpty && clean.nonEmpty)
+    val s = DeltaSorter(spark, dir).reorgPurge()
+    assert(s.filesIn == masked.size)
+    val after = log.snapshot().files
+    assert(after.forall(_.deletionVector.isEmpty), "all masks materialized")
+    // unmasked files survive IN PLACE (same path, never rewritten)
+    assert(clean.forall(p => after.exists(_.path == p)))
+    assert(masked.forall(p => !after.exists(_.path == p)))
+    assert(DeltaTable.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 4, 5, 6, 7, 8))
+    // purge is dataChange=false: invisible to the change feed
+    val feed = DeltaTable.changesBetween(spark, dir, log.latestVersion(),
+      log.latestVersion())
+    assert(feed.isEmpty, "a purge rewrite must not emit change-feed rows")
+    // idempotent: nothing left to purge
+    assert(DeltaSorter(spark, dir).reorgPurge().filesIn == 0)
+  }
+
+  test("WHERE scopes the purge to matching partitions") {
+    val dir = TestSpark.tmpDir("reorg-where")
+    DeltaTable.create(spark,
+      (1 to 8).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("v", "p")
+        .repartition(2), dir, partitionColumns = Seq("p"))
+    DeltaTable.enableDeletionVectors(spark, dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 2")) // masks in p=x
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 3")) // masks in p=y
+    val log = DeltaLog.forTable(spark, dir)
+    val s = DeltaSorter(spark, dir).reorgPurge(where = Some("p = 'x'"))
+    assert(s.filesIn >= 1)
+    val after = log.snapshot().files
+    // p=x masks gone, p=y mask still present
+    assert(after.filter(_.partitionValues.get("p").contains("x"))
+      .forall(_.deletionVector.isEmpty))
+    assert(after.filter(_.partitionValues.get("p").contains("y"))
+      .exists(_.deletionVector.isDefined))
+    assert(DeltaTable.read(spark, dir).count() == 6)
+  }
+
+  test("SQL: REORG TABLE t APPLY (PURGE) routes to the purge") {
+    val dir = TestSpark.tmpDir("reorg-sql")
+    DeltaTable.create(spark, (1 to 4).toDF("v").coalesce(1), dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    DeltaTable.delete(spark, dir, org.apache.spark.sql.functions.expr("v = 1"))
+    val rows = spark.sql(s"REORG TABLE '$dir' APPLY (PURGE)").collect()
+    assert(rows.head.getLong(0) == 1L) // one masked file rewritten
+    val log = DeltaLog.forTable(spark, dir)
+    assert(log.snapshot().files.forall(_.deletionVector.isEmpty))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+  }
+}
