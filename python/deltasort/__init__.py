@@ -136,6 +136,16 @@ class SortOptimizer:
         the predicate. Returns {'files_removed': N, 'files_added': N}."""
         return json.loads(self._j.replaceWhere(predicate, data._jdf))
 
+    def drop_feature(self, feature: str) -> None:
+        """ALTER TABLE ... DROP FEATURE: protocol downgrade for
+        writer-only features whose absence of trace is verifiable
+        (icebergCompatV1/V2, inCommitTimestamp, rowTracking, clustering,
+        generatedColumns, identityColumns, allowColumnDefaults,
+        checkConstraints). Reader-bound features (deletionVectors,
+        columnMapping, ...) refuse: their removal needs delta's
+        history-truncation flow, a documented non-goal."""
+        self._j.dropFeature(feature)
+
     def reorg_purge(self, where: Optional[str] = None) -> dict:
         """REORG TABLE ... APPLY (PURGE): rewrite exactly the
         deletion-vector-masked files, materializing their masks so

@@ -179,6 +179,18 @@ def test_enable_deletion_vectors_masks_deletes(spark, tmp_table):
     assert len(read_pandas(spark, tmp_table)) == 90
 
 
+def test_drop_feature_writer_only(spark, tmp_table):
+    write_table(spark, tmp_table, [(1, "a")], _SCHEMA)
+    opt = SortOptimizer(tmp_table, spark=spark)
+    opt.enable_in_commit_timestamps()
+    opt.set_tbl_properties({"delta.enableInCommitTimestamps": "false"})
+    opt.drop_feature("inCommitTimestamp")
+    # reader-bound features refuse with the truncation rationale
+    opt.enable_deletion_vectors()
+    with pytest.raises(Exception, match="history"):
+        opt.drop_feature("deletionVectors")
+
+
 def test_reorg_purge_materializes_masks(spark, tmp_table):
     rows = [(i, f"r{i}") for i in range(50)]
     write_table(spark, tmp_table, rows, _SCHEMA)

@@ -268,6 +268,13 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
     deleted.map(js).mkString("[", ",", "]")
   }
 
+  /** ALTER TABLE … DROP FEATURE: protocol downgrade for writer-only
+    * features with verifiable-absent trace (see
+    * [[graft.delta.DeltaTable.dropFeature]]); reader-bound features
+    * refuse with the history-truncation rationale. */
+  def dropFeature(feature: String): Unit =
+    graft.delta.DeltaTable.dropFeature(spark, tableUri, feature)
+
   /** REORG TABLE … APPLY (PURGE): rewrite exactly the deletion-vector-
     * masked files, materializing their masks (soft-deleted rows leave
     * the disk); `where` scopes to partitions. Returns the run-summary

@@ -1726,6 +1726,127 @@ object DeltaTable {
     * commit itself (the spec's post-creation-enable requirement), and
     * the retry loop recomputes them on every lost race so they can never
     * name the wrong version. */
+  /** Reader(+writer) features whose removal requires HISTORY TRUNCATION:
+    * old snapshots still carry the feature's data shapes (DV masks,
+    * physical-named files, widened types …), so a reader that stops
+    * gating on the feature could misread them — delta's contract is the
+    * two-phase `DROP FEATURE … TRUNCATE HISTORY` flow (24h retention +
+    * checkpointProtection + log cleanup), a service-grade dance this
+    * engine deliberately refuses the same way it refuses
+    * coordinatedCommits: a loud error beats a silently misreadable
+    * table. */
+  private val HistoryBoundFeatures = Set(
+    "deletionVectors", "columnMapping", "typeWidening", "typeWidening-preview",
+    "variantType", "variantType-preview", "variantShredding-preview",
+    "timestampNtz", "v2Checkpoint", "collations-preview",
+    "vacuumProtocolCheck", "checkpointProtection")
+
+  /** `ALTER TABLE … DROP FEATURE f`: protocol downgrade for WRITER-ONLY
+    * features whose absence of trace is verifiable from current
+    * metadata — each whitelisted feature validates its own
+    * preconditions (property off, no column carries its field metadata,
+    * no constraint recorded …) and contributes any cleanup actions
+    * (ICT provenance properties dropped, rowTracking/clustering domains
+    * tombstoned) to the SAME commit. Reader-bound features refuse with
+    * the history-truncation rationale; unknown features refuse by name.
+    * The commit carries the downgraded Protocol, so the chokepoint's
+    * protocol-laundering guard (invariants run against the commit's
+    * EFFECTIVE protocol) applies as usual. */
+  def dropFeature(spark: SparkSession, tableUri: String, feature: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    var attempt = 0
+    while (true) {
+      val snap = log.fileFreeSnapshot()
+      val p = snap.protocol
+      val writerF = p.writerFeatures.getOrElse(throw new IllegalArgumentException(
+        s"DROP FEATURE $feature: the table's protocol (writer " +
+          s"v${p.minWriterVersion}) records no feature list — legacy-versioned " +
+          "protocols have nothing to drop by name"))
+      require(writerF.contains(feature),
+        s"DROP FEATURE $feature: the table's protocol does not carry it " +
+          s"(writer features: ${writerF.toSeq.sorted.mkString(", ")})")
+      if (HistoryBoundFeatures.contains(feature) ||
+          p.readerFeatures.exists(_.contains(feature)))
+        throw new UnsupportedOperationException(
+          s"DROP FEATURE $feature: historical snapshots still carry this " +
+            "feature's data shapes, so removal requires delta's history-" +
+            "truncation flow (DROP FEATURE … TRUNCATE HISTORY), which this " +
+            "engine deliberately does not implement — a loud error beats a " +
+            "silently misreadable table")
+      val conf = snap.metadata.configuration
+      def requireOff(prop: String): Unit =
+        require(!conf.get(prop).exists(_.toBoolean),
+          s"DROP FEATURE $feature: disable it first " +
+            s"(ALTER TABLE … SET TBLPROPERTIES('$prop'='false'))")
+      def requireNoField(key: String, what: String): Unit = {
+        val hit = snap.schema.fields.find(_.metadata.contains(key))
+        require(hit.isEmpty,
+          s"DROP FEATURE $feature: column '${hit.map(_.name).getOrElse("")}' " +
+            s"still carries $what — drop or alter the column first")
+      }
+      var meta: Option[Metadata] = None
+      val extra: Seq[Action] = feature match {
+        case "icebergCompatV1" => requireOff("delta.enableIcebergCompatV1"); Nil
+        case "icebergCompatV2" => requireOff("delta.enableIcebergCompatV2"); Nil
+        case "inCommitTimestamp" =>
+          requireOff("delta.enableInCommitTimestamps")
+          // provenance properties go with the feature (delta drops them)
+          val cleaned = conf -- Seq("delta.inCommitTimestampEnablementVersion",
+            "delta.inCommitTimestampEnablementTimestamp",
+            "delta.enableInCommitTimestamps")
+          if (cleaned != conf) meta = Some(snap.metadata.copy(configuration = cleaned))
+          Nil
+        case "rowTracking" =>
+          requireOff("delta.enableRowTracking")
+          // the high-water-mark domain is the feature's only other trace
+          if (snap.domains.contains(DeltaLog.RowTrackingDomain))
+            Seq(DomainMetadata(DeltaLog.RowTrackingDomain, "{}", removed = true))
+          else Nil
+        case "clustering" =>
+          // un-cluster in the same commit: the recorded columns live in
+          // the clustering domain, which nothing else consumes
+          if (snap.domains.contains(ClusteringDomain))
+            Seq(DomainMetadata(ClusteringDomain, "{}", removed = true))
+          else Nil
+        case "generatedColumns" =>
+          requireNoField(GenerationExpressionKey, "a generation expression"); Nil
+        case "identityColumns" =>
+          requireNoField(IdentityStartKey, "an identity definition"); Nil
+        case "allowColumnDefaults" =>
+          requireNoField(DefaultValueKey, "a column DEFAULT"); Nil
+        case "checkConstraints" =>
+          require(!conf.keys.exists(_.startsWith(ConstraintPrefix)),
+            s"DROP FEATURE $feature: constraints still recorded " +
+              s"(${conf.keys.filter(_.startsWith(ConstraintPrefix)).mkString(", ")}) — " +
+              "DROP CONSTRAINT them first")
+          Nil
+        case "domainMetadata" =>
+          throw new UnsupportedOperationException(
+            "DROP FEATURE domainMetadata: other features (rowTracking, " +
+              "clustering) and foreign writers store state in domains — " +
+              "not droppable")
+        case other =>
+          throw new UnsupportedOperationException(
+            s"DROP FEATURE $other: not in this engine's droppable set " +
+              "(icebergCompatV1/V2, inCommitTimestamp, rowTracking, " +
+              "clustering, generatedColumns, identityColumns, " +
+              "allowColumnDefaults, checkConstraints)")
+      }
+      val newProtocol = p.copy(writerFeatures = Some(writerF - feature))
+      try {
+        log.commit(snap.version + 1,
+          Seq(newProtocol) ++ meta.toSeq ++ extra :+
+            CommitInfo(System.currentTimeMillis(), "DROP FEATURE",
+              Map("feature" -> feature)))
+        return
+      } catch {
+        case e: VersionConflictException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+      }
+    }
+  }
+
   def enableInCommitTimestamps(spark: SparkSession, tableUri: String): Unit = {
     val log = DeltaLog.forTable(spark, tableUri)
     var attempt = 0
@@ -2019,7 +2140,21 @@ object DeltaTable {
     val bad = read(spark, tableUri)
       .where(coalesce(expr(checkExpr), lit(true)) === lit(false)).count()
     if (bad > 0) throw new ConstraintViolationException(tableUri, name, checkExpr, bad)
-    log.commitDml(snap.version, Seq(
+    // spec: CHECK constraints are a writer-version-3 obligation — a
+    // foreign writer at v2 would NOT enforce the constraint we just
+    // recorded, so the same commit must carry the protocol bump
+    // (feature-list protocols add the named feature instead)
+    val p = snap.protocol
+    val protocolBump: Seq[Action] =
+      if (p.minWriterVersion >= 7)
+        p.writerFeatures match {
+          case Some(fs) if !fs.contains("checkConstraints") =>
+            Seq(p.copy(writerFeatures = Some(fs + "checkConstraints")))
+          case _ => Nil
+        }
+      else if (p.minWriterVersion < 3) Seq(p.copy(minWriterVersion = 3))
+      else Nil
+    log.commitDml(snap.version, protocolBump ++ Seq(
       snap.metadata.copy(configuration =
         snap.metadata.configuration + (key -> checkExpr)),
       CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT", Map("name" -> name))))

@@ -110,6 +110,8 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+COLUMN\\s+([`\\w.]+)\\s+TO\\s+([`\\w]+)\\s*;?\\s*""".r
   private val AlterDropCols: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+?))\\s*;?\\s*""".r
+  private val DropFeature: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+FEATURE\\s+([\\w-]+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""".r
   // CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] — metadata-only
   // snapshot referencing the source's files by absolute path
   private val ShallowClone: Regex =
@@ -176,6 +178,8 @@ object GraftSqlParser {
         Option(partDdl).map(_.trim).filter(_.nonEmpty)))
     case AlterRenameCol(ref, from, to) if isGraftRef(ref) =>
       Some(GraftAlterRenameColumnCommand(ref, from, to))
+    case DropFeature(ref, feature, truncate) if isGraftRef(ref) =>
+      Some(GraftDropFeatureCommand(ref, feature.trim, truncate != null))
     case AlterDropCols(ref, parens, bare) if isGraftRef(ref) =>
       Some(GraftAlterDropColumnsCommand(ref,
         Option(parens).getOrElse(bare).split(',').map(_.trim)
@@ -281,6 +285,26 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
     // million-candidate dry run must not become a million result rows
     if (dryRun) result.sample.sorted.map(Row(_))
     else Seq(Row(result.filesDeleted))
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY]` ->
+  * [[DeltaTable.dropFeature]] (writer-only whitelist; TRUNCATE HISTORY
+  * is refused up front — the history-truncation flow is a documented
+  * non-goal, same posture as coordinatedCommits). */
+case class GraftDropFeatureCommand(tableRef: String, feature: String,
+    truncateHistory: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    if (truncateHistory) throw new UnsupportedOperationException(
+      "DROP FEATURE … TRUNCATE HISTORY: the history-truncation flow " +
+        "(24h retention + checkpointProtection + log cleanup) is " +
+        "deliberately not implemented — reader-bound features stay on " +
+        "the protocol so historical snapshots keep reading correctly")
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    DeltaTable.dropFeature(session, path, feature)
+    session.catalog.refreshByPath(path)
+    Nil
   }
 }
 

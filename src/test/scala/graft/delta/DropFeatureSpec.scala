@@ -1,0 +1,114 @@
+package graft.delta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** `ALTER TABLE … DROP FEATURE` — protocol downgrade for writer-only
+  * features with verifiable-absent trace; reader-bound features refuse
+  * with the history-truncation rationale (documented non-goal, same
+  * posture as coordinatedCommits). */
+class DropFeatureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writerFeatures(dir: String): Set[String] =
+    DeltaLog.forTable(spark, dir).fileFreeSnapshot()
+      .protocol.writerFeatures.getOrElse(Set.empty)
+
+  test("inCommitTimestamp: disable, drop, provenance properties go too") {
+    val dir = TestSpark.tmpDir("df-ict")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    assert(writerFeatures(dir).contains("inCommitTimestamp"))
+    // still enabled: refused with the disable hint
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.dropFeature(spark, dir, "inCommitTimestamp")
+    }
+    assert(e.getMessage.contains("disable it first"))
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.enableInCommitTimestamps" -> "false"))
+    DeltaTable.dropFeature(spark, dir, "inCommitTimestamp")
+    assert(!writerFeatures(dir).contains("inCommitTimestamp"))
+    val conf = DeltaLog.forTable(spark, dir).fileFreeSnapshot()
+      .metadata.configuration
+    assert(!conf.contains("delta.inCommitTimestampEnablementVersion"))
+    assert(!conf.contains("delta.enableInCommitTimestamps"))
+    // the table still reads and writes
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v"))
+    assert(DeltaTable.read(spark, dir).count() == 2)
+  }
+
+  test("rowTracking: disable, drop, high-water-mark domain tombstoned") {
+    val dir = TestSpark.tmpDir("df-rt")
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    DeltaTable.enableRowTracking(spark, dir)
+    assert(writerFeatures(dir).contains("rowTracking"))
+    DeltaTable.setTblProperties(spark, dir,
+      Map("delta.enableRowTracking" -> "false"))
+    DeltaTable.dropFeature(spark, dir, "rowTracking")
+    assert(!writerFeatures(dir).contains("rowTracking"))
+    assert(!DeltaLog.forTable(spark, dir).fileFreeSnapshot().domains
+      .contains(DeltaLog.RowTrackingDomain))
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
+    assert(DeltaTable.read(spark, dir).count() == 3)
+  }
+
+  test("checkConstraints: refused while a constraint is recorded") {
+    val dir = TestSpark.tmpDir("df-ck")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.addConstraint(spark, dir, "pos", "v > 0")
+    // the ADD CONSTRAINT commit bumps the protocol to writer v3 (spec:
+    // CHECK enforcement is a v3 writer obligation — a foreign v2 writer
+    // would ignore the constraint we just recorded)
+    assert(DeltaLog.forTable(spark, dir).fileFreeSnapshot()
+      .protocol.minWriterVersion == 3)
+    // constraints land on the LEGACY writer-v3 protocol — nothing to
+    // drop by name there, and the error says so
+    val legacy = intercept[IllegalArgumentException] {
+      DeltaTable.dropFeature(spark, dir, "checkConstraints")
+    }
+    assert(legacy.getMessage.contains("no feature list"))
+    // lift to a v7 feature-list protocol (ICT enablement does), where
+    // the legacy features appear by name
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    assert(writerFeatures(dir).contains("checkConstraints"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.dropFeature(spark, dir, "checkConstraints")
+    }
+    assert(e.getMessage.contains("DROP CONSTRAINT"))
+    DeltaTable.dropConstraint(spark, dir, "pos")
+    DeltaTable.dropFeature(spark, dir, "checkConstraints")
+    assert(!writerFeatures(dir).contains("checkConstraints"))
+  }
+
+  test("reader-bound features refuse with the truncation rationale") {
+    val dir = TestSpark.tmpDir("df-dv")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.enableDeletionVectors(spark, dir)
+    val e = intercept[UnsupportedOperationException] {
+      DeltaTable.dropFeature(spark, dir, "deletionVectors")
+    }
+    assert(e.getMessage.contains("history"))
+    // absent feature: named error
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.dropFeature(spark, dir, "icebergCompatV1")
+    }
+    assert(e2.getMessage.contains("does not carry it"))
+  }
+
+  test("SQL route + TRUNCATE HISTORY refusal") {
+    val dir = TestSpark.tmpDir("df-sql")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.enableInCommitTimestamps(spark, dir)
+    assert(writerFeatures(dir).contains("inCommitTimestamp"))
+    spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES" +
+      s"('delta.enableInCommitTimestamps'='false')")
+    spark.sql(s"ALTER TABLE '$dir' DROP FEATURE inCommitTimestamp")
+    assert(!writerFeatures(dir).contains("inCommitTimestamp"))
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE '$dir' DROP FEATURE deletionVectors TRUNCATE HISTORY")
+    }
+    assert(e.getMessage.contains("TRUNCATE HISTORY"))
+  }
+}
