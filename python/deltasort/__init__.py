@@ -204,6 +204,12 @@ class SortOptimizer:
         the next ``clustered_compact``."""
         self._j.enableClustering(self._jlist(list(cols)))
 
+    def remove_clustering(self) -> None:
+        """ALTER TABLE ... CLUSTER BY NONE: un-cluster the table (the
+        clustering-columns domain is tombstoned; the ``clustering``
+        feature stays — ``drop_feature("clustering")`` removes both)."""
+        self._j.removeClustering()
+
     def clustered_compact(
         self, target_file_size_bytes: Optional[int] = None, full: bool = False
     ) -> dict:

@@ -202,6 +202,11 @@ class JSortOptimizer(spark: SparkSession, tableUri: String) {
   def enableClustering(cols: java.util.List[String]): Unit =
     graft.delta.DeltaTable.enableClustering(spark, tableUri, cols.asScala.toSeq)
 
+  /** ALTER TABLE … CLUSTER BY NONE: un-cluster (domain tombstone; the
+    * feature stays — `dropFeature("clustering")` removes both). */
+  def removeClustering(): Unit =
+    graft.delta.DeltaTable.removeClustering(spark, tableUri)
+
   /** none->name column-mapping upgrade (metadata-only; unlocks
     * RENAME/DROP COLUMN). */
   def enableColumnMapping(): Unit =

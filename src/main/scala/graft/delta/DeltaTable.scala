@@ -1717,6 +1717,23 @@ object DeltaTable {
     ()
   }
 
+  /** `ALTER TABLE … CLUSTER BY NONE`: un-cluster — tombstone the
+    * clustering-columns domain (latest-per-domain replay drops it); the
+    * `clustering` writer feature stays on the protocol, delta
+    * semantics — removing it is `DROP FEATURE clustering`, which also
+    * tombstones a live domain. No-op error when not clustered. */
+  def removeClustering(spark: SparkSession, tableUri: String): Unit = {
+    val log = DeltaLog.forTable(spark, tableUri)
+    val snap = log.fileFreeSnapshot()
+    require(snap.domains.contains(ClusteringDomain),
+      s"$tableUri is not a clustered table")
+    log.commitDml(snap.version, Seq(
+      DomainMetadata(ClusteringDomain, "{}", removed = true),
+      CommitInfo(System.currentTimeMillis(), "CLUSTER BY",
+        Map("clusteringColumns" -> ""))))
+    ()
+  }
+
   /** Opt a table into In-Commit Timestamps (`delta.enableInCommitTimestamps`
     * + the `inCommitTimestamp` writer feature): from the enablement
     * commit on, every commit's authoritative time is the monotonic

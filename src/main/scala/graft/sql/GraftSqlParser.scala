@@ -112,6 +112,8 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMNS?\\s*(?:\\((.+)\\)|([^();]+?))\\s*;?\\s*""".r
   private val DropFeature: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+FEATURE\\s+([\\w-]+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""".r
+  private val ClusterBy: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+CLUSTER\\s+BY\\s+(?:\\(([^)]+)\\)|(NONE))\\s*;?\\s*""".r
   // CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] — metadata-only
   // snapshot referencing the source's files by absolute path
   private val ShallowClone: Regex =
@@ -180,6 +182,11 @@ object GraftSqlParser {
       Some(GraftAlterRenameColumnCommand(ref, from, to))
     case DropFeature(ref, feature, truncate) if isGraftRef(ref) =>
       Some(GraftDropFeatureCommand(ref, feature.trim, truncate != null))
+    case ClusterBy(ref, cols, none) if isGraftRef(ref) =>
+      Some(GraftClusterByCommand(ref,
+        if (none != null) Nil
+        else cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq))
     case AlterDropCols(ref, parens, bare) if isGraftRef(ref) =>
       Some(GraftAlterDropColumnsCommand(ref,
         Option(parens).getOrElse(bare).split(',').map(_.trim)
@@ -285,6 +292,22 @@ case class GraftVacuumCommand(tableRef: String, retainHours: Option[Double],
     // million-candidate dry run must not become a million result rows
     if (dryRun) result.sample.sorted.map(Row(_))
     else Seq(Row(result.filesDeleted))
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (a, b)` / `CLUSTER BY NONE` ->
+  * [[DeltaTable.enableClustering]] / [[DeltaTable.removeClustering]]:
+  * declare (or re-declare) the clustering columns the next
+  * `clusteredCompact` uses, or un-cluster the table. */
+case class GraftClusterByCommand(tableRef: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(session, tableRef)
+    if (cols.isEmpty) DeltaTable.removeClustering(session, path)
+    else DeltaTable.enableClustering(session, path, cols)
+    session.catalog.refreshByPath(path)
+    Nil
   }
 }
 

@@ -178,4 +178,32 @@ class ClusteringSpec extends AnyFunSuite {
       graft.sorter.DeltaSorter(spark, plain).clusteredCompact())
     assert(e3.getMessage.contains("delta.clustering"))
   }
+
+  test("ALTER TABLE CLUSTER BY re-declares; CLUSTER BY NONE un-clusters; DROP FEATURE removes") {
+    val dir = TestSpark.tmpDir("cluster-alter")
+    DeltaTable.create(spark, (1L to 100L).map(i => (i, i * 7 % 100))
+      .toDF("a", "b").repartition(2), dir)
+    spark.sql(s"ALTER TABLE '$dir' CLUSTER BY (a)")
+    def cols() = DeltaTable.clusteringColumns(
+      DeltaLog.forTable(spark, dir).fileFreeSnapshot())
+    assert(cols() == Seq(Seq("a")))
+    // re-declare: the next clusteredCompact uses the NEW columns
+    spark.sql(s"ALTER TABLE '$dir' CLUSTER BY (b)")
+    assert(cols() == Seq(Seq("b")))
+    // un-cluster: domain tombstoned, feature stays
+    spark.sql(s"ALTER TABLE '$dir' CLUSTER BY NONE")
+    assert(cols().isEmpty)
+    assert(DeltaLog.forTable(spark, dir).fileFreeSnapshot()
+      .protocol.writerFeatures.exists(_.contains("clustering")))
+    val e = intercept[IllegalArgumentException](
+      graft.sorter.DeltaSorter(spark, dir).clusteredCompact())
+    assert(e.getMessage.contains("delta.clustering"))
+    // DROP FEATURE removes the feature itself (domain already gone)
+    DeltaTable.dropFeature(spark, dir, "clustering")
+    assert(!DeltaLog.forTable(spark, dir).fileFreeSnapshot()
+      .protocol.writerFeatures.exists(_.contains("clustering")))
+    // and the table still works
+    DeltaTable.append(spark, dir, Seq((101L, 1L)).toDF("a", "b"))
+    assert(DeltaTable.read(spark, dir).count() == 101)
+  }
 }
