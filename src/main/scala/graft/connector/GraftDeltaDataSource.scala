@@ -88,17 +88,47 @@ final class GraftDeltaDataSource extends RelationProvider
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : Map[String, String] = lower(options.asScala.toMap)
 
+  /** delta's `path@vN` identifier time travel on BATCH reads:
+    * `load("…/table@v3")` reads version 3. Applied only when the
+    * suffix matches AND the stripped base is a Delta table root while
+    * the raw path is not — a real directory literally named `…@v1`
+    * keeps resolving as itself. Rewrites the option map (base path +
+    * `versionasof`) so everything downstream uses the one existing
+    * time-travel seam; combining with an explicit versionAsOf/
+    * timestampAsOf option is refused like any double pin. */
+  private def resolveVersionSuffix(spark: SparkSession,
+      opts: Map[String, String]): Map[String, String] = {
+    val raw = path(opts)
+    val At = "(?s)(.+)@v(\\d+)".r
+    raw match {
+      case At(base, v) =>
+        val conf = spark.sessionState.newHadoopConf()
+        def isTable(p: String): Boolean = try {
+          val lp = new org.apache.hadoop.fs.Path(p, "_delta_log")
+          lp.getFileSystem(conf).exists(lp)
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (isTable(base) && !isTable(raw)) {
+          require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
+            s"graftdelta: $raw pins a version via @v AND a time-travel " +
+              "option — use one")
+          opts + ("path" -> base) + ("versionasof" -> v)
+        } else opts
+      case _ => opts
+    }
+  }
+
   private def v2Table(options: Map[String, String],
       userSchema: Option[StructType],
       userPartitioning: Seq[String]): GraftDeltaTableV2 = {
     val spark = SparkSession.active
-    new GraftDeltaTableV2(spark, path(options), options, userSchema,
+    val opts = resolveVersionSuffix(spark, options)
+    new GraftDeltaTableV2(spark, path(opts), opts, userSchema,
       userPartitioning)
   }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val opts = lower(parameters)
+    val opts = resolveVersionSuffix(sqlContext.sparkSession, lower(parameters))
     if (opts.get("readchangefeed").exists(_.toBoolean)) {
       val (startV, endV) = GraftDeltaDataSource.cdfBounds(
         sqlContext.sparkSession, path(opts), opts)

@@ -71,7 +71,7 @@ object GraftSqlParser {
   private val Reorg: Regex =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private val History: Regex =
-    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ref(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""".r
   private val Detail: Regex =
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val RestoreV: Regex =
@@ -153,7 +153,8 @@ object GraftSqlParser {
       Some(GraftFsckCommand(ref, dry != null))
     case Reorg(ref, where) =>
       Some(GraftReorgPurgeCommand(ref, Option(where).map(_.trim).filter(_.nonEmpty)))
-    case History(ref) => Some(GraftHistoryCommand(ref))
+    case History(ref, limit) =>
+      Some(GraftHistoryCommand(ref, Option(limit).map(_.toInt)))
     case Detail(ref) => Some(GraftDetailCommand(ref))
     case RestoreV(ref, v) => Some(GraftRestoreCommand(ref, Some(v.toLong), None))
     case RestoreT(ref, ts) => Some(GraftRestoreCommand(ref, None, Some(ts)))
@@ -361,7 +362,8 @@ case class GraftFsckCommand(tableRef: String, dryRun: Boolean)
 }
 
 /** `DESCRIBE HISTORY t` -> commits newest-first. */
-case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
+case class GraftHistoryCommand(tableRef: String, limit: Option[Int] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.attrs(
     "version" -> LongType, "timestamp" -> LongType,
     "operation" -> StringType,
@@ -369,8 +371,10 @@ case class GraftHistoryCommand(tableRef: String) extends LeafRunnableCommand {
     "operationMetrics" -> MapType(StringType, StringType))
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(session, tableRef)
-    // bounded by the commit count (metadata scale)
-    DeltaTable.history(session, path).collect().toSeq
+    // bounded by the commit count (metadata scale); rows are newest
+    // first, so LIMIT n = the n most recent commits (delta semantics)
+    val df = DeltaTable.history(session, path)
+    limit.fold(df)(df.limit).collect().toSeq
   }
 }
 

@@ -1,0 +1,46 @@
+package graft.connector
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+
+/** delta's `path@vN` identifier time travel + `DESCRIBE HISTORY LIMIT`. */
+class AtSyntaxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("load(path@vN) reads version N; double pin refused") {
+    val dir = TestSpark.tmpDir("at-syntax")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v")) // v1
+    assert(spark.read.format("graftdelta").load(s"$dir@v0")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.format("graftdelta").load(s"$dir@v1")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("versionAsOf", "1")
+        .load(s"$dir@v0").collect()
+    }
+    assert(e.getMessage.contains("use one"))
+  }
+
+  test("a real directory literally named ...@v1 resolves as itself") {
+    val dir = TestSpark.tmpDir("at-literal") + "@v1"
+    DeltaTable.create(spark, Seq(7L, 8L).toDF("v"), dir)
+    assert(spark.read.format("graftdelta").load(dir)
+      .as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+  }
+
+  test("DESCRIBE HISTORY ... LIMIT n returns the n most recent commits") {
+    val dir = TestSpark.tmpDir("hist-limit")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    DeltaTable.append(spark, dir, Seq(2L).toDF("v"))
+    DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
+    val all = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(all.length == 3)
+    val top = spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 2").collect()
+    assert(top.length == 2)
+    assert(top.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // newest first
+  }
+}
