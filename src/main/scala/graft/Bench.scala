@@ -200,7 +200,7 @@ object Bench {
     // inflated median shipped. The previous run's medians
     // (BENCH_DETAILS.json persists in the repo root across rounds) give
     // an absolute reference: a median beyond BenchRules.crossSuspect's
-    // 1.5× multiplier (with a 0.3 s absolute floor so sub-100ms noise
+    // 1.5× multiplier (with a scaled absolute floor so sub-100ms noise
     // can't trigger re-runs) is suspect too. The drained re-run still
     // decides — a REAL regression is consistently slow and keeps its
     // number; only a faster fresh median is spliced in.
@@ -492,8 +492,36 @@ object Bench {
         Map("delta.checkpointPolicy" -> "v2"))
       val (_, tCkptV2) = timed(
         graft.delta.DeltaLog.forTable(spark, tableDir).checkpoint())
-      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      // Streaming admission control (the r18 surface, first perf-tracked
+      // here in r19): drain a 4-commit backlog under maxFilesPerTrigger=2
+      // with Trigger.AvailableNow — the planned-offset fence must walk
+      // the backlog in rate-limited batches and stop. Wall time covers
+      // the whole query lifecycle (start → drained); the batch count is
+      // recorded as a fact so a rate-limit regression (one giant batch,
+      // or one batch per FILE) is visible even when the wall is flat.
+      val stagingDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-stream").toString
+      val streamCk = java.nio.file.Files
+        .createTempDirectory("graft-bench-stream-ck").toString
+      graft.delta.DeltaTable.create(spark,
+        spark.range(0, 1000).toDF("v").coalesce(1), stagingDir)
+      for (_ <- 1 to 3) graft.delta.DeltaTable.append(spark, stagingDir,
+        spark.range(0, 1000).toDF("v").coalesce(1))
+      val (nStreamBatches, tStreamDrain) = timed {
+        val q = spark.readStream.format("graftdelta")
+          .option("maxFilesPerTrigger", "2").load(stagingDir)
+          .writeStream.format("noop")
+          .option("checkpointLocation", streamCk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0)
+      }
+      val localFs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      localFs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(streamCk), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
       val timings = Map(
         "table_build" -> tBuild, "validate_unsorted" -> tV1, "plan" -> tPlan,
         "compact" -> tCompact, "validate_sorted" -> tV2,
@@ -501,8 +529,10 @@ object Bench {
         "full_read" -> tFull, "connector_scan" -> tConn,
         "delete_selective" -> tDelete, "dv_delete" -> tDvDelete,
         "dv_compact" -> tDvCompact, "rt_enable" -> tRtEnable,
-        "rt_compact" -> tRtCompact, "checkpoint_v2" -> tCkptV2)
+        "rt_compact" -> tRtCompact, "checkpoint_v2" -> tCkptV2,
+        "stream_drain" -> tStreamDrain)
       val facts = Map(
+        "stream_batches" -> nStreamBatches.toString,
         "skip_files_read" -> prunedFiles.toString,
         "delete_files_rewritten" -> delStats.filesRemoved.toString,
         "dv_files_masked" -> dvStats.filesAdded.toString,
@@ -590,6 +620,10 @@ object Bench {
           s""""dv_compact":${fmt(emed("dv_compact"))},""" +
           s""""rt_enable":${fmt(emed("rt_enable"))},"rt_compact":${fmt(emed("rt_compact"))},""" +
           s""""checkpoint_v2":${fmt(emed("checkpoint_v2"))},""" +
+          (if (withBytes)
+            s""""stream_drain":${fmt(emed("stream_drain"))},""" +
+              s""""stream_batches":${facts("stream_batches")},"""
+          else "") +
           s""""files_in":${facts("files_in")},"files_out":${facts("files_out")},""" +
           (if (withBytes) s""""bytes_in":${facts("bytes_in")},"bytes_out":${facts("bytes_out")},""" else "") +
           s""""violations_before":${facts("violations_before")},"ok_after":${facts("ok_after")}},"""
@@ -669,6 +703,24 @@ object Bench {
         s""""query_stats":$stats,"failed":$fs,$loadJson$engineFull"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailsPath),
       details.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ARCHIVE per round (r18 judge #4): BENCH_DETAILS.json is mutable —
+    // each round's write destroyed the previous round's per-query
+    // medians, the very data the cross-round rules and judges compare
+    // against. A representative run (the one allowed to update the
+    // mutable baseline) also writes an immutable per-round copy,
+    // numbered after the driver's BENCH_r{NN}.json series: the driver
+    // stamps round N's artifact AFTER this bench runs, so the next
+    // round number is max(existing)+1. Repeated local runs within a
+    // round overwrite their own archive — still one file per round.
+    if (detailsPath == "BENCH_DETAILS.json") {
+      val RoundFile = "BENCH_r(\\d+)\\.json".r
+      val nextRound = Option(new java.io.File(".").list()).toSeq.flatten
+        .collect { case RoundFile(n) => n.toInt }
+        .foldLeft(0)(math.max) + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_DETAILS_r$nextRound%02d.json"),
+        details.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // Compact load sentinel for the driver-captured stdout line (the
     // full start/end triples live in BENCH_DETAILS.json): 1-min loadavg
     // and live-JVM count at [start, end] — a "regression" recorded next

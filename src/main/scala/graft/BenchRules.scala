@@ -8,7 +8,7 @@ package graft
   * Rule history, because every threshold here was bought with a
   * phantom regression: median > 3× own min is the INTRA-run external-
   * load fingerprint (r8); median > 1.5× the previous round's recorded
-  * median with a 0.3 s absolute floor is the CROSS-round fingerprint
+  * median with a scaled absolute floor is the CROSS-round fingerprint
   * (r15's q_join_multiway shipped 0.7 → 3.8 s under load with
   * intra-run spread below 3×; the multiplier was 2× until r18 — all
   * four of r17's load-inflated queries, q_join_multiway's SECOND
@@ -27,9 +27,16 @@ object BenchRules {
   def ownSuspect(v: Stat): Boolean = v._2 > 0 && v._1 > 3 * v._2
 
   /** Cross-round suspect: 1.5× the previous recorded median, with a
-    * 0.3 s absolute floor so sub-100ms noise can't trigger re-runs. */
+    * SCALED absolute floor `max(0.1 s, 0.15 × prev)`. The floor was a
+    * flat 0.3 s until r19, which left a blind spot exactly at the
+    * 0.2 s class: a 0.2 → 0.5 s drift is 2.5× but Δ ≈ 0.28 < 0.3 never
+    * fired (r18's q_filter_pushdown/q_text_stats/q_anti_join all sat
+    * there). Scaling the floor keeps the original intent — sub-100ms
+    * jitter can't trigger re-runs — while catching small-query drift:
+    * at prev = 2 s the floor is back to 0.3 s. */
   def crossSuspect(prevMedian: Option[Double], median: Double): Boolean =
-    prevMedian.exists(p => p > 0 && median > 1.5 * p && median - p > 0.3)
+    prevMedian.exists(p => p > 0 && median > 1.5 * p &&
+      median - p > math.max(0.1, 0.15 * p))
 
   /** Whole-run re-run trigger: post-salvage total vs the previous
     * same-sf total over the same query set. The 0.5 s prev floor and

@@ -160,6 +160,11 @@ final class GraftDeltaDataSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val opts = lower(parameters)
     val tableUri = path(opts)
+    // time travel is read-only (see GraftWriteBuilder.build, which v2
+    // writes hit; this covers any direct v1 CreatableRelationProvider use)
+    require(!opts.contains("versionasof") && !opts.contains("timestampasof"),
+      s"graftdelta: cannot write to a time-travelled table ($tableUri) — " +
+        "versionAsOf/timestampAsOf pins a read-only historical snapshot")
     val spark = sqlContext.sparkSession
     // native `DataFrameWriter.partitionBy` arrives as the JSON-encoded
     // `__partition_columns` option on the v1 command path (the same key
@@ -492,13 +497,14 @@ object GraftDeltaDataSource {
       DeltaLog.forTable(spark, uri).versionAtTimestamp(parseTimestamp(t))))
   }
 
+  /** Delegates to the one shared parser (see
+    * [[GraftDeltaSource.parseTimestamp]]) so batch `timestampAsOf` and
+    * streaming/CDF `startingTimestamp`/`endingTimestamp` resolve
+    * identical strings to identical instants — same formats, same
+    * explicit UTC zone (the old `java.sql.Timestamp.valueOf` path read
+    * the JVM default zone and could disagree with the streaming side). */
   private[graft] def parseTimestamp(s: String): Long =
-    try s.toLong catch { case _: NumberFormatException =>
-      try java.sql.Timestamp.valueOf(s).getTime
-      catch { case _: IllegalArgumentException =>
-        try java.time.Instant.parse(s).toEpochMilli
-        catch { case _: java.time.format.DateTimeParseException =>
-          java.sql.Date.valueOf(s).getTime } } }
+    GraftDeltaSource.parseTimestamp(s)
 }
 
 object GraftDeltaRelation {

@@ -83,14 +83,28 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
   private val schemaSnap = log.fileFreeSnapshot()
 
   private val maxFiles: Long =
-    options.get("maxfilespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
+    options.get("maxfilespertrigger").map { v =>
+      try v.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graftdelta: invalid maxFilesPerTrigger '$v' — expected a file count")
+      }
+    }.getOrElse(Long.MaxValue)
   /** Soft byte cap per micro-batch (delta's `maxBytesPerTrigger`): files
     * are admitted while the batch's cumulative size is below the cap,
     * so the file that crosses it is still included and every batch
     * admits at least one file. Version-granular CDF batches ignore it
-    * (a commit's row-level changes are indivisible). */
+    * (a commit's row-level changes are indivisible). Accepts a bare
+    * byte count or the upstream option's size-suffixed strings
+    * (`500m`, `10g`, …). */
   private val maxBytes: Long =
-    options.get("maxbytespertrigger").map(_.toLong).getOrElse(Long.MaxValue)
+    options.get("maxbytespertrigger").map { v =>
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graftdelta: invalid maxBytesPerTrigger '$v' — expected a byte " +
+            "count or a size string like '500m' or '10g'")
+      }
+    }.getOrElse(Long.MaxValue)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes =
     ignoreChanges || options.get("ignoredeletes").exists(_.toBoolean)
@@ -463,18 +477,34 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 }
 
 object GraftDeltaSource {
-  /** `startingTimestamp` accepts epoch millis, an ISO-8601 instant, or
-    * the SQL timestamp shape `yyyy-MM-dd HH:mm:ss[.f…]` (interpreted
-    * at UTC, the engine's pinned session zone). */
+  /** THE timestamp parser for every time-travel/CDF option —
+    * `timestampAsOf`, `startingTimestamp`, `endingTimestamp` share it so
+    * the same string can never resolve to different versions on the
+    * batch vs streaming path. Accepts epoch millis, an ISO-8601
+    * instant, the SQL timestamp shape `yyyy-MM-dd HH:mm:ss[.f…]`, or a
+    * bare date — the two local shapes interpreted at UTC, the engine's
+    * pinned session zone (never the JVM default zone). */
   private[graft] def parseTimestamp(s: String): Long = {
     val t = s.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    if (t.nonEmpty && t.matches("-?\\d+")) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime
+        try java.time.LocalDateTime
           .parse(t.replace(' ', 'T'))
           .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDate.parse(t)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"graftdelta: cannot parse timestamp '$s' — expected " +
+                    "epoch millis, an ISO-8601 instant, " +
+                    "'yyyy-MM-dd HH:mm:ss[.f]', or a bare date")
+            }
+        }
     }
   }
 

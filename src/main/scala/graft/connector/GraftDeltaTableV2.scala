@@ -232,7 +232,17 @@ final class GraftWriteBuilder(
     this
   }
 
-  override def build(): Write = new V1Write {
+  override def build(): Write = {
+    // time travel is read-only: a `versionAsOf`/`timestampAsOf` option
+    // (or a `path@vN` suffix, which resolveVersionSuffix rewrites into
+    // `versionasof`) on a WRITE would otherwise be silently ignored and
+    // the write land on the base table at latest — refuse loudly, the
+    // same contract delta-spark enforces
+    require(!options.contains("versionasof") && !options.contains("timestampasof"),
+      s"graftdelta: cannot write to a time-travelled table ($tableUri) — " +
+        "versionAsOf/timestampAsOf (or a path @vN suffix) pins a read-only " +
+        "historical snapshot")
+    new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
@@ -287,5 +297,6 @@ final class GraftWriteBuilder(
             spark.sqlContext, mode, withReplace, aligned)
         }
       }
+  }
   }
 }

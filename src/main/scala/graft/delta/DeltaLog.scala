@@ -986,9 +986,14 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     }
     val removes = cpRemoves.union(spark.createDataset(jsonRemoves))
     // candidate = expired tombstone's data file (+ its DV sidecar),
-    // as a scheme/authority-stripped absolute path UNDER the root
+    // as a scheme/authority-stripped absolute path UNDER the root.
+    // The cutoff applies to the NEWEST tombstone per path: a file that
+    // was removed, resurrected by RESTORE, and removed again inside the
+    // retention window still matches its old expired tombstone, but its
+    // fresh one proves readers in the window may need it — same for a
+    // DV sidecar shared by expired and unexpired tombstones. The
+    // groupBy shuffles only the churn-bounded candidate set.
     val candidates = removes
-      .filter(_.deletionTimestamp < cutoff)
       .mapPartitions { it =>
         val rootP = new Path(rootStr)
         it.flatMap { r =>
@@ -1000,12 +1005,16 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
             .filter(d => d.storageType == "u" || d.storageType == "p")
             .map(d => DeletionVectors.sidecarPath(rootP, d))
           (Iterator(dataP) ++ dv.iterator)
-            .map(p => Path.getPathWithoutSchemeAndAuthority(p).toString)
+            .map(p => (Path.getPathWithoutSchemeAndAuthority(p).toString,
+              r.deletionTimestamp))
         }
       }
-      .filter(_.startsWith(rootBare))
-      .distinct()
-      .toDF("path")
+      .filter(_._1.startsWith(rootBare))
+      .toDF("path", "ts")
+      .groupBy("path")
+      .agg(org.apache.spark.sql.functions.max("ts").as("ts"))
+      .where(org.apache.spark.sql.functions.col("ts") < cutoff)
+      .select("path")
     // resurrection guard: anything in the CURRENT active set (data file
     // or referenced DV sidecar) is live regardless of old tombstones
     val activeDf = acts.ds.mapPartitions { it =>

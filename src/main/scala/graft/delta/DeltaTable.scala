@@ -3644,11 +3644,15 @@ object DeltaTable {
 
       // inserts: source rows matching NO target row, first applicable
       // clause; anti against the candidate files (a pruned file is
-      // PROVEN to hold no row satisfying the condition)
+      // PROVEN to hold no row satisfying the condition). The source goes
+      // in UNHINTED: a broadcast hint on the LEFT of a left_anti is
+      // unsupported (build side must be right) and only trips
+      // HintErrorLogger — the target side stays eligible for an
+      // AQE/stats broadcast on its own merits.
       val antiBase =
         if (matchedX.isEmpty) readFiles(spark, log, snap, candidates)
         else base
-      val srcOnly = src.join(antiBase, condition, "left_anti")
+      val srcOnly = srcProjected.join(antiBase, condition, "left_anti")
       val insIdx = insertX.zipWithIndex.foldRight(lit(-1)) {
         case (((cond, _), i), els) =>
           when(clauseCond(cond), lit(i)).otherwise(els)

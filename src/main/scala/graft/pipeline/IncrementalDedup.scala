@@ -26,8 +26,9 @@ import graft.queries.Dedup
   *  1. one narrow MinHash pass over the batch (identical signature
   *     scheme to the oracle-checked batch dedup — [[Dedup.minhashPass]]);
   *  2. drop documents sharing any band signature with the INDEX
-  *     (duplicates of the accepted corpus) — a semi-join probing with
-  *     the (small) batch side broadcast;
+  *     (duplicates of the accepted corpus) — a join probing with the
+  *     batch side as the build (broadcast while proven small,
+  *     shuffle-hash for backfill-sized batches);
   *  3. cluster the remainder WITHIN the batch on shared signatures
   *     (small-star/large-star label propagation — O(log n) rounds) and
   *     keep each cluster's min doc_id;
@@ -84,16 +85,22 @@ object IncrementalDedup {
   }
 
   /** Batch doc_ids whose band signatures already exist in the index.
-    * The BATCH is the small side, so it must be the broadcast BUILD
+    * The BATCH is the small side, so it should be the broadcast BUILD
     * side: an inner join with the batch broadcast on the right streams
     * the (100 TB-scale) index through a hash probe — one pass, zero
     * index shuffle. (A `left_semi` with the batch on the left canNOT
     * broadcast the batch — semi-joins build right — and would fall back
     * to shuffling the index.) Only the matched ids are shuffled, by the
-    * distinct. */
-  private[graft] def corpusDuplicates(index: DataFrame, sigs: DataFrame): DataFrame =
+    * distinct. "Batch-sized" is an assumption, not a fact — a backfill
+    * batch through foreachBatch can be arbitrarily large — so the
+    * build side goes through [[graft.queries.Tables.gatedBuild]]:
+    * broadcast while proven small, shuffle-hash join past the cap. */
+  private[graft] def corpusDuplicates(index: DataFrame, sigs: DataFrame,
+      rowCap: Int = graft.queries.Tables.BroadcastRowCap): DataFrame =
     index.join(
-      broadcast(sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc"))),
+      graft.queries.Tables.gatedBuild(
+        sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc")),
+        rowCap),
       Seq("band", "sig"))
       .select(col("batch_doc").as("doc_id")).distinct()
 
@@ -124,8 +131,16 @@ object IncrementalDedup {
           .select(col("doc_id"))
       val dropped = dupCorpus.unionByName(losers).distinct().cache()
       droppedCached = Some(dropped)
-      val accepted = batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-      val acceptedSigs = sigs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      // one count materializes the cache, sizes the broadcast gate, and
+      // feeds the stats — the dropped set is batch-bounded by
+      // construction, but a backfill-sized batch must degrade to a
+      // shuffle-hash anti join instead of a forced broadcast
+      val nDropped = dropped.count()
+      val droppedBuild =
+        if (nDropped <= graft.queries.Tables.BroadcastRowCap) broadcast(dropped)
+        else dropped.hint("shuffle_hash")
+      val accepted = batch.join(droppedBuild, Seq("doc_id"), "left_anti")
+      val acceptedSigs = sigs.join(droppedBuild, Seq("doc_id"), "left_anti")
         .select(col("band"), col("sig"), col("doc_id"))
 
       // (4) corpus FIRST, then index (crash-safe order — object doc)
@@ -134,7 +149,7 @@ object IncrementalDedup {
 
       val total = batch.count()
       val nDupCorpus = dupCorpus.count()
-      val nLosers = dropped.count() - nDupCorpus
+      val nLosers = nDropped - nDupCorpus
       IngestStats(total, nDupCorpus, nLosers, total - nDupCorpus - nLosers)
     } finally {
       // unpersist exactly what THIS call cached — clearCache() would

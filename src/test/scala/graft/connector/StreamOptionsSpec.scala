@@ -66,6 +66,67 @@ class StreamOptionsSpec extends AnyFunSuite {
     assert(batches.forall(_.size == 1) && batches.flatten.size == 4)
   }
 
+  test("maxBytesPerTrigger accepts size-suffixed strings; bad values name the option") {
+    val dir = TestSpark.tmpDir("so-bytes-suffix")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    for (i <- 2 to 3) DeltaTable.append(spark, dir, Seq(i.toLong).toDF("v"))
+    // '1b' = 1 byte — below any file, so the soft cap admits exactly
+    // one file per batch: proves the suffix PARSED and ENGAGED
+    // deterministically (file sizes vary with parquet encoding)
+    val batches = walk(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0", "maxbytespertrigger" -> "1b")))
+    assert(batches.flatten.size == 3)
+    assert(batches.size == 3) // the cap actually engaged, suffix parsed
+    val big = walk(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "0", "maxbytespertrigger" -> "10g")))
+    assert(big.size == 1) // one batch takes everything
+    // a garbage value fails naming the option, not a bare NumberFormat
+    val e = intercept[IllegalArgumentException] {
+      new GraftDeltaSource(spark, dir,
+        Map("startingversion" -> "0", "maxbytespertrigger" -> "lots"))
+    }
+    assert(e.getMessage.contains("maxBytesPerTrigger"), s"got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      new GraftDeltaSource(spark, dir,
+        Map("startingversion" -> "0", "maxfilespertrigger" -> "many"))
+    }
+    assert(e2.getMessage.contains("maxFilesPerTrigger"))
+  }
+
+  test("one shared timestamp parser: batch and streaming agree on every shape") {
+    import GraftDeltaSource.parseTimestamp
+    // the batch path delegates to the same function — literally one parser
+    assert(GraftDeltaDataSource.parseTimestamp("1700000000000") ==
+      parseTimestamp("1700000000000"))
+    // epoch millis
+    assert(parseTimestamp("0") == 0L)
+    assert(parseTimestamp("-100") == -100L)
+    // ISO instant
+    assert(parseTimestamp("1970-01-01T00:00:01Z") == 1000L)
+    // SQL timestamp shape, pinned to UTC regardless of JVM default zone
+    val defTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+    try {
+      assert(parseTimestamp("1970-01-01 00:00:01") == 1000L)
+      assert(parseTimestamp("1970-01-01 00:00:01.5") == 1500L)
+      // bare date = UTC midnight (now accepted on the streaming path too)
+      assert(parseTimestamp("1970-01-02") == 86400000L)
+      assert(GraftDeltaDataSource.parseTimestamp("1970-01-02") == 86400000L)
+    } finally java.util.TimeZone.setDefault(defTz)
+    // junk fails with a descriptive message on BOTH paths
+    val e = intercept[IllegalArgumentException] { parseTimestamp("yesterday") }
+    assert(e.getMessage.contains("cannot parse timestamp"))
+  }
+
+  test("startingTimestamp accepts a bare date without throwing") {
+    val dir = TestSpark.tmpDir("so-bare-date")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    // before every commit: the whole log — and no DateTimeParseException
+    val batches = walk(new GraftDeltaSource(spark, dir,
+      Map("startingtimestamp" -> "2000-01-01")))
+    assert(batches.flatten.size == 1)
+  }
+
   test("startingVersion=latest delivers only commits made after start") {
     val dir = TestSpark.tmpDir("so-latest")
     DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)

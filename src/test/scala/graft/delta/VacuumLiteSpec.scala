@@ -59,6 +59,38 @@ class VacuumLiteSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("re-removed file inside the retention window beats its old expired tombstone") {
+    // remove(ancient) -> re-add (restore shape) -> remove(now): the file
+    // is absent from the active set, so the anti-join can't protect it,
+    // and its ANCIENT tombstone is past any cutoff — but the fresh one
+    // proves readers inside the retention window (time travel to the
+    // resurrected version, concurrent snapshots) may still need the
+    // file. The cutoff must apply to max(deletionTimestamp) per path.
+    val dir = TestSpark.tmpDir("vl-reremove")
+    DeltaTable.create(spark, Seq(1, 2).toDF("v").repartition(2), dir) // v0
+    val log = DeltaLog.forTable(spark, dir)
+    val victim = log.snapshot().files.head
+    def remove(ts: Long) = log.commitLatest(Seq(
+      RemoveFile(victim.path, ts, dataChange = true, victim.partitionValues,
+        victim.size),
+      CommitInfo(0L, "DELETE", Map.empty)))
+    remove(0L) // v1: ancient tombstone (far past any retention)
+    log.commitLatest(Seq(victim, CommitInfo(0L, "RESTORE", Map.empty))) // v2
+    remove(System.currentTimeMillis()) // v3: fresh tombstone, in-window
+    val res = log.vacuum(retentionMs = 3600L * 1000, // cutoff between the two
+      enforceRetentionDuration = false, lite = true)
+    assert(res.isEmpty,
+      s"file with an unexpired tombstone must never be a candidate, got $res")
+    assert(new java.io.File(dir, victim.path).exists())
+    // time travel to the resurrected version still reads it
+    assert(spark.read.format("graftdelta").option("versionAsOf", "2")
+      .load(dir).count() == 2)
+    // once the fresh tombstone expires too, the file goes
+    val after = log.vacuum(retentionMs = 0L, enforceRetentionDuration = false,
+      lite = true)
+    assert(after.filesDeleted == 1L && after.sample == Seq(victim.path))
+  }
+
   test("a shallow clone's absolute-path tombstones never touch the source") {
     val src = TestSpark.tmpDir("vl-clone-src")
     DeltaTable.create(spark, Seq(1, 2, 3).toDF("v").repartition(3), src)

@@ -86,6 +86,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }.isEmpty, "the index must never be shuffled for the probe")
   }
 
+  test("backfill-sized batch degrades the probe to shuffle-hash, same result") {
+    // the r19 size gate: above the row cap the batch side must NOT be
+    // forced into a broadcast (a backfill batch through foreachBatch is
+    // unbounded) — the join becomes shuffle-hash and returns the
+    // identical duplicate set
+    val corpus = TestSpark.tmpDir("incd6-corpus")
+    val index = TestSpark.tmpDir("incd6-index")
+    val b = Seq((1L, doc("lambda")), (2L, doc("mu"))).toDF("doc_id", "text")
+    IncrementalDedup.ingest(spark, corpus, index, b, "t6", 0L)
+    val sigs = IncrementalDedup.bandSignatures(b)
+    val idx = DeltaTable.read(spark, index)
+    val viaBroadcast = IncrementalDedup.corpusDuplicates(idx, sigs)
+      .as[Long].collect().sorted.toSeq
+    val overCap = IncrementalDedup.corpusDuplicates(idx, sigs, rowCap = 0)
+    val viaShuffle = overCap.as[Long].collect().sorted.toSeq
+    assert(viaBroadcast == Seq(1L, 2L)) // both docs are in the index now
+    assert(viaShuffle == viaBroadcast)
+    val plan = overCap.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, s"over-cap probe must shuffle-hash, plan:\n$plan")
+  }
+
   test("streaming wiring: staged commits flow through exactly once") {
     val staging = TestSpark.tmpDir("incd4-staging")
     val corpus = TestSpark.tmpDir("incd4-corpus")
