@@ -60,7 +60,13 @@ object Tables {
     * the frames gated here are cached/derived dedup outputs, so the
     * probe never recomputes an expensive lineage twice. */
   def gatedBuild(df: DataFrame, rowCap: Int = BroadcastRowCap): DataFrame = {
-    val n = df.select(lit(1).as("one")).limit(rowCap + 1).count()
+    val n = df.queryExecution.optimizedPlan match {
+      // driver-built frames (e.g. the union-find cluster path) carry
+      // their exact row count in the plan — no job needed
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size.toLong
+      case _ => df.select(lit(1).as("one")).limit(rowCap + 1).count()
+    }
     if (n <= rowCap) broadcast(df) else df.hint("shuffle_hash")
   }
 }
