@@ -473,15 +473,29 @@ object GraftDeltaDataSource {
       opts.get("endingtimestamp").isEmpty,
       "readChangeFeed: set either endingVersion or endingTimestamp, not both")
     lazy val log = DeltaLog.forTable(spark, uri)
-    val startV = opts.get("startingversion").map(_.toLong)
+    val startV = longOption(opts, "startingversion", "startingVersion")
       .orElse(opts.get("startingtimestamp").map(t =>
         log.versionAtOrAfterTimestamp(GraftDeltaSource.parseTimestamp(t))))
       .getOrElse(0L)
-    val endV = opts.get("endingversion").map(_.toLong)
+    val endV = longOption(opts, "endingversion", "endingVersion")
       .orElse(opts.get("endingtimestamp").map(t =>
         log.versionAtTimestamp(GraftDeltaSource.parseTimestamp(t))))
+    endV.foreach(e => require(e >= startV,
+      s"readChangeFeed: endingVersion $e is below startingVersion $startV"))
     (startV, endV)
   }
+
+  /** Numeric option parse that names the offending option on failure —
+    * a config migration typo must not surface as a bare
+    * NumberFormatException with no context. */
+  private def longOption(opts: Map[String, String], key: String,
+      display: String): Option[Long] =
+    opts.get(key).map { v =>
+      try v.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graftdelta: invalid $display '$v' — expected a version number")
+      }
+    }
 
   /** `versionAsOf` / `timestampAsOf` -> the pinned version (both set is
     * an error). Timestamps accept epoch millis, `yyyy-MM-dd HH:mm:ss`,
@@ -489,7 +503,7 @@ object GraftDeltaDataSource {
     * [[DeltaLog.versionAtTimestamp]]. */
   private[connector] def timeTravelVersion(spark: SparkSession, uri: String,
       opts: Map[String, String]): Option[Long] = {
-    val v = opts.get("versionasof").map(_.toLong)
+    val v = longOption(opts, "versionasof", "versionAsOf")
     val ts = opts.get("timestampasof")
     require(v.isEmpty || ts.isEmpty,
       "graftdelta: versionAsOf and timestampAsOf are mutually exclusive")

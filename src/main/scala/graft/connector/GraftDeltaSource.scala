@@ -84,10 +84,12 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
 
   private val maxFiles: Long =
     options.get("maxfilespertrigger").map { v =>
-      try v.trim.toLong catch { case _: NumberFormatException =>
+      val n = try v.trim.toLong catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"graftdelta: invalid maxFilesPerTrigger '$v' — expected a file count")
       }
+      require(n > 0, s"graftdelta: maxFilesPerTrigger must be positive, got $v")
+      n
     }.getOrElse(Long.MaxValue)
   /** Soft byte cap per micro-batch (delta's `maxBytesPerTrigger`): files
     * are admitted while the batch's cumulative size is below the cap,
@@ -98,12 +100,15 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     * (`500m`, `10g`, …). */
   private val maxBytes: Long =
     options.get("maxbytespertrigger").map { v =>
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graftdelta: invalid maxBytesPerTrigger '$v' — expected a byte " +
-            "count or a size string like '500m' or '10g'")
-      }
+      val n =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graftdelta: invalid maxBytesPerTrigger '$v' — expected a byte " +
+              "count or a size string like '500m' or '10g'")
+        }
+      require(n > 0, s"graftdelta: maxBytesPerTrigger must be positive, got $v")
+      n
     }.getOrElse(Long.MaxValue)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes =
@@ -128,7 +133,11 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
         "startingTimestamp, not both")
     sv.map {
       case "latest" => log.latestVersion() + 1
-      case n => n.toLong
+      case n => try n.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graftdelta: invalid startingVersion '$n' — expected a version " +
+            "number or 'latest'")
+      }
     }.orElse(st.map(t =>
       log.versionAtOrAfterTimestamp(GraftDeltaSource.parseTimestamp(t))))
   }

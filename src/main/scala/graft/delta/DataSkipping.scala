@@ -99,17 +99,53 @@ object DataSkipping {
         }
       }
       val ok = statsValid.filter(_._2).keySet
-      def render(v: Either[String, BigDecimal]): String = v match {
-        case Left(s) => q(s)
+      // Long string values are recorded as TRUNCATED BOUNDS, never
+      // verbatim (delta-spark's 32-prefix contract): a wide text column
+      // (a 100 TB document corpus) must not ship whole document bodies
+      // into every AddFile's stats JSON — the log would dwarf the reader
+      // budget. Truncation happens at RENDER time, after raw row-group
+      // merging, in the same code-point domain `cmp` prunes in: the min
+      // claim is a 32-code-point prefix (a prefix is <= the value), the
+      // max claim bumps the prefix's last incrementable code point and
+      // drops the tail (strictly greater than EVERY continuation of the
+      // original prefix — unlike append-a-max-char forms, which a longer
+      // value can still exceed). Fixed-width date/timestamp keys are
+      // under the cap and pass through untouched.
+      def renderMin(v: Either[String, BigDecimal]): String = v match {
+        case Left(s) =>
+          q(if (s.codePointCount(0, s.length) <= StringStatsPrefixLen) s
+            else s.substring(0, s.offsetByCodePoints(0, StringStatsPrefixLen)))
         case Right(n) => n.bigDecimal.toPlainString
       }
-      val minJson = ok.toSeq.filter(mins.contains).map(k => s"${q(k)}:${render(mins(k))}").mkString(",")
-      val maxJson = ok.toSeq.filter(maxs.contains).map(k => s"${q(k)}:${render(maxs(k))}").mkString(",")
+      def renderMax(v: Either[String, BigDecimal]): Option[String] = v match {
+        case Left(s) if s.codePointCount(0, s.length) > StringStatsPrefixLen =>
+          val cps = s.codePoints().limit(StringStatsPrefixLen).toArray
+          val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
+          if (i < 0) None // 32 x U+10FFFF: no safe upper bound — omit
+          else {
+            // +1, skipping the surrogate gap (lone surrogates are not
+            // valid code points to serialize)
+            val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+            val bumped = cps.take(i) :+ next
+            Some(q(new String(bumped, 0, bumped.length)))
+          }
+        case Left(s) => Some(q(s))
+        case Right(n) => Some(n.bigDecimal.toPlainString)
+      }
+      val minJson = ok.toSeq.filter(mins.contains)
+        .map(k => s"${q(k)}:${renderMin(mins(k))}").mkString(",")
+      val maxJson = ok.toSeq.filter(maxs.contains)
+        .flatMap(k => renderMax(maxs(k)).map(v => s"${q(k)}:$v")).mkString(",")
       val nullJson = ok.toSeq.filter(nulls.contains).map(k => s"${q(k)}:${nulls(k)}").mkString(",")
       s"""{"numRecords":$numRecords,"minValues":{$minJson},""" +
         s""""maxValues":{$maxJson},"nullCount":{$nullJson}}"""
     } finally reader.close()
   }
+
+  /** Max code points a string min/max stats claim may carry (delta-spark
+    * collects string stats as 32-character prefixes for the same
+    * reason). Bounds stay valid — see the render functions above. */
+  val StringStatsPrefixLen = 32
 
   private def q(s: String): String = Action.jstr(s)
 

@@ -66,9 +66,11 @@ class DeltaSorter(spark: SparkSession, val tableUri: String) extends Logging {
     * stats intervals — milliseconds at any table size, no data read.
     * A reported violation is proven UNDER EXACT STATS BOUNDS (a strict
     * leading-component inversion is a tuple inversion); writers that
-    * truncate/widen long binary stats (delta-rs does for long strings)
-    * can make a sorted table report a spurious overlap — confirm with
-    * the scanning [[validate]] before acting. A clean result is
+    * truncate/widen long binary stats — delta-rs does for long strings,
+    * and THIS engine records string claims as 32-code-point bounds
+    * ([[graft.delta.DataSkipping.StringStatsPrefixLen]]) — can make a
+    * sorted table report a spurious overlap on a long-string sort key —
+    * confirm with the scanning [[validate]] before acting. A clean result is
     * necessary but not sufficient for full order (intra-file order and
     * exact tuple boundaries still need the scanning validator), so
     * `checkedFiles < files` or 0 violations here means "worth the full

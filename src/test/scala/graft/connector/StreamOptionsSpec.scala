@@ -224,6 +224,28 @@ class StreamOptionsSpec extends AnyFunSuite {
     assert(both.getMessage.contains("not both"))
   }
 
+  test("numeric options validate with the option named; bad ranges refused") {
+    val dir = TestSpark.tmpDir("so-opt-validate")
+    DeltaTable.create(spark, Seq(1L).toDF("v"), dir)
+    def msg(f: => Any): String = intercept[IllegalArgumentException](f).getMessage
+    assert(msg(new GraftDeltaSource(spark, dir,
+      Map("startingversion" -> "newest"))).contains("startingVersion"))
+    assert(msg(new GraftDeltaSource(spark, dir,
+      Map("maxfilespertrigger" -> "0"))).contains("must be positive"))
+    assert(msg(new GraftDeltaSource(spark, dir,
+      Map("maxbytespertrigger" -> "0"))).contains("must be positive"))
+    assert(msg(new GraftDeltaSource(spark, dir,
+      Map("maxbytespertrigger" -> "-5"))).contains("maxBytesPerTrigger"))
+    assert(msg(spark.read.format("graftdelta")
+      .option("versionAsOf", "first").load(dir).collect())
+      .contains("versionAsOf"))
+    assert(msg(spark.read.format("graftdelta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "0")
+      .load(dir).collect())
+      .contains("below startingVersion"))
+  }
+
   test("startingVersion and startingTimestamp together are refused") {
     val dir = TestSpark.tmpDir("so-both")
     DeltaTable.create(spark, Seq(1L).toDF("v"), dir)

@@ -65,6 +65,66 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(nodes.forall(_.get("minValues").has("s")))
   }
 
+  test("long string stats are truncated BOUNDS, never verbatim document bodies") {
+    val dir = TestSpark.tmpDir("skip-longstr")
+    // two files with disjoint 200-char text ranges: all-a's vs all-b's
+    // (+ unique tails so values differ within a file)
+    def doc(c: Char, i: Int) = c.toString * 200 + s"tail$i"
+    val df = Seq.tabulate(6)(i =>
+      (i.toLong, doc(if (i < 3) 'a' else 'b', i))).toDF("k", "text")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+    DeltaTable.create(spark, df, dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = snap.files.map(f => mapper.readTree(f.stats.get))
+    // the log never carries the 200-char bodies — claims are bounded
+    for (n <- nodes; side <- Seq("minValues", "maxValues")
+         if n.get(side).has("text")) {
+      val v = n.get(side).get("text").asText()
+      assert(v.codePointCount(0, v.length) <= DataSkipping.StringStatsPrefixLen + 1,
+        s"$side too long: ${v.length} chars")
+    }
+    // and the BOUNDS stay valid: the bumped max must dominate the true
+    // max, so an equality probe for any stored value keeps its file and
+    // pruning never changes results
+    assert(prunedCount(dir, s"text = '${doc('a', 0)}'") == 1)
+    assert(prunedCount(dir, s"text = '${doc('b', 5)}'") == 1)
+    assert(prunedCount(dir, "text = 'zzz'") == 0) // beyond every max bound
+    assert(prunedCount(dir, "text < 'a'") == 0) // below every min bound
+    for (p <- Seq(s"text = '${doc('a', 1)}'", "text >= 'b'", "text < 'b'"))
+      assertSameRows(dir, p)
+  }
+
+  test("string stats truncation is code-point safe for supplementary chars") {
+    val dir = TestSpark.tmpDir("skip-emoji")
+    // 40 supplementary code points (80 UTF-16 chars): truncation must cut
+    // at a code-point boundary and the bumped max must still dominate
+    val emoji = new String(Character.toChars(0x1F600))
+    val long = emoji * 40
+    DeltaTable.create(spark, Seq((1L, long), (2L, "plain")).toDF("k", "text")
+      .coalesce(1), dir)
+    val snap = DeltaLog.forTable(spark, dir).snapshot()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(snap.files.head.stats.get)
+    val mx = n.get("maxValues").get("text").asText()
+    // no unpaired surrogates anywhere in the claim
+    var i = 0
+    while (i < mx.length) {
+      val c = mx.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        assert(i + 1 < mx.length && Character.isLowSurrogate(mx.charAt(i + 1)),
+          s"unpaired high surrogate at $i")
+        i += 2 // valid pair: skip the low half
+      } else {
+        assert(!Character.isLowSurrogate(c), s"unpaired low surrogate at $i")
+        i += 1
+      }
+    }
+    // the full emoji string still matches its file through the bounds
+    assert(prunedCount(dir, s"text = '$long'") == 1)
+    assertSameRows(dir, s"text = '$long'")
+  }
+
   test("range predicates prune to the covering files; results match unpruned read") {
     val dir = sortedTable()
     assert(prunedCount(dir, "k = 250") == 1)
