@@ -617,9 +617,29 @@ final class GraftDeltaSink(spark: SparkSession, tableUri: String,
     legacyWatermarkValue
   }
 
-  private val autoCompactEvery = options.get("autocompactevery").map(_.toLong)
+  // sink numeric options: parse failures name the option (the same
+  // contract as the source's rate limits); targetFileSize accepts the
+  // upstream size-string forms too
+  private val autoCompactEvery = options.get("autocompactevery").map { v =>
+    val n = try v.trim.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"graftdelta: invalid autoCompactEvery '$v' — expected an epoch count")
+    }
+    require(n > 0, s"graftdelta: autoCompactEvery must be positive, got $v")
+    n
+  }
   private val targetFileSize =
-    options.get("targetfilesize").map(_.toLong).getOrElse(128L * 1024 * 1024)
+    options.get("targetfilesize").map { v =>
+      val n =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graftdelta: invalid targetFileSize '$v' — expected a byte " +
+              "count or a size string like '128m'")
+        }
+      require(n > 0, s"graftdelta: targetFileSize must be positive, got $v")
+      n
+    }.getOrElse(128L * 1024 * 1024)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is the micro-batch's streaming plan; re-wrap
