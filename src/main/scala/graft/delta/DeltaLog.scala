@@ -974,17 +974,36 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
     val rootStr = fs.makeQualified(root).toString
     val rootBare = Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(root))
       .toString.stripSuffix("/") + "/"
-    // tombstones from every retained commit JSON (driver walk —
-    // O(retained versions), the cost history/metadata ops already pay)
-    val jsonRemoves = availableVersions().flatMap(v =>
-      actionsAt(v).collect { case r: RemoveFile => r })
+    // tombstones from every retained commit JSON, parsed in EXECUTORS
+    // (one task per batch of version files): a high-churn table retains
+    // O(churn) tombstones across its JSON window, and they must never
+    // all sit in driver memory — only the version PATH LIST (the cost
+    // history/metadata ops already pay) stays driver-side
+    val versionPaths = availableVersions().map(v => versionFile(v).toString)
+    val jsonRemoves: org.apache.spark.sql.Dataset[RemoveFile] =
+      if (versionPaths.isEmpty) spark.emptyDataset[RemoveFile]
+      else spark.createDataset(versionPaths).mapPartitions { it =>
+        val conf = confSer.value
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { p =>
+          val path = new Path(p)
+          val in = path.getFileSystem(conf).open(path)
+          val content = try {
+            new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          content.split('\n').iterator.filter(_.trim.nonEmpty)
+            .flatMap(line => Action.fromJson(mapper.readTree(line)))
+            .collect { case r: RemoveFile => r }
+        }
+      }
     // + checkpoint tombstones, parsed in executors (foreign high-churn
     // tables can carry O(churn) of them)
     val cpRemoves = lastCheckpoint() match {
       case Some(cp) => Checkpoints.removesDataset(spark, fs, logPath, cp)
       case None => spark.emptyDataset[RemoveFile]
     }
-    val removes = cpRemoves.union(spark.createDataset(jsonRemoves))
+    val removes = cpRemoves.union(jsonRemoves)
     // candidate = expired tombstone's data file (+ its DV sidecar),
     // as a scheme/authority-stripped absolute path UNDER the root.
     // The cutoff applies to the NEWEST tombstone per path: a file that
