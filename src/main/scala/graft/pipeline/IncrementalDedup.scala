@@ -96,13 +96,15 @@ object IncrementalDedup {
     * build side goes through [[graft.queries.Tables.gatedBuild]]:
     * broadcast while proven small, shuffle-hash join past the cap. */
   private[graft] def corpusDuplicates(index: DataFrame, sigs: DataFrame,
-      rowCap: Int = graft.queries.Tables.BroadcastRowCap): DataFrame =
-    index.join(
-      graft.queries.Tables.gatedBuild(
-        sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc")),
-        rowCap),
-      Seq("band", "sig"))
+      rowCap: Int = -1): DataFrame = {
+    val build = sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc"))
+    // negative = default gate (the spark.graft.broadcastRowCap-aware one)
+    val gated =
+      if (rowCap < 0) graft.queries.Tables.gatedBuild(build)
+      else graft.queries.Tables.gatedBuild(build, rowCap)
+    index.join(gated, Seq("band", "sig"))
       .select(col("batch_doc").as("doc_id")).distinct()
+  }
 
   /** One idempotent ingestion step (see object doc). `batch` must carry
     * `doc_id` (long, unique) and `text`; extra columns ride along into
@@ -136,8 +138,11 @@ object IncrementalDedup {
       // construction, but a backfill-sized batch must degrade to a
       // shuffle-hash anti join instead of a forced broadcast
       val nDropped = dropped.count()
+      val dropCap = spark.conf.getOption("spark.graft.broadcastRowCap")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .getOrElse(graft.queries.Tables.BroadcastRowCap)
       val droppedBuild =
-        if (nDropped <= graft.queries.Tables.BroadcastRowCap) broadcast(dropped)
+        if (nDropped <= dropCap) broadcast(dropped)
         else dropped.hint("shuffle_hash")
       val accepted = batch.join(droppedBuild, Seq("doc_id"), "left_anti")
       val acceptedSigs = sigs.join(droppedBuild, Seq("doc_id"), "left_anti")

@@ -58,8 +58,17 @@ object Tables {
     * (`limit(cap+1)` over a constant column short-circuits each
     * partition and ships no payload), so deciding costs one tiny job —
     * the frames gated here are cached/derived dedup outputs, so the
-    * probe never recomputes an expensive lineage twice. */
-  def gatedBuild(df: DataFrame, rowCap: Int = BroadcastRowCap): DataFrame = {
+    * probe never recomputes an expensive lineage twice.
+    * `spark.graft.broadcastRowCap` overrides the default cap (ops
+    * tuning on memory-tight executors; tests pin the shuffle path by
+    * setting it to 0). */
+  def gatedBuild(df: DataFrame): DataFrame =
+    gatedBuild(df,
+      df.sparkSession.conf.getOption("spark.graft.broadcastRowCap")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .getOrElse(BroadcastRowCap))
+
+  def gatedBuild(df: DataFrame, rowCap: Int): DataFrame = {
     val n = df.queryExecution.optimizedPlan match {
       // driver-built frames (e.g. the union-find cluster path) carry
       // their exact row count in the plan — no job needed

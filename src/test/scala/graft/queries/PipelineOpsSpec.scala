@@ -75,6 +75,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(funnel.nonEmpty)
   }
 
+  test("the whole funnel and retention are identical on the forced shuffle path") {
+    // spark.graft.broadcastRowCap=0 forces EVERY gated join in the
+    // pipeline onto the shuffle-hash fallback — the 100 TB shape where
+    // the cluster/contamination tables are corpus-order — and the full
+    // query results must be bit-identical to the broadcast path
+    def rows(q: String) = Pipeline.queries(q)(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val funnelB = rows("q_pipeline_funnel")
+    val retainedB = rows("q_dedup_retained")
+    spark.conf.set("spark.graft.broadcastRowCap", "0")
+    try {
+      assert(rows("q_pipeline_funnel") == funnelB)
+      assert(rows("q_dedup_retained") == retainedB)
+    } finally spark.conf.unset("spark.graft.broadcastRowCap")
+  }
+
   test("minhash LSH candidates cover every high-jaccard pair (recall at J≥0.8)") {
     val trueDups = Dedup.queries("q_dedup_jaccard")(spark, dir).collect()
       .filter(_.getAs[Long]("jaccard_bp") >= 8000)
