@@ -450,37 +450,7 @@ object DeltaTable {
       // fails the write (stats are an optimization input).
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sessionState.newHadoopConf())
-      // delta.dataSkippingNumIndexedCols: stats claims limited to the
-      // schema's first N columns (physical names on a mapped table) —
-      // a wide-schema table must not pay per-file stats JSON over
-      // hundreds of columns. Absent property = index everything (we
-      // never degrade pruning silently; delta's own default is 32).
-      val limited: Option[Set[String]] = snap
-        .flatMap(_.metadata.configuration.get("delta.dataSkippingNumIndexedCols"))
-        .flatMap(v => scala.util.Try(v.toInt).toOption)
-        .map { n =>
-          val s = snap.get
-          s.schema.fields.take(math.max(0, n)).map(f =>
-            if (s.columnMappingMode == "none") f.name
-            else Snapshot.physicalName(f)).toSet
-        }
-      // NON-DEFAULT-collated string columns never make min/max claims:
-      // footer stats are BINARY-ordered, and a foreign reader trusting
-      // them as collation-ordered would wrongly prune (under UTF8_LCASE,
-      // 'A' = 'a' but 65 < 97) — the collations feature's stats contract
-      val effSchema = snap.map(_.schema).getOrElse(df.schema)
-      def physName(f: org.apache.spark.sql.types.StructField): String =
-        if (snap.exists(_.columnMappingMode != "none")) Snapshot.physicalName(f)
-        else f.name
-      val collated: Set[String] = effSchema.fields.collect {
-        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
-            f.dataType != org.apache.spark.sql.types.StringType => physName(f)
-      }.toSet
-      val indexedCols: Option[Set[String]] = (limited, collated) match {
-        case (None, c) if c.isEmpty => None
-        case (None, c) => Some(effSchema.fields.map(physName).toSet -- c)
-        case (Some(l), c) => Some(l -- c)
-      }
+      val indexedCols = statsIndexedCols(snap, df.schema)
       val statsByPath: Map[String, String] = placed.par
         .flatMap { case (_, relPath, dst, _) =>
           try Some(relPath -> DataSkipping.statsFromFooter(conf, dst, indexedCols))
@@ -739,6 +709,47 @@ object DeltaTable {
     missing.map(_.path)
   }
 
+  /** Columns allowed to carry min/max/nullCount stats claims for a
+    * table state — shared by every stats producer (stageWrite,
+    * recomputeStats) so a restamp can never widen the claim set a
+    * regular write respects:
+    *  - `delta.dataSkippingNumIndexedCols` limits claims to the
+    *    schema's first N columns (physical names on a mapped table) —
+    *    a wide-schema table must not pay per-file stats JSON over
+    *    hundreds of columns. Absent property = index everything (we
+    *    never degrade pruning silently; delta's own default is 32);
+    *  - NON-DEFAULT-collated string columns never make claims: footer
+    *    stats are BINARY-ordered, and a reader trusting them as
+    *    collation-ordered would wrongly prune (under UTF8_LCASE,
+    *    'A' = 'a' but 65 < 97) — the collations feature's stats
+    *    contract.
+    * None = every column may claim. */
+  private def statsIndexedCols(snap: Option[Snapshot],
+      dfSchema: org.apache.spark.sql.types.StructType): Option[Set[String]] = {
+    val limited: Option[Set[String]] = snap
+      .flatMap(_.metadata.configuration.get("delta.dataSkippingNumIndexedCols"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .map { n =>
+        val s = snap.get
+        s.schema.fields.take(math.max(0, n)).map(f =>
+          if (s.columnMappingMode == "none") f.name
+          else Snapshot.physicalName(f)).toSet
+      }
+    val effSchema = snap.map(_.schema).getOrElse(dfSchema)
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (snap.exists(_.columnMappingMode != "none")) Snapshot.physicalName(f)
+      else f.name
+    val collated: Set[String] = effSchema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+          f.dataType != org.apache.spark.sql.types.StringType => physName(f)
+    }.toSet
+    (limited, collated) match {
+      case (None, c) if c.isEmpty => None
+      case (None, c) => Some(effSchema.fields.map(physName).toSet -- c)
+      case (Some(l), c) => Some(l -- c)
+    }
+  }
+
   /** Recompute per-file stats from the parquet footers and re-commit
     * the AddFiles with them — `dataChange = false`, no data moves. The
     * delta-spark `StatisticsCollection.recompute` analog: the skipping
@@ -759,13 +770,17 @@ object DeltaTable {
       spark.sessionState.newHadoopConf())
     val rootStr = log.tableRoot.toString
     val now = System.currentTimeMillis()
+    // same claim-set rules as a regular write (indexed-cols cap,
+    // collated-string exclusion) — a restamp must never widen them
+    val indexedCols = statsIndexedCols(Some(acts.bare), acts.bare.schema)
     val readds: Seq[AddFile] = acts.ds
       .filter(_.deletionVector.isEmpty)
       .mapPartitions { it =>
         val conf = confSer.value
         it.flatMap { f =>
           try Some(f.copy(
-            stats = Some(DataSkipping.statsFromFooter(conf, new Path(rootStr, f.path))),
+            stats = Some(DataSkipping.statsFromFooter(conf,
+              new Path(rootStr, f.path), indexedCols)),
             modificationTime = now, dataChange = false))
           catch { case scala.util.control.NonFatal(_) => None }
         }
