@@ -987,14 +987,21 @@ final class DeltaLog private (val tableUri: String, hadoopConf: Configuration,
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         it.flatMap { p =>
           val path = new Path(p)
-          val in = path.getFileSystem(conf).open(path)
-          val content = try {
-            new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
-          content.split('\n').iterator.filter(_.trim.nonEmpty)
-            .flatMap(line => Action.fromJson(mapper.readTree(line)))
-            .collect { case r: RemoveFile => r }
+          // a commit JSON deleted by a concurrent log cleanup between the
+          // driver listing and this task simply aged out of retention —
+          // its tombstones were never LITE candidates anyway
+          try {
+            val in = path.getFileSystem(conf).open(path)
+            val content = try {
+              new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+            content.split('\n').iterator.filter(_.trim.nonEmpty)
+              .flatMap(line => Action.fromJson(mapper.readTree(line)))
+              .collect { case r: RemoveFile => r }
+          } catch {
+            case _: java.io.FileNotFoundException => Iterator.empty
+          }
         }
       }
     // + checkpoint tombstones, parsed in executors (foreign high-churn
