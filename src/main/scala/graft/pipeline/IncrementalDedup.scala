@@ -121,10 +121,19 @@ object IncrementalDedup {
       val dupCorpus = corpusDuplicates(index, sigs).cache()
       dupCorpusCached = Some(dupCorpus)
       val fresh = sigs.join(dupCorpus, Seq("doc_id"), "left_anti")
-      // (3) within-batch clusters on shared signatures; keep min doc_id
-      val pairs = fresh.as("x").join(fresh.as("y"), Seq("band", "sig"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // (3) within-batch clusters on shared signatures; keep min doc_id.
+      // STAR-REDUCED pair emission, not an all-pairs self-join: the
+      // pairs only feed connected components, and the components of
+      // "everyone in the bucket ↔ the bucket's min doc" are IDENTICAL
+      // to the bucket clique's (transitivity through the min node) —
+      // O(bucket) edges instead of O(bucket²), so a mass-duplicate
+      // backfill batch (one signature shared by 10⁶ docs) emits 10⁶
+      // edges, not 10¹². Two hash shuffles, no windowed buffering.
+      val minPer = fresh.groupBy(col("band"), col("sig"))
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("m"))
+      val pairs = fresh.join(minPer, Seq("band", "sig"))
+        .where(col("doc_id") =!= col("m"))
+        .select(col("m").as("d1"), col("doc_id").as("d2"))
         .distinct()
       val losers =
         if (pairs.isEmpty) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
