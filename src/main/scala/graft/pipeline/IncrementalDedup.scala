@@ -29,9 +29,12 @@ import graft.queries.Dedup
   *     (duplicates of the accepted corpus) — a join probing with the
   *     batch side as the build (broadcast while proven small,
   *     shuffle-hash for backfill-sized batches);
-  *  3. cluster the remainder WITHIN the batch on shared signatures
-  *     (small-star/large-star label propagation — O(log n) rounds) and
-  *     keep each cluster's min doc_id;
+  *  3. cluster the remainder WITHIN the batch on shared signatures —
+  *     pair emission is STAR-REDUCED per (band, sig) bucket (every
+  *     member ↔ the bucket min: identical connected components to the
+  *     clique at O(bucket) edges, never O(bucket²)), then
+  *     small-star/large-star label propagation (O(log n) rounds) keeps
+  *     each cluster's min doc_id;
   *  4. append survivors to the corpus and their signatures to the
   *     index.
   *

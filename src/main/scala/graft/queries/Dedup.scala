@@ -47,6 +47,15 @@ object Dedup {
     * generation (df-1 shingles too — they cannot produce a pair). */
   val DfCap = 50
 
+  /** MinHash LSH bucket cap — the band-bucket analog of [[DfCap]]: a
+    * (band, sig) bucket with more members than this is skipped by
+    * candidate generation (its Σ k² pair blowup is the mass-duplicate
+    * degenerate case; exact dedup collapses those families, and any
+    * pair can still surface through the family's other, uncapped
+    * bands). Far above every observed bucket at test scale — the cap
+    * exists for the 100 TB regime, and the oracle applies it too. */
+  val BucketCap = 1000
+
   /** q_dedup_jaccard's near-dup threshold in basis points (J >= 0.5).
     * ONE constant on purpose: [[pairCounts]] pre-filters the cached
     * candidate table with it, so a consumer threshold lower than the
@@ -426,19 +435,38 @@ object Dedup {
     // pairs; candidates are then verified with exact shingle Jaccard and
     // reported with the similarity in basis points.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
       // Signature table is built ONCE (cached: the md5 minhash pass is
-      // the expensive map) and the band join moves only (band, sig,
-      // doc_id) — never the shingle arrays. Shingle sets are re-joined
-      // afterwards for just the candidate pairs (≪ n²; ~800 at sf0.1).
+      // the expensive map) and candidate generation moves only (band,
+      // sig, doc_id) — never the shingle arrays. Shingle sets are
+      // re-joined afterwards for just the candidate pairs (≪ n²; ~800
+      // at sf0.1). GROUPED-POSTINGS pair emission with a BUCKET CAP
+      // (r19, the jaccard DfCap's analog): one groupBy of the
+      // signatures replaces the former bucket self-join's two shuffles,
+      // and a (band, sig) bucket larger than BucketCap members is
+      // skipped — Σ_bucket k² is what a mass-duplicate family (one
+      // signature shared by 10⁶ docs) turns quadratic at 100 TB, while
+      // exact dedup already collapses such families and their pairs
+      // survive through any uncapped band. The oracle applies the
+      // identical cap.
       val docs = minhashDocs(s, dir).cache()
       val sigs = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           md5(concat_ws("|",
             element_at(col("mh"), b * RowsPerBand + 1),
             element_at(col("mh"), b * RowsPerBand + 2))))).as(Seq("band", "sig")))
-      val cands = sigs.as("x").join(sigs.as("y"), Seq("band", "sig"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val cands = sigs.groupBy(col("band"), col("sig"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")).between(2, BucketCap))
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids =>
+          val p = ids.sorted.toIndexedSeq
+          for {
+            i <- p.indices.iterator
+            j <- Iterator.range(i + 1, p.size)
+          } yield (p(i), p(j))
+        }
+        .toDF("d1", "d2")
         .distinct()
       cands
         .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -727,9 +755,12 @@ object Dedup {
         |bands AS (SELECT doc_id, sh, b AS band,
         |  md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS sig
         | FROM m, LATERAL generate_series(0, 3) g(b)),
+        |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |bk AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
         |    x.sh AS sh1, y.sh AS sh2
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig
         |  WHERE x.doc_id < y.doc_id)
         |SELECT d1, d2,
         |  CAST(10000*len(list_intersect(sh1, sh2))
