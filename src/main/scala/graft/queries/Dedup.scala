@@ -682,9 +682,22 @@ object Dedup {
             }
           }
         }.toDF("vec_id", "band", "bucket")
-      val cands = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
-        .where(col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      // grouped-postings candidate generation with the same BucketCap as
+      // the MinHash bands (r19): one shuffle, and a degenerate bucket —
+      // 10⁶ identical embeddings land in the SAME bucket of EVERY band —
+      // cannot go quadratic
+      val cands = bands.groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("vec_id")).as("ids"))
+        .where(size(col("ids")).between(2, BucketCap))
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids =>
+          val p = ids.sorted.toIndexedSeq
+          for {
+            i <- p.indices.iterator
+            j <- Iterator.range(i + 1, p.size)
+          } yield (p(i), p(j))
+        }
+        .toDF("v1", "v2")
         .distinct()
       cands
         .join(vecs.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
@@ -817,8 +830,11 @@ object Dedup {
         |bkt AS (SELECT vec_id, p // 8 AS band,
         |  CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << (p % 8) ELSE 0 END) AS BIGINT) AS bucket
         | FROM proj GROUP BY vec_id, p // 8),
+        |keepb AS (SELECT band, bucket FROM bkt GROUP BY band, bucket
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |bk AS (SELECT bkt.* FROM bkt JOIN keepb USING (band, bucket)),
         |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-        |  FROM bkt x JOIN bkt y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
         |  WHERE x.vec_id < y.vec_id),
         |p2 AS (SELECT v1, v2,
         |  CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS BIGINT) AS dot,
