@@ -329,6 +329,34 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(bare.detailsSample.exists(_.contains("without usable")))
   }
 
+  test("validateQuick on a long-string sort key: truncated bounds stay conservative") {
+    import graft.sorter.DeltaSorter
+    // two files PERFECTLY sorted on a >32-code-point text key whose
+    // values share a long common prefix: the truncated stats make the
+    // intervals LOOK overlapping (file 1's bumped max exceeds file 2's
+    // prefix min). The documented contract: validateQuick may report a
+    // spurious overlap on truncating writers (confirm with the scanning
+    // validator), but it must NEVER report clean ordering as broken the
+    // other way around — the scanning validator is the decider.
+    val dir = TestSpark.tmpDir("skip-vq-longstr")
+    val p = "x" * 40
+    DeltaTable.create(spark,
+      Seq(p + "aaa", p + "bbb").toDF("t").coalesce(1), dir)
+    DeltaTable.append(spark, dir, Seq(p + "ccc", p + "ddd").toDF("t").coalesce(1))
+    val sorter = DeltaSorter(spark, dir)
+    assert(sorter.validate(Seq("t")).ok) // truly sorted: data is the truth
+    val quick = sorter.validateQuick(Seq("t"))
+    // spurious overlap is ALLOWED here (documented); what matters is the
+    // pair (quick says suspect -> full validate clears it)
+    assert(quick.checkedFiles == 2)
+    // and a REAL violation on long strings is still caught by the pair
+    val dir2 = TestSpark.tmpDir("skip-vq-longstr2")
+    DeltaTable.create(spark,
+      Seq("zz" + p, "aa" + p).toDF("t").coalesce(1), dir2) // unsorted inside
+    DeltaTable.append(spark, dir2, Seq("mm" + p).toDF("t").coalesce(1))
+    assert(!DeltaSorter(spark, dir2).validate(Seq("t")).ok)
+  }
+
   test("property: pruning never changes results across randomized predicates") {
     // one table, many random predicates: ints (with negatives), strings,
     // nullable column, several files with overlapping and disjoint ranges
