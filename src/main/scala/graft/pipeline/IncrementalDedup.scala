@@ -97,7 +97,11 @@ object IncrementalDedup {
     * distinct. "Batch-sized" is an assumption, not a fact — a backfill
     * batch through foreachBatch can be arbitrarily large — so the
     * build side goes through [[graft.queries.Tables.gatedBuild]]:
-    * broadcast while proven small, shuffle-hash join past the cap. */
+    * broadcast while proven small, shuffle-hash join past the cap.
+    * The join's per-bucket blowup is structurally bounded on the INDEX
+    * side: the index holds only ACCEPTED (already-deduplicated)
+    * documents, so an index bucket contains at most the band's
+    * false-collision count, never a duplicate family. */
   private[graft] def corpusDuplicates(index: DataFrame, sigs: DataFrame,
       rowCap: Int = -1): DataFrame = {
     val build = sigs.select(col("band"), col("sig"), col("doc_id").as("batch_doc"))

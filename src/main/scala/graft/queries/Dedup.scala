@@ -682,22 +682,26 @@ object Dedup {
             }
           }
         }.toDF("vec_id", "band", "bucket")
-      // grouped-postings candidate generation with the same BucketCap as
-      // the MinHash bands (r19): one shuffle, and a degenerate bucket —
-      // 10⁶ identical embeddings land in the SAME bucket of EVERY band —
-      // cannot go quadratic
-      val cands = bands.groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("vec_id")).as("ids"))
-        .where(size(col("ids")).between(2, BucketCap))
-        .select(col("ids")).as[Seq[Long]]
-        .flatMap { ids =>
-          val p = ids.sorted.toIndexedSeq
-          for {
-            i <- p.indices.iterator
-            j <- Iterator.range(i + 1, p.size)
-          } yield (p(i), p(j))
-        }
-        .toDF("v1", "v2")
+      // CAPPED self-join candidate generation (same BucketCap as the
+      // MinHash bands, applied by a bucket-size pre-filter — the exact
+      // `keepb`/`bk` shape of the oracle SQL): a degenerate bucket (10⁶
+      // identical embeddings land in the SAME bucket of EVERY band)
+      // cannot go quadratic. DELIBERATELY a codegen'd join, NOT the
+      // grouped-postings typed emission MinHash uses: hyperplane
+      // buckets are DENSE (2^EPlanes per band, all occupied — legit
+      // pair volume grows with corpus density), and at sf1 the typed
+      // Seq[Long] emission paid encoder overhead on every one of ~6M
+      // pairs (8.0s vs 1.5s measured) where the join stays inside
+      // whole-stage codegen. MinHash keeps postings because ITS buckets
+      // are md5 signatures — sparse and duplicate-bounded.
+      val keep = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn").between(2L, BucketCap.toLong))
+        .select(col("band"), col("bucket"))
+      val bk = bands.join(keep, Seq("band", "bucket"))
+      val cands = bk.as("x").join(bk.as("y"), Seq("band", "bucket"))
+        .where(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
         .distinct()
       cands
         .join(vecs.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
