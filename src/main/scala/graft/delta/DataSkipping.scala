@@ -112,24 +112,11 @@ object DataSkipping {
       // value can still exceed). Fixed-width date/timestamp keys are
       // under the cap and pass through untouched.
       def renderMin(v: Either[String, BigDecimal]): String = v match {
-        case Left(s) =>
-          q(if (s.codePointCount(0, s.length) <= StringStatsPrefixLen) s
-            else s.substring(0, s.offsetByCodePoints(0, StringStatsPrefixLen)))
+        case Left(s) => q(truncMinString(s))
         case Right(n) => n.bigDecimal.toPlainString
       }
       def renderMax(v: Either[String, BigDecimal]): Option[String] = v match {
-        case Left(s) if s.codePointCount(0, s.length) > StringStatsPrefixLen =>
-          val cps = s.codePoints().limit(StringStatsPrefixLen).toArray
-          val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
-          if (i < 0) None // 32 x U+10FFFF: no safe upper bound — omit
-          else {
-            // +1, skipping the surrogate gap (lone surrogates are not
-            // valid code points to serialize)
-            val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
-            val bumped = cps.take(i) :+ next
-            Some(q(new String(bumped, 0, bumped.length)))
-          }
-        case Left(s) => Some(q(s))
+        case Left(s) => truncMaxString(s).map(q)
         case Right(n) => Some(n.bigDecimal.toPlainString)
       }
       val minJson = ok.toSeq.filter(mins.contains)
@@ -144,8 +131,38 @@ object DataSkipping {
 
   /** Max code points a string min/max stats claim may carry (delta-spark
     * collects string stats as 32-character prefixes for the same
-    * reason). Bounds stay valid — see the render functions above. */
+    * reason). Bounds stay valid — see the truncation functions below. */
   val StringStatsPrefixLen = 32
+
+  /** Lower-bound truncation: the first [[StringStatsPrefixLen]] code
+    * points. A code-point prefix is ≤ the value in code-point order
+    * (the domain [[mayMatch]] prunes in), so the claim stays a valid
+    * MIN bound; cutting on code-point boundaries never strands half a
+    * surrogate pair. */
+  private[delta] def truncMinString(s: String): String =
+    if (s.codePointCount(0, s.length) <= StringStatsPrefixLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StringStatsPrefixLen))
+
+  /** Upper-bound truncation: bump the prefix's LAST incrementable code
+    * point and drop the tail — the result is strictly greater than
+    * EVERY continuation of the original prefix (unlike append-a-max-char
+    * forms, which a longer value can still exceed). The +1 skips the
+    * surrogate gap (lone surrogates are not valid code points to
+    * serialize). `None` — every prefix code point is already U+10FFFF —
+    * means no safe bounded upper claim exists; the column then simply
+    * makes no max claim for this file. */
+  private[delta] def truncMaxString(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= StringStatsPrefixLen) Some(s)
+    else {
+      val cps = s.codePoints().limit(StringStatsPrefixLen).toArray
+      val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
+      if (i < 0) None
+      else {
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val bumped = cps.take(i) :+ next
+        Some(new String(bumped, 0, bumped.length))
+      }
+    }
 
   private def q(s: String): String = Action.jstr(s)
 
@@ -286,7 +303,7 @@ object DataSkipping {
     * String.compareTo compares UTF-16 code UNITS, which ranks
     * supplementary characters (surrogate pairs) BELOW [U+E000, U+FFFF]
     * and would mis-prune files containing them. */
-  private def codePointCompare(a: String, b: String): Int = {
+  private[delta] def codePointCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

@@ -1,0 +1,111 @@
+package graft.delta
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the string-stats truncation invariants: for EVERY
+  * string — including supplementary characters, surrogate-gap
+  * neighbors, and adversarial U+10FFFF runs — the truncated claims must
+  * stay valid BOUNDS in the code-point order the pruner compares in.
+  * A violated bound is a wrong prune (missing rows); these properties
+  * are the whole correctness argument of the truncation. Seeded RNG
+  * keeps runs deterministic (the SortPropertySpec convention). */
+class StatsTruncationPropertySpec extends AnyFunSuite {
+  private val rng = new Random(19)
+
+  // code points biased toward the edges the truncation logic special-
+  // cases: the surrogate gap boundary (U+D7FF/U+E000), the BMP ceiling,
+  // supplementary planes, and U+10FFFF itself
+  private val edges = Array(0x20, 0x41, 0xD7FE, 0xD7FF, 0xE000, 0xE001,
+    0xFFFD, 0xFFFF, 0x10000, 0x1F600, 0x10FFFE, 0x10FFFF)
+
+  private def randomCp(): Int = rng.nextInt(6) match {
+    case 0 | 1 | 2 => 0x20 + rng.nextInt(0xD7E0)            // BMP below gap
+    case 3 => 0xE000 + rng.nextInt(0x2000)                  // BMP above gap
+    case 4 => 0x10000 + rng.nextInt(0x100000)               // supplementary
+    case 5 => edges(rng.nextInt(edges.length))              // edge cases
+  }
+
+  private def randomString(maxCp: Int = 80): String = {
+    val n = rng.nextInt(maxCp + 1)
+    new String(Array.fill(n)(randomCp()).flatMap(Character.toChars))
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  private def wellFormed(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      if (Character.isHighSurrogate(ch)) {
+        if (i + 1 >= t.length || !Character.isLowSurrogate(t.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(ch)) return false
+      else i += 1
+    }
+    true
+  }
+
+  test("truncMinString is a valid lower bound, capped, surrogate-clean") {
+    for (_ <- 1 to 3000) {
+      val s = randomString()
+      val t = DataSkipping.truncMinString(s)
+      assert(DataSkipping.codePointCompare(t, s) <= 0, s"min above value: $s")
+      assert(cpLen(t) <= math.max(cpLen(s).min(DataSkipping.StringStatsPrefixLen),
+        DataSkipping.StringStatsPrefixLen))
+      assert(wellFormed(t))
+    }
+  }
+
+  test("truncMaxString strictly dominates every continuation of the value") {
+    for (_ <- 1 to 3000) {
+      val s = randomString()
+      val suffix = randomString(10)
+      DataSkipping.truncMaxString(s) match {
+        case Some(t) =>
+          assert(DataSkipping.codePointCompare(t, s) >= 0, s"max below value: $s")
+          // the killer case for append-a-max-char schemes: the ORIGINAL
+          // value extended further must still sit under the bound
+          if (cpLen(s) > DataSkipping.StringStatsPrefixLen) {
+            assert(DataSkipping.codePointCompare(t, s + suffix) > 0,
+              s"bound must dominate continuations: $s")
+            assert(cpLen(t) <= DataSkipping.StringStatsPrefixLen)
+          }
+          assert(wellFormed(t))
+        case None =>
+          // only the all-U+10FFFF prefix may refuse a bound
+          val cps = s.codePoints().limit(DataSkipping.StringStatsPrefixLen).toArray
+          assert(cps.forall(_ == Character.MAX_CODE_POINT), s"wrong refusal: $s")
+      }
+    }
+    // the adversarial refusal case, explicitly
+    val maxed = new String(
+      Array.fill(40)(Character.MAX_CODE_POINT).flatMap(Character.toChars))
+    assert(DataSkipping.truncMaxString(maxed).isEmpty)
+    // ...and a single sub-max code point anywhere in the prefix re-arms it
+    val nearlyMaxed = new String(
+      (Array.fill(31)(Character.MAX_CODE_POINT) :+ 0x41)
+        .flatMap(Character.toChars)) + maxed
+    val bound = DataSkipping.truncMaxString(nearlyMaxed)
+    assert(bound.nonEmpty &&
+      DataSkipping.codePointCompare(bound.get, nearlyMaxed) > 0)
+  }
+
+  test("bounds bracket every value between the observed min and max") {
+    // simulate a file: the recorded interval [truncMin(lo), truncMax(hi)]
+    // must contain every value v with lo <= v <= hi — the exact property
+    // prune() relies on when deciding a file cannot match
+    for (_ <- 1 to 3000) {
+      val sorted = Seq(randomString(), randomString(), randomString())
+        .sortWith(DataSkipping.codePointCompare(_, _) < 0)
+      val (lo, v, hi) = (sorted(0), sorted(1), sorted(2))
+      val mn = DataSkipping.truncMinString(lo)
+      assert(DataSkipping.codePointCompare(mn, v) <= 0, s"[$lo,$hi] lost $v low")
+      DataSkipping.truncMaxString(hi).foreach { mx =>
+        assert(DataSkipping.codePointCompare(mx, v) >= 0, s"[$lo,$hi] lost $v high")
+      }
+    }
+  }
+}
