@@ -517,11 +517,57 @@ object Bench {
         q.awaitTermination()
         q.recentProgress.count(_.numInputRows > 0)
       }
+      // Incremental-pipeline ops (r19 verdict #6): the newest
+      // scale-sensitive code paths — persistent-index ingestion — get
+      // cross-round perf tracking like compact/stream_drain.
+      // incr_ingest: 2-batch IncrementalDedup ingestion of this SF's
+      // documents — batch 2 dedups against the index batch 1 persisted,
+      // so the probe path is exercised for real; 2 batches, not more:
+      // the op is fixed-overhead-dominated (label-prop rounds + two
+      // watermarked commits per batch), and the engine section repeats
+      // 4× (warmup + 3 medians);
+      // ann_ingest: IncrementalAnn codebook build + 2-batch assignment
+      // append over the embeddings; ann_probe: a 10-query top-k search
+      // of the persisted index (partition-pruned to the probed lists).
+      import org.apache.spark.sql.functions.col
+      val incrCorpus = java.nio.file.Files
+        .createTempDirectory("graft-bench-incr-corpus").toString
+      val incrIndex = java.nio.file.Files
+        .createTempDirectory("graft-bench-incr-index").toString
+      val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (incrStats, tIncr) = timed {
+        (0 until 2).map { b =>
+          graft.pipeline.IncrementalDedup.ingest(spark, incrCorpus, incrIndex,
+            docsAll.where(col("doc_id") % 2 === b), "bench-incr", b.toLong)
+        }
+      }
+      val annCb = java.nio.file.Files
+        .createTempDirectory("graft-bench-ann-cb").toString
+      val annAsg = java.nio.file.Files
+        .createTempDirectory("graft-bench-ann-asg").toString
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val (_, tAnnIngest) = timed {
+        graft.pipeline.IncrementalAnn.ensureIndex(spark, emb, annCb, annAsg)
+        graft.pipeline.IncrementalAnn.ingest(spark, annCb, annAsg,
+          emb.where(col("vec_id") % 2 === 0), "bench-ann", 0L)
+        graft.pipeline.IncrementalAnn.ingest(spark, annCb, annAsg,
+          emb.where(col("vec_id") % 2 === 1), "bench-ann", 1L)
+      }
+      val (annRows, tAnnProbe) = timed {
+        graft.pipeline.IncrementalAnn.probe(spark, annCb, annAsg,
+          emb.where(col("vec_id") < 10)).count()
+      }
       val localFs = org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
       localFs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
       localFs.delete(new org.apache.hadoop.fs.Path(streamCk), true)
       localFs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(incrCorpus), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(incrIndex), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(annCb), true)
+      localFs.delete(new org.apache.hadoop.fs.Path(annAsg), true)
       val timings = Map(
         "table_build" -> tBuild, "validate_unsorted" -> tV1, "plan" -> tPlan,
         "compact" -> tCompact, "validate_sorted" -> tV2,
@@ -530,8 +576,13 @@ object Bench {
         "delete_selective" -> tDelete, "dv_delete" -> tDvDelete,
         "dv_compact" -> tDvCompact, "rt_enable" -> tRtEnable,
         "rt_compact" -> tRtCompact, "checkpoint_v2" -> tCkptV2,
-        "stream_drain" -> tStreamDrain)
+        "stream_drain" -> tStreamDrain, "incr_ingest" -> tIncr,
+        "ann_ingest" -> tAnnIngest, "ann_probe" -> tAnnProbe)
       val facts = Map(
+        "incr_accepted" -> incrStats.map(_.accepted).sum.toString,
+        "incr_dups" -> incrStats.map(s => s.dupOfCorpus + s.dupWithinBatch)
+          .sum.toString,
+        "ann_probe_rows" -> annRows.toString,
         "stream_batches" -> nStreamBatches.toString,
         "skip_files_read" -> prunedFiles.toString,
         "delete_files_rewritten" -> delStats.filesRemoved.toString,
@@ -622,7 +673,13 @@ object Bench {
           s""""checkpoint_v2":${fmt(emed("checkpoint_v2"))},""" +
           (if (withBytes)
             s""""stream_drain":${fmt(emed("stream_drain"))},""" +
-              s""""stream_batches":${facts("stream_batches")},"""
+              s""""stream_batches":${facts("stream_batches")},""" +
+              s""""incr_ingest":${fmt(emed("incr_ingest"))},""" +
+              s""""incr_accepted":${facts("incr_accepted")},""" +
+              s""""incr_dups":${facts("incr_dups")},""" +
+              s""""ann_ingest":${fmt(emed("ann_ingest"))},""" +
+              s""""ann_probe":${fmt(emed("ann_probe"))},""" +
+              s""""ann_probe_rows":${facts("ann_probe_rows")},"""
           else "") +
           s""""files_in":${facts("files_in")},"files_out":${facts("files_out")},""" +
           (if (withBytes) s""""bytes_in":${facts("bytes_in")},"bytes_out":${facts("bytes_out")},""" else "") +

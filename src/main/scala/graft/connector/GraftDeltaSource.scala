@@ -131,9 +131,11 @@ final class GraftDeltaSource(spark: SparkSession, tableUri: String,
     require(sv.isEmpty || st.isEmpty,
       s"graftdelta stream on $tableUri: set either startingVersion or " +
         "startingTimestamp, not both")
-    sv.map {
-      case "latest" => log.latestVersion() + 1
-      case n => try n.trim.toLong catch { case _: NumberFormatException =>
+    // trim BEFORE the 'latest' match so ' latest ' (config-file padding)
+    // tolerates the same whitespace the numeric branch always has
+    sv.map(_.trim).map {
+      case v if v.equalsIgnoreCase("latest") => log.latestVersion() + 1
+      case n => try n.toLong catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"graftdelta: invalid startingVersion '$n' — expected a version " +
             "number or 'latest'")

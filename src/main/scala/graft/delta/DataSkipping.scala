@@ -562,6 +562,18 @@ object DataSkipping {
         else interval(name)._3.forall(_ > 0) // unknown nullCount -> keep
       case IsNotNull(a) if attrName(a).isDefined =>
         !allNull(attrName(a).get)
+      // disjunctions: a file may match iff SOME branch may match —
+      // sound (never prunes a matching file) and exactly what makes
+      // `p IN (…)` prune a partitioned table down to the named
+      // partitions (the IVF ANN probe's `list_id IN (probed…)` shape)
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        mayMatch(l, view, partitionValues, schema) ||
+          mayMatch(r, view, partitionValues, schema)
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if attrName(a).isDefined && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => mayMatch(EqualTo(a, v.asInstanceOf[Literal]),
+          view, partitionValues, schema))
       case _ => true // unsupported shape: make no claim
     }
   }

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.delta.{DeltaLog, DeltaTable}
+import graft.queries.Similarity
+import graft.queries.TextFeatures.{cosineFromInts, qnorm2, quantize}
+
+/** Persistent IVF ANN index — the 100 TB similarity-search shape.
+  *
+  * `q_ann_ivf` ([[graft.queries.Similarity]]) is the one-shot form: it
+  * derives the coarse codebook and every list assignment inside the
+  * query, which re-scans the corpus per search — a non-starter when the
+  * corpus is 100 TB and searches arrive continuously. This is the
+  * FAISS-style persisted form (same split as
+  * [[IncrementalDedup]] vs the batch dedup queries):
+  *
+  *  - `codebookUri` — the coarse quantizer, IvfK rows
+  *    `(list_id, v, n2)`: built ONCE from a training frame and then
+  *    frozen (re-training is a new index). Metadata-sized — every
+  *    reader collects it whole (bounded by the constant IvfK, never by
+  *    corpus size) and embeds the centroids as plan literals, exactly
+  *    like the one-shot query.
+  *  - `assignUri` — the inverted lists `(list_id, vec_id, v, n2)`,
+  *    PARTITIONED BY `list_id`: a probe filters `list_id IN
+  *    (probed…)`, so partition pruning reads only the nprobe lists a
+  *    query routes to — nprobe/IvfK of the corpus, the whole point of
+  *    IVF sharding.
+  *
+  * Ingestion ([[ingest]]) is a pure NARROW map (IvfK codegen'd
+  * `qdot_long` scores per row, argmax via one `array_max`) followed by
+  * an idempotent append: [[DeltaTable.appendIfNew]] with the batch id
+  * as the `txn` watermark makes retries/restarts exactly-once, and the
+  * assignment is deterministic given the (frozen) codebook, so a
+  * replayed batch writes byte-identical rows or nothing.
+  *
+  * Search ([[probe]]) mirrors the one-shot query plan: the query set is
+  * scored against the codebook literals, the top-nprobe lists are
+  * exploded, the bounded probe side is broadcast against the pruned
+  * list partitions, and an exact integer rerank + per-query top-k
+  * window finishes. Centroid ties resolve to the LOWEST list_id in
+  * assignment and probing (the lexicographic (cos, -cid) struct-max
+  * trick), so [[probe]] over an index built from the same corpus is
+  * ROW-IDENTICAL to `q_ann_ivf` — IncrementalAnnSpec pins the parity.
+  */
+object IncrementalAnn {
+
+  /** Assignment-table schema: quantized vector + its norm ride along so
+    * the rerank never joins back to the raw embeddings. */
+  private val assignSchema = StructType(Seq(
+    StructField("list_id", LongType),
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(LongType)),
+    StructField("n2", LongType)))
+
+  /** Quantized (vec_id, v, n2) view of an `(vec_id, embedding)` frame —
+    * the integer arithmetic shared with the one-shot queries. */
+  private def quantized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", qnorm2(col("v")))
+
+  /** Per-centroid score array for the row's `v`/`n2` columns, one
+    * lexicographically-max-able struct per centroid: (cos, -list_id),
+    * so `array_max` = best cosine with ties to the LOWEST list —
+    * identical tie semantics in assignment, probing, and `q_ann_ivf`. */
+  private def scoresArr(s: SparkSession,
+      cents: Array[(Long, Seq[Long], Long)]): Column = {
+    graft.functions.GraftFunctions.register(s)
+    array(cents.map { case (cid, cv, cn2) =>
+      struct(
+        cosineFromInts(call_function("qdot_long", typedLit(cv), col("v")),
+          lit(cn2), col("n2")).as("c"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Create the codebook (from `train`, which must carry `vec_id` +
+    * `embedding`) and the empty list_id-partitioned assignment table if
+    * absent. The codebook rule is the deterministic stand-in `q_ann_ivf`
+    * uses — the IvfK training vectors with the smallest
+    * md5(vec_id) — standing in for a k-means job's output; swap the
+    * frame passed here for real trained centroids without touching the
+    * ingest/probe paths. */
+  def ensureIndex(spark: SparkSession, train: DataFrame,
+      codebookUri: String, assignUri: String): Unit = {
+    if (!DeltaLog.forTable(spark, codebookUri).tableExists) {
+      val cb = quantized(train)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(Similarity.IvfK)
+        .select(col("vec_id").as("list_id"), col("v"), col("n2"))
+      DeltaTable.create(spark, cb, codebookUri)
+    }
+    if (!DeltaLog.forTable(spark, assignUri).tableExists)
+      DeltaTable.create(spark,
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), assignSchema),
+        assignUri, partitionColumns = Seq("list_id"))
+  }
+
+  /** The whole codebook — bounded by the constant IvfK, never corpus
+    * size; ordered for deterministic plan literals. */
+  def codebook(spark: SparkSession,
+      codebookUri: String): Array[(Long, Seq[Long], Long)] = {
+    import spark.implicits._
+    DeltaTable.read(spark, codebookUri)
+      .select(col("list_id"), col("v"), col("n2"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+  }
+
+  /** One idempotent ingestion step: assign each batch vector (`vec_id`,
+    * `embedding`) to its nearest list and append — a narrow map plus a
+    * watermarked append, no shuffle, no index read. Returns false when
+    * the (appId, batchId) watermark shows the batch already landed. */
+  def ingest(spark: SparkSession, codebookUri: String, assignUri: String,
+      batch: DataFrame, appId: String, batchId: Long): Boolean = {
+    val cents = codebook(spark, codebookUri)
+    val assigned = quantized(batch)
+      .withColumn("list_id", -array_max(scoresArr(spark, cents)).getField("ncid"))
+      .select(col("list_id"), col("vec_id"), col("v"), col("n2"))
+    DeltaTable.appendIfNew(spark, assignUri, assigned, appId, batchId)
+  }
+
+  /** Top-k exact-rerank search over the persisted index for a
+    * (`vec_id`, `embedding`) query frame. Output schema matches
+    * `q_ann_ivf`: (q_id, neighbor_id, list_id, cos_sim, rank); a query
+    * vector that is itself in the index is excluded from its own
+    * neighbors, as the one-shot query does. */
+  def probe(spark: SparkSession, codebookUri: String, assignUri: String,
+      queries: DataFrame, k: Int = Similarity.NTop,
+      nprobe: Int = Similarity.IvfProbe): DataFrame = {
+    val cents = codebook(spark, codebookUri)
+    val probes = quantized(queries)
+      .withColumn("probe",
+        explode(slice(sort_array(scoresArr(spark, cents), asc = false), 1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        (-col("probe").getField("ncid")).as("list_id"))
+    // The probed list set is bounded by IvfK (list ids ⊆ codebook), so
+    // collecting it is a metadata-sized job over the query set; the
+    // resulting IN filter is a PARTITION predicate the graftdelta
+    // relation prunes files with — only the nprobe-routed lists are
+    // ever read. (A bare join on list_id would scan every list: joins
+    // don't prune a custom relation's partitions, hence the explicit
+    // filter, and the `format("graftdelta")` route — not
+    // [[DeltaTable.read]]'s direct file-list read — so the In filter
+    // reaches the relation's partitionValues pruning.)
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.format("graftdelta").load(assignUri)
+      .where(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("list_id"),
+        cosineFromInts(call_function("qdot_long", col("qv"), col("v")),
+          col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("list_id"),
+        col("cos_sim"), col("rank"))
+  }
+}

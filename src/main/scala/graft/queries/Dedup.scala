@@ -48,13 +48,39 @@ object Dedup {
   val DfCap = 50
 
   /** MinHash LSH bucket cap — the band-bucket analog of [[DfCap]]: a
-    * (band, sig) bucket with more members than this is skipped by
-    * candidate generation (its Σ k² pair blowup is the mass-duplicate
-    * degenerate case; exact dedup collapses those families, and any
-    * pair can still surface through the family's other, uncapped
-    * bands). Far above every observed bucket at test scale — the cap
-    * exists for the 100 TB regime, and the oracle applies it too. */
+    * (band, sig) bucket with more members than this emits STAR-REDUCED
+    * pairs (every member ↔ the bucket minimum — O(k) edges with the
+    * same connected components as the clique) instead of all C(k,2)
+    * pairs, so a mass-duplicate family (one signature shared by 10⁶
+    * docs) contributes 10⁶ candidate edges, never 10¹². Over-cap
+    * buckets therefore still CLUSTER correctly; only the non-canonical
+    * pair rows inside such a family are elided from the pairwise
+    * output (r19 dropped them outright — a >cap near-dup template
+    * family was invisible to clustering entirely). Far above every
+    * observed bucket at test scale — the cap exists for the 100 TB
+    * regime, the oracle applies the identical rule, and
+    * `spark.graft.lshBucketCap` overrides it (tests pin the star path
+    * with cap 1). */
   val BucketCap = 1000
+
+  private[queries] def bucketCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.lshBucketCap")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(BucketCap)
+
+  /** Candidate pairs of one LSH bucket: all C(k,2) pairs up to `cap`
+    * members, star pairs (min ↔ each other member) past it. Always
+    * emits (smaller, larger). Shared by the minhash query and its
+    * over-cap spec. */
+  private[queries] def bucketPairs(ids: Seq[Long], cap: Int): Iterator[(Long, Long)] = {
+    val p = ids.sorted.toIndexedSeq
+    if (p.size <= cap)
+      for {
+        i <- p.indices.iterator
+        j <- Iterator.range(i + 1, p.size)
+      } yield (p(i), p(j))
+    else Iterator.range(1, p.size).map(j => (p(0), p(j)))
+  }
 
   /** q_dedup_jaccard's near-dup threshold in basis points (J >= 0.5).
     * ONE constant on purpose: [[pairCounts]] pre-filters the cached
@@ -392,6 +418,45 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Near-dup clusters (q_dedup_clusters' body), MEMOIZED per (session,
+    * dir): the edge-sizing `take` is an ACTION that formerly re-ran on
+    * every consumer construction — the funnel, q_dedup_retained, and
+    * the clusters query itself each paid one job per execution even
+    * though the pair table under it is cached. Same frozen-corpus
+    * assumption as [[shingleDocs]]. No `.cache()` re-arm: the driver
+    * path IS a LocalRelation (plan-embedded rows — [[
+    * graft.queries.Tables.gatedBuild]] reads its size without a job),
+    * and the distributed path ends in eager localCheckpoints whose
+    * blocks the memo reference keeps live.
+    *
+    * No edge-level cache: the jaccard pairs are a filter over the
+    * already-cached duplicate-bounded pairCounts table. ONE take of
+    * cap+1 rows both sizes the edge set and delivers it (two separate
+    * count()+collect() actions paid an extra pass over the cached
+    * pairs); the cap bounds driver memory at ~16 MB of longs either
+    * way, and an overflowing take routes to the distributed path having
+    * shipped only cap+1 rows. */
+  private val clustersMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private[queries] def clustersFrame(s: SparkSession, dir: String): DataFrame = {
+    val perSession = clustersMemo.synchronized {
+      clustersMemo.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val edges = queries("q_dedup_jaccard")(s, dir)
+        .select(col("d1"), col("d2"))
+      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
+      if (pairs.length <= ClusterEdgeCap) {
+        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+      } else {
+        labelPropagation(edges)
+      }
+    })
+  }
+
   /** Test-only oracle: exact all-pairs embedding cosine via a driver
     * collect + broadcast. Deliberately NOT in [[queries]] — the corpus
     * collect dies past broadcastable n; the wired scale path is
@@ -441,14 +506,17 @@ object Dedup {
       // sig, doc_id) — never the shingle arrays. Shingle sets are
       // re-joined afterwards for just the candidate pairs (≪ n²; ~800
       // at sf0.1). GROUPED-POSTINGS pair emission with a BUCKET CAP
-      // (r19, the jaccard DfCap's analog): one groupBy of the
-      // signatures replaces the former bucket self-join's two shuffles,
-      // and a (band, sig) bucket larger than BucketCap members is
-      // skipped — Σ_bucket k² is what a mass-duplicate family (one
-      // signature shared by 10⁶ docs) turns quadratic at 100 TB, while
-      // exact dedup already collapses such families and their pairs
-      // survive through any uncapped band. The oracle applies the
-      // identical cap.
+      // (r19, the jaccard DfCap's analog; r20 STAR-REDUCES over-cap
+      // buckets instead of dropping them — [[BucketCap]]): one groupBy
+      // of the signatures replaces the former bucket self-join's two
+      // shuffles, and a (band, sig) bucket larger than the cap emits
+      // O(k) star pairs instead of C(k,2) — Σ_bucket k² is what a
+      // mass-duplicate family (one signature shared by 10⁶ docs) turns
+      // quadratic at 100 TB. The oracle applies the identical rule,
+      // and the `observe` metrics surface over-cap buckets to
+      // production listeners at zero cost (an inline aggregate on the
+      // already-grouped rows; CollectMetrics ships counts, not rows).
+      val cap = bucketCap(s)
       val docs = minhashDocs(s, dir).cache()
       val sigs = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -457,15 +525,14 @@ object Dedup {
             element_at(col("mh"), b * RowsPerBand + 2))))).as(Seq("band", "sig")))
       val cands = sigs.groupBy(col("band"), col("sig"))
         .agg(collect_list(col("doc_id")).as("ids"))
-        .where(size(col("ids")).between(2, BucketCap))
+        .where(size(col("ids")) >= 2)
+        .observe("graft.q_dedup_minhash_lsh",
+          sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+            .as("overcap_buckets"),
+          sum(when(size(col("ids")) > cap, size(col("ids")).cast("long"))
+            .otherwise(0L)).as("overcap_members"))
         .select(col("ids")).as[Seq[Long]]
-        .flatMap { ids =>
-          val p = ids.sorted.toIndexedSeq
-          for {
-            i <- p.indices.iterator
-            j <- Iterator.range(i + 1, p.size)
-          } yield (p(i), p(j))
-        }
+        .flatMap(bucketPairs(_, cap))
         .toDF("d1", "d2")
         .distinct()
       cands
@@ -619,24 +686,7 @@ object Dedup {
     // distributed joins. Both converge to the identical unique fixpoint
     // (min doc_id per component — PipelineOpsSpec pins their agreement),
     // which is also what the oracle's recursive CTE computes.
-    "q_dedup_clusters" -> ((s, dir) => {
-      import s.implicits._
-      // no edge-level cache: the jaccard pairs are a filter over the
-      // already-cached duplicate-bounded pairCounts table. ONE take of
-      // cap+1 rows both sizes the edge set and delivers it (two
-      // separate count()+collect() actions paid an extra pass over the
-      // cached pairs); the cap bounds driver memory at ~16 MB of longs
-      // either way, and an overflowing take routes to the distributed
-      // path having shipped only cap+1 rows.
-      val edges = queries("q_dedup_jaccard")(s, dir)
-        .select(col("d1"), col("d2"))
-      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
-      if (pairs.length <= ClusterEdgeCap) {
-        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
-      } else {
-        labelPropagation(edges)
-      }
-    }),
+    "q_dedup_clusters" -> ((s, dir) => clustersFrame(s, dir)),
 
     // Embedding-cosine near-dup, LSH-bucketed (the 100 TB shape):
     // EBands independent hyperplane bands bucket each vector; candidates
@@ -682,27 +732,40 @@ object Dedup {
             }
           }
         }.toDF("vec_id", "band", "bucket")
+        // narrow (vec_id, band, bucket) — consumed by the bucket stats,
+        // both self-join sides, and the star branch; uncached, the 64
+        // dot-products-per-vector pass re-ran per consumer (r19 ADVICE)
+        .cache()
       // CAPPED self-join candidate generation (same BucketCap as the
       // MinHash bands, applied by a bucket-size pre-filter — the exact
-      // `keepb`/`bk` shape of the oracle SQL): a degenerate bucket (10⁶
+      // `bcnt`/`bk` shape of the oracle SQL): a degenerate bucket (10⁶
       // identical embeddings land in the SAME bucket of EVERY band)
-      // cannot go quadratic. DELIBERATELY a codegen'd join, NOT the
-      // grouped-postings typed emission MinHash uses: hyperplane
-      // buckets are DENSE (2^EPlanes per band, all occupied — legit
-      // pair volume grows with corpus density), and at sf1 the typed
-      // Seq[Long] emission paid encoder overhead on every one of ~6M
-      // pairs (8.0s vs 1.5s measured) where the join stays inside
+      // cannot go quadratic — past the cap the bucket emits STAR pairs
+      // (member ↔ bucket-min vec_id: same connected components, O(k)
+      // edges), a normally-empty union branch. DELIBERATELY a codegen'd
+      // join, NOT the grouped-postings typed emission MinHash uses:
+      // hyperplane buckets are DENSE (2^EPlanes per band, all occupied
+      // — legit pair volume grows with corpus density), and at sf1 the
+      // typed Seq[Long] emission paid encoder overhead on every one of
+      // ~6M pairs (8.0s vs 1.5s measured) where the join stays inside
       // whole-stage codegen. MinHash keeps postings because ITS buckets
       // are md5 signatures — sparse and duplicate-bounded.
-      val keep = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bn"))
-        .where(col("bn").between(2L, BucketCap.toLong))
+      val cap = bucketCap(s)
+      val stats = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn"), min(col("vec_id")).as("mn"))
+      val keep = stats.where(col("bn").between(2L, cap.toLong))
         .select(col("band"), col("bucket"))
       val bk = bands.join(keep, Seq("band", "bucket"))
-      val cands = bk.as("x").join(bk.as("y"), Seq("band", "bucket"))
+      val small = bk.as("x").join(bk.as("y"), Seq("band", "bucket"))
         .where(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-        .distinct()
+      val big = bands.join(
+          stats.where(col("bn") > cap.toLong)
+            .select(col("band"), col("bucket"), col("mn")),
+          Seq("band", "bucket"))
+        .where(col("vec_id") =!= col("mn"))
+        .select(col("mn").as("v1"), col("vec_id").as("v2"))
+      val cands = small.unionByName(big).distinct()
       cands
         .join(vecs.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")
         .join(vecs.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), "v2")
@@ -772,13 +835,17 @@ object Dedup {
         |bands AS (SELECT doc_id, sh, b AS band,
         |  md5(mh[2*b + 1] || '|' || mh[2*b + 2]) AS sig
         | FROM m, LATERAL generate_series(0, 3) g(b)),
-        |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
-        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
-        |bk AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
+        |bcnt AS (SELECT band, sig, COUNT(*) AS n, MIN(doc_id) AS mn
+        |  FROM bands GROUP BY band, sig HAVING COUNT(*) >= 2),
+        |bk AS (SELECT bands.*, n, mn FROM bands JOIN bcnt USING (band, sig)),
         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
         |    x.sh AS sh1, y.sh AS sh2
         |  FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig
-        |  WHERE x.doc_id < y.doc_id)
+        |  WHERE x.doc_id < y.doc_id AND x.n <= 1000
+        |  UNION
+        |  SELECT DISTINCT y.mn, y.doc_id, x.sh, y.sh
+        |  FROM bk y JOIN s x ON x.doc_id = y.mn
+        |  WHERE y.n > 1000 AND y.doc_id <> y.mn)
         |SELECT d1, d2,
         |  CAST(10000*len(list_intersect(sh1, sh2))
         |       // len(list_distinct(sh1 || sh2)) AS BIGINT) AS jaccard_bp
@@ -834,12 +901,15 @@ object Dedup {
         |bkt AS (SELECT vec_id, p // 8 AS band,
         |  CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << (p % 8) ELSE 0 END) AS BIGINT) AS bucket
         | FROM proj GROUP BY vec_id, p // 8),
-        |keepb AS (SELECT band, bucket FROM bkt GROUP BY band, bucket
-        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
-        |bk AS (SELECT bkt.* FROM bkt JOIN keepb USING (band, bucket)),
+        |bcnt AS (SELECT band, bucket, COUNT(*) AS n, MIN(vec_id) AS mn
+        |  FROM bkt GROUP BY band, bucket HAVING COUNT(*) >= 2),
+        |bk AS (SELECT bkt.*, n, mn FROM bkt JOIN bcnt USING (band, bucket)),
         |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
-        |  WHERE x.vec_id < y.vec_id),
+        |  WHERE x.vec_id < y.vec_id AND x.n <= 1000
+        |  UNION
+        |  SELECT DISTINCT mn, vec_id FROM bk
+        |  WHERE n > 1000 AND vec_id <> mn),
         |p2 AS (SELECT v1, v2,
         |  CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS BIGINT) AS dot,
         |  a.n2 AS na, b.n2 AS nb

@@ -197,9 +197,10 @@ object Pipeline {
       val contam = contamFromPairCounts(s, dir)
         .select(col("train_id").as("doc_id")).distinct()
       qualityFlags(s, dir)
-        .join(Tables.gatedBuild(clusters), Seq("doc_id"), "left")
-        .join(Tables.gatedBuild(contam.withColumn("contaminated", lit(1L))),
+        .join(Tables.gatedBuildMemo(s, dir, "clusters", clusters),
           Seq("doc_id"), "left")
+        .join(Tables.gatedBuildMemo(s, dir, "contam",
+          contam.withColumn("contaminated", lit(1L))), Seq("doc_id"), "left")
         .withColumn("dup_dropped",
           flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
         .withColumn("s1", col("keep"))
@@ -287,7 +288,8 @@ object Pipeline {
     "q_dedup_retained" -> ((s, dir) => {
       val clusters = Dedup.queries("q_dedup_clusters")(s, dir)
       table(s, dir, "documents")
-        .join(Tables.gatedBuild(clusters), Seq("doc_id"), "left")
+        .join(Tables.gatedBuildMemo(s, dir, "clusters", clusters),
+          Seq("doc_id"), "left")
         .withColumn("dropped",
           flag(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")))
         .groupBy(col("lang"))

@@ -68,14 +68,54 @@ object Tables {
         .flatMap(v => scala.util.Try(v.toInt).toOption)
         .getOrElse(BroadcastRowCap))
 
-  def gatedBuild(df: DataFrame, rowCap: Int): DataFrame = {
+  def gatedBuild(df: DataFrame, rowCap: Int): DataFrame =
+    if (isSmall(df, rowCap)) broadcast(df) else df.hint("shuffle_hash")
+
+  /** The gate decision itself. Probe-free when the plan already knows
+    * its count: a driver-built LocalRelation carries it, and a FULLY
+    * materialized cached frame at the plan root carries the exact
+    * row-count accumulator (partial materialization reports loaded =
+    * false, so a stale/partial count is never trusted). Everything else
+    * pays the bounded `limit(rowCap+1)` probe job once. */
+  private def isSmall(df: DataFrame, rowCap: Int): Boolean = {
     val n = df.queryExecution.optimizedPlan match {
       // driver-built frames (e.g. the union-find cluster path) carry
       // their exact row count in the plan — no job needed
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         l.data.size.toLong
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if r.cacheBuilder.isCachedColumnBuffersLoaded =>
+        r.cacheBuilder.rowCountStats.value.longValue
       case _ => df.select(lit(1).as("one")).limit(rowCap + 1).count()
     }
-    if (n <= rowCap) broadcast(df) else df.hint("shuffle_hash")
+    n <= rowCap
+  }
+
+  /** [[gatedBuild]] with the DECISION memoized per (session, dir, tag,
+    * cap): the probe job runs at most once per session for a given call
+    * site, not once per execution — the funnel formerly paid its gate
+    * probes on every bench run even though the gated frames derive from
+    * already-cached dedup output. Same frozen-corpus assumption as
+    * [[graft.queries.Dedup]]'s shingle/pair memos (testdata dirs are
+    * immutable); callers gating MUTABLE or per-batch frames
+    * (e.g. [[graft.pipeline.IncrementalDedup]]) must keep using the
+    * un-memoized [[gatedBuild]]. Key includes the resolved cap, so a
+    * test pinning `spark.graft.broadcastRowCap=0` never reuses a
+    * default-cap decision. */
+  private val gateMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+  def gatedBuildMemo(s: SparkSession, dir: String, tag: String,
+      df: DataFrame): DataFrame = {
+    val cap = s.conf.getOption("spark.graft.broadcastRowCap")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(BroadcastRowCap)
+    val perSession = gateMemo.synchronized {
+      gateMemo.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    }
+    val small = perSession.computeIfAbsent(s"$dir#$tag#$cap",
+      _ => isSmall(df, cap))
+    if (small) broadcast(df) else df.hint("shuffle_hash")
   }
 }

@@ -149,10 +149,34 @@ class DataSkippingSpec extends AnyFunSuite {
 
   test("unsupported shapes and unknown columns keep all files") {
     val dir = sortedTable()
-    assert(prunedCount(dir, "k = 250 or k = 750") == 8) // OR: no claim
     assert(prunedCount(dir, "m % 2 = 0") == 8)          // computed LHS
     assert(prunedCount(dir, "k + 0 = 250") == 8)
-    assertSameRows(dir, "k = 250 or k = 750")
+    // a disjunction with an un-claimable branch keeps everything: the
+    // unsupported side may match anywhere
+    assert(prunedCount(dir, "k = 250 or m % 2 = 0") == 8)
+    assertSameRows(dir, "k = 250 or m % 2 = 0")
+  }
+
+  test("disjunctions and IN prune to the union of their branches") {
+    // r20 (the IVF ANN probe shape): `p IN (probed…)` on a partitioned
+    // table must read only the named partitions, and OR must prune to
+    // the union of its branches' covering files — soundness still
+    // cross-checked row-for-row against the unpruned read
+    val dir = sortedTable()
+    assert(prunedCount(dir, "k = 250 or k = 750") == 2)
+    assert(prunedCount(dir, "k in (250, 750)") == 2)
+    assert(prunedCount(dir, "k in (250, 750, 5000)") == 2) // no file covers 5000
+    assert(prunedCount(dir, "k in (250) or k >= 700") == 2)
+    for (p <- Seq("k = 250 or k = 750", "k in (250, 750)",
+        "k in (250, 750, 5000)", "k in (250) or k >= 700"))
+      assertSameRows(dir, p)
+    // partitioned form: IN prunes by partitionValues alone
+    val pdir = TestSpark.tmpDir("skip-part-in")
+    val df = spark.range(100).select(($"id" % 4).as("p"), $"id".as("k"))
+    DeltaTable.create(spark, df.repartition(4), pdir, partitionColumns = Seq("p"))
+    val files = DeltaLog.forTable(spark, pdir).snapshot().files.size
+    assert(prunedCount(pdir, "p in (1, 2)") < files)
+    assertSameRows(pdir, "p in (1, 2)")
   }
 
   test("null-aware pruning: IS NULL / IS NOT NULL / all-null files") {

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.delta.DeltaTable
+import graft.queries.{Similarity, Tables}
+
+/** Persistent IVF ANN index: codebook built once, assignments appended
+  * exactly-once per batch, probes read only the routed list partitions —
+  * and the probe results are ROW-IDENTICAL to the one-shot `q_ann_ivf`
+  * built from scratch over the same corpus. */
+class IncrementalAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Build the index from the sf0.001 embeddings in two batches. */
+  private def builtIndex(prefix: String): (String, String) = {
+    val cb = TestSpark.tmpDir(s"$prefix-codebook")
+    val asg = TestSpark.tmpDir(s"$prefix-assign")
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    IncrementalAnn.ensureIndex(spark, emb, cb, asg)
+    val mid = emb.agg(avg(col("vec_id"))).head.getDouble(0).toLong
+    IncrementalAnn.ingest(spark, cb, asg, emb.where(col("vec_id") <= mid),
+      s"$prefix-app", 0L)
+    IncrementalAnn.ingest(spark, cb, asg, emb.where(col("vec_id") > mid),
+      s"$prefix-app", 1L)
+    (cb, asg)
+  }
+
+  test("probe over the persisted index matches the from-scratch q_ann_ivf") {
+    val (cb, asg) = builtIndex("iann1")
+    val queries = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding"))
+    val incremental = IncrementalAnn.probe(spark, cb, asg, queries)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Similarity.queries("q_ann_ivf")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty)
+    assert(incremental == oneShot,
+      "persisted-index probe must reproduce the one-shot IVF results " +
+        "(same codebook rule, tie semantics, rerank, and ranking)")
+  }
+
+  test("replaying a batch id is a no-op (exactly once), probes unchanged") {
+    val (cb, asg) = builtIndex("iann2")
+    val before = DeltaTable.read(spark, asg).count()
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // crash-replay of batch 1: the txn watermark must skip the append
+    assert(!IncrementalAnn.ingest(spark, cb, asg, emb, "iann2-app", 1L))
+    assert(DeltaTable.read(spark, asg).count() == before)
+  }
+
+  test("a probe reads only the routed list partitions (file pruning)") {
+    val (cb, asg) = builtIndex("iann3")
+    // one query routes to IvfProbe of the IvfK lists; with the
+    // assignment table partitioned by list_id, the In filter must prune
+    // the unrouted partitions' files at the relation
+    val q1 = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+    val out = IncrementalAnn.probe(spark, cb, asg, q1)
+    graft.connector.GraftDeltaRelation.lastScan = None
+    assert(out.collect().length <= Similarity.NTop)
+    val (total, kept) = graft.connector.GraftDeltaRelation.lastScan.get
+    assert(total > Similarity.IvfProbe,
+      s"fixture must span more files than one probe reads ($total)")
+    assert(kept < total,
+      s"probe must prune unrouted list partitions ($kept/$total files)")
+  }
+
+  test("ingest assignment is a narrow map — no shuffle before the append") {
+    val (cb, _) = builtIndex("iann4")
+    val cents = IncrementalAnn.codebook(spark, cb)
+    assert(cents.length == Similarity.IvfK)
+    assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
+  }
+}

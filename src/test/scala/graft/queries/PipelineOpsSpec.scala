@@ -295,4 +295,95 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(counters === ref(id), s"counter mismatch for doc $id")
     }
   }
+
+  test("gatedBuildMemo reuses the probe decision per (session, dir, tag, cap)") {
+    // the memo keys on (dir, tag, cap) — a second call under the same
+    // key must reuse the cached decision without re-probing the frame.
+    // Proof: warm the memo with a SMALL frame (decision: broadcast),
+    // then hand the SAME tag a frame far over the cap — the broadcast
+    // hint appearing anyway is only explicable by the memo hit.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def strategy(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        .flatMap(_.hints.strategy)
+        .map(_.toString.toUpperCase(java.util.Locale.ROOT)).toSet
+    val small = spark.range(3).toDF("doc_id")
+    val big = spark.range(0, Tables.BroadcastRowCap + 10L).toDF("doc_id")
+    assert(strategy(Tables.gatedBuildMemo(spark, dir, "memo-pin", small))
+      .contains("BROADCAST"))
+    assert(strategy(Tables.gatedBuildMemo(spark, dir, "memo-pin", big))
+      .contains("BROADCAST"),
+      "same (dir, tag, cap) must reuse the memoized broadcast decision")
+    // a FRESH tag probes for real: the over-cap frame must shuffle-hash
+    assert(strategy(Tables.gatedBuildMemo(spark, dir, "memo-pin-fresh", big))
+      .contains("SHUFFLE_HASH"),
+      "a fresh tag must probe and route the over-cap frame to shuffle-hash")
+  }
+
+  test("gatedBuild reads a fully-materialized cache's exact row count") {
+    // InMemoryRelation at the plan root + loaded buffers -> the gate
+    // reads the rowCountStats accumulator instead of probing; decisions
+    // must be exact on both sides of the cap
+    val smallC = spark.range(5).toDF("doc_id").cache()
+    smallC.count() // materialize
+    val bigC = spark.range(0, 2000L).toDF("doc_id").cache()
+    bigC.count()
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      def broadcasted(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+          .exists(_.hints.strategy.exists(
+            _.toString.equalsIgnoreCase("broadcast")))
+      assert(broadcasted(Tables.gatedBuild(smallC)))
+      assert(!broadcasted(Tables.gatedBuild(bigC, rowCap = 1000)))
+    } finally { smallC.unpersist(); bigC.unpersist() }
+  }
+
+  test("over-cap LSH buckets star-reduce: components preserved, pairs a subset") {
+    // unit invariant of the shared pair emitter
+    val all = Dedup.bucketPairs(1L to 5L, cap = 1000).toSet
+    assert(all.size == 10)
+    val star = Dedup.bucketPairs(1L to 1500L, cap = 1000).toSet
+    assert(star.size == 1499 && star.forall(_._1 == 1L))
+    // end-to-end: cap=1 forces EVERY multi-member bucket onto the star
+    // path in both LSH queries
+    val mhFull = Dedup.queries("q_dedup_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val embFull = Dedup.queries("q_dedup_embedding_lsh")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    spark.conf.set("spark.graft.lshBucketCap", "1")
+    try {
+      val mhStar = Dedup.queries("q_dedup_minhash_lsh")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val embStar = Dedup.queries("q_dedup_embedding_lsh")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+      assert(mhStar.nonEmpty && mhStar.subsetOf(mhFull))
+      assert(embStar.nonEmpty && embStar.subsetOf(embFull))
+      // star edges keep the candidate graph's connected components: the
+      // clustering recall a >cap near-dup family depends on survives
+      assert(Dedup.unionFind(mhStar.toArray).toSet ==
+        Dedup.unionFind(mhFull.toArray).toSet,
+        "star-reduced minhash candidates must cluster identically")
+    } finally spark.conf.unset("spark.graft.lshBucketCap")
+  }
+
+  test("over-cap minhash buckets are observable via CollectMetrics") {
+    def metrics(capConf: Option[String]) = {
+      capConf.foreach(spark.conf.set("spark.graft.lshBucketCap", _))
+      try {
+        val df = Dedup.queries("q_dedup_minhash_lsh")(spark, dir)
+        df.collect()
+        df.queryExecution.observedMetrics("graft.q_dedup_minhash_lsh")
+      } finally capConf.foreach(_ => spark.conf.unset("spark.graft.lshBucketCap"))
+    }
+    // default cap: nothing over it at test scale — the metric reads 0
+    val quiet = metrics(None)
+    assert(quiet.getAs[Long]("overcap_buckets") == 0L)
+    assert(quiet.getAs[Long]("overcap_members") == 0L)
+    // cap=1: every multi-member bucket reports, members counted whole
+    val loud = metrics(Some("1"))
+    val buckets = loud.getAs[Long]("overcap_buckets")
+    assert(buckets > 0L)
+    assert(loud.getAs[Long]("overcap_members") >= 2 * buckets)
+  }
 }

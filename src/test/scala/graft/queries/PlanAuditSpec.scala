@@ -147,6 +147,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!exec.toString.contains("CartesianProduct"), exec.toString)
   }
 
+  test("q_source_mix: AQE converts the dup-hash join to broadcast at runtime") {
+    // Pipeline.scala deliberately leaves the duplicate-hash join
+    // UN-hinted (a limit-probe would pay a full corpus pass because the
+    // build side is an aggregate over the corpus) and relies on AQE
+    // seeing the agg stage's true output size. That reliance is a
+    // runtime property a Spark upgrade or conf drift could silently
+    // break — at which point the corpus would shuffle — so the AQE
+    // FINAL plan is pinned here: the hash join must have become a
+    // broadcast, and nothing may have degraded to a sort-merge join.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def nodes(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      d.collect() // the AQE final plan exists only after execution
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec        => q +: leaves(q.plan)
+        case other                    => other +: other.children.flatMap(leaves)
+      }
+      leaves(d.queryExecution.executedPlan).map(_.nodeName)
+    }
+    // the natural fixture has no repeated hashes: AQE's empty-relation
+    // propagation ELIMINATES the left join outright (better than a
+    // broadcast) — the pin there is only "nothing shuffles the corpus"
+    val natural = nodes(SparkEntry.queries("q_source_mix")(spark, dir))
+    assert(!natural.exists(n =>
+      n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      natural.mkString(", "))
+    // a corpus with every document duplicated forces the dup-hash side
+    // non-empty: now the join must survive AND be a runtime broadcast
+    val tmp = graft.TestSpark.tmpDir("smix-aqe")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    docs.write.mode("append").parquet(s"$tmp/documents.parquet")
+    val dup = nodes(SparkEntry.queries("q_source_mix")(spark, tmp))
+    assert(dup.exists(_.contains("BroadcastHashJoin")),
+      s"AQE must convert the dup-hash join to broadcast, got: $dup")
+    assert(!dup.exists(n =>
+      n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      dup.mkString(", "))
+  }
+
   test("no query in the inventory has an unpartitioned window") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val windows = fn(spark, dir).queryExecution.optimizedPlan.collect {
