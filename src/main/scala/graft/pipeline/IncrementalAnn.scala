@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.delta.{DeltaLog, DeltaTable}
@@ -162,4 +163,22 @@ object IncrementalAnn {
       .select(col("q_id"), col("neighbor_id"), col("list_id"),
         col("cos_sim"), col("rank"))
   }
+
+  /** Wire ingestion to a staging table: every commit streamed from
+    * `stagingUri` (graftdelta source) is assigned and appended exactly
+    * once — the same foreachBatch shape as [[IncrementalDedup.start]].
+    * The codebook must exist (call [[ensureIndex]] with the training
+    * frame first); each batch is then a pure narrow map + one
+    * watermarked append, so stream restarts replay into no-ops. */
+  def start(spark: SparkSession, stagingUri: String, codebookUri: String,
+      assignUri: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.format("graftdelta").load(stagingUri)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingest(batch.sparkSession, codebookUri, assignUri, batch,
+          appId = s"incann-$assignUri", batchId = batchId)
+        ()
+      }
+      .start()
 }

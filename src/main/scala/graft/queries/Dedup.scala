@@ -765,6 +765,13 @@ object Dedup {
           Seq("band", "bucket"))
         .where(col("vec_id") =!= col("mn"))
         .select(col("mn").as("v1"), col("vec_id").as("v2"))
+        // production visibility for the star path (the MinHash analog
+        // observes bucket counts pre-emission; here the bucket space is
+        // a dense constant 2^EPlanes×EBands, so the star EDGE count is
+        // the meaningful signal). On `big`, not `stats`: stats feeds two
+        // consumers and a CollectMetrics name must be unique per plan.
+        .observe("graft.q_dedup_embedding_lsh",
+          count(lit(1)).as("overcap_star_pairs"))
       val cands = small.unionByName(big).distinct()
       cands
         .join(vecs.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), "v1")

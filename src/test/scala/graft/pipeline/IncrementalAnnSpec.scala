@@ -72,6 +72,29 @@ class IncrementalAnnSpec extends AnyFunSuite {
       s"probe must prune unrouted list partitions ($kept/$total files)")
   }
 
+  test("streaming wiring: staged vector commits assign exactly once") {
+    val staging = TestSpark.tmpDir("iann5-staging")
+    val cb = TestSpark.tmpDir("iann5-codebook")
+    val asg = TestSpark.tmpDir("iann5-assign")
+    val ck = TestSpark.tmpDir("iann5-ck")
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    IncrementalAnn.ensureIndex(spark, emb, cb, asg)
+    DeltaTable.create(spark, emb.where(col("vec_id") < 50), staging)
+    val q1 = IncrementalAnn.start(spark, staging, cb, asg, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(DeltaTable.read(spark, asg).count() == 50)
+    // second wave through the same checkpoint: only the new commit lands
+    DeltaTable.append(spark, staging,
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60))
+    val q2 = IncrementalAnn.start(spark, staging, cb, asg, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaTable.read(spark, asg).count() == 60)
+    import spark.implicits._
+    assert(DeltaTable.read(spark, asg).select("vec_id")
+      .as[Long].collect().sorted.toSeq == (0L until 60L))
+  }
+
   test("ingest assignment is a narrow map — no shuffle before the append") {
     val (cb, _) = builtIndex("iann4")
     val cents = IncrementalAnn.codebook(spark, cb)

@@ -349,14 +349,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     // path in both LSH queries
     val mhFull = Dedup.queries("q_dedup_minhash_lsh")(spark, dir).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-    val embFull = Dedup.queries("q_dedup_embedding_lsh")(spark, dir).collect()
+    val embFullDf = Dedup.queries("q_dedup_embedding_lsh")(spark, dir)
+    val embFull = embFullDf.collect()
       .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    // default cap: star branch silent
+    assert(embFullDf.queryExecution
+      .observedMetrics("graft.q_dedup_embedding_lsh")
+      .getAs[Long]("overcap_star_pairs") == 0L)
     spark.conf.set("spark.graft.lshBucketCap", "1")
     try {
       val mhStar = Dedup.queries("q_dedup_minhash_lsh")(spark, dir).collect()
         .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-      val embStar = Dedup.queries("q_dedup_embedding_lsh")(spark, dir).collect()
+      val embStarDf = Dedup.queries("q_dedup_embedding_lsh")(spark, dir)
+      val embStar = embStarDf.collect()
         .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+      assert(embStarDf.queryExecution
+        .observedMetrics("graft.q_dedup_embedding_lsh")
+        .getAs[Long]("overcap_star_pairs") > 0L)
       assert(mhStar.nonEmpty && mhStar.subsetOf(mhFull))
       assert(embStar.nonEmpty && embStar.subsetOf(embFull))
       // star edges keep the candidate graph's connected components: the
