@@ -164,6 +164,25 @@ object IncrementalAnn {
         col("cos_sim"), col("rank"))
   }
 
+  /** Per-list index health — (list_id, n_files, n_vectors, bytes) —
+    * from the METADATA plane alone: the log's active AddFiles carry the
+    * partition value and footer-stamped numRecords stats, so list skew
+    * (the rebalance / nlist-retrain signal every IVF deployment watches)
+    * is a log scan, zero data IO, even on a 100 TB index — and the add
+    * rows stream through executors on a big checkpoint-seeded log
+    * ([[DeltaLog.activeAdds]]), never materializing driver-side.
+    * numRecords is exact for this append-only table (no DVs are ever
+    * attached to assignment files by [[ingest]]). */
+  def listStats(spark: SparkSession, assignUri: String): DataFrame =
+    DeltaLog.forTable(spark, assignUri).activeAdds().ds
+      .select(
+        element_at(col("partitionValues"), "list_id").cast("long").as("list_id"),
+        col("size"),
+        get_json_object(col("stats"), "$.numRecords").cast("long").as("n"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_vectors"),
+        sum(col("size")).as("bytes"))
+
   /** Wire ingestion to a staging table: every commit streamed from
     * `stagingUri` (graftdelta source) is assigned and appended exactly
     * once — the same foreachBatch shape as [[IncrementalDedup.start]].

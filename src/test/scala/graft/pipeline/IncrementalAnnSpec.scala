@@ -101,4 +101,25 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(cents.length == Similarity.IvfK)
     assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
   }
+
+  test("listStats reports per-list health from the metadata plane alone") {
+    val (_, asg) = builtIndex("iann6")
+    val stats = IncrementalAnn.listStats(spark, asg).collect()
+      .map(r => r.getAs[Long]("list_id") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("n_vectors")))
+      .toMap
+    // cross-check against the data itself: identical per-list counts
+    val data = DeltaTable.read(spark, asg).groupBy(col("list_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("list_id") -> r.getAs[Long]("n")).toMap
+    assert(stats.keySet == data.keySet)
+    data.foreach { case (lid, n) =>
+      assert(stats(lid)._2 == n, s"list $lid: stats vs data row count")
+      assert(stats(lid)._1 >= 1)
+    }
+    // and against the log: file counts sum to the active set
+    val files = graft.delta.DeltaLog.forTable(spark, asg).snapshot().files.size
+    assert(stats.values.map(_._1).sum == files.toLong)
+  }
 }
