@@ -32,9 +32,13 @@ import graft.queries.Dedup
   *  3. cluster the remainder WITHIN the batch on shared signatures —
   *     pair emission is STAR-REDUCED per (band, sig) bucket (every
   *     member ↔ the bucket min: identical connected components to the
-  *     clique at O(bucket) edges, never O(bucket²)), then
-  *     small-star/large-star label propagation (O(log n) rounds) keeps
-  *     each cluster's min doc_id;
+  *     clique at O(bucket) edges, never O(bucket²)); up to
+  *     [[graft.queries.Dedup.ClusterEdgeCap]] edges a single-pass
+  *     driver union-find keeps each cluster's min doc_id (r20 — the
+  *     iterated star contraction's convergence probes dominated
+  *     per-batch latency), past it small-star/large-star label
+  *     propagation (O(log n) rounds) runs the same computation
+  *     distributed;
   *  4. append survivors to the corpus and their signatures to the
   *     index.
   *
@@ -142,8 +146,22 @@ object IncrementalDedup {
         .where(col("doc_id") =!= col("m"))
         .select(col("m").as("d1"), col("doc_id").as("d2"))
         .distinct()
+      // Same routing as the batch q_dedup_clusters: ONE take of cap+1
+      // rows both sizes the edge set and delivers it — up to the cap a
+      // single-pass driver union-find replaces the iterated star
+      // contraction (whose per-round convergence probes dominated the
+      // per-batch wall at typical batch sizes), and an overflowing take
+      // routes to the distributed path having shipped only cap+1 rows.
+      import spark.implicits._
+      val pairsArr = pairs.as[(Long, Long)].take(Dedup.ClusterEdgeCap.toInt + 1)
       val losers =
-        if (pairs.isEmpty) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        if (pairsArr.isEmpty)
+          spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        else if (pairsArr.length <= Dedup.ClusterEdgeCap)
+          spark.createDataset(
+            Dedup.unionFind(pairsArr).collect {
+              case (d, c) if d != c => d
+            }).toDF("doc_id")
         else Dedup.labelPropagation(pairs)
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"))
