@@ -407,7 +407,17 @@ class DataSkippingSpec extends AnyFunSuite {
           val a = rnd.nextInt(320) - 60
           s"k >= $a and k < ${a + 1 + rnd.nextInt(80)}"
       }
-    } ++ Seq("v is null", "v is not null", "v is null and k < 10")
+    } ++ (1 to 20).map { _ => // r20: disjunctive shapes (In / Or / mixed)
+      rnd.nextInt(4) match {
+        case 0 => s"k in (${Seq.fill(1 + rnd.nextInt(5))(
+          rnd.nextInt(320) - 60).mkString(", ")})"
+        case 1 => s"v in ('v${rnd.nextInt(10)}', 'v${rnd.nextInt(10)}')"
+        case 2 => s"k < ${rnd.nextInt(100) - 50} or k >= ${rnd.nextInt(200)}"
+        case _ => s"(k in (${rnd.nextInt(320) - 60}) or " +
+          s"s = 's${rnd.nextInt(320) + 940}') and k >= ${rnd.nextInt(100) - 60}"
+      }
+    } ++ Seq("v is null", "v is not null", "v is null and k < 10",
+      "v is null or k < -40", "k in (3, 5) or v is not null")
     preds.foreach(assertSameRows(dir, _))
   }
 

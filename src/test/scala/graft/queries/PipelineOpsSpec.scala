@@ -376,6 +376,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.lshBucketCap")
   }
 
+  test("property: star-capped bucket pairs preserve components at every cap") {
+    // random bucket layouts × random caps: the star-reduced pair set
+    // must produce IDENTICAL connected components to the full cliques
+    // (the recall invariant a >cap near-dup family depends on), and an
+    // over-cap bucket must emit exactly k-1 edges (the linear bound)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 60) {
+      val buckets = Seq.fill(1 + rnd.nextInt(5))(
+        Seq.fill(2 + rnd.nextInt(9))(rnd.nextInt(25).toLong).distinct)
+        .filter(_.size >= 2)
+      val cap = 1 + rnd.nextInt(6)
+      val full = buckets.flatMap(b => Dedup.bucketPairs(b, Int.MaxValue))
+      val capped = buckets.flatMap(b => Dedup.bucketPairs(b, cap))
+      if (full.nonEmpty) {
+        assert(Dedup.unionFind(capped.toArray).toSet ==
+          Dedup.unionFind(full.toArray).toSet, s"trial $trial (cap $cap)")
+        assert(capped.toSet.subsetOf(full.toSet), s"trial $trial")
+      }
+      buckets.foreach { b =>
+        val p = Dedup.bucketPairs(b, cap).toSeq
+        if (b.size > cap) assert(p.size == b.size - 1, s"trial $trial star bound")
+        else assert(p.size == b.size * (b.size - 1) / 2, s"trial $trial clique")
+      }
+    }
+  }
+
   test("over-cap minhash buckets are observable via CollectMetrics") {
     def metrics(capConf: Option[String]) = {
       capConf.foreach(spark.conf.set("spark.graft.lshBucketCap", _))
