@@ -102,6 +102,59 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(cents.map(_._1).toSeq == cents.map(_._1).sorted.toSeq)
   }
 
+  test("probe joins broadcast the bounded probe side; the index never sort-merges") {
+    val (cb, asg) = builtIndex("iann7")
+    val queries = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding"))
+    val out = IncrementalAnn.probe(spark, cb, asg, queries)
+    out.collect()
+    def flat(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val nodes = flat(out.queryExecution.executedPlan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"probe side must broadcast: $nodes")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      s"the (100 TB) index must never sort-merge for a probe: $nodes")
+  }
+
+  test("sorter maintenance of the assignment table preserves probe results") {
+    // list_id partitions accumulate one small file per ingest batch; the
+    // maintenance answer is the SAME sorter the rest of the engine uses.
+    // Each batch lands pre-sorted with disjoint vec_id ranges, so the
+    // sort-compact planner correctly proves every partition sorted and
+    // no-ops; binPack is the small-file op — it must merge the per-batch
+    // files, keep partition residency (and therefore probe pruning), and
+    // leave probe results bit-identical.
+    val (cb, asg) = builtIndex("iann8")
+    val queries = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("embedding"))
+    val before = IncrementalAnn.probe(spark, cb, asg, queries)
+      .collect().map(_.toSeq).toSet
+    val sorter = graft.sorter.DeltaSorter(spark, asg)
+    assert(sorter.compact(graft.sorter.SortConfig(Seq("vec_id")))
+      .partitionsRewritten == 0,
+      "per-batch disjoint sorted ranges: nothing for sort-compact to do")
+    val filesBefore = graft.delta.DeltaLog.forTable(spark, asg)
+      .snapshot().files.size
+    val summary = sorter.binPack()
+    assert(summary.partitionsRewritten > 0)
+    val filesAfter = graft.delta.DeltaLog.forTable(spark, asg)
+      .snapshot().files.size
+    assert(filesAfter < filesBefore,
+      s"binPack must merge per-batch small files ($filesBefore -> $filesAfter)")
+    val after = IncrementalAnn.probe(spark, cb, asg, queries)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("listStats reports per-list health from the metadata plane alone") {
     val (_, asg) = builtIndex("iann6")
     val stats = IncrementalAnn.listStats(spark, asg).collect()
