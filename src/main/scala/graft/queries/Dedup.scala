@@ -783,6 +783,23 @@ object Dedup {
           col("dot") * col("dot") * lit(10000L) > lit(1600L) * col("na") * col("nb"))
         .select(col("v1"), col("v2"),
           cosineFromInts(col("dot"), col("na"), col("nb")).as("cos_sim"))
+    }),
+
+    // Connected components over the EMBEDDING near-dup pair graph — the
+    // step that turns ANN pairs into a keep/drop list, mirroring
+    // q_dedup_clusters' routing: the pair set is duplicate-bounded, so
+    // one take of cap+1 rows sizes and delivers the edges for a driver
+    // union-find; past the cap the distributed star contraction runs
+    // the same computation.
+    "q_dedup_embedding_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val edges = queries("q_dedup_embedding_lsh")(s, dir)
+        .select(col("v1"), col("v2"))
+      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
+      if (pairs.length <= ClusterEdgeCap)
+        s.createDataset(unionFind(pairs)).toDF("vec_id", "cluster_id")
+      else labelPropagation(edges.toDF("d1", "d2"))
+        .withColumnRenamed("doc_id", "vec_id")
     }))
 
   /** Shared oracle CTE: distinct 3-gram shingle sets per document. */
@@ -893,7 +910,27 @@ object Dedup {
          |SELECT d AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
          |FROM cc GROUP BY d""".stripMargin,
 
-    "q_dedup_embedding_lsh" ->
+    "q_dedup_embedding_lsh" -> embeddingLshSql,
+
+    // Same recursive min-label propagation as q_dedup_clusters, over the
+    // embedding near-dup pair graph.
+    "q_dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE edges AS (SELECT v1 AS d1, v2 AS d2 FROM (
+         |$embeddingLshSql
+         |) emb),
+         |bi AS (SELECT d1 AS src, d2 AS dst FROM edges
+         |       UNION ALL SELECT d2, d1 FROM edges),
+         |cc AS (
+         |  SELECT src AS d, src AS label FROM bi
+         |  UNION
+         |  SELECT bi.dst AS d, cc.label
+         |  FROM cc JOIN bi ON cc.d = bi.src
+         |  WHERE cc.label < bi.dst
+         |)
+         |SELECT d AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+         |FROM cc GROUP BY d""".stripMargin)
+
+  private lazy val embeddingLshSql =
       """WITH qz AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         | FROM embeddings),
@@ -923,5 +960,5 @@ object Dedup {
         | FROM cand JOIN vecs a ON a.vec_id = v1 JOIN vecs b ON b.vec_id = v2)
         |SELECT v1, v2, CAST(dot AS DOUBLE)/sqrt(CAST(na*nb AS DOUBLE)) AS cos_sim
         |FROM p2
-        |WHERE dot > 0 AND dot*dot*10000 > 1600*na*nb""".stripMargin)
+        |WHERE dot > 0 AND dot*dot*10000 > 1600*na*nb""".stripMargin
 }
