@@ -108,6 +108,22 @@ object GraftFunctions {
       BitmapDistinct(children.head, children(1))
     })
 
+  private val quantizeDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_long"),
+    new ExpressionInfo(classOf[QuantizeLong].getName, "quantize_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "quantize_long takes exactly 1 argument")
+      QuantizeLong(children.head)
+    })
+
+  private val qnorm2Description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qnorm2_long"),
+    new ExpressionInfo(classOf[QNorm2Long].getName, "qnorm2_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "qnorm2_long takes exactly 1 argument")
+      QNorm2Long(children.head)
+    })
+
   /** Register the function library on an existing session (idempotent —
     * re-registration overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -115,10 +131,28 @@ object GraftFunctions {
       qdotDescription._1, qdotDescription._2, qdotDescription._3)
     spark.sessionState.functionRegistry.registerFunction(
       bitmapDescription._1, bitmapDescription._2, bitmapDescription._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      quantizeDescription._1, quantizeDescription._2, quantizeDescription._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      qnorm2Description._1, qnorm2Description._2, qnorm2Description._3)
   }
 
   private[functions] def description = qdotDescription
   private[functions] def bitmapDesc = bitmapDescription
+  private[functions] def quantizeDesc = quantizeDescription
+  private[functions] def qnorm2Desc = qnorm2Description
+
+  /** Column helpers (register + call): the codegen'd forms of
+    * [[graft.queries.TextFeatures.quantize]]/[[graft.queries.TextFeatures.qnorm2]]
+    * — see [[QuantizeLong]] for why the hot paths use these. */
+  def quantizeLong(s: SparkSession, emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("quantize_long", emb)
+  }
+  def qnorm2Long(s: SparkSession, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("qnorm2_long", v)
+  }
 }
 
 /** Session-extension entry point:
@@ -129,5 +163,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
     ext.injectFunction(GraftFunctions.bitmapDesc)
+    ext.injectFunction(GraftFunctions.quantizeDesc)
+    ext.injectFunction(GraftFunctions.qnorm2Desc)
   }
 }

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** `quantize_long(emb)` — quantize a float/double-array embedding to
+  * exact integer milli-units, as a NATIVE Catalyst expression with code
+  * generation.
+  *
+  * This is the codegen'd form of [[graft.queries.TextFeatures.quantize]]
+  * (`transform(emb, x => round(cast(x as double) * 1000, 0).cast("long"))`):
+  * the higher-order `transform` is interpreted per element — every
+  * embedding component pays a lambda-variable bind plus three boxed
+  * expression evals — and, worse, opaque-to-CSE copies of the transform
+  * get re-evaluated wholesale when the optimizer substitutes a derived
+  * column into pushed-down filters (q_ann_ivf's inferred
+  * `isnotnull(list_id)` re-ran the transform ~33× per row). This
+  * expression compiles to one tight primitive loop inside whole-stage
+  * codegen.
+  *
+  * Arithmetic is BIT-IDENTICAL to the HOF form (QuantizeSpec pins it,
+  * the driver's DuckDB oracle hashes re-check it end-to-end), per
+  * element: `(long) round(((double) x) * 1000.0)` where round is
+  * Spark's `Round(DoubleType, scale=0)` — NaN/Infinity pass through
+  * (the long cast then truncates them exactly like Spark's non-ANSI
+  * Cast), everything else goes through
+  * `BigDecimal.decimal(d).setScale(0, HALF_UP).toDouble`. A null
+  * element stays a null element, as `transform` leaves it. */
+case class QuantizeLong(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_long requires array<float|double>, got ${other.catalogString}")
+  }
+
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, elementsNullable)
+  override def prettyName: String = "quantize_long"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val float = isFloat
+    val checkNulls = elementsNullable
+    var i = 0
+    while (i < n) {
+      if (checkNulls && arr.isNullAt(i)) out(i) = null
+      else {
+        val d = (if (float) arr.getFloat(i).toDouble else arr.getDouble(i)) * 1000.0
+        out(i) = QuantizeLong.quantizeOne(d)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val vals = ctx.freshName("vals")
+      val d = ctx.freshName("d")
+      val get = if (isFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+      val nullSlot = if (elementsNullable)
+        s"if ($c.isNullAt($i)) { $vals[$i] = null; } else"
+      else ""
+      s"""
+         |int $n = $c.numElements();
+         |Object[] $vals = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullSlot {
+         |    double $d = ($get) * 1000.0;
+         |    $vals[$i] = java.lang.Long.valueOf(graft.functions.QuantizeLong.quantizeOne($d));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeLong {
+  /** One element: Spark's Round(double, 0, HALF_UP) then the ANSI
+    * Cast(double→long), byte-for-byte (see class doc) — Round passes
+    * NaN/Infinity through, and the cast applies the same
+    * floor/ceil range check Spark's `DoubleExactNumeric.toLong` does
+    * (that object is private[sql]), so NaN / Infinity /
+    * out-of-long-range values fail exactly where the HOF form fails
+    * under the default ANSI mode (as an ArithmeticException rather
+    * than Spark's SparkArithmeticException subclass — the condition,
+    * not the wrapper, is the pinned contract; finite in-range values
+    * are bit-identical). Shared by eval and codegen. */
+  def quantizeOne(d: Double): Long = {
+    val r = if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+      else BigDecimal.decimal(d)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (math.floor(r) <= Long.MaxValue.toDouble && math.ceil(r) >= Long.MinValue.toDouble) r.toLong
+    else throw new ArithmeticException(
+      s"quantize_long: casting $r to bigint causes overflow")
+  }
+}
+
+/** `qnorm2_long(v)` — exact integer squared norm of an `array<bigint>`,
+  * the codegen'd form of [[graft.queries.TextFeatures.qnorm2]]
+  * (`aggregate(a, 0L, (acc, x) => acc + x*x)`). Same motivation and
+  * null semantics as the HOF: a null ELEMENT nulls the whole sum (the
+  * interpreted fold turns `acc + null*null` into null and it sticks). */
+case class QNorm2Long(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"qnorm2_long requires array<bigint>, got ${other.catalogString}")
+  }
+
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "qnorm2_long"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val checkNulls = elementsNullable
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (checkNulls && arr.isNullAt(i)) return null
+      val x = arr.getLong(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val nullGuard = if (elementsNullable)
+        s"if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |int $n = $c.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  long $x = $c.getLong($i);
+         |  ${ev.value} += $x * $x;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -58,10 +58,16 @@ object IncrementalAnn {
     StructField("n2", LongType)))
 
   /** Quantized (vec_id, v, n2) view of an `(vec_id, embedding)` frame —
-    * the integer arithmetic shared with the one-shot queries. */
-  private def quantized(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", qnorm2(col("v")))
+    * the integer arithmetic shared with the one-shot queries, through
+    * the codegen'd quantize/qnorm2 (r21 — the interpreted HOFs paid a
+    * per-element lambda bind on every ingested vector;
+    * QuantizeLongSpec pins bit-identical arithmetic). */
+  private def quantized(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    df.select(col("vec_id"),
+        graft.functions.GraftFunctions.quantizeLong(s, col("embedding")).as("v"))
+      .withColumn("n2", graft.functions.GraftFunctions.qnorm2Long(s, col("v")))
+  }
 
   /** Per-centroid score array for the row's `v`/`n2` columns, one
     * lexicographically-max-able struct per centroid: (cos, -list_id),

@@ -464,9 +464,7 @@ object Dedup {
     * against this exhaustive form. */
   private[graft] def embeddingBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecs = table(s, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n2", qnorm2(col("v")))
+    val vecs = Similarity.quantizedVecs(s, dir)
       .as[(Long, Array[Long], Long)]
     val build = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
     vecs.mapPartitions { it =>
@@ -702,10 +700,8 @@ object Dedup {
     "q_dedup_embedding_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       import s.implicits._
-      val vecs = table(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("v"))
-        .withColumn("n2", qnorm2(col("v")))
-        .cache()
+      // codegen'd quantize/qnorm2 (r21 — see Similarity.quantizedVecs)
+      val vecs = Similarity.quantizedVecs(s, dir).cache()
       // all EBands×EPlanes hyperplane signs in ONE typed walk per vector
       // (the q_repetition recipe): the declarative form was 64 separate
       // qdot_long calls per row, each re-reading the array through the

@@ -60,11 +60,23 @@ object Similarity {
     call_function("qdot_long", a, b)
   }
 
+  /** Quantized (vec_id, v, n2) view of the embeddings — the codegen'd
+    * [[graft.functions.QuantizeLong]]/[[graft.functions.QNorm2Long]]
+    * forms of [[TextFeatures.quantize]]/[[TextFeatures.qnorm2]] (r21:
+    * the interpreted `transform`/`aggregate` HOFs paid a per-element
+    * lambda bind on every corpus row, and every one of these queries
+    * runs them over the whole table; QuantizeLongSpec pins the
+    * bit-identical arithmetic). */
+  private[queries] def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), call_function("quantize_long", col("embedding")).as("v"))
+      .withColumn("n2", call_function("qnorm2_long", col("v")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_cosine" -> ((s, dir) => {
-      val vecs = table(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("v"))
-        .withColumn("n2", qnorm2(col("v")))
+      val vecs = quantizedVecs(s, dir)
       val q = vecs.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       // query side broadcast (bounded by NQueries); the corpus streams
@@ -85,10 +97,11 @@ object Similarity {
     // Same scale shape: broadcast query side, ONE corpus pass, per-query
     // top-k, then a per-query vote count; ties broken by smallest label.
     "q_knn_classify" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          quantize(col("embedding")).as("v"))
-        .withColumn("n2", qnorm2(col("v")))
+          call_function("quantize_long", col("embedding")).as("v"))
+        .withColumn("n2", call_function("qnorm2_long", col("v")))
       val q = vecs.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("label").as("true_label"),
           col("v").as("qv"), col("n2").as("qn2"))
@@ -111,9 +124,7 @@ object Similarity {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      val vecs = table(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("v"))
-        .withColumn("n2", qnorm2(col("v")))
+      val vecs = quantizedVecs(s, dir)
       // Hyperplane p component i ∈ {+1,-1} from the parity of the first
       // hex digit of md5("p:<p>:<i>") — deterministic and data-independent,
       // so the weight matrix is evaluated ONCE on the driver and embedded
@@ -155,29 +166,39 @@ object Similarity {
     // nprobe/K of the corpus. That is exactly how FAISS-style IVF shards.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
-      val vecs = table(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("v"))
-        .withColumn("n2", qnorm2(col("v")))
-      val cents: Array[(Long, Seq[Long], Long)] = vecs
+      val cents: Array[(Long, Seq[Long], Long)] = quantizedVecs(s, dir)
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(IvfK)
         .select(col("vec_id"), col("v"), col("n2"))
         .as[(Long, Seq[Long], Long)].collect()
-      // per-centroid cosine, unrolled to IvfK codegen'd columns; ncid =
-      // -centroid_id so lexicographic struct max = (best cos, LOWEST cid)
-      val scoreStructs = cents.map { case (cid, cv, cn2) =>
-        struct(
-          cosineFromInts(qdotNative(s, typedLit(cv), col("v")),
-            lit(cn2), col("n2")).as("c"),
-          lit(-cid).as("ncid"))
-      }
-      val scoresArr = array(scoreStructs.toIndexedSeq: _*)
-      val assigned = vecs
-        .withColumn("list_id", -array_max(scoresArr).getField("ncid"))
-      val probes = assigned.where(col("vec_id") < NQueries)
-        .withColumn("probe", explode(slice(sort_array(scoresArr, asc = false), 1, IvfProbe)))
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
-          (-col("probe").getField("ncid")).as("list_id"))
+      // Quantization + centroid scoring + assignment in ONE typed pass
+      // (r21, the bands/minhash recipe): the former declarative form —
+      // IvfK unrolled (cos, -cid) structs under array_max/sort_array —
+      // was re-substituted WHOLESALE (raw-embedding quantization
+      // included) into the join's inferred isnotnull(list_id) filter by
+      // PushDownPredicates (~33 transform evals per corpus row,
+      // plans/r21/q_ann_ivf_before.txt operator (2)), and the 16×64
+      // literal trees made every run recompile a huge codegen unit.
+      // The arithmetic is IDENTICAL ([[centroidScores]] documents the
+      // tie/NaN contract; the oracle hash and IncrementalAnnSpec parity
+      // pin it): quantize = QuantizeLong.quantizeOne per element, cos =
+      // dot/√(n2·cn2) in the same IEEE ops, ties to the LOWEST cid.
+      val centArr = cents.map { case (cid, cv, cn2) => (cid, cv.toArray, cn2) }
+      val raw = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val assigned = raw.mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val (v, n2) = Similarity.quantizeJvm(emb)
+          (id, v, n2, Similarity.argminListId(centArr, v, n2))
+        }
+      }.toDF("vec_id", "v", "n2", "list_id")
+      val probes = raw.where(col("vec_id") < NQueries).mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          val (v, n2) = Similarity.quantizeJvm(emb)
+          Similarity.topLists(centArr, v, n2, IvfProbe)
+            .map(listId => (id, v, n2, listId))
+        }
+      }.toDF("q_id", "qv", "qn2", "list_id")
       val scored = assigned.join(broadcast(probes), Seq("list_id"))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("list_id"),
@@ -189,6 +210,63 @@ object Similarity {
         .where(col("rank") <= NTop)
         .select(col("q_id"), col("neighbor_id"), col("list_id"), col("cos_sim"), col("rank"))
     }))
+
+  /** JVM quantize+norm of one embedding — element-for-element
+    * [[graft.functions.QuantizeLong]] (same `quantizeOne`) and the
+    * qnorm2 fold; shared by the typed IVF pass above. */
+  private[queries] def quantizeJvm(emb: Array[Float]): (Array[Long], Long) = {
+    val v = new Array[Long](emb.length)
+    var n2 = 0L
+    var i = 0
+    while (i < emb.length) {
+      v(i) = graft.functions.QuantizeLong.quantizeOne(emb(i).toDouble * 1000.0)
+      n2 += v(i) * v(i)
+      i += 1
+    }
+    (v, n2)
+  }
+
+  /** Exact per-centroid cosines of one vector: cos = dot/√(n2·cn2) in
+    * the SAME IEEE double ops as `cosineFromInts(qdot_long(cv, v), cn2,
+    * n2)`; comparison contract below uses `Double.compare` = Spark's
+    * double ordering (NaN greatest, -0 < 0), ties to the LOWEST
+    * centroid id — exactly the declarative (cos, -cid) struct-max /
+    * sort_array semantics this replaced. */
+  private def centroidCos(cv: Array[Long], cn2: Long, v: Array[Long], n2: Long): Double = {
+    var dot = 0L
+    var i = 0
+    val n = math.min(cv.length, v.length)
+    while (i < n) { dot += cv(i) * v(i); i += 1 }
+    dot.toDouble / math.sqrt((cn2 * n2).toDouble)
+  }
+
+  /** argmax over (cos, -cid): best cosine, ties to the lowest cid. */
+  private[queries] def argminListId(cents: Array[(Long, Array[Long], Long)],
+      v: Array[Long], n2: Long): Long = {
+    var bestCid = cents.head._1
+    var bestCos = centroidCos(cents.head._2, cents.head._3, v, n2)
+    var i = 1
+    while (i < cents.length) {
+      val c = centroidCos(cents(i)._2, cents(i)._3, v, n2)
+      val cmp = java.lang.Double.compare(c, bestCos)
+      if (cmp > 0 || (cmp == 0 && cents(i)._1 < bestCid)) {
+        bestCos = c; bestCid = cents(i)._1
+      }
+      i += 1
+    }
+    bestCid
+  }
+
+  /** Top-`nprobe` list ids by (cos desc, cid asc) — the sort_array
+    * (desc) slice of the declarative form. */
+  private[queries] def topLists(cents: Array[(Long, Array[Long], Long)],
+      v: Array[Long], n2: Long, nprobe: Int): Seq[Long] =
+    cents.map { case (cid, cv, cn2) => (centroidCos(cv, cn2, v, n2), cid) }
+      .sortWith { (a, b) =>
+        val cmp = java.lang.Double.compare(a._1, b._1)
+        cmp > 0 || (cmp == 0 && a._2 < b._2)
+      }
+      .take(nprobe).map(_._2).toSeq
 
   private val quantCte =
     """WITH qz AS (SELECT vec_id,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.TextFeatures
+
+/** Native-expression contract for `quantize_long` / `qnorm2_long`: both
+  * must agree EXACTLY with the interpreted HOF forms they replace
+  * ([[TextFeatures.quantize]]/[[TextFeatures.qnorm2]]) — including the
+  * Round(HALF_UP-on-decimal-string) tie behavior, NaN/Infinity
+  * pass-through + long-cast truncation, and null-element semantics —
+  * because the embedding queries' oracle hashes are pinned to the HOF
+  * arithmetic. */
+class QuantizeLongSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
+  import spark.implicits._
+
+  private def hofVsNativeFloat(vals: Seq[Array[Float]]): Unit = {
+    val df = vals.toDF("emb").select(
+      TextFeatures.quantize(col("emb")).as("hof"),
+      call_function("quantize_long", col("emb")).as("native"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"quantize mismatch: hof=${r.getSeq[Any](0)} native=${r.getSeq[Any](1)}")
+    }
+    val n2 = df.select(
+      TextFeatures.qnorm2(col("hof")).as("hofN2"),
+      call_function("qnorm2_long", col("hof")).as("nativeN2")).collect()
+    n2.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("agrees with the HOF forms on random float embeddings") {
+    val rnd = new scala.util.Random(21)
+    hofVsNativeFloat(Seq.fill(300)(Array.fill(64)(rnd.nextFloat() * 4f - 2f)))
+  }
+
+  test("agrees on rounding edge cases and empties") {
+    hofVsNativeFloat(Seq(
+      Array(0.0005f, -0.0005f, 0.0015f, -0.0015f, 0.49999997f, -0.49999997f),
+      Array(1.0E-45f, -1.0E-45f, 0f, -0f, 1f, -1f), // subnormals, signed zero
+      Array.empty[Float],
+      // values whose *1000 product sits near a .5 decimal boundary
+      Array(0.0024999999f, 0.0025000002f, 2.5e-3f, 7.5e-3f, -2.5e-3f, -7.5e-3f)))
+  }
+
+  test("NaN / Infinity / overflow throw, exactly like the ANSI HOF cast") {
+    // the HOF form under the default ANSI mode throws from the
+    // double→long cast; the native form must not silently truncate
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+        Float.MaxValue)) {
+      assertThrows[Exception] {
+        Seq(Array(bad)).toDF("emb")
+          .select(TextFeatures.quantize(col("emb")).as("q")).collect()
+      }
+      assertThrows[Exception] {
+        Seq(Array(bad)).toDF("emb")
+          .select(call_function("quantize_long", col("emb")).as("q")).collect()
+      }
+    }
+  }
+
+  test("null elements and null arrays match the HOF forms") {
+    val df = spark.sql(
+      """SELECT quantize_long(a) AS native,
+        |       transform(a, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS hof
+        |FROM VALUES
+        |  (array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT))),
+        |  (CAST(NULL AS ARRAY<FLOAT>)),
+        |  (array(CAST(-0.0004 AS FLOAT))) AS t(a)""".stripMargin)
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    }
+    val n2 = spark.sql(
+      """SELECT qnorm2_long(a) AS native,
+        |       aggregate(a, 0L, (acc, x) -> acc + x * x) AS hof
+        |FROM VALUES
+        |  (array(3L, NULL)), (CAST(NULL AS ARRAY<BIGINT>)), (array(3L, -4L)),
+        |  (array(CAST(NULL AS BIGINT))) AS t(a)""".stripMargin).collect()
+    n2.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("whole-stage codegen and interpreted eval agree") {
+    // force the interpreted path via a fresh Literal-based eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val at = ArrayType(FloatType, containsNull = true)
+    val e = QuantizeLong(Literal.create(
+      ArrayData.toArrayData(Array[Any](1.2345f, null, -0.0025f)), at))
+    val out = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.numElements() == 3)
+    assert(out.getLong(0) == 1235L) // 1234.5... rounds by decimal string
+    assert(out.isNullAt(1))
+    val n2 = QNorm2Long(Literal.create(
+      ArrayData.toArrayData(Array[Any](3L, 4L)), ArrayType(LongType, false)))
+    assert(n2.eval(null) == 25L)
+  }
+}
