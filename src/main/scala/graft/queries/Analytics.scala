@@ -156,13 +156,19 @@ object Analytics {
 
     // Salted distinct-count: the skew-mitigation pattern for DISTINCT
     // aggregation under heavy group keys. The salt is derived from the
-    // DISTINCT column (md5 % Salts), so each l_partkey lands in exactly
-    // one (group, salt) cell and the per-salt distinct counts SUM to the
-    // true distinct count — phase 1 spreads one hot group over Salts
-    // reducers, phase 2 merges Salts tiny rows per group. The oracle is
-    // the plain COUNT(DISTINCT): equality IS the correctness statement.
+    // DISTINCT column (xxhash64 % Salts), so each l_partkey lands in
+    // exactly one (group, salt) cell and the per-salt distinct counts
+    // SUM to the true distinct count — phase 1 spreads one hot group
+    // over Salts reducers, phase 2 merges Salts tiny rows per group.
+    // The salt NEVER reaches the output (any per-key-deterministic
+    // function yields the identical result), so r21 swapped the md5
+    // string pipeline (cast→md5→substring→conv per row, the query's
+    // dominant per-row cost) for the codegen'd integer xxhash64 —
+    // exactly the deterministic-synthetic-key guidance of guide §2.5.
+    // The oracle is the plain COUNT(DISTINCT): equality IS the
+    // correctness statement.
     "q_skew_salted_distinct" -> ((s, dir) => {
-      val salt = pmod(md5Bits32(col("l_partkey").cast("string")), lit(Salts))
+      val salt = pmod(xxhash64(col("l_partkey")), lit(Salts))
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), salt.as("salt"))
         .agg(countDistinct(col("l_partkey")).as("d"), count(lit(1)).as("c"))

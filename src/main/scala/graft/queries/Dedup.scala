@@ -101,7 +101,7 @@ object Dedup {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  private def hex(d: Array[Byte]): String = {
+  private[queries] def hex(d: Array[Byte]): String = {
     val c = new Array[Char](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -114,7 +114,7 @@ object Dedup {
 
   /** Unsigned bytewise less-than — equivalent to comparing the lowercase
     * hex encodings lexicographically (both md5 digests are 16 bytes). */
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private[queries] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
       val x = a(i) & 0xff; val y = b(i) & 0xff

@@ -120,37 +120,50 @@ object Relational {
           max(col("p_size")).as("max_size"))
     }),
 
-    // ROLLUP: hierarchical subtotals (flag, status) → (flag) → () in one
-    // pass — Catalyst expands grouping sets map-side, still a single
-    // shuffle; gid disambiguates subtotal rows from genuine NULL groups.
+    // ROLLUP: hierarchical subtotals (flag, status) → (flag) → ().
+    // TWO-LEVEL form (r21, guide §2.3 "aggregate before you shuffle"):
+    // Catalyst places the grouping-set Expand BELOW the partial
+    // aggregate, so the single-pass rollup pushed set-count × row-count
+    // rows through the hash aggregate. Pre-aggregating to the finest
+    // grouping first (a plain partial-agg'd groupBy) and rolling up the
+    // handful of (flag, status) rows is algebraically identical — sums
+    // re-sum, counts sum, genuine NULL keys stay keys and gid still
+    // disambiguates them from subtotal rows — while Expand amplifies
+    // ~6 rows instead of the corpus.
     "q_rollup" -> ((s, dir) => {
       table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_extendedprice"))).as("s"), count(lit(1)).as("c"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
-          count(lit(1)).as("n"),
+        .agg(sum(col("s")).as("price_cents"),
+          sum(col("c")).as("n"),
           grouping_id().as("gid"))
     }),
 
-    // CUBE: all 2^k grouping-set combinations.
+    // CUBE: all 2^k grouping-set combinations (same two-level shape as
+    // q_rollup — see its note).
     "q_cube" -> ((s, dir) => {
       table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("s"), count(lit(1)).as("c"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(cents(col("o_totalprice"))).as("price_cents"),
-          count(lit(1)).as("n"),
+        .agg(sum(col("s")).as("price_cents"),
+          sum(col("c")).as("n"),
           grouping_id().as("gid"))
     }),
 
     // Explicit GROUPING SETS (asymmetric — neither rollup nor cube):
-    // per-returnflag, per-linestatus, and the grand total in ONE
-    // aggregate pass (Spark expands sets with a single Expand node, so
-    // the input is scanned once regardless of set count).
+    // per-returnflag, per-linestatus, and the grand total (same
+    // two-level shape as q_rollup — see its note).
     "q_grouping_sets" -> ((s, dir) => {
       table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_extendedprice"))).as("s"), count(lit(1)).as("c"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
-          count(lit(1)).as("n"),
+        .agg(sum(col("s")).as("price_cents"),
+          sum(col("c")).as("n"),
           grouping_id().as("gid"))
     }),
 

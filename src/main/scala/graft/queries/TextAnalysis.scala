@@ -105,16 +105,24 @@ object TextAnalysis {
     // term); N joins in as a one-row broadcast, and the per-doc top-3 is
     // a PARTITIONED window — no global sort, no driver data.
     "q_tfidf" -> ((s, dir) => {
+      // ONE tokenize+explode+aggregate pass (r21): df and len are
+      // WINDOW aggregates over the tf table instead of separate groupBy
+      // frames joined back — the join form planned the exploded-corpus
+      // aggregation subtree THREE times (plans/r21/q_tfidf_before.txt:
+      // three parquet scans, each with its own Generate + two-phase
+      // HashAggregate), because Catalyst does no cross-subtree CSE.
+      // df = count over the tk partition ≡ groupBy(tk).count, len =
+      // sum(tf) over the doc_id partition ≡ groupBy(doc_id).sum —
+      // identical values, and the final rank window reuses the len
+      // window's doc_id partitioning (exchange-free, sort only).
       val tk = table(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-      val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-      val docFreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val nDocs = table(s, dir, "documents")
         .agg(count(lit(1)).as("n_docs"))
       val scored = tf
-        .join(docFreq, "tk")
-        .join(docLen, "doc_id")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tk"))))
+        .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
         .crossJoin(broadcast(nDocs))
         .withColumn("score_bp",
           expr("(10000 * tf * n_docs) div (len * df)"))
@@ -155,14 +163,46 @@ object TextAnalysis {
 
     // Document fingerprinting: full-text content hash + min-shingle-hash
     // (the k=1 MinHash — a locality-sensitive rolling fingerprint).
+    // ONE typed pass per document (r21, the minhashPass recipe): the
+    // declarative form re-built ~n_tokens shingle strings per document
+    // through the interpreted `transform` and md5-hex'd each — here one
+    // reused MessageDigest hashes the text once (content_md5 AND fp32
+    // come from the same digest) and keeps the min shingle digest on
+    // raw bytes ([[Dedup.unsignedLess]] == hex-lexicographic order, the
+    // exact array_min semantics); only the winner is hex-encoded. The
+    // min over all windows equals the min over distinct windows, and
+    // tokens use split(" ", -1) — Spark's `split` keeps trailing
+    // empties. Oracle-pinned byte-for-byte.
     "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
       table(s, dir, "documents")
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
-        .select(
-          col("doc_id"),
-          md5(col("text")).as("content_md5"),
-          array_min(transform(shingles(col("tk")), sh => md5(sh))).as("min_shingle_md5"),
-          md5Bits32(col("text")).as("fp32"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val SP = ' '.toByte
+          it.map { case (id, text) =>
+            val d = md.digest(text.getBytes("UTF-8"))
+            val contentMd5 = Dedup.hex(d)
+            val fp32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            val tk = text.split(" ", -1)
+            var min: Array[Byte] = null
+            if (tk.length >= 3) {
+              val tb = tk.map(_.getBytes("UTF-8"))
+              var i = 0
+              while (i + 3 <= tk.length) {
+                md.reset()
+                md.update(tb(i)); md.update(SP)
+                md.update(tb(i + 1)); md.update(SP)
+                md.update(tb(i + 2))
+                val h = md.digest()
+                if (min == null || Dedup.unsignedLess(h, min)) min = h
+                i += 1
+              }
+            }
+            (id, contentMd5, if (min == null) null else Dedup.hex(min), fp32)
+          }
+        }.toDF("doc_id", "content_md5", "min_shingle_md5", "fp32")
     }))
 
   private val langSelect = langKeywords.map { case (code, words) =>
