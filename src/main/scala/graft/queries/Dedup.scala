@@ -621,7 +621,14 @@ object Dedup {
       // md5(concat_ws(" ", slice(tk, i, W))))), but the interpreted
       // higher-order form re-built a ~200-byte string per token position
       // through the expression engine (the simhash/shingle lesson,
-      // commit 425603b).
+      // commit 425603b). Hashes stay RAW 16-byte binaries end-to-end
+      // (r21): the hex encoding doubled every hash to a 32-char string
+      // before it hit the cache, the df shuffle and the postings
+      // shuffle — the hash never reaches the output (only d1/d2/
+      // n_windows do, and md5 equality on bytes IS equality on hex), so
+      // the encoding bought nothing. At 100 TB the window hashes are
+      // the only shuffled payload, so this halves the query's shuffle
+      // bytes outright.
       val hashed = table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
@@ -632,7 +639,8 @@ object Dedup {
             if (tk.length < W) None
             else {
               val tb = tk.map(_.getBytes("UTF-8"))
-              val seen = new scala.collection.mutable.LinkedHashSet[String]
+              val seen = new scala.collection.mutable.LinkedHashSet[
+                scala.collection.immutable.ArraySeq.ofByte]
               var i = 0
               while (i + W <= tk.length) {
                 md.reset()
@@ -641,10 +649,10 @@ object Dedup {
                   if (j > i) md.update(SP)
                   md.update(tb(j)); j += 1
                 }
-                seen += hex(md.digest())
+                seen += new scala.collection.immutable.ArraySeq.ofByte(md.digest())
                 i += 1
               }
-              Some((id, seen.toSeq))
+              Some((id, seen.toSeq.map(_.unsafeArray)))
             }
           }
         }.toDF("doc_id", "hs").cache()
