@@ -152,6 +152,13 @@ object Bench {
     // last run — load1m has ~60s inertia, so the bracket captures any
     // sustained external load spanning the query's 4+ executions.
     val queryLoads = scala.collection.mutable.Map[String, Double]()
+    // Memo-hit facts (r20 verdict #4/#5): tags served from a memoized
+    // decision/frame during a query's TIMED runs — the real build cost
+    // then sits in the untimed warmup (or an earlier query), so a
+    // near-zero median next to a memo_hits entry is a memo hit, not the
+    // query's cold cost, and a future cold-path "regression" on it is a
+    // memo cliff, not a code slowdown. Main measurement loop only.
+    val queryMemoHits = scala.collection.mutable.Map[String, Seq[String]]()
     val results = benchQueries.map { case (name, fn) =>
       def once(): Either[String, Double] = runOnce(name, fn)
       val loadBefore = loadAvg().headOption.getOrElse(-1.0)
@@ -162,6 +169,7 @@ object Bench {
       // phantom 4-6× "regressions" on byte-identical code (r6:
       // q_sample_hash 1.35s in-suite vs 0.47s isolated).
       once()
+      val memoBefore = graft.queries.MemoEvents.snapshot()
       var runs = Seq.fill(Runs)(once())
       // Adaptive re-run: median > 3× the query's own min is the
       // contamination fingerprint (r8: q_sort_global median 7.03 vs min
@@ -177,6 +185,10 @@ object Bench {
       while (runs.forall(_.isRight) && extras < 4 && spread(runs)) {
         runs = runs ++ Seq.fill(2)(once()); extras += 2
       }
+      val memoHit = graft.queries.MemoEvents.snapshot().collect {
+        case (tag, n) if n > memoBefore.getOrElse(tag, 0L) => tag
+      }.toSeq.sorted
+      if (memoHit.nonEmpty) queryMemoHits(name) = memoHit
       val firstErr = runs.collectFirst { case Left(e) => e } // fail if ANY run fails
       queryLoads(name) =
         math.max(loadBefore, loadAvg().headOption.getOrElse(-1.0))
@@ -756,6 +768,9 @@ object Bench {
         s""""salvaged_cross_round":$salvagedCrossJson,""" +
         s""""rerun_whole":$rerunWhole,"rerun_kept":"$rerunKept"},""" +
         s""""runs_per_query":$Runs,""" +
+        s""""memo_hits":${queryMemoHits.toSeq.sortBy(_._1).map { case (q, tags) =>
+          "\"" + q + "\":" + tags.map(t => "\"" + t + "\"").mkString("[", ",", "]")
+        }.mkString("{", ",", "}")},""" +
         s""""aggregation":"median","queries":${qJson(_.toString)},""" +
         s""""query_stats":$stats,"failed":$fs,$loadJson$engineFull"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailsPath),

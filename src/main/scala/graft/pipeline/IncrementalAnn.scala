@@ -157,7 +157,14 @@ object IncrementalAnn {
       .collect().map(_.getLong(0))
     val lists = spark.read.format("graftdelta").load(assignUri)
       .where(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
-    val scored = lists.join(broadcast(probes), Seq("list_id"))
+    // SIZE-GATED build side (r21, the r19 gatedBuild lesson): an
+    // interactive probe batch (queries × nprobe rows) broadcasts, but a
+    // backfill-scale batch — re-scoring a corpus against the index —
+    // must degrade to a shuffle-hash join instead of an OOM broadcast.
+    // The gate's limit-probe short-circuits, so deciding costs one tiny
+    // job; IncrementalAnnSpec pins BOTH paths (broadcast plan pin +
+    // cap-0 shuffle pin).
+    val scored = lists.join(graft.queries.Tables.gatedBuild(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("list_id"),
         cosineFromInts(call_function("qdot_long", col("qv"), col("v")),

@@ -156,16 +156,30 @@ object Dedup {
     * per-dir reader in this file, which treat testdata dirs as frozen). */
   private val shingleMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
+  /** Values are SOFT references (r20 ADVICE): a DataFrame strongly
+    * references its SparkSession, so a strong value would pin the
+    * WeakHashMap KEY forever and no entry could ever be collected —
+    * memoized frames outlived session.stop(). A soft value lets the GC
+    * reclaim the frame (and with it the session) under memory
+    * pressure; a cleared reference just rebuilds. */
   private def memoized(
       memo: java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]],
+        java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val perSession = memo.synchronized {
       memo.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]())
     }
-    val df = perSession.computeIfAbsent(dir, _ => build)
+    // the strong local `out` pins the frame across the compute, so a GC
+    // clearing the soft reference mid-call cannot null the result
+    var out: DataFrame = null
+    perSession.compute(dir, (_, ref) => {
+      out = if (ref != null) ref.get() else null
+      if (out == null) out = build
+      new java.lang.ref.SoftReference(out)
+    })
+    val df = out
     // Re-ARM the cache after an external clearCache(): clearCache doesn't
     // just drop the materialized blocks, it UNREGISTERS the plan from the
     // CacheManager — after it, every consumer of the memoized frame
@@ -202,7 +216,7 @@ object Dedup {
     * never buffers a posting list anywhere. */
   private val invIndexMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
   private[queries] def invertedIndex(s: SparkSession, dir: String): DataFrame =
     memoized(invIndexMemo, s, dir) {
       val inv = shingleDocs(s, dir)
@@ -234,7 +248,7 @@ object Dedup {
     * corpus. */
   private val pairCountsMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
   private[queries] def pairCounts(s: SparkSession, dir: String): DataFrame =
     memoized(pairCountsMemo, s, dir) {
       import s.implicits._
@@ -438,23 +452,39 @@ object Dedup {
     * shipped only cap+1 rows. */
   private val clustersMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
   private[queries] def clustersFrame(s: SparkSession, dir: String): DataFrame = {
     val perSession = clustersMemo.synchronized {
       clustersMemo.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+        _ => new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.SoftReference[DataFrame]]())
     }
-    perSession.computeIfAbsent(dir, { _ =>
-      import s.implicits._
-      val edges = queries("q_dedup_jaccard")(s, dir)
-        .select(col("d1"), col("d2"))
-      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
-      if (pairs.length <= ClusterEdgeCap) {
-        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
-      } else {
-        labelPropagation(edges)
+    // the key includes every session conf a build could be sensitive to
+    // (r20 ADVICE: gatedBuildMemo keys on its resolved cap; the memoized
+    // FRAMES must not be looser) — today the jaccard pair source reads
+    // no session conf (DfCap/JaccardMinBp/ClusterEdgeCap are compile-
+    // time constants), so the resolved lshBucketCap in the key is
+    // defensive: a session re-tuning the cap gets a fresh build instead
+    // of a silently stale one if the pair source ever becomes
+    // cap-sensitive. Values are SoftReferences — see [[memoized]].
+    val key = s"$dir#lshBucketCap=${bucketCap(s)}"
+    var out: DataFrame = null
+    perSession.compute(key, { (_, ref) =>
+      out = if (ref != null) ref.get() else null
+      if (out != null) MemoEvents.record("frame:clusters")
+      if (out == null) {
+        import s.implicits._
+        val edges = queries("q_dedup_jaccard")(s, dir)
+          .select(col("d1"), col("d2"))
+        val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
+        out =
+          if (pairs.length <= ClusterEdgeCap)
+            s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+          else labelPropagation(edges)
       }
+      new java.lang.ref.SoftReference(out)
     })
+    out
   }
 
   /** Test-only oracle: exact all-pairs embedding cosine via a driver

@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   *  - derived integers are cast to long on both sides (DuckDB SUM/COUNT
   *    return HUGEINT/BIGINT; Spark row_number returns int).
   */
+/** Memo-hit telemetry (r20 VERDICT #5): with [[Tables.gatedBuildMemo]]
+  * and [[Dedup.clustersFrame]] in play, a query's timed runs can be
+  * served by a memoized decision/frame built during its untimed warmup
+  * (q_dedup_clusters records ~0.02 s — a memo hit, with the real work
+  * attributed to the first pair-table consumer). The bench snapshots
+  * these counters around each query's timed runs and emits a
+  * `memo_hits` fact into BENCH_DETAILS.json, so cross-round drift
+  * readers can tell a memo hit from a regression (and a future cold
+  * cliff from a real slowdown). */
+object MemoEvents {
+  private val hits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  def record(tag: String): Unit =
+    hits.computeIfAbsent(tag, _ => new java.util.concurrent.atomic.LongAdder).increment()
+  def snapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    hits.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+}
+
 object Tables {
   /** Load a testdata table, normalizing `events.ts` to TimestampType
     * whatever the generator stored:
@@ -72,12 +92,17 @@ object Tables {
     if (isSmall(df, rowCap)) broadcast(df) else df.hint("shuffle_hash")
 
   /** The gate decision itself. Probe-free when the plan already knows
-    * its count: a driver-built LocalRelation carries it, and a FULLY
+    * its count: `maxRows` is a GUARANTEED upper bound (defined for
+    * limits, literal relations, and operators that propagate one — r21,
+    * the "skip the probe when the plan has exact stats" ask; an
+    * ESTIMATE, by contrast, must never gate a broadcast), a
+    * driver-built LocalRelation carries its exact size, and a FULLY
     * materialized cached frame at the plan root carries the exact
     * row-count accumulator (partial materialization reports loaded =
     * false, so a stale/partial count is never trusted). Everything else
     * pays the bounded `limit(rowCap+1)` probe job once. */
   private def isSmall(df: DataFrame, rowCap: Int): Boolean = {
+    if (df.queryExecution.optimizedPlan.maxRows.exists(_ <= rowCap)) return true
     val n = df.queryExecution.optimizedPlan match {
       // driver-built frames (e.g. the union-find cluster path) carry
       // their exact row count in the plan — no job needed
@@ -101,7 +126,14 @@ object Tables {
     * (e.g. [[graft.pipeline.IncrementalDedup]]) must keep using the
     * un-memoized [[gatedBuild]]. Key includes the resolved cap, so a
     * test pinning `spark.graft.broadcastRowCap=0` never reuses a
-    * default-cap decision. */
+    * default-cap decision.
+    *
+    * TAG CONTRACT (r20 ADVICE): `tag` must be 1:1 with the gated
+    * frame's DEFINITION for a dir — reusing an existing tag for a
+    * differently-built frame silently reuses the cached decision and
+    * can broadcast an over-cap frame. Current tags ("clusters",
+    * "contam") each name exactly one builder; add a new tag for any
+    * new call site. */
   private val gateMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
@@ -114,8 +146,10 @@ object Tables {
       gateMemo.computeIfAbsent(s, _ =>
         new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
     }
+    var built = false
     val small = perSession.computeIfAbsent(s"$dir#$tag#$cap",
-      _ => isSmall(df, cap))
+      _ => { built = true; isSmall(df, cap) })
+    if (!built) MemoEvents.record(s"gate:$tag")
     if (small) broadcast(df) else df.hint("shuffle_hash")
   }
 }

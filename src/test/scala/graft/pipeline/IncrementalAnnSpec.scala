@@ -122,6 +122,24 @@ class IncrementalAnnSpec extends AnyFunSuite {
       s"probe side must broadcast: $nodes")
     assert(!nodes.exists(_.contains("SortMergeJoin")),
       s"the (100 TB) index must never sort-merge for a probe: $nodes")
+
+    // the r21 gate: with the broadcast cap pinned to 0, a (simulated)
+    // backfill-scale probe batch must degrade to a shuffle-hash join —
+    // never a forced broadcast, never a sort-merge — and return the
+    // identical rows
+    val before = out.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.broadcastRowCap", "0")
+    try {
+      val gatedOut = IncrementalAnn.probe(spark, cb, asg, queries)
+      gatedOut.collect()
+      val gatedNodes = flat(gatedOut.queryExecution.executedPlan).map(_.nodeName)
+      assert(gatedNodes.exists(_.contains("ShuffledHashJoin")),
+        s"cap-0 probe must shuffle-hash: $gatedNodes")
+      assert(!gatedNodes.exists(_.contains("BroadcastHashJoin")),
+        s"cap-0 probe must not broadcast: $gatedNodes")
+      assert(gatedOut.collect().map(_.toString).sorted.toSeq == before,
+        "gated probe must return identical rows")
+    } finally spark.conf.unset("spark.graft.broadcastRowCap")
   }
 
   test("sorter maintenance of the assignment table preserves probe results") {

@@ -320,6 +320,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a fresh tag must probe and route the over-cap frame to shuffle-hash")
   }
 
+  test("gatedBuild skips the probe when the plan bounds its own rows (maxRows)") {
+    // r21: a plan-level GUARANTEED upper bound (limit, literal
+    // relation) decides the gate without running ANY job. Proof: the
+    // frame's execution would throw — only a probe-free decision can
+    // produce the broadcast hint.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val boom = org.apache.spark.sql.functions.udf(
+      () => { if (true) throw new RuntimeException("gate must not execute"); true })
+    val df = spark.range(100).toDF("doc_id").where(boom()).limit(5)
+    val gated = Tables.gatedBuild(df) // must not execute the frame
+    assert(gated.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      .exists(_.hints.strategy.exists(_.toString.equalsIgnoreCase("broadcast"))),
+      "a limit-bounded frame under the cap must broadcast probe-free")
+  }
+
   test("gatedBuild reads a fully-materialized cache's exact row count") {
     // InMemoryRelation at the plan root + loaded buffers -> the gate
     // reads the rowCountStats accumulator instead of probing; decisions
