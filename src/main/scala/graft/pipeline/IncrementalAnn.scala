@@ -153,18 +153,29 @@ object IncrementalAnn {
     // filter, and the `format("graftdelta")` route — not
     // [[DeltaTable.read]]'s direct file-list read — so the In filter
     // reaches the relation's partitionValues pruning.)
-    val probedLists = probes.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0))
+    // ONE action sizes the gate AND routes the scan: the per-list probe
+    // counts are bounded by IvfK rows (list ids ⊆ codebook), and their
+    // sum is the EXACT probe-side row count — so the size gate below
+    // costs no extra job beyond the routing collect this path always
+    // paid.
+    val listCounts = probes.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    val probedLists = listCounts.map(_.getLong(0))
+    val probeRows = listCounts.map(_.getLong(1)).sum
     val lists = spark.read.format("graftdelta").load(assignUri)
       .where(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
     // SIZE-GATED build side (r21, the r19 gatedBuild lesson): an
     // interactive probe batch (queries × nprobe rows) broadcasts, but a
     // backfill-scale batch — re-scoring a corpus against the index —
     // must degrade to a shuffle-hash join instead of an OOM broadcast.
-    // The gate's limit-probe short-circuits, so deciding costs one tiny
-    // job; IncrementalAnnSpec pins BOTH paths (broadcast plan pin +
-    // cap-0 shuffle pin).
-    val scored = lists.join(graft.queries.Tables.gatedBuild(probes), Seq("list_id"))
+    // IncrementalAnnSpec pins BOTH paths (broadcast plan pin + cap-0
+    // shuffle pin).
+    val cap = spark.conf.getOption("spark.graft.broadcastRowCap")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(graft.queries.Tables.BroadcastRowCap)
+    val gatedProbes =
+      if (probeRows <= cap) broadcast(probes) else probes.hint("shuffle_hash")
+    val scored = lists.join(gatedProbes, Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("list_id"),
         cosineFromInts(call_function("qdot_long", col("qv"), col("v")),

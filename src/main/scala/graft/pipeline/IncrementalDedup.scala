@@ -186,7 +186,11 @@ object IncrementalDedup {
       DeltaTable.appendIfNew(spark, corpusUri, accepted, appId, batchId)
       DeltaTable.appendIfNew(spark, indexUri, acceptedSigs, s"$appId-index", batchId)
 
-      val total = batch.count()
+      // batch row count from the CACHED signature table instead of a
+      // second batch-source scan (r21): bandSignatures posexplodes a
+      // constant Bands-element sequence, so it emits exactly Bands rows
+      // per input row whatever the text contains.
+      val total = sigs.count() / Dedup.Bands
       val nDupCorpus = dupCorpus.count()
       val nLosers = nDropped - nDupCorpus
       IngestStats(total, nDupCorpus, nLosers, total - nDupCorpus - nLosers)

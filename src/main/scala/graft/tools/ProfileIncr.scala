@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Dev-only (r21): time the engine-section incremental ops in
+  * isolation — incr_ingest (2-batch IncrementalDedup), ann_ingest,
+  * ann_probe — with per-phase breakdown, mirroring Bench's engine
+  * construction. */
+object ProfileIncr {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse("") +
+            " stages=" + js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("|").take(120)))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(je.jobId)
+        if (s != null)
+          println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3fs ${s._2}")
+      }
+    })
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[incr] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    for (round <- 1 to 3) {
+      println(s"--- pass $round ---")
+      val incrCorpus = java.nio.file.Files.createTempDirectory("pi-corpus").toString
+      val incrIndex = java.nio.file.Files.createTempDirectory("pi-index").toString
+      timed("incr_ingest(2 batches)") {
+        (0 until 2).map { b =>
+          timed(s"  batch $b") {
+            graft.pipeline.IncrementalDedup.ingest(spark, incrCorpus, incrIndex,
+              docsAll.where(col("doc_id") % 2 === b), "pi-incr", b.toLong)
+          }
+        }
+      }
+      val annCb = java.nio.file.Files.createTempDirectory("pi-cb").toString
+      val annAsg = java.nio.file.Files.createTempDirectory("pi-asg").toString
+      timed("ann_ingest(total)") {
+        timed("  ensureIndex") {
+          graft.pipeline.IncrementalAnn.ensureIndex(spark, emb, annCb, annAsg)
+        }
+        timed("  ingest b0") {
+          graft.pipeline.IncrementalAnn.ingest(spark, annCb, annAsg,
+            emb.where(col("vec_id") % 2 === 0), "pi-ann", 0L)
+        }
+        timed("  ingest b1") {
+          graft.pipeline.IncrementalAnn.ingest(spark, annCb, annAsg,
+            emb.where(col("vec_id") % 2 === 1), "pi-ann", 1L)
+        }
+      }
+      timed("ann_probe") {
+        graft.pipeline.IncrementalAnn.probe(spark, annCb, annAsg,
+          emb.where(col("vec_id") < 10)).count()
+      }
+    }
+    spark.stop()
+  }
+}
