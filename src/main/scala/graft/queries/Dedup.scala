@@ -194,7 +194,7 @@ object Dedup {
   private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
     memoized(shingleMemo, s, dir) {
       import s.implicits._
-      table(s, dir, "documents")
+      tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val sh = distinctShingles(text)
@@ -292,7 +292,10 @@ object Dedup {
     * null values, as `array_min` of an empty array does. */
   private def minhashDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashPass(table(s, dir, "documents")
+    // tableParallel (r21): the K×|shingles| md5 signature map is the
+    // most CPU-expensive narrow pass in the suite and ran in ONE task
+    // on the single-row-group testdata file — see Tables.tableParallel.
+    minhashPass(tableParallel(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)])
   }
 
@@ -582,7 +585,7 @@ object Dedup {
     // first 8 hex digits of md5(shingle) as an unsigned 32-bit value.
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      table(s, dir, "documents")
+      tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
@@ -659,7 +662,7 @@ object Dedup {
       // the encoding bought nothing. At 100 TB the window hashes are
       // the only shuffled payload, so this halves the query's shuffle
       // bytes outright.
-      val hashed = table(s, dir, "documents")
+      val hashed = tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")

@@ -57,6 +57,38 @@ object Tables {
     else df
   }
 
+  /** [[table]] with a scan-parallelism floor for CPU-heavy narrow
+    * passes (r21, guide §2.5 "input skew — one huge unsplittable file
+    * ... otherwise repartition immediately after the read"): the
+    * testdata tables are single parquet files with ONE row group, so
+    * byte-range splits cannot parallelize them — every typed
+    * per-document pass (minhash, shingles, simhash, window hashes) ran
+    * in a single task whatever the core count. When the scan supplies
+    * fewer partitions than the session's default parallelism, insert a
+    * round-robin repartition; the condition makes it SCALE-ADAPTIVE,
+    * not a local tune: it only fires when the input is small enough
+    * that the scan under-fills the cluster, which is exactly when the
+    * repartition shuffle is bounded (< cores × maxPartitionBytes) — a
+    * 100 TB corpus arrives as many splits and passes through untouched.
+    * Only wired into passes whose per-row CPU dominates their scan
+    * (hash/shingle pipelines); plain aggregates keep the raw scan. */
+  def tableParallel(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(s, dir, name)
+    val cores = s.sparkContext.defaultParallelism
+    val maxPart = scala.util.Try(org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+      .getOrElse(128L * 1024 * 1024)
+    // metadata-only size probe: "can the scan fill the cluster on its
+    // own?" — bytes ≥ cores × maxPartitionBytes guarantees ≥ cores
+    // splits, so big inputs never pay the shuffle
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+    if (bytes < cores.toLong * maxPart) df.repartition(cores) else df
+  }
+
   /** 2-decimal double -> exact integer cents. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 

@@ -12,9 +12,14 @@ import TextFeatures._
   * large-scale training-data pipeline.
   *
   * Scale notes (100 TB): every query here is a narrow per-row map (stock
-  * higher-order functions, whole-stage codegen, zero shuffle) — it
-  * pipelines directly over the parquet scan at any scale. Only the
-  * optional final aggregate (none here) would shuffle.
+  * higher-order functions, whole-stage codegen) — it pipelines directly
+  * over the parquet scan at any scale. Only the optional final
+  * aggregate (none here) would shuffle. r21: the per-row passes read
+  * through [[Tables.tableParallel]] — identical pipelining on big
+  * inputs (the repartition only fires when the scan cannot fill the
+  * cluster, i.e. the input is small and the shuffle bounded); at bench
+  * scale it lifts these CPU-bound passes off the testdata's
+  * single-row-group one-task scans.
   */
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
@@ -39,7 +44,7 @@ object TextAnalysis {
     // length, stopword and short-token ratios in integer basis points.
     "q_text_stats" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "to", "in")
-      table(s, dir, "documents")
+      tableParallel(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(
           col("doc_id"),
@@ -61,7 +66,7 @@ object TextAnalysis {
     // Language-ID heuristic: per-language keyword hit counts, argmax with
     // alphabetical tie-break.
     "q_text_langid" -> ((s, dir) => {
-      val base = table(s, dir, "documents")
+      val base = tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
       val scored = langKeywords.foldLeft(base) { case (df, (code, words)) =>
         df.withColumn(s"s_$code", hits(col("tk"), words))
@@ -84,7 +89,7 @@ object TextAnalysis {
     // agree byte-for-byte; still a narrow map, zero shuffle.
     "q_token_bpeish" -> ((s, dir) => {
       val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
-      table(s, dir, "documents")
+      tableParallel(s, dir, "documents")
         .select(col("doc_id"), regexp_extract_all(col("text"), lit(pat), lit(0)).as("tk"))
         .select(
           col("doc_id"),
@@ -151,7 +156,7 @@ object TextAnalysis {
         lit("phone"),
         concat(lit("555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")),
         col("c_mktsegment"))
-      table(s, dir, "customer")
+      tableParallel(s, dir, "customer")
         .select(col("c_custkey"), rec.as("rec"))
         .select(
           col("c_custkey"),
@@ -175,7 +180,7 @@ object TextAnalysis {
     // empties. Oracle-pinned byte-for-byte.
     "q_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      table(s, dir, "documents")
+      tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")

@@ -26,8 +26,26 @@ object ProfileR21 {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")) {
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.map(s => s.name.takeWhile(_ != '\n') + "#" + s.numTasks)
+              .mkString("|").take(160)))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(je.jobId)
+          if (s != null)
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3fs ${s._2}")
+        }
+      })
+    }
     val names =
       if (args.isEmpty || args(0) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
       else args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
