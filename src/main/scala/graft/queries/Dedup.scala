@@ -194,7 +194,7 @@ object Dedup {
   private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
     memoized(shingleMemo, s, dir) {
       import s.implicits._
-      tableParallel(s, dir, "documents")
+      table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val sh = distinctShingles(text)
