@@ -830,8 +830,19 @@ object Dedup {
     // the same computation.
     "q_dedup_embedding_clusters" -> ((s, dir) => {
       import s.implicits._
+      // EAGER localCheckpoint before the sizing take (r21): take(cap+1)
+      // executes its plan in scale-up rounds (1, 4, 16, … output
+      // partitions), and each round re-ran the candidate self-join +
+      // exact rerank — the dominant stage at sf1 (4.8 s vs the LSH
+      // query's own 2.4 s). One materialization pass bounds that: the
+      // take then reads checkpointed blocks, and the over-cap path
+      // hands labelPropagation an already-materialized edge list (it
+      // starts with its own checkpoint anyway). The pair graph is
+      // dedup OUTPUT — duplicate-bounded, orders below the corpus — so
+      // materializing it is the same budget labelPropagation's first
+      // round always had.
       val edges = queries("q_dedup_embedding_lsh")(s, dir)
-        .select(col("v1"), col("v2"))
+        .select(col("v1"), col("v2")).localCheckpoint(true)
       val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
       if (pairs.length <= ClusterEdgeCap)
         s.createDataset(unionFind(pairs)).toDF("vec_id", "cluster_id")
