@@ -108,13 +108,34 @@ object IncrementalAnn {
   }
 
   /** The whole codebook — bounded by the constant IvfK, never corpus
-    * size; ordered for deterministic plan literals. */
+    * size; ordered for deterministic plan literals.
+    *
+    * MEMOIZED per (session, uri, log version) — r21: every ingest batch
+    * and every probe re-ran the collect job over a table the object doc
+    * declares FROZEN ("re-training is a new index"), so a streaming
+    * ingest paid one fixed Spark job per batch for bytes that cannot
+    * change. The key carries [[DeltaLog.latestVersion]] (a driver-side
+    * log listing, no job), so even a recreated codebook at the same URI
+    * — outside the frozen contract — invalidates instead of serving
+    * stale centroids. Values are plain arrays bounded by IvfK; the weak
+    * session key works because the values hold no session reference. */
+  private val codebookMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Long], Long)]]]()
   def codebook(spark: SparkSession,
       codebookUri: String): Array[(Long, Seq[Long], Long)] = {
-    import spark.implicits._
-    DeltaTable.read(spark, codebookUri)
-      .select(col("list_id"), col("v"), col("n2"))
-      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val perSession = codebookMemo.synchronized {
+      codebookMemo.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String,
+          Array[(Long, Seq[Long], Long)]]())
+    }
+    val key = s"$codebookUri@${DeltaLog.forTable(spark, codebookUri).latestVersion()}"
+    perSession.computeIfAbsent(key, { _ =>
+      import spark.implicits._
+      DeltaTable.read(spark, codebookUri)
+        .select(col("list_id"), col("v"), col("n2"))
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    })
   }
 
   /** One idempotent ingestion step: assign each batch vector (`vec_id`,

@@ -154,17 +154,20 @@ object IncrementalDedup {
       // routes to the distributed path having shipped only cap+1 rows.
       import spark.implicits._
       val pairsArr = pairs.as[(Long, Long)].take(Dedup.ClusterEdgeCap.toInt + 1)
-      val losers =
+      // nLosersDriver: the within-batch loser count is DRIVER-KNOWN on
+      // the union-find path (the common one — the edge list is already
+      // in hand), so the stats below never pay a job for it; only the
+      // over-cap distributed path leaves it to be derived from counts.
+      val (losers, nLosersDriver) =
         if (pairsArr.isEmpty)
-          spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-        else if (pairsArr.length <= Dedup.ClusterEdgeCap)
-          spark.createDataset(
-            Dedup.unionFind(pairsArr).collect {
-              case (d, c) if d != c => d
-            }).toDF("doc_id")
-        else Dedup.labelPropagation(pairs)
-          .where(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id"))
+          (spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0), Some(0L))
+        else if (pairsArr.length <= Dedup.ClusterEdgeCap) {
+          val l = Dedup.unionFind(pairsArr).collect { case (d, c) if d != c => d }
+          (spark.createDataset(l).toDF("doc_id"), Some(l.length.toLong))
+        } else
+          (Dedup.labelPropagation(pairs)
+            .where(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")), None)
       val dropped = dupCorpus.unionByName(losers).distinct().cache()
       droppedCached = Some(dropped)
       // one count materializes the cache, sizes the broadcast gate, and
@@ -178,22 +181,44 @@ object IncrementalDedup {
       val droppedBuild =
         if (nDropped <= dropCap) broadcast(dropped)
         else dropped.hint("shuffle_hash")
-      val accepted = batch.join(droppedBuild, Seq("doc_id"), "left_anti")
+      // the batch row count rides the corpus append as an `observe`
+      // metric (r21 "fold stat actions into the append"): the anti-join
+      // streams every batch row through the CollectMetrics node inside
+      // the write job this path always pays, so no separate count job
+      // runs. Only a REPLAYED batch (append skipped — no job at all)
+      // falls back to the cached signature table, where posexplode of a
+      // constant Bands-element sequence guarantees exactly Bands rows
+      // per input row.
+      val batchObs = org.apache.spark.sql.Observation()
+      val accepted = batch.observe(batchObs, count(lit(1)).as("rows"))
+        .join(droppedBuild, Seq("doc_id"), "left_anti")
       val acceptedSigs = sigs.join(droppedBuild, Seq("doc_id"), "left_anti")
         .select(col("band"), col("sig"), col("doc_id"))
 
       // (4) corpus FIRST, then index (crash-safe order — object doc)
-      DeltaTable.appendIfNew(spark, corpusUri, accepted, appId, batchId)
+      val committed = DeltaTable.appendIfNew(spark, corpusUri, accepted, appId, batchId)
       DeltaTable.appendIfNew(spark, indexUri, acceptedSigs, s"$appId-index", batchId)
 
-      // batch row count from the CACHED signature table instead of a
-      // second batch-source scan (r21): bandSignatures posexplodes a
-      // constant Bands-element sequence, so it emits exactly Bands rows
-      // per input row whatever the text contains.
-      val total = sigs.count() / Dedup.Bands
-      val nDupCorpus = dupCorpus.count()
-      val nLosers = nDropped - nDupCorpus
-      IngestStats(total, nDupCorpus, nLosers, total - nDupCorpus - nLosers)
+      // a BOUNDED await, not the blocking get: get could hang forever if
+      // the write ran on a conf-scoped session CLONE (mapped/variant
+      // tables — stageWrite's writeSession) whose listener bus predates
+      // this observation. A timeout (or a skipped replay append) falls
+      // back to one count over the cached signature table.
+      val total = (if (committed)
+          scala.util.Try(scala.concurrent.Await.result(batchObs.future,
+            scala.concurrent.duration.Duration(2, "s"))).toOption
+        else None)
+        .map(_.getAs[Long]("rows"))
+        .getOrElse(sigs.count() / Dedup.Bands)
+      // dropped = dupCorpus ∪ losers with the two sides DISJOINT (losers
+      // ⊆ fresh, and fresh anti-joined dupCorpus away), so the three
+      // counts are one subtraction apart — the former per-batch
+      // dupCorpus.count() and sigs.count() jobs are gone (the only
+      // remaining stat job on the common path is the dropped.count()
+      // that also sizes the gate and materializes the cache).
+      val nLosers = nLosersDriver.getOrElse(nDropped - dupCorpus.count())
+      val nDupCorpus = nDropped - nLosers
+      IngestStats(total, nDupCorpus, nLosers, total - nDropped)
     } finally {
       // unpersist exactly what THIS call cached — clearCache() would
       // also evict the caller's caches (e.g. inside a foreachBatch)

@@ -55,6 +55,24 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, asg).count() == before)
   }
 
+  test("codebook reads are memoized per log version, never served stale") {
+    val (cb, _) = builtIndex("iann7")
+    val first = IncrementalAnn.codebook(spark, cb)
+    // same session + same version: the memo serves the SAME array — no
+    // second collect job for a table the contract declares frozen
+    assert(IncrementalAnn.codebook(spark, cb) eq first)
+    // a version bump at the same URI (outside the frozen contract) must
+    // invalidate: the memo keys on latestVersion, so the new row shows up
+    import spark.implicits._
+    DeltaTable.append(spark, cb,
+      Seq((999L, Seq.fill(Similarity.Dim)(1L), Similarity.Dim.toLong))
+        .toDF("list_id", "v", "n2")
+        .select(col("list_id"), col("v").cast("array<bigint>").as("v"), col("n2")))
+    val second = IncrementalAnn.codebook(spark, cb)
+    assert(!(second eq first))
+    assert(second.exists(_._1 == 999L) && !first.exists(_._1 == 999L))
+  }
+
   test("a probe reads only the routed list partitions (file pruning)") {
     val (cb, asg) = builtIndex("iann3")
     // one query routes to IvfProbe of the IvfK lists; with the

@@ -57,7 +57,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.ingest(spark, corpus, index, b, "t3", 0L)
     // crash-replay of the SAME batch id: corpus txn watermark skips the
     // append even though the batch's own signatures now mark it dup
-    IncrementalDedup.ingest(spark, corpus, index, b, "t3", 0L)
+    val replayed = IncrementalDedup.ingest(spark, corpus, index, b, "t3", 0L)
+    // the skipped append means the batch-rows observation never fires:
+    // stats must come from the cached-signature fallback, and the
+    // batch's own indexed signatures make it a corpus duplicate
+    assert(replayed == IncrementalDedup.IngestStats(1, 1, 0, 0))
     assert(DeltaTable.read(spark, corpus).count() == 1)
     assert(DeltaTable.read(spark, index).count() == graft.queries.Dedup.Bands.toLong)
   }
