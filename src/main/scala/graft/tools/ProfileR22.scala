@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only (r22 optimization round): time a comma-separated list of
+  * SparkEntry queries with the EXACT bench methodology (same session
+  * confs, noop sink, clearCache between runs, untimed warmup + median
+  * of 3) and optionally dump `.explain("formatted")` to
+  * plans/r22/<query>_<tag>.txt.
+  *
+  * Usage: runMain graft.tools.ProfileR22 <q1,q2,...|all> [tag]
+  *   tag given  -> plans are written to plans/r22/<q>_<tag>.txt
+  *   env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench.
+  */
+object ProfileR22 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "134217728"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")) {
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.map(s => s.name.takeWhile(_ != '\n') + "#" + s.numTasks)
+              .mkString("|").take(160)))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(je.jobId)
+          if (s != null)
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3fs ${s._2}")
+        }
+      })
+    }
+    val names =
+      if (args.isEmpty || args(0) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val tag = if (args.length > 1) Some(args(1)) else None
+    tag.foreach(_ => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("plans/r22")))
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+    for (name <- names) {
+      spark.sparkContext.setJobDescription(s"profile:$name")
+      tag.foreach { t =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r22/${name}_$t.txt"),
+          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        spark.catalog.clearCache()
+      }
+      once(name) // untimed warmup
+      val ts = Seq.fill(3)(once(name)).sorted
+      println(f"[profile] $name%-28s median=${ts(1)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+    }
+    spark.stop()
+  }
+}
