@@ -232,6 +232,27 @@ object Bench {
             .map(n => n -> qs.get(n).get("median").asDouble()).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    // Previous round's memo_hits record (same details file): a query
+    // served by a DIFFERENT memo set this round is a memo cliff, not a
+    // regression — the cross-round rule must not indict it (r21 VERDICT
+    // #6; BenchRules.memoCliff). Parsed alongside prevMedians.
+    val prevMemoHits: Map[String, Seq[String]] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(detailsPath)))
+        val mh = node.get("memo_hits")
+        val sameSf = Option(node.get("sf")).exists(_.asText() == sfDir)
+        if (mh == null || !sameSf) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          mh.fieldNames().asScala.map { q =>
+            q -> mh.get(q).elements().asScala.map(_.asText()).toSeq
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val memoCliffs = benchQueries.keys.filter(k => BenchRules.memoCliff(
+      prevMemoHits.getOrElse(k, Nil), queryMemoHits.getOrElse(k, Nil))).toSeq.sorted
     // Thresholds + rationale live in graft.BenchRules (pure, pinned by
     // BenchRulesSpec); the 1.5× cross-round multiplier is the r18
     // tightening — all four of r17's load-inflated queries sat in the
@@ -239,7 +260,7 @@ object Bench {
     def ownSuspect(v: (Double, Double, Double, Int)): Boolean =
       BenchRules.ownSuspect(v)
     def crossSuspect(k: String, v: (Double, Double, Double, Int)): Boolean =
-      BenchRules.crossSuspect(prevMedians.get(k), v._1)
+      !memoCliffs.contains(k) && BenchRules.crossSuspect(prevMedians.get(k), v._1)
     def isSuspect(k: String, v: (Double, Double, Double, Int)): Boolean =
       ownSuspect(v) || crossSuspect(k, v)
     val salvageTargets = results.collect {
@@ -308,13 +329,24 @@ object Bench {
         .map(_.map(prevMedians).sum)
     var rerunWhole = false
     var rerunKept = "none"
+    // Pre-rerun environment verdict over the samples taken so far (the
+    // final envSuspect stamp is computed again at artifact time): a run
+    // that already indicts its own environment re-runs on ANY
+    // slower-than-previous total, not just +15% (r21 shipped a suspect
+    // +8% with no rerun — VERDICT #4). Only-keep-faster still applies.
+    val envSuspectSoFar = BenchRules.environmentSuspect(
+      contaminated || foreignJvmsMax > 1, load1mMax,
+      Runtime.getRuntime.availableProcessors, foreignJvmsMax)
     val resultsWhole =
       if (resultsFinal.exists(_._2.isLeft)) resultsFinal
       else prevTotalOpt match {
-        case Some(pt) if BenchRules.wholeRunRerun(Some(pt), totalOf(resultsFinal)) =>
+        case Some(pt) if BenchRules.wholeRunRerun(Some(pt), totalOf(resultsFinal)) ||
+            BenchRules.wholeRunRerunSuspect(envSuspectSoFar, Some(pt),
+              totalOf(resultsFinal)) =>
           rerunWhole = true
           System.err.println(s"[bench] whole-run total ${d2(totalOf(resultsFinal))} " +
-            s"> 1.15x previous ${d2(pt)}; re-running the full query loop once")
+            s"vs previous ${d2(pt)} (env_suspect=$envSuspectSoFar); " +
+            "re-running the full query loop once")
           var waits = 0
           while (machineBusy() && waits < 6) {
             System.err.println("[bench] whole-run rerun: waiting 20s for load to drain")
@@ -378,6 +410,27 @@ object Bench {
       }
     val ok = resultsWhole.collect { case (k, Right(v)) => k -> v }
     val failed = resultsWhole.collect { case (k, Left(_)) => k }
+    // COLD-BUILD timing (r21 VERDICT #6): a query whose timed runs were
+    // served by a DATA-CARRYING memo (frame:/gate: — the clusters frame,
+    // gate decisions) reports a median that measures memo lookups; the
+    // real build cost sits in its untimed warmup or an earlier query.
+    // One additional run per such query with EVERY memo invalidated
+    // first gives the number that IS comparable across rounds, emitted
+    // as a per-query "cold" fact (details JSON only — the headline
+    // medians keep their definition, so the cross-round series stays
+    // valid). Runs after the salvage/rerun machinery (it invalidates
+    // memos, which would pollute any later re-measurement) and before
+    // the engine section (which uses no memos).
+    val coldSecs = scala.collection.mutable.Map[String, Double]()
+    for ((name, tags) <- queryMemoHits.toSeq.sortBy(_._1)
+         if tags.exists(t => !t.startsWith("plan:") && !t.startsWith("build:plan:")))
+      benchQueries.find(_._1 == name).foreach { case (_, fn) =>
+        graft.queries.Dedup.invalidateMemos(spark)
+        runOnce(name, fn) match {
+          case Right(t) => coldSecs(name) = t
+          case Left(_) => ()
+        }
+      }
     // The driver captures only the LAST 2000 characters of this run's
     // output (observed: every BENCH_r*.json stores a 2000-char "tail"
     // and "parsed": null whenever the JSON line overflows it, which it
@@ -389,7 +442,8 @@ object Bench {
       .mkString("{", ",", "}")
     val stats = ok.map { case (k, (med, mn, mx, n)) =>
       val l = d2(queryLoads.getOrElse(k, -1.0))
-      s"\"" + k + s"""":{"median":$med,"min":$mn,"max":$mx,"runs":$n,"load1m":$l}"""
+      val cold = coldSecs.get(k).map(c => s""","cold":$c""").getOrElse("")
+      s"\"" + k + s"""":{"median":$med,"min":$mn,"max":$mx,"runs":$n,"load1m":$l$cold}"""
     }.mkString("{", ",", "}")
     val fs = failed.map(k => s"\"" + k + "\"").mkString("[", ",", "]")
     val total = ok.values.map(_._1).sum
@@ -766,6 +820,7 @@ object Bench {
         s""""foreign_jvms_max":$foreignJvmsMax,"suspect_queries":$suspectsJson,""" +
         s""""salvaged_queries":$salvagedJson,""" +
         s""""salvaged_cross_round":$salvagedCrossJson,""" +
+        s""""memo_cliffs":${memoCliffs.map(k => "\"" + k + "\"").mkString("[", ",", "]")},""" +
         s""""rerun_whole":$rerunWhole,"rerun_kept":"$rerunKept"},""" +
         s""""runs_per_query":$Runs,""" +
         s""""memo_hits":${queryMemoHits.toSeq.sortBy(_._1).map { case (q, tags) =>

@@ -46,6 +46,32 @@ object BenchRules {
   def wholeRunRerun(prevTotal: Option[Double], total: Double): Boolean =
     prevTotal.exists(pt => pt > 0.5 && total > 1.15 * pt && total - pt > 1.0)
 
+  /** r22 (VERDICT r21 #4): the r21 driver run self-stamped
+    * environment_suspect (load1m_max 13.8, ten salvaged queries) yet
+    * shipped a +8% total because the 1.15× threshold above never fired.
+    * When the run's OWN environment evidence already indicts it, ANY
+    * slower-than-previous total earns the one drained re-run — the
+    * re-run still keeps the fresh result only when FASTER, so a real
+    * regression re-measures slow and keeps its number. */
+  def wholeRunRerunSuspect(envSuspect: Boolean, prevTotal: Option[Double],
+      total: Double): Boolean =
+    envSuspect && prevTotal.exists(pt => pt > 0.5 && total > pt)
+
+  /** Memo-cliff (r21 VERDICT #6 / builder backlog #5): a query whose
+    * timed runs were served by a DIFFERENT set of data-carrying memos
+    * than the previous round's record (a `frame:`/`gate:` tag gained or
+    * lost, or a cold `build:` landing inside the timed window) is not
+    * comparable round-over-round — its medians measure different work.
+    * crossSuspect must not indict it (salvage re-runs would rebuild the
+    * same memos and prove nothing); the `cold` facts are the comparable
+    * series for such queries. `plan:` tags don't count: those memos
+    * hold plans whose data recomputes inside every timed run. */
+  def memoCliff(prevTags: Seq[String], nowTags: Seq[String]): Boolean = {
+    def dataTags(ts: Seq[String]) =
+      ts.filterNot(t => t.startsWith("plan:") || t.startsWith("build:plan:")).toSet
+    dataTags(prevTags) != dataTags(nowTags)
+  }
+
   /** Environment-suspect stamp: sustained load with NO foreign JVM to
     * indict. Weaker than `contaminated` (our own worker threads push
     * load too) — it marks the artifact "deserves an idle recheck", it

@@ -156,30 +156,39 @@ object Dedup {
     * per-dir reader in this file, which treat testdata dirs as frozen). */
   private val shingleMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
-  /** Values are SOFT references (r20 ADVICE): a DataFrame strongly
-    * references its SparkSession, so a strong value would pin the
-    * WeakHashMap KEY forever and no entry could ever be collected —
-    * memoized frames outlived session.stop(). A soft value lets the GC
-    * reclaim the frame (and with it the session) under memory
-    * pressure; a cleared reference just rebuilds. */
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  /** Values are STRONG references again (r22, VERDICT r21 #3): the r21
+    * SoftReference values could be cleared by any full GC under the
+    * bench's 32-thread allocation pressure, silently rebuilding the
+    * whole inverted index DURING a timed run (q_contamination's 24 s
+    * outlier run carried exactly that signature). The r20 leak soft
+    * values fixed — a strong DataFrame pins its own WeakHashMap session
+    * key, so stopped sessions' memos were never collected — is handled
+    * by LIFECYCLE instead of reachability: the first memo entry for a
+    * session registers one listener on its SparkContext that drops the
+    * session's entries from EVERY frame memo at application end
+    * (session.stop() in local mode), so frames live exactly as long as
+    * the session that built them, never shorter (no mid-bench rebuild)
+    * and never longer (no leak). Builds and hits are counted separately
+    * in [[MemoEvents]] (`build:`/`frame:` tags) so the bench can see a
+    * cold build landing inside a timed window — the memo-cliff signal. */
   private def memoized(
       memo: java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]],
+      s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    registerMemoCleanup(s)
     val perSession = memo.synchronized {
       memo.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]())
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
-    // the strong local `out` pins the frame across the compute, so a GC
-    // clearing the soft reference mid-call cannot null the result
-    var out: DataFrame = null
-    perSession.compute(dir, (_, ref) => {
-      out = if (ref != null) ref.get() else null
-      if (out == null) out = build
-      new java.lang.ref.SoftReference(out)
-    })
-    val df = out
+    var built = false
+    val df = perSession.computeIfAbsent(dir, _ => { built = true; build })
+    // `tag` carries a "plan:" prefix: these memos hold PLANS whose data
+    // recomputes every run after clearCache(), so a hit does not move
+    // work out of a timed window the way the data-carrying
+    // "frame:clusters" / "gate:*" memos do — the bench's memo_hits
+    // telemetry keeps that distinction.
+    MemoEvents.record(if (built) s"build:$tag" else tag)
     // Re-ARM the cache after an external clearCache(): clearCache doesn't
     // just drop the materialized blocks, it UNREGISTERS the plan from the
     // CacheManager — after it, every consumer of the memoized frame
@@ -192,7 +201,7 @@ object Dedup {
     df
   }
   private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
-    memoized(shingleMemo, s, dir) {
+    memoized(shingleMemo, s, dir, "plan:shingles") {
       import s.implicits._
       table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -216,9 +225,9 @@ object Dedup {
     * never buffers a posting list anywhere. */
   private val invIndexMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private[queries] def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    memoized(invIndexMemo, s, dir) {
+    memoized(invIndexMemo, s, dir, "plan:invindex") {
       val inv = shingleDocs(s, dir)
         .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       val keep = inv.groupBy(col("shingle"))
@@ -248,9 +257,9 @@ object Dedup {
     * corpus. */
   private val pairCountsMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private[queries] def pairCounts(s: SparkSession, dir: String): DataFrame =
-    memoized(pairCountsMemo, s, dir) {
+    memoized(pairCountsMemo, s, dir, "plan:pairs") {
       import s.implicits._
       // Grouped-postings pair generation (r18): ONE groupBy of the
       // cached index — which the df-cap join already hash-partitioned
@@ -455,12 +464,12 @@ object Dedup {
     * shipped only cap+1 rows. */
   private val clustersMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private[queries] def clustersFrame(s: SparkSession, dir: String): DataFrame = {
+    registerMemoCleanup(s)
     val perSession = clustersMemo.synchronized {
       clustersMemo.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap[String,
-          java.lang.ref.SoftReference[DataFrame]]())
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }
     // the key includes every session conf a build could be sensitive to
     // (r20 ADVICE: gatedBuildMemo keys on its resolved cap; the memoized
@@ -469,26 +478,52 @@ object Dedup {
     // time constants), so the resolved lshBucketCap in the key is
     // defensive: a session re-tuning the cap gets a fresh build instead
     // of a silently stale one if the pair source ever becomes
-    // cap-sensitive. Values are SoftReferences — see [[memoized]].
+    // cap-sensitive. Values are strong, lifecycle-bounded — see
+    // [[memoized]].
     val key = s"$dir#lshBucketCap=${bucketCap(s)}"
-    var out: DataFrame = null
-    perSession.compute(key, { (_, ref) =>
-      out = if (ref != null) ref.get() else null
-      if (out != null) MemoEvents.record("frame:clusters")
-      if (out == null) {
-        import s.implicits._
-        val edges = queries("q_dedup_jaccard")(s, dir)
-          .select(col("d1"), col("d2"))
-        val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
-        out =
-          if (pairs.length <= ClusterEdgeCap)
-            s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
-          else labelPropagation(edges)
-      }
-      new java.lang.ref.SoftReference(out)
+    var built = false
+    val out = perSession.computeIfAbsent(key, { _ =>
+      built = true
+      import s.implicits._
+      val edges = queries("q_dedup_jaccard")(s, dir)
+        .select(col("d1"), col("d2"))
+      val pairs = edges.as[(Long, Long)].take(ClusterEdgeCap.toInt + 1)
+      if (pairs.length <= ClusterEdgeCap)
+        s.createDataset(unionFind(pairs)).toDF("doc_id", "cluster_id")
+      else labelPropagation(edges)
     })
+    MemoEvents.record(if (built) "build:clusters" else "frame:clusters")
     out
   }
+
+  /** Drop every memoized frame for `s` — called by the application-end
+    * listener ([[registerMemoCleanup]]) so stopped sessions release
+    * their frames, and by the bench's cold-build timing pass, which
+    * must measure a memo-served query WITHOUT its memos. Also clears
+    * the gate-decision memo ([[Tables.invalidateGateMemo]]): a cold
+    * timing that still skipped the gate probes would understate the
+    * cold cost. */
+  def invalidateMemos(s: SparkSession): Unit = {
+    Seq(shingleMemo, invIndexMemo, pairCountsMemo, clustersMemo)
+      .foreach(m => m.synchronized { m.remove(s) })
+    Tables.invalidateGateMemo(s)
+  }
+
+  /** One listener per session (idempotent): at application end —
+    * session.stop() in local mode — the session's memo entries are
+    * dropped, so the strong frame values live exactly as long as the
+    * session. The registry itself is weak-keyed and holds no frames. */
+  private val memoCleanupRegistered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private def registerMemoCleanup(s: SparkSession): Unit =
+    if (memoCleanupRegistered.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          invalidateMemos(s)
+      })
 
   /** Test-only oracle: exact all-pairs embedding cosine via a driver
     * collect + broadcast. Deliberately NOT in [[queries]] — the corpus
@@ -662,7 +697,7 @@ object Dedup {
       // the encoding bought nothing. At 100 TB the window hashes are
       // the only shuffled payload, so this halves the query's shuffle
       // bytes outright.
-      val hashed = tableParallel(s, dir, "documents")
+      val hashed = table(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")

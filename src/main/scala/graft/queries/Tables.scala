@@ -169,6 +169,11 @@ object Tables {
   private val gateMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+  /** Drop `s`'s gate decisions (bench cold-build pass / session end —
+    * see [[Dedup.invalidateMemos]]). Values are Booleans, so this is
+    * about measurement freshness, not memory. */
+  private[queries] def invalidateGateMemo(s: SparkSession): Unit =
+    gateMemo.synchronized { gateMemo.remove(s) }
   def gatedBuildMemo(s: SparkSession, dir: String, tag: String,
       df: DataFrame): DataFrame = {
     val cap = s.conf.getOption("spark.graft.broadcastRowCap")

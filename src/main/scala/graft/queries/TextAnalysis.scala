@@ -110,23 +110,33 @@ object TextAnalysis {
     // term); N joins in as a one-row broadcast, and the per-doc top-3 is
     // a PARTITIONED window — no global sort, no driver data.
     "q_tfidf" -> ((s, dir) => {
-      // ONE tokenize+explode+aggregate pass (r21): df and len are
-      // WINDOW aggregates over the tf table instead of separate groupBy
-      // frames joined back — the join form planned the exploded-corpus
-      // aggregation subtree THREE times (plans/r21/q_tfidf_before.txt:
-      // three parquet scans, each with its own Generate + two-phase
-      // HashAggregate), because Catalyst does no cross-subtree CSE.
-      // df = count over the tk partition ≡ groupBy(tk).count, len =
-      // sum(tf) over the doc_id partition ≡ groupBy(doc_id).sum —
-      // identical values, and the final rank window reuses the len
-      // window's doc_id partitioning (exchange-free, sort only).
+      // r22 (VERDICT r21 #1): the r21 form computed df as `count over
+      // (partition by tk)` — a window with NO partial aggregation, so at
+      // 100 TB a stopword token's partition holds a row for nearly every
+      // document and ONE reducer sorts and streams billions of rows.
+      // df is now a dedicated PARTIAL-AGGREGATABLE subtree
+      // (groupBy(tk).count over the tf frame — map-side combined,
+      // skew-immune) joined back on tk: a shuffle-HASH join (no sort of
+      // the tf side), and — unlike a window — a join is AQE-skew-
+      // splittable, so a hot token's partition splits at runtime. The
+      // price is the tf subtree planned twice (Catalyst does no
+      // cross-subtree CSE: 2 scans/Generates, vs r20's 3 and r21's 1);
+      // measured faster than the r21 window form even at sf0.1
+      // (0.96 → 0.72 s isolated median) because the df window's
+      // whole-tf-table sort cost more than the second pre-aggregated
+      // scan. len stays a window: doc_id partitions are bounded by
+      // document length, and the final rank window reuses its exchange.
+      // df = count of tf rows per tk ≡ count(DISTINCT doc) per token —
+      // identical values to both earlier forms; oracle hash unchanged.
       val tk = table(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfTbl = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val nDocs = table(s, dir, "documents")
         .agg(count(lit(1)).as("n_docs"))
-      val scored = tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tk"))))
+      val scored = tf.hint("shuffle_hash")
+        .join(dfTbl.hint("shuffle_hash"), Seq("tk"))
         .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
         .crossJoin(broadcast(nDocs))
         .withColumn("score_bp",

@@ -74,6 +74,36 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(BenchRules.wholeRunRerun(Some(8.0), 9.3))
   }
 
+  test("wholeRunRerunSuspect: env-suspect run re-runs on ANY slower total (r22)") {
+    // r21's exact shape: suspect run, total 30.15 vs prev 27.96 (+8%,
+    // below the 1.15x rule) — must now fire.
+    assert(BenchRules.wholeRunRerunSuspect(envSuspect = true, Some(27.96), 30.15))
+    // faster-than-previous total: nothing to repair
+    assert(!BenchRules.wholeRunRerunSuspect(envSuspect = true, Some(27.96), 27.0))
+    // clean environment: the 1.15x wholeRunRerun rule alone decides
+    assert(!BenchRules.wholeRunRerunSuspect(envSuspect = false, Some(27.96), 30.15))
+    assert(!BenchRules.wholeRunRerunSuspect(envSuspect = true, None, 30.15))
+    // tiny-subset floor, same as wholeRunRerun
+    assert(!BenchRules.wholeRunRerunSuspect(envSuspect = true, Some(0.4), 0.6))
+  }
+
+  test("memoCliff: data-carrying memo set changed between rounds (r22)") {
+    // same data tags both rounds: comparable, no cliff
+    assert(!BenchRules.memoCliff(Seq("frame:clusters", "gate:clusters"),
+      Seq("frame:clusters", "gate:clusters")))
+    // a frame memo stopped serving (e.g. memo machinery changed): cliff
+    assert(BenchRules.memoCliff(Seq("frame:clusters"), Nil))
+    // a cold build landed INSIDE the timed window: cliff
+    assert(BenchRules.memoCliff(Seq("frame:clusters"),
+      Seq("frame:clusters", "build:clusters")))
+    // plan-only memos recompute their data every run — never a cliff
+    assert(!BenchRules.memoCliff(Seq("plan:pairs", "frame:clusters"),
+      Seq("frame:clusters")))
+    assert(!BenchRules.memoCliff(Nil, Seq("plan:shingles", "build:plan:pairs")))
+    // both empty: trivially comparable
+    assert(!BenchRules.memoCliff(Nil, Nil))
+  }
+
   test("environmentSuspect: high load with no JVM to indict") {
     // Threshold sits above the bench's own sf0.1 load (~4.5 on 32
     // cpus): a stamp means load the queries can't explain. Moderate

@@ -36,6 +36,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(shared == standalone)
   }
 
+  test("frame memos: strong values, hit/build telemetry, explicit invalidation (r22)") {
+    // r22 replaced the r21 SoftReference memo values (GC could clear
+    // them MID-BENCH and silently rebuild the inverted index inside a
+    // timed run) with strong values + lifecycle invalidation. Pins:
+    // (1) a repeat call serves the SAME frame object (no rebuild is
+    // possible while the session lives), (2) hits and builds are
+    // distinguishable in MemoEvents (the bench's memo-cliff signal),
+    // (3) invalidateMemos forces a fresh build — the bench cold-build
+    // pass and the application-end listener both ride it.
+    val a = Dedup.shingleDocs(spark, dir)
+    val before = MemoEvents.snapshot()
+    val b = Dedup.shingleDocs(spark, dir)
+    assert(a eq b, "repeat call must serve the memoized frame itself")
+    val afterHit = MemoEvents.snapshot()
+    assert(afterHit.getOrElse("plan:shingles", 0L) ==
+      before.getOrElse("plan:shingles", 0L) + 1, "a serve records a hit tag")
+    Dedup.invalidateMemos(spark)
+    val c = Dedup.shingleDocs(spark, dir)
+    assert(!(c eq b), "invalidation must force a fresh build")
+    val afterBuild = MemoEvents.snapshot()
+    assert(afterBuild.getOrElse("build:plan:shingles", 0L) >
+      before.getOrElse("build:plan:shingles", 0L), "a build records a build tag")
+  }
+
   test("gatedBuild: broadcast and shuffle-hash paths join identically") {
     // the size gate that replaced the hard broadcast() hints
     // (r18 judge #1): below the row cap the build side is broadcast,
