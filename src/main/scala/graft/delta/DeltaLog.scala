@@ -2175,8 +2175,15 @@ object DeltaLog {
     * snapshot cache effective ACROSS operations — read, validate, plan,
     * compact on one table replay the log once, then pay only a listing
     * plus the new commits each. A stale instance for a deleted-and-
-    * recreated path is safe: `snapshot()` re-lists every call and falls
-    * back to full replay when the log went backwards. */
+    * recreated path is detected when the log went BACKWARDS
+    * (`snapshot()` re-lists every call and falls back to full replay);
+    * a recreation landing at the SAME latest version (e.g. delete +
+    * single-commit re-create, both v0) is indistinguishable from "no
+    * new commits" by listing alone — data reads then fail loudly (the
+    * old snapshot's files are gone from disk) but metadata-only readers
+    * (memoized collects, stats) can be served stale: mutate a log out
+    * of band only through [[invalidate]], delta-spark's
+    * `DeltaLog.invalidateCache` contract. */
   private val instances = new java.util.LinkedHashMap[String, DeltaLog](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, DeltaLog]): Boolean =
       size > 64

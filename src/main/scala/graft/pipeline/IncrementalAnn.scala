@@ -115,10 +115,19 @@ object IncrementalAnn {
     * declares FROZEN ("re-training is a new index"), so a streaming
     * ingest paid one fixed Spark job per batch for bytes that cannot
     * change. The key carries [[DeltaLog.latestVersion]] (a driver-side
-    * log listing, no job), so even a recreated codebook at the same URI
-    * — outside the frozen contract — invalidates instead of serving
-    * stale centroids. Values are plain arrays bounded by IvfK; the weak
-    * session key works because the values hold no session reference. */
+    * log listing, no job), so a codebook EXTENDED at the same URI
+    * invalidates instead of serving stale centroids. A codebook
+    * DELETED AND RECREATED at the same URI lands at the same version
+    * (create is a single v0 commit) and the key collides — r21 ADVICE;
+    * that operation is outside the frozen contract AND outside what the
+    * log layer itself can see (DeltaLog's own snapshot cache keys on
+    * the version too, so a same-version recreation is invisible to
+    * every cached reader, not just this memo): callers recreating an
+    * index in place must call [[DeltaLog.invalidate]] on both URIs —
+    * the same escape hatch delta-spark documents
+    * (`DeltaLog.invalidateCache`) for out-of-band log mutation. Values
+    * are plain arrays bounded by IvfK; the weak session key works
+    * because the values hold no session reference. */
   private val codebookMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Long], Long)]]]()

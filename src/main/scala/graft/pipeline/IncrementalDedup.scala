@@ -204,7 +204,17 @@ object IncrementalDedup {
       // tables — stageWrite's writeSession) whose listener bus predates
       // this observation. A timeout (or a skipped replay append) falls
       // back to one count over the cached signature table.
-      val total = (if (committed)
+      // r21 ADVICE: when the corpus snapshot IS clone-scoped (column
+      // mapping on, or variant columns in the batch — the exact
+      // condition stageWrite re-binds the plan under), the observation
+      // can NEVER complete, so awaiting just stalls every committed
+      // batch the full 2 s before the fallback — skip straight to the
+      // cached-signature count on that path.
+      val cloneScoped =
+        DeltaLog.forTable(spark, corpusUri).snapshot().columnMappingMode != "none" ||
+          batch.schema.fields.exists(f =>
+            DeltaTable.schemaFeatures(f.dataType).contains("variantType"))
+      val total = (if (committed && !cloneScoped)
           scala.util.Try(scala.concurrent.Await.result(batchObs.future,
             scala.concurrent.duration.Duration(2, "s"))).toOption
         else None)

@@ -66,6 +66,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, index).count() == graft.queries.Dedup.Bands.toLong)
   }
 
+  test("column-mapped corpus: exact stats via the fallback, no await stall (r22)") {
+    // On a mapped table the append runs on stageWrite's conf-scoped
+    // session clone, whose listener bus predates the Observation — the
+    // batch-rows observation can never complete. r21 ADVICE: that path
+    // paid the full 2 s Await timeout on EVERY committed batch before
+    // falling back; ingest now detects the clone condition up front and
+    // goes straight to the cached-signature count. Stats must be exact
+    // either way, and the ingest must not carry the 2 s stall.
+    val corpus = TestSpark.tmpDir("incd-cm-corpus")
+    val index = TestSpark.tmpDir("incd-cm-index")
+    val b0 = Seq((1L, doc("iota"))).toDF("doc_id", "text")
+    IncrementalDedup.ensureTables(spark, corpus, index, b0.schema)
+    DeltaTable.enableColumnMapping(spark, corpus)
+    val t0 = System.nanoTime()
+    val s1 = IncrementalDedup.ingest(spark, corpus, index, b0, "tcm", 0L)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(s1 == IncrementalDedup.IngestStats(1, 0, 0, 1))
+    val b1 = Seq((2L, doc("iota", " z")), (3L, doc("kappa"))).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.ingest(spark, corpus, index, b1, "tcm", 1L)
+    assert(s2 == IncrementalDedup.IngestStats(2, 1, 0, 1))
+    assert(DeltaTable.read(spark, corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // generous bound: the whole first ingest at this scale runs well
+    // under the removed 2 s stall alone
+    assert(elapsed < 2.0,
+      f"mapped-corpus ingest took $elapsed%.2f s — the 2 s await stall is back?")
+  }
+
   test("index probe broadcasts the BATCH side; the index never shuffles") {
     val corpus = TestSpark.tmpDir("incd5-corpus")
     val index = TestSpark.tmpDir("incd5-index")
