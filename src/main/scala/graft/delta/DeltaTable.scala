@@ -413,10 +413,18 @@ object DeltaTable {
         if (writeConfs.isEmpty) wdf
         else org.apache.spark.sql.graft.GraftShims.ofRows(
           writeSession(spark, writeConfs), wdf.queryExecution.analyzed)
+      val timing = sys.env.contains("GRAFT_WRITE_TIMING")
+      var tMark = System.nanoTime()
+      def mark(label: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(f"[stageWrite] $label%-12s ${(now - tMark) / 1e9}%.3fs")
+        tMark = now
+      }
       var w = toWrite.write.mode("overwrite")
       maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
       if (wparts.nonEmpty) w = w.partitionBy(wparts: _*)
       w.parquet(staging.toString)
+      mark("write")
 
       val staged = mutable.ArrayBuffer.empty[(String, Path, Long)] // (relDir, file, size)
       val it = fs.listFiles(staging, true)
@@ -428,6 +436,7 @@ object DeltaTable {
           staged += ((rel, st.getPath, st.getLen))
         }
       }
+      mark("list")
       val commitId = UUID.randomUUID().toString
       val now = System.currentTimeMillis()
       // staged part numbers are zero-padded -> lexicographic sort = output
@@ -441,6 +450,7 @@ object DeltaTable {
         if (!fs.rename(src, dst)) sys.error(s"failed to publish $src -> $dst")
         (rel, relPath, dst, size)
       }
+      mark("rename")
       // Per-file stats (numRecords/min/max/nullCount) from the parquet
       // FOOTERS the write just produced — no data re-scan, ~1 KB range
       // read per file, parallelized driver-side (fine into the
@@ -456,6 +466,7 @@ object DeltaTable {
           try Some(relPath -> DataSkipping.statsFromFooter(conf, dst, indexedCols))
           catch { case scala.util.control.NonFatal(_) => None }
         }.seq.toMap
+      mark("stats")
       placed.map { case (rel, relPath, _, size) =>
         AddFile(relPath, parsePartitionValues(rel), size, now, dataChange,
           stats = statsByPath.get(relPath))

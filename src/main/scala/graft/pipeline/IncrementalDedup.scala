@@ -62,11 +62,23 @@ object IncrementalDedup {
       dupWithinBatch: Long, accepted: Long)
 
   /** LSH band signatures of a (doc_id, text) frame: (doc_id, band, sig),
-    * same banding as the batch dedup queries. */
+    * same banding as the batch dedup queries.
+    *
+    * NO parallelism floor here, deliberately (r22 A/B): the md5
+    * signature map runs single-task on a one-split interactive batch
+    * (profiled ~1 s at sf0.1), and a guide-§2.5 repartition(cores)
+    * before it was tried — it made the 2-batch ingest ~35% SLOWER
+    * (ProfileIncr 6.1 → 8.7 s): the cached sigs frame feeds six-plus
+    * downstream stages per batch, and 32-way oversharding taxed every
+    * one of them with task-scheduling overhead that dwarfed the saved
+    * md5 time (the q_dedup_substr lesson from the r21 VERDICT, repeated
+    * on this path). A backfill-scale batch — where the single-task cost
+    * would actually hurt — arrives as many scan splits and is already
+    * parallel. */
   def bandSignatures(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val mh = Dedup.minhashPass(
-      docs.select(col("doc_id"), col("text")).as[(Long, String)])
+    val slim = docs.select(col("doc_id"), col("text"))
+    val mh = Dedup.minhashPass(slim.as[(Long, String)])
     mh.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Dedup.Bands - 1)), b =>
         md5(concat_ws("|",
@@ -142,10 +154,18 @@ object IncrementalDedup {
       // edges, not 10¹². Two hash shuffles, no windowed buffering.
       val minPer = fresh.groupBy(col("band"), col("sig"))
         .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("m"))
+      // NO distinct (r22, guide §2.4 "a distinct on data that is
+      // already unique" — here, on data whose consumers tolerate
+      // duplicates): both union-find and labelPropagation (which
+      // canonicalizes + distincts internally) converge identically with
+      // a pair repeated per shared band (≤ Bands copies), so the
+      // distinct's shuffle bought nothing. Only the take's cap routing
+      // sees the duplicates — counting them is CONSERVATIVE (routes a
+      // ≥ cap/Bands-distinct-edge batch to the distributed path early,
+      // never the reverse), and both paths are correct + spec-pinned.
       val pairs = fresh.join(minPer, Seq("band", "sig"))
         .where(col("doc_id") =!= col("m"))
         .select(col("m").as("d1"), col("doc_id").as("d2"))
-        .distinct()
       // Same routing as the batch q_dedup_clusters: ONE take of cap+1
       // rows both sizes the edge set and delivers it — up to the cap a
       // single-pass driver union-find replaces the iterated star
@@ -168,7 +188,14 @@ object IncrementalDedup {
           (Dedup.labelPropagation(pairs)
             .where(col("doc_id") =!= col("cluster_id"))
             .select(col("doc_id")), None)
-      val dropped = dupCorpus.unionByName(losers).distinct().cache()
+      // NO distinct on the union (r22): dupCorpus is distinct (its
+      // builder ends .distinct()), losers carries one row per loser doc
+      // (union-find emits each non-root once; labelPropagation one row
+      // per doc), and the sides are DISJOINT (losers ⊆ fresh, which
+      // anti-joined dupCorpus away) — the distinct re-shuffled an
+      // already-unique set every batch. The stats subtraction below
+      // RELIES on this disjointness either way.
+      val dropped = dupCorpus.unionByName(losers).cache()
       droppedCached = Some(dropped)
       // one count materializes the cache, sizes the broadcast gate, and
       // feeds the stats — the dropped set is batch-bounded by

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only (r22): time the engine-section SORTER ops in isolation —
+  * table_build → validate → plan → compact → validate → strict
+  * overwrite → selective delete → DV delete → DV compact → row-tracking
+  * enable → rt compact — with per-op wall times and a per-Spark-job
+  * breakdown, mirroring Bench's engine construction exactly. */
+object ProfileSorter {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.sql.GraftCatalog")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")) {
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.map(s => s.name.takeWhile(_ != '\n') + "#" + s.numTasks)
+              .mkString("|").take(140)))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStarts.remove(je.jobId)
+          if (s != null)
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3fs ${s._2}")
+        }
+      })
+    }
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[op] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    for (round <- 1 to 3) {
+      println(s"--- pass $round ---")
+      val tableDir = java.nio.file.Files.createTempDirectory("ps-delta").toString
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(32)
+      timed("table_build") { graft.delta.DeltaTable.create(spark, df, tableDir, Nil) }
+      val sorter = graft.sorter.DeltaSorter(spark, tableDir)
+      val cols = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+      val cfg = graft.sorter.SortConfig(cols)
+      timed("validate_unsorted") { sorter.validate(cols) }
+      timed("plan") { sorter.plan(cfg) }
+      timed("compact") { sorter.compact(cfg) }
+      timed("validate_sorted") { sorter.validate(cols) }
+      timed("strict_overwrite") { sorter.compact(cfg.copy(repartitionBySortKey = true)) }
+      val pred = "l_shipdate >= timestamp'1995-01-01 00:00:00' and " +
+        "l_shipdate < timestamp'1995-02-01 00:00:00'"
+      timed("delete_selective") { graft.delta.DeltaTable.delete(
+        spark, tableDir, org.apache.spark.sql.functions.expr(pred)) }
+      val dvPred = "l_shipdate >= timestamp'1995-03-01 00:00:00' and " +
+        "l_shipdate < timestamp'1995-04-01 00:00:00'"
+      graft.delta.DeltaTable.enableDeletionVectors(spark, tableDir)
+      timed("dv_delete") { graft.delta.DeltaTable.delete(
+        spark, tableDir, org.apache.spark.sql.functions.expr(dvPred)) }
+      timed("dv_compact") { sorter.compact(cfg) }
+      timed("rt_enable") { graft.delta.DeltaTable.enableRowTracking(spark, tableDir) }
+      timed("rt_compact") { sorter.compact(cfg.copy(repartitionBySortKey = true)) }
+      val localFs = org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+      localFs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    }
+    spark.stop()
+  }
+}
