@@ -903,12 +903,13 @@ object DeltaTable {
 
   /** Create a new Delta table at `tableUri` from a DataFrame. */
   def create(spark: SparkSession, df: DataFrame, tableUri: String,
-      partitionColumns: Seq[String] = Nil): DeltaLog = {
+      partitionColumns: Seq[String] = Nil,
+      config: Map[String, String] = Map.empty): DeltaLog = {
     val log = DeltaLog.forTable(spark, tableUri)
     require(!log.tableExists, s"table already exists: $tableUri")
     val adds = stageWrite(spark, log, df, partitionColumns,
       maxRecordsPerFile = None, dataChange = true)
-    log.create(df.schema, partitionColumns, adds)
+    log.create(df.schema, partitionColumns, adds, configuration = config)
     log
   }
 
@@ -1126,20 +1127,25 @@ object DeltaTable {
       val actions = log.actionsAt(v)
       val cdcs = actions.collect { case c: AddCDCFile => c }
       // commits WITH row-level change files are exact however they
-      // stored their masks (our DV-creating DELETE/UPDATE always writes
-      // them); only the add/remove diff FALLBACK cannot represent a DV
-      // change — a masked add would misreport surviving rows as inserts.
-      // Scoped to dataChange actions: a compact/OPTIMIZE that purges
-      // masks emits dataChange=false removes carrying DV descriptors and
-      // no cdc files — it changes no data and must pass (the fallback
-      // below already collects dataChange adds only)
+      // stored their masks; the add/remove diff FALLBACK represents
+      // ONLY insert-shaped commits — a dataChange REMOVE means rows
+      // were deleted or rewritten (a remove-only DELETE would silently
+      // VANISH from the feed, a DV-masked add would misreport
+      // survivors as inserts), so it must refuse. This is how a DML on
+      // a table without `delta.enableChangeDataFeed=true` surfaces
+      // (r22 — such DMLs no longer stage change files, per the delta
+      // contract): the feed errors loudly instead of misreporting.
+      // Scoped to dataChange actions: a compact/OPTIMIZE emits
+      // dataChange=false removes and no cdc files — it changes no data
+      // and must pass (the fallback collects dataChange adds only).
       require(cdcs.nonEmpty || actions.forall {
         case a: AddFile => !a.dataChange || a.deletionVector.isEmpty
-        case r: RemoveFile => !r.dataChange || r.deletionVector.isEmpty
+        case r: RemoveFile => !r.dataChange
         case _ => true
-      }, s"change feed: version $v of $tableUri carries deletion vectors " +
-        "on data-changing actions without row-level change files, which " +
-        "the add/remove diff cannot represent")
+      }, s"change feed: version $v of $tableUri changes data (removes or " +
+        "DV-masked adds) without row-level change files — the add/remove " +
+        "diff cannot represent it; enable delta.enableChangeDataFeed " +
+        "BEFORE running DML whose changes the feed must carry")
       if (cdcs.nonEmpty) {
         // DML commit with row-level capture: the cdc files already carry
         // _change_type (insert / update_postimage / delete) and exactly
@@ -3260,6 +3266,18 @@ object DeltaTable {
     * reader); `_change_type` stays literal. */
   private def stageCdc(spark: SparkSession, log: DeltaLog,
       changes: DataFrame, snap: Snapshot): Seq[AddCDCFile] = {
+    // r22 (guide §1.2 "don't compute things you throw away"): change
+    // files are only written when the table OPTED INTO the change feed
+    // (`delta.enableChangeDataFeed=true` — the delta contract; a
+    // delta-spark DML on a non-CDF table writes none either). Every
+    // DELETE/UPDATE/MERGE/upsert used to stage a full parquet copy of
+    // its change rows unconditionally — at 100 TB that duplicates every
+    // deleted/updated row's bytes per DML for a feed nobody declared.
+    // [[changesBetween]] refuses (instead of misreporting) commits the
+    // add/remove fallback cannot represent, so a non-CDF table's feed
+    // errors loudly rather than silently losing these rows.
+    if (!snap.metadata.configuration
+        .get("delta.enableChangeDataFeed").exists(_.toBoolean)) return Nil
     val fs = log.tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = new Path(log.tableRoot, s"_change_data/${UUID.randomUUID()}")
     val projected =

@@ -90,7 +90,12 @@ object Connector {
   private def regionCdf(s: SparkSession, dir: String): String =
     built.computeIfAbsent(dir + "#cdf", _ => {
       val uri = java.nio.file.Files.createTempDirectory("graft-conn-cdf").toString
-      DeltaTable.create(s, table(s, dir, "region").coalesce(1), uri) // v0
+      // CDF is opt-in from v0 (r22: DML stages change files only when
+      // delta.enableChangeDataFeed is set — the delta contract); set at
+      // CREATE so the DML commits keep their v1/v2 numbers, which the
+      // query's _commit_version output carries
+      DeltaTable.create(s, table(s, dir, "region").coalesce(1), uri, // v0
+        config = Map("delta.enableChangeDataFeed" -> "true"))
       DeltaTable.delete(s, uri, col("r_regionkey") === 1)            // v1
       DeltaTable.update(s, uri, col("r_regionkey") === 2,            // v2
         Map("r_name" -> concat(col("r_name"), lit("!"))))

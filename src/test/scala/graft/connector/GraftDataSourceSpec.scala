@@ -158,7 +158,8 @@ class GraftDataSourceSpec extends AnyFunSuite {
     // two files with disjoint p ranges: p=0 file and p=1 file
     val df = spark.range(100).select(($"id" % 2).as("p"), $"id".as("v"))
       .repartitionByRange(2, $"p").sortWithinPartitions($"p", $"v")
-    DeltaTable.create(spark, df, dir)
+    DeltaTable.create(spark, df, dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     val before = DeltaLog.forTable(spark, dir).snapshot()
 
     // re-land the p=1 region with fresh rows in ONE commit
@@ -192,7 +193,8 @@ class GraftDataSourceSpec extends AnyFunSuite {
 
   test("batch readChangeFeed returns the CDF rows of a version range") {
     val dir = TestSpark.tmpDir("gds-cdf")
-    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir) // v0
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir, // v0
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.append(spark, dir, Seq(3L).toDF("v")) // v1
     DeltaTable.delete(spark, dir, $"v" === 3L) // v2 (rewrite of v1's file)
     val all = spark.read.format("graftdelta")

@@ -241,7 +241,8 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
   test("readChangeFeed streams row-level CDF across appends, update, delete") {
     val dir = TestSpark.tmpDir("gss-cdf")
     // v0: create {1,2}; v1: append {3}; v2: update v=3 -> 30; v3: delete v=1
-    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir)
+    DeltaTable.create(spark, Seq(1L, 2L).toDF("v"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.append(spark, dir, Seq(3L).toDF("v"))
     DeltaTable.update(spark, dir, $"v" === 3L, Map("v" -> ($"v" * 10)))
     DeltaTable.delete(spark, dir, $"v" === 1L)

@@ -135,7 +135,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       DeltaTable.changesBetween(spark, dir, -1, 0)
     }
-    assert(e2.getMessage.contains("deletion vectors"))
+    assert(e2.getMessage.contains("cannot represent"))
   }
 
   test("change feed refuses DV commits at INTERMEDIATE versions, not just the final snapshot") {
@@ -164,7 +164,7 @@ class DeletionVectorSpec extends AnyFunSuite {
       DeltaTable.changesBetween(spark, dir, 0, 2)
     }
     assert(e.getMessage.contains("version 1") &&
-      e.getMessage.contains("deletion vectors"))
+      e.getMessage.contains("cannot represent"))
   }
 
   test("DV table through the connector: pushed filters compose with the row mask") {

@@ -181,7 +181,8 @@ class DeltaDmlSpec extends AnyFunSuite {
   test("change feed captures row-level DML: no survivor re-emission") {
     val dir = TestSpark.tmpDir("dml-cdf-rows")
     DeltaTable.create(spark,
-      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), dir) // v0
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true")) // v0
     // v1: update k=1, insert k=9 — k=2,3 are rewritten survivors and
     // must NOT appear in the feed
     DeltaTable.upsert(spark, dir, Seq((1L, "A!"), (9L, "i")).toDF("k", "v"), Seq("k"))
@@ -238,7 +239,8 @@ class DeltaDmlSpec extends AnyFunSuite {
   test("update keeps NULL-predicate rows and emits pre+post change images") {
     val dir = TestSpark.tmpDir("dml-update-cdc")
     DeltaTable.create(spark,
-      Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("k", "v"), dir) // v0
+      Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("k", "v"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true")) // v0
     DeltaTable.update(spark, dir, col("v") === "a", Map("v" -> lit("A!"))) // v1
     // k=2 (NULL predicate) and k=3 survive untouched
     assert(DeltaTable.read(spark, dir).select("k", "v").as[(Int, Option[String])]
@@ -306,7 +308,8 @@ class DeltaDmlSpec extends AnyFunSuite {
   test("replaceWhere pins a non-deterministic input before validating") {
     val dir = TestSpark.tmpDir("dml-rw-nondet")
     DeltaTable.create(spark,
-      Seq((0L, -1L), (1L, -2L)).toDF("p", "v").repartitionByRange(2, col("p")), dir)
+      Seq((0L, -1L), (1L, -2L)).toDF("p", "v").repartitionByRange(2, col("p")), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     // a shared counter makes the non-determinism REPRODUCIBLE: the first
     // full evaluation (draws 0..3) yields only p=1 rows and passes the
     // validation count; any re-evaluation (draws >= 4) yields p=0 rows —

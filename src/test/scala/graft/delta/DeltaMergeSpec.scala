@@ -23,7 +23,8 @@ class DeltaMergeSpec extends AnyFunSuite {
   test("conditional update + delete + insert in ONE merge, with CDC") {
     val dir = TestSpark.tmpDir("gm-full")
     DeltaTable.create(spark,
-      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"), dir)
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     val source = Seq(
       (1, "A!", 0),   // matched, op below deletes n<... no: update branch
       (2, "B!", -1),  // matched, delete branch (src n < 0)
@@ -158,7 +159,8 @@ class DeltaMergeSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("gm-nmbs")
     DeltaTable.create(spark,
       Seq((1, "a", 0L), (2, "b", 0L), (3, "c", 9L), (4, "d", 0L))
-        .toDF("k", "v", "n"), dir)
+        .toDF("k", "v", "n"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     val v0 = DeltaLog.forTable(spark, dir).snapshot().version
     // source covers k=1 only: k=1 updates from source; k=3 (n>0,
     // unmatched) is deleted; k=2/k=4 (unmatched, n=0) get flagged

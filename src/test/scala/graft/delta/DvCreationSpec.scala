@@ -23,7 +23,8 @@ class DvCreationSpec extends AnyFunSuite {
   private def mkTable(prefix: String, n: Int = 100): String = {
     val dir = TestSpark.tmpDir(prefix)
     DeltaTable.create(spark,
-      (0 until n).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+      (0 until n).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.enableDeletionVectors(spark, dir)
     dir
   }
@@ -209,7 +210,8 @@ class DvCreationSpec extends AnyFunSuite {
   test("merge: matched update/delete clauses mask; file with no modified rows untouched") {
     val dir = TestSpark.tmpDir("dv-create-merge2")
     DeltaTable.create(spark,
-      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir)
+      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.append(spark, dir,
       (50 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1))
     DeltaTable.enableDeletionVectors(spark, dir)

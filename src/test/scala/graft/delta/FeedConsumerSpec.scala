@@ -37,7 +37,8 @@ class FeedConsumerSpec extends AnyFunSuite {
   test("poll + appendIfNew(version) + ack is exactly-once under replay") {
     val src = TestSpark.tmpDir("feed-src")
     val dst = TestSpark.tmpDir("feed-dst")
-    DeltaTable.create(spark, Seq((1L, 10L)).toDF("k", "v"), src)
+    DeltaTable.create(spark, Seq((1L, 10L)).toDF("k", "v"), src,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.create(spark, Seq.empty[(Long, Long)].toDF("k", "v"), dst)
 
     def cycle(): Unit = {

@@ -791,6 +791,7 @@ class ForeignLogSpec extends AnyFunSuite {
       s"""{"metaData":{"id":"cm-dml","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${Action.jstr(cmSchema.json)},"partitionColumns":[],""" +
         s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.enableChangeDataFeed":"true",""" +
         s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
       s"""{"add":{"path":"${part.getName}","partitionValues":{},"size":${part.length()},""" +
         s""""modificationTime":1,"dataChange":true}}"""))

@@ -91,7 +91,8 @@ class GraftSqlDmlSpec extends AnyFunSuite {
 
   test("SQL UPDATE emits pre+post change images") {
     val dir = TestSpark.tmpDir("sqldml-upd-cdf")
-    DeltaTable.create(spark, Seq((1L, "x")).toDF("k", "v"), dir)
+    DeltaTable.create(spark, Seq((1L, "x")).toDF("k", "v"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     withTable(dir) { t => spark.sql(s"UPDATE $t SET v = 'y' WHERE k = 1") }
     val changes = DeltaTable.changesBetween(spark, dir, 0, 1)
       .select($"_change_type", $"v").as[(String, String)].collect().toSet
@@ -179,7 +180,8 @@ class GraftSqlDmlSpec extends AnyFunSuite {
   test("SQL MERGE WHEN NOT MATCHED BY SOURCE: the CDC mirror idiom") {
     val dir = TestSpark.tmpDir("sqldml-merge-nmbs")
     DeltaTable.create(spark,
-      Seq((1, "a", 0), (2, "b", 0), (3, "c", 9)).toDF("k", "v", "n"), dir)
+      Seq((1, "a", 0), (2, "b", 0), (3, "c", 9)).toDF("k", "v", "n"), dir,
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     val v0 = DeltaLog.forTable(spark, dir).snapshot().version
     withTable(dir) { t =>
       Seq((1, "A", 0), (4, "d", 0)).toDF("k", "v", "n")
@@ -299,7 +301,8 @@ class GraftSqlDmlSpec extends AnyFunSuite {
 
   test("table_changes TVF streams row-level CDF through SQL") {
     val dir = TestSpark.tmpDir("sqldml-tvf")
-    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir) // v0
+    DeltaTable.create(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dir, // v0
+      config = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaTable.append(spark, dir, Seq((3, "c")).toDF("k", "v"))           // v1
     DeltaTable.delete(spark, dir, col("k") === 2)                         // v2
     withTable(dir) { t =>
