@@ -120,18 +120,21 @@ object TextAnalysis {
       // the tf side), and — unlike a window — a join is AQE-skew-
       // splittable, so a hot token's partition splits at runtime. The
       // price is the tf subtree planned twice (Catalyst does no
-      // cross-subtree CSE: 2 scans/Generates, vs r20's 3 and r21's 1);
-      // measured faster than the r21 window form even at sf0.1
-      // (0.96 → 0.72 s isolated median) because the df window's
+      // cross-subtree CSE: 2 scans/Generates, vs r20's 3 and r21's 1) —
+      // measured CHEAPER than the alternatives at both SFs: vs the r21
+      // window form, sf1 isolated 2.09 → 1.99 s (the df window's
       // whole-tf-table sort cost more than the second pre-aggregated
-      // scan. len stays a window: doc_id partitions are bounded by
-      // document length, and the final rank window reuses its exchange.
+      // scan); vs an eager localCheckpoint of tf feeding both subtrees
+      // (1 scan but a full materialization of tf — also a non-starter
+      // at 100 TB, where tf is corpus-order), sf1 2.58 → 1.99 s and
+      // sf0.1 single-query bench 1.21 → 1.13 s. len stays a window:
+      // doc_id partitions are bounded by document length, and the final
+      // rank window reuses its exchange.
       // df = count of tf rows per tk ≡ count(DISTINCT doc) per token —
       // identical values to both earlier forms; oracle hash unchanged.
       val tk = table(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       val tf = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
       val dfTbl = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
       val nDocs = table(s, dir, "documents")
         .agg(count(lit(1)).as("n_docs"))
