@@ -703,8 +703,14 @@ object Bench {
       val finalMed: Map[String, Double] =
         if (engineSuspects.isEmpty) baseMed
         else {
+          // 12×20 s, not the 6 the other drain loops use: this salvage
+          // runs right after four heavy engine passes, and load1m's
+          // ~60 s inertia means the bench's OWN residual load needs
+          // ~3–4 min to decay below the 2.0 gate — the r22 round-start
+          // run's engine salvage timed out against exactly that and
+          // kept ten inflated medians it had correctly flagged.
           var waits = 0
-          while (machineBusy() && waits < 6) {
+          while (machineBusy() && waits < 12) {
             System.err.println(s"[bench] engine salvage: waiting 20s before " +
               s"re-running section for ${engineSuspects.mkString(",")}")
             Thread.sleep(20000); waits += 1
